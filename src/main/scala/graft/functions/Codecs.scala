@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mapping.SinkConfig.CodecSettings
+
+/**
+ * Scalar conversion layer: (source column, target type, codec settings) →
+ * Column. Re-expresses the reference's implicit ConvertingCodec casts
+ * (reference: sink/src/it/.../StructEndToEndCCMIT.java:65-79 — string/number
+ * inputs accepted for every CQL scalar; sink/src/it/.../JsonEndToEndCCMIT.java:302-372
+ * — pattern/unit-driven temporal parsing) as Catalyst column expressions, so
+ * Catalyst codegen compiles the conversion once per batch instead of
+ * dispatching per record.
+ */
+object Codecs {
+
+  /** Number of target units in one source unit, as a decimal multiplier
+    * pair (numerator, denominator) to keep integer arithmetic exact. */
+  private def unitRatio(from: TimeUnit, to: TimeUnit): (Long, Long) = {
+    val fromNanos = from.toNanos(1)
+    val toNanos = to.toNanos(1)
+    if (fromNanos >= toNanos) (fromNanos / toNanos, 1L) else (1L, toNanos / fromNanos)
+  }
+
+  /** Convert a numeric duration column between time units with truncation
+    * (matches java.util.concurrent.TimeUnit.convert semantics used by the
+    * reference for `__ttl` / `__timestamp`, reference:
+    * sink/src/it/.../WriteTimestampAndTtlCCMIT.java:73-160). */
+  def convertUnits(col: Column, from: TimeUnit, to: TimeUnit): Column = {
+    val (num, den) = unitRatio(from, to)
+    if (den == 1L) col.cast(LongType) * lit(num)
+    else (col.cast(LongType) / lit(den)).cast(LongType) // integer division truncates
+  }
+
+  /** TTL codec: convert to seconds, clamp negatives to 0
+    * (reference: WriteTimestampAndTtlCCMIT.java:138-160, negative → 0). */
+  def ttlSeconds(col: Column, unit: TimeUnit): Column =
+    greatest(convertUnits(col, unit, TimeUnit.SECONDS), lit(0L))
+
+  /** Writetime codec: numeric field in `unit` → microseconds; fallback to the
+    * Kafka record timestamp (milliseconds) × 1000
+    * (reference: WriteTimestampAndTtlCCMIT.java:45-70 — record ts 153000987
+    * ms becomes writetime 153000987000 µs). */
+  def writetimeMicros(field: Option[Column], unit: TimeUnit, recordTsMillis: Column): Column = {
+    val fallback = recordTsMillis.cast(LongType) * lit(1000L)
+    field match {
+      case Some(c) => coalesce(convertUnits(c, unit, TimeUnit.MICROSECONDS), fallback)
+      case None    => fallback
+    }
+  }
+
+  /** Temporal parse driven by codec settings: `UNITS_SINCE_EPOCH` uses the
+    * configured unit; `CQL_TIMESTAMP`/ISO default parses ISO-8601; any other
+    * value is a DateTimeFormatter pattern (reference:
+    * JsonEndToEndCCMIT.java:302-372; dist/conf/...properties.sample:187-225). */
+  def parseTimestamp(col: Column, codec: CodecSettings): Column = codec.timestamp match {
+    case "UNITS_SINCE_EPOCH" =>
+      val micros = convertUnits(col, TimeUnit.valueOf(codec.unit), TimeUnit.MICROSECONDS)
+      timestamp_micros(micros)
+    case "CQL_TIMESTAMP" | "ISO_ZONED_DATE_TIME" | "ISO_INSTANT" =>
+      to_timestamp(col)
+    case pattern =>
+      to_timestamp(col, pattern)
+  }
+
+  def parseDate(col: Column, codec: CodecSettings): Column = codec.date match {
+    case "ISO_LOCAL_DATE" => to_date(col)
+    case pattern          => to_date(col, pattern)
+  }
+
+  /** CQL `time` is a nanos-of-day long; parse HH:mm:ss[.SSS] to nanos. */
+  def parseTimeNanos(col: Column): Column = {
+    val t = to_timestamp(concat(lit("1970-01-01 "), col))
+    (unix_micros(t) * lit(1000L)).cast(LongType)
+  }
+
+  /**
+   * Failure-capturing cast (reference C5): the reference surfaces a parse
+   * failure per record (`Could not parse 'bad key'`, reference:
+   * sink/src/it/.../SimpleEndToEndSimulacronIT.java:464-465) instead of
+   * silently writing null. Returns (value, error) where exactly one is set:
+   * a cast that nulls a non-null input yields an error message.
+   */
+  def tryCast(col: Column, to: DataType): (Column, Column) = {
+    val casted = tryCastCol(col, to)
+    val err = when(col.isNotNull && casted.isNull,
+      concat(lit("Could not parse '"), col.cast(StringType), lit("'"))).otherwise(lit(null))
+    (casted, err)
+  }
+
+  /** try_cast as a Column op: never throws, even under ANSI mode. */
+  def tryCastCol(col: Column, to: DataType): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(Cast(GraftBridge.expression(col), to, None, EvalMode.TRY))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.mapping
+
+import java.util.concurrent.TimeUnit
+
+/**
+ * Connector configuration model: per-(topic, keyspace, table) bindings plus
+ * per-topic codec settings.
+ *
+ * Key surface re-derived from the reference's shipped sample config
+ * (reference: dist/conf/cassandra-sink-standalone.properties.sample:129-225)
+ * and config-parsing tests (reference: sink/src/test/.../CassandraSinkTaskTest.java:262-272):
+ *
+ *   topic.<topic>.<keyspace>.<table>.mapping            (required)
+ *   topic.<topic>.<keyspace>.<table>.ttl                (default -1 = none)
+ *   topic.<topic>.<keyspace>.<table>.ttlTimeUnit        (default SECONDS)
+ *   topic.<topic>.<keyspace>.<table>.timestampTimeUnit  (default MICROSECONDS)
+ *   topic.<topic>.<keyspace>.<table>.consistencyLevel   (default LOCAL_ONE)
+ *   topic.<topic>.<keyspace>.<table>.nullToUnset        (default true)
+ *   topic.<topic>.<keyspace>.<table>.deletesEnabled     (default true)
+ *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
+ *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
+ *
+ * Topic names may themselves contain dots; the keyspace/table pair is the
+ * two segments immediately before a recognized setting name.
+ */
+object SinkConfig {
+
+  case class CodecSettings(
+      timestamp: String = "CQL_TIMESTAMP",
+      date: String = "ISO_LOCAL_DATE",
+      time: String = "ISO_LOCAL_TIME",
+      unit: String = "MILLISECONDS",
+      timeZone: String = "UTC",
+      locale: String = "en_US")
+
+  case class TableBinding(
+      topic: String,
+      keyspace: String,
+      table: String,
+      mapping: Seq[MappingSpec.Entry],
+      ttl: Long = -1L,
+      ttlTimeUnit: TimeUnit = TimeUnit.SECONDS,
+      timestampTimeUnit: TimeUnit = TimeUnit.MICROSECONDS,
+      consistencyLevel: String = "LOCAL_ONE",
+      nullToUnset: Boolean = true,
+      deletesEnabled: Boolean = true,
+      query: Option[String] = None,
+      codec: CodecSettings = CodecSettings()) {
+    def qualifiedTable: String = s"$keyspace.$table"
+  }
+
+  case class Config(bindings: Seq[TableBinding]) {
+    /** Fan-out: all bindings for one topic (SURVEY §2 S7). */
+    def forTopic(topic: String): Seq[TableBinding] = bindings.filter(_.topic == topic)
+    def topics: Seq[String] = bindings.map(_.topic).distinct
+  }
+
+  private val TableSettings = Set(
+    "mapping", "ttl", "ttlTimeUnit", "timestampTimeUnit", "consistencyLevel",
+    "nullToUnset", "deletesEnabled", "query")
+  private val CodecSettingNames = Set("timestamp", "date", "time", "unit", "timeZone", "locale")
+
+  def parse(props: Map[String, String]): Config = {
+    // topic.<t>.codec.<setting>
+    val codecByTopic = scala.collection.mutable.Map[String, CodecSettings]()
+    // (topic, ks, table) -> settings
+    val tableProps = scala.collection.mutable.Map[(String, String, String), Map[String, String]]()
+
+    props.foreach { case (key, v) =>
+      if (key.startsWith("topic.")) {
+        val rest = key.stripPrefix("topic.")
+        val segs = rest.split('.')
+        if (segs.length >= 3 && segs(segs.length - 2) == "codec" &&
+            CodecSettingNames.contains(segs.last)) {
+          val topic = segs.dropRight(2).mkString(".")
+          val c = codecByTopic.getOrElse(topic, CodecSettings())
+          codecByTopic(topic) = segs.last match {
+            case "timestamp" => c.copy(timestamp = v)
+            case "date"      => c.copy(date = v)
+            case "time"      => c.copy(time = v)
+            case "unit"      => c.copy(unit = v)
+            case "timeZone"  => c.copy(timeZone = v)
+            case "locale"    => c.copy(locale = v)
+          }
+        } else if (segs.length >= 4 && TableSettings.contains(segs.last)) {
+          val topic = segs.dropRight(3).mkString(".")
+          val ks = segs(segs.length - 3)
+          val tbl = segs(segs.length - 2)
+          val k = (topic, ks, tbl)
+          tableProps(k) = tableProps.getOrElse(k, Map.empty) + (segs.last -> v)
+        }
+        // unrecognized topic.* keys ignored, matching reference leniency
+      }
+    }
+
+    val bindings = tableProps.toSeq.sortBy(_._1).map { case ((topic, ks, tbl), m) =>
+      val mappingStr = m.getOrElse("mapping",
+        throw MappingSpec.ParseException(s"missing mapping for topic.$topic.$ks.$tbl"))
+      TableBinding(
+        topic = topic, keyspace = ks, table = tbl,
+        mapping = MappingSpec.parse(mappingStr),
+        ttl = m.get("ttl").map(_.toLong).getOrElse(-1L),
+        ttlTimeUnit = m.get("ttlTimeUnit").map(TimeUnit.valueOf).getOrElse(TimeUnit.SECONDS),
+        timestampTimeUnit =
+          m.get("timestampTimeUnit").map(TimeUnit.valueOf).getOrElse(TimeUnit.MICROSECONDS),
+        consistencyLevel = m.getOrElse("consistencyLevel", "LOCAL_ONE"),
+        nullToUnset = m.get("nullToUnset").forall(_.toBoolean),
+        deletesEnabled = m.get("deletesEnabled").forall(_.toBoolean),
+        query = m.get("query"),
+        codec = codecByTopic.getOrElse(topic, CodecSettings()))
+    }
+    Config(bindings)
+  }
+}

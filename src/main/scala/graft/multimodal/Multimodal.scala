@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque `binary` payloads
+ * plus typed metadata, with decode / feature-extract staged as partition-wise
+ * batch transforms.
+ *
+ * The decode step is a STUB (no image/audio libraries in this container): a
+ * deterministic fake that derives "dimensions" and "features" from payload
+ * bytes. Everything Spark-side — schema, binary column handling, partition
+ * batching, the mapPartitions transform shape, metadata projection — is real
+ * and is exactly what a production decode (libjpeg/ffmpeg behind the same
+ * signature) would ride on.
+ */
+object Multimodal {
+
+  /** Typed media row: payload + envelope metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String,            // "image" | "audio" | "video"
+      payload: Array[Byte],
+      byte_len: Long,
+      sha: String)
+
+  case class DecodedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float])
+
+  /** Wrap any (id, text) table into a binary media table — the test stand-in
+    * for real blobs: payload = utf-8 bytes. Metadata (length, sha256) is
+    * computed with codegen'd expressions, not per-row JVM code. */
+  def toMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio").otherwise("video").as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .withColumn("byte_len", length(col("payload")).cast(LongType))
+      .withColumn("sha", sha2(col("payload"), 256))
+
+  /**
+   * STUB decode: partition-wise batch transform (the Scala analogue of
+   * `mapInPandas` — one JVM call per partition, rows streamed through an
+   * iterator, no per-row closure dispatch). A real decoder drops in by
+   * replacing `fakeDecode` only.
+   */
+  def decode(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val d = fakeDecode(m.payload)
+        DecodedMedia(m.media_id, m.kind, d._1, d._2, d._3, d._4)
+      }
+    }
+  }
+
+  /** Deterministic fake: "decodes" dimensions/frames/features from bytes.
+    * Stands in for ??? (libjpeg / ffmpeg not present in this container). */
+  private def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val n = payload.length
+    val sum = payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 2147483647L)
+    val width = 64 + (sum % 193).toInt
+    val height = 64 + ((sum / 193) % 193).toInt
+    val frames = 1 + (n % 16)
+    val feat = Array.tabulate(8)(i => (((sum >> i) & 0xff).toFloat / 255f))
+    (width, height, frames, feat)
+  }
+
+  /** Frame sampling plan for video rows: which frame indices a downstream
+    * extractor reads — pure metadata arithmetic, pushed down columnar. */
+  def frameSamplePlan(decoded: DataFrame, everyNth: Int): DataFrame =
+    decoded
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        sequence(lit(0), col("n_frames") - 1, lit(everyNth)).as("sampled_frames"))
+      .withColumn("n_sampled", size(col("sampled_frames")).cast(LongType))
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TextAnalysis._
+
+/**
+ * Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, and n-gram Jaccard.
+ *
+ * Scale design: every stage is a select / explode / groupBy on a content
+ * key — no driver-side state, no cross join. Candidate generation is always
+ * band-bucket (LSH) joins, so 100 TB shuffles only (doc_id, band_hash)
+ * pairs, never text. Hashes use explicit mod-prime integer arithmetic so the
+ * DuckDB oracle reproduces them exactly.
+ */
+object Dedup {
+
+  /** Fixed affine hash family over the shingle hash: h_j(x) = (a_j·x + b_j)
+    * mod p. Seeds are fixed primes — deterministic across engines and runs. */
+  case class Seed(id: Int, a: Long, b: Long)
+  def seeds(k: Int): Seq[Seed] =
+    (0 until k).map(j => Seed(j, 1000003L + 2L * j * 4391L, 7919L * (j + 1) % HashPrime))
+
+  // ------------------------------------------------------------------ exact
+
+  /**
+   * Exact dedup by content hash: canonical survivor = lowest doc id per
+   * distinct text. groupBy on md5 — one shuffle of (hash, id), map-side
+   * combined; at 100 TB the text column never shuffles.
+   */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------- minhash
+
+  /**
+   * MinHash signatures in long form: one row per (doc, seed) with the min
+   * affine hash over the doc's distinct shingles. Long form keeps the plan a
+   * single explode + groupBy (partial-aggregated min) — the array-pivot
+   * happens only in [[minhashBands]] where band grouping needs it.
+   */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+    val sdf = docs.select(col(idCol).as("doc_id"),
+      explode(shingleSet(col(textCol), shingleN)).as("shingle"))
+      .withColumn("h", stringHash(col("shingle")))
+    val seedRows = seeds(numHashes)
+    val seedDf = sdf.sparkSession.createDataFrame(seedRows).toDF("seed_id", "a", "b")
+    sdf
+      .join(broadcast(seedDf)) // tiny dim: broadcast, no shuffle
+      .groupBy(col("doc_id"), col("seed_id"))
+      .agg(min((col("a") * col("h") + col("b")) % HashPrime).as("minhash"))
+  }
+
+  /**
+   * LSH banding: group the k minhashes into bands of `rowsPerBand`, hash each
+   * band; docs sharing any (band_id, band_hash) are candidate near-dups.
+   * Join key is the band hash — the classic MinHash-LSH bucket join.
+   */
+  def minhashBands(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    signatures
+      .withColumn("band_id", (col("seed_id") / rowsPerBand).cast(IntegerType))
+      .groupBy(col("doc_id"), col("band_id"))
+      // order inside the band is fixed by seed_id; fold into one band hash
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("seed_id"), col("minhash")))),
+        lit(0L),
+        (acc, s) => (acc * 131L + s.getField("minhash")) % HashPrime).as("band_hash"))
+
+  /** Candidate pairs from band buckets (a < b, distinct). */
+  def minhashCandidates(bands: DataFrame): DataFrame = {
+    val l = bands.alias("l"); val r = bands.alias("r")
+    l.join(r,
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /**
+   * 32-bit SimHash over token hashes: bit i of the fingerprint is 1 iff the
+   * sum over tokens of ±1 (per token-hash bit i) is positive. Computed
+   * columnar: explode tokens → per-bit contributions → groupBy doc.
+   */
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", stringHash(col("tok")))
+    val bitIdx = toks.sparkSession.range(bits).toDF("bit")
+    toks
+      .join(broadcast(bitIdx))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("shiftright(h, CAST(bit AS INT)) & CAST(1 AS BIGINT)") === 1L,
+        1L).otherwise(-1L)).as("bal"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bal") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  // ------------------------------------------------------------------ jaccard
+
+  /**
+   * Exact n-gram Jaccard for candidate pairs, all-integer: docs sharing at
+   * least one shingle get |A∩B| via a shingle join; |A∪B| = |A|+|B|-|A∩B|.
+   * The shingle join IS the candidate filter — disjoint docs never meet, so
+   * no cross join at any scale.
+   */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, minJaccardPct: Int = 50): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingleSet(col(textCol), shingleN)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val l = sh.alias("l"); val r = sh.alias("r")
+    val inter = l.join(r,
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("n_union", col("size_a") + col("size_b") - col("n_inter"))
+      // integer threshold: jaccard >= pct/100  ⇔  100·inter >= pct·union
+      .filter(col("n_inter") * 100L >= col("n_union") * minJaccardPct)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
+}

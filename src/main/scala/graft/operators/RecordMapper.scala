@@ -1,0 +1,177 @@
+package graft.operators
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Codecs, TimeUuid}
+import graft.mapping.MappingSpec._
+import graft.mapping.SinkConfig.TableBinding
+import graft.sink.SinkTable
+
+/**
+ * Compiles one (topic, table) mapping into a Catalyst projection over a
+ * Kafka-shaped DataFrame, and routes each row to a write mode.
+ *
+ * Input contract (the columns Spark's Kafka source yields, reference
+ * behavior: sink/src/main/java/.../KafkaSinkRecordAdapter.java:38-75 exposes
+ * exactly key/value/headers/timestamp/topic):
+ *
+ *   key       string|binary|struct   record key
+ *   value     string|binary|struct   record value
+ *   headers   array<struct<key:string,value:string>>   (nullable)
+ *   timestamp timestamp              broker/record time
+ *   topic     string
+ *   partition int, offset long       (used by failure accounting)
+ *
+ * The whole mapping becomes ONE `select` — the analogue of the reference's
+ * prepare-once/bind-per-record split (statement prepared at startup,
+ * reference: SimpleEndToEndSimulacronIT.java:285-316): Catalyst compiles the
+ * projection to bytecode once per batch, rows stream through codegen.
+ */
+object RecordMapper {
+
+  /** Output metadata columns added next to the mapped table columns. */
+  val ModeCol = "__mode"
+  val WritetimeCol = "__writetime"
+  val TtlCol = "__ttl_seconds"
+  val ErrorCol = "__error"
+
+  val ModeUpsert = "UPSERT"
+  val ModeDelete = "DELETE"
+  val ModeCounter = "COUNTER"
+
+  /** How record key/value bytes decode to fields. The reference discovers
+    * this per record (reference: sink/src/test/.../MetadataCreatorTest.java:44-152):
+    * Struct records carry schema, strings parse as JSON with literal-string
+    * fallback, anything else is the raw `__self` value. */
+  sealed trait Format
+  object Format {
+    /** Column already a struct (e.g. pre-decoded Avro via from_avro). */
+    case object Struct extends Format
+    /** JSON text: fields via get_json_object (absent/non-JSON → null). */
+    case object Json extends Format
+    /** Opaque scalar: only whole-object access is meaningful. */
+    case object Raw extends Format
+  }
+
+  /** Resolve one mapping source to an (untyped) column. */
+  private def sourceColumn(
+      src: Source,
+      keyFormat: Format,
+      valueFormat: Format): Column = src match {
+    case WholeObject(Prefix.Key)   => col("key")
+    case WholeObject(Prefix.Value) => col("value")
+    case WholeObject(Prefix.Header) =>
+      throw ParseException(LegalSurfaceMsg) // unreachable: parser rejects
+    case FieldRef(Prefix.Header, name) =>
+      // headers: last occurrence wins, like Kafka's Headers.lastWithName
+      element_at(map_from_entries(col("headers")), name)
+    case FieldRef(p, name) =>
+      val (c, fmt) = p match {
+        case Prefix.Key   => (col("key"), keyFormat)
+        case Prefix.Value => (col("value"), valueFormat)
+        case Prefix.Header => throw ParseException(LegalSurfaceMsg)
+      }
+      fmt match {
+        case Format.Struct => c.getField(name)
+        case Format.Json =>
+          val path =
+            if (name.forall(ch => ch.isLetterOrDigit || ch == '_')) "$." + name
+            else "$['" + name + "']"
+          get_json_object(c.cast(StringType), path)
+        case Format.Raw    => lit(null) // field access into a scalar → missing → null (P7)
+      }
+    case FunctionCall("now", _) => TimeUuid.now_timeuuid()
+    case FunctionCall(n, _)     => throw ParseException(s"unknown function $n()")
+  }
+
+  /** Cast a resolved source column to the sink column's type using the
+    * codec rules (SURVEY §2.4). */
+  private def applyCodec(c: Column, target: DataType, b: TableBinding): Column = target match {
+    case TimestampType => Codecs.parseTimestamp(c, b.codec)
+    case DateType      => Codecs.parseDate(c, b.codec)
+    case other         => Codecs.tryCastCol(c, other)
+  }
+
+  /**
+   * Compile the binding into the mapped projection.
+   *
+   * Adds `__writetime` (µs, LWW ordering key — reference G3), `__ttl_seconds`
+   * (reference G2), and `__mode` (UPSERT / DELETE / COUNTER — reference F1,
+   * S5). Unmapped table columns are absent from the output — the sink merge
+   * treats them as "unset" (never overwritten), which is exactly the
+   * reference's unset-bound-variable behavior.
+   */
+  def compile(
+      binding: TableBinding,
+      table: SinkTable,
+      records: DataFrame,
+      keyFormat: Format = Format.Json,
+      valueFormat: Format = Format.Json,
+      keepCols: Seq[String] = Seq.empty): DataFrame = {
+
+    val entries = binding.mapping
+    val byTarget: Map[String, Source] =
+      entries.map(e => e.target.name -> e.source).toMap
+
+    // --- mapped data columns, typed per sink schema -----------------------
+    val dataCols: Seq[(String, Column)] = entries.collect {
+      case Entry(ColumnTarget(name), src) =>
+        val field = table.schema.fields.find(_.name == name).getOrElse(
+          throw ParseException(
+            s"mapping target $name is not a column of ${table.qualified}"))
+        val c = sourceColumn(src, keyFormat, valueFormat)
+        val typed = src match {
+          case FunctionCall("now", _) => c // timeuuid stays a string
+          case _                      => applyCodec(c, field.dataType, binding)
+        }
+        name -> typed.as(name)
+    }
+
+    // --- pseudo-columns ---------------------------------------------------
+    val writetime: Column = {
+      val fieldCol = byTarget.get(TimestampTarget.name).map(s =>
+        sourceColumn(s, keyFormat, valueFormat))
+      Codecs.writetimeMicros(fieldCol, binding.timestampTimeUnit,
+        unix_millis(col("timestamp")))
+    }
+    val ttl: Column = byTarget.get(TtlTarget.name) match {
+      case Some(s) =>
+        Codecs.ttlSeconds(sourceColumn(s, keyFormat, valueFormat), binding.ttlTimeUnit)
+      case None =>
+        if (binding.ttl >= 0) lit(binding.ttl).cast(LongType) else lit(null).cast(LongType)
+    }
+
+    // --- routing (F1): DELETE iff deletes enabled, the mapping covers every
+    // table column, all PK columns present, and every mapped non-PK column is
+    // null (reference: sink/src/it/.../DeleteCCMIT.java:39-146).
+    val mappedNames = dataCols.map(_._1)
+    val coversAll = table.schema.fieldNames.forall(mappedNames.contains)
+    val pkCols = table.primaryKey.map(col)
+    val nonPk = mappedNames.filterNot(table.primaryKey.contains)
+    // now() targets don't block deletes (reference: NowFunctionCCMIT.java:467-491)
+    val deletableNonPk = nonPk.filterNot { n =>
+      byTarget.get(n).exists(_.isInstanceOf[FunctionCall])
+    }
+
+    val projected = records.select(
+      (keepCols.map(col) ++ dataCols.map(_._2) :+
+        writetime.as(WritetimeCol) :+ ttl.as(TtlCol)): _*)
+
+    val pkPresent = pkCols.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+    val allNonPkNull =
+      deletableNonPk.map(col(_).isNull).reduceOption(_ && _).getOrElse(lit(false))
+
+    val isCounter = table.counterCols.nonEmpty
+    val mode =
+      if (isCounter) lit(ModeCounter)
+      else if (binding.deletesEnabled && coversAll)
+        when(pkPresent && allNonPkNull, ModeDelete).otherwise(ModeUpsert)
+      else lit(ModeUpsert)
+
+    projected.withColumn(ModeCol, mode)
+  }
+}

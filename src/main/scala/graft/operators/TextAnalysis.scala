@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines: token
+ * counting, shingling, deterministic hashing, quality scoring, language ID,
+ * and document fingerprinting.
+ *
+ * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+ * (higher-order array functions, no UDFs), so whole-stage codegen keeps the
+ * hot path JIT-compiled and columnar at 100 TB. All hashes use explicit
+ * integer arithmetic mod a Mersenne prime so results are engine-portable
+ * (the DuckDB oracle reproduces them bit-for-bit).
+ */
+object TextAnalysis {
+
+  /** 2^31 - 1; keeps every intermediate < 2^36 — no int64 overflow. */
+  val HashPrime = 2147483647L
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /**
+   * BPE-ish pre-token count: alphanumeric runs split additionally at
+   * letter↔digit transitions — the first-pass pre-tokenization every BPE
+   * tokenizer does. Counted as (alnum runs) + (transitions), which avoids
+   * lookaround regexes so RE2-based engines (the DuckDB oracle) reproduce it.
+   */
+  def bpeishTokenCount(text: Column): Column = {
+    val lowered = lower(text)
+    val runs = size(filter(split(lowered, "[^a-z0-9]+"), t => length(t) > 0))
+    val trans = regexp_count(lowered, lit("[a-z][0-9]")) +
+      regexp_count(lowered, lit("[0-9][a-z]"))
+    (runs + trans).cast(LongType)
+  }
+
+  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) mod p
+    * over the characters. Portable: DuckDB list_reduce reproduces it. */
+  def stringHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % HashPrime)
+
+  /** Token-sequence rolling hash — the document fingerprint: order-sensitive,
+    * whitespace-normalization-insensitive. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => stringHash(t)),
+      lit(0L),
+      (acc, h) => (acc * 131L + h) % HashPrime)
+
+  /** n-token shingles as space-joined strings (dedup/Jaccard unit). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Distinct shingle set. */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  // ------------------------------------------------------------ quality
+
+  /** Integer quality facets (integers so oracles match exactly):
+    * chars, tokens, mean token length ×100, punctuation marks, stopwords. */
+  def charCount(text: Column): Column = length(text).cast(LongType)
+
+  def punctCount(text: Column): Column =
+    (length(text) - length(translate(text, ".,;:!?", ""))).cast(LongType)
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords))).cast(LongType)
+
+  /** Mean token length in hundredths (integer): floor(100*chars_in_tokens/tokens). */
+  def meanTokenLenX100(text: Column): Column = {
+    val toks = tokens(text)
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    when(size(toks) === 0, lit(0L))
+      .otherwise(floor(totalLen * 100L / size(toks)).cast(LongType))
+  }
+
+  /** Simple integer quality heuristic: long enough, not punctuation-soup,
+    * has some stopwords (i.e. looks like language, not a symbol dump). */
+  def qualityOk(text: Column): Column =
+    (charCount(text) >= 100) &&
+      (punctCount(text) * 10L <= charCount(text)) &&
+      (stopwordCount(text) >= 1)
+
+  // ------------------------------------------------------------ language id
+
+  /** Marker words per language (tiny n-gram-free heuristic; the operator
+    * shape — score per language, argmax — is what scales, the lists are
+    * swappable). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers))).cast(LongType)
+
+  /** Argmax over language scores; ties break alphabetically; all-zero → "und"
+    * (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(text, m) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+}

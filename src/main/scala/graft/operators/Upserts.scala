@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sink.SinkTable
+
+/**
+ * Batch-side write-mode algebra: the Cassandra-ish merge semantics of the
+ * reference sink, re-expressed as shuffle-conscious DataFrame transforms.
+ *
+ * All operations shuffle at most once, on the table's primary key — the same
+ * key Cassandra hashes — so a 1000-executor run co-partitions batch and state
+ * and AQE can pick shuffle-hash vs sort-merge per stats.
+ */
+object Upserts {
+
+  /**
+   * Within-batch last-writer-wins compaction: keep, per primary key, the row
+   * with the highest (writetime, tiebreak). This is the reference's
+   * `USING TIMESTAMP` idempotence mechanism (reference:
+   * sink/src/it/.../SimpleEndToEndSimulacronIT.java:91-93 — every generated
+   * INSERT carries `USING TIMESTAMP :message_internal_timestamp`;
+   * sink/src/it/.../WriteTimestampAndTtlCCMIT.java:45-70): replays and
+   * out-of-order deliveries collapse to the newest write.
+   *
+   * One shuffle on pk; Spark plans a single window sort per partition.
+   */
+  def lwwCompact(batch: DataFrame, pk: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Counter accumulation (reference A1/S5): within the batch, increments for
+   * the same key sum together; the merge with existing state adds them to the
+   * current counter values (reference: sink/src/it/.../JsonEndToEndCCMIT.java:276-300
+   * — the same record delivered twice yields c3=6, c4=8).
+   *
+   * Map-side partial aggregation makes this a half-shuffle at scale.
+   */
+  def counterCombine(batch: DataFrame, table: SinkTable): DataFrame = {
+    val sums = table.counterCols.map(c => sum(col(c)).cast(LongType).as(c))
+    batch.groupBy(table.primaryKey.map(col): _*).agg(sums.head, sums.tail: _*)
+  }
+
+  /**
+   * Merge a routed, compacted batch into existing table state.
+   *
+   * Semantics per mode column (`RecordMapper.ModeCol`):
+   *  - DELETE: row disappears (reference: sink/src/it/.../DeleteCCMIT.java:39-275)
+   *  - UPSERT: per-column: a non-null batch value overwrites; a null batch
+   *    value leaves the existing cell when `nullToUnset` (default), or
+   *    overwrites with null when not (reference:
+   *    sink/src/it/.../RawDataEndToEndCCMIT.java:180-218, JsonEndToEndCCMIT.java:256-273)
+   *  - a column absent from the batch frame entirely is never touched (unset)
+   *
+   * Cell-level LWW: state rows carry `__writetime`; a batch row only
+   * overwrites cells when its writetime is >= the state's (last writer wins,
+   * matching Cassandra reconciliation).
+   *
+   * Plan shape: one full outer join on pk (both sides hash-partitioned on the
+   * same key) — at 100 TB this is the canonical merge-on-read compaction
+   * join; with bucketed state it degrades to a co-located join with no state
+   * shuffle.
+   */
+  def mergeInto(
+      state: DataFrame,
+      batch: DataFrame,
+      table: SinkTable,
+      nullToUnset: Boolean = true): DataFrame = {
+
+    val pk = table.primaryKey
+    val wt = RecordMapper.WritetimeCol
+    val mode = RecordMapper.ModeCol
+
+    val batchCols = batch.columns.toSet
+    val mappedRegular = table.regularCols.filter(batchCols.contains)
+
+    // one surviving action per pk in the batch
+    val compacted = lwwCompact(batch, pk, Seq(col(wt)))
+
+    val s = state.alias("s")
+    val b = compacted.alias("b")
+    val joinCond = pk.map(k => col(s"s.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val joined = s.join(b, joinCond, "full_outer")
+
+    val inBatch = col(s"b.$mode").isNotNull
+    val inState = col(s"s.$wt").isNotNull
+    val isDelete = inBatch && col(s"b.$mode") === RecordMapper.ModeDelete
+    val batchWins = !inState || (col(s"b.$wt") >= col(s"s.$wt"))
+
+    val pkCols = pk.map(k => coalesce(col(s"b.$k"), col(s"s.$k")).as(k))
+    val valueCols = table.regularCols.map { c =>
+      if (!mappedRegular.contains(c)) {
+        // column never mapped: always the state cell
+        (if (state.columns.contains(c)) col(s"s.$c") else lit(null)).as(c)
+      } else {
+        val sCell = if (state.columns.contains(c)) col(s"s.$c") else lit(null)
+        val bCell = col(s"b.$c")
+        val overwrite =
+          if (nullToUnset) inBatch && batchWins && bCell.isNotNull
+          else inBatch && batchWins
+        when(overwrite, bCell).otherwise(sCell).as(c)
+      }
+    }
+    val wtCol = greatest(
+      coalesce(col(s"b.$wt"), lit(Long.MinValue)),
+      coalesce(col(s"s.$wt"), lit(Long.MinValue))).as(wt)
+
+    joined
+      .filter(!(isDelete && batchWins)) // tombstone removes the row
+      .filter(inState || !isDelete)     // delete of an absent row is a no-op
+      .select((pkCols ++ valueCols :+ wtCol): _*)
+  }
+
+  /** Merge counter increments into state: state + increment, per key. */
+  def mergeCounters(state: DataFrame, increments: DataFrame, table: SinkTable): DataFrame = {
+    val pk = table.primaryKey
+    val s = state.alias("s")
+    val b = increments.alias("b")
+    val joinCond = pk.map(k => col(s"s.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val pkCols = pk.map(k => coalesce(col(s"b.$k"), col(s"s.$k")).as(k))
+    val counters = table.counterCols.map { c =>
+      (coalesce(col(s"s.$c"), lit(0L)) + coalesce(col(s"b.$c"), lit(0L))).as(c)
+    }
+    s.join(b, joinCond, "full_outer").select((pkCols ++ counters): _*)
+  }
+
+  /**
+   * Partition-key batch grouping stats (reference A2): the reference groups
+   * statements into CQL BATCHes per (topic, table, partition key), capped at
+   * `maxNumberOfRecordsInBatch` = 32 (reference:
+   * sink/src/it/.../SimpleEndToEndSimulacronIT.java:776-876;
+   * dist/conf/...properties.sample:38-39). Spark's sink writer gets this
+   * grouping from the pk shuffle; this helper exposes the batch-size
+   * accounting (how many driver round-trips a batch costs).
+   */
+  def batchGroups(batch: DataFrame, partitionKey: Seq[String], cap: Int = 32): DataFrame = {
+    batch
+      .groupBy(partitionKey.map(col): _*)
+      .agg(count(lit(1)).as("rows_in_partition"))
+      .withColumn("num_batches",
+        ceil(col("rows_in_partition").cast(DoubleType) / lit(cap)).cast(LongType))
+  }
+}
