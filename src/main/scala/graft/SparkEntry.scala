@@ -1,13 +1,533 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Codecs, TimeUuid}
+import graft.mapping.SinkConfig
+import graft.multimodal.Multimodal
+import graft.operators._
+import graft.sink.SinkTable
+import graft.sources.KafkaLike
+
+/**
+ * Driver contract: `entry` (flagship pipeline), `queries` (one per operator
+ * from SURVEY.md §2 + the training-data-pipeline extensions), `oracleSql`
+ * (DuckDB-equivalent SQL per query, for the hash-match correctness gate).
+ *
+ * Determinism rules shared by every (query, oracle) pair:
+ *  - outputs are sorted on a unique key (row order matches either way);
+ *  - all arithmetic that must hash-match is integer/decimal (never
+ *    FP-associativity-dependent);
+ *  - aggregates are cast explicitly (DuckDB SUM(BIGINT)→HUGEINT etc.);
+ *  - string hashes use an explicit fold (acc·31+codepoint mod 2³¹−1) that
+ *    both engines reproduce bit-for-bit.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Session settings queries rely on; safe to set repeatedly. */
+  private def tune(spark: SparkSession): SparkSession = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read as nanos BIGINT and convert with integer DIV (exact, like DuckDB's
+    // ns→µs truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  // ------------------------------------------------------------ sink model
+
+  private val pkValue = SinkTable("ks1", "pk_value",
+    StructType(Seq(
+      StructField("my_pk", LongType), StructField("my_value", LongType))),
+    partitionKey = Seq("my_pk"))
+
+  private val pkValue3 = SinkTable("ks1", "pk_value3",
+    StructType(Seq(
+      StructField("my_pk", LongType), StructField("my_value", LongType),
+      StructField("my_text", StringType))),
+    partitionKey = Seq("my_pk"))
+
+  private val counterTable = SinkTable("ks1", "mycounter",
+    StructType(Seq(StructField("c1", LongType), StructField("c3", LongType))),
+    partitionKey = Seq("c1"), counterCols = Seq("c3"))
+
+  private def binding(props: (String, String)*): SinkConfig.TableBinding =
+    SinkConfig.parse(props.toMap).bindings.head
+
+  // ------------------------------------------------------- oracle helpers
+
+  /** DuckDB mirror of TextAnalysis.stringHash (fold (acc·31+code) mod p). */
+  private def dFold(sExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(split($sExpr,''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc*31 + x) % 2147483647)"
+
+  /** DuckDB mirror of TextAnalysis.tokens. */
+  private val dToks = """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
+
+  /** DuckDB: distinct 3-token shingles CTE over documents → (doc_id, shingle). */
+  private val dShingles =
+    s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(len(tk)-2), i -> tk[CAST(i+1 AS INT)] || ' ' || tk[CAST(i+2 AS INT)] || ' ' || tk[CAST(i+3 AS INT)]) END) AS shingles FROM toks),
+       |shex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)""".stripMargin
+
+  /** DuckDB: minhash signature CTE chain (16 seeds), ending in `sig`. */
+  private val dMinhashSig =
+    s"""$dShingles,
+       |hashed AS (SELECT doc_id, ${dFold("shingle")} AS h FROM shex),
+       |seeds AS (SELECT CAST(j AS INT) AS seed_id, CAST(1000003 + 2*j*4391 AS BIGINT) AS a, CAST((7919*(j+1)) % 2147483647 AS BIGINT) AS b FROM range(16) t(j)),
+       |sig AS (SELECT doc_id, seed_id, CAST(MIN((a*h + b) % 2147483647) AS BIGINT) AS minhash FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed_id)""".stripMargin
+
+  /** DuckDB: quantized embedding vectors CTE (exact long milli-units). */
+  private val dQuant =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: the full mapped-ingest pipeline (decode → mapping → routing →
+    * LWW/null-handling merge) on sf0.001, returning the merged table state. */
+  def entry(spark: SparkSession): DataFrame = {
+    tune(spark)
+    val dir = "/root/testdata/sf0.001"
+    val frame = KafkaLike.frameWithTombstones(spark, dir)
+    val b = binding(
+      "topic.purchase.ks1.pk_value.mapping" -> "my_pk=key, my_value=value.k")
+    val mapped = RecordMapper.compile(b, pkValue,
+      frame.filter(col("topic") === "purchase"))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      pkValue.schema.add(RecordMapper.WritetimeCol, LongType))
+    Upserts.mergeInto(empty, mapped.drop(RecordMapper.TtlCol), pkValue)
+  }
+
+  // -------------------------------------------------------------- queries
+
+  private case class Q(name: String,
+      oracle: Option[String],
+      fn: (SparkSession, String) => DataFrame)
+
+  private lazy val defs: Seq[Q] = Seq(
+
+    // S1/S2 — Kafka source envelope projection
+    Q("q01_ingest_project", Some(
+      """SELECT event_id AS kafka_offset, event_type AS topic, CAST(user_id % 8 AS INT) AS partition, CAST(user_id AS VARCHAR) AS key, props AS value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events ORDER BY kafka_offset"""),
+      (s, dir) => KafkaLike.frame(tune(s), dir)
+        .select(col("offset").as("kafka_offset"), col("topic"), col("partition"), col("key"),
+          col("value"), unix_millis(col("timestamp")).as("ts_ms"))
+        .orderBy("kafka_offset")),
+
+    // P2 + C5 — JSON field extraction and typed cast
+    Q("q02_map_json_fields", Some(
+      """SELECT event_id AS kafka_offset, CAST(user_id AS BIGINT) AS my_pk, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, json_extract_string(props, '$.k') AS k_str FROM events ORDER BY kafka_offset"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        f.select(col("offset").as("kafka_offset"),
+          col("key").cast(LongType).as("my_pk"),
+          get_json_object(col("value"), "$.k").cast(LongType).as("k_val"),
+          get_json_object(col("value"), "$.k").as("k_str"))
+          .orderBy("kafka_offset")
+      }),
+
+    // P3 — whole-object (raw) access
+    Q("q03_raw_whole_value", Some(
+      """SELECT event_id AS kafka_offset, props AS value, CAST(length(props) AS BIGINT) AS vlen, md5(props) AS vhash FROM events ORDER BY kafka_offset"""),
+      (s, dir) => KafkaLike.frame(tune(s), dir)
+        .select(col("offset").as("kafka_offset"), col("value"),
+          length(col("value")).cast(LongType).as("vlen"),
+          md5(col("value")).as("vhash"))
+        .orderBy("kafka_offset")),
+
+    // P7 — missing field → null
+    Q("q04_missing_field_null", Some(
+      """SELECT event_id AS kafka_offset, CAST(NULL AS VARCHAR) AS missing_field, TRUE AS is_null FROM events ORDER BY kafka_offset"""),
+      (s, dir) => KafkaLike.frame(tune(s), dir)
+        .select(col("offset").as("kafka_offset"),
+          get_json_object(col("value"), "$.missing").as("missing_field"),
+          get_json_object(col("value"), "$.missing").isNull.as("is_null"))
+        .orderBy("kafka_offset")),
+
+    // G4 — header access
+    Q("q05_header_access", Some(
+      """SELECT event_id AS kafka_offset, CAST(user_id AS BIGINT) AS uid_from_header, event_type AS etype_from_header FROM events ORDER BY kafka_offset"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val hmap = map_from_entries(col("headers"))
+        f.select(col("offset").as("kafka_offset"),
+          element_at(hmap, "h_uid").cast(LongType).as("uid_from_header"),
+          element_at(hmap, "h_etype").as("etype_from_header"))
+          .orderBy("kafka_offset")
+      }),
+
+    // F1 — delete inference from tombstones (+ G3 default writetime)
+    Q("q06_delete_route", Some(
+      """SELECT event_id AS kafka_offset, CAST(user_id AS BIGINT) AS my_pk, CASE WHEN event_type='error' THEN NULL ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS my_value, CAST(epoch_ms(ts) AS BIGINT)*1000 AS __writetime, CASE WHEN event_type='error' THEN 'DELETE' ELSE 'UPSERT' END AS __mode FROM events ORDER BY kafka_offset"""),
+      (s, dir) => {
+        val f = KafkaLike.frameWithTombstones(tune(s), dir)
+        val b = binding(
+          "topic.mytopic.ks1.pk_value.mapping" -> "my_pk=key, my_value=value.k")
+        RecordMapper.compile(b, pkValue, f, keepCols = Seq("offset"))
+          .withColumnRenamed("offset", "kafka_offset")
+          .drop(RecordMapper.TtlCol)
+          .orderBy("kafka_offset")
+      }),
+
+    // G2 — per-row TTL (field-driven + static), negative-clamped
+    Q("q07_ttl_codec", Some(
+      """SELECT 'field_ttl' AS variant, event_id AS kafka_offset, GREATEST(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS __ttl_seconds FROM events UNION ALL SELECT 'static_ttl', event_id, CAST(120 AS BIGINT) FROM events ORDER BY variant, kafka_offset"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val bField = binding(
+          "topic.t.ks1.pk_value.mapping" -> "my_pk=key, my_value=value.k, __ttl=value.k",
+          "topic.t.ks1.pk_value.ttlTimeUnit" -> "SECONDS")
+        val bStatic = binding(
+          "topic.t.ks1.pk_value.mapping" -> "my_pk=key, my_value=value.k",
+          "topic.t.ks1.pk_value.ttl" -> "120")
+        val a = RecordMapper.compile(bField, pkValue, f, keepCols = Seq("offset"))
+          .select(lit("field_ttl").as("variant"), col("offset").as("kafka_offset"), col(RecordMapper.TtlCol))
+        val b = RecordMapper.compile(bStatic, pkValue, f, keepCols = Seq("offset"))
+          .select(lit("static_ttl").as("variant"), col("offset").as("kafka_offset"), col(RecordMapper.TtlCol))
+        a.unionByName(b).orderBy("variant", "kafka_offset")
+      }),
+
+    // G3 — writetime from field with unit conversion, record-time fallback
+    Q("q08_writetime_codec", Some(
+      """SELECT event_id AS kafka_offset, CASE WHEN event_type='error' THEN CAST(epoch_ms(ts) AS BIGINT)*1000 ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)*1000000 END AS __writetime FROM events ORDER BY kafka_offset"""),
+      (s, dir) => {
+        val f = KafkaLike.frameWithTombstones(tune(s), dir)
+        val b = binding(
+          "topic.t.ks1.pk_value.mapping" ->
+            "my_pk=key, my_value=value.k, __timestamp=value.k",
+          "topic.t.ks1.pk_value.timestampTimeUnit" -> "SECONDS")
+        RecordMapper.compile(b, pkValue, f, keepCols = Seq("offset"))
+          .select(col("offset").as("kafka_offset"), col(RecordMapper.WritetimeCol))
+          .orderBy("kafka_offset")
+      }),
+
+    // G1 — now(): fresh v1 TIMEUUID per column per row (no SQL oracle:
+    // nondeterministic by design; validity asserted in-row)
+    Q("q09_now_timeuuid", None,
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        f.select(col("offset").as("kafka_offset"),
+          TimeUuid.now_timeuuid().as("loaded_at"),
+          TimeUuid.now_timeuuid().as("loaded_at2"))
+          .withColumn("distinct_ok", col("loaded_at") =!= col("loaded_at2"))
+          .withColumn("version_ok",
+            substring(col("loaded_at"), 15, 1) === "1" &&
+            substring(col("loaded_at2"), 15, 1) === "1")
+          .orderBy("kafka_offset")
+      }),
+
+    // A1/S5 — counter accumulation
+    Q("q10_counter_combine", Some(
+      """SELECT CAST(user_id AS BIGINT) AS c1, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS c3 FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val b = binding("topic.t.ks1.mycounter.mapping" -> "c1=key, c3=value.k")
+        val mapped = RecordMapper.compile(b, counterTable, f)
+        Upserts.counterCombine(mapped, counterTable).orderBy("c1")
+      }),
+
+    // A2 — partition-key batch grouping with the 32-statement cap
+    Q("q11_batch_groups", Some(
+      """SELECT CAST(user_id AS BIGINT) AS my_pk, CAST(COUNT(*) AS BIGINT) AS rows_in_partition, CAST(CEIL(COUNT(*)/32.0) AS BIGINT) AS num_batches FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val b = binding("topic.t.ks1.pk_value.mapping" -> "my_pk=key, my_value=value.k")
+        val mapped = RecordMapper.compile(b, pkValue, f)
+        Upserts.batchGroups(mapped, Seq("my_pk"), cap = 32).orderBy("my_pk")
+      }),
+
+    // O1/G3 — replayed delivery collapses via LWW (idempotent at-least-once)
+    Q("q12_lww_replay", Some(
+      """SELECT CAST(user_id AS BIGINT) AS my_pk, event_id AS last_offset, CAST(json_extract_string(props, '$.k') AS BIGINT) AS last_k FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY my_pk"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+          .withColumn("wt", unix_millis(col("timestamp")))
+        val replayed = f.unionByName(f) // simulate redelivery of the batch
+        Upserts.lwwCompact(replayed, Seq("key"), Seq(col("wt"), col("offset")))
+          .select(col("key").cast(LongType).as("my_pk"),
+            col("offset").as("last_offset"),
+            get_json_object(col("value"), "$.k").cast(LongType).as("last_k"))
+          .orderBy("my_pk")
+      }),
+
+    // S7 — one topic fanned out to multiple tables
+    Q("q13_multi_table_fanout", Some(
+      """SELECT 'ks1.t1' AS target_table, event_id AS kafka_offset, CAST(user_id AS VARCHAR) AS pk, json_extract_string(props, '$.k') AS payload FROM events WHERE event_type='purchase' UNION ALL SELECT 'ks1.t2', event_id, CAST(user_id AS VARCHAR), event_type FROM events WHERE event_type='purchase' ORDER BY target_table, kafka_offset"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val config = SinkConfig.parse(Map(
+          "topic.purchase.ks1.t1.mapping" -> "user_id=key, k=value.k",
+          "topic.purchase.ks1.t2.mapping" -> "user_id=key, etype=header.h_etype"))
+        val t1 = SinkTable("ks1", "t1", StructType(Seq(
+          StructField("user_id", LongType), StructField("k", StringType))),
+          Seq("user_id"))
+        val t2 = SinkTable("ks1", "t2", StructType(Seq(
+          StructField("user_id", LongType), StructField("etype", StringType))),
+          Seq("user_id"))
+        val tables = Map("ks1.t1" -> t1, "ks1.t2" -> t2)
+        val parts = config.forTopic("purchase").map { b =>
+          val tbl = tables(b.qualifiedTable)
+          val payloadCol = tbl.regularCols.head
+          RecordMapper.compile(b, tbl, f.filter(col("topic") === b.topic),
+            keepCols = Seq("offset"))
+            .select(lit(b.qualifiedTable).as("target_table"), col("offset").as("kafka_offset"),
+              col("user_id").cast(StringType).as("pk"),
+              col(payloadCol).cast(StringType).as("payload"))
+        }
+        parts.reduce(_ unionByName _).orderBy("target_table", "kafka_offset")
+      }),
+
+    // S8 — unknown-topic routing (counted failures, not silent drops)
+    Q("q14_unknown_topic", Some(
+      """SELECT event_type AS topic, CAST(COUNT(*) AS BIGINT) AS n_failed FROM events WHERE event_type NOT IN ('purchase','signup','click') GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val known = Seq("purchase", "signup", "click")
+        f.filter(!col("topic").isInCollection(known))
+          .groupBy(col("topic"))
+          .agg(count(lit(1)).as("n_failed"))
+          .orderBy("topic")
+      }),
+
+    // F3/C5 — parse-failure capture (error side-output, not silent null)
+    Q("q15_error_capture", Some(
+      """SELECT event_id AS kafka_offset, CASE WHEN event_type='error' THEN props ELSE CAST(user_id AS VARCHAR) END AS raw, CASE WHEN event_type='error' THEN NULL ELSE CAST(user_id AS BIGINT) END AS parsed, CASE WHEN event_type='error' THEN 'Could not parse ''' || props || '''' ELSE NULL END AS parse_error FROM events ORDER BY kafka_offset"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+          .select(col("offset"), col("topic"), col("key"), col("value"))
+          .withColumn("raw",
+            when(col("topic") === "error", col("value")).otherwise(col("key")))
+        val (parsed, err) = Codecs.tryCast(col("raw"), LongType)
+        f.select(col("offset").as("kafka_offset"), col("raw"), parsed.as("parsed"),
+          err.as("parse_error")).orderBy("kafka_offset")
+      }),
+
+    // O1 — lowest failed offset per partition (the preCommit rewind point)
+    Q("q16_offset_rewind", Some(
+      """SELECT CAST(user_id % 8 AS INT) AS partition, CAST(MIN(event_id) AS BIGINT) AS rewind_offset, CAST(COUNT(*) AS BIGINT) AS n_failed FROM events WHERE event_type='error' GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => KafkaLike.frame(tune(s), dir)
+        .filter(col("topic") === "error")
+        .groupBy(col("partition"))
+        .agg(min(col("offset")).as("rewind_offset"),
+          count(lit(1)).as("n_failed"))
+        .orderBy("partition")),
+
+    // F2 — null-to-unset merge with cell-level LWW
+    Q("q17_merge_null_unset", Some(
+      """WITH f AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT)*1000 AS wt, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type FROM events), s0 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY wt DESC, event_id DESC) AS rn FROM f WHERE event_id % 2 = 0), s AS (SELECT user_id, k AS s_value, event_type AS s_text, wt AS s_wt FROM s0 WHERE rn = 1), b0 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY wt DESC, event_id DESC) AS rn FROM f WHERE event_id % 2 = 1), b AS (SELECT user_id, k AS b_value, wt AS b_wt FROM b0 WHERE rn = 1) SELECT COALESCE(b.user_id, s.user_id) AS my_pk, CASE WHEN b.user_id IS NOT NULL AND (s.user_id IS NULL OR b.b_wt >= s.s_wt) AND b.b_value IS NOT NULL THEN b.b_value ELSE s.s_value END AS my_value, s.s_text AS my_text, GREATEST(COALESCE(b.b_wt, -9223372036854775807 - 1), COALESCE(s.s_wt, -9223372036854775807 - 1)) AS __writetime FROM s FULL OUTER JOIN b ON s.user_id = b.user_id ORDER BY my_pk"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val bState = binding(
+          "topic.t.ks1.pk_value3.mapping" ->
+            "my_pk=key, my_value=value.k, my_text=header.h_etype",
+          "topic.t.ks1.pk_value3.deletesEnabled" -> "false")
+        val bBatch = binding(
+          "topic.t.ks1.pk_value3.mapping" ->
+            "my_pk=key, my_value=value.k, my_text=value.missing",
+          "topic.t.ks1.pk_value3.deletesEnabled" -> "false")
+        val wtc = col(RecordMapper.WritetimeCol)
+        val state = Upserts.lwwCompact(
+          RecordMapper.compile(bState, pkValue3,
+            f.filter(col("offset") % 2 === 0), keepCols = Seq("offset")),
+          Seq("my_pk"), Seq(wtc, col("offset")))
+          .select(col("my_pk"), col("my_value"), col("my_text"), wtc)
+        val batch = Upserts.lwwCompact(
+          RecordMapper.compile(bBatch, pkValue3,
+            f.filter(col("offset") % 2 === 1), keepCols = Seq("offset")),
+          Seq("my_pk"), Seq(wtc, col("offset")))
+          .drop("offset", RecordMapper.TtlCol)
+        Upserts.mergeInto(state, batch, pkValue3, nullToUnset = true)
+          .orderBy("my_pk")
+      }),
+
+    // S6 — user-provided query over the mapped batch
+    Q("q18_provided_query", Some(
+      """SELECT CAST(user_id AS BIGINT) AS my_pk, CAST(json_extract_string(props, '$.k') AS BIGINT)*2 AS doubled FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0 ORDER BY my_pk, doubled"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val b = binding("topic.t.ks1.pk_value.mapping" -> "my_pk=key, my_value=value.k")
+        val mapped = RecordMapper.compile(b, pkValue, f)
+        ProvidedQuery.run(mapped,
+          "SELECT my_pk, my_value * 2 AS doubled FROM mapped " +
+            "WHERE my_value % 10 = 0 ORDER BY my_pk, doubled")
+      }),
+
+    // A3 — per-(topic, table) record counters
+    Q("q19_metrics_counts", Some(
+      """SELECT 'click' AS topic, 'ks1.t3' AS table_name, CAST((SELECT COUNT(*) FROM events WHERE event_type='click') AS BIGINT) AS recordCount UNION ALL SELECT 'purchase', 'ks1.t1', CAST((SELECT COUNT(*) FROM events WHERE event_type='purchase') AS BIGINT) UNION ALL SELECT 'purchase', 'ks1.t2', CAST((SELECT COUNT(*) FROM events WHERE event_type='purchase') AS BIGINT) ORDER BY topic, table_name"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val config = SinkConfig.parse(Map(
+          "topic.purchase.ks1.t1.mapping" -> "user_id=key, k=value.k",
+          "topic.purchase.ks1.t2.mapping" -> "user_id=key, etype=header.h_etype",
+          "topic.click.ks1.t3.mapping" -> "user_id=key, k=value.k"))
+        config.bindings.map { b =>
+          f.filter(col("topic") === b.topic)
+            .agg(count(lit(1)).as("recordCount"))
+            .select(lit(b.topic).as("topic"),
+              lit(b.qualifiedTable).as("table_name"), col("recordCount"))
+        }.reduce(_ unionByName _).orderBy("topic", "table_name")
+      }),
+
+    // ---- classic analytics (bench headliners; exact decimal arithmetic) ----
+
+    Q("q20_tpch_q1", Some(
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => lineitem(tune(s), dir)
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    Q("q21_join_enrich", Some(
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => orders(tune(s), dir)
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+        .orderBy("c_mktsegment")),
+
+    Q("q22_window_topk", Some(
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        orders(tune(s), dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      }),
+
+    // ---------------- training-data pipeline: dedup suite ----------------
+
+    Q("q23_dedup_exact", Some(
+      """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Dedup.exact(docs(tune(s), dir), "text", "doc_id")
+        .orderBy("content_hash")),
+
+    Q("q24_minhash_signatures", Some(
+      s"""$dMinhashSig SELECT doc_id, seed_id, minhash FROM sig ORDER BY doc_id, seed_id"""),
+      (s, dir) => Dedup.minhashSignatures(docs(tune(s), dir), "text", "doc_id")
+        .orderBy("doc_id", "seed_id")),
+
+    Q("q25_minhash_bands", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)) SELECT doc_id, band_id, band_hash FROM bands ORDER BY doc_id, band_id"""),
+      (s, dir) => Dedup.minhashBands(
+        Dedup.minhashSignatures(docs(tune(s), dir), "text", "doc_id"))
+        .orderBy("doc_id", "band_id")),
+
+    Q("q26_minhash_candidates", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)) SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id ORDER BY doc_a, doc_b"""),
+      (s, dir) => Dedup.minhashCandidates(Dedup.minhashBands(
+        Dedup.minhashSignatures(docs(tune(s), dir), "text", "doc_id")))
+        .orderBy("doc_a", "doc_b")),
+
+    Q("q27_simhash", Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents), h AS (SELECT doc_id, ${dFold("tok")} AS h FROM toks), bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bal FROM h CROSS JOIN range(32) t(j) GROUP BY doc_id, j) SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => Dedup.simhash(docs(tune(s), dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    Q("q32_jaccard_pairs", Some(
+      s"""$dShingles, sizes AS (SELECT doc_id, COUNT(*) AS n FROM shex GROUP BY 1), inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter FROM shex l JOIN shex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, n_inter, CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 50 ORDER BY doc_a, doc_b"""),
+      (s, dir) => Dedup.ngramJaccardPairs(docs(tune(s), dir), "text", "doc_id",
+        shingleN = 3, minJaccardPct = 50)
+        .orderBy("doc_a", "doc_b")),
+
+    // ---------------- text analysis ----------------
+
+    Q("q28_token_stats", Some(
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len($dToks) AS BIGINT) AS n_tokens, CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) + len(regexp_extract_all(lower(text), '[a-z][0-9]')) + len(regexp_extract_all(lower(text), '[0-9][a-z]')) AS BIGINT) AS n_bpeish FROM documents ORDER BY doc_id"""),
+      (s, dir) => docs(tune(s), dir).select(col("doc_id"),
+        TextAnalysis.charCount(col("text")).as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    Q("q29_quality", Some(
+      s"""WITH t AS (SELECT doc_id, text, $dToks AS tk FROM documents) SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(translate(text, '.,;:!?', '')) AS BIGINT) AS n_punct, CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS BIGINT) AS n_stop, CAST(floor(CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) * 100 / len(tk)) AS BIGINT) AS mean_tok_x100, (length(text) >= 100 AND (length(text) - length(translate(text, '.,;:!?', ''))) * 10 <= length(text) AND len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) >= 1) AS quality_ok FROM t ORDER BY doc_id"""),
+      (s, dir) => docs(tune(s), dir).select(col("doc_id"),
+        TextAnalysis.charCount(col("text")).as("n_chars"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+        TextAnalysis.meanTokenLenX100(col("text")).as("mean_tok_x100"),
+        TextAnalysis.qualityOk(col("text")).as("quality_ok"))
+        .orderBy("doc_id")),
+
+    Q("q30_langid", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t) SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc) ORDER BY doc_id"""),
+      (s, dir) => docs(tune(s), dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    Q("q31_fingerprint", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents) SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk, tok -> ${dFold("tok")})), (acc, h) -> (acc*131 + h) % 2147483647) AS fingerprint FROM t ORDER BY doc_id"""),
+      (s, dir) => docs(tune(s), dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---------------- similarity search ----------------
+
+    Q("q33_ann_topk", Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, $dQuant AS qq FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), sc AS (SELECT query_id, item_id, CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * qq[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM c CROSS JOIN q WHERE item_id <> query_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM sc) SELECT query_id, item_id, dot, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    Q("q34_ann_lsh_buckets", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), b AS (SELECT item_id, j, CASE WHEN list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * (CASE WHEN (j*37 + i*13) % 5 < 3 THEN 1 ELSE -1 END))) > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END AS bit FROM v CROSS JOIN range(8) t(j)) SELECT item_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM b GROUP BY item_id ORDER BY item_id"""),
+      (s, dir) => Similarity.lshBuckets(embeddings(tune(s), dir),
+        "vec_id", "embedding", numPlanes = 8)
+        .orderBy("item_id")),
+
+    // ---------------- multimodal ----------------
+
+    Q("q35_mm_metadata", Some(
+      """SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST(length(text) AS BIGINT) AS byte_len, sha256(text) AS sha FROM documents ORDER BY media_id"""),
+      (s, dir) => Multimodal.toMediaTable(docs(tune(s), dir), "doc_id", "text")
+        .drop("payload")
+        .orderBy("media_id")),
+
+    Q("q36_mm_frame_plan", Some(
+      """SELECT doc_id AS media_id, CAST(1 + length(text) % 16 AS INT) AS n_frames, CAST((length(text) % 16) // 4 + 1 AS BIGINT) AS n_sampled FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id"""),
+      (s, dir) => {
+        implicit val sp: SparkSession = tune(s)
+        import sp.implicits._
+        val media = Multimodal.toMediaTable(docs(s, dir), "doc_id", "text")
+          .as[Multimodal.MediaRecord]
+        val decoded = Multimodal.decode(media)
+        Multimodal.frameSamplePlan(decoded.toDF(), everyNth = 4)
+          .select(col("media_id"), col("n_frames"), col("n_sampled"))
+          .orderBy("media_id")
+      })
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }
