@@ -39,6 +39,7 @@ class SinkPipeline(
   /** Metrics registry (reference A3). */
   val recordCount = TrieMap[String, LongAccumulator]()
   val failedWithUnknownTopic = new LongAccumulator
+  @volatile private var metricsRegistered = false
 
   private val stores = TrieMap[String, KeyedParquetTable]()
 
@@ -51,7 +52,12 @@ class SinkPipeline(
     * for batch (non-streaming) ingest. */
   def processBatch(records: DataFrame, batchId: Long): Unit = {
     val spark = records.sparkSession
-    spark.sparkContext.register(failedWithUnknownTopic, "failedWithUnknownTopic")
+    if (!metricsRegistered) synchronized {
+      if (!metricsRegistered) {
+        spark.sparkContext.register(failedWithUnknownTopic, "failedWithUnknownTopic")
+        metricsRegistered = true
+      }
+    }
     val knownTopics = config.topics
     // cache: the batch is read once per binding + once for the unknown count
     records.persist()

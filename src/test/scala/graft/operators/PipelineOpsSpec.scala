@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Dedup / similarity / text-analysis operator behavior on crafted inputs. */
+class PipelineOpsSpec extends SparkSuite {
+
+  private lazy val s = sqlc
+
+  private def docs(rows: (Long, String)*) = {
+    val l = new java.util.ArrayList[Row]()
+    rows.foreach { case (id, t) => l.add(Row(id, t)) }
+    s.createDataFrame(l, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+  }
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val d = docs((1L, "hello world"), (2L, "hello world"), (3L, "different"))
+    val out = Dedup.exact(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("near-duplicates collide in minhash bands; dissimilar docs don't") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tokX")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+    val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+      Dedup.minhashSignatures(d, "text", "doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w40", "w40x")
+    val far = (1 to 80).map(i => s"q${i}q").mkString(" ")
+    val d = docs((1L, base), (2L, near), (3L, far))
+    val m = Dedup.simhash(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("ngram jaccard finds the planted near-dup pair only") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (1 to 50).map(i => s"yyy$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("token/quality/langid/fingerprint basics") {
+    val d = docs((1L, "The cat and the dog. And the bird!"),
+      (2L, "le la et les des est"))
+    val out = d.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.punctCount(col("text")).as("p"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getLong(1) == 8 && out(0).getLong(2) == 2)
+    assert(out(0).getString(3) == "en")
+    assert(out(1).getString(3) == "fr")
+    // fingerprint is order-sensitive
+    val d2 = docs((1L, "a b c"), (2L, "c b a"))
+    val fps = d2.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("brute-force top-k ranks by exact quantized dot product") {
+    val l = new java.util.ArrayList[Row]()
+    // query 0 = [1,0]; item 1 = [0.9, 0.1] (dot 900*..), item 2 = [0, 1] (dot 0)
+    l.add(Row(0L, Seq(1.0f, 0.0f)))
+    l.add(Row(1L, Seq(0.9f, 0.1f)))
+    l.add(Row(2L, Seq(0.0f, 1.0f)))
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("identical vectors share an LSH bucket") {
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row(0L, Seq(0.5f, -0.25f, 0.75f)))
+    l.add(Row(1L, Seq(0.5f, -0.25f, 0.75f)))
+    l.add(Row(2L, Seq(-0.5f, 0.25f, -0.75f)))
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val b = Similarity.lshBuckets(e, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L) && b(0L) != b(2L))
+  }
+
+  test("multimodal stub decode preserves ids and emits plausible metadata") {
+    val d = docs((3L, "some video payload text"), (5L, "another one"))
+    implicit val sp = s
+    import sp.implicits._
+    val media = graft.multimodal.Multimodal.toMediaTable(d, "doc_id", "text")
+      .as[graft.multimodal.Multimodal.MediaRecord]
+    val dec = graft.multimodal.Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(dec.map(_.media_id).toSeq == Seq(3L, 5L))
+    assert(dec.forall(m => m.width >= 64 && m.height >= 64 && m.n_frames >= 1))
+    assert(dec.forall(_.feature.length == 8))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.mapping.SinkConfig
+import graft.sink.SinkTable
+
+/** Replicates the reference's per-record mapping/routing behavior on tiny
+  * in-memory batches (reference: DeleteCCMIT, WriteTimestampAndTtlCCMIT,
+  * NowFunctionCCMIT, KeyValueRecordTest). */
+class RecordMapperSpec extends SparkSuite {
+
+  private lazy val s = sqlc
+  import RecordMapper._
+
+  private val kafkaSchema = StructType(Seq(
+    StructField("topic", StringType), StructField("partition", IntegerType),
+    StructField("offset", LongType), StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType))))),
+    StructField("timestamp", TimestampType)))
+
+  private def records(rows: (Long, String, String)*) = {
+    val data = rows.map { case (off, key, value) =>
+      Row("t", 0, off, key, value,
+        Seq(Row("h1", "hv1")),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(153000987L)))
+    }
+    s.createDataFrame(new java.util.ArrayList[Row](data.asJavaLike), kafkaSchema)
+  }
+
+  implicit class SeqRowOps(rows: Seq[Row]) {
+    def asJavaLike: java.util.List[Row] = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach(l.add)
+      l
+    }
+  }
+
+  private val pkValue = SinkTable("ks", "pk_value",
+    StructType(Seq(StructField("my_pk", LongType), StructField("my_value", BooleanType))),
+    Seq("my_pk"))
+
+  private def bind(props: (String, String)*) =
+    SinkConfig.parse(props.toMap).bindings.head
+
+  test("null value routes to DELETE when mapping covers the table (DeleteCCMIT.java:39-60)") {
+    val b = bind("topic.t.ks.pk_value.mapping" -> "my_pk=key, my_value=value.my_value")
+    val out = compile(b, pkValue, records((0L, "1234567", null)))
+      .select("my_pk", "my_value", ModeCol).collect()
+    assert(out.toSeq == Seq(Row(1234567L, null, ModeDelete)))
+  }
+
+  test("non-null value routes to UPSERT") {
+    val b = bind("topic.t.ks.pk_value.mapping" -> "my_pk=key, my_value=value.my_value")
+    val out = compile(b, pkValue, records((0L, "42", """{"my_value": true}""")))
+      .select("my_pk", "my_value", ModeCol).collect()
+    assert(out.toSeq == Seq(Row(42L, true, ModeUpsert)))
+  }
+
+  test("deletesEnabled=false inserts nulls instead (DeleteCCMIT.java:84-114)") {
+    val b = bind(
+      "topic.t.ks.pk_value.mapping" -> "my_pk=key, my_value=value.my_value",
+      "topic.t.ks.pk_value.deletesEnabled" -> "false")
+    val out = compile(b, pkValue, records((0L, "1", null)))
+      .select(ModeCol).collect()
+    assert(out.head.getString(0) == ModeUpsert)
+  }
+
+  test("partial mapping (not covering all columns) never deletes (DeleteCCMIT)") {
+    val t3 = SinkTable("ks", "t3", StructType(Seq(
+      StructField("my_pk", LongType), StructField("a", LongType),
+      StructField("b", LongType))), Seq("my_pk"))
+    val b = bind("topic.t.ks.t3.mapping" -> "my_pk=key, a=value.a")
+    val out = compile(b, t3, records((0L, "1", null))).select(ModeCol).collect()
+    assert(out.head.getString(0) == ModeUpsert)
+  }
+
+  test("record timestamp becomes writetime in µs (WriteTimestampAndTtlCCMIT.java:45-70)") {
+    val b = bind("topic.t.ks.pk_value.mapping" -> "my_pk=key, my_value=value.my_value")
+    val out = compile(b, pkValue, records((0L, "1", """{"my_value": false}""")))
+      .select(WritetimeCol).collect()
+    assert(out.head.getLong(0) == 153000987000L)
+  }
+
+  test("__timestamp field with unit conversion (WriteTimestampAndTtlCCMIT.java:295-416)") {
+    val b = bind(
+      "topic.t.ks.pk_value.mapping" ->
+        "my_pk=key, my_value=value.my_value, __timestamp=value.w",
+      "topic.t.ks.pk_value.timestampTimeUnit" -> "SECONDS")
+    val out = compile(b, pkValue, records((0L, "1", """{"my_value": true, "w": 7}""")))
+      .select(WritetimeCol).collect()
+    assert(out.head.getLong(0) == 7000000L)
+  }
+
+  test("__ttl conversion truncates and clamps negatives (WriteTimestampAndTtlCCMIT.java:138-160)") {
+    val b = bind(
+      "topic.t.ks.pk_value.mapping" ->
+        "my_pk=key, my_value=value.my_value, __ttl=value.t",
+      "topic.t.ks.pk_value.ttlTimeUnit" -> "MILLISECONDS")
+    val out = compile(b, pkValue, records(
+      (0L, "1", """{"my_value": true, "t": 1234}"""),
+      (1L, "2", """{"my_value": true, "t": -1000}""")))
+      .select(TtlCol).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 0L))
+  }
+
+  test("header access (HeadersCCMIT.java:330-518)") {
+    val t = SinkTable("ks", "th", StructType(Seq(
+      StructField("my_pk", LongType), StructField("h", StringType))), Seq("my_pk"))
+    val b = bind("topic.t.ks.th.mapping" -> "my_pk=key, h=header.h1")
+    val out = compile(b, t, records((0L, "9", "{}"))).select("h").collect()
+    assert(out.head.getString(0) == "hv1")
+  }
+
+  test("now() yields distinct, v1, time-ordered uuids per column (NowFunctionCCMIT.java:421-441)") {
+    val t = SinkTable("ks", "tu", StructType(Seq(
+      StructField("my_pk", LongType), StructField("u1", StringType),
+      StructField("u2", StringType))), Seq("my_pk"))
+    val b = bind("topic.t.ks.tu.mapping" -> "my_pk=key, u1=now(), u2=now()")
+    val rows = compile(b, t, records((0L, "1", "{}"), (1L, "2", "{}")))
+      .select("u1", "u2").collect()
+    val all = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+    assert(all.distinct.length == all.length)
+    all.foreach { u => assert(java.util.UUID.fromString(u).version() == 1) }
+  }
+
+  test("now() targets do not block delete inference (NowFunctionCCMIT.java:467-491)") {
+    val t = SinkTable("ks", "pvu", StructType(Seq(
+      StructField("my_pk", LongType), StructField("my_value", BooleanType),
+      StructField("loaded_at", StringType))), Seq("my_pk"))
+    val b = bind("topic.t.ks.pvu.mapping" ->
+      "my_pk=key, my_value=value.my_value, loaded_at=now()")
+    val out = compile(b, t, records((0L, "5", null))).select(ModeCol).collect()
+    assert(out.head.getString(0) == ModeDelete)
+  }
+
+  test("missing field maps to null (KeyValueRecordTest.java:406)") {
+    val b = bind("topic.t.ks.pk_value.mapping" -> "my_pk=key, my_value=value.nope")
+    val out = compile(b, pkValue, records((0L, "1", """{"my_value": true}""")))
+      .select("my_value").collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("counter tables route to COUNTER mode") {
+    val ct = SinkTable("ks", "ctr", StructType(Seq(
+      StructField("c1", LongType), StructField("c3", LongType))),
+      Seq("c1"), counterCols = Seq("c3"))
+    val b = bind("topic.t.ks.ctr.mapping" -> "c1=key, c3=value.f3")
+    val out = compile(b, ct, records((0L, "1", """{"f3": 3}"""))).select(ModeCol).collect()
+    assert(out.head.getString(0) == ModeCounter)
+  }
+}

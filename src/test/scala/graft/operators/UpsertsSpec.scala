@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.sink.SinkTable
+
+/** Merge algebra: LWW, null-to-unset, deletes, counters
+  * (reference: JsonEndToEndCCMIT.java:256-300, RawDataEndToEndCCMIT.java:180-218,
+  * DeleteCCMIT.java:39-275). */
+class UpsertsSpec extends SparkSuite {
+
+  private lazy val s = sqlc
+  import RecordMapper._
+
+  private val table = SinkTable("ks", "t", StructType(Seq(
+    StructField("pk", LongType), StructField("a", LongType),
+    StructField("b", StringType))), Seq("pk"))
+
+  private def df(schema: StructType, rows: Row*) = {
+    val l = new java.util.ArrayList[Row]()
+    rows.foreach(l.add)
+    s.createDataFrame(l, schema)
+  }
+
+  private val stateSchema = StructType(Seq(
+    StructField("pk", LongType), StructField("a", LongType),
+    StructField("b", StringType), StructField(WritetimeCol, LongType)))
+  private val batchSchema = StructType(Seq(
+    StructField("pk", LongType), StructField("a", LongType),
+    StructField("b", StringType), StructField(WritetimeCol, LongType),
+    StructField(ModeCol, StringType)))
+
+  test("upsert overwrites non-null cells, null leaves cell when nullToUnset (F2)") {
+    val state = df(stateSchema, Row(1L, 10L, "old", 100L))
+    val batch = df(batchSchema, Row(1L, 20L, null, 200L, ModeUpsert))
+    val out = Upserts.mergeInto(state, batch, table, nullToUnset = true).collect()
+    assert(out.toSeq == Seq(Row(1L, 20L, "old", 200L)))
+  }
+
+  test("nullToUnset=false overwrites with null (JsonEndToEndCCMIT.java:256-273)") {
+    val state = df(stateSchema, Row(1L, 10L, "old", 100L))
+    val batch = df(batchSchema, Row(1L, 20L, null, 200L, ModeUpsert))
+    val out = Upserts.mergeInto(state, batch, table, nullToUnset = false).collect()
+    assert(out.toSeq == Seq(Row(1L, 20L, null, 200L)))
+  }
+
+  test("stale write loses (LWW by writetime)") {
+    val state = df(stateSchema, Row(1L, 10L, "new", 300L))
+    val batch = df(batchSchema, Row(1L, 99L, "stale", 200L, ModeUpsert))
+    val out = Upserts.mergeInto(state, batch, table).collect()
+    assert(out.toSeq == Seq(Row(1L, 10L, "new", 300L)))
+  }
+
+  test("DELETE removes the row (DeleteCCMIT)") {
+    val state = df(stateSchema, Row(1L, 10L, "x", 100L), Row(2L, 20L, "y", 100L))
+    val batch = df(batchSchema, Row(1L, null, null, 200L, ModeDelete))
+    val out = Upserts.mergeInto(state, batch, table).collect()
+    assert(out.toSeq == Seq(Row(2L, 20L, "y", 100L)))
+  }
+
+  test("delete of absent row is a no-op; insert of new row lands") {
+    val state = df(stateSchema, Row(1L, 1L, "a", 50L))
+    val batch = df(batchSchema,
+      Row(9L, null, null, 200L, ModeDelete),
+      Row(3L, 30L, "c", 200L, ModeUpsert))
+    val out = Upserts.mergeInto(state, batch, table).collect().sortBy(_.getLong(0))
+    assert(out.toSeq == Seq(Row(1L, 1L, "a", 50L), Row(3L, 30L, "c", 200L)))
+  }
+
+  test("within-batch replay compacts to the latest write (lwwCompact)") {
+    val batch = df(batchSchema,
+      Row(1L, 1L, "first", 100L, ModeUpsert),
+      Row(1L, 2L, "second", 200L, ModeUpsert),
+      Row(1L, 2L, "second", 200L, ModeUpsert)) // replay duplicate
+    val out = Upserts.lwwCompact(batch, Seq("pk"), Seq(col(WritetimeCol))).collect()
+    assert(out.length == 1 && out.head.getString(2) == "second")
+  }
+
+  test("counter increments accumulate across deliveries (JsonEndToEndCCMIT.java:276-300)") {
+    val ct = SinkTable("ks", "ctr", StructType(Seq(
+      StructField("c1", LongType), StructField("c3", LongType))),
+      Seq("c1"), counterCols = Seq("c3"))
+    val ctrSchema = StructType(Seq(
+      StructField("c1", LongType), StructField("c3", LongType)))
+    // same record delivered twice: c3=3 twice → 6
+    val batch = df(ctrSchema, Row(1L, 3L), Row(1L, 3L))
+    val inc = Upserts.counterCombine(batch, ct)
+    val state0 = df(ctrSchema)
+    val s1 = Upserts.mergeCounters(state0, inc, ct)
+    assert(s1.collect().toSeq == Seq(Row(1L, 6L)))
+    // third delivery on existing state → 9
+    val s2 = Upserts.mergeCounters(s1,
+      Upserts.counterCombine(df(ctrSchema, Row(1L, 3L)), ct), ct)
+    assert(s2.collect().toSeq == Seq(Row(1L, 9L)))
+  }
+
+  test("batch grouping caps at 32 records per partition-key batch (A2)") {
+    val rows = (1 to 70).map(i => Row(1L, i.toLong, "x", 0L, ModeUpsert)) :+
+      Row(2L, 1L, "y", 0L, ModeUpsert)
+    val batch = df(batchSchema, rows: _*)
+    val out = Upserts.batchGroups(batch, Seq("pk"), cap = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 70L, 3L), (2L, 1L, 1L)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.mapping.SinkConfig
+import graft.sink.SinkTable
+
+/** End-to-end micro-batch ingest: fan-out, unknown-topic accounting,
+  * delete/upsert application, state accumulation across batches
+  * (reference: CassandraSinkTaskTest.java:255-291, SimpleEndToEndSimulacronIT.java:740-774). */
+class SinkPipelineSpec extends SparkSuite {
+
+  private lazy val s = sqlc
+
+  private val kafkaSchema = StructType(Seq(
+    StructField("topic", StringType), StructField("partition", IntegerType),
+    StructField("offset", LongType), StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType))))),
+    StructField("timestamp", TimestampType)))
+
+  private def batch(rows: (String, Long, String, String, Long)*) = {
+    val l = new java.util.ArrayList[Row]()
+    rows.foreach { case (topic, off, key, value, tsMs) =>
+      l.add(Row(topic, 0, off, key, value, Seq.empty[Row],
+        java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(tsMs))))
+    }
+    s.createDataFrame(l, kafkaSchema)
+  }
+
+  private val t1 = SinkTable("ks", "t1", StructType(Seq(
+    StructField("my_pk", LongType), StructField("my_value", LongType))), Seq("my_pk"))
+  private val t2 = SinkTable("ks", "t2", StructType(Seq(
+    StructField("my_pk", LongType), StructField("my_text", StringType))), Seq("my_pk"))
+
+  test("fan-out, state accumulation, deletes, unknown-topic counting") {
+    val root = Files.createTempDirectory("graft-sink").toString
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value.t"))
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1, "ks.t2" -> t2), root)
+
+    // batch 1: two keys on a known topic, one record on an unknown topic
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", """{"v": 10, "t": "a"}""", 1000L),
+      ("orders", 1L, "2", """{"v": 20, "t": "b"}""", 2000L),
+      ("mystery", 2L, "3", """{"v": 99}""", 3000L)), 0L)
+
+    assert(pipe.failedWithUnknownTopic.value == 1L)
+    val st1 = pipe.store(s, config.bindings.head).state()
+      .select("my_pk", "my_value").collect().sortBy(_.getLong(0))
+    assert(st1.toSeq == Seq(Row(1L, 10L), Row(2L, 20L)))
+
+    // batch 2: update key 1 (later writetime), tombstone-delete key 2
+    pipe.processBatch(batch(
+      ("orders", 3L, "1", """{"v": 11, "t": "a2"}""", 5000L),
+      ("orders", 4L, "2", null, 6000L)), 1L)
+
+    val st2 = pipe.store(s, config.bindings.head).state()
+      .select("my_pk", "my_value").collect().sortBy(_.getLong(0))
+    assert(st2.toSeq == Seq(Row(1L, 11L)))
+    val st2b = pipe.store(s, config.bindings(1)).state()
+      .select("my_pk", "my_text").collect().sortBy(_.getLong(0))
+    assert(st2b.toSeq == Seq(Row(1L, "a2")))
+
+    // replay batch 2 (at-least-once): state unchanged (idempotent via LWW)
+    pipe.processBatch(batch(
+      ("orders", 3L, "1", """{"v": 11, "t": "a2"}""", 5000L),
+      ("orders", 4L, "2", null, 6000L)), 2L)
+    val st3 = pipe.store(s, config.bindings.head).state()
+      .select("my_pk", "my_value").collect().sortBy(_.getLong(0))
+    assert(st3.toSeq == Seq(Row(1L, 11L)))
+  }
+
+  test("streaming wiring: foreachBatch over a file stream") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    batch(("orders", 0L, "7", """{"v": 70, "t": "z"}""", 1000L))
+      .write.mode("overwrite").parquet(srcDir)
+
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v"))
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
+    val stream = s.readStream.schema(kafkaSchema).parquet(srcDir)
+    val q = pipe.start(stream, ckpt)
+    q.awaitTermination(60000)
+    val st = pipe.store(s, config.bindings.head).state()
+      .select("my_pk", "my_value").collect()
+    assert(st.toSeq == Seq(Row(7L, 70L)))
+  }
+}
