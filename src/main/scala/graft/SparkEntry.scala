@@ -76,18 +76,19 @@ object SparkEntry {
   /** DuckDB mirror of TextAnalysis.tokens. */
   private val dToks = """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
 
-  /** DuckDB: distinct 3-token shingles CTE over documents → (doc_id, shingle). */
+  /** DuckDB: distinct 3-shingle HASHES over documents → shex(doc_id, h).
+    * Mirrors TextAnalysis.shingleHashSet: token hashes once per doc, then a
+    * positional fold (acc·131 + tokenHash mod p) per 3-token window. */
   private val dShingles =
     s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents),
-       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(len(tk)-2), i -> tk[CAST(i+1 AS INT)] || ' ' || tk[CAST(i+2 AS INT)] || ' ' || tk[CAST(i+3 AS INT)]) END) AS shingles FROM toks),
-       |shex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)""".stripMargin
+       |th AS (SELECT doc_id, list_transform(tk, t -> ${dFold("t")}) AS th FROM toks),
+       |shex AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(th) < 3 THEN [] ELSE list_transform(range(len(th)-2), i -> ((((th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647)*131 + th[CAST(i+3 AS INT)]) % 2147483647)) END)) AS h FROM th)""".stripMargin
 
   /** DuckDB: minhash signature CTE chain (16 seeds), ending in `sig`. */
   private val dMinhashSig =
     s"""$dShingles,
-       |hashed AS (SELECT doc_id, ${dFold("shingle")} AS h FROM shex),
        |seeds AS (SELECT CAST(j AS INT) AS seed_id, CAST(1000003 + 2*j*4391 AS BIGINT) AS a, CAST((7919*(j+1)) % 2147483647 AS BIGINT) AS b FROM range(16) t(j)),
-       |sig AS (SELECT doc_id, seed_id, CAST(MIN((a*h + b) % 2147483647) AS BIGINT) AS minhash FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed_id)""".stripMargin
+       |sig AS (SELECT doc_id, seed_id, CAST(MIN((a*h + b) % 2147483647) AS BIGINT) AS minhash FROM shex CROSS JOIN seeds GROUP BY doc_id, seed_id)""".stripMargin
 
   /** DuckDB: quantized embedding vectors CTE (exact long milli-units). */
   private val dQuant =
@@ -449,7 +450,7 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     Q("q32_jaccard_pairs", Some(
-      s"""$dShingles, sizes AS (SELECT doc_id, COUNT(*) AS n FROM shex GROUP BY 1), inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter FROM shex l JOIN shex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, n_inter, CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 50 ORDER BY doc_a, doc_b"""),
+      s"""$dShingles, sizes AS (SELECT doc_id, COUNT(*) AS n FROM shex GROUP BY 1), inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter FROM shex l JOIN shex r ON l.h = r.h AND l.doc_id < r.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, n_inter, CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 50 ORDER BY doc_a, doc_b"""),
       (s, dir) => Dedup.ngramJaccardPairs(docs(tune(s), dir), "text", "doc_id",
         shingleN = 3, minJaccardPct = 50)
         .orderBy("doc_a", "doc_b")),

@@ -41,21 +41,26 @@ object Dedup {
 
   /**
    * MinHash signatures in long form: one row per (doc, seed) with the min
-   * affine hash over the doc's distinct shingles. Long form keeps the plan a
-   * single explode + groupBy (partial-aggregated min) — the array-pivot
-   * happens only in [[minhashBands]] where band grouping needs it.
+   * affine hash over the doc's distinct shingles.
+   *
+   * Fully columnar: shingle hashes and all k mins are computed with
+   * higher-order array expressions inside one projection — zero shuffles,
+   * zero explodes (a doc's shingles never leave its row). `posexplode` at
+   * the end only unpivots the k-element signature into long form. At 100 TB
+   * this is a pure map stage.
    */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sdf = docs.select(col(idCol).as("doc_id"),
-      explode(shingleSet(col(textCol), shingleN)).as("shingle"))
-      .withColumn("h", stringHash(col("shingle")))
-    val seedRows = seeds(numHashes)
-    val seedDf = sdf.sparkSession.createDataFrame(seedRows).toDF("seed_id", "a", "b")
-    sdf
-      .join(broadcast(seedDf)) // tiny dim: broadcast, no shuffle
-      .groupBy(col("doc_id"), col("seed_id"))
-      .agg(min((col("a") * col("h") + col("b")) % HashPrime).as("minhash"))
+    val sh = shingleHashRows(docs, textCol, idCol, shingleN)
+    // k min-hash columns in ONE partial-aggregated groupBy over the narrow
+    // (doc_id, h) rows — each seed's affine transform is codegen'd arithmetic
+    val mins = seeds(numHashes).map { sd =>
+      min((lit(sd.a) * col("h") + lit(sd.b)) % HashPrime).as(s"m${sd.id}")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(j => col(s"m$j")): _*))
+          .as(Seq("seed_id", "minhash")))
   }
 
   /**
@@ -117,12 +122,15 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minJaccardPct: Int = 50): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingleSet(col(textCol), shingleN)).as("shingle"))
+    // hash-native: shingles are 8-byte deterministic hashes end to end, so
+    // the equi-join shuffles longs, never text. (Hash collisions perturb the
+    // count identically in any engine computing the same fold — the operator
+    // is defined over the hashed shingle set.)
+    val sh = shingleHashRows(docs, textCol, idCol, shingleN)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val l = sh.alias("l"); val r = sh.alias("r")
     val inter = l.join(r,
-        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
