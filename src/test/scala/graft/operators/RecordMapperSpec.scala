@@ -146,6 +146,36 @@ class RecordMapperSpec extends SparkSuite {
     assert(out.head.isNullAt(0))
   }
 
+  test("struct records: field access + struct→UDT-style cast (StructToUDTCodec.java:48-90)") {
+    // pre-decoded struct value (the shape from_avro produces)
+    val structValueSchema = StructType(Seq(
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("key", StringType),
+      StructField("value", StructType(Seq(
+        StructField("bigint", LongType),
+        StructField("udt", StructType(Seq(
+          StructField("udtmem1", IntegerType), StructField("udtmem2", StringType))))))),
+      StructField("headers", ArrayType(StructType(Seq(
+        StructField("key", StringType), StructField("value", StringType))))),
+      StructField("timestamp", TimestampType)))
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row("t", 0, 0L, "1", Row(1234567L, Row(47, "ninety")), Seq.empty[Row],
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1000L))))
+    val recs = s.createDataFrame(l, structValueSchema)
+
+    val udtTable = SinkTable("ks", "types", StructType(Seq(
+      StructField("bigintcol", LongType),
+      StructField("udtcol", StructType(Seq(
+        StructField("udtmem1", LongType), StructField("udtmem2", StringType)))))),
+      Seq("bigintcol"))
+    val b = bind("topic.t.ks.types.mapping" -> "bigintcol=value.bigint, udtcol=value.udt")
+    val out = compile(b, udtTable, recs, valueFormat = Format.Struct)
+      .select("bigintcol", "udtcol").collect()
+    assert(out.head.getLong(0) == 1234567L)
+    // int udtmem1 widened to long by the codec cast, names preserved
+    assert(out.head.getStruct(1) == Row(47L, "ninety"))
+  }
+
   test("counter tables route to COUNTER mode") {
     val ct = SinkTable("ks", "ctr", StructType(Seq(
       StructField("c1", LongType), StructField("c3", LongType))),
