@@ -26,14 +26,19 @@ object Upserts {
    * sink/src/it/.../WriteTimestampAndTtlCCMIT.java:45-70): replays and
    * out-of-order deliveries collapse to the newest write.
    *
-   * One shuffle on pk; Spark plans a single window sort per partition.
+   * Implemented as `max_by(row, orderKey)` hash aggregation, not a window
+   * sort: partial aggregation compacts map-side BEFORE the shuffle, so at
+   * 100 TB the shuffle carries one candidate row per (pk, map partition)
+   * instead of every record — and no per-partition full sort is needed.
+   * Order keys compare lexicographically as a struct; pass a unique
+   * tiebreaker (e.g. offset) for total determinism.
    */
   def lwwCompact(batch: DataFrame, pk: Seq[String], orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    val valueStruct = struct(batch.columns.map(col).toIndexedSeq: _*)
     batch
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(pk.map(col): _*)
+      .agg(max_by(valueStruct, struct(orderCols: _*)).as("__row"))
+      .select(col("__row.*"))
   }
 
   /**
