@@ -504,6 +504,14 @@ object SparkEntry {
         "vec_id", "embedding", numPlanes = 8)
         .orderBy("item_id")),
 
+    // embedding-cosine near-dup: LSH candidates + exact integer cosine
+    // threshold (cos ≥ 2/5 ⟺ 25·dot² ≥ 4·‖a‖²·‖b‖², dot>0)
+    Q("q37_embedding_neardup", Some(
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings), bk AS (SELECT vec_id, CAST(SUM(CASE WHEN list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * (CASE WHEN (j*37 + i*13) % 5 < 3 THEN 1 ELSE -1 END))) > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket FROM v CROSS JOIN range(8) t(j) GROUP BY vec_id), cand AS (SELECT l.vec_id AS item_a, r.vec_id AS item_b FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id), d AS (SELECT item_a, item_b, CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[CAST(i+1 AS INT)]*b.qv[CAST(i+1 AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT) AS na, CAST(list_sum(list_transform(b.qv, x -> x*x)) AS BIGINT) AS nb FROM cand JOIN v a ON item_a = a.vec_id JOIN v b ON item_b = b.vec_id) SELECT item_a, item_b, dot FROM d WHERE dot > 0 AND 25*dot*dot >= 4*na*nb ORDER BY item_a, item_b"""),
+      (s, dir) => Dedup.embeddingNearDupPairs(embeddings(tune(s), dir),
+        "vec_id", "embedding", numPlanes = 8, cosNum = 2L, cosDen = 5L)
+        .orderBy("item_a", "item_b")),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -112,6 +112,35 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  // ------------------------------------------------------- embedding near-dup
+
+  /**
+   * Embedding-cosine near-duplicate pairs, fully integer-exact: candidates
+   * from random-hyperplane LSH buckets (only same-bucket vectors ever meet),
+   * then an exact cosine threshold in quantized integer arithmetic —
+   * cos(a,b) ≥ num/den  ⟺  dot>0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²,
+   * so no FP comparison anywhere.
+   */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int = 8, cosNum: Long = 2L, cosDen: Long = 5L): DataFrame = {
+    val q = df.select(col(idCol).as("vid"),
+      Similarity.quantize(col(vecCol)).as("qv"),
+      Similarity.norm2Q(Similarity.quantize(col(vecCol))).as("n2"))
+    val cands = Similarity.lshCandidates(
+      Similarity.lshBuckets(df, idCol, vecCol, numPlanes))
+    val a = q.alias("a"); val b = q.alias("b")
+    cands
+      .join(a, col("item_a") === col("a.vid"))
+      .join(b, col("item_b") === col("b.vid"))
+      .select(col("item_a"), col("item_b"),
+        Similarity.dotQ(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+      .filter(col("dot") > 0 &&
+        lit(cosDen * cosDen) * col("dot") * col("dot") >=
+          lit(cosNum * cosNum) * col("na") * col("nb"))
+      .select(col("item_a"), col("item_b"), col("dot"))
+  }
+
   // ------------------------------------------------------------------ jaccard
 
   /**
