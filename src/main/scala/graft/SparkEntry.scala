@@ -504,6 +504,22 @@ object SparkEntry {
         "vec_id", "embedding", numPlanes = 8)
         .orderBy("item_id")),
 
+    // event-time tumbling window (1h buckets, integer epoch arithmetic)
+    Q("q38_tumbling_window", Some(
+      """SELECT (CAST(epoch_ms(ts) AS BIGINT) // 3600000) * 3600000 AS bucket_start_ms, event_type AS topic, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => graft.streaming.EventTimeOps.tumblingCounts(
+        KafkaLike.frame(tune(s), dir), 3600000L)
+        .orderBy("bucket_start_ms", "topic")),
+
+    // gap-based sessionization (30-minute gap, gaps-and-islands)
+    Q("q39_sessionize", Some(
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e), s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id, CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => graft.streaming.EventTimeOps.sessionize(
+        KafkaLike.frame(tune(s), dir), 1800000L)
+        .select(col("key").cast(LongType).as("user_id"), col("session_id"),
+          col("n_events"), col("start_ms"), col("end_ms"))
+        .orderBy("user_id", "session_id")),
+
     // embedding-cosine near-dup: LSH candidates + exact integer cosine
     // threshold (cos ≥ 2/5 ⟺ 25·dot² ≥ 4·‖a‖²·‖b‖², dot>0)
     Q("q37_embedding_neardup", Some(

@@ -51,19 +51,26 @@ object RecordMapper {
   object Format {
     /** Column already a struct (e.g. pre-decoded Avro via from_avro). */
     case object Struct extends Format
-    /** JSON text: fields via get_json_object (absent/non-JSON → null). */
+    /** JSON text, schema unknown: fields via get_json_object per field —
+      * the honest equivalent of the reference's per-record inference
+      * (parses the document once PER MAPPED FIELD; fine for narrow
+      * mappings, prefer [[JsonWithSchema]] for wide ones). */
     case object Json extends Format
+    /** JSON text with a declared schema: ONE from_json parse per record,
+      * fields via struct access — the scale path for wide mappings. */
+    case class JsonWithSchema(schema: StructType) extends Format
     /** Opaque scalar: only whole-object access is meaningful. */
     case object Raw extends Format
   }
 
-  /** Resolve one mapping source to an (untyped) column. */
+  /** Resolve one mapping source to an (untyped) column over possibly
+    * pre-decoded key/value base columns. */
   private def sourceColumn(
       src: Source,
-      keyFormat: Format,
-      valueFormat: Format): Column = src match {
-    case WholeObject(Prefix.Key)   => col("key")
-    case WholeObject(Prefix.Value) => col("value")
+      keyBase: Column, keyFormat: Format,
+      valueBase: Column, valueFormat: Format): Column = src match {
+    case WholeObject(Prefix.Key)   => keyBase
+    case WholeObject(Prefix.Value) => valueBase
     case WholeObject(Prefix.Header) =>
       throw ParseException(LegalSurfaceMsg) // unreachable: parser rejects
     case FieldRef(Prefix.Header, name) =>
@@ -71,12 +78,12 @@ object RecordMapper {
       element_at(map_from_entries(col("headers")), name)
     case FieldRef(p, name) =>
       val (c, fmt) = p match {
-        case Prefix.Key   => (col("key"), keyFormat)
-        case Prefix.Value => (col("value"), valueFormat)
+        case Prefix.Key   => (keyBase, keyFormat)
+        case Prefix.Value => (valueBase, valueFormat)
         case Prefix.Header => throw ParseException(LegalSurfaceMsg)
       }
       fmt match {
-        case Format.Struct => c.getField(name)
+        case Format.Struct | _: Format.JsonWithSchema => c.getField(name)
         case Format.Json =>
           val path =
             if (name.forall(ch => ch.isLetterOrDigit || ch == '_')) "$." + name
@@ -117,13 +124,29 @@ object RecordMapper {
     val byTarget: Map[String, Source] =
       entries.map(e => e.target.name -> e.source).toMap
 
+    // pre-decode declared-schema JSON ONCE per record (scale path: a wide
+    // mapping costs one parse, not one per field)
+    def predecode(df: DataFrame, src: String, fmt: Format): (DataFrame, Column) =
+      fmt match {
+        case Format.JsonWithSchema(schema) =>
+          val decoded = s"__${src}_decoded"
+          (df.withColumn(decoded, from_json(col(src).cast(StringType), schema)),
+            col(decoded))
+        case _ => (df, col(src))
+      }
+    val (rec1, keyBase) = predecode(records, "key", keyFormat)
+    val (rec2, valueBase) = predecode(rec1, "value", valueFormat)
+
+    def srcCol(src: Source): Column =
+      sourceColumn(src, keyBase, keyFormat, valueBase, valueFormat)
+
     // --- mapped data columns, typed per sink schema -----------------------
     val dataCols: Seq[(String, Column)] = entries.collect {
       case Entry(ColumnTarget(name), src) =>
         val field = table.schema.fields.find(_.name == name).getOrElse(
           throw ParseException(
             s"mapping target $name is not a column of ${table.qualified}"))
-        val c = sourceColumn(src, keyFormat, valueFormat)
+        val c = srcCol(src)
         val typed = src match {
           case FunctionCall("now", _) => c // timeuuid stays a string
           case _                      => applyCodec(c, field.dataType, binding)
@@ -133,14 +156,13 @@ object RecordMapper {
 
     // --- pseudo-columns ---------------------------------------------------
     val writetime: Column = {
-      val fieldCol = byTarget.get(TimestampTarget.name).map(s =>
-        sourceColumn(s, keyFormat, valueFormat))
+      val fieldCol = byTarget.get(TimestampTarget.name).map(srcCol)
       Codecs.writetimeMicros(fieldCol, binding.timestampTimeUnit,
         unix_millis(col("timestamp")))
     }
     val ttl: Column = byTarget.get(TtlTarget.name) match {
       case Some(s) =>
-        Codecs.ttlSeconds(sourceColumn(s, keyFormat, valueFormat), binding.ttlTimeUnit)
+        Codecs.ttlSeconds(srcCol(s), binding.ttlTimeUnit)
       case None =>
         if (binding.ttl >= 0) lit(binding.ttl).cast(LongType) else lit(null).cast(LongType)
     }
@@ -157,7 +179,7 @@ object RecordMapper {
       byTarget.get(n).exists(_.isInstanceOf[FunctionCall])
     }
 
-    val projected = records.select(
+    val projected = rec2.select(
       (keepCols.map(col) ++ dataCols.map(_._2) :+
         writetime.as(WritetimeCol) :+ ttl.as(TtlCol)): _*)
 

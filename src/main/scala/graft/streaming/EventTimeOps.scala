@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Event-time operators over the record stream: tumbling-window aggregation
+ * and gap-based sessionization, each in two forms:
+ *
+ *  - batch form (exact, DuckDB-oracle-checkable): integer epoch-bucket
+ *    arithmetic / gaps-and-islands window functions;
+ *  - streaming form (Structured Streaming): watermarked `window()` groupBy /
+ *    `flatMapGroupsWithState` custom state.
+ *
+ * The reference has no event-time operators (SURVEY §2.10) — these are
+ * north-star extensions for the training-data pipeline, built Spark-first.
+ */
+object EventTimeOps {
+
+  /** Batch tumbling counts: bucket = floor(epochMs / widthMs) — pure integer
+    * arithmetic, one partial-aggregated shuffle on (bucket, topic). */
+  def tumblingCounts(records: DataFrame, widthMs: Long): DataFrame =
+    records
+      // integer DIV: double division truncation can misbucket boundary values
+      .withColumn("bucket_start_ms",
+        expr(s"(unix_millis(timestamp) DIV $widthMs) * $widthMs"))
+      .groupBy(col("bucket_start_ms"), col("topic"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming form: watermarked tumbling window (late data beyond the
+    * watermark is dropped; state is bounded). */
+  def tumblingCountsStreaming(stream: DataFrame, width: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), width), col("topic"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket_start"), col("topic"), col("n_events"))
+
+  /**
+   * Batch sessionization (gaps-and-islands): a new session starts when the
+   * gap to the previous event of the same key exceeds `gapMs`. Session id is
+   * the running count of session starts per key — deterministic given the
+   * (ms, offset) sort. One shuffle on the key; both window functions share it.
+   */
+  def sessionize(records: DataFrame, gapMs: Long): DataFrame = {
+    val byKey = Window.partitionBy(col("key"))
+      .orderBy(col("ms"), col("offset"))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    records
+      .select(col("key"), col("offset"), unix_millis(col("timestamp")).as("ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("key"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+  }
+
+  // ---------------------------------------------------------- streaming state
+
+  case class SessionEvent(key: String, ms: Long)
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  case class ClosedSession(key: String, startMs: Long, endMs: Long, n: Long)
+
+  /**
+   * Streaming sessionization via `flatMapGroupsWithState`: per key, merge the
+   * open session with this batch's events (sorted), close every session whose
+   * gap elapsed, keep the last one open in state. Emits closed sessions
+   * (append mode); state is one OpenSession per key — bounded.
+   */
+  def sessionizeStreaming(events: Dataset[SessionEvent], gapMs: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val sorted = it.map(_.ms).toArray.sorted
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { ms =>
+            open match {
+              case Some(o) if ms - o.lastMs <= gapMs =>
+                open = Some(o.copy(lastMs = ms, n = o.n + 1))
+              case Some(o) =>
+                closed += ClosedSession(key, o.startMs, o.lastMs, o.n)
+                open = Some(OpenSession(ms, ms, 1))
+              case None =>
+                open = Some(OpenSession(ms, ms, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -176,6 +176,21 @@ class RecordMapperSpec extends SparkSuite {
     assert(out.head.getStruct(1) == Row(47L, "ninety"))
   }
 
+  test("JsonWithSchema decodes once via from_json, same results as dynamic JSON") {
+    val t = SinkTable("ks", "tw", StructType(Seq(
+      StructField("my_pk", LongType), StructField("a", LongType),
+      StructField("b", StringType))), Seq("my_pk"))
+    val b = bind("topic.t.ks.tw.mapping" -> "my_pk=key, a=value.a, b=value.b")
+    val recs = records((0L, "7", """{"a": 5, "b": "x"}"""))
+    val dynamic = compile(b, t, recs).select("my_pk", "a", "b").collect()
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val declared = compile(b, t, recs,
+      valueFormat = Format.JsonWithSchema(schema)).select("my_pk", "a", "b").collect()
+    assert(dynamic.toSeq == declared.toSeq)
+    assert(dynamic.head == Row(7L, 5L, "x"))
+  }
+
   test("counter tables route to COUNTER mode") {
     val ct = SinkTable("ks", "ctr", StructType(Seq(
       StructField("c1", LongType), StructField("c3", LongType))),

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import EventTimeOps._
+
+class EventTimeOpsSpec extends SparkSuite {
+
+  private lazy val s = sqlc
+
+  private val schema = StructType(Seq(
+    StructField("topic", StringType), StructField("offset", LongType),
+    StructField("key", StringType), StructField("timestamp", TimestampType)))
+
+  private def events(rows: (String, Long, String, Long)*) = {
+    val l = new java.util.ArrayList[Row]()
+    rows.foreach { case (t, o, k, ms) =>
+      l.add(Row(t, o, k, java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms))))
+    }
+    s.createDataFrame(l, schema)
+  }
+
+  test("batch tumbling buckets are exact integer floors") {
+    val df = events(
+      ("a", 0L, "u", 0L), ("a", 1L, "u", 3599999L), // bucket 0
+      ("a", 2L, "u", 3600000L),                      // bucket 1
+      ("b", 3L, "u", 7200001L))                      // bucket 2
+    val out = tumblingCounts(df, 3600000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq((0L, "a", 2L), (3600000L, "a", 1L), (7200000L, "b", 1L)))
+  }
+
+  test("batch sessionization splits on gaps > threshold") {
+    val df = events(
+      ("a", 0L, "u1", 1000L), ("a", 1L, "u1", 2000L),   // session 1
+      ("a", 2L, "u1", 4000000L),                         // session 2 (gap > 30min)
+      ("a", 3L, "u2", 500L))                             // other key
+    val out = sessionize(df, 1800000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(("u1", 1L, 2L), ("u1", 2L, 1L), ("u2", 1L, 1L)))
+  }
+
+  test("streaming watermarked tumbling window over a file stream") {
+    val src = Files.createTempDirectory("graft-et-src").toString
+    val ckpt = Files.createTempDirectory("graft-et-ckpt").toString
+    events(("a", 0L, "u", 0L), ("a", 1L, "u", 1000L), ("b", 2L, "u", 3600000L))
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(schema).parquet(src)
+    val q = tumblingCountsStreaming(stream, "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("et_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = s.table("et_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, "a", 2L), (3600000L, "b", 1L)))
+  }
+
+  test("streaming sessionization closes sessions across batches, keeps last open") {
+    import s.implicits._
+    val src = Files.createTempDirectory("graft-ss-src").toString
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt").toString
+    // one file = one batch under AvailableNow with maxFilesPerTrigger
+    events(("a", 0L, "u1", 1000L), ("a", 1L, "u1", 2000L), ("a", 2L, "u1", 4000000L))
+      .coalesce(1).write.parquet(src + "/f1")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val sess = sessionizeStreaming(
+      stream.select(col("key"), unix_millis(col("timestamp")).as("ms"))
+        .as[SessionEvent], 1800000L)
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("ss_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val closed = s.table("ss_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // first session (1000..2000, n=2) closed by the 4000000 event; the
+    // 4000000 session stays open in state
+    assert(closed.toSeq == Seq(("u1", 1000L, 2000L, 2L)))
+  }
+}
