@@ -38,6 +38,8 @@ object RecordMapper {
   val WritetimeCol = "__writetime"
   val TtlCol = "__ttl_seconds"
   val ErrorCol = "__error"
+  /** Row expiry instant (epoch seconds), derived from writetime + TTL. */
+  val ExpiresCol = "__expires_s"
 
   val ModeUpsert = "UPSERT"
   val ModeDelete = "DELETE"
@@ -118,7 +120,8 @@ object RecordMapper {
       records: DataFrame,
       keyFormat: Format = Format.Json,
       valueFormat: Format = Format.Json,
-      keepCols: Seq[String] = Seq.empty): DataFrame = {
+      keepCols: Seq[String] = Seq.empty,
+      captureErrors: Boolean = false): DataFrame = {
 
     val entries = binding.mapping
     val byTarget: Map[String, Source] =
@@ -141,6 +144,10 @@ object RecordMapper {
       sourceColumn(src, keyBase, keyFormat, valueBase, valueFormat)
 
     // --- mapped data columns, typed per sink schema -----------------------
+    // (also collect a per-column parse-error expression — a cast that nulls a
+    // non-null input is a capturable failure, reference C5/F3:
+    // SimpleEndToEndSimulacronIT.java:464-465 "Could not parse 'bad key'")
+    val errorExprs = Seq.newBuilder[Column]
     val dataCols: Seq[(String, Column)] = entries.collect {
       case Entry(ColumnTarget(name), src) =>
         val field = table.schema.fields.find(_.name == name).getOrElse(
@@ -149,7 +156,12 @@ object RecordMapper {
         val c = srcCol(src)
         val typed = src match {
           case FunctionCall("now", _) => c // timeuuid stays a string
-          case _                      => applyCodec(c, field.dataType, binding)
+          case _ =>
+            val casted = applyCodec(c, field.dataType, binding)
+            if (captureErrors) errorExprs += when(
+              c.isNotNull && casted.isNull,
+              concat(lit(s"$name: Could not parse '"), c.cast(StringType), lit("'")))
+            casted
         }
         name -> typed.as(name)
     }
@@ -179,8 +191,18 @@ object RecordMapper {
       byTarget.get(n).exists(_.isInstanceOf[FunctionCall])
     }
 
+    val errCol: Seq[Column] =
+      if (!captureErrors) Seq.empty
+      else {
+        val errs = errorExprs.result()
+        if (errs.isEmpty) Seq(lit(null).cast(StringType).as(ErrorCol))
+        // first failing column's message (array_compact drops the nulls;
+        // try_element_at: empty array → null, never an ANSI index error)
+        else Seq(try_element_at(array_compact(array(errs: _*)), lit(1)).as(ErrorCol))
+      }
+
     val projected = rec2.select(
-      (keepCols.map(col) ++ dataCols.map(_._2) :+
+      (keepCols.map(col) ++ dataCols.map(_._2) ++ errCol :+
         writetime.as(WritetimeCol) :+ ttl.as(TtlCol)): _*)
 
     val pkPresent = pkCols.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true))

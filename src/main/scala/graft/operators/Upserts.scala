@@ -118,10 +118,26 @@ object Upserts {
       coalesce(col(s"b.$wt"), lit(Long.MinValue)),
       coalesce(col(s"s.$wt"), lit(Long.MinValue))).as(wt)
 
+    // TTL → row expiry (reference G2): a winning batch row with a TTL sets
+    // expires = writetime(s) + ttl; without TTL it clears any expiry.
+    val ttlC = RecordMapper.TtlCol
+    val expC = RecordMapper.ExpiresCol
+    val expCols: Seq[Column] =
+      if (batchCols.contains(ttlC)) {
+        val sExp = if (state.columns.contains(expC)) col(s"s.$expC")
+          else lit(null).cast(LongType)
+        // TTL 0 = no expiry (Cassandra semantics; negative TTLs were already
+        // clamped to 0 by the codec, reference: WriteTimestampAndTtlCCMIT.java:159)
+        val bExp = when(col(s"b.$ttlC").isNotNull && col(s"b.$ttlC") > 0,
+          (col(s"b.$wt") / lit(1000000L)).cast(LongType) + col(s"b.$ttlC"))
+        Seq(when(inBatch && batchWins, bExp).otherwise(sExp).as(expC))
+      } else if (state.columns.contains(expC)) Seq(col(s"s.$expC").as(expC))
+      else Seq.empty
+
     joined
       .filter(!(isDelete && batchWins)) // tombstone removes the row
       .filter(inState || !isDelete)     // delete of an absent row is a no-op
-      .select((pkCols ++ valueCols :+ wtCol): _*)
+      .select((pkCols ++ valueCols ++ (wtCol +: expCols)): _*)
   }
 
   /** Merge counter increments into state: state + increment, per key. */

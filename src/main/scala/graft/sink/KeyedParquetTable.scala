@@ -44,6 +44,16 @@ class KeyedParquetTable(
     } else spark.read.parquet(rootPath.resolve(s"v$v").toString)
   }
 
+  /** Rows visible at `nowSec` — TTL'd rows past their expiry are gone
+    * (reference G2: TTL'd cells disappear; modeled at row granularity). */
+  def stateAt(nowSec: Long): DataFrame = {
+    val s = state()
+    if (!s.columns.contains(RecordMapper.ExpiresCol)) s
+    else s.filter(col(RecordMapper.ExpiresCol).isNull ||
+      col(RecordMapper.ExpiresCol) > nowSec)
+      .drop(RecordMapper.ExpiresCol)
+  }
+
   /** Apply one routed, mapped micro-batch (columns: mapped table cols +
     * __mode + __writetime [+ __ttl_seconds]). */
   def applyBatch(batch: DataFrame): Unit = {
@@ -51,7 +61,7 @@ class KeyedParquetTable(
       if (table.counterCols.nonEmpty)
         Upserts.mergeCounters(state(), Upserts.counterCombine(batch, table), table)
       else
-        Upserts.mergeInto(state(), batch.drop(RecordMapper.TtlCol), table, nullToUnset)
+        Upserts.mergeInto(state(), batch, table, nullToUnset)
     val v = currentVersion + 1
     next.write.mode("overwrite").parquet(rootPath.resolve(s"v$v").toString)
     val tmp = rootPath.resolve("CURRENT.tmp")

@@ -48,6 +48,13 @@ class SinkPipeline(
       new KeyedParquetTable(spark, tables(b.qualifiedTable),
         s"$storeRoot/${b.qualifiedTable}", b.nullToUnset))
 
+  private def counter(spark: org.apache.spark.sql.SparkSession, name: String): LongAccumulator =
+    recordCount.getOrElseUpdate(name, {
+      val acc = new LongAccumulator
+      spark.sparkContext.register(acc, name)
+      acc
+    })
+
   /** Process one micro-batch of Kafka-shaped records. Also usable directly
     * for batch (non-streaming) ingest. */
   def processBatch(records: DataFrame, batchId: Long): Unit = {
@@ -66,15 +73,21 @@ class SinkPipeline(
       failedWithUnknownTopic.add(unknown)
       config.bindings.foreach { b =>
         val forTopic = records.filter(col("topic") === b.topic)
-        val mapped = RecordMapper.compile(b, tables(b.qualifiedTable), forTopic)
-        store(spark, b).applyBatch(mapped)
-        val n = forTopic.count()
-        recordCount.getOrElseUpdate(
-          s"${b.topic}.${b.qualifiedTable}.recordCount", {
-            val acc = new LongAccumulator
-            spark.sparkContext.register(acc, s"${b.topic}.${b.qualifiedTable}.recordCount")
-            acc
-          }).add(n)
+        val mapped = RecordMapper.compile(b, tables(b.qualifiedTable), forTopic,
+          captureErrors = true)
+        // error side-output (reference F3 ignoreErrors: failed records go to
+        // the dead letter, never silently into the table)
+        val failed = mapped.filter(col(ErrorCol).isNotNull)
+        val nFailed = failed.count()
+        if (nFailed > 0) {
+          failed.write.mode("append")
+            .parquet(s"$storeRoot/_dead_letter/${b.topic}.${b.qualifiedTable}")
+        }
+        counter(spark, s"${b.topic}.${b.qualifiedTable}.failedRecordCount").add(nFailed)
+        store(spark, b).applyBatch(
+          mapped.filter(col(ErrorCol).isNull).drop(ErrorCol))
+        counter(spark, s"${b.topic}.${b.qualifiedTable}.recordCount")
+          .add(forTopic.count())
       }
     } finally records.unpersist()
   }

@@ -97,6 +97,19 @@ class UpsertsSpec extends SparkSuite {
     assert(s2.collect().toSeq == Seq(Row(1L, 9L)))
   }
 
+  test("TTL'd winning rows carry an expiry; TTL-less writes clear it (G2)") {
+    val batchTtlSchema = StructType(batchSchema.fields :+
+      StructField(TtlCol, LongType))
+    val state = df(stateSchema, Row(1L, 10L, "x", 1000000000L))
+    val batch = df(batchTtlSchema,
+      Row(1L, 20L, "y", 2000000000L, ModeUpsert, 60L),   // ttl 60s
+      Row(2L, 30L, "z", 2000000000L, ModeUpsert, null))  // no ttl
+    val out = Upserts.mergeInto(state, batch, table).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getLong(4))).sortBy(_._1)
+    // writetime 2000000000 µs = 2000 s → expires 2060
+    assert(out.toSeq == Seq((1L, 2060L), (2L, null)))
+  }
+
   test("batch grouping caps at 32 records per partition-key batch (A2)") {
     val rows = (1 to 70).map(i => Row(1L, i.toLong, "x", 0L, ModeUpsert)) :+
       Row(2L, 1L, "y", 0L, ModeUpsert)

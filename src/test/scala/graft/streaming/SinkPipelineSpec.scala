@@ -77,6 +77,37 @@ class SinkPipelineSpec extends SparkSuite {
     assert(st3.toSeq == Seq(Row(1L, 11L)))
   }
 
+  test("unparseable fields route to the dead letter, not the table (F3)") {
+    val root = Files.createTempDirectory("graft-dlq").toString
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v"))
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", """{"v": 10}""", 1000L),
+      ("orders", 1L, "2", """{"v": "not-a-number"}""", 1000L)), 0L)
+    val st = pipe.store(s, config.bindings.head).state()
+      .select("my_pk").collect().map(_.getLong(0))
+    assert(st.toSeq == Seq(1L))
+    val dlq = s.read.parquet(s"$root/_dead_letter/orders.ks.t1").collect()
+    assert(dlq.length == 1)
+    assert(pipe.recordCount("orders.ks.t1.failedRecordCount").value == 1L)
+    assert(pipe.recordCount("orders.ks.t1.recordCount").value == 2L)
+  }
+
+  test("TTL'd rows expire from the visible state (G2)") {
+    val root = Files.createTempDirectory("graft-ttl").toString
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v, __ttl=value.t"))
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
+    // writetime = 1000 ms → 1 s; ttl 60 s → expires at 61 s
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", """{"v": 10, "t": 60}""", 1000L),
+      ("orders", 1L, "2", """{"v": 20}""", 1000L)), 0L)
+    val store = pipe.store(s, config.bindings.head)
+    assert(store.stateAt(50L).select("my_pk").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(store.stateAt(100L).select("my_pk").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("streaming wiring: foreachBatch over a file stream") {
     val root = Files.createTempDirectory("graft-stream").toString
     val srcDir = Files.createTempDirectory("graft-stream-src").toString
