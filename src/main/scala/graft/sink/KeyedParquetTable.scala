@@ -30,8 +30,20 @@ class KeyedParquetTable(
 
   private def currentFile = rootPath.resolve("CURRENT")
 
-  private def currentVersion: Int =
-    if (Files.exists(currentFile)) Files.readString(currentFile).trim.toInt else 0
+  /** CURRENT holds "version batchId" — the batch id makes re-application of
+    * an already-applied micro-batch a no-op, which upgrades the pipeline to
+    * exactly-once even for counters (the one write mode LWW can't make
+    * replay-idempotent; reference hard part, SURVEY §7.4). */
+  private def currentMeta: (Int, Long) =
+    if (!Files.exists(currentFile)) (0, -1L)
+    else Files.readString(currentFile).trim.split(' ') match {
+      case Array(v, b) => (v.toInt, b.toLong)
+      case Array(v)    => (v.toInt, -1L)
+    }
+
+  private def currentVersion: Int = currentMeta._1
+
+  def lastAppliedBatchId: Long = currentMeta._2
 
   /** Current state; empty frame with the right schema at v0. */
   def state(): DataFrame = {
@@ -55,17 +67,20 @@ class KeyedParquetTable(
   }
 
   /** Apply one routed, mapped micro-batch (columns: mapped table cols +
-    * __mode + __writetime [+ __ttl_seconds]). */
-  def applyBatch(batch: DataFrame): Unit = {
+    * __mode + __writetime [+ __ttl_seconds]). A batchId ≤ the last applied
+    * one is a replay — skipped, exactly-once. */
+  def applyBatch(batch: DataFrame, batchId: Long = Long.MinValue): Unit = {
+    val (v0, lastBatch) = currentMeta
+    if (batchId != Long.MinValue && batchId <= lastBatch) return
     val next =
       if (table.counterCols.nonEmpty)
         Upserts.mergeCounters(state(), Upserts.counterCombine(batch, table), table)
       else
         Upserts.mergeInto(state(), batch, table, nullToUnset)
-    val v = currentVersion + 1
+    val v = v0 + 1
     next.write.mode("overwrite").parquet(rootPath.resolve(s"v$v").toString)
     val tmp = rootPath.resolve("CURRENT.tmp")
-    Files.writeString(tmp, v.toString)
+    Files.writeString(tmp, s"$v ${math.max(batchId, lastBatch)}")
     Files.move(tmp, currentFile, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }

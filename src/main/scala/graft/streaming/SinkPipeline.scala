@@ -85,7 +85,7 @@ class SinkPipeline(
         }
         counter(spark, s"${b.topic}.${b.qualifiedTable}.failedRecordCount").add(nFailed)
         store(spark, b).applyBatch(
-          mapped.filter(col(ErrorCol).isNull).drop(ErrorCol))
+          mapped.filter(col(ErrorCol).isNull).drop(ErrorCol), batchId)
         counter(spark, s"${b.topic}.${b.qualifiedTable}.recordCount")
           .add(forTopic.count())
       }

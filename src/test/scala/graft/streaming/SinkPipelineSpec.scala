@@ -108,6 +108,23 @@ class SinkPipelineSpec extends SparkSuite {
     assert(store.stateAt(100L).select("my_pk").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("counter replay with the same batchId is exactly-once") {
+    val root = Files.createTempDirectory("graft-ctr").toString
+    val ctr = SinkTable("ks", "ctr", StructType(Seq(
+      StructField("c1", LongType), StructField("c3", LongType))),
+      Seq("c1"), counterCols = Seq("c3"))
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.ctr.mapping" -> "c1=key, c3=value.v"))
+    val pipe = new SinkPipeline(config, Map("ks.ctr" -> ctr), root)
+    val b0 = batch(("orders", 0L, "1", """{"v": 3}""", 1000L))
+    pipe.processBatch(b0, 0L)
+    pipe.processBatch(b0, 0L) // replayed micro-batch: must not double-count
+    pipe.processBatch(b0, 1L) // genuinely new delivery: increments
+    val st = pipe.store(s, config.bindings.head).state()
+      .select("c1", "c3").collect()
+    assert(st.toSeq == Seq(Row(1L, 6L)))
+  }
+
   test("streaming wiring: foreachBatch over a file stream") {
     val root = Files.createTempDirectory("graft-stream").toString
     val srcDir = Files.createTempDirectory("graft-stream-src").toString
