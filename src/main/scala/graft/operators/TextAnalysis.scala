@@ -41,12 +41,14 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) mod p
-    * over the characters. Portable: DuckDB list_reduce reproduces it. */
-  def stringHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), ch => ascii(ch).cast(LongType)),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % HashPrime)
+    * over the characters. Portable (DuckDB list_reduce reproduces it), and
+    * implemented as a native codegen'd Catalyst expression — see
+    * [[graft.functions.StringFoldHash]]. */
+  def stringHash(s: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.functions.StringFoldHashExpr(GraftBridge.expression(s.cast(StringType))))
+  }
 
   /** Token-sequence rolling hash — the document fingerprint: order-sensitive,
     * whitespace-normalization-insensitive. */
