@@ -528,6 +528,38 @@ object SparkEntry {
         "vec_id", "embedding", numPlanes = 8, cosNum = 2L, cosDen = 5L)
         .orderBy("item_a", "item_b")),
 
+    // characteristic terms: top-3 tokens per doc by (tf desc, token asc)
+    Q("q40_char_terms", Some(
+      s"""WITH t AS (SELECT doc_id, unnest($dToks) AS token FROM documents), tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token ASC) AS rank FROM tf) SELECT doc_id, token, tf, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = docs(tune(s), dir)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("token").asc)
+        tf.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy("doc_id", "rank")
+      }),
+
+    // composite training-corpus pipeline: quality filter ∧ language filter ∧
+    // near-dup removal (minhash-LSH candidates, drop the higher id) — the
+    // end-to-end LLM-data curation flow in one plan
+    Q("q41_corpus_pipeline", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), q AS (SELECT doc_id, text, $dToks AS tk FROM documents), sc AS (SELECT doc_id, text, tk, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM q), lg AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc) SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM lg WHERE length(text) >= 100 AND (length(text) - length(translate(text, '.,;:!?', ''))) * 10 <= length(text) AND len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) >= 1 AND (CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END) = 'en' AND doc_id NOT IN (SELECT doc_b FROM cand) ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val filtered = d.filter(TextAnalysis.qualityOk(col("text")) &&
+          TextAnalysis.langId(col("text")) === "en")
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        Dedup.applyNearDedup(filtered, cands, "doc_id")
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .orderBy("doc_id")
+      }),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -112,6 +112,20 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** Apply exact dedup: keep one row (the lowest id) per distinct content.
+    * left_semi against the survivor set — no wide shuffle of text. */
+  def applyExact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exact(docs, textCol, idCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Apply near-dedup: drop the higher-id side of every candidate pair
+    * (left_anti against doc_b) — the standard "keep first occurrence"
+    * near-dup policy. */
+  def applyNearDedup(docs: DataFrame, candidates: DataFrame, idCol: String): DataFrame =
+    docs.join(candidates.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // ------------------------------------------------------- embedding near-dup
 
   /**

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("SQL functions registered via SparkSessionExtensions") {
+    // getOrCreate reuses any active session and would skip extension
+    // injection — detach first so a genuinely new session is built (over the
+    // shared SparkContext), then detach again to not disturb other suites.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      val r = spark.sql(
+        "SELECT now_timeuuid() AS u, graft_fold_hash('abc') AS h").collect().head
+      assert(java.util.UUID.fromString(r.getString(0)).version() == 1)
+      assert(r.getLong(1) == 96354L) // (('a'*31+'b')*31+'c') mod p
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
