@@ -58,8 +58,13 @@ object Bench {
             org.apache.spark.sql.types.LongType))),
         Seq("my_pk"))
       // whole stream mapped (all topics → one table) + compacted, like the
-      // perf rig's single-table drain
-      val mapped = RecordMapper.compile(b, table, frame)
+      // perf rig's single-table drain; topic schema is declared (as in the
+      // rig), so the value decodes with ONE from_json parse per record
+      val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      val mapped = RecordMapper.compile(b, table, frame,
+        valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema))
       force(Upserts.lwwCompact(mapped, Seq("my_pk"),
         Seq(col(RecordMapper.WritetimeCol))))
     }

@@ -560,6 +560,14 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // IVF-style ANN: fixed coarse centroids (first 8 vectors), exact integer
+    // squared-L2 assignment
+    Q("q42_ann_ivf_cells", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv, CAST(list_sum(list_transform($dQuant, x -> x*x)) AS BIGINT) AS n2 FROM embeddings), c AS (SELECT item_id AS cell_id, qv AS cv, n2 AS cn2 FROM v WHERE item_id < 8), d AS (SELECT item_id, cell_id, n2 + cn2 - 2*CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*cv[CAST(i+1 AS INT)])) AS BIGINT) AS dist2 FROM v CROSS JOIN c), r AS (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY dist2, cell_id) AS rn FROM d) SELECT item_id, cell_id, dist2 FROM r WHERE rn = 1 ORDER BY item_id"""),
+      (s, dir) => Similarity.ivfCells(embeddings(tune(s), dir),
+        "vec_id", "embedding", nCells = 8)
+        .orderBy("item_id")),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -70,7 +70,11 @@ object Codecs {
 
   def parseDate(col: Column, codec: CodecSettings): Column = codec.date match {
     case "ISO_LOCAL_DATE" => to_date(col)
-    case pattern          => to_date(col, pattern)
+    case pattern if codec.locale != "en_US" =>
+      // locale-dependent pattern (e.g. `cccc, d MMMM uuuu` + fr_FR): Spark's
+      // to_date always uses the session locale — custom expression needed
+      LocaleDateParse.locale_to_date(col, pattern, codec.locale)
+    case pattern => to_date(col, pattern)
   }
 
   /** CQL `time` is a nanos-of-day long; parse HH:mm:ss[.SSS] to nanos. */

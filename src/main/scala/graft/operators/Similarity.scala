@@ -86,6 +86,48 @@ object Similarity {
       bits.reduce(_ + _).as("bucket"))
   }
 
+  /**
+   * IVF-style coarse quantization with FIXED coarse centroids: the first
+   * `nCells` corpus vectors act as cell centroids (deterministic — no
+   * training pass), every vector lands in the cell of its nearest centroid
+   * by exact integer squared-L2 (‖a−c‖² = ‖a‖² + ‖c‖² − 2a·c). A real IVF
+   * swaps in k-means centroids; the partitioning, assignment join, and
+   * probe shapes are identical. Centroids broadcast — assignment is a
+   * map-only stage at any corpus size.
+   */
+  def ivfCells(df: DataFrame, idCol: String, vecCol: String, nCells: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"),
+      norm2Q(quantize(col(vecCol))).as("n2"))
+    val cents = v.filter(col("item_id") < nCells)
+      .select(col("item_id").as("cell_id"), col("qv").as("cv"), col("n2").as("cn2"))
+    v.join(broadcast(cents))
+      .select(col("item_id"),
+        col("cell_id"),
+        (col("n2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv"))).as("dist2"))
+      .groupBy(col("item_id"))
+      .agg(min_by(struct(col("dist2"), col("cell_id")), struct(col("dist2"), col("cell_id")))
+        .as("best"))
+      .select(col("item_id"), col("best.cell_id").as("cell_id"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** IVF probe: exact top-k within each query's own cell (single-probe). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 8): DataFrame = {
+    val cells = ivfCells(corpus, idCol, vecCol, nCells)
+    val qv = corpus.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
+    val c = cells.join(qv, "item_id")
+    val q = c.join(queries.select(col(idCol).as("item_id")), "item_id")
+      .select(col("item_id").as("query_id"), col("cell_id").as("qcell"),
+        col("qv").as("qq"))
+    val scored = c.join(broadcast(q),
+        col("cell_id") === col("qcell") && col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"), dotQ(col("qv"), col("qq")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Candidate pairs sharing a bucket (a < b). */
   def lshCandidates(buckets: DataFrame): DataFrame = {
     val l = buckets.alias("l"); val r = buckets.alias("r")

@@ -1,0 +1,51 @@
+package graft.functions
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.mapping.SinkConfig.CodecSettings
+
+class CodecsSpec extends SparkSuite {
+
+  private lazy val s = sqlc
+  import s.implicits._
+
+  test("unit conversion truncates like TimeUnit.convert") {
+    val df = Seq(1234L, -1000L, 999L).toDF("v")
+    val out = df.select(
+      Codecs.convertUnits(col("v"), TimeUnit.MILLISECONDS, TimeUnit.SECONDS).as("s"),
+      Codecs.convertUnits(col("v"), TimeUnit.SECONDS, TimeUnit.MICROSECONDS).as("us"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, -1L, 0L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1234000000L, -1000000000L, 999000000L))
+  }
+
+  test("locale-aware date parsing (C3: pattern + locale)") {
+    // 2024-08-14 is a Wednesday — "mercredi" in fr_FR
+    val codec = CodecSettings(date = "cccc, d MMMM uuuu", locale = "fr_FR")
+    val df = Seq("mercredi, 14 août 2024", "not a date").toDF("d")
+    val out = df.select(Codecs.parseDate(col("d"), codec).as("parsed")).collect()
+    assert(out(0).getDate(0).toString == "2024-08-14")
+    assert(out(1).isNullAt(0))
+  }
+
+  test("UNITS_SINCE_EPOCH timestamp codec") {
+    val codec = CodecSettings(timestamp = "UNITS_SINCE_EPOCH", unit = "SECONDS")
+    val df = Seq(7L).toDF("t")
+    val out = df.select(unix_micros(Codecs.parseTimestamp(col("t"), codec)).as("us"))
+      .collect()
+    assert(out.head.getLong(0) == 7000000L)
+  }
+
+  test("tryCast captures the failing raw value (C5)") {
+    val df = Seq("12", "bad key", null).toDF("raw")
+    val (v, e) = Codecs.tryCast(col("raw"), LongType)
+    val out = df.select(v.as("v"), e.as("e")).collect()
+    assert(out(0).getLong(0) == 12L && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).getString(1) == "Could not parse 'bad key'")
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1))
+  }
+}
