@@ -78,7 +78,7 @@ object Bench {
       "q23_dedup_exact", "q24_minhash_signatures", "q26_minhash_candidates",
       "q27_simhash", "q28_token_stats", "q32_jaccard_pairs",
       "q33_ann_topk", "q34_ann_lsh_buckets", "q37_embedding_neardup",
-      "q38_tumbling_window", "q39_sessionize", "q40_char_terms", "q41_corpus_pipeline")
+      "q38_tumbling_window", "q39_sessionize", "q40_char_terms", "q41_corpus_pipeline", "q42_ann_ivf_cells")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       results += name -> (try time(force(fn(spark, sfDir)))
