@@ -194,7 +194,12 @@ object RecordMapper {
     val errCol: Seq[Column] =
       if (!captureErrors) Seq.empty
       else {
-        val errs = errorExprs.result()
+        // a record that leaves a primary-key column null can never be written
+        // (reference: PK bind failure → failed record, offset held back)
+        val pkErrs = table.primaryKey.flatMap(pk => dataCols.find(_._1 == pk))
+          .map { case (n, c) =>
+            when(c.isNull, lit(s"$n: primary key column is null")) }
+        val errs = pkErrs ++ errorExprs.result()
         if (errs.isEmpty) Seq(lit(null).cast(StringType).as(ErrorCol))
         // first failing column's message (array_compact drops the nulls;
         // try_element_at: empty array → null, never an ANSI index error)

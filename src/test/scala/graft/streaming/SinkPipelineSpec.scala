@@ -84,14 +84,15 @@ class SinkPipelineSpec extends SparkSuite {
     val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
     pipe.processBatch(batch(
       ("orders", 0L, "1", """{"v": 10}""", 1000L),
-      ("orders", 1L, "2", """{"v": "not-a-number"}""", 1000L)), 0L)
+      ("orders", 1L, "2", """{"v": "not-a-number"}""", 1000L),
+      ("orders", 2L, null, """{"v": 30}""", 1000L)), 0L) // null PK → failed
     val st = pipe.store(s, config.bindings.head).state()
       .select("my_pk").collect().map(_.getLong(0))
     assert(st.toSeq == Seq(1L))
     val dlq = s.read.parquet(s"$root/_dead_letter/orders.ks.t1").collect()
-    assert(dlq.length == 1)
-    assert(pipe.recordCount("orders.ks.t1.failedRecordCount").value == 1L)
-    assert(pipe.recordCount("orders.ks.t1.recordCount").value == 2L)
+    assert(dlq.length == 2)
+    assert(pipe.recordCount("orders.ks.t1.failedRecordCount").value == 2L)
+    assert(pipe.recordCount("orders.ks.t1.recordCount").value == 3L)
   }
 
   test("TTL'd rows expire from the visible state (G2)") {
