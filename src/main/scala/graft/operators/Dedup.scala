@@ -80,7 +80,9 @@ object Dedup {
 
   /** Candidate pairs from band buckets (a < b, distinct). */
   def minhashCandidates(bands: DataFrame): DataFrame = {
-    val l = bands.alias("l"); val r = bands.alias("r")
+    // self-join: materialize the band table once, not once per side
+    val bandsM = bands.localCheckpoint()
+    val l = bandsM.alias("l"); val r = bandsM.alias("r")
     l.join(r,
         col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -169,7 +171,10 @@ object Dedup {
     // the equi-join shuffles longs, never text. (Hash collisions perturb the
     // count identically in any engine computing the same fold — the operator
     // is defined over the hashed shingle set.)
-    val sh = shingleHashRows(docs, textCol, idCol, shingleN)
+    // the shingle frame feeds three plan branches (join left, join right,
+    // sizes) — materialize it once instead of recomputing the tokenize+hash
+    // stage per branch (at cluster scale: persist/checkpoint to storage)
+    val sh = shingleHashRows(docs, textCol, idCol, shingleN).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val l = sh.alias("l"); val r = sh.alias("r")
     val inter = l.join(r,
