@@ -103,4 +103,39 @@ object Codecs {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(Cast(GraftBridge.expression(col), to, None, EvalMode.TRY))
   }
+
+  // ------------------------------------------------------- geo / date-range
+
+  private val Num = """[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"""
+  private val PointRe = s"""^\\s*POINT\\s*\\(\\s*$Num\\s+$Num\\s*\\)\\s*$$"""
+  private val LineStringRe =
+    s"""^\\s*LINESTRING\\s*\\(\\s*$Num\\s+$Num(?:\\s*,\\s*$Num\\s+$Num)+\\s*\\)\\s*$$"""
+  private val PolygonRe =
+    s"""^\\s*POLYGON\\s*\\(\\s*\\(\\s*$Num\\s+$Num(?:\\s*,\\s*$Num\\s+$Num){2,}\\s*\\)""" +
+      s"""(?:\\s*,\\s*\\(\\s*$Num\\s+$Num(?:\\s*,\\s*$Num\\s+$Num){2,}\\s*\\))*\\s*\\)\\s*$$"""
+  /** `[* TO 2014-12-01]`, `[2010 TO *]`, a bare date/`*` — the DSE DateRange
+    * literal shapes (reference: sink/src/it/.../StructEndToEndCCMIT.java:263-281). */
+  private val DateBound = """(?:\*|\d{4}(?:-\d{2}(?:-\d{2})?)?(?:T[0-9:.]+Z?)?)"""
+  private val DateRangeRe = s"""^\\s*(?:\\[$DateBound TO $DateBound\\]|$DateBound)\\s*$$"""
+
+  /**
+   * WKT / DateRange carrier validation (reference C7): DSE geo types arrive
+   * as WKT strings and DateRange as range literals; we keep them as validated
+   * strings (the strategy SURVEY §2.4 picks) — a malformed literal becomes a
+   * capturable parse failure, not a silent pass-through.
+   */
+  def validateWkt(col: Column, kind: String): (Column, Column) = {
+    val re = kind.toUpperCase match {
+      case "POINT"      => PointRe
+      case "LINESTRING" => LineStringRe
+      case "POLYGON"    => PolygonRe
+      case "DATERANGE"  => DateRangeRe
+      case other => throw new IllegalArgumentException(s"unknown WKT kind $other")
+    }
+    val ok = upper(col).rlike(re)
+    val valid = when(col.isNotNull && ok, col)
+    val err = when(col.isNotNull && !ok,
+      concat(lit("Could not parse '"), col, lit(s"' as $kind"))).otherwise(lit(null))
+    (valid, err)
+  }
 }

@@ -143,6 +143,35 @@ object RecordMapper {
     def srcCol(src: Source): Column =
       sourceColumn(src, keyBase, keyFormat, valueBase, valueFormat)
 
+    // P8 — schema default values: a null/absent optional field whose declared
+    // schema carries a default gets the default written (reference:
+    // sink/src/it/.../StructEndToEndCCMIT.java:441-462). Defaults ride in the
+    // struct field metadata under key "default" (string form; from_avro-style
+    // decoders populate the same way).
+    def baseStruct(p: Prefix): Option[StructType] = {
+      val (fmt, name) = p match {
+        case Prefix.Key   => (keyFormat, "key")
+        case Prefix.Value => (valueFormat, "value")
+        case Prefix.Header => return None
+      }
+      fmt match {
+        case Format.JsonWithSchema(sch) => Some(sch)
+        case Format.Struct =>
+          records.schema.fields.find(_.name == name).map(_.dataType).collect {
+            case st: StructType => st
+          }
+        case _ => None
+      }
+    }
+    def schemaDefault(src: Source): Option[Column] = src match {
+      case FieldRef(p, name) =>
+        baseStruct(p).flatMap(_.fields.find(_.name == name)).collect {
+          case f if f.metadata.contains("default") =>
+            lit(f.metadata.getString("default")).cast(f.dataType)
+        }
+      case _ => None
+    }
+
     // --- mapped data columns, typed per sink schema -----------------------
     // (also collect a per-column parse-error expression — a cast that nulls a
     // non-null input is a capturable failure, reference C5/F3:
@@ -153,7 +182,11 @@ object RecordMapper {
         val field = table.schema.fields.find(_.name == name).getOrElse(
           throw ParseException(
             s"mapping target $name is not a column of ${table.qualified}"))
-        val c = srcCol(src)
+        val c0 = srcCol(src)
+        val c = schemaDefault(src) match {
+          case Some(d) => coalesce(c0, d)
+          case None    => c0
+        }
         val typed = src match {
           case FunctionCall("now", _) => c // timeuuid stays a string
           case _ =>

@@ -40,6 +40,27 @@ class CodecsSpec extends SparkSuite {
     assert(out.head.getLong(0) == 7000000L)
   }
 
+  test("WKT / DateRange carrier validation (C7)") {
+    val df = Seq(
+      ("POINT (36.5 -90)", "POINT"),
+      ("POINT (bogus)", "POINT"),
+      ("LINESTRING (30 10, 10 30, 40 40)", "LINESTRING"),
+      ("POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10))", "POLYGON"),
+      ("[* TO 2014-12-01]", "DATERANGE"),
+      ("not a range", "DATERANGE")).toDF("s", "kind")
+    def check(kind: String, expectValid: Seq[Boolean]): Unit = {
+      val rows = df.filter(col("kind") === kind)
+      val (v, e) = Codecs.validateWkt(col("s"), kind)
+      val out = rows.select(v.as("v"), e.as("e")).collect()
+      assert(out.map(!_.isNullAt(0)).toSeq == expectValid)
+      assert(out.map(_.isNullAt(1)).toSeq == expectValid.map(x => x))
+    }
+    check("POINT", Seq(true, false))
+    check("LINESTRING", Seq(true))
+    check("POLYGON", Seq(true))
+    check("DATERANGE", Seq(true, false))
+  }
+
   test("tryCast captures the failing raw value (C5)") {
     val df = Seq("12", "bad key", null).toDF("raw")
     val (v, e) = Codecs.tryCast(col("raw"), LongType)

@@ -191,6 +191,30 @@ class RecordMapperSpec extends SparkSuite {
     assert(dynamic.head == Row(7L, 5L, "x"))
   }
 
+  test("schema defaults fill null optional fields (P8, StructEndToEndCCMIT.java:441-462)") {
+    val meta = new MetadataBuilder().putString("default", "42").build()
+    val structValueSchema = StructType(Seq(
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("key", StringType),
+      StructField("value", StructType(Seq(
+        StructField("req", LongType),
+        StructField("opt", LongType, nullable = true, metadata = meta)))),
+      StructField("headers", ArrayType(StructType(Seq(
+        StructField("key", StringType), StructField("value", StringType))))),
+      StructField("timestamp", TimestampType)))
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row("t", 0, 0L, "1", Row(7L, null), Seq.empty[Row],
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1000L))))
+    val recs = s.createDataFrame(l, structValueSchema)
+    val t = SinkTable("ks", "td", StructType(Seq(
+      StructField("my_pk", LongType), StructField("req", LongType),
+      StructField("opt", LongType))), Seq("my_pk"))
+    val b = bind("topic.t.ks.td.mapping" -> "my_pk=key, req=value.req, opt=value.opt")
+    val out = compile(b, t, recs, valueFormat = Format.Struct)
+      .select("req", "opt").collect()
+    assert(out.head == Row(7L, 42L))
+  }
+
   test("counter tables route to COUNTER mode") {
     val ct = SinkTable("ks", "ctr", StructType(Seq(
       StructField("c1", LongType), StructField("c3", LongType))),
