@@ -70,6 +70,28 @@ object Bench {
     }
     results += "q00_ingest_pipeline" -> ingestSec
 
+    // sustained rate: 10× the volume amortizes the ~2s fixed job overhead
+    val frame10 = {
+      val f = KafkaLike.frameWithTombstones(spark, sfDir)
+      (1 to 10).map(_ => f).reduce(_ unionByName _)
+    }
+    val n10 = nRecords * 10
+    val sustainedSec = time {
+      val b = SinkConfig.parse(Map(
+        "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value.k"))
+        .bindings.head
+      val table = graft.sink.SinkTable("ks1", "t",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("my_pk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("my_value",
+            org.apache.spark.sql.types.LongType))),
+        Seq("my_pk"))
+      val mapped = RecordMapper.compile(b, table, frame10)
+      force(Upserts.lwwCompact(mapped, Seq("my_pk"),
+        Seq(col(RecordMapper.WritetimeCol))))
+    }
+
     // ---- per-operator timings (forced full materialization) ----
     val benched = Seq(
       "q01_ingest_project", "q02_map_json_fields", "q06_delete_route",
@@ -90,8 +112,9 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val totalStr = f"$total%1.3f"
     val rps = if (ingestSec > 0) (nRecords / ingestSec).toLong else 0L
+    val sustained = if (sustainedSec > 0) (n10 / sustainedSec).toLong else 0L
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained}""")
     spark.stop()
   }
 }
