@@ -96,6 +96,13 @@ object SinkConfig {
     val bindings = tableProps.toSeq.sortBy(_._1).map { case ((topic, ks, tbl), m) =>
       val mappingStr = m.getOrElse("mapping",
         throw MappingSpec.ParseException(s"missing mapping for topic.$topic.$ks.$tbl"))
+      // a provided query replaces the generated statement — delete inference
+      // cannot coexist with it; the reference rejects the combination unless
+      // deletes are explicitly disabled (reference:
+      // sink/src/it/.../ProvidedQueryCCMIT.java:131-163)
+      if (m.contains("query") && m.get("deletesEnabled").forall(_.toBoolean))
+        throw MappingSpec.ParseException(
+          s"topic.$topic.$ks.$tbl: 'query' requires deletesEnabled=false")
       TableBinding(
         topic = topic, keyspace = ks, table = tbl,
         mapping = MappingSpec.parse(mappingStr),

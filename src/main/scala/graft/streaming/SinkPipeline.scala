@@ -73,8 +73,31 @@ class SinkPipeline(
       failedWithUnknownTopic.add(unknown)
       config.bindings.foreach { b =>
         val forTopic = records.filter(col("topic") === b.topic)
-        val mapped = RecordMapper.compile(b, tables(b.qualifiedTable), forTopic,
+        val compiled = RecordMapper.compile(b, tables(b.qualifiedTable), forTopic,
           captureErrors = true)
+        // S6: a provided query transforms the mapped batch in place of the
+        // generated write (reference: ProvidedQueryCCMIT.java:89-330). The
+        // SQL sees the mapped view (incl. __writetime); the result must keep
+        // the pk columns, and rows always upsert (deletes are disabled by
+        // config validation).
+        val mapped = b.query match {
+          case Some(sql) =>
+            val out = graft.operators.ProvidedQuery.run(compiled, sql)
+            val withMeta = (if (out.columns.contains(WritetimeCol)) out
+              else out.withColumn(WritetimeCol,
+                lit(System.currentTimeMillis() * 1000)))
+              .withColumn(ModeCol, lit(ModeUpsert))
+              .withColumn(ErrorCol,
+                if (out.columns.contains(ErrorCol)) col(ErrorCol)
+                else lit(null).cast(org.apache.spark.sql.types.StringType))
+            val missingPk = tables(b.qualifiedTable).primaryKey
+              .filterNot(withMeta.columns.contains)
+            require(missingPk.isEmpty,
+              s"provided query for ${b.qualifiedTable} drops pk columns: " +
+                missingPk.mkString(", "))
+            withMeta
+          case None => compiled
+        }
         // error side-output (reference F3 ignoreErrors: failed records go to
         // the dead letter, never silently into the table)
         val failed = mapped.filter(col(ErrorCol).isNotNull)

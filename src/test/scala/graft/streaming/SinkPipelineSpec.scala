@@ -109,6 +109,26 @@ class SinkPipelineSpec extends SparkSuite {
     assert(store.stateAt(100L).select("my_pk").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("provided query transforms the mapped batch in place of the generated write (S6)") {
+    val root = Files.createTempDirectory("graft-pq").toString
+    // reference: query requires deletesEnabled=false
+    intercept[graft.mapping.MappingSpec.ParseException] {
+      SinkConfig.parse(Map(
+        "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+        "topic.orders.ks.t1.query" -> "SELECT * FROM mapped"))
+    }
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.orders.ks.t1.deletesEnabled" -> "false",
+      "topic.orders.ks.t1.query" ->
+        "SELECT my_pk, my_value * 10 AS my_value, __writetime FROM mapped"))
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
+    pipe.processBatch(batch(("orders", 0L, "3", """{"v": 4}""", 1000L)), 0L)
+    val st = pipe.store(s, config.bindings.head).state()
+      .select("my_pk", "my_value").collect()
+    assert(st.toSeq == Seq(Row(3L, 40L)))
+  }
+
   test("counter replay with the same batchId is exactly-once") {
     val root = Files.createTempDirectory("graft-ctr").toString
     val ctr = SinkTable("ks", "ctr", StructType(Seq(
@@ -126,21 +146,31 @@ class SinkPipelineSpec extends SparkSuite {
     assert(st.toSeq == Seq(Row(1L, 6L)))
   }
 
-  test("streaming wiring: foreachBatch over a file stream") {
+  test("streaming wiring: foreachBatch over a file stream + metrics listener") {
     val root = Files.createTempDirectory("graft-stream").toString
     val srcDir = Files.createTempDirectory("graft-stream-src").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     batch(("orders", 0L, "7", """{"v": 70, "t": "z"}""", 1000L))
       .write.mode("overwrite").parquet(srcDir)
 
-    val config = SinkConfig.parse(Map(
-      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v"))
-    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
-    val stream = s.readStream.schema(kafkaSchema).parquet(srcDir)
-    val q = pipe.start(stream, ckpt)
-    q.awaitTermination(60000)
-    val st = pipe.store(s, config.bindings.head).state()
-      .select("my_pk", "my_value").collect()
-    assert(st.toSeq == Seq(Row(7L, 70L)))
+    val listener = new GraftQueryListener
+    s.streams.addListener(listener)
+    try {
+      val config = SinkConfig.parse(Map(
+        "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v"))
+      val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
+      val stream = s.readStream.schema(kafkaSchema).parquet(srcDir)
+      val q = pipe.start(stream, ckpt)
+      q.awaitTermination(60000)
+      val st = pipe.store(s, config.bindings.head).state()
+        .select("my_pk", "my_value").collect()
+      assert(st.toSeq == Seq(Row(7L, 70L)))
+      // listener events are delivered asynchronously
+      var waited = 0
+      while (listener.stats.values.map(_.inputRows.get).sum < 1 && waited < 100) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(listener.stats.values.map(_.inputRows.get).sum >= 1L)
+    } finally s.streams.removeListener(listener)
   }
 }
