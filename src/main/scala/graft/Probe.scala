@@ -3,45 +3,44 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Plan-hygiene check: prints formatted plans for the load-bearing paths so
-  * pushdown / broadcast / codegen / shuffle shape can be audited. */
+/** Plan-hygiene + scale probes (not part of the library surface). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.001")
+    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
 
-    println("======== merge path (state ⋈ batch on pk) ========")
-    SparkEntry.entry(spark).explain("formatted")
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
 
-    println("======== minhash signatures ========")
-    SparkEntry.queries("q24_minhash_signatures")(spark, dir).explain("formatted")
+    // 20× the sf0.1 documents with distinct ids → 100k docs
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val big = (0 until 20).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .select("doc_id", "text")
+    big.cache().count()
+    println(s"corpus: ${big.count()} docs")
 
-    println("======== ingest pipeline scale probe ========")
-    // union the events table 10× to measure sustained mapped-ingest rate
-    val base = graft.sources.KafkaLike.frameWithTombstones(spark, dir)
-    val big = (1 to 10).map(_ => base).reduce(_ unionByName _)
-    val b = graft.mapping.SinkConfig.parse(Map(
-      "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value.k")).bindings.head
-    val table = graft.sink.SinkTable("ks1", "t",
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("my_pk", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("my_value", org.apache.spark.sql.types.LongType))),
-      Seq("my_pk"))
-    val mapped = operators.RecordMapper.compile(b, table, big)
-    val n = big.count()
-    val t0 = System.nanoTime()
-    operators.Upserts.lwwCompact(mapped, Seq("my_pk"),
-      Seq(col(operators.RecordMapper.WritetimeCol)))
-      .write.format("noop").mode("overwrite").save()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"scale probe: $n records in $sec%.2f s = ${n / sec}%.0f rec/s")
+    timed("minhash signatures")(
+      graft.operators.Dedup.minhashSignatures(big, "text", "doc_id").count())
+    timed("minhash candidates")(
+      graft.operators.Dedup.minhashCandidates(graft.operators.Dedup.minhashBands(
+        graft.operators.Dedup.minhashSignatures(big, "text", "doc_id"))).count())
+    timed("simhash")(
+      graft.operators.Dedup.simhash(big, "text", "doc_id").count())
+    timed("exact dedup")(
+      graft.operators.Dedup.exact(big, "text", "doc_id").count())
+    big.unpersist()
     spark.stop()
   }
 }

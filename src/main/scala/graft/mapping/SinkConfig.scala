@@ -49,7 +49,12 @@ object SinkConfig {
     def qualifiedTable: String = s"$keyspace.$table"
   }
 
-  case class Config(bindings: Seq[TableBinding]) {
+  case class Config(bindings: Seq[TableBinding],
+      /** `None` (default): a failed record fails the batch — the stream
+        * retries it (the analogue of the reference holding offsets back).
+        * `All`/`Driver`: failed records go to the dead letter and the batch
+        * commits (reference: dist/conf/...properties.sample:52-57; KAF-200). */
+      ignoreErrors: String = "None") {
     /** Fan-out: all bindings for one topic (SURVEY §2 S7). */
     def forTopic(topic: String): Seq[TableBinding] = bindings.filter(_.topic == topic)
     def topics: Seq[String] = bindings.map(_.topic).distinct
@@ -116,6 +121,6 @@ object SinkConfig {
         query = m.get("query"),
         codec = codecByTopic.getOrElse(topic, CodecSettings()))
     }
-    Config(bindings)
+    Config(bindings, props.getOrElse("ignoreErrors", "None"))
   }
 }

@@ -56,6 +56,19 @@ class KeyedParquetTable(
     } else spark.read.parquet(rootPath.resolve(s"v$v").toString)
   }
 
+  /** Drop state versions older than the last `keep` (bounded disk; the
+    * CURRENT pointer always stays valid). */
+  def vacuum(keep: Int = 2): Unit = {
+    val v = currentVersion
+    (1 to v - keep).foreach { old =>
+      val dir = rootPath.resolve(s"v$old")
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** Rows visible at `nowSec` — TTL'd rows past their expiry are gone
     * (reference G2: TTL'd cells disappear; modeled at row granularity). */
   def stateAt(nowSec: Long): DataFrame = {
@@ -83,5 +96,6 @@ class KeyedParquetTable(
     Files.writeString(tmp, s"$v ${math.max(batchId, lastBatch)}")
     Files.move(tmp, currentFile, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    vacuum(keep = 2) // bounded disk: superseded versions are unreachable
   }
 }

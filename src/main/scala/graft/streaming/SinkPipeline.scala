@@ -102,6 +102,13 @@ class SinkPipeline(
         // the dead letter, never silently into the table)
         val failed = mapped.filter(col(ErrorCol).isNotNull)
         val nFailed = failed.count()
+        if (nFailed > 0 && config.ignoreErrors == "None") {
+          // reference ignoreErrors=None: failures hold the batch back — the
+          // checkpoint retries it whole (at-least-once, LWW-idempotent)
+          throw new IllegalStateException(
+            s"$nFailed record(s) failed mapping for ${b.qualifiedTable} " +
+              "and ignoreErrors=None; failing the batch for retry")
+        }
         if (nFailed > 0) {
           failed.write.mode("append")
             .parquet(s"$storeRoot/_dead_letter/${b.topic}.${b.qualifiedTable}")

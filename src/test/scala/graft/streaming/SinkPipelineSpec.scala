@@ -79,7 +79,17 @@ class SinkPipelineSpec extends SparkSuite {
 
   test("unparseable fields route to the dead letter, not the table (F3)") {
     val root = Files.createTempDirectory("graft-dlq").toString
+    // default ignoreErrors=None fails the batch (offset-holdback analogue)
+    val strict = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v"))
+    val strictPipe = new SinkPipeline(strict, Map("ks.t1" -> t1),
+      Files.createTempDirectory("graft-dlq-strict").toString)
+    intercept[IllegalStateException] {
+      strictPipe.processBatch(batch(
+        ("orders", 0L, "1", """{"v": "bad"}""", 1000L)), 0L)
+    }
     val config = SinkConfig.parse(Map(
+      "ignoreErrors" -> "All",
       "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v"))
     val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
     pipe.processBatch(batch(
