@@ -420,6 +420,34 @@ object SparkEntry {
           .orderBy("o_custkey", "rn")
       }),
 
+    Q("q43_rollup", Some(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus, CAST(GROUPING(l_returnflag) AS INT) AS g_rflag, CAST(GROUPING(l_linestatus) AS INT) AS g_lstatus, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY g_rflag, g_lstatus, rflag, lstatus"""),
+      (s, dir) => lineitem(tune(s), dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_rflag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_lstatus"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("g_rflag"), col("g_lstatus"), col("n"), col("sum_qty"))
+        .orderBy("g_rflag", "g_lstatus", "rflag", "lstatus")),
+
+    Q("q44_set_ops", Some(
+      """SELECT 'only_buyers' AS side, CAST(user_id AS BIGINT) AS user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type='purchase' EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='error') UNION ALL SELECT 'both', CAST(user_id AS BIGINT) FROM (SELECT DISTINCT user_id FROM events WHERE event_type='purchase' INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type='error') ORDER BY side, user_id"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+        val buyers = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+        val errored = ev.filter(col("event_type") === "error")
+          .select(col("user_id")).distinct()
+        buyers.except(errored).select(lit("only_buyers").as("side"), col("user_id"))
+          .unionByName(buyers.intersect(errored)
+            .select(lit("both").as("side"), col("user_id")))
+          .orderBy("side", "user_id")
+      }),
+
     // ---------------- training-data pipeline: dedup suite ----------------
 
     Q("q23_dedup_exact", Some(
