@@ -71,7 +71,12 @@ class SinkPipeline(
     try {
       val unknown = records.filter(!col("topic").isInCollection(knownTopics)).count()
       failedWithUnknownTopic.add(unknown)
-      config.bindings.foreach { b =>
+      // replayed micro-batches: the state merge would be skipped anyway, but
+      // the dead-letter append and counters must not double-apply either
+      val toApply = config.bindings.filter { b =>
+        batchId == Long.MinValue || batchId > store(spark, b).lastAppliedBatchId
+      }
+      toApply.foreach { b =>
         val forTopic = records.filter(col("topic") === b.topic)
         val compiled = RecordMapper.compile(b, tables(b.qualifiedTable), forTopic,
           captureErrors = true)
