@@ -420,6 +420,29 @@ object SparkEntry {
           .orderBy("o_custkey", "rn")
       }),
 
+    // C4 — numeric widening/narrowing matrix: Java/reference semantics
+    // truncate toward zero; DuckDB CAST rounds, so the oracle mirrors with
+    // trunc() explicitly
+    Q("q45_numeric_widths", Some(
+      """SELECT event_id AS kafka_offset, CAST(value AS DOUBLE) AS as_double, CAST(trunc(value) AS BIGINT) AS as_long, CAST(CAST(trunc(value) AS BIGINT) % 32768 AS SMALLINT) AS as_short, CAST(CAST(trunc(value) AS BIGINT) AS FLOAT) AS as_float FROM events ORDER BY kafka_offset"""),
+      (s, dir) => KafkaLike.events(tune(s), dir)
+        .select(col("event_id").as("kafka_offset"),
+          col("value").cast(DoubleType).as("as_double"),
+          col("value").cast(LongType).as("as_long"),
+          (col("value").cast(LongType) % 32768).cast(ShortType).as("as_short"),
+          col("value").cast(LongType).cast(FloatType).as("as_float"))
+        .orderBy("kafka_offset")),
+
+    // C8 — decimal parse: string → DECIMAL(18,4), exact in both engines
+    Q("q46_decimal_parse", Some(
+      """SELECT event_id AS kafka_offset, CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) AS dec_val, CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents_x100 FROM events ORDER BY kafka_offset"""),
+      (s, dir) => KafkaLike.events(tune(s), dir)
+        .select(col("event_id").as("kafka_offset"),
+          col("value").cast(StringType).cast(DecimalType(18, 4)).as("dec_val"),
+          (col("value").cast(StringType).cast(DecimalType(18, 4)) * 100)
+            .cast(LongType).as("cents_x100"))
+        .orderBy("kafka_offset")),
+
     Q("q43_rollup", Some(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus, CAST(GROUPING(l_returnflag) AS INT) AS g_rflag, CAST(GROUPING(l_linestatus) AS INT) AS g_lstatus, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY g_rflag, g_lstatus, rflag, lstatus"""),
       (s, dir) => lineitem(tune(s), dir)
