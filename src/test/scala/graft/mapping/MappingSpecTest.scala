@@ -88,6 +88,40 @@ class MappingSpecTest extends AnyFunSuite {
     })
   }
 
+  test("property: quoted identifiers with arbitrary inner characters round-trip") {
+    // any char except a lone double-quote survives quoting; "" escapes "
+    val inner = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '.', '-', '=', ',', '(', ')', '"')))
+      .map(_.mkString)
+    assertProp(forAll(inner) { raw: String =>
+      val quoted = "\"" + raw.replace("\"", "\"\"") + "\""
+      val m = parse(s"$quoted=value.f")
+      m == Seq(Entry(ColumnTarget(raw), FieldRef(Prefix.Value, "f")))
+    })
+  }
+
+  test("property: parser never accepts a field outside the legal namespace") {
+    val bogus = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+      .suchThat(s => !Set("key", "value").contains(s))
+    assertProp(forAll(bogus) { f: String =>
+      try { parse(s"c=$f"); false }
+      catch { case _: ParseException => true }
+    })
+  }
+
+  test("property: garbage input throws ParseException, never anything else") {
+    val junk = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('=', ',', '.', '(', ')', '"', ' ', '\t', '!')))
+      .map(_.mkString)
+    assertProp(forAll(junk) { s: String =>
+      try { parse(s); true }
+      catch {
+        case _: ParseException => true
+        case _: Throwable      => false
+      }
+    })
+  }
+
   test("config parsing: table settings and codec settings") {
     val cfg = SinkConfig.parse(Map(
       "topic.orders.ks1.t1.mapping" -> "pk=key, v=value.v",
