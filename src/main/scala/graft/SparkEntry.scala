@@ -215,18 +215,24 @@ object SparkEntry {
           .orderBy("kafka_offset")
       }),
 
-    // G1 — now(): fresh v1 TIMEUUID per column per row (no SQL oracle:
-    // nondeterministic by design; validity asserted in-row)
-    Q("q09_now_timeuuid", None,
+    // G1 — now(): fresh v1 TIMEUUID per column per row. The UUIDs themselves
+    // are nondeterministic by design, so the query emits their VERIFIABLE
+    // properties (distinctness per row, version nibble, RFC-4122 shape) —
+    // which the oracle pins as constants. Global uniqueness/time-ordering is
+    // asserted in RecordMapperSpec.
+    Q("q09_now_timeuuid", Some(
+      """SELECT event_id AS kafka_offset, TRUE AS distinct_ok, TRUE AS version_ok, TRUE AS shape_ok FROM events ORDER BY kafka_offset"""),
       (s, dir) => {
         val f = KafkaLike.frame(tune(s), dir)
+        val uuidRe = "^[0-9a-f]{8}-[0-9a-f]{4}-1[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
         f.select(col("offset").as("kafka_offset"),
-          TimeUuid.now_timeuuid().as("loaded_at"),
-          TimeUuid.now_timeuuid().as("loaded_at2"))
-          .withColumn("distinct_ok", col("loaded_at") =!= col("loaded_at2"))
-          .withColumn("version_ok",
-            substring(col("loaded_at"), 15, 1) === "1" &&
-            substring(col("loaded_at2"), 15, 1) === "1")
+          TimeUuid.now_timeuuid().as("u1"),
+          TimeUuid.now_timeuuid().as("u2"))
+          .select(col("kafka_offset"),
+            (col("u1") =!= col("u2")).as("distinct_ok"),
+            (substring(col("u1"), 15, 1) === "1" &&
+              substring(col("u2"), 15, 1) === "1").as("version_ok"),
+            (col("u1").rlike(uuidRe) && col("u2").rlike(uuidRe)).as("shape_ok"))
           .orderBy("kafka_offset")
       }),
 
