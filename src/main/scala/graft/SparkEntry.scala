@@ -501,6 +501,17 @@ object SparkEntry {
         Dedup.minhashSignatures(docs(tune(s), dir), "text", "doc_id")))
         .orderBy("doc_a", "doc_b")),
 
+    // MinHash similarity estimation: agreeing-seed fraction per candidate
+    // pair (how near-dup scoring works without ever re-reading text)
+    Q("q47_minhash_estimate", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id) SELECT doc_a, doc_b, CAST(SUM(CASE WHEN ls.minhash = rs.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_match, CAST(floor(SUM(CASE WHEN ls.minhash = rs.minhash THEN 1 ELSE 0 END) * 100 / 16) AS BIGINT) AS est_jaccard_pct FROM cand JOIN sig ls ON doc_a = ls.doc_id JOIN sig rs ON doc_b = rs.doc_id AND ls.seed_id = rs.seed_id GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sig = Dedup.minhashSignatures(docs(tune(s), dir), "text", "doc_id")
+          .localCheckpoint()
+        val cand = Dedup.minhashCandidates(Dedup.minhashBands(sig))
+        Dedup.minhashJaccardEstimate(sig, cand).orderBy("doc_a", "doc_b")
+      }),
+
     Q("q27_simhash", Some(
       s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents), h AS (SELECT doc_id, ${dFold("tok")} AS h FROM toks), bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bal FROM h CROSS JOIN range(32) t(j) GROUP BY doc_id, j) SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id"""),
       (s, dir) => Dedup.simhash(docs(tune(s), dir), "text", "doc_id")

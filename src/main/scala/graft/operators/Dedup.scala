@@ -114,6 +114,26 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /**
+   * Estimated Jaccard for candidate pairs from their minhash signatures:
+   * the fraction of agreeing seeds, in integer percent (matches·100/k).
+   * This is how MinHash avoids ever touching the raw shingle sets at scale —
+   * the signature join carries k longs per doc, nothing more.
+   */
+  def minhashJaccardEstimate(signatures: DataFrame, candidates: DataFrame,
+      numHashes: Int = 16): DataFrame = {
+    val l = signatures.alias("l"); val r = signatures.alias("r")
+    candidates
+      .join(l, col("doc_a") === col("l.doc_id"))
+      .join(r, col("doc_b") === col("r.doc_id") &&
+        col("l.seed_id") === col("r.seed_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("l.minhash") === col("r.minhash"), 1L).otherwise(0L))
+        .as("n_match"))
+      .withColumn("est_jaccard_pct", col("n_match") * 100L / lit(numHashes.toLong))
+      .withColumn("est_jaccard_pct", floor(col("est_jaccard_pct")).cast(LongType))
+  }
+
   /** Apply exact dedup: keep one row (the lowest id) per distinct content.
     * left_semi against the survivor set — no wide shuffle of text. */
   def applyExact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
