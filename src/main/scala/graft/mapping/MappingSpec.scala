@@ -109,7 +109,12 @@ object MappingSpec {
       i += 1
     }
 
-    def parseTarget(): Target = toks(i) match {
+    // bounds-checked lookahead: truncated input is a parse error, not an IOOBE
+    def cur(): Tok =
+      if (i < toks.length) toks(i)
+      else throw ParseException(s"unexpected end of mapping: $mapping")
+
+    def parseTarget(): Target = cur() match {
       case Unquoted(s) => i += 1; s match {
         case "__ttl"       => TtlTarget
         case "__timestamp" => TimestampTarget
@@ -119,7 +124,7 @@ object MappingSpec {
       case t => throw ParseException(s"expected column name, got $t")
     }
 
-    def parseSource(): Source = toks(i) match {
+    def parseSource(): Source = cur() match {
       case Quoted(s) =>
         i += 1
         splitQuotedField(s)
@@ -132,12 +137,12 @@ object MappingSpec {
           var done = i < toks.length && toks(i) == Sym(')')
           if (done) i += 1
           while (!done) {
-            toks(i) match {
+            cur() match {
               case Unquoted(a) => args += a; i += 1
               case Quoted(a)   => args += a; i += 1
               case t           => throw ParseException(s"bad function arg $t")
             }
-            toks(i) match {
+            cur() match {
               case Sym(',') => i += 1
               case Sym(')') => i += 1; done = true
               case t        => throw ParseException(s"bad function args, got $t")
