@@ -94,6 +94,13 @@ object SparkEntry {
   private val dQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
 
+  /** DuckDB mirror of Similarity.lshBuckets (8 tables × 12 planes, Weyl
+    * ±1 signs): CTE chain ending in `bk(item_id, table_id, bucket)`. */
+  private val dLshBk =
+    s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings),
+       |pb AS (SELECT item_id, CAST(p // 12 AS INT) AS table_id, CASE WHEN list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * (CASE WHEN (((2654435761 + 2027808446*p) % 4294967296) * (i+1)) % 4294967296 >= 2147483648 THEN 1 ELSE -1 END))) > 0 THEN (CAST(1 AS BIGINT) << CAST(p % 12 AS INT)) ELSE CAST(0 AS BIGINT) END AS bit FROM v CROSS JOIN range(96) t(p)),
+       |bk AS (SELECT item_id, table_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM pb GROUP BY item_id, table_id)""".stripMargin
+
   // ---------------------------------------------------------------- entry
 
   /** Flagship: the full mapped-ingest pipeline (decode → mapping → routing →
@@ -439,12 +446,17 @@ object SparkEntry {
           col("value").cast(LongType).cast(FloatType).as("as_float"))
         .orderBy("kafka_offset")),
 
-    // C8 — decimal parse: string → DECIMAL(18,4), exact in both engines
+    // C8 — decimal parse: string → DECIMAL(18,4), exact in both engines.
+    // Hash-stability: raw DECIMAL columns hash differently across engines
+    // (Spark fixed-len-byte-array vs DuckDB native), so the output carries the
+    // decimal as its scaled unscaled-integer (value * 10^scale), which is
+    // bit-identical in both — values were already exact (VERDICT r1 §wrong 1).
     Q("q46_decimal_parse", Some(
-      """SELECT event_id AS kafka_offset, CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) AS dec_val, CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents_x100 FROM events ORDER BY kafka_offset"""),
+      """SELECT event_id AS kafka_offset, CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS dec_scaled, CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents_x100 FROM events ORDER BY kafka_offset"""),
       (s, dir) => KafkaLike.events(tune(s), dir)
         .select(col("event_id").as("kafka_offset"),
-          col("value").cast(StringType).cast(DecimalType(18, 4)).as("dec_val"),
+          (col("value").cast(StringType).cast(DecimalType(18, 4)) * 10000)
+            .cast(LongType).as("dec_scaled"),
           (col("value").cast(StringType).cast(DecimalType(18, 4)) * 100)
             .cast(LongType).as("cents_x100"))
         .orderBy("kafka_offset")),
@@ -518,9 +530,9 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     Q("q32_jaccard_pairs", Some(
-      s"""$dShingles, sizes AS (SELECT doc_id, COUNT(*) AS n FROM shex GROUP BY 1), inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter FROM shex l JOIN shex r ON l.h = r.h AND l.doc_id < r.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, n_inter, CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 50 ORDER BY doc_a, doc_b"""),
+      s"""$dShingles, rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shex GROUP BY h) WHERE df <= 100), shc AS (SELECT shex.doc_id, shex.h FROM shex JOIN rare USING (h)), sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1), inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter FROM shc l JOIN shc r ON l.h = r.h AND l.doc_id < r.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, n_inter, CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 50 ORDER BY doc_a, doc_b"""),
       (s, dir) => Dedup.ngramJaccardPairs(docs(tune(s), dir), "text", "doc_id",
-        shingleN = 3, minJaccardPct = 50)
+        shingleN = 3, minJaccardPct = 50, maxShingleDF = 100)
         .orderBy("doc_a", "doc_b")),
 
     // ---------------- text analysis ----------------
@@ -567,10 +579,10 @@ object SparkEntry {
       }),
 
     Q("q34_ann_lsh_buckets", Some(
-      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), b AS (SELECT item_id, j, CASE WHEN list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * (CASE WHEN (j*37 + i*13) % 5 < 3 THEN 1 ELSE -1 END))) > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END AS bit FROM v CROSS JOIN range(8) t(j)) SELECT item_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM b GROUP BY item_id ORDER BY item_id"""),
+      s"""$dLshBk SELECT item_id, table_id, bucket FROM bk ORDER BY item_id, table_id"""),
       (s, dir) => Similarity.lshBuckets(embeddings(tune(s), dir),
-        "vec_id", "embedding", numPlanes = 8)
-        .orderBy("item_id")),
+        "vec_id", "embedding", numTables = 8, planesPerTable = 12)
+        .orderBy("item_id", "table_id")),
 
     // event-time tumbling window (1h buckets, integer epoch arithmetic)
     Q("q38_tumbling_window", Some(
@@ -588,12 +600,14 @@ object SparkEntry {
           col("n_events"), col("start_ms"), col("end_ms"))
         .orderBy("user_id", "session_id")),
 
-    // embedding-cosine near-dup: LSH candidates + exact integer cosine
-    // threshold (cos ≥ 2/5 ⟺ 25·dot² ≥ 4·‖a‖²·‖b‖², dot>0)
+    // embedding-cosine near-dup: multi-table LSH candidates (bucket-capped)
+    // + exact integer cosine threshold (cos ≥ 2/5 ⟺ 25·dot² ≥ 4·‖a‖²·‖b‖²,
+    // dot>0)
     Q("q37_embedding_neardup", Some(
-      s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings), bk AS (SELECT vec_id, CAST(SUM(CASE WHEN list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * (CASE WHEN (j*37 + i*13) % 5 < 3 THEN 1 ELSE -1 END))) > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket FROM v CROSS JOIN range(8) t(j) GROUP BY vec_id), cand AS (SELECT l.vec_id AS item_a, r.vec_id AS item_b FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id), d AS (SELECT item_a, item_b, CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[CAST(i+1 AS INT)]*b.qv[CAST(i+1 AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT) AS na, CAST(list_sum(list_transform(b.qv, x -> x*x)) AS BIGINT) AS nb FROM cand JOIN v a ON item_a = a.vec_id JOIN v b ON item_b = b.vec_id) SELECT item_a, item_b, dot FROM d WHERE dot > 0 AND 25*dot*dot >= 4*na*nb ORDER BY item_a, item_b"""),
+      s"""$dLshBk, sz AS (SELECT table_id, bucket, COUNT(*) AS bn FROM bk GROUP BY 1, 2), okb AS (SELECT bk.item_id, bk.table_id, bk.bucket FROM bk JOIN sz USING (table_id, bucket) WHERE bn <= 1000), cand AS (SELECT DISTINCT l.item_id AS item_a, r.item_id AS item_b FROM okb l JOIN okb r ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.item_id < r.item_id), dd AS (SELECT item_a, item_b, CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[CAST(i+1 AS INT)]*bb.qv[CAST(i+1 AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT) AS na, CAST(list_sum(list_transform(bb.qv, x -> x*x)) AS BIGINT) AS nb FROM cand JOIN v a ON item_a = a.item_id JOIN v bb ON item_b = bb.item_id) SELECT item_a, item_b, dot FROM dd WHERE dot > 0 AND 25*dot*dot >= 4*na*nb ORDER BY item_a, item_b"""),
       (s, dir) => Dedup.embeddingNearDupPairs(embeddings(tune(s), dir),
-        "vec_id", "embedding", numPlanes = 8, cosNum = 2L, cosDen = 5L)
+        "vec_id", "embedding", numTables = 8, planesPerTable = 12,
+        maxBucketSize = 1000, cosNum = 2L, cosDen = 5L)
         .orderBy("item_a", "item_b")),
 
     // characteristic terms: top-3 tokens per doc by (tf desc, token asc)

@@ -152,18 +152,23 @@ object Dedup {
 
   /**
    * Embedding-cosine near-duplicate pairs, fully integer-exact: candidates
-   * from random-hyperplane LSH buckets (only same-bucket vectors ever meet),
+   * from multi-table random-hyperplane LSH (only same-(table,bucket) vectors
+   * ever meet, per-bucket fan-out hard-capped — see
+   * [[Similarity.lshCandidates]]),
    * then an exact cosine threshold in quantized integer arithmetic —
    * cos(a,b) ≥ num/den  ⟺  dot>0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²,
    * so no FP comparison anywhere.
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int = 8, cosNum: Long = 2L, cosDen: Long = 5L): DataFrame = {
+      numTables: Int = 8, planesPerTable: Int = 12,
+      maxBucketSize: Int = 1000,
+      cosNum: Long = 2L, cosDen: Long = 5L): DataFrame = {
     val q = df.select(col(idCol).as("vid"),
       Similarity.quantize(col(vecCol)).as("qv"),
       Similarity.norm2Q(Similarity.quantize(col(vecCol))).as("n2"))
     val cands = Similarity.lshCandidates(
-      Similarity.lshBuckets(df, idCol, vecCol, numPlanes))
+      Similarity.lshBuckets(df, idCol, vecCol, numTables, planesPerTable),
+      maxBucketSize)
     val a = q.alias("a"); val b = q.alias("b")
     cands
       .join(a, col("item_a") === col("a.vid"))
@@ -184,9 +189,19 @@ object Dedup {
    * least one shingle get |A∩B| via a shingle join; |A∪B| = |A|+|B|-|A∩B|.
    * The shingle join IS the candidate filter — disjoint docs never meet, so
    * no cross join at any scale.
+   *
+   * `maxShingleDF` is the skew guard: a shingle present in k docs emits
+   * k²/2 join rows on ONE key, so a single boilerplate trigram (header,
+   * license blurb) goes quadratic at corpus scale. Shingles with document
+   * frequency above the cap are dropped from the shingle SETS (both
+   * intersections and sizes — the operator is defined over the DF-capped
+   * sets, so Jaccard stays a real set similarity). Near-universal shingles
+   * carry no dedup signal; the cap only stops them from dominating the
+   * join.
    */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, minJaccardPct: Int = 50): DataFrame = {
+      shingleN: Int = 3, minJaccardPct: Int = 50,
+      maxShingleDF: Int = 100): DataFrame = {
     // hash-native: shingles are 8-byte deterministic hashes end to end, so
     // the equi-join shuffles longs, never text. (Hash collisions perturb the
     // count identically in any engine computing the same fold — the operator
@@ -194,7 +209,10 @@ object Dedup {
     // the shingle frame feeds three plan branches (join left, join right,
     // sizes) — materialize it once instead of recomputing the tokenize+hash
     // stage per branch (at cluster scale: persist/checkpoint to storage)
-    val sh = shingleHashRows(docs, textCol, idCol, shingleN).localCheckpoint()
+    val sh0 = shingleHashRows(docs, textCol, idCol, shingleN)
+    val rare = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDF).select(col("h"))
+    val sh = sh0.join(rare, Seq("h"), "left_semi").localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val l = sh.alias("l"); val r = sh.alias("r")
     val inter = l.join(r,

@@ -63,27 +63,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplane element: plane j, dimension i. */
-  private def planeSign(planeId: Column, dim: Column): Column =
-    when(((planeId * 37L + dim * 13L) % 5L) < 3L, lit(1L)).otherwise(lit(-1L))
+  /**
+   * Deterministic ±1 hyperplane element for global plane p, dimension i:
+   * a Weyl sequence — each plane gets a distinct odd 32-bit stride
+   * `m_p = (2654435761 + 2027808446·p) mod 2³²`, and the sign is the top
+   * bit of `m_p·(i+1) mod 2³²`. The stride wraps the 32-bit ring ~every
+   * step, so per-plane sign vectors are balanced and decorrelated across
+   * planes (unlike a small-modulus formula, which repeats every few
+   * planes). All arithmetic stays in int64 — both engines reproduce it
+   * bit-for-bit.
+   */
+  private[operators] def planeSign(planeId: Column, dim: Column): Column = {
+    val mult = (lit(2654435761L) + lit(2027808446L) * planeId) % 4294967296L
+    when((mult * (dim + 1L)) % 4294967296L >= 2147483648L, lit(1L))
+      .otherwise(lit(-1L))
+  }
 
   /**
-   * Bucket id per (vector, plane-set): bit j = [dot(vec, plane_j) > 0].
-   * `numPlanes` bits → up to 2^numPlanes buckets.
+   * Multi-table random-hyperplane LSH: `numTables` independent hash tables
+   * of `planesPerTable` planes each; bucket bit j of table t =
+   * [dot(vec, plane_{t·P+j}) > 0]. Output: (item_id, table_id, bucket).
+   *
+   * Wider per-table signatures (2^P buckets, not 2^8) keep buckets small —
+   * the q37 scale-killer from round 1 was a single 8-plane table (≤256
+   * join keys ⇒ ~n²/256 candidate pairs); here per-bucket occupancy stays
+   * bounded and [[lshCandidates]] additionally caps it hard. Recall lost to
+   * a wider band is bought back with independent tables (union of
+   * candidates), the same banding trade MinHash-LSH makes.
+   *
+   * Execution shape: posexplode the quantized vector once → (item, dim, x)
+   * rows, cross-broadcast the tiny plane list, then two partial-aggregated
+   * groupBys — all codegen'd integer arithmetic, no interpreted
+   * higher-order lambdas (a per-plane `aggregate(zip_with(...))` column is
+   * interpreted per element and was the round-1 bench cost). At any corpus
+   * size this is a map + combine stage; the shuffle carries
+   * numTables·planesPerTable longs per vector, never the vector.
    */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int = 8): DataFrame = {
-    val qv = quantize(col(vecCol))
-    // signed dot with plane j, computed per plane via an int fold over dims
-    val bits = (0 until numPlanes).map { j =>
-      val signedSum = aggregate(
-        zip_with(qv, sequence(lit(0), size(qv) - 1),
-          (x, i) => x * planeSign(lit(j.toLong), i.cast(LongType))),
-        lit(0L), (acc, v) => acc + v)
-      when(signedSum > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
-    }
-    df.select(col(idCol).as("item_id"),
-      bits.reduce(_ + _).as("bucket"))
+      numTables: Int = 8, planesPerTable: Int = 12): DataFrame = {
+    val nPlanes = numTables * planesPerTable
+    val ex = df.select(col(idCol).as("item_id"),
+      posexplode(quantize(col(vecCol))).as(Seq("dim", "x")))
+    val planes = df.sparkSession.range(nPlanes).select(col("id").as("plane"))
+    ex.join(broadcast(planes))
+      .groupBy(col("item_id"), col("plane"))
+      .agg(sum(col("x") * planeSign(col("plane"), col("dim").cast(LongType)))
+        .as("sdot"))
+      .groupBy(col("item_id"),
+        (col("plane") / planesPerTable).cast(IntegerType).as("table_id"))
+      .agg(sum(when(col("sdot") > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(plane % $planesPerTable AS INT))"))
+        .otherwise(0L)).as("bucket"))
   }
 
   /**
@@ -128,12 +158,27 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Candidate pairs sharing a bucket (a < b). */
-  def lshCandidates(buckets: DataFrame): DataFrame = {
-    val l = buckets.alias("l"); val r = buckets.alias("r")
-    l.join(r, col("l.bucket") === col("r.bucket") &&
+  /**
+   * Candidate pairs sharing any (table, bucket), a < b, distinct across
+   * tables. `maxBucketSize` is the hard fan-out bound: buckets larger than
+   * the cap are skipped entirely (a bucket holding k docs would emit k²/2
+   * pairs — at corpus scale an over-full bucket means the band carries no
+   * discriminating signal, the same reason a DF-cap drops boilerplate
+   * shingles). With the cap, candidate volume is ≤ tables·2^P·cap²/2
+   * regardless of corpus size — no key can go quadratic.
+   */
+  def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val sized = buckets.groupBy(col("table_id"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucketSize)
+      .select(col("table_id"), col("bucket"))
+    val ok = buckets.join(sized, Seq("table_id", "bucket"), "left_semi")
+      .localCheckpoint()
+    val l = ok.alias("l"); val r = ok.alias("r")
+    l.join(r, col("l.table_id") === col("r.table_id") &&
+        col("l.bucket") === col("r.bucket") &&
         col("l.item_id") < col("r.item_id"))
-      .select(col("l.item_id").as("item_a"), col("r.item_id").as("item_b"),
-        col("l.bucket").as("bucket"))
+      .select(col("l.item_id").as("item_a"), col("r.item_id").as("item_b"))
+      .distinct()
   }
 }

@@ -57,6 +57,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("ngram jaccard DF-cap drops boilerplate shingles, not the signal") {
+    // every doc shares one boilerplate prefix; docs 1/2 are real near-dups
+    val boiler = "standard license header text"
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      (1L, s"$boiler $base"), (2L, s"$boiler $base extra"),
+      (3L, s"$boiler " + (1 to 50).map(i => s"yyy$i").mkString(" ")),
+      (4L, s"$boiler " + (1 to 50).map(i => s"zzz$i").mkString(" ")))
+    // cap 3 < 4 docs: the universal boilerplate shingles drop; the planted
+    // near-dup pair survives and no boilerplate-only pair appears
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 50,
+        maxShingleDF = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("token/quality/langid/fingerprint basics") {
     val d = docs((1L, "The cat and the dog. And the bird!"),
       (2L, "le la et les des est"))
@@ -89,7 +105,7 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
-  test("identical vectors share an LSH bucket") {
+  test("identical vectors share every LSH table bucket; opposite vectors none") {
     val l = new java.util.ArrayList[Row]()
     l.add(Row(0L, Seq(0.5f, -0.25f, 0.75f)))
     l.add(Row(1L, Seq(0.5f, -0.25f, 0.75f)))
@@ -97,9 +113,27 @@ class PipelineOpsSpec extends SparkSuite {
     val e = s.createDataFrame(l, StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)))))
-    val b = Similarity.lshBuckets(e, "vec_id", "embedding", 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(b(0L) == b(1L) && b(0L) != b(2L))
+    val b = Similarity.lshBuckets(e, "vec_id", "embedding",
+        numTables = 4, planesPerTable = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert((0 until 4).forall(t => b((0L, t)) == b((1L, t))))
+    // candidate pairs: only the identical pair meets, deduped across tables
+    val cand = Similarity.lshCandidates(
+        Similarity.lshBuckets(e, "vec_id", "embedding", 4, 12))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cand == Seq((0L, 1L)))
+  }
+
+  test("lshCandidates skips buckets over the fan-out cap") {
+    val l = new java.util.ArrayList[Row]()
+    (0L until 6L).foreach(i => l.add(Row(i, Seq(0.5f, -0.25f, 0.75f))))
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val buckets = Similarity.lshBuckets(e, "vec_id", "embedding", 4, 12)
+    // 6 identical vectors in every bucket: cap 5 drops every bucket
+    assert(Similarity.lshCandidates(buckets, maxBucketSize = 5).count() == 0L)
+    assert(Similarity.lshCandidates(buckets, maxBucketSize = 6).count() == 15L)
   }
 
   test("multimodal stub decode preserves ids and emits plausible metadata") {
