@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Codecs, TimeUuid}
+import graft.functions.{BigEndian, Codecs, TimeUuid}
 import graft.mapping.SinkConfig
 import graft.multimodal.Multimodal
 import graft.operators._
@@ -63,6 +63,28 @@ object SparkEntry {
   private val counterTable = SinkTable("ks1", "mycounter",
     StructType(Seq(StructField("c1", LongType), StructField("c3", LongType))),
     partitionKey = Seq("c1"), counterCols = Seq("c3"))
+
+  /** UDT + tuple columns (C1): `udt` is a named UDT, `tup` a positional
+    * tuple — both modeled as StructType (reference tuple DDL:
+    * EndToEndCCMITBase.java:77). */
+  private val udtTable = SinkTable("ks1", "udt_t",
+    StructType(Seq(
+      StructField("my_pk", LongType),
+      StructField("udt", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType)))),
+      StructField("tup", StructType(Seq(
+        StructField("t1", LongType), StructField("t2", LongType)))))),
+    partitionKey = Seq("my_pk"))
+
+  private val tsTable = SinkTable("ks1", "ts_t",
+    StructType(Seq(
+      StructField("my_pk", LongType), StructField("ts_col", TimestampType))),
+    partitionKey = Seq("my_pk"))
+
+  private val decTable = SinkTable("ks1", "dec_t",
+    StructType(Seq(
+      StructField("my_pk", LongType), StructField("dec_col", DecimalType(18, 4)))),
+    partitionKey = Seq("my_pk"))
 
   private def binding(props: (String, String)*): SinkConfig.TableBinding =
     SinkConfig.parse(props.toMap).bindings.head
@@ -460,6 +482,130 @@ object SparkEntry {
           (col("value").cast(StringType).cast(DecimalType(18, 4)) * 100)
             .cast(LongType).as("cents_x100"))
         .orderBy("kafka_offset")),
+
+    // C1 — map→UDT and array→tuple codecs through the full mapping pipeline:
+    // the value JSON decodes to map<string,string> / array<string> fields,
+    // which land in struct-typed sink columns (Spark Cast can't express
+    // either — field-wise builders in Codecs.castToStruct). Oracle is the
+    // identity through encode→decode→struct-build, projected to scalars for
+    // hash stability.
+    Q("q48_udt_tuple_codec", Some(
+      """SELECT event_id AS my_pk, user_id AS udt_a, event_type AS udt_b, CAST(event_id % 97 AS BIGINT) AS t1, CAST(user_id % 89 AS BIGINT) AS t2 FROM events ORDER BY my_pk"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val ev = KafkaLike.events(sp, dir)
+        val frame = ev.select(
+          lit("t").as("topic"), lit(0).as("partition"),
+          col("event_id").as("offset"),
+          col("event_id").cast(StringType).as("key"),
+          to_json(struct(
+            struct(col("user_id").cast(StringType).as("a"),
+              col("event_type").as("b")).as("obj"),
+            array((col("event_id") % 97).cast(StringType),
+              (col("user_id") % 89).cast(StringType)).as("arr"))).as("value"),
+          array(struct(lit("h").as("key"), lit("x").as("value"))).as("headers"),
+          expr("timestamp_micros(ts DIV 1000)").as("timestamp"))
+        val b = binding("topic.t.ks1.udt_t.mapping" ->
+          "my_pk=key, udt=value.obj, tup=value.arr")
+        val valueSchema = StructType(Seq(
+          StructField("obj", MapType(StringType, StringType)),
+          StructField("arr", ArrayType(StringType))))
+        RecordMapper.compile(b, udtTable, frame,
+            valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema))
+          .select(col("my_pk"), col("udt.a").as("udt_a"), col("udt.b").as("udt_b"),
+            col("tup.t1").as("t1"), col("tup.t2").as("t2"))
+          .orderBy("my_pk")
+      }),
+
+    // C3 — codec.timeZone: a zone-less wall-clock string parsed with an
+    // explicit pattern in +05:30 → UTC instant = wall − 19800s. Oracle does
+    // the fixed-offset arithmetic in integer ms (no ICU dependency).
+    Q("q49_codec_timezone", Some(
+      """SELECT event_id AS my_pk, CAST(epoch_ms(date_trunc('second', ts)) - 19800000 AS BIGINT) AS utc_ms FROM events ORDER BY my_pk"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val ev = KafkaLike.events(sp, dir)
+        val frame = ev.select(
+          lit("t").as("topic"), lit(0).as("partition"),
+          col("event_id").as("offset"),
+          col("event_id").cast(StringType).as("key"),
+          to_json(struct(date_format(expr("timestamp_micros(ts DIV 1000)"),
+            "yyyy-MM-dd HH:mm:ss").as("wall"))).as("value"),
+          array(struct(lit("h").as("key"), lit("x").as("value"))).as("headers"),
+          expr("timestamp_micros(ts DIV 1000)").as("timestamp"))
+        val b = binding(
+          "topic.t.ks1.ts_t.mapping" -> "my_pk=key, ts_col=value.wall",
+          "topic.t.codec.timestamp" -> "yyyy-MM-dd HH:mm:ss",
+          "topic.t.codec.timeZone" -> "+05:30")
+        RecordMapper.compile(b, tsTable, frame)
+          .select(col("my_pk"), unix_millis(col("ts_col")).as("utc_ms"))
+          .orderBy("my_pk")
+      }),
+
+    // C3 — codec.time: a patterned time-of-day string → CQL time
+    // (nanos-of-day)
+    Q("q50_codec_time", Some(
+      """SELECT event_id AS kafka_offset, CAST(CAST(hour(ts)*3600 + minute(ts)*60 + CAST(floor(second(ts)) AS INT) AS BIGINT) * 1000000000 AS BIGINT) AS nanos_of_day FROM events ORDER BY kafka_offset"""),
+      (s, dir) => KafkaLike.events(tune(s), dir).select(
+        col("event_id").as("kafka_offset"),
+        Codecs.parseTimeNanos(
+          date_format(expr("timestamp_micros(ts DIV 1000)"), "HH.mm.ss"),
+          SinkConfig.CodecSettings(time = "HH.mm.ss")).as("nanos_of_day"))
+        .orderBy("kafka_offset")),
+
+    // C8 — BASE64 decimal format through the mapping pipeline: a decimal
+    // arrives as base64 of its unscaled big-endian bytes (3-byte values
+    // here), decodes against the DECIMAL(18,4) target. Oracle is the
+    // identity on the scaled integer.
+    Q("q51_decimal_base64", Some(
+      """SELECT event_id AS my_pk, CAST(event_id % 100000 AS BIGINT) AS unscaled FROM events ORDER BY my_pk"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val ev = KafkaLike.events(sp, dir)
+        val frame = ev.select(
+          lit("t").as("topic"), lit(0).as("partition"),
+          col("event_id").as("offset"),
+          col("event_id").cast(StringType).as("key"),
+          to_json(struct(base64(
+            BigEndian.long_to_bytes(col("event_id") % 100000L, 3)).as("d")))
+            .as("value"),
+          array(struct(lit("h").as("key"), lit("x").as("value"))).as("headers"),
+          expr("timestamp_micros(ts DIV 1000)").as("timestamp"))
+        val b = binding(
+          "topic.t.ks1.dec_t.mapping" -> "my_pk=key, dec_col=value.d",
+          "topic.t.codec.decimal" -> "BASE64")
+        RecordMapper.compile(b, decTable, frame)
+          .select(col("my_pk"),
+            (col("dec_col") * 10000).cast(LongType).as("unscaled"))
+          .orderBy("my_pk")
+      }),
+
+    // typed headers: binary header values decode big-endian for data columns
+    // (4-byte int here) and for __ttl (8-byte long), reference:
+    // HeadersCCMIT.java:330-518
+    Q("q52_header_typed", Some(
+      """SELECT event_id AS my_pk, user_id AS my_value, CAST(user_id % 1000 + 1 AS BIGINT) AS ttl_s FROM events ORDER BY my_pk"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val ev = KafkaLike.events(sp, dir)
+        val frame = ev.select(
+          lit("t").as("topic"), lit(0).as("partition"),
+          col("event_id").as("offset"),
+          col("event_id").cast(StringType).as("key"),
+          col("props").as("value"),
+          array(
+            struct(lit("h_ttl").as("key"),
+              BigEndian.long_to_bytes(col("user_id") % 1000L + 1L, 8).as("value")),
+            struct(lit("h_n").as("key"),
+              BigEndian.long_to_bytes(col("user_id"), 4).as("value"))).as("headers"),
+          expr("timestamp_micros(ts DIV 1000)").as("timestamp"))
+        val b = binding("topic.t.ks1.pk_value.mapping" ->
+          "my_pk=key, my_value=header.h_n, __ttl=header.h_ttl")
+        RecordMapper.compile(b, pkValue, frame)
+          .select(col("my_pk"), col("my_value"),
+            col(RecordMapper.TtlCol).as("ttl_s"))
+          .orderBy("my_pk")
+      }),
 
     Q("q43_rollup", Some(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus, CAST(GROUPING(l_returnflag) AS INT) AS g_rflag, CAST(GROUPING(l_linestatus) AS INT) AS g_lstatus, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY g_rflag, g_lstatus, rflag, lstatus"""),

@@ -57,7 +57,13 @@ object Codecs {
   /** Temporal parse driven by codec settings: `UNITS_SINCE_EPOCH` uses the
     * configured unit; `CQL_TIMESTAMP`/ISO default parses ISO-8601; any other
     * value is a DateTimeFormatter pattern (reference:
-    * JsonEndToEndCCMIT.java:302-372; dist/conf/...properties.sample:187-225). */
+    * JsonEndToEndCCMIT.java:302-372; dist/conf/...properties.sample:187-225).
+    *
+    * `codec.timeZone` (reference: ...properties.sample:187-225 — "the time
+    * zone to use when parsing temporals that do not carry one") applies to
+    * explicit patterns with no zone token: the parsed wall-clock time is
+    * interpreted in that zone and converted to UTC. Patterns that parse a
+    * zone (X/x/Z/z/V/O tokens) and the ISO forms keep their own offsets. */
   def parseTimestamp(col: Column, codec: CodecSettings): Column = codec.timestamp match {
     case "UNITS_SINCE_EPOCH" =>
       val micros = convertUnits(col, TimeUnit.valueOf(codec.unit), TimeUnit.MICROSECONDS)
@@ -65,7 +71,11 @@ object Codecs {
     case "CQL_TIMESTAMP" | "ISO_ZONED_DATE_TIME" | "ISO_INSTANT" =>
       to_timestamp(col)
     case pattern =>
-      to_timestamp(col, pattern)
+      val parsed = to_timestamp(col, pattern)
+      val patternHasZone = pattern.exists("XxZzVO".contains(_))
+      if (codec.timeZone != "UTC" && !patternHasZone)
+        to_utc_timestamp(parsed, codec.timeZone)
+      else parsed
   }
 
   def parseDate(col: Column, codec: CodecSettings): Column = codec.date match {
@@ -77,10 +87,91 @@ object Codecs {
     case pattern => to_date(col, pattern)
   }
 
-  /** CQL `time` is a nanos-of-day long; parse HH:mm:ss[.SSS] to nanos. */
-  def parseTimeNanos(col: Column): Column = {
-    val t = to_timestamp(concat(lit("1970-01-01 "), col))
+  /** CQL `time` is a nanos-of-day long; `codec.time` drives the parse:
+    * `ISO_LOCAL_TIME` (default) accepts HH:mm:ss[.SSS]; any other value is a
+    * time-of-day DateTimeFormatter pattern (reference:
+    * JsonEndToEndCCMIT.java:302-372 — `codec.time` patterns; time-of-day is
+    * zone-less, so `codec.timeZone` does not apply). */
+  def parseTimeNanos(col: Column, codec: CodecSettings = CodecSettings()): Column = {
+    val t = codec.time match {
+      case "ISO_LOCAL_TIME" => to_timestamp(concat(lit("1970-01-01 "), col))
+      // time-only pattern: parsed onto the epoch date, so micros-since-epoch
+      // IS micros-of-day
+      case pattern => to_timestamp(col, pattern)
+    }
     (unix_micros(t) * lit(1000L)).cast(LongType)
+  }
+
+  /** Decimal parse driven by `codec.decimal` (reference C8): `NUMERIC`
+    * (default) parses decimal strings/numbers; `BASE64` decodes the base64
+    * of the unscaled two's-complement big-endian bytes, scale taken from the
+    * target type — the Avro logical-decimal wire form (reference:
+    * sink/src/test/.../AvroJsonConvertersTest.java:80-158). */
+  def parseDecimal(col: Column, target: DecimalType, codec: CodecSettings): Column =
+    codec.decimal match {
+      case "BASE64" =>
+        // try_to_binary: malformed base64 → null (unbase64 throws)
+        BigEndian.bytes_to_decimal(
+          call_function("try_to_binary", col.cast(StringType), lit("base64")),
+          target.precision, target.scale)
+      case _ => tryCastCol(col, target)
+    }
+
+  // ------------------------------------------------------------ struct/UDT
+
+  /** Source-type-aware cast: structural targets route through
+    * [[castToStruct]]; everything else is a TRY-mode cast. */
+  def castAny(c: Column, srcType: DataType, target: DataType): Column =
+    (srcType, target) match {
+      case (s, t) if s == t    => c
+      case (s, t: StructType)  => castToStruct(c, s, t)
+      case (_, t)              => tryCastCol(c, t)
+    }
+
+  /**
+   * Struct-target codec (reference C1): a UDT/tuple column accepts
+   *  - STRUCT input → by field name (missing source field → null),
+   *  - MAP input → by key lookup,
+   *  - ARRAY input → positional (the reference's ARRAY→UDT and ARRAY→tuple,
+   *    reference: sink/src/it/.../StructEndToEndCCMIT.java:138,140,247-248;
+   *    tuple DDL EndToEndCCMITBase.java:77),
+   *  - JSON text → one `from_json` with the target schema (JSON-doc→UDT).
+   * Spark's `Cast` cannot express map→struct or array→struct, so the struct
+   * is built field-wise with per-field TRY casts; a null input stays a null
+   * struct (not a struct of nulls).
+   */
+  def castToStruct(c: Column, srcType: DataType, target: StructType): Column = {
+    val built = srcType match {
+      case st: StructType =>
+        struct(target.fields.toSeq.map { f =>
+          st.fields.find(_.name == f.name)
+            .map(sf => castAny(c.getField(f.name), sf.dataType, f.dataType))
+            .getOrElse(lit(null).cast(f.dataType))
+            .as(f.name)
+        }: _*)
+      case mt: MapType =>
+        struct(target.fields.toSeq.map { f =>
+          castAny(try_element_at(c, lit(f.name).cast(mt.keyType)),
+            mt.valueType, f.dataType).as(f.name)
+        }: _*)
+      case at: ArrayType =>
+        struct(target.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          castAny(try_element_at(c, lit(i + 1)), at.elementType, f.dataType)
+            .as(f.name)
+        }: _*)
+      case StringType =>
+        // from_json is PERMISSIVE (malformed → struct of nulls); gate it on
+        // get_json_object('$'), which is null exactly when the text is not
+        // valid JSON — malformed input becomes a null struct (capturable)
+        when(get_json_object(c, "$").isNull, lit(null).cast(target))
+          .otherwise(from_json(c, target))
+      case _          => tryCastCol(c, target)
+    }
+    srcType match {
+      case _: StructType | _: MapType | _: ArrayType =>
+        when(c.isNull, lit(null).cast(target)).otherwise(built)
+      case _ => built
+    }
   }
 
   /**

@@ -31,7 +31,10 @@ object SinkConfig {
       time: String = "ISO_LOCAL_TIME",
       unit: String = "MILLISECONDS",
       timeZone: String = "UTC",
-      locale: String = "en_US")
+      locale: String = "en_US",
+      /** NUMERIC (decimal strings/numbers) or BASE64 (unscaled
+        * big-endian bytes, Avro logical-decimal wire form) — reference C8. */
+      decimal: String = "NUMERIC")
 
   case class TableBinding(
       topic: String,
@@ -63,7 +66,8 @@ object SinkConfig {
   private val TableSettings = Set(
     "mapping", "ttl", "ttlTimeUnit", "timestampTimeUnit", "consistencyLevel",
     "nullToUnset", "deletesEnabled", "query")
-  private val CodecSettingNames = Set("timestamp", "date", "time", "unit", "timeZone", "locale")
+  private val CodecSettingNames =
+    Set("timestamp", "date", "time", "unit", "timeZone", "locale", "decimal")
 
   def parse(props: Map[String, String]): Config = {
     // topic.<t>.codec.<setting>
@@ -86,6 +90,7 @@ object SinkConfig {
             case "unit"      => c.copy(unit = v)
             case "timeZone"  => c.copy(timeZone = v)
             case "locale"    => c.copy(locale = v)
+            case "decimal"   => c.copy(decimal = v)
           }
         } else if (segs.length >= 4 && TableSettings.contains(segs.last)) {
           val topic = segs.dropRight(3).mkString(".")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Codecs, TimeUuid}
+import graft.functions.{BigEndian, Codecs, TimeUuid}
 import graft.mapping.MappingSpec._
 import graft.mapping.SinkConfig.TableBinding
 import graft.sink.SinkTable
@@ -98,12 +98,34 @@ object RecordMapper {
   }
 
   /** Cast a resolved source column to the sink column's type using the
-    * codec rules (SURVEY §2.4). */
-  private def applyCodec(c: Column, target: DataType, b: TableBinding): Column = target match {
-    case TimestampType => Codecs.parseTimestamp(c, b.codec)
-    case DateType      => Codecs.parseDate(c, b.codec)
-    case other         => Codecs.tryCastCol(c, other)
+    * codec rules (SURVEY §2.4). `srcType` (when statically known) routes
+    * structural sources — struct/map/array/JSON-text into UDT/tuple targets
+    * (reference C1) — through the field-wise builders Spark's `Cast` cannot
+    * express. */
+  private def applyCodec(c: Column, srcType: Option[DataType], target: DataType,
+      b: TableBinding): Column = target match {
+    case TimestampType  => Codecs.parseTimestamp(c, b.codec)
+    case DateType       => Codecs.parseDate(c, b.codec)
+    case dt: DecimalType => Codecs.parseDecimal(c, dt, b.codec)
+    case st: StructType =>
+      Codecs.castToStruct(c, srcType.getOrElse(StringType), st)
+    case other          => Codecs.tryCastCol(c, other)
   }
+
+  /** Typed header decode (reference: HeadersCCMIT.java:330-518): when the
+    * frame's header values are binary, the bytes decode per target —
+    * big-endian numbers for integral/floating targets, UTF-8 text for
+    * strings, UTF-8 JSON for UDT targets, string-parse for the rest. */
+  private def decodeHeaderBinary(c: Column, target: DataType, b: TableBinding): Column =
+    target match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Codecs.tryCastCol(BigEndian.bytes_to_long(c), target)
+      case DoubleType | FloatType =>
+        Codecs.tryCastCol(BigEndian.bytes_to_double(c), target)
+      case StringType     => c.cast(StringType)
+      case st: StructType => Codecs.castToStruct(c.cast(StringType), StringType, st)
+      case other          => applyCodec(c.cast(StringType), Some(StringType), other, b)
+    }
 
   /**
    * Compile the binding into the mapped projection.
@@ -172,6 +194,51 @@ object RecordMapper {
       case _ => None
     }
 
+    // headers may carry string values (the classic contract) or binary
+    // values (typed headers, reference: HeadersCCMIT.java:330-518)
+    val headerValueType: Option[DataType] =
+      records.schema.fields.find(_.name == "headers").map(_.dataType).collect {
+        case ArrayType(st: StructType, _) =>
+          st.fields.find(_.name == "value").map(_.dataType)
+      }.flatten
+    val headersBinary = headerValueType.contains(BinaryType)
+
+    /** Statically-known type of a mapping source, for type-directed codecs
+      * (struct/UDT targets need to know whether the input is a struct, map,
+      * array, or JSON text). */
+    def sourceType(src: Source): Option[DataType] = src match {
+      case WholeObject(p) =>
+        val (fmt, name) = p match {
+          case Prefix.Key    => (keyFormat, "key")
+          case Prefix.Value  => (valueFormat, "value")
+          case Prefix.Header => return None
+        }
+        fmt match {
+          case Format.JsonWithSchema(sch) => Some(sch)
+          case _ => records.schema.fields.find(_.name == name).map(_.dataType)
+        }
+      case FieldRef(Prefix.Header, _) => headerValueType
+      case FieldRef(p, name) =>
+        val fmt = if (p == Prefix.Key) keyFormat else valueFormat
+        fmt match {
+          case Format.Struct | _: Format.JsonWithSchema =>
+            baseStruct(p).flatMap(_.fields.find(_.name == name)).map(_.dataType)
+          case Format.Json => Some(StringType)
+          case Format.Raw  => None
+        }
+      case _ => None
+    }
+
+    /** Header-sourced numeric pseudo-columns (__ttl/__timestamp) from binary
+      * headers decode as big-endian longs. */
+    def numericSource(s: Source): Column = {
+      val c = srcCol(s)
+      s match {
+        case FieldRef(Prefix.Header, _) if headersBinary => BigEndian.bytes_to_long(c)
+        case _ => c
+      }
+    }
+
     // --- mapped data columns, typed per sink schema -----------------------
     // (also collect a per-column parse-error expression — a cast that nulls a
     // non-null input is a capturable failure, reference C5/F3:
@@ -190,7 +257,11 @@ object RecordMapper {
         val typed = src match {
           case FunctionCall("now", _) => c // timeuuid stays a string
           case _ =>
-            val casted = applyCodec(c, field.dataType, binding)
+            val casted = src match {
+              case FieldRef(Prefix.Header, _) if headersBinary =>
+                decodeHeaderBinary(c, field.dataType, binding)
+              case _ => applyCodec(c, sourceType(src), field.dataType, binding)
+            }
             if (captureErrors) errorExprs += when(
               c.isNotNull && casted.isNull,
               concat(lit(s"$name: Could not parse '"), c.cast(StringType), lit("'")))
@@ -201,13 +272,13 @@ object RecordMapper {
 
     // --- pseudo-columns ---------------------------------------------------
     val writetime: Column = {
-      val fieldCol = byTarget.get(TimestampTarget.name).map(srcCol)
+      val fieldCol = byTarget.get(TimestampTarget.name).map(numericSource)
       Codecs.writetimeMicros(fieldCol, binding.timestampTimeUnit,
         unix_millis(col("timestamp")))
     }
     val ttl: Column = byTarget.get(TtlTarget.name) match {
       case Some(s) =>
-        Codecs.ttlSeconds(srcCol(s), binding.ttlTimeUnit)
+        Codecs.ttlSeconds(numericSource(s), binding.ttlTimeUnit)
       case None =>
         if (binding.ttl >= 0) lit(binding.ttl).cast(LongType) else lit(null).cast(LongType)
     }

@@ -69,4 +69,102 @@ class CodecsSpec extends SparkSuite {
     assert(out(1).isNullAt(0) && out(1).getString(1) == "Could not parse 'bad key'")
     assert(out(2).isNullAt(0) && out(2).isNullAt(1))
   }
+
+  test("codec.timeZone shifts zone-less patterned timestamps (JsonEndToEndCCMIT.java:302-372)") {
+    val codec = CodecSettings(timestamp = "yyyy-MM-dd HH:mm:ss", timeZone = "+02:00")
+    val df = Seq("1970-01-01 02:00:00").toDF("t")
+    val out = df.select(unix_micros(Codecs.parseTimestamp(col("t"), codec)).as("us"))
+      .collect()
+    // 02:00 wall clock in +02:00 is the epoch instant
+    assert(out.head.getLong(0) == 0L)
+    // default UTC zone leaves the parse unshifted
+    val utc = CodecSettings(timestamp = "yyyy-MM-dd HH:mm:ss")
+    val out2 = df.select(unix_micros(Codecs.parseTimestamp(col("t"), utc)).as("us"))
+      .collect()
+    assert(out2.head.getLong(0) == 7200000000L)
+  }
+
+  test("codec.time pattern parses to nanos-of-day") {
+    val codec = CodecSettings(time = "HH.mm.ss")
+    val df = Seq("01.02.03").toDF("t")
+    val out = df.select(Codecs.parseTimeNanos(col("t"), codec).as("n")).collect()
+    assert(out.head.getLong(0) == (1L * 3600 + 2 * 60 + 3) * 1000000000L)
+    // default ISO_LOCAL_TIME still accepts colon form with millis
+    val iso = df.select(Codecs.parseTimeNanos(lit("10:15:30.123")).as("n")).collect()
+    assert(iso.head.getLong(0) == ((10L * 3600 + 15 * 60 + 30) * 1000 + 123) * 1000000L)
+  }
+
+  test("BASE64 decimal: unscaled big-endian bytes incl. negatives (AvroJsonConvertersTest.java:80-158)") {
+    def b64(bytes: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(bytes)
+    val codec = CodecSettings(decimal = "BASE64")
+    val df = Seq(
+      b64(Array(0x05.toByte)),                       // 5 → 0.05
+      b64(Array(0xff.toByte, 0x85.toByte)),          // -123 → -1.23
+      b64(Array(0x01.toByte, 0x86.toByte, 0xa0.toByte)), // 100000 → 1000.00
+      "!!!not-base64!!!").toDF("raw")
+    val out = df.select(
+      Codecs.parseDecimal(col("raw"), DecimalType(9, 2), codec).as("d")).collect()
+    assert(out(0).getDecimal(0) == new java.math.BigDecimal("0.05"))
+    assert(out(1).getDecimal(0) == new java.math.BigDecimal("-1.23"))
+    assert(out(2).getDecimal(0) == new java.math.BigDecimal("1000.00"))
+    assert(out(3).isNullAt(0))
+    // NUMERIC (default) still parses decimal strings
+    val n = Seq("3.14").toDF("raw")
+      .select(Codecs.parseDecimal(col("raw"), DecimalType(9, 2), CodecSettings()).as("d"))
+      .collect()
+    assert(n.head.getDecimal(0) == new java.math.BigDecimal("3.14"))
+  }
+
+  test("big-endian byte conversions: sign extension and round trips") {
+    val df = Seq(0L, 1L, -1L, 255L, -123L, Long.MaxValue, Long.MinValue).toDF("v")
+    val rt = df.select(
+      BigEndian.bytes_to_long(BigEndian.long_to_bytes(col("v"), 8)).as("r8"))
+      .collect().map(_.getLong(0))
+    assert(rt.toSeq == Seq(0L, 1L, -1L, 255L, -123L, Long.MaxValue, Long.MinValue))
+    // 4-byte round trip for int-range values (Kafka int serializer width)
+    val rt4 = Seq(7L, -7L, Int.MaxValue.toLong).toDF("v")
+      .select(BigEndian.bytes_to_long(BigEndian.long_to_bytes(col("v"), 4)).as("r"))
+      .collect().map(_.getLong(0))
+    assert(rt4.toSeq == Seq(7L, -7L, Int.MaxValue.toLong))
+    // IEEE-754 double through 8 bytes
+    val d = java.lang.Double.doubleToLongBits(3.5d)
+    val dd = Seq(d).toDF("bits")
+      .select(BigEndian.bytes_to_double(BigEndian.long_to_bytes(col("bits"), 8)).as("d"))
+      .collect()
+    assert(dd.head.getDouble(0) == 3.5d)
+  }
+
+  test("castToStruct: map, array, struct-by-name, and JSON text into UDT/tuple (C1)") {
+    val target = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    // map<string,string> → UDT by key; missing key → null field
+    val m = Seq(Map("a" -> "7", "b" -> "x"), Map("a" -> "8")).toDF("m")
+      .select(Codecs.castToStruct(col("m"), MapType(StringType, StringType), target).as("u"))
+      .collect()
+    assert(m(0).getStruct(0) == org.apache.spark.sql.Row(7L, "x"))
+    assert(m(1).getStruct(0) == org.apache.spark.sql.Row(8L, null))
+    // array → tuple positionally; short array → trailing nulls
+    val tup = StructType(Seq(StructField("t1", LongType), StructField("t2", LongType)))
+    val a = Seq(Seq("1", "2"), Seq("9")).toDF("arr")
+      .select(Codecs.castToStruct(col("arr"), ArrayType(StringType), tup).as("u"))
+      .collect()
+    assert(a(0).getStruct(0) == org.apache.spark.sql.Row(1L, 2L))
+    assert(a(1).getStruct(0) == org.apache.spark.sql.Row(9L, null))
+    // struct → UDT by NAME, not position (extra source fields ignored)
+    val src = Seq(("x", 7L, 1)).toDF("b", "a", "z")
+      .select(struct(col("b"), col("a"), col("z")).as("s"))
+    val st = src.schema.fields.head.dataType
+    val sOut = src.select(Codecs.castToStruct(col("s"), st, target).as("u")).collect()
+    assert(sOut.head.getStruct(0) == org.apache.spark.sql.Row(7L, "x"))
+    // JSON text → UDT via one from_json; malformed → null struct
+    val j = Seq("""{"a": 5, "b": "y"}""", "{nope").toDF("j")
+      .select(Codecs.castToStruct(col("j"), StringType, target).as("u")).collect()
+    assert(j(0).getStruct(0) == org.apache.spark.sql.Row(5L, "y"))
+    assert(j(1).isNullAt(0))
+    // null structural input stays a null struct, not a struct of nulls
+    val nm = Seq(Option.empty[Map[String, String]]).toDF("m")
+      .select(Codecs.castToStruct(col("m"), MapType(StringType, StringType), target).as("u"))
+      .collect()
+    assert(nm.head.isNullAt(0))
+  }
 }

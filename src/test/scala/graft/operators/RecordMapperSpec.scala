@@ -117,6 +117,38 @@ class RecordMapperSpec extends SparkSuite {
     assert(out.head.getString(0) == "hv1")
   }
 
+  test("typed binary headers: numeric, string, struct, __ttl (HeadersCCMIT.java:330-518)") {
+    import graft.functions.BigEndianHelper.longToBytes
+    val binHeaderSchema = StructType(Seq(
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("key", StringType),
+      StructField("value", StringType),
+      StructField("headers", ArrayType(StructType(Seq(
+        StructField("key", StringType), StructField("value", BinaryType))))),
+      StructField("timestamp", TimestampType)))
+    val rows = Seq(Row("t", 0, 0L, "9", "{}",
+      Seq(
+        Row("h_int", longToBytes(1234L, 4)),
+        Row("h_str", "hello".getBytes("UTF-8")),
+        Row("h_obj", """{"a": 7, "b": "x"}""".getBytes("UTF-8")),
+        Row("h_ttl", longToBytes(120L, 8))),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(153000987L))))
+    val df = s.createDataFrame(rows.asJavaLike, binHeaderSchema)
+    val t = SinkTable("ks", "tb", StructType(Seq(
+      StructField("my_pk", LongType), StructField("n", LongType),
+      StructField("st", StringType),
+      StructField("u", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType)))))), Seq("my_pk"))
+    val b = bind("topic.t.ks.tb.mapping" ->
+      "my_pk=key, n=header.h_int, st=header.h_str, u=header.h_obj, __ttl=header.h_ttl")
+    val out = compile(b, t, df)
+      .select(col("n"), col("st"), col("u"), col(TtlCol)).collect()
+    assert(out.head.getLong(0) == 1234L)
+    assert(out.head.getString(1) == "hello")
+    assert(out.head.getStruct(2) == Row(7L, "x"))
+    assert(out.head.getLong(3) == 120L)
+  }
+
   test("now() yields distinct, v1, time-ordered uuids per column (NowFunctionCCMIT.java:421-441)") {
     val t = SinkTable("ks", "tu", StructType(Seq(
       StructField("my_pk", LongType), StructField("u1", StringType),
