@@ -100,7 +100,9 @@ object Bench {
       "q23_dedup_exact", "q24_minhash_signatures", "q26_minhash_candidates",
       "q27_simhash", "q28_token_stats", "q32_jaccard_pairs",
       "q33_ann_topk", "q34_ann_lsh_buckets", "q37_embedding_neardup",
-      "q38_tumbling_window", "q39_sessionize", "q40_char_terms", "q41_corpus_pipeline", "q42_ann_ivf_cells")
+      "q38_tumbling_window", "q39_sessionize", "q40_char_terms",
+      "q41_corpus_pipeline", "q42_ann_ivf_cells", "q48_udt_tuple_codec",
+      "q51_decimal_base64", "q52_header_typed", "q53_ann_ivf_trained")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       // min of two runs: first run pays codegen/JIT warmup; min is the
@@ -112,6 +114,30 @@ object Bench {
       } catch { case _: Throwable => -1.0 })
     }
 
+    // ---- bucketed sink state: a 1-key micro-batch merge must not scale
+    // with total state size (touched-bucket merge, not full rewrite) ----
+    def mappedBatch(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("my_pk"), col("id").as("my_value"),
+      lit(100L).as(RecordMapper.WritetimeCol),
+      lit(RecordMapper.ModeUpsert).as(RecordMapper.ModeCol))
+    def mergeOneKeyAt(stateRows: Long): Double = {
+      val tbl = graft.sink.SinkTable("ks", "bench_state",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("my_pk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("my_value",
+            org.apache.spark.sql.types.LongType))),
+        Seq("my_pk"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-state")
+      val t = new graft.sink.KeyedParquetTable(spark, tbl, dir.toString,
+        numBuckets = 64)
+      t.applyBatch(mappedBatch(stateRows), 1L)
+      val sec = time { t.applyBatch(mappedBatch(1L), 2L) }
+      sec
+    }
+    val merge50k = mergeOneKeyAt(50000L)
+    val merge200k = mergeOneKeyAt(200000L)
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%1.3f""" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -119,7 +145,7 @@ object Bench {
     val rps = if (ingestSec > 0) (nRecords / ingestSec).toLong else 0L
     val sustained = if (sustainedSec > 0) (n10 / sustainedSec).toLong else 0L
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"}}""")
     spark.stop()
   }
 }

@@ -796,6 +796,15 @@ object SparkEntry {
         "vec_id", "embedding", nCells = 8)
         .orderBy("item_id")),
 
+    // IVF with TRAINED centroids (deterministic integer k-means) — the scale
+    // path past the fixed-centroid stub of q42. Not SQL-oracled (3 Lloyd
+    // iterations in SQL are impractical); the driver's rows-check plus the
+    // SimilaritySpec recall-vs-brute-force test pin it.
+    Q("q53_ann_ivf_trained", None,
+      (s, dir) => Similarity.ivfCellsTrained(embeddings(tune(s), dir),
+        "vec_id", "embedding", nCells = 8, iters = 3)
+        .orderBy("item_id")),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -141,6 +141,120 @@ object Similarity {
         col("best.dist2").as("dist2"))
   }
 
+  /**
+   * Deterministic k-means (Lloyd) on quantized vectors, for trained IVF
+   * coarse centroids. Seeds are evenly strided over the id order (not the
+   * first k — spread beats adjacency for synthetic and real corpora alike);
+   * each iteration assigns by exact integer squared-L2 (broadcast
+   * centroids, map-only) and recomputes centroids as the element-wise
+   * integer mean (DIV — truncating division; all-integer, so the result is
+   * identical under any partitioning, unlike FP-sum k-means). Centroids are
+   * collected per iteration (k·dims longs — tiny), which also truncates the
+   * plan lineage; the heavy side stays distributed.
+   *
+   * Returns (cell_id, cv array<long>, cn2) ready for [[assignCells]].
+   *
+   * Scale note: seed selection ranks ids through one window partition —
+   * fine up to many millions; at extreme corpus sizes swap it for a
+   * deterministic id-stride filter or a seeded sample, the rest of the loop
+   * is map + partial-agg all the way.
+   */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint()
+    val n = v.count()
+    val stride = math.max(1L, n / k)
+    val seedW = Window.orderBy(col("item_id"))
+    var cents = v
+      .withColumn("rn", row_number().over(seedW))
+      .filter((col("rn") - 1) % stride === 0 && col("rn") <= (k.toLong * stride))
+      .select(((col("rn") - 1) / stride).cast(IntegerType).as("cell_id"),
+        col("qv").as("cv"))
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(v, withNorm(cents))
+      val updated = v.join(assigned.select("item_id", "cell_id"), "item_id")
+        .select(col("cell_id"), posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg(expr("CAST(sum(x) DIV count(1) AS BIGINT)").as("cx"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+          s => s.getField("cx")).as("cv"))
+      // collect: k centroids of dims longs — truncates lineage, stays exact
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      updated.collect().foreach(l.add)
+      cents = spark.createDataFrame(l,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell_id", IntegerType),
+          org.apache.spark.sql.types.StructField("cv", ArrayType(LongType)))))
+    }
+    withNorm(cents)
+  }
+
+  private def withNorm(cents: DataFrame): DataFrame =
+    cents.select(col("cell_id"), col("cv"), norm2Q(col("cv")).as("cn2"))
+
+  /** Nearest-cell assignment by exact integer squared-L2
+    * (‖a−c‖² = ‖a‖² + ‖c‖² − 2a·c); centroids broadcast → map-only at any
+    * corpus size. Input v: (item_id, qv); cents: (cell_id, cv, cn2). */
+  def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
+    val vv = v.withColumn("n2", norm2Q(col("qv")))
+    vv.join(broadcast(cents))
+      .select(col("item_id"), col("cell_id"),
+        (col("n2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv"))).as("dist2"))
+      .groupBy(col("item_id"))
+      .agg(min_by(struct(col("dist2"), col("cell_id")), struct(col("dist2"), col("cell_id")))
+        .as("best"))
+      .select(col("item_id"), col("best.cell_id").as("cell_id"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** IVF with TRAINED centroids: k-means cells over the corpus. */
+  def ivfCellsTrained(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 8, iters: Int = 3): DataFrame = {
+    val v = df.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
+    assignCells(v, kmeansCentroids(df, idCol, vecCol, nCells, iters))
+  }
+
+  /**
+   * Multi-probe IVF top-k with trained centroids: each query probes its
+   * `nProbe` nearest cells and scores only those cells' members — the
+   * recall-vs-cost dial real IVF ships with (single-probe misses neighbors
+   * that fall just across a cell boundary).
+   */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+      iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val v = corpus.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint()
+    val cells = assignCells(v, cents).select("item_id", "cell_id")
+    val q = v.join(queries.select(col(idCol).as("item_id")), "item_id")
+      .select(col("item_id").as("query_id"), col("qv").as("qq"),
+        norm2Q(col("qv")).as("qn2"))
+    // per-query probe list: nProbe nearest centroids
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist2").asc, col("cell_id").asc)
+    val probes = q.join(broadcast(cents))
+      .select(col("query_id"), col("cell_id"),
+        (col("qn2") + col("cn2") - lit(2L) * dotQ(col("qq"), col("cv"))).as("qdist2"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    // candidates: members of probed cells; then exact top-k
+    val cand = probes.join(cells, "cell_id")
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id")).distinct()
+    val scored = cand
+      .join(v, "item_id")
+      .join(broadcast(q.select(col("query_id"), col("qq"))), "query_id")
+      .select(col("query_id"), col("item_id"), dotQ(col("qv"), col("qq")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF probe: exact top-k within each query's own cell (single-probe). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 8): DataFrame = {

@@ -2,7 +2,7 @@ package graft.sink
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -15,52 +15,99 @@ import graft.operators.{RecordMapper, Upserts}
  * harness (the real deployment swaps this for the Cassandra connector's
  * writer — the merge algebra in [[Upserts]] is identical).
  *
- * State layout: `<root>/v<N>/` parquet + a `CURRENT` pointer file; each
- * applied batch writes v<N+1> then flips the pointer — the read-merge-write
- * cycle every LSM store does, done as one co-partitioned join per batch.
+ * State is HASH-BUCKETED by primary key into `numBuckets` buckets, with a
+ * manifest (`CURRENT`) mapping each bucket to the state version that owns
+ * it. A micro-batch merges ONLY the buckets its keys touch:
+ *
+ *   - the batch's bucket set is computed from the pk hash;
+ *   - touched buckets' state is read with a partition filter on the bucket
+ *     column (partition-pruned — untouched buckets are never scanned);
+ *   - one co-partitioned merge job writes the new bucket partitions to
+ *     `v<N+1>/__bucket=<k>/`; the manifest flips touched pointers to N+1 and
+ *     leaves untouched buckets on their old versions.
+ *
+ * Per-batch cost is O(touched state), not O(total state) — the round-1
+ * full-table read-merge-write rewrite is gone. This is the same
+ * manifest-of-bucket-snapshots shape a table format uses at 100 TB; the
+ * number of live versions is bounded by `numBuckets` and [[vacuum]] drops
+ * unreferenced ones.
  */
 class KeyedParquetTable(
     spark: SparkSession,
     val table: SinkTable,
     root: String,
-    nullToUnset: Boolean = true) {
+    nullToUnset: Boolean = true,
+    numBuckets: Int = 16) {
+
+  val BucketCol = "__bucket"
 
   private val rootPath = Paths.get(root)
   Files.createDirectories(rootPath)
 
   private def currentFile = rootPath.resolve("CURRENT")
 
-  /** CURRENT holds "version batchId" — the batch id makes re-application of
-    * an already-applied micro-batch a no-op, which upgrades the pipeline to
-    * exactly-once even for counters (the one write mode LWW can't make
-    * replay-idempotent; reference hard part, SURVEY §7.4). */
-  private def currentMeta: (Int, Long) =
-    if (!Files.exists(currentFile)) (0, -1L)
-    else Files.readString(currentFile).trim.split(' ') match {
-      case Array(v, b) => (v.toInt, b.toLong)
-      case Array(v)    => (v.toInt, -1L)
+  private def bucketOf: Column =
+    pmod(hash(table.primaryKey.map(col): _*), lit(numBuckets))
+
+  /** Manifest: last applied batch id, newest version, bucket → version.
+    * Replay of an already-applied micro-batch is a no-op, which upgrades the
+    * pipeline to exactly-once even for counters (the one write mode LWW
+    * can't make replay-idempotent; reference hard part, SURVEY §7.4). */
+  private case class Meta(lastBatch: Long, maxV: Int, buckets: Map[Int, Int])
+
+  private def currentMeta: Meta =
+    if (!Files.exists(currentFile)) Meta(-1L, 0, Map.empty)
+    else {
+      val lines = Files.readString(currentFile).trim.split('\n')
+      val Array(b, v) = lines.head.split(' ')
+      val buckets = lines.tail.filter(_.nonEmpty).map { ln =>
+        val Array(k, ver) = ln.split(':'); k.toInt -> ver.toInt
+      }.toMap
+      Meta(b.toLong, v.toInt, buckets)
     }
 
-  private def currentVersion: Int = currentMeta._1
-
-  def lastAppliedBatchId: Long = currentMeta._2
-
-  /** Current state; empty frame with the right schema at v0. */
-  def state(): DataFrame = {
-    val v = currentVersion
-    if (v == 0) {
-      val base = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema)
-      if (table.counterCols.nonEmpty) base
-      else base.withColumn(RecordMapper.WritetimeCol, lit(null).cast(LongType))
-    } else spark.read.parquet(rootPath.resolve(s"v$v").toString)
+  private def writeMeta(m: Meta): Unit = {
+    val body = (s"${m.lastBatch} ${m.maxV}" +:
+      m.buckets.toSeq.sorted.map { case (k, v) => s"$k:$v" }).mkString("\n")
+    val tmp = rootPath.resolve("CURRENT.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, currentFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Drop state versions older than the last `keep` (bounded disk; the
-    * CURRENT pointer always stays valid). */
-  def vacuum(keep: Int = 2): Unit = {
-    val v = currentVersion
-    (1 to v - keep).foreach { old =>
+  def lastAppliedBatchId: Long = currentMeta.lastBatch
+
+  private def emptyState: DataFrame = {
+    val base = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema)
+    if (table.counterCols.nonEmpty) base
+    else base.withColumn(RecordMapper.WritetimeCol, lit(null).cast(LongType))
+  }
+
+  /** Read the state of `wanted` buckets (None = all): one partition-pruned
+    * read per distinct owning version, unioned. */
+  private def readBuckets(m: Meta, wanted: Option[Set[Int]]): DataFrame = {
+    val picked = wanted match {
+      case Some(w) => m.buckets.view.filterKeys(w.contains).toMap
+      case None    => m.buckets
+    }
+    if (picked.isEmpty) emptyState
+    else picked.groupBy(_._2).toSeq.map { case (v, bks) =>
+      spark.read.parquet(rootPath.resolve(s"v$v").toString)
+        .filter(col(BucketCol).isin(bks.keys.toSeq: _*))
+        .drop(BucketCol)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Current full state; empty frame with the right schema before any write. */
+  def state(): DataFrame = readBuckets(currentMeta, None)
+
+  /** Drop version directories no longer referenced by any bucket pointer
+    * (bounded disk; the manifest always stays valid). */
+  def vacuum(): Unit = {
+    val m = currentMeta
+    val live = m.buckets.values.toSet
+    (1 to m.maxV).filterNot(live.contains).foreach { old =>
       val dir = rootPath.resolve(s"v$old")
       if (Files.exists(dir)) {
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
@@ -83,19 +130,36 @@ class KeyedParquetTable(
     * __mode + __writetime [+ __ttl_seconds]). A batchId ≤ the last applied
     * one is a replay — skipped, exactly-once. */
   def applyBatch(batch: DataFrame, batchId: Long = Long.MinValue): Unit = {
-    val (v0, lastBatch) = currentMeta
-    if (batchId != Long.MinValue && batchId <= lastBatch) return
+    val m = currentMeta
+    if (batchId != Long.MinValue && batchId <= m.lastBatch) return
+
+    // the batch determines which buckets the merge touches at all
+    val touched = batch.select(bucketOf.as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) {
+      writeMeta(m.copy(lastBatch = math.max(batchId, m.lastBatch)))
+      return
+    }
+
+    val stTouched = readBuckets(m, Some(touched))
     val next =
       if (table.counterCols.nonEmpty)
-        Upserts.mergeCounters(state(), Upserts.counterCombine(batch, table), table)
+        Upserts.mergeCounters(stTouched, Upserts.counterCombine(batch, table), table)
       else
-        Upserts.mergeInto(state(), batch, table, nullToUnset)
-    val v = v0 + 1
-    next.write.mode("overwrite").parquet(rootPath.resolve(s"v$v").toString)
-    val tmp = rootPath.resolve("CURRENT.tmp")
-    Files.writeString(tmp, s"$v ${math.max(batchId, lastBatch)}")
-    Files.move(tmp, currentFile, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    vacuum(keep = 2) // bounded disk: superseded versions are unreachable
+        Upserts.mergeInto(stTouched, batch, table, nullToUnset)
+
+    val v = m.maxV + 1
+    val dir = rootPath.resolve(s"v$v").toString
+    val out = next.withColumn(BucketCol, bucketOf)
+    if (out.isEmpty) // all touched rows deleted: schema-only file, no partitions
+      out.write.mode("overwrite").parquet(dir)
+    else
+      out.write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
+
+    writeMeta(Meta(
+      lastBatch = math.max(batchId, m.lastBatch),
+      maxV = v,
+      buckets = m.buckets ++ touched.map(_ -> v)))
+    vacuum() // superseded versions are unreachable
   }
 }

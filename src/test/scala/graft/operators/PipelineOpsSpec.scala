@@ -136,6 +136,41 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Similarity.lshCandidates(buckets, maxBucketSize = 6).count() == 15L)
   }
 
+  test("trained IVF: k-means separates clusters; multi-probe top-k recalls brute force") {
+    // 4 well-separated clusters of 10 vectors in 4-d
+    val centers = Seq(
+      Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f), Seq(0f, 0f, 0f, 10f))
+    val l = new java.util.ArrayList[Row]()
+    var id = 0L
+    centers.zipWithIndex.foreach { case (c, ci) =>
+      (0 until 10).foreach { j =>
+        // deterministic small jitter per member
+        val v = c.zipWithIndex.map { case (x, d) => x + ((j * 7 + d * 3 + ci) % 5) * 0.1f }
+        l.add(Row(id, v)); id += 1
+      }
+    }
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    // k-means with k=4 co-assigns each cluster's members
+    val cells = Similarity.ivfCellsTrained(e, "vec_id", "embedding", nCells = 4, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 4).foreach { ci =>
+      val members = (ci * 10 until ci * 10 + 10).map(i => cells(i.toLong))
+      assert(members.distinct.size == 1, s"cluster $ci split across cells: $members")
+    }
+    // multi-probe trained top-k matches exact brute force on this geometry
+    val queries = e.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 3))
+    val ivf = pairs(Similarity.ivfTopKTrained(e, queries, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2, iters = 3))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9: exact=$exact ivf=$ivf")
+  }
+
   test("multimodal stub decode preserves ids and emits plausible metadata") {
     val d = docs((3L, "some video payload text"), (5L, "another one"))
     implicit val sp = s

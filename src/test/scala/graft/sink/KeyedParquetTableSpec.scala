@@ -1,0 +1,68 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.operators.RecordMapper
+
+/** Bucketed state behavior: merges touch only the buckets a batch's keys
+  * hash to; untouched buckets keep their old version directories. */
+class KeyedParquetTableSpec extends SparkSuite {
+
+  private lazy val s = sqlc
+
+  private val table = SinkTable("ks", "bt", StructType(Seq(
+    StructField("my_pk", LongType), StructField("my_value", LongType))),
+    Seq("my_pk"))
+
+  private def mapped(rows: (Long, Long, Long)*) = {
+    val l = new java.util.ArrayList[Row]()
+    rows.foreach { case (pk, v, wt) =>
+      l.add(Row(pk, v, wt, RecordMapper.ModeUpsert))
+    }
+    s.createDataFrame(l, StructType(Seq(
+      StructField("my_pk", LongType), StructField("my_value", LongType),
+      StructField(RecordMapper.WritetimeCol, LongType),
+      StructField(RecordMapper.ModeCol, StringType))))
+  }
+
+  test("merge touches only the batch's buckets; untouched buckets keep their version") {
+    val root = Files.createTempDirectory("graft-bucket").toString
+    val t = new KeyedParquetTable(s, table, root, numBuckets = 8)
+
+    // batch 1: many keys spread over (almost) all buckets
+    t.applyBatch(mapped((1L to 64L).map(k => (k, k * 10, 100L)): _*), batchId = 1L)
+    assert(t.state().count() == 64)
+    assert(Files.exists(Paths.get(root, "v1")))
+
+    // batch 2: a single key — only that key's bucket moves to v2
+    t.applyBatch(mapped((1L, 999L, 200L)), batchId = 2L)
+    val st = t.state().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st(1L) == 999L && st(2L) == 20L && st.size == 64)
+    // v2 holds exactly one bucket partition; v1 still owns the rest
+    val v2Parts = Files.list(Paths.get(root, "v2")).toArray.map(_.toString)
+      .filter(_.contains("__bucket="))
+    assert(v2Parts.length == 1)
+    assert(Files.exists(Paths.get(root, "v1")))
+
+    // replayed batch id is a no-op (exactly-once)
+    t.applyBatch(mapped((1L, 111L, 300L)), batchId = 2L)
+    assert(t.state().filter(col("my_pk") === 1L).head().getLong(1) == 999L)
+  }
+
+  test("unreferenced versions are vacuumed once every bucket moves past them") {
+    val root = Files.createTempDirectory("graft-vacuum").toString
+    val t = new KeyedParquetTable(s, table, root, numBuckets = 2)
+    t.applyBatch(mapped((1L, 1L, 100L), (2L, 2L, 100L), (3L, 3L, 100L),
+      (4L, 4L, 100L)), batchId = 1L)
+    // touch every key again: all buckets move to v2, v1 becomes garbage
+    t.applyBatch(mapped((1L, 11L, 200L), (2L, 22L, 200L), (3L, 33L, 200L),
+      (4L, 44L, 200L)), batchId = 2L)
+    assert(!Files.exists(Paths.get(root, "v1")))
+    assert(t.state().count() == 4)
+  }
+}
