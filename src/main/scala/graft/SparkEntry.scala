@@ -805,6 +805,38 @@ object SparkEntry {
         "vec_id", "embedding", nCells = 8, iters = 3)
         .orderBy("item_id")),
 
+    // near-dup CLUSTER assignment: connected components over the minhash-LSH
+    // candidate graph (min reachable doc id), vs q41's pair-drop policy.
+    // Oracle computes true reachability with a recursive CTE; the Spark side
+    // iterates min-label propagation to a fixpoint — both are exact
+    // components, so they agree.
+    Q("q54_dedup_clusters", Some(
+      s"""${dMinhashSig.replaceFirst("^WITH ", "WITH RECURSIVE ")}, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), reach(s, t) AS (SELECT s, t FROM e UNION SELECT reach.s, e2.t FROM reach JOIN e e2 ON reach.t = e2.s) SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(reach.t), d.doc_id)) AS BIGINT) AS cluster_id FROM documents d LEFT JOIN reach ON d.doc_id = reach.s GROUP BY d.doc_id ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        Dedup.nearDupClusters(d, cands, "doc_id").orderBy("doc_id")
+      }),
+
+    // corpus vocabulary: global token tf/df, top 100 — the tokenizer-training
+    // precursor; one explode + map-side-combined groupBy + TakeOrdered
+    Q("q55_vocab_topk", Some(
+      s"""WITH t AS (SELECT doc_id, unnest($dToks) AS token FROM documents) SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100"""),
+      (s, dir) => TextAnalysis.vocabulary(docs(tune(s), dir), "text", "doc_id", 100)),
+
+    // deterministic per-language quota sample (balanced-class downsampling):
+    // up to 100 docs per predicted language, picked by an integer id hash —
+    // same sample on any cluster/partitioning, no RNG state
+    Q("q56_stratified_sample", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS INT) AS sample_rank FROM lg) SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 100 ORDER BY lang, sample_rank"""),
+      (s, dir) => Sampling.quotaByClass(
+        docs(tune(s), dir).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang")),
+        "lang", "doc_id", quota = 100)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy("lang", "sample_rank")),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

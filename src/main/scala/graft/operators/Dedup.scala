@@ -148,6 +148,45 @@ object Dedup {
     docs.join(candidates.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /**
+   * Near-dup CLUSTER assignment: connected components over the candidate
+   * pair graph; cluster_id = the smallest doc id in the component (docs
+   * with no near-dup form singleton clusters). Pair-drop dedup
+   * ([[applyNearDedup]]) can split a chain A~B~C by dropping B while
+   * keeping C; component clustering is the policy that keeps exactly one
+   * doc per transitive duplicate group.
+   *
+   * Iterative min-label propagation to a fixpoint: each round every doc
+   * takes the min label among itself and its neighbors — converges in
+   * diameter rounds (near-dup components are tiny chains, so a handful).
+   * Each round is one equi-join + partial-agg groupBy on doc ids; labels
+   * checkpoint per round so lineage stays flat. All-integer and
+   * order-insensitive → deterministic on any cluster layout.
+   */
+  def nearDupClusters(docs: DataFrame, candidates: DataFrame, idCol: String): DataFrame = {
+    val edges = candidates.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(candidates.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
+      .localCheckpoint()
+    var changed = true
+    while (changed) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).limit(1).count() > 0
+      labels = next
+    }
+    labels
+  }
+
   // ------------------------------------------------------- embedding near-dup
 
   /**
@@ -209,10 +248,13 @@ object Dedup {
     // the shingle frame feeds three plan branches (join left, join right,
     // sizes) — materialize it once instead of recomputing the tokenize+hash
     // stage per branch (at cluster scale: persist/checkpoint to storage)
-    val sh0 = shingleHashRows(docs, textCol, idCol, shingleN)
+    // checkpoint BEFORE the DF computation: the shingle table feeds both the
+    // DF count and the join sides — without it the tokenize+window stage
+    // runs twice
+    val sh0 = shingleHashRows(docs, textCol, idCol, shingleN).localCheckpoint()
     val rare = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDF).select(col("h"))
-    val sh = sh0.join(rare, Seq("h"), "left_semi").localCheckpoint()
+    val sh = sh0.join(rare, Seq("h"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val l = sh.alias("l"); val r = sh.alias("r")
     val inter = l.join(r,

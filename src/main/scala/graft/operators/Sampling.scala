@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deterministic sampling for training-corpus curation: the same inputs give
+ * the same sample on any cluster, any partitioning, any run — no RNG state,
+ * no seed plumbing; the "randomness" is an integer hash of the row id.
+ */
+object Sampling {
+
+  /** Pseudo-random but fully deterministic per-id ordering key (Knuth
+    * multiplicative hash mod the Mersenne prime both engines reproduce). */
+  def idHash(id: Column): Column = (id * 2654435761L) % 2147483647L
+
+  /**
+   * Per-class quota sample: up to `quota` rows per class, picked by the
+   * deterministic id hash (ties on id) — balanced-class downsampling
+   * (language/domain quotas in corpus curation). The window partitions by
+   * class, so one class's candidates sort together; with a bounded quota
+   * the rank can early-stop via the top-k window path. At extreme per-class
+   * cardinality swap for two-level hash-threshold pre-filtering, then this
+   * quota pass on the survivors.
+   */
+  def quotaByClass(df: DataFrame, classCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(idHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast(IntegerType))
+      .filter(col("sample_rank") <= quota)
+  }
+
+  /**
+   * Rate sample: keep ~`pct`% of rows, deterministically (hash mod 100) —
+   * the map-only path for huge uniform downsampling; composes with
+   * [[quotaByClass]] as its pre-filter.
+   */
+  def ratePct(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(idHash(col(idCol)) % 100L < pct.toLong)
+}

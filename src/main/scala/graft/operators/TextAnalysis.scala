@@ -154,4 +154,19 @@ object TextAnalysis {
       when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
     }
   }
+
+  /**
+   * Corpus vocabulary: per-token total term frequency and document
+   * frequency, top `k` by (tf desc, token asc) — the BPE/tokenizer-training
+   * precursor every corpus pipeline runs. One explode + one groupBy
+   * (map-side combined; the shuffle carries (token, partial counts), never
+   * documents); the global top-k is a TakeOrdered, not a full sort.
+   */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
 }

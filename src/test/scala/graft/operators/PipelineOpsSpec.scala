@@ -73,6 +73,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("near-dup clusters: transitive chain collapses to one component") {
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z"))
+    // candidate graph: 1~2, 2~3 (chain), 4 alone via no pairs; 9 isolated
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row(1L, 2L)); l.add(Row(2L, 3L))
+    val cands = s.createDataFrame(l, StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType))))
+    val out = Dedup.nearDupClusters(d, cands, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 9L))
+  }
+
+  test("vocabulary ranks by tf with deterministic tie-break; df counts docs") {
+    val d = docs((1L, "apple apple pear"), (2L, "apple banana banana"))
+    val out = TextAnalysis.vocabulary(d, "text", "doc_id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("apple", 3L, 2L), ("banana", 2L, 1L)))
+  }
+
+  test("quota sample is deterministic and respects the per-class cap") {
+    val d = docs((1L to 20L).map(i => (i, if (i % 2 == 0) "ee" else "oo")): _*)
+      .withColumnRenamed("text", "cls")
+    val once = Sampling.quotaByClass(d, "cls", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val again = Sampling.quotaByClass(d, "cls", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(once.toSeq == again.toSeq)
+    assert(once.count(_._2 == "ee") == 3 && once.count(_._2 == "oo") == 3)
+  }
+
   test("token/quality/langid/fingerprint basics") {
     val d = docs((1L, "The cat and the dog. And the bird!"),
       (2L, "le la et les des est"))
