@@ -41,6 +41,26 @@ object Probe {
     timed("exact dedup")(
       graft.operators.Dedup.exact(big, "text", "doc_id").count())
     big.unpersist()
+
+    // ---- embedding-LSH fan-out bound: per-(table,bucket) occupancy is what
+    // the candidate join squares, so the max bucket size IS the scale story
+    // (plus the hard cap in lshCandidates). 8× the embeddings → 16k vectors.
+    val ebase = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ebig = (0 until 8).map(i =>
+      ebase.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).select("vec_id", "embedding")
+    ebig.cache().count()
+    val buckets = graft.operators.Similarity
+      .lshBuckets(ebig, "vec_id", "embedding").cache()
+    val occ = buckets.groupBy("table_id", "bucket").count()
+      .agg(max("count").as("max_bucket"), expr("CAST(avg(count) AS DOUBLE)").as("avg_bucket"),
+        count(lit(1)).as("n_buckets")).head()
+    println(s"lsh fan-out @${ebig.count()} vecs: max bucket ${occ.getLong(0)}, " +
+      f"avg ${occ.getDouble(1)}%.2f over ${occ.getLong(2)} buckets " +
+      "(candidate pairs per key bounded by cap² — see Similarity.lshCandidates)")
+    timed("lsh candidates (capped)")(
+      graft.operators.Similarity.lshCandidates(buckets).count())
+    buckets.unpersist(); ebig.unpersist()
     spark.stop()
   }
 }

@@ -95,23 +95,26 @@ object Dedup {
 
   /**
    * 32-bit SimHash over token hashes: bit i of the fingerprint is 1 iff the
-   * sum over tokens of ±1 (per token-hash bit i) is positive. Computed
-   * columnar: explode tokens → per-bit contributions → groupBy doc.
+   * sum over tokens of ±1 (per token-hash bit i) is positive.
+   *
+   * ONE partial-aggregated groupBy with `bits` conditional sums — each token
+   * row contributes all 32 bit balances map-side, so the shuffle carries
+   * (doc_id, 32 longs) instead of 32× the token rows (the round-1 version
+   * cross-joined a bit index, multiplying rows before aggregating). All
+   * codegen'd integer arithmetic.
    */
   def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", stringHash(col("tok")))
-    val bitIdx = toks.sparkSession.range(bits).toDF("bit")
-    toks
-      .join(broadcast(bitIdx))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(expr("shiftright(h, CAST(bit AS INT)) & CAST(1 AS BIGINT)") === 1L,
-        1L).otherwise(-1L)).as("bal"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("bal") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(0L)).as("simhash"))
+    val bals = (0 until bits).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & CAST(1 AS BIGINT)") === 1L, 1L)
+        .otherwise(-1L)).as(s"bal$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bals.head, bals.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b => when(col(s"bal$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /**
