@@ -162,8 +162,38 @@ object RecordMapper {
     val (rec1, keyBase) = predecode(records, "key", keyFormat)
     val (rec2, valueBase) = predecode(rec1, "value", valueFormat)
 
-    def srcCol(src: Source): Column =
-      sourceColumn(src, keyBase, keyFormat, valueBase, valueFormat)
+    // Format.Json with ≥2 mapped fields: parse the document ONCE per record
+    // with json_tuple (one generator) instead of one get_json_object per
+    // field — the wide-mapping hot path without needing a declared schema
+    // (field semantics identical: missing → null, objects → JSON text)
+    def jsonFieldNames(p: Prefix, fmt: Format): Seq[String] = fmt match {
+      case Format.Json =>
+        entries.map(_.source).collect {
+          case FieldRef(`p`, name) => name
+        }.distinct
+      case _ => Seq.empty
+    }
+    def addJsonTuple(df: DataFrame, src: String,
+        fields: Seq[String]): (DataFrame, Map[String, Column]) =
+      if (fields.size < 2) (df, Map.empty)
+      else {
+        val aliases = fields.indices.map(i => s"__${src}_jt$i")
+        val out = df.select(col("*"),
+          json_tuple(col(src).cast(StringType), fields: _*).as(aliases))
+        (out, fields.zip(aliases.map(col)).toMap)
+      }
+    val (rec3, keyJsonCols) =
+      addJsonTuple(rec2, "key", jsonFieldNames(Prefix.Key, keyFormat))
+    val (rec4, valueJsonCols) =
+      addJsonTuple(rec3, "value", jsonFieldNames(Prefix.Value, valueFormat))
+
+    def srcCol(src: Source): Column = src match {
+      case FieldRef(Prefix.Key, name) if keyJsonCols.contains(name) =>
+        keyJsonCols(name)
+      case FieldRef(Prefix.Value, name) if valueJsonCols.contains(name) =>
+        valueJsonCols(name)
+      case _ => sourceColumn(src, keyBase, keyFormat, valueBase, valueFormat)
+    }
 
     // P8 — schema default values: a null/absent optional field whose declared
     // schema carries a default gets the default written (reference:
@@ -310,7 +340,7 @@ object RecordMapper {
         else Seq(try_element_at(array_compact(array(errs: _*)), lit(1)).as(ErrorCol))
       }
 
-    val projected = rec2.select(
+    val projected = rec4.select(
       (keepCols.map(col) ++ dataCols.map(_._2) ++ errCol :+
         writetime.as(WritetimeCol) :+ ttl.as(TtlCol)): _*)
 

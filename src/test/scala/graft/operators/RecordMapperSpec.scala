@@ -149,6 +149,20 @@ class RecordMapperSpec extends SparkSuite {
     assert(out.head.getLong(3) == 120L)
   }
 
+  test("wide Json mapping parses the document once via json_tuple") {
+    val t = SinkTable("ks", "tw", StructType(Seq(
+      StructField("my_pk", LongType), StructField("a", LongType),
+      StructField("b", StringType), StructField("c", LongType))), Seq("my_pk"))
+    val b = bind("topic.t.ks.tw.mapping" ->
+      "my_pk=key, a=value.a, b=value.b, c=value.missing")
+    val df = compile(b, t, records((0L, "7", """{"a": 5, "b": "x"}""")))
+    // one json_tuple generator, zero per-field get_json_object parses
+    val plan = df.queryExecution.analyzed.toString
+    assert(plan.contains("json_tuple") && !plan.contains("get_json_object"))
+    val out = df.select("my_pk", "a", "b", "c").collect()
+    assert(out.head == Row(7L, 5L, "x", null))
+  }
+
   test("now() yields distinct, v1, time-ordered uuids per column (NowFunctionCCMIT.java:421-441)") {
     val t = SinkTable("ks", "tu", StructType(Seq(
       StructField("my_pk", LongType), StructField("u1", StringType),
