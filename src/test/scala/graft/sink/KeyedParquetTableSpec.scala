@@ -54,6 +54,38 @@ class KeyedParquetTableSpec extends SparkSuite {
     assert(t.state().filter(col("my_pk") === 1L).head().getLong(1) == 999L)
   }
 
+  test("state stays correct and disk-bounded over many micro-batches; manifest survives restart") {
+    val root = Files.createTempDirectory("graft-endure").toString
+    val t = new KeyedParquetTable(s, table, root, numBuckets = 4)
+    // 30 overlapping batches: key k gets its last write at batch (k % 30)
+    (1 to 30).foreach { b =>
+      t.applyBatch(mapped((0 until 10).map { i =>
+        val k = (b + i * 3) % 40
+        (k.toLong, b * 1000L + k, b.toLong)
+      }: _*), batchId = b.toLong)
+    }
+    // expected: per key, the row from its highest-writetime batch (LWW)
+    val st = t.state().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1 to 30).flatMap { b =>
+      (0 until 10).map(i => ((b + i * 3) % 40, b))
+    }.groupBy(_._1).map { case (k, hits) =>
+      val b = hits.map(_._2).max
+      k.toLong -> (b * 1000L + k)
+    }
+    assert(st == expected)
+    // vacuum keeps only referenced versions: ≤ numBuckets live dirs
+    val liveDirs = Files.list(java.nio.file.Paths.get(root)).toArray
+      .map(_.toString).count(_.matches(".*v\\d+$"))
+    assert(liveDirs <= 4, s"$liveDirs version dirs survived vacuum")
+    // a fresh instance over the same root reloads the manifest (restart)
+    val t2 = new KeyedParquetTable(s, table, root, numBuckets = 4)
+    assert(t2.lastAppliedBatchId == 30L)
+    assert(t2.state().count() == expected.size)
+    // and a replayed old batch is still a no-op after restart
+    t2.applyBatch(mapped((0L, 999999L, 1L)), batchId = 30L)
+    assert(t2.state().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("unreferenced versions are vacuumed once every bucket moves past them") {
     val root = Files.createTempDirectory("graft-vacuum").toString
     val t = new KeyedParquetTable(s, table, root, numBuckets = 2)
