@@ -797,10 +797,14 @@ object SparkEntry {
         .orderBy("item_id")),
 
     // IVF with TRAINED centroids (deterministic integer k-means) — the scale
-    // path past the fixed-centroid stub of q42. Not SQL-oracled (3 Lloyd
-    // iterations in SQL are impractical); the driver's rows-check plus the
-    // SimilaritySpec recall-vs-brute-force test pin it.
-    Q("q53_ann_ivf_trained", None,
+    // path past the fixed-centroid stub of q42. 3 Lloyd iterations in SQL are
+    // impractical, but the ASSIGNMENT is exactly checkable: Verify runs the
+    // deterministic k-means once, templates the collected centroid literals
+    // (k=8 × dims longs) into this SQL via [[resolveOracleSql]], and DuckDB
+    // verifies the integer L2 assignment bit-for-bit — same shape as q42's
+    // fixed-centroid oracle.
+    Q("q53_ann_ivf_trained", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv, CAST(list_sum(list_transform($dQuant, x -> x*x)) AS BIGINT) AS n2 FROM embeddings), c AS (SELECT CAST(cell_id AS INT) AS cell_id, list_transform(cv, x -> CAST(x AS BIGINT)) AS cv, CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS cn2 FROM (VALUES $IvfCentroidsPlaceholder) t(cell_id, cv)), d AS (SELECT item_id, cell_id, n2 + cn2 - 2*CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*cv[CAST(i+1 AS INT)])) AS BIGINT) AS dist2 FROM v CROSS JOIN c), r AS (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY dist2, cell_id) AS rn FROM d) SELECT item_id, cell_id, dist2 FROM r WHERE rn = 1 ORDER BY item_id"""),
       (s, dir) => Similarity.ivfCellsTrained(embeddings(tune(s), dir),
         "vec_id", "embedding", nCells = 8, iters = 3)
         .orderBy("item_id")),
@@ -829,7 +833,7 @@ object SparkEntry {
     // up to 100 docs per predicted language, picked by an integer id hash —
     // same sample on any cluster/partitioning, no RNG state
     Q("q56_stratified_sample", Some(
-      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS INT) AS sample_rank FROM lg) SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 100 ORDER BY lang, sample_rank"""),
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS INT) AS sample_rank FROM lg) SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 100 ORDER BY lang, sample_rank"""),
       (s, dir) => Sampling.quotaByClass(
         docs(tune(s), dir).select(col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang")),
@@ -864,4 +868,32 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Placeholder in oracle SQL for values only a Spark-side computation can
+    * supply (the trained k-means centroids for q53). */
+  val IvfCentroidsPlaceholder = "__IVF_CENTROIDS__"
+
+  /**
+   * Resolve oracle-SQL placeholders against a concrete sf directory: runs the
+   * deterministic integer k-means once and splices the collected centroids in
+   * as `(cell_id, [v, ...])` VALUES rows. The training is all-integer
+   * (truncating DIV means, exact L2 assignment), so the centroids Verify
+   * collects here are bit-identical to the ones the q53 query trains
+   * internally — DuckDB then checks the assignment exactly.
+   */
+  def resolveOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    lazy val centroidValues: String = {
+      val rows = Similarity.kmeansCentroids(
+          embeddings(tune(spark), sfDir), "vec_id", "embedding", k = 8, iters = 3)
+        .orderBy("cell_id").collect()
+      rows.map { r =>
+        s"(${r.getInt(0)}, ${r.getSeq[Long](1).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+    }
+    oracleSql.map { case (name, sql) =>
+      name -> (if (sql.contains(IvfCentroidsPlaceholder))
+        sql.replace(IvfCentroidsPlaceholder, centroidValues)
+      else sql)
+    }
+  }
 }

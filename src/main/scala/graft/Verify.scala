@@ -40,7 +40,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // resolve placeholder oracles (q53 trained-IVF centroids) against THIS
+    // sf directory, so DuckDB checks the exact integer assignment
+    val json = SparkEntry.resolveOracleSql(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -71,12 +71,41 @@ object Codecs {
     case "CQL_TIMESTAMP" | "ISO_ZONED_DATE_TIME" | "ISO_INSTANT" =>
       to_timestamp(col)
     case pattern =>
-      val parsed = to_timestamp(col, pattern)
-      val patternHasZone = pattern.exists("XxZzVO".contains(_))
-      if (codec.timeZone != "UTC" && !patternHasZone)
-        to_utc_timestamp(parsed, codec.timeZone)
-      else parsed
+      if (codec.locale != "en_US" && patternLocaleSensitive(pattern))
+        // locale-dependent text fields (month/day names, am/pm): Spark's
+        // to_timestamp always parses with the session locale — custom
+        // expression handles locale AND the zone-less-pattern timeZone rule
+        LocaleTimestampParse.locale_to_timestamp(col, pattern,
+          codec.locale, codec.timeZone)
+      else {
+        val parsed = to_timestamp(col, pattern)
+        if (codec.timeZone != "UTC" && !patternHasZone(pattern))
+          to_utc_timestamp(parsed, codec.timeZone)
+        else parsed
+      }
   }
+
+  /** Does the pattern parse its own zone/offset? Quoted literal sections are
+    * stripped first — `yyyy-MM-dd'T'HH:mm:ss'Z'` carries a LITERAL Z, not a
+    * zone field, and must still get `codec.timeZone` applied. */
+  private[functions] def patternHasZone(pattern: String): Boolean =
+    stripQuoted(pattern).exists("XxZzVO".contains(_))
+
+  /** Does the pattern contain locale-dependent TEXT fields (month/day-of-week
+    * names, am/pm, era)? Numeric-only patterns (MM, dd, …) parse identically
+    * in every locale, so they stay on the codegen'd to_timestamp path. */
+  private[functions] def patternLocaleSensitive(pattern: String): Boolean = {
+    val p = stripQuoted(pattern)
+    // MMM/LLL month names, ccc/QQQ/qqq text quarters & standalone days; E
+    // (day-of-week), a (am/pm), G (era) are text at any repeat count
+    Seq("MMM", "LLL", "ccc", "QQQ", "qqq").exists(p.contains) ||
+      p.exists("EaG".contains(_))
+  }
+
+  /** Remove `'...'` literal sections (and `''` escaped quotes) from a
+    * DateTimeFormatter pattern, leaving only live pattern letters. */
+  private def stripQuoted(pattern: String): String =
+    pattern.replace("''", "").replaceAll("'[^']*'", "")
 
   def parseDate(col: Column, codec: CodecSettings): Column = codec.date match {
     case "ISO_LOCAL_DATE" => to_date(col)

@@ -58,3 +58,62 @@ object LocaleDateParse {
     org.apache.spark.sql.GraftBridge.column(
       LocaleDateParse(org.apache.spark.sql.GraftBridge.expression(c), pattern, locale))
 }
+
+/**
+ * Locale-sensitive TIMESTAMP parsing — the [[LocaleDateParse]] rule extended
+ * to full instants (reference codec settings allow `codec.timestamp`
+ * patterns with month/day names + `codec.locale`, reference:
+ * dist/conf/cassandra-sink-standalone.properties.sample:187-225).
+ *
+ * Zone rule matches [[Codecs.parseTimestamp]]: a zone/offset the PATTERN
+ * parses wins; otherwise the wall-clock time is interpreted in `zone`
+ * (`codec.timeZone`, "UTC" default) and converted to the UTC instant.
+ * Missing time-of-day fields default to 0 (a date-only pattern parses to
+ * midnight), like the reference's temporal codec defaulting.
+ */
+case class LocaleTimestampParse(child: Expression, pattern: String,
+    localeTag: String, zone: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val formatter: DateTimeFormatter =
+    new DateTimeFormatterBuilder()
+      .parseCaseInsensitive()
+      .appendPattern(pattern)
+      .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
+      .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
+      .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
+      .toFormatter(Locale.forLanguageTag(localeTag.replace('_', '-')))
+
+  @transient private lazy val fallbackZone = java.time.ZoneId.of(zone)
+
+  override def dataType: DataType = org.apache.spark.sql.types.TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "locale_to_timestamp"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    try {
+      val parsed = formatter.parse(input.asInstanceOf[UTF8String].toString)
+      val ldt = java.time.LocalDateTime.from(parsed)
+      val parsedZone = parsed.query(java.time.temporal.TemporalQueries.zone())
+      val instant =
+        ldt.atZone(if (parsedZone != null) parsedZone else fallbackZone).toInstant
+      // TimestampType physical form: micros since epoch
+      java.lang.Long.valueOf(
+        Math.addExact(Math.multiplyExact(instant.getEpochSecond, 1000000L),
+          instant.getNano / 1000L))
+    } catch {
+      case _: java.time.DateTimeException | _: ArithmeticException => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LocaleTimestampParse =
+    copy(child = newChild)
+}
+
+object LocaleTimestampParse {
+  def locale_to_timestamp(c: Column, pattern: String, locale: String,
+      zone: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      LocaleTimestampParse(org.apache.spark.sql.GraftBridge.expression(c),
+        pattern, locale, zone))
+}

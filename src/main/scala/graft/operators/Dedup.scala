@@ -248,16 +248,18 @@ object Dedup {
     // the equi-join shuffles longs, never text. (Hash collisions perturb the
     // count identically in any engine computing the same fold — the operator
     // is defined over the hashed shingle set.)
-    // the shingle frame feeds three plan branches (join left, join right,
-    // sizes) — materialize it once instead of recomputing the tokenize+hash
-    // stage per branch (at cluster scale: persist/checkpoint to storage)
-    // checkpoint BEFORE the DF computation: the shingle table feeds both the
-    // DF count and the join sides — without it the tokenize+window stage
-    // runs twice
+    // the shingle frame feeds four plan branches (DF count, join left, join
+    // right, sizes) — materialize it once instead of recomputing the
+    // tokenize+hash stage per branch (at cluster scale: persist/checkpoint
+    // to storage)
     val sh0 = shingleHashRows(docs, textCol, idCol, shingleN).localCheckpoint()
-    val rare = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDF).select(col("h"))
-    val sh = sh0.join(rare, Seq("h"), "left_semi")
+    // the cap filter joins against the OVER-cap set, which is tiny by
+    // definition (each member appears in > maxShingleDF docs, so there are
+    // at most rows/cap of them at any corpus size) — a broadcast anti-join,
+    // not a shuffled semi-join against the huge under-cap set
+    val overCap = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDF).select(col("h"))
+    val sh = sh0.join(broadcast(overCap), Seq("h"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val l = sh.alias("l"); val r = sh.alias("r")
     val inter = l.join(r,

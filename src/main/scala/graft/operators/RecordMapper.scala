@@ -51,8 +51,14 @@ object RecordMapper {
     * fallback, anything else is the raw `__self` value. */
   sealed trait Format
   object Format {
-    /** Column already a struct (e.g. pre-decoded Avro via from_avro). */
+    /** Column already a struct (pre-decoded upstream). */
     case object Struct extends Format
+    /** Avro-binary bytes with a declared writer schema: ONE decode per
+      * record via [[graft.functions.AvroCodec]], then Struct semantics —
+      * the reference's Struct-record ingestion mode (its perf rig drains
+      * Avro, reference: perf/dse-sink-avro.json:5-11,
+      * StructEndToEndCCMIT.java:64-281). */
+    case class Avro(schemaJson: String) extends Format
     /** JSON text, schema unknown: fields via get_json_object per field —
       * the honest equivalent of the reference's per-record inference
       * (parses the document once PER MAPPED FIELD; fine for narrow
@@ -85,7 +91,8 @@ object RecordMapper {
         case Prefix.Header => throw ParseException(LegalSurfaceMsg)
       }
       fmt match {
-        case Format.Struct | _: Format.JsonWithSchema => c.getField(name)
+        case Format.Struct | _: Format.JsonWithSchema | _: Format.Avro =>
+          c.getField(name)
         case Format.Json =>
           val path =
             if (name.forall(ch => ch.isLetterOrDigit || ch == '_')) "$." + name
@@ -112,16 +119,19 @@ object RecordMapper {
     case other          => Codecs.tryCastCol(c, other)
   }
 
-  /** Typed header decode (reference: HeadersCCMIT.java:330-518): when the
-    * frame's header values are binary, the bytes decode per target —
-    * big-endian numbers for integral/floating targets, UTF-8 text for
-    * strings, UTF-8 JSON for UDT targets, string-parse for the rest. */
+  /** Typed header decode (reference: HeadersCCMIT.java:60-145 header-typed
+    * columns; header serialization shapes in the connect-api contract): when
+    * the frame's header values are binary, the bytes decode per target —
+    * big-endian numbers for integral/floating targets, a single 0x00/0x01
+    * byte for booleans, UTF-8 text for strings, UTF-8 JSON for UDT targets,
+    * string-parse for the rest. */
   private def decodeHeaderBinary(c: Column, target: DataType, b: TableBinding): Column =
     target match {
       case LongType | IntegerType | ShortType | ByteType =>
         Codecs.tryCastCol(BigEndian.bytes_to_long(c), target)
       case DoubleType | FloatType =>
         Codecs.tryCastCol(BigEndian.bytes_to_double(c), target)
+      case BooleanType    => BigEndian.bytes_to_long(c) =!= 0L
       case StringType     => c.cast(StringType)
       case st: StructType => Codecs.castToStruct(c.cast(StringType), StringType, st)
       case other          => applyCodec(c.cast(StringType), Some(StringType), other, b)
@@ -156,6 +166,11 @@ object RecordMapper {
         case Format.JsonWithSchema(schema) =>
           val decoded = s"__${src}_decoded"
           (df.withColumn(decoded, from_json(col(src).cast(StringType), schema)),
+            col(decoded))
+        case Format.Avro(schemaJson) =>
+          val decoded = s"__${src}_decoded"
+          (df.withColumn(decoded,
+            graft.functions.AvroCodec.from_avro_binary(col(src), schemaJson)),
             col(decoded))
         case _ => (df, col(src))
       }
@@ -208,6 +223,12 @@ object RecordMapper {
       }
       fmt match {
         case Format.JsonWithSchema(sch) => Some(sch)
+        case Format.Avro(schemaJson) =>
+          graft.functions.AvroCodec.toSparkType(
+            new org.apache.avro.Schema.Parser().parse(schemaJson)) match {
+            case st: StructType => Some(st)
+            case _ => None
+          }
         case Format.Struct =>
           records.schema.fields.find(_.name == name).map(_.dataType).collect {
             case st: StructType => st
@@ -245,13 +266,16 @@ object RecordMapper {
         }
         fmt match {
           case Format.JsonWithSchema(sch) => Some(sch)
+          case Format.Avro(schemaJson) =>
+            Some(graft.functions.AvroCodec.toSparkType(
+              new org.apache.avro.Schema.Parser().parse(schemaJson)))
           case _ => records.schema.fields.find(_.name == name).map(_.dataType)
         }
       case FieldRef(Prefix.Header, _) => headerValueType
       case FieldRef(p, name) =>
         val fmt = if (p == Prefix.Key) keyFormat else valueFormat
         fmt match {
-          case Format.Struct | _: Format.JsonWithSchema =>
+          case Format.Struct | _: Format.JsonWithSchema | _: Format.Avro =>
             baseStruct(p).flatMap(_.fields.find(_.name == name)).map(_.dataType)
           case Format.Json => Some(StringType)
           case Format.Raw  => None

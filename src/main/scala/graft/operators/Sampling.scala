@@ -13,8 +13,15 @@ import org.apache.spark.sql.types._
 object Sampling {
 
   /** Pseudo-random but fully deterministic per-id ordering key (Knuth
-    * multiplicative hash mod the Mersenne prime both engines reproduce). */
-  def idHash(id: Column): Column = (id * 2654435761L) % 2147483647L
+    * multiplicative hash mod the Mersenne prime both engines reproduce).
+    * The id is reduced mod p BEFORE the multiply: the reduced value (< 2³¹)
+    * times the Knuth constant (< 2³²) stays < 2⁶³, so the hash never
+    * overflows int64 — a raw `id * 2654435761` overflows for ids ≥ ~3.5e9
+    * (routine for snowflake/offset ids), which under ANSI mode throws and
+    * otherwise silently breaks the threshold filters. pmod keeps the result
+    * non-negative for negative ids too. */
+  def idHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483647L)) * 2654435761L, lit(2147483647L))
 
   /**
    * Per-class quota sample: up to `quota` rows per class, picked by the

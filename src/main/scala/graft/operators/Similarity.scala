@@ -154,24 +154,40 @@ object Similarity {
    *
    * Returns (cell_id, cv array<long>, cn2) ready for [[assignCells]].
    *
-   * Scale note: seed selection ranks ids through one window partition —
-   * fine up to many millions; at extreme corpus sizes swap it for a
-   * deterministic id-stride filter or a seeded sample, the rest of the loop
-   * is map + partial-agg all the way.
+   * Seed selection is a deterministic id-stride FILTER (map-only at any
+   * corpus size): seeds are the rows whose id sits on a stride boundary of
+   * the [minId, minId+n) range — for dense ids this is exactly the evenly
+   * strided pick, with no global window sort anywhere (a rank-by-id window
+   * with no partition moves the whole corpus to one partition — the round-2
+   * scale-killer this replaces). Sparse id spaces still get a deterministic
+   * (if uneven) pick; cell ids are densified from the tiny collected seed
+   * set.
    */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame = {
     val spark = df.sparkSession
     val v = df.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
       .localCheckpoint()
-    val n = v.count()
+    val stats = v.agg(min(col("item_id")).cast(LongType).as("mn"),
+      count(lit(1)).as("n")).head()
+    val minId = stats.getLong(0)
+    val n = stats.getLong(1)
     val stride = math.max(1L, n / k)
-    val seedW = Window.orderBy(col("item_id"))
-    var cents = v
-      .withColumn("rn", row_number().over(seedW))
-      .filter((col("rn") - 1) % stride === 0 && col("rn") <= (k.toLong * stride))
-      .select(((col("rn") - 1) / stride).cast(IntegerType).as("cell_id"),
-        col("qv").as("cv"))
+    // ≤ k strided candidates — tiny by construction, so collecting them (like
+    // the per-iteration centroids below) is k·dims longs, not a data motion
+    val seedRows = v
+      .filter((col("item_id") - minId) % stride === 0 &&
+        col("item_id") < minId + k.toLong * stride)
+      .orderBy(col("item_id"))
+      .collect()
+    val seedList = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    seedRows.zipWithIndex.foreach { case (r, i) =>
+      seedList.add(org.apache.spark.sql.Row(i, r.getSeq[Long](1)))
+    }
+    var cents = spark.createDataFrame(seedList,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell_id", IntegerType),
+        org.apache.spark.sql.types.StructField("cv", ArrayType(LongType)))))
     (1 to iters).foreach { _ =>
       val assigned = assignCells(v, withNorm(cents))
       val updated = v.join(assigned.select("item_id", "cell_id"), "item_id")

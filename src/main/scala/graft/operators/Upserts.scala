@@ -102,8 +102,13 @@ object Upserts {
     val batchCols = batch.columns.toSet
     val mappedRegular = table.regularCols.filter(batchCols.contains)
 
-    // one surviving action per pk in the batch
-    val compacted = lwwCompact(batch, pk, Seq(col(wt)))
+    // one surviving action per pk in the batch. Ties on __writetime break on
+    // the row's full value struct (column order fixed by name sort) — the
+    // analogue of Cassandra's cell-value reconciliation for equal timestamps;
+    // without it two same-pk-same-writetime rows would resolve by arbitrary
+    // max_by tie, i.e. partitioning-dependent output.
+    val tiebreak = struct(batch.columns.sorted.map(col).toIndexedSeq: _*)
+    val compacted = lwwCompact(batch, pk, Seq(col(wt), tiebreak))
 
     val s = state.alias("s")
     val b = compacted.alias("b")

@@ -52,14 +52,26 @@ class KeyedParquetTable(
   /** Manifest: last applied batch id, newest version, bucket → version.
     * Replay of an already-applied micro-batch is a no-op, which upgrades the
     * pipeline to exactly-once even for counters (the one write mode LWW
-    * can't make replay-idempotent; reference hard part, SURVEY §7.4). */
+    * can't make replay-idempotent; reference hard part, SURVEY §7.4).
+    *
+    * The header also pins `numBuckets`: bucketOf re-hashes keys, so reopening
+    * existing state with a different bucket count would silently read the
+    * wrong partitions and drop/duplicate rows on merge — a mismatch fails
+    * fast instead. */
   private case class Meta(lastBatch: Long, maxV: Int, buckets: Map[Int, Int])
 
   private def currentMeta: Meta =
     if (!Files.exists(currentFile)) Meta(-1L, 0, Map.empty)
     else {
       val lines = Files.readString(currentFile).trim.split('\n')
-      val Array(b, v) = lines.head.split(' ')
+      val head = lines.head.split(' ')
+      val Array(b, v) = head.take(2)
+      head.drop(2).headOption.map(_.toInt).foreach { persisted =>
+        require(persisted == numBuckets,
+          s"state at $root was written with numBuckets=$persisted but opened " +
+            s"with numBuckets=$numBuckets; re-hashing keys would corrupt " +
+            "bucket pruning — open with the original bucket count")
+      }
       val buckets = lines.tail.filter(_.nonEmpty).map { ln =>
         val Array(k, ver) = ln.split(':'); k.toInt -> ver.toInt
       }.toMap
@@ -67,7 +79,7 @@ class KeyedParquetTable(
     }
 
   private def writeMeta(m: Meta): Unit = {
-    val body = (s"${m.lastBatch} ${m.maxV}" +:
+    val body = (s"${m.lastBatch} ${m.maxV} $numBuckets" +:
       m.buckets.toSeq.sorted.map { case (k, v) => s"$k:$v" }).mkString("\n")
     val tmp = rootPath.resolve("CURRENT.tmp")
     Files.writeString(tmp, body)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.util.LongAccumulator
@@ -47,6 +47,11 @@ class SinkPipeline(
     stores.getOrElseUpdate(b.qualifiedTable,
       new KeyedParquetTable(spark, tables(b.qualifiedTable),
         s"$storeRoot/${b.qualifiedTable}", b.nullToUnset))
+
+  /** All messages down an exception's cause chain (for unwrapping a per-row
+    * assert failure out of Spark's job-abort wrappers). */
+  private def causeChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
 
   private def counter(spark: org.apache.spark.sql.SparkSession, name: String): LongAccumulator =
     recordCount.getOrElseUpdate(name, {
@@ -103,26 +108,44 @@ class SinkPipeline(
             withMeta
           case None => compiled
         }
-        // error side-output (reference F3 ignoreErrors: failed records go to
-        // the dead letter, never silently into the table)
-        val failed = mapped.filter(col(ErrorCol).isNotNull)
-        val nFailed = failed.count()
-        if (nFailed > 0 && config.ignoreErrors == "None") {
-          // reference ignoreErrors=None: failures hold the batch back — the
-          // checkpoint retries it whole (at-least-once, LWW-idempotent)
-          throw new IllegalStateException(
-            s"$nFailed record(s) failed mapping for ${b.qualifiedTable} " +
-              "and ignoreErrors=None; failing the batch for retry")
+        // reference ignoreErrors=None: failures hold the batch back — the
+        // checkpoint retries it whole (at-least-once, LWW-idempotent). The
+        // check rides INSIDE the write job as a per-row assert (the manifest
+        // only flips after a clean job), not a driver-side pre-count action.
+        val guarded =
+          if (config.ignoreErrors == "None")
+            mapped.filter(assert_true(col(ErrorCol).isNull,
+              concat(lit(s"record failed mapping for ${b.qualifiedTable} and " +
+                "ignoreErrors=None; failing the batch for retry: "),
+                col(ErrorCol))).isNull)
+          else mapped
+        // record/failure counters fold into the write job via observed
+        // metrics — zero extra count() actions per binding per batch (the
+        // round-2 shape ran two driver actions per binding)
+        val obs = new Observation()
+        val observed = guarded.observe(obs,
+          count(lit(1)).as("total"), count(col(ErrorCol)).as("failed"))
+        try {
+          store(spark, b).applyBatch(
+            observed.filter(col(ErrorCol).isNull).drop(ErrorCol), batchId)
+        } catch {
+          case e: Throwable if causeChain(e)
+              .exists(m => m != null && m.contains("ignoreErrors=None")) =>
+            throw new IllegalStateException(
+              s"record(s) failed mapping for ${b.qualifiedTable} and " +
+                "ignoreErrors=None; failing the batch for retry", e)
         }
+        val metrics = obs.get
+        val nFailed = metrics("failed").asInstanceOf[Long]
         if (nFailed > 0) {
-          failed.write.mode("append")
+          // error side-output (reference F3): failed records go to the dead
+          // letter, never silently into the table
+          mapped.filter(col(ErrorCol).isNotNull).write.mode("append")
             .parquet(s"$storeRoot/_dead_letter/${b.topic}.${b.qualifiedTable}")
         }
         counter(spark, s"${b.topic}.${b.qualifiedTable}.failedRecordCount").add(nFailed)
-        store(spark, b).applyBatch(
-          mapped.filter(col(ErrorCol).isNull).drop(ErrorCol), batchId)
         counter(spark, s"${b.topic}.${b.qualifiedTable}.recordCount")
-          .add(forTopic.count())
+          .add(metrics("total").asInstanceOf[Long])
       }
     } finally records.unpersist()
   }

@@ -84,6 +84,41 @@ class CodecsSpec extends SparkSuite {
     assert(out2.head.getLong(0) == 7200000000L)
   }
 
+  test("locale-aware TIMESTAMP parsing (C3: month names + locale + timeZone)") {
+    // French month name + zone-less pattern: wall clock interpreted in
+    // codec.timeZone (+02:00) → UTC instant
+    val codec = CodecSettings(timestamp = "d MMMM uuuu HH:mm:ss",
+      locale = "fr_FR", timeZone = "+02:00")
+    val df = Seq("14 août 2024 10:00:00", "not a timestamp").toDF("t")
+    val out = df.select(unix_micros(Codecs.parseTimestamp(col("t"), codec)).as("us"))
+      .collect()
+    val want = java.time.Instant.parse("2024-08-14T08:00:00Z")
+    assert(out(0).getLong(0) == want.getEpochSecond * 1000000L)
+    assert(out(1).isNullAt(0))
+    // locale text day-of-week parses too (cccc, like the reference's sample)
+    val codec2 = CodecSettings(timestamp = "cccc, d MMMM uuuu HH:mm:ss",
+      locale = "fr_FR")
+    val out2 = Seq("mercredi, 14 août 2024 10:00:00").toDF("t")
+      .select(unix_micros(Codecs.parseTimestamp(col("t"), codec2)).as("us"))
+      .collect()
+    assert(out2.head.getLong(0) ==
+      java.time.Instant.parse("2024-08-14T10:00:00Z").getEpochSecond * 1000000L)
+  }
+
+  test("quoted literal Z in a pattern is not a zone token: timeZone still applies") {
+    // 'Z' is literal text, so the pattern is zone-less and +05:30 applies
+    val codec = CodecSettings(timestamp = "yyyy-MM-dd'T'HH:mm:ss'Z'",
+      timeZone = "+05:30")
+    val df = Seq("1970-01-01T05:30:00Z").toDF("t")
+    val out = df.select(unix_micros(Codecs.parseTimestamp(col("t"), codec)).as("us"))
+      .collect()
+    assert(out.head.getLong(0) == 0L)
+    assert(!Codecs.patternHasZone("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    assert(Codecs.patternHasZone("yyyy-MM-dd HH:mm:ssX"))
+    assert(!Codecs.patternLocaleSensitive("yyyy-MM-dd HH:mm:ss"))
+    assert(Codecs.patternLocaleSensitive("d MMMM uuuu"))
+  }
+
   test("codec.time pattern parses to nanos-of-day") {
     val codec = CodecSettings(time = "HH.mm.ss")
     val df = Seq("01.02.03").toDF("t")

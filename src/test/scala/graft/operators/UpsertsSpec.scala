@@ -79,6 +79,24 @@ class UpsertsSpec extends SparkSuite {
     assert(out.length == 1 && out.head.getString(2) == "second")
   }
 
+  test("same-pk same-writetime batch rows resolve deterministically (cell-value tiebreak)") {
+    val state = df(stateSchema)
+    val rows = Seq(
+      Row(1L, 20L, "y", 100L, ModeUpsert),
+      Row(1L, 30L, "x", 100L, ModeUpsert))
+    // winner must be the same under ANY partitioning / row order: the value
+    // struct breaks the timestamp tie (Cassandra cell-value reconciliation),
+    // so a=30 wins (columns compare in name order: a before b)
+    val expected = Seq(Row(1L, 30L, "x", 100L))
+    Seq(rows, rows.reverse).foreach { rs =>
+      Seq(1, 4).foreach { parts =>
+        val batch = df(batchSchema, rs: _*).repartition(parts)
+        val out = Upserts.mergeInto(state, batch, table).collect()
+        assert(out.toSeq == expected, s"order=$rs parts=$parts")
+      }
+    }
+  }
+
   test("counter increments accumulate across deliveries (JsonEndToEndCCMIT.java:276-300)") {
     val ct = SinkTable("ks", "ctr", StructType(Seq(
       StructField("c1", LongType), StructField("c3", LongType))),

@@ -86,6 +86,20 @@ class KeyedParquetTableSpec extends SparkSuite {
     assert(t2.state().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
   }
 
+  test("reopening state with a different numBuckets fails fast (manifest pins it)") {
+    val root = Files.createTempDirectory("graft-nbuckets").toString
+    val t = new KeyedParquetTable(s, table, root, numBuckets = 8)
+    t.applyBatch(mapped((1L, 1L, 100L)), batchId = 1L)
+    // re-hashing keys into a different bucket count would silently read the
+    // wrong partitions — must refuse, not corrupt
+    val t2 = new KeyedParquetTable(s, table, root, numBuckets = 16)
+    val e = intercept[IllegalArgumentException] { t2.state() }
+    assert(e.getMessage.contains("numBuckets=8"))
+    // the original bucket count still opens fine
+    val t3 = new KeyedParquetTable(s, table, root, numBuckets = 8)
+    assert(t3.state().count() == 1)
+  }
+
   test("unreferenced versions are vacuumed once every bucket moves past them") {
     val root = Files.createTempDirectory("graft-vacuum").toString
     val t = new KeyedParquetTable(s, table, root, numBuckets = 2)

@@ -139,6 +139,22 @@ class SinkPipelineSpec extends SparkSuite {
     assert(st.toSeq == Seq(Row(3L, 40L)))
   }
 
+  test("provided query: lowercase / aliased / literal view references (no string rewrite)") {
+    import s.implicits._
+    val mapped = Seq((1L, 10L), (2L, 20L)).toDF("my_pk", "my_value")
+    val lower = graft.operators.ProvidedQuery.run(mapped,
+      "select my_pk, my_value from mapped where my_value > 10")
+    assert(lower.collect().toSeq == Seq(Row(2L, 20L)))
+    val aliased = graft.operators.ProvidedQuery.run(mapped,
+      "SELECT m.my_pk FROM mapped m WHERE m.my_pk = 1")
+    assert(aliased.collect().toSeq == Seq(Row(1L)))
+    val literal = graft.operators.ProvidedQuery.run(mapped,
+      "SELECT my_pk, 'FROM mapped' AS note FROM mapped WHERE my_pk = 1")
+    assert(literal.collect().toSeq == Seq(Row(1L, "FROM mapped")))
+    // the view is dropped after analysis — nothing leaks into the catalog
+    assert(!s.catalog.tableExists("mapped"))
+  }
+
   test("counter replay with the same batchId is exactly-once") {
     val root = Files.createTempDirectory("graft-ctr").toString
     val ctr = SinkTable("ks", "ctr", StructType(Seq(
