@@ -102,7 +102,8 @@ object Bench {
       "q33_ann_topk", "q34_ann_lsh_buckets", "q37_embedding_neardup",
       "q38_tumbling_window", "q39_sessionize", "q40_char_terms",
       "q41_corpus_pipeline", "q42_ann_ivf_cells", "q48_udt_tuple_codec",
-      "q51_decimal_base64", "q52_header_typed", "q53_ann_ivf_trained")
+      "q51_decimal_base64", "q52_header_typed", "q53_ann_ivf_trained",
+      "q57_avro_ingest")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       // min of two runs: first run pays codegen/JIT warmup; min is the

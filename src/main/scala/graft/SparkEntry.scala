@@ -607,6 +607,66 @@ object SparkEntry {
           .orderBy("my_pk")
       }),
 
+    // Avro ingestion mode (reference's perf-rig wire format,
+    // perf/dse-sink-avro.json:5-11): events re-encoded as Avro-binary value
+    // bytes, decoded ONCE per record by the AvroCodec expression, mapped into
+    // UDT + tuple targets through the Struct path. Oracle is the identity
+    // through encode→decode→struct-build, projected to scalars.
+    Q("q57_avro_ingest", Some(
+      """SELECT event_id AS my_pk, user_id AS udt_a, event_type AS udt_b, CAST(event_id % 97 AS BIGINT) AS t1, CAST(user_id % 89 AS BIGINT) AS t2 FROM events ORDER BY my_pk"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val ev = KafkaLike.events(sp, dir)
+        val avroSchema =
+          """{"type":"record","name":"Payload","fields":[
+            |{"name":"udt","type":{"type":"record","name":"U","fields":[
+            |  {"name":"a","type":"long"},{"name":"b","type":"string"}]}},
+            |{"name":"arr","type":{"type":"array","items":"long"}}
+            |]}""".stripMargin
+        val frame = ev.select(
+          lit("t").as("topic"), lit(0).as("partition"),
+          col("event_id").as("offset"),
+          col("event_id").cast(StringType).as("key"),
+          graft.functions.AvroCodec.to_avro_binary(struct(
+            struct(col("user_id").as("a"), col("event_type").as("b")).as("udt"),
+            array(col("event_id") % 97, col("user_id") % 89).as("arr")),
+            avroSchema).as("value"),
+          array(struct(lit("h").as("key"), lit("x").as("value"))).as("headers"),
+          expr("timestamp_micros(ts DIV 1000)").as("timestamp"))
+        val b = binding("topic.t.ks1.udt_t.mapping" ->
+          "my_pk=key, udt=value.udt, tup=value.arr")
+        RecordMapper.compile(b, udtTable, frame,
+            valueFormat = RecordMapper.Format.Avro(avroSchema))
+          .select(col("my_pk"), col("udt.a").as("udt_a"), col("udt.b").as("udt_b"),
+            col("tup.t1").as("t1"), col("tup.t2").as("t2"))
+          .orderBy("my_pk")
+      }),
+
+    // C3 — locale-sensitive timestamp pattern (French month names) parsed in
+    // a zone-less pattern with codec.timeZone=+02:00: the custom
+    // LocaleTimestampParse expression handles what to_timestamp cannot
+    // (session-locale only). Oracle is fixed-offset integer arithmetic.
+    Q("q58_codec_locale_ts", Some(
+      """SELECT event_id AS kafka_offset, CAST(epoch_ms(date_trunc('second', ts)) - 7200000 AS BIGINT) AS utc_ms FROM events ORDER BY kafka_offset"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+        val t = expr("timestamp_micros(ts DIV 1000)")
+        val frMonths = map(Seq(
+          1 -> "janvier", 2 -> "février", 3 -> "mars", 4 -> "avril",
+          5 -> "mai", 6 -> "juin", 7 -> "juillet", 8 -> "août",
+          9 -> "septembre", 10 -> "octobre", 11 -> "novembre",
+          12 -> "décembre").flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        val wall = concat(dayofmonth(t).cast(StringType), lit(" "),
+          element_at(frMonths, month(t)), lit(" "),
+          year(t).cast(StringType), lit(" "), date_format(t, "HH:mm:ss"))
+        val codec = SinkConfig.CodecSettings(
+          timestamp = "d MMMM uuuu HH:mm:ss", locale = "fr_FR",
+          timeZone = "+02:00")
+        ev.select(col("event_id").as("kafka_offset"),
+          unix_millis(Codecs.parseTimestamp(wall, codec)).as("utc_ms"))
+          .orderBy("kafka_offset")
+      }),
+
     Q("q43_rollup", Some(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus, CAST(GROUPING(l_returnflag) AS INT) AS g_rflag, CAST(GROUPING(l_linestatus) AS INT) AS g_lstatus, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY g_rflag, g_lstatus, rflag, lstatus"""),
       (s, dir) => lineitem(tune(s), dir)

@@ -222,6 +222,43 @@ class RecordMapperSpec extends SparkSuite {
     assert(out.head.getStruct(1) == Row(47L, "ninety"))
   }
 
+  test("Format.Avro decodes value bytes once and feeds the Struct path (perf/dse-sink-avro.json:5-11)") {
+    val avroSchema =
+      """{"type":"record","name":"V","fields":[
+        |{"name":"bigint","type":"long"},
+        |{"name":"udt","type":{"type":"record","name":"U","fields":[
+        |  {"name":"udtmem1","type":"int"},{"name":"udtmem2","type":"string"}]}},
+        |{"name":"opt","type":["null","string"],"default":null}
+        |]}""".stripMargin
+    // produce the wire bytes with the encode expression, then map them back
+    val binSchema = StructType(kafkaSchema.fields.map {
+      case f if f.name == "value" => StructField("value", BinaryType)
+      case f => f
+    })
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row("t", 0, 0L, "1", null, Seq.empty[Row],
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1000L))))
+    val recs = s.createDataFrame(l, binSchema)
+      .withColumn("value", graft.functions.AvroCodec.to_avro_binary(
+        struct(lit(1234567L).as("bigint"),
+          struct(lit(47).as("udtmem1"), lit("ninety").as("udtmem2")).as("udt"),
+          lit(null).cast(StringType).as("opt")), avroSchema))
+
+    val udtTable = SinkTable("ks", "types", StructType(Seq(
+      StructField("bigintcol", LongType),
+      StructField("udtcol", StructType(Seq(
+        StructField("udtmem1", LongType), StructField("udtmem2", StringType)))),
+      StructField("optcol", StringType))),
+      Seq("bigintcol"))
+    val b = bind("topic.t.ks.types.mapping" ->
+      "bigintcol=value.bigint, udtcol=value.udt, optcol=value.opt")
+    val out = compile(b, udtTable, recs, valueFormat = Format.Avro(avroSchema))
+      .select("bigintcol", "udtcol", "optcol").collect()
+    assert(out.head.getLong(0) == 1234567L)
+    assert(out.head.getStruct(1) == Row(47L, "ninety"))
+    assert(out.head.isNullAt(2)) // null union branch stays null
+  }
+
   test("JsonWithSchema decodes once via from_json, same results as dynamic JSON") {
     val t = SinkTable("ks", "tw", StructType(Seq(
       StructField("my_pk", LongType), StructField("a", LongType),
