@@ -61,6 +61,27 @@ object Probe {
     timed("lsh candidates (capped)")(
       graft.operators.Similarity.lshCandidates(buckets).count())
     buckets.unpersist(); ebig.unpersist()
+
+    // ---- near-dup cluster propagation: rounds are bounded by component
+    // DIAMETER, not size — a 50k-doc STAR (the realistic near-dup shape: one
+    // boilerplate template matching many docs) converges in ~2 rounds; the
+    // 30-link chain is the adversarial diameter case (1 round per link, the
+    // shape the maxIters guard exists for). Per-round cost is one equi-join
+    // + partial agg over (id, label) pairs — shuffle volume never grows with
+    // rounds.
+    val nDocs = 100000L
+    val docsIds = spark.range(nDocs).select(col("id").as("doc_id"))
+    val star = spark.range(1L, 50000L)
+      .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    val chain = spark.range(60000L, 60030L)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val cands = star.unionByName(chain)
+    timed("nearDupClusters (50k-star + 30-chain @100k docs)") {
+      val labels = graft.operators.Dedup.nearDupClusters(docsIds, cands, "doc_id")
+      val moved = labels.filter(col("cluster_id") =!= col("doc_id")).count()
+      require(moved == 49999L + 31L - 1L, s"wrong cluster sizes: $moved moved")
+      moved
+    }
     spark.stop()
   }
 }

@@ -166,14 +166,27 @@ object Dedup {
    * checkpoint per round so lineage stays flat. All-integer and
    * order-insensitive → deterministic on any cluster layout.
    */
-  def nearDupClusters(docs: DataFrame, candidates: DataFrame, idCol: String): DataFrame = {
+  def nearDupClusters(docs: DataFrame, candidates: DataFrame, idCol: String,
+      maxIters: Int = 50): DataFrame = {
     val edges = candidates.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(candidates.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
       .localCheckpoint()
     var changed = true
+    var rounds = 0
     while (changed) {
+      // plain label propagation converges in component-DIAMETER rounds; a
+      // pathological chain (diameter ≈ component size) would loop for as
+      // many rounds as it is long — cap it with a clear error rather than
+      // burn a cluster silently. Near-dup graphs are star/clique-ish (tiny
+      // diameter); hitting the cap means the input is not a near-dup graph.
+      if (rounds >= maxIters)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge after $maxIters rounds — the " +
+            "candidate graph has a component with diameter > maxIters; " +
+            "raise maxIters or pre-partition the graph")
+      rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
         .withColumnRenamed("src", "doc_id")
