@@ -869,6 +869,19 @@ object SparkEntry {
         "vec_id", "embedding", nCells = 8, iters = 3)
         .orderBy("item_id")),
 
+    // full trained-IVF ANN retrieval: multi-probe (2 nearest cells) + exact
+    // integer top-k within probed cells — the complete trained path
+    // hash-gated, not just the assignment (q53). Centroids templated into
+    // the oracle like q53.
+    Q("q59_ann_ivf_topk_trained", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv, CAST(list_sum(list_transform($dQuant, x -> x*x)) AS BIGINT) AS n2 FROM embeddings), c AS (SELECT CAST(cell_id AS INT) AS cell_id, list_transform(cv, x -> CAST(x AS BIGINT)) AS cv, CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS cn2 FROM (VALUES $IvfCentroidsPlaceholder) t(cell_id, cv)), d AS (SELECT item_id, cell_id, n2 + cn2 - 2*CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*cv[CAST(i+1 AS INT)])) AS BIGINT) AS dist2 FROM v CROSS JOIN c), a AS (SELECT item_id, cell_id FROM (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY dist2, cell_id) AS rn FROM d) WHERE rn = 1), q AS (SELECT item_id AS query_id FROM v WHERE item_id < 10), p AS (SELECT query_id, cell_id FROM (SELECT q.query_id, d.cell_id, row_number() OVER (PARTITION BY q.query_id ORDER BY d.dist2, d.cell_id) AS pr FROM q JOIN d ON q.query_id = d.item_id) WHERE pr <= 2), cand AS (SELECT DISTINCT p.query_id, a.item_id FROM p JOIN a USING (cell_id) WHERE a.item_id <> p.query_id), sc AS (SELECT cand.query_id, cand.item_id, CAST(list_sum(list_transform(range(len(cv2.qv)), i -> cv2.qv[CAST(i+1 AS INT)]*qv2.qv[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM cand JOIN v cv2 ON cand.item_id = cv2.item_id JOIN v qv2 ON cand.query_id = qv2.item_id), rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM sc) SELECT query_id, item_id, dot, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, iters = 3)
+          .orderBy("query_id", "rank")
+      }),
+
     // near-dup CLUSTER assignment: connected components over the minhash-LSH
     // candidate graph (min reachable doc id), vs q41's pair-drop policy.
     // Oracle computes true reachability with a recursive CTE; the Spark side
