@@ -914,6 +914,45 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("sample_rank"))
         .orderBy("lang", "sample_rank")),
 
+    // F2 at CELL granularity: two bindings write DISJOINT columns of the
+    // same table with interleaved timestamps — per-cell writetimes
+    // (Cassandra cell reconciliation) land both writes, where row-level LWW
+    // would refuse the older write to the untouched column. State is built
+    // by chaining mergeIntoCellWise from an empty table; the oracle mirrors
+    // cell-presence (a cell exists iff its value is non-null) and takes the
+    // row writetime as the greatest live-cell writetime.
+    Q("q60_cellwise_merge", Some(
+      """WITH f AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT)*1000 AS wt, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type FROM events), s0 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY wt DESC, event_id DESC) AS rn FROM f WHERE event_id % 2 = 0), s AS (SELECT user_id, k AS s_value, wt AS s_wt FROM s0 WHERE rn = 1), b0 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY wt DESC, event_id DESC) AS rn FROM f WHERE event_id % 2 = 1), b AS (SELECT user_id, event_type AS b_text, wt AS b_wt FROM b0 WHERE rn = 1) SELECT COALESCE(b.user_id, s.user_id) AS my_pk, s.s_value AS my_value, CASE WHEN s.s_value IS NOT NULL THEN s.s_wt END AS wt_value, b.b_text AS my_text, CASE WHEN b.b_text IS NOT NULL THEN b.b_wt END AS wt_text, GREATEST(COALESCE(CASE WHEN s.s_value IS NOT NULL THEN s.s_wt END, -9223372036854775807 - 1), COALESCE(CASE WHEN b.b_text IS NOT NULL THEN b.b_wt END, -9223372036854775807 - 1)) AS __writetime FROM s FULL OUTER JOIN b ON s.user_id = b.user_id WHERE s.s_value IS NOT NULL OR b.b_text IS NOT NULL ORDER BY my_pk"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val bVal = binding(
+          "topic.t.ks1.pk_value3.mapping" -> "my_pk=key, my_value=value.k",
+          "topic.t.ks1.pk_value3.deletesEnabled" -> "false")
+        val bText = binding(
+          "topic.t.ks1.pk_value3.mapping" -> "my_pk=key, my_text=header.h_etype",
+          "topic.t.ks1.pk_value3.deletesEnabled" -> "false")
+        val wtc = col(RecordMapper.WritetimeCol)
+        val even = Upserts.lwwCompact(
+          RecordMapper.compile(bVal, pkValue3,
+            f.filter(col("offset") % 2 === 0), keepCols = Seq("offset")),
+          Seq("my_pk"), Seq(wtc, col("offset")))
+          .drop("offset", RecordMapper.TtlCol)
+        val odd = Upserts.lwwCompact(
+          RecordMapper.compile(bText, pkValue3,
+            f.filter(col("offset") % 2 === 1), keepCols = Seq("offset")),
+          Seq("my_pk"), Seq(wtc, col("offset")))
+          .drop("offset", RecordMapper.TtlCol)
+        val empty = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("my_pk", LongType))))
+        val st1 = Upserts.mergeIntoCellWise(empty, even, pkValue3)
+        Upserts.mergeIntoCellWise(st1, odd, pkValue3)
+          .select(col("my_pk"), col("my_value"),
+            col("__wt_my_value").as("wt_value"), col("my_text"),
+            col("__wt_my_text").as("wt_text"), col("__writetime"))
+          .orderBy("my_pk")
+      }),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -160,6 +160,96 @@ object Upserts {
       .select((pkCols ++ valueCols ++ (wtCol +: expCols)): _*)
   }
 
+  /**
+   * CELL-level LWW merge: every regular column carries its own writetime
+   * (`__wt_<col>` in the state frame), matching Cassandra's per-cell
+   * reconciliation exactly (each cell reconciles on its own timestamp —
+   * reference semantics behind `USING TIMESTAMP`,
+   * WriteTimestampAndTtlCCMIT.java:45-70). [[mergeInto]]'s row-level
+   * writetime is correct when every binding writes the same column set; it
+   * diverges when bindings write DISJOINT columns out of order: a row
+   * updated at t=200 on column a must still accept a t=150 first write to
+   * column b — per-cell timestamps accept it, a row-level timestamp
+   * wrongly refuses.
+   *
+   * Semantics per mode:
+   *  - UPSERT: cell overwrites iff batch wt >= that CELL's wt (null cell +
+   *    nullToUnset leaves the cell); the cell's wt advances with it
+   *  - DELETE at wt T is a row tombstone covering cells with wt <= T:
+   *    covered cells null out, cells written after T survive; a row with no
+   *    surviving cells disappears
+   *
+   * Output: pk + regular cols + per-cell `__wt_<col>` + `__writetime`
+   * (= greatest live cell wt, for compatibility with row-level readers).
+   * TTL/expiry is not modeled here (use [[mergeInto]] for row expiry).
+   * Same plan shape as [[mergeInto]]: one full-outer pk join, partial-agg
+   * compaction before it — cell wts add one long column per regular column,
+   * nothing else.
+   */
+  def mergeIntoCellWise(
+      state: DataFrame,
+      batch: DataFrame,
+      table: SinkTable,
+      nullToUnset: Boolean = true): DataFrame = {
+
+    val pk = table.primaryKey
+    val wt = RecordMapper.WritetimeCol
+    val mode = RecordMapper.ModeCol
+    def cellWt(c: String) = s"__wt_$c"
+
+    val batchCols = batch.columns.toSet
+    val mappedRegular = table.regularCols.filter(batchCols.contains)
+
+    val tiebreak = struct(batch.columns.sorted.map(col).toIndexedSeq: _*)
+    val compacted = lwwCompact(batch, pk, Seq(col(wt), tiebreak))
+
+    val s = state.alias("s")
+    val b = compacted.alias("b")
+    val joinCond = pk.map(k => col(s"s.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val joined = s.join(b, joinCond, "full_outer")
+
+    val inBatch = col(s"b.$mode").isNotNull
+    val isDelete = inBatch && col(s"b.$mode") === RecordMapper.ModeDelete
+
+    val pkCols = pk.map(k => coalesce(col(s"b.$k"), col(s"s.$k")).as(k))
+    val cellCols: Seq[Column] = table.regularCols.flatMap { c =>
+      val sCell = if (state.columns.contains(c)) col(s"s.$c")
+        else lit(null).cast(table.schema(c).dataType)
+      val sWt = if (state.columns.contains(cellWt(c))) col(s"s.${cellWt(c)}")
+        else lit(null).cast(LongType)
+      val survivesDelete = sWt.isNotNull && sWt > col(s"b.$wt")
+      val deleted = when(survivesDelete, sCell).otherwise(lit(null))
+      val deletedWt = when(survivesDelete, sWt).otherwise(lit(null).cast(LongType))
+      if (!mappedRegular.contains(c))
+        Seq(when(isDelete, deleted).otherwise(sCell).as(c),
+          when(isDelete, deletedWt).otherwise(sWt).as(cellWt(c)))
+      else {
+        val bCell = col(s"b.$c")
+        val cellWins = inBatch && !isDelete &&
+          (sWt.isNull || col(s"b.$wt") >= sWt)
+        val overwrite =
+          if (nullToUnset) cellWins && bCell.isNotNull else cellWins
+        Seq(
+          when(isDelete, deleted)
+            .otherwise(when(overwrite, bCell).otherwise(sCell)).as(c),
+          when(isDelete, deletedWt)
+            .otherwise(when(overwrite, col(s"b.$wt")).otherwise(sWt))
+            .as(cellWt(c)))
+      }
+    }
+    val liveWts = table.regularCols.map(c => col(cellWt(c)))
+    val anyCellLive = table.regularCols.map(c => col(c).isNotNull)
+      .reduceOption(_ || _).getOrElse(lit(true))
+
+    joined
+      .select((pkCols ++ cellCols): _*)
+      // a row whose cells are all gone (full tombstone coverage, or a delete
+      // of an absent row) disappears
+      .filter(anyCellLive)
+      .withColumn(wt, greatest(
+        (liveWts :+ lit(Long.MinValue).cast(LongType)): _*))
+  }
+
   /** Merge counter increments into state: state + increment, per key. */
   def mergeCounters(state: DataFrame, increments: DataFrame, table: SinkTable): DataFrame = {
     val pk = table.primaryKey

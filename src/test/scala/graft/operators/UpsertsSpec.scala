@@ -143,6 +143,72 @@ class UpsertsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2060L), (2L, null)))
   }
 
+  // ---- cell-level writetime reconciliation (mergeIntoCellWise) ----
+
+  private val cellStateSchema = StructType(Seq(
+    StructField("pk", LongType), StructField("a", LongType),
+    StructField("b", StringType), StructField("__wt_a", LongType),
+    StructField("__wt_b", LongType)))
+
+  test("cell-wise: disjoint-column writes with interleaved timestamps both land") {
+    // state: column a written at t=200 (b never written). A later batch
+    // writes ONLY column b at t=150. Row-level LWW would refuse (150 < 200);
+    // per-cell reconciliation accepts it — b's own cell timestamp is unset.
+    val state = df(cellStateSchema, Row(1L, 10L, null, 200L, null))
+    val batchB = df(
+      StructType(Seq(StructField("pk", LongType), StructField("b", StringType),
+        StructField(WritetimeCol, LongType), StructField(ModeCol, StringType))),
+      Row(1L, "late-b", 150L, ModeUpsert))
+    val out = Upserts.mergeIntoCellWise(state, batchB, table).collect()
+    assert(out.toSeq ==
+      Seq(Row(1L, 10L, 200L, "late-b", 150L, 200L))) // a,b live; __writetime=max
+  }
+
+  test("cell-wise: stale write to a newer cell loses, per cell not per row") {
+    val state = df(cellStateSchema, Row(1L, 10L, "new", 200L, 300L))
+    // batch writes both cells at t=250: overwrites a (250>=200), loses b (250<300)
+    val batch = df(batchSchema, Row(1L, 77L, "stale", 250L, ModeUpsert))
+    val out = Upserts.mergeIntoCellWise(state, batch, table).collect()
+    assert(out.toSeq == Seq(Row(1L, 77L, 250L, "new", 300L, 300L)))
+  }
+
+  test("cell-wise: delete at T is a tombstone covering cells with wt <= T") {
+    val state = df(cellStateSchema,
+      Row(1L, 10L, "keep", 100L, 300L), // a@100 covered, b@300 survives
+      Row(2L, 20L, "gone", 100L, 150L)) // full coverage → row disappears
+    val batch = df(batchSchema,
+      Row(1L, null, null, 200L, ModeDelete),
+      Row(2L, null, null, 200L, ModeDelete),
+      Row(9L, null, null, 200L, ModeDelete)) // absent row → no-op
+    val out = Upserts.mergeIntoCellWise(state, batch, table).collect()
+    assert(out.toSeq == Seq(Row(1L, null, null, "keep", 300L, 300L)))
+  }
+
+  test("cell-wise: null + nullToUnset leaves the cell AND its timestamp") {
+    val state = df(cellStateSchema, Row(1L, 10L, "old", 100L, 100L))
+    val batch = df(batchSchema, Row(1L, 20L, null, 200L, ModeUpsert))
+    val out = Upserts.mergeIntoCellWise(state, batch, table).collect()
+    assert(out.toSeq == Seq(Row(1L, 20L, 200L, "old", 100L, 200L)))
+  }
+
+  test("cell-wise: chaining from empty state builds typed cell columns") {
+    val empty = df(StructType(Seq(StructField("pk", LongType))))
+    val batchA = df(
+      StructType(Seq(StructField("pk", LongType), StructField("a", LongType),
+        StructField(WritetimeCol, LongType), StructField(ModeCol, StringType))),
+      Row(1L, 11L, 100L, ModeUpsert))
+    val st1 = Upserts.mergeIntoCellWise(empty, batchA, table)
+    // unmapped column b must come out as a typed (string) null, so the next
+    // merge can overwrite it
+    assert(st1.schema("b").dataType == StringType)
+    val batchB = df(
+      StructType(Seq(StructField("pk", LongType), StructField("b", StringType),
+        StructField(WritetimeCol, LongType), StructField(ModeCol, StringType))),
+      Row(1L, "bee", 90L, ModeUpsert))
+    val out = Upserts.mergeIntoCellWise(st1, batchB, table).collect()
+    assert(out.toSeq == Seq(Row(1L, 11L, 100L, "bee", 90L, 100L)))
+  }
+
   test("batch grouping caps at 32 records per partition-key batch (A2)") {
     val rows = (1 to 70).map(i => Row(1L, i.toLong, "x", 0L, ModeUpsert)) :+
       Row(2L, 1L, "y", 0L, ModeUpsert)
