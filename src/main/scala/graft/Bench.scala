@@ -103,7 +103,8 @@ object Bench {
       "q38_tumbling_window", "q39_sessionize", "q40_char_terms",
       "q41_corpus_pipeline", "q42_ann_ivf_cells", "q48_udt_tuple_codec",
       "q51_decimal_base64", "q52_header_typed", "q53_ann_ivf_trained",
-      "q57_avro_ingest")
+      "q57_avro_ingest", "q61_pii_redact", "q62_repetition",
+      "q63_decontaminate")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       // min of two runs: first run pays codegen/JIT warmup; min is the

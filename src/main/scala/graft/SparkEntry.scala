@@ -953,6 +953,52 @@ object SparkEntry {
           .orderBy("my_pk")
       }),
 
+    // PII scrub — the first pass of every pre-training pipeline: class
+    // counts (before redaction) + ordered scrub chain of codegen'd
+    // regexp_replace. PII is synthesized deterministically per doc (the
+    // corpus itself is synthetic), identically in both engines; the regexes
+    // stay in the Java∩RE2 dialect so Spark and DuckDB match bit-for-bit.
+    Q("q61_pii_redact", Some(
+      """WITH s AS (SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text FROM documents) SELECT doc_id, CAST(len(regexp_extract_all(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(full_text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(full_text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip, CAST(len(regexp_extract_all(full_text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn, regexp_replace(regexp_replace(regexp_replace(regexp_replace(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'), '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted FROM s ORDER BY doc_id"""),
+      (s, dir) => {
+        val synth = concat(col("text"),
+          lit(" Contact user"), col("doc_id").cast(StringType),
+          lit("@example.com tel 555-123-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+          lit(" ip 10."), (col("doc_id") % 200).cast(StringType),
+          lit(".0.1 ssn 987-65-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+        docs(tune(s), dir)
+          .select(col("doc_id"), synth.as("full_text"))
+          .select(col("doc_id"),
+            TextAnalysis.piiCount(col("full_text"), "email").as("n_email"),
+            TextAnalysis.piiCount(col("full_text"), "phone").as("n_phone"),
+            TextAnalysis.piiCount(col("full_text"), "ip").as("n_ip"),
+            TextAnalysis.piiCount(col("full_text"), "ssn").as("n_ssn"),
+            TextAnalysis.piiRedact(col("full_text")).as("redacted"))
+          .orderBy("doc_id")
+      }),
+
+    // repetition / boilerplate quality signals (Gopher-style): duplicate-
+    // token fraction + most-frequent-bigram fraction, integer percentages
+    Q("q62_repetition", Some(
+      s"""WITH t AS (SELECT doc_id, list_transform($dToks, tok -> ${dFold("tok")}) AS th FROM documents), base AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens, CAST(len(list_distinct(th)) AS BIGINT) AS n_distinct FROM t), bg AS (SELECT doc_id, unnest(CASE WHEN len(th) < 2 THEN [] ELSE list_transform(range(len(th)-1), i -> (th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647) END) AS h FROM t), c AS (SELECT doc_id, h, COUNT(*) AS c FROM bg GROUP BY 1, 2), top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM c GROUP BY 1), j AS (SELECT base.doc_id AS doc_id, n_tokens, CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE (n_tokens - n_distinct) * 100 // n_tokens END AS BIGINT) AS dup_token_pct, CAST(CASE WHEN n_bigrams IS NULL OR n_bigrams = 0 THEN 0 ELSE top_c * 100 // n_bigrams END AS BIGINT) AS top_bigram_pct FROM base LEFT JOIN top ON base.doc_id = top.doc_id) SELECT doc_id, n_tokens, dup_token_pct, top_bigram_pct, (dup_token_pct >= 40 OR top_bigram_pct >= 20) AS repetitive FROM j ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.repetitionStats(docs(tune(s), dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: corpus docs sharing >= 1 trigram shingle
+    // with the eval slice (doc_id % 7 == 0) — broadcast eval shingle set,
+    // map-only corpus join
+    Q("q63_decontaminate", Some(
+      s"""$dShingles, ev AS (SELECT DISTINCT h FROM shex WHERE doc_id % 7 = 0), cs AS (SELECT doc_id, h FROM shex WHERE doc_id % 7 <> 0) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared FROM cs JOIN ev USING (h) GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        Dedup.contamination(
+          d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", shingleN = 3, minShared = 1)
+          .orderBy("doc_id")
+      }),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -289,4 +289,33 @@ object Dedup {
       .filter(col("n_inter") * 100L >= col("n_union") * minJaccardPct)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
+
+  // --------------------------------------------------------- contamination
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing at least
+   * `minShared` n-gram shingles with an evaluation set — the train/test
+   * overlap scrub every pre-training pipeline runs before the corpus ships.
+   *
+   * Shape at 100 TB: the EVAL side is small by definition (benchmarks are
+   * thousands of documents, the corpus is billions), so its distinct shingle
+   * set broadcasts and the corpus side joins MAP-ONLY — the 100-TB corpus
+   * never shuffles to meet the eval set; the only shuffle is the per-doc
+   * match count (doc_id, partial count). Shingles are the same 8-byte
+   * deterministic hashes as [[ngramJaccardPairs]] — text never leaves the
+   * scan stage.
+   *
+   * Output: (doc_id, n_shared) for contaminated docs only; anti-join it
+   * against the corpus to apply (same pattern as [[applyNearDedup]]).
+   */
+  def contamination(corpus: DataFrame, evalDocs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 3, minShared: Int = 1): DataFrame = {
+    val c = shingleHashRows(corpus, textCol, idCol, shingleN)
+    val e = shingleHashRows(evalDocs, textCol, idCol, shingleN)
+      .select(col("h")).distinct()
+    c.join(broadcast(e), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // h is distinct per doc upstream
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -155,6 +155,82 @@ object TextAnalysis {
     }
   }
 
+  // ------------------------------------------------------------ PII
+
+  /**
+   * PII patterns, restricted to the regex subset Java and RE2 (the DuckDB
+   * oracle) evaluate identically: character classes, bounded repetition,
+   * `\b` word boundaries — no lookaround, no backreferences. The four
+   * classes every pre-training scrub pass runs first: emails, North-American
+   * phone numbers, IPv4 addresses, SSNs. Lists are swappable; the operator
+   * shape (ordered scrub chain of codegen'd regexp_replace, counts before
+   * redaction) is what scales.
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // order matters: each class's matches are disjoint from the others'
+    // (different separator shapes), and replacement tokens (<EMAIL> etc.)
+    // can't create new matches downstream
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "ssn" -> """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b""",
+    "phone" -> """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b""",
+    "ip" -> """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""")
+
+  /** Occurrences of one PII class (count BEFORE redaction). */
+  def piiCount(text: Column, kind: String): Column =
+    regexp_count(text, lit(PiiPatterns.toMap.apply(kind))).cast(LongType)
+
+  /** Scrub all PII classes, each replaced by its `<KIND>` token. A chain of
+    * codegen'd `regexp_replace` — one projection, no UDFs. */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, lit(pat), lit(s"<${kind.toUpperCase}>"))
+    }
+
+  // ------------------------------------------------------------ repetition
+
+  /**
+   * Repetition / boilerplate signals per document (the Gopher-style quality
+   * facets): duplicate-token fraction and most-frequent-bigram fraction,
+   * both as integer percentages so the oracle matches exactly.
+   *
+   * Shape at 100 TB: tokens hash once (codegen'd fold), bigram hashes come
+   * from a `lead` window KEYED BY doc_id (co-located, never global), then
+   * two map-side-combined groupBys whose shuffles carry (doc_id, hash,
+   * partial count) — the text itself never shuffles.
+   *
+   * Output: doc_id, n_tokens, dup_token_pct, top_bigram_pct, repetitive
+   * (dup ≥ dupPctMax ∨ top-bigram ≥ bigramPctMax).
+   */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, dupPctMax: Long = 40L, bigramPctMax: Long = 20L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val th = docs.select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("th"))
+    val base = th.select(col("doc_id"),
+      size(col("th")).cast(LongType).as("n_tokens"),
+      size(array_distinct(col("th"))).cast(LongType).as("n_distinct"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = th
+      .select(col("doc_id"), posexplode(col("th")).as(Seq("pos", "h0")))
+      .withColumn("h", (col("h0") * 131L + lead(col("h0"), 1).over(w)) % HashPrime)
+      .filter(col("h").isNotNull)
+    val top = bigrams
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    val dupPct = when(col("n_tokens") === 0, lit(0L))
+      .otherwise(floor((col("n_tokens") - col("n_distinct")) * 100L / col("n_tokens"))
+        .cast(LongType))
+    val bigramPct = when(col("n_bigrams").isNull || col("n_bigrams") === 0, lit(0L))
+      .otherwise(floor(col("top_c") * 100L / col("n_bigrams")).cast(LongType))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        dupPct.as("dup_token_pct"), bigramPct.as("top_bigram_pct"))
+      .withColumn("repetitive",
+        col("dup_token_pct") >= dupPctMax || col("top_bigram_pct") >= bigramPctMax)
+  }
+
   /**
    * Corpus vocabulary: per-token total term frequency and document
    * frequency, top `k` by (tf desc, token asc) — the BPE/tokenizer-training

@@ -219,6 +219,44 @@ class PipelineOpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9: exact=$exact ivf=$ivf")
   }
 
+  test("PII redaction scrubs all four classes; counts see pre-redaction text") {
+    val d = docs((1L,
+      "mail bob.smith+x@sub.example.org and 10.0.42.7 tel 555-867-5309 ssn 123-45-6789"),
+      (2L, "clean text with no pii at all 1234"))
+    val out = d.select(col("doc_id"),
+      TextAnalysis.piiCount(col("text"), "email").as("ne"),
+      TextAnalysis.piiCount(col("text"), "phone").as("np"),
+      TextAnalysis.piiCount(col("text"), "ip").as("ni"),
+      TextAnalysis.piiCount(col("text"), "ssn").as("ns"),
+      TextAnalysis.piiRedact(col("text")).as("red"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).toSeq.drop(1) == Seq(1L, 1L, 1L, 1L,
+      "mail <EMAIL> and <IP> tel <PHONE> ssn <SSN>"))
+    assert(out(1).toSeq.drop(1) == Seq(0L, 0L, 0L, 0L,
+      "clean text with no pii at all 1234"))
+  }
+
+  test("repetition stats: dup-token and top-bigram fractions, integer pcts") {
+    val d = docs(
+      (1L, "spam spam spam spam eggs"), // 5 tokens, 2 distinct; "spam spam" 3 of 4 bigrams
+      (2L, "one two three four five six seven eight nine ten eleven"))
+    val stats = TextAnalysis.repetitionStats(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(stats(0) == ((1L, 5L, 60L, 75L, true)))   // (5-2)*100/5; 3*100/4
+    assert(stats(1) == ((2L, 11L, 0L, 10L, false)))  // all unique; 1*100/10
+  }
+
+  test("decontamination flags only docs sharing shingles with the eval set") {
+    val evalSet = docs((100L, "the quick brown fox jumps over the lazy dog"))
+    val corpus = docs(
+      (1L, "intro text then the quick brown fox appears here"), // shares shingles
+      (2L, "completely unrelated words nothing in common at all"))
+    val out = Dedup.contamination(corpus, evalSet, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L))) // "the quick brown","quick brown fox"
+  }
+
   test("multimodal stub decode preserves ids and emits plausible metadata") {
     val d = docs((3L, "some video payload text"), (5L, "another one"))
     implicit val sp = s
