@@ -40,6 +40,24 @@ object Probe {
       graft.operators.Dedup.simhash(big, "text", "doc_id").count())
     timed("exact dedup")(
       graft.operators.Dedup.exact(big, "text", "doc_id").count())
+
+    // ---- curation pass probes: PII + repetition are pure projections /
+    // keyed windows (map-scale); decontamination must BROADCAST the eval
+    // shingle set so the corpus side never shuffles to meet it
+    timed("pii redact (projection)")(
+      big.select(col("doc_id"),
+        graft.operators.TextAnalysis.piiRedact(col("text")).as("r")).count())
+    timed("repetition stats")(
+      graft.operators.TextAnalysis.repetitionStats(big, "text", "doc_id").count())
+    val contam = graft.operators.Dedup.contamination(
+      big.filter(col("doc_id") % 7 =!= 0), big.filter(col("doc_id") % 7 === 0),
+      "text", "doc_id")
+    val contamPlan = contam.queryExecution.executedPlan.toString
+    require(contamPlan.contains("BroadcastHashJoin") ||
+      contamPlan.contains("BroadcastExchange"),
+      "decontamination must broadcast the eval shingle set")
+    println("decontamination plan: eval shingle set broadcasts (checked)")
+    timed("decontamination (1/7 eval slice)")(contam.count())
     big.unpersist()
 
     // ---- embedding-LSH fan-out bound: per-(table,bucket) occupancy is what
