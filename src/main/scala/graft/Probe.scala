@@ -58,6 +58,24 @@ object Probe {
       "decontamination must broadcast the eval shingle set")
     println("decontamination plan: eval shingle set broadcasts (checked)")
     timed("decontamination (1/7 eval slice)")(contam.count())
+
+    // ---- sequence packing: the prefix scan must stay two-stage — bucket
+    // offsets BROADCAST onto a keyed window, never a global WindowExec
+    val pack = graft.operators.Packing.packPlan(big, "text", "doc_id", 2048)
+    val packPlan = pack.queryExecution.executedPlan.toString
+    require(packPlan.contains("BroadcastHashJoin") ||
+      packPlan.contains("BroadcastExchange"),
+      "pack plan must broadcast the bucket offsets")
+    require(!packPlan.contains("windowspecdefinition()"),
+      "pack plan must not use an unpartitioned window")
+    println("pack plan: bucket offsets broadcast, window keyed (checked)")
+    timed("pack plan (2048-token seqs)")(pack.count())
+    timed("pack occupancy")(
+      graft.operators.Packing.packOccupancy(pack, 2048).count())
+    timed("mixture sample (map-only)")(
+      graft.operators.Sampling.mixtureSample(
+        big.withColumn("cls", (col("doc_id") % 5).cast("string")),
+        "cls", "doc_id", Map("0" -> 250, "1" -> 30)).count())
     big.unpersist()
 
     // ---- embedding-LSH fan-out bound: per-(table,bucket) occupancy is what

@@ -999,6 +999,37 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // sequence packing (GPT-style concat-and-chunk plan): global token
+    // offsets via a two-stage distributed prefix scan (per-bucket sums
+    // broadcast as offsets + keyed within-bucket windows — never a global
+    // single-partition window); the oracle's plain running-window cumsum
+    // checks the scan exactly
+    Q("q64_pack_plan", Some(
+      s"""WITH t AS (SELECT doc_id, CAST(len($dToks) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t) SELECT doc_id, n_tokens, start_off, CAST(start_off // 512 AS BIGINT) AS pack_first, CAST(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 512 END AS BIGINT) AS pack_last, CAST(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 ELSE 0 END AS BIGINT) AS n_packs FROM c ORDER BY doc_id"""),
+      (s, dir) => Packing.packPlan(docs(tune(s), dir), "text", "doc_id",
+        seqLen = 512, nBuckets = 64).orderBy("doc_id")),
+
+    // sequence-slot occupancy from the packing plan: docs per output
+    // sequence + filled token slots (bounded explode + one partial-agg
+    // groupBy)
+    Q("q65_pack_occupancy", Some(
+      s"""WITH t AS (SELECT doc_id, CAST(len($dToks) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t), p AS (SELECT doc_id, n_tokens, start_off, start_off // 512 AS pf, (start_off + n_tokens - 1) // 512 AS pl FROM c WHERE n_tokens > 0), e AS (SELECT doc_id, start_off, n_tokens, CAST(unnest(range(pf, pl + 1)) AS BIGINT) AS pack_id FROM p) SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(LEAST(start_off + n_tokens, (pack_id + 1) * 512) - GREATEST(start_off, pack_id * 512)) AS BIGINT) AS n_filled FROM e GROUP BY pack_id ORDER BY pack_id"""),
+      (s, dir) => Packing.packOccupancy(
+        Packing.packPlan(docs(tune(s), dir), "text", "doc_id",
+          seqLen = 512, nBuckets = 64), seqLen = 512).orderBy("pack_id")),
+
+    // domain-mixture resampling: epoch mixing by deterministic replication —
+    // downsample predicted-English to 0.3×, upsample German 2.5×, keep the
+    // rest; map-only integer hash + bounded explode
+    Q("q66_mixture_sample", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)), w AS (SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 30 WHEN lang = 'de' THEN 250 ELSE 100 END AS w FROM lg), c AS (SELECT doc_id, lang, w // 100 + CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < w % 100 THEN 1 ELSE 0 END AS n FROM w) SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS copy_idx FROM c WHERE n > 0 ORDER BY doc_id, copy_idx"""),
+      (s, dir) => Sampling.mixtureSample(
+        docs(tune(s), dir).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang")),
+        "lang", "doc_id", Map("en" -> 30, "de" -> 250))
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx")),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -47,4 +47,33 @@ object Sampling {
    */
   def ratePct(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(idHash(col(idCol)) % 100L < pct.toLong)
+
+  /**
+   * Domain-mixture resampling: re-weight classes (language / source /
+   * quality tier) toward a target mixture by REPLICATING or dropping rows.
+   * `weightsPct(c) = 250` keeps 2.5 copies of every class-`c` row (2 always,
+   * a 3rd for the deterministic 50% of ids), `30` keeps 0.3 copies. This is
+   * the epoch-mixing step of a pre-training data pipeline (e.g. upsample
+   * wiki 3×, downsample crawl to 0.4×).
+   *
+   * Map-only: n_copies is pure integer arithmetic on the id hash, and the
+   * replication is one `explode` of a [0, n_copies) range — no shuffle, no
+   * RNG, identical output on any cluster. Output = input columns plus
+   * `copy_idx` (0-based replica index).
+   */
+  def mixtureSample(df: DataFrame, classCol: String, idCol: String,
+      weightsPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: weightsPct.values.toSeq).forall(_ >= 0),
+      "weights must be non-negative")
+    val w = weightsPct.foldLeft(lit(defaultPct)) { case (acc, (cls, pct)) =>
+      when(col(classCol) === cls, lit(pct)).otherwise(acc)
+    }.cast(LongType)
+    val copies = (w / 100L).cast(LongType) +
+      when(idHash(col(idCol)) % 100L < w % 100L, 1L).otherwise(0L)
+    df.withColumn("__n_copies", copies)
+      .filter(col("__n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("__n_copies") - 1L)))
+      .drop("__n_copies")
+  }
 }

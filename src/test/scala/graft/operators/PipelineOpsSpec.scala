@@ -268,4 +268,59 @@ class PipelineOpsSpec extends SparkSuite {
     assert(dec.forall(m => m.width >= 64 && m.height >= 64 && m.n_frames >= 1))
     assert(dec.forall(_.feature.length == 8))
   }
+
+  test("pack plan: offsets, boundary-spanning docs, empty docs") {
+    val d = docs((1L, "a b c"), (2L, "d e f g"), (3L, "   "),
+      (4L, "h i j k l m"))
+    val out = Packing.packPlan(d, "text", "doc_id", seqLen = 5, nBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),   // fits in pack 0
+      (2L, 4L, 3L, 0L, 1L, 2L),   // spans packs 0-1
+      (3L, 0L, 7L, 1L, -1L, 0L),  // empty doc: offset defined, no packs
+      (4L, 6L, 7L, 1L, 2L, 2L)))  // spans packs 1-2
+    // the scan is bucket-count-invariant (one bucket = trivially serial)
+    val serial = Packing.packPlan(d, "text", "doc_id", seqLen = 5, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(serial.toSeq == out.map(t => (t._1, t._3)).toSeq)
+  }
+
+  test("pack occupancy: docs per sequence and filled slots") {
+    val d = docs((1L, "a b c"), (2L, "d e f g"), (3L, "   "),
+      (4L, "h i j k l m"))
+    val plan = Packing.packPlan(d, "text", "doc_id", seqLen = 5, nBuckets = 2)
+    val occ = Packing.packOccupancy(plan, seqLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // stream: doc1 [0,3) doc2 [3,7) doc4 [7,13)
+    assert(occ.toSeq == Seq((0L, 2L, 5L), (1L, 2L, 5L), (2L, 1L, 3L)))
+  }
+
+  test("mixture sample: deterministic fractional replication per class") {
+    val d = docs((1L to 40L).map(i => (i, i % 4 match {
+      case 0 => "up"; case 1 => "down"; case 2 => "drop"; case _ => "other"
+    })): _*).withColumnRenamed("text", "cls")
+    val out = Sampling.mixtureSample(d, "cls", "doc_id",
+      Map("up" -> 250, "down" -> 50, "drop" -> 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byClass = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val copies = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // up: every row 2 or 3 copies; down: 0 or 1; drop: gone; other: exactly 1
+    assert(out.filter(_._2 == "up").groupBy(_._1).forall {
+      case (_, c) => c.length == 2 || c.length == 3 })
+    assert(byClass.getOrElse("drop", 0) == 0)
+    assert(byClass("other") == 10)
+    assert(byClass("down") <= 10 && copies.values.forall(_ <= 3))
+    // copy_idx is a dense 0-based range per kept row
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // rerun is bit-identical (no RNG state)
+    val again = Sampling.mixtureSample(d, "cls", "doc_id",
+      Map("up" -> 250, "down" -> 50, "drop" -> 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
 }
