@@ -1030,6 +1030,44 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("copy_idx"))
         .orderBy("doc_id", "copy_idx")),
 
+    // token-budget selection: keep the best-scoring docs (stopword-ratio
+    // pct as the integer quality score) until a 15k-token global budget —
+    // the same two-stage scan as q64 with the SCORE as the bucket, so the
+    // per-score offsets collected to the driver are bounded by the score
+    // domain (101 values), not the corpus
+    Q("q67_budget_select", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS BIGINT) AS sw FROM t), sc AS (SELECT doc_id, n_tokens, CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE sw * 100 // n_tokens END AS BIGINT) AS score FROM b), c AS (SELECT doc_id, score, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM sc) SELECT doc_id, score, n_tokens, start_off FROM c WHERE start_off < 15000 ORDER BY score DESC, doc_id"""),
+      (s, dir) => {
+        val base = docs(tune(s), dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.stopwordCount(col("text")).as("sw"))
+          .withColumn("score", when(col("n_tokens") === 0, 0L)
+            .otherwise(expr("sw * 100 DIV n_tokens")))
+          .drop("sw")
+        Packing.budgetSelect(base, "score", "doc_id", "n_tokens", 15000L)
+          .select(col("doc_id"), col("score"), col("n_tokens"),
+            col("start_off"))
+          .orderBy(col("score").desc, col("doc_id"))
+      }),
+
+    // cross-source canonical pick: one kept doc per near-dup cluster,
+    // preferring the most-trusted source (numeric suffix as the priority),
+    // then lowest id — a single partial-agg min_by over the cluster table
+    Q("q68_canonical_pick", Some(
+      s"""${dMinhashSig.replaceFirst("^WITH ", "WITH RECURSIVE ")}, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), reach(s, t) AS (SELECT s, t FROM e UNION SELECT reach.s, e2.t FROM reach JOIN e e2 ON reach.t = e2.s), cl AS (SELECT d.doc_id AS doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(reach.t), d.doc_id)) AS BIGINT) AS cluster_id FROM documents d LEFT JOIN reach ON d.doc_id = reach.s GROUP BY d.doc_id), pr AS (SELECT cl.doc_id, cl.cluster_id, CAST(substring(d2.source, 4) AS BIGINT) AS prio FROM cl JOIN documents d2 ON cl.doc_id = d2.doc_id) SELECT cluster_id, doc_id AS canonical_id, cluster_size FROM (SELECT cluster_id, doc_id, prio, row_number() OVER (PARTITION BY cluster_id ORDER BY prio, doc_id) AS rn, CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM pr) WHERE rn = 1 ORDER BY cluster_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val clusters = Dedup.nearDupClusters(d, cands, "doc_id")
+        val ranked = clusters.join(
+          d.select(col("doc_id"),
+            expr("CAST(substring(source, 4) AS BIGINT)").as("prio")),
+          "doc_id")
+        Dedup.canonicalPick(ranked, "cluster_id", "doc_id", col("prio"))
+          .orderBy("cluster_id")
+      }),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -318,4 +318,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared")) // h is distinct per doc upstream
       .filter(col("n_shared") >= minShared)
   }
+
+  /**
+   * Canonical-document pick per near-dup cluster: when duplicates span
+   * sources, keep the copy from the most-trusted source (wiki over crawl,
+   * then lowest id). `df` is a cluster assignment (from [[nearDupClusters]])
+   * joined with whatever integer rank column encodes the preference; the
+   * pick is a single partial-agg `min_by` over (rank, id) — one shuffle of
+   * (cluster, id, rank) triples, never the text.
+   */
+  def canonicalPick(df: DataFrame, clusterCol: String, idCol: String,
+      rankCol: Column): DataFrame =
+    df.groupBy(col(clusterCol))
+      .agg(
+        min_by(col(idCol), struct(rankCol, col(idCol))).as("canonical_id"),
+        count(lit(1)).cast(LongType).as("cluster_size"))
 }

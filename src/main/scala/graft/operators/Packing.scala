@@ -96,6 +96,46 @@ object Packing {
   }
 
   /**
+   * Token-budget selection: keep the best-scoring documents until a global
+   * token budget is filled (the data-selection step of a quality-ranked
+   * pre-training mix — "take the top docs by quality until N tokens").
+   * Rows are taken in (`scoreCol` DESC, `idCol` ASC) order; a doc is kept
+   * iff the running token total BEFORE it is still under `budgetTokens`
+   * (the straddling doc is kept and truncated at load time).
+   *
+   * Same two-stage scan as [[packPlan]], but the bucket IS the score:
+   * `scoreCol` must be a bounded integer domain (e.g. an 0–100 quality
+   * pct) — per-score token totals are one partial-agg groupBy collected to
+   * the driver (≤ |domain| rows), turned into exclusive score-descending
+   * offsets, and broadcast back onto a per-score keyed window. No global
+   * sort, no single-partition window, at any corpus size.
+   *
+   * Output = input columns + `start_off` (global token offset in the
+   * selection order), filtered to the kept rows.
+   */
+  def budgetSelect(df: DataFrame, scoreCol: String, idCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val scoreSums = df.groupBy(scoreCol)
+      .agg(sum(tokensCol).as("score_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    var acc = 0L
+    val offsets = scoreSums.map { case (s, n) =>
+      val off = acc; acc += n; (s, off)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF(scoreCol, "__score_off")
+    val w = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(offsetsDf), scoreCol)
+      .withColumn("start_off",
+        col("__score_off") + coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("start_off") < budgetTokens)
+      .drop("__score_off")
+  }
+
+  /**
    * Sequence-slot occupancy: for each `seqLen`-token output sequence, how
    * many documents contribute tokens to it and how many of its slots are
    * filled (the last sequence may be partial). Derived from [[packPlan]] by

@@ -323,4 +323,30 @@ class PipelineOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("budget select: best scores first, straddling doc kept, budget stops") {
+    // scores: doc1=90 (4 tok), doc2=90 (5 tok), doc3=50 (3 tok), doc4=10
+    val d = s.createDataFrame(s.sparkContext.parallelize(Seq(
+      Row(1L, 90L, 4L), Row(2L, 90L, 5L), Row(3L, 50L, 3L), Row(4L, 10L, 9L))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("score", LongType), StructField("n_tokens", LongType))))
+    val out = Packing.budgetSelect(d, "score", "doc_id", "n_tokens", 10L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_off")))
+      .sortBy(_._1)
+    // order: doc1@0, doc2@4, doc3@9 (straddles the 10-token budget → kept),
+    // doc4@12 (past budget → dropped)
+    assert(out.toSeq == Seq((1L, 0L), (2L, 4L), (3L, 9L)))
+  }
+
+  test("canonical pick prefers the trusted source, then lowest id") {
+    val d = s.createDataFrame(s.sparkContext.parallelize(Seq(
+      Row(1L, 10L, 5L), Row(2L, 10L, 1L), Row(3L, 10L, 1L), Row(7L, 7L, 9L))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("cluster_id", LongType), StructField("prio", LongType))))
+    val out = Dedup.canonicalPick(d, "cluster_id", "doc_id", col("prio"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // cluster 10: prio 1 beats prio 5; id 2 beats id 3 on the tie
+    assert(out.toSeq == Seq((7L, 7L, 1L), (10L, 2L, 3L)))
+  }
 }
