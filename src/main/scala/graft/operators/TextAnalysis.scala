@@ -145,6 +145,22 @@ object TextAnalysis {
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(markers))).cast(LongType)
 
+  /** CJK-ideograph count (U+4E00–U+9FFF); `\x{...}` classes evaluate
+    * identically in Java regex and RE2, so the DuckDB oracle matches. */
+  def cjkCount(text: Column): Column =
+    regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")).cast(LongType)
+
+  /**
+   * Script-aware language ID: whitespace-marker voting ([[langId]]) is blind
+   * to unsegmented scripts — Chinese text has no spaces to tokenize, so
+   * every zh doc scores "und". Script detection runs FIRST (≥10% CJK
+   * ideographs by char → "zh"), then the marker argmax. The pattern extends
+   * per script block (Cyrillic, Arabic, ...); all codegen'd projections.
+   */
+  def scriptLangId(text: Column): Column =
+    when(cjkCount(text) * 10L >= charCount(text), lit("zh"))
+      .otherwise(langId(text))
+
   /** Argmax over language scores; ties break alphabetically; all-zero → "und"
     * (undetermined). */
   def langId(text: Column): Column = {

@@ -349,4 +349,14 @@ class PipelineOpsSpec extends SparkSuite {
     // cluster 10: prio 1 beats prio 5; id 2 beats id 3 on the tie
     assert(out.toSeq == Seq((7L, 7L, 1L), (10L, 2L, 3L)))
   }
+
+  test("script langid: CJK text detected as zh; latin falls through to markers") {
+    val d = docs((1L, "今天天气很好我们去公园"),
+      (2L, "the cat and the dog of the house"),
+      (3L, "short 中 text with little cjk overall content here"))
+    val out = d.select(col("doc_id"),
+      TextAnalysis.scriptLangId(col("text")).as("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "zh"), (2L, "en"), (3L, "und")))
+  }
 }
