@@ -1079,6 +1079,17 @@ object SparkEntry {
         .withColumn("correct", col("detected") === col("true_lang"))
         .orderBy("doc_id")),
 
+    // deterministic epoch shuffle: reproducible pseudo-random training
+    // order (epoch-salted hash) with an explicit global rank from the
+    // fixed-width bucketed scan — a different epoch permutes differently,
+    // the same epoch replays identically on any cluster
+    Q("q70_epoch_shuffle", Some(
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_rank FROM (SELECT doc_id, ((doc_id % 2147483647) * 2654435761 + 3 * 2654435789) % 2147483647 AS h FROM documents) ORDER BY shuffle_rank"""),
+      (s, dir) => Sampling.epochShuffle(
+        docs(tune(s), dir).select(col("doc_id")), "doc_id", epoch = 3)
+        .select(col("doc_id"), col("shuffle_rank"))
+        .orderBy("shuffle_rank")),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

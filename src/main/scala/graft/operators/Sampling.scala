@@ -61,6 +61,43 @@ object Sampling {
    * RNG, identical output on any cluster. Output = input columns plus
    * `copy_idx` (0-based replica index).
    */
+  /**
+   * Deterministic epoch shuffle: a pseudo-random but reproducible training
+   * order per epoch, with an explicit global `shuffle_rank`. The order key
+   * is an epoch-salted integer hash (same Knuth-mod-p family as [[idHash]];
+   * a different epoch gives an unrelated permutation), ties broken by id.
+   *
+   * The global rank is a prefix COUNT in hash order — same two-stage scan
+   * as `Packing.packPlan`, except the hash DOMAIN is known ([0, 2³¹-1)), so
+   * buckets are fixed-width with no min/max pre-pass: per-bucket counts
+   * (≤ `nBuckets` rows) collect to the driver, become exclusive offsets,
+   * and broadcast onto a keyed per-bucket `row_number`. No global sort, no
+   * single-partition window.
+   */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      nBuckets: Int = 1024): DataFrame = {
+    val p = 2147483647L
+    val h = pmod(
+      pmod(col(idCol), lit(p)) * 2654435761L + lit(epoch.toLong) * 2654435789L,
+      lit(p))
+    val width = (p + nBuckets - 1) / nBuckets
+    val hashed = df.withColumn("__h", h)
+      .withColumn("__bucket", (col("__h") / width).cast(LongType))
+    val counts = hashed.groupBy("__bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val off = acc; acc += n; (b, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__bucket", "__bucket_off")
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__h"), col(idCol))
+    hashed.join(broadcast(offsetsDf), "__bucket")
+      .withColumn("shuffle_rank",
+        (col("__bucket_off") + row_number().over(w) - 1L).cast(LongType))
+      .drop("__bucket", "__bucket_off", "__h")
+  }
+
   def mixtureSample(df: DataFrame, classCol: String, idCol: String,
       weightsPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
     require((defaultPct +: weightsPct.values.toSeq).forall(_ >= 0),

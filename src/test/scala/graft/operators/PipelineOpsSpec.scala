@@ -350,6 +350,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq((7L, 7L, 1L), (10L, 2L, 3L)))
   }
 
+  test("epoch shuffle: dense rank, epoch-dependent order, replay-identical") {
+    val d = docs((1L to 50L).map(i => (i, "t")): _*).select(col("doc_id"))
+    def ranks(epoch: Int) = Sampling.epochShuffle(d, "doc_id", epoch, nBuckets = 7)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_rank")))
+    val e1 = ranks(1)
+    // rank is a dense permutation of 0..n-1
+    assert(e1.map(_._2).sorted.toSeq == (0L until 50L).toSeq)
+    // same epoch replays bit-identically; a different epoch reorders
+    assert(ranks(1).sortBy(_._1).toSeq == e1.sortBy(_._1).toSeq)
+    assert(ranks(2).sortBy(_._1).map(_._2).toSeq != e1.sortBy(_._1).map(_._2).toSeq)
+    // bucket-count-invariant (the scan, not the bucketing, defines the order)
+    assert(Sampling.epochShuffle(d, "doc_id", 1, nBuckets = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_rank")))
+      .sortBy(_._1).toSeq == e1.sortBy(_._1).toSeq)
+  }
+
   test("script langid: CJK text detected as zh; latin falls through to markers") {
     val d = docs((1L, "今天天气很好我们去公园"),
       (2L, "the cat and the dog of the house"),
