@@ -76,6 +76,26 @@ object Probe {
       graft.operators.Sampling.mixtureSample(
         big.withColumn("cls", (col("doc_id") % 5).cast("string")),
         "cls", "doc_id", Map("0" -> 250, "1" -> 30)).count())
+
+    // budget select + epoch shuffle: same two-stage scan contract as the
+    // pack plan — offsets broadcast, windows keyed, never a global sort
+    val scored = big.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("score", col("doc_id") % 100L)
+    val sel = graft.operators.Packing.budgetSelect(
+      scored, "score", "doc_id", "n_tokens", budgetTokens = 1000000L)
+    val selPlan = sel.queryExecution.executedPlan.toString
+    require(selPlan.contains("BroadcastHashJoin") ||
+      selPlan.contains("BroadcastExchange"),
+      "budget select must broadcast the per-score offsets")
+    timed("budget select (1M-token budget)")(sel.count())
+    val shuf = graft.operators.Sampling.epochShuffle(
+      big.select(col("doc_id")), "doc_id", epoch = 1)
+    val shufPlan = shuf.queryExecution.executedPlan.toString
+    require(shufPlan.contains("BroadcastHashJoin") ||
+      shufPlan.contains("BroadcastExchange"),
+      "epoch shuffle must broadcast the bucket offsets")
+    timed("epoch shuffle (global rank)")(shuf.count())
     big.unpersist()
 
     // ---- embedding-LSH fan-out bound: per-(table,bucket) occupancy is what
