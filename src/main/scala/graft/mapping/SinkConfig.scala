@@ -57,7 +57,21 @@ object SinkConfig {
         * retries it (the analogue of the reference holding offsets back).
         * `All`/`Driver`: failed records go to the dead letter and the batch
         * commits (reference: dist/conf/...properties.sample:52-57; KAF-200). */
-      ignoreErrors: String = "None") {
+      ignoreErrors: String = "None",
+      /** X2: `None` | `Snappy` | `LZ4` (reference:
+        * dist/conf/...properties.sample:59-61). The reference compresses the
+        * wire protocol; here the analogous byte-saving knob is the sink
+        * state's parquet codec. */
+      compression: String = "None") {
+    require(Set("None", "Snappy", "LZ4").contains(compression),
+      s"compression must be None, Snappy, or LZ4 (got '$compression')")
+    /** Parquet codec for the reference's compression name (LZ4 → the
+      * pure-JVM lz4_raw codec). */
+    def parquetCodec: String = compression match {
+      case "None"   => "uncompressed"
+      case "Snappy" => "snappy"
+      case "LZ4"    => "lz4_raw"
+    }
     /** Fan-out: all bindings for one topic (SURVEY §2 S7). */
     def forTopic(topic: String): Seq[TableBinding] = bindings.filter(_.topic == topic)
     def topics: Seq[String] = bindings.map(_.topic).distinct
@@ -126,6 +140,7 @@ object SinkConfig {
         query = m.get("query"),
         codec = codecByTopic.getOrElse(topic, CodecSettings()))
     }
-    Config(bindings, props.getOrElse("ignoreErrors", "None"))
+    Config(bindings, props.getOrElse("ignoreErrors", "None"),
+      props.getOrElse("compression", "None"))
   }
 }

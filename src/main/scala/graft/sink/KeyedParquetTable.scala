@@ -37,7 +37,10 @@ class KeyedParquetTable(
     val table: SinkTable,
     root: String,
     nullToUnset: Boolean = true,
-    numBuckets: Int = 16) {
+    numBuckets: Int = 16,
+    /** Parquet codec for state files (X2 `compression` mapped via
+      * `SinkConfig.Config.parquetCodec`). */
+    compression: String = "snappy") {
 
   val BucketCol = "__bucket"
 
@@ -164,9 +167,10 @@ class KeyedParquetTable(
     val dir = rootPath.resolve(s"v$v").toString
     val out = next.withColumn(BucketCol, bucketOf)
     if (out.isEmpty) // all touched rows deleted: schema-only file, no partitions
-      out.write.mode("overwrite").parquet(dir)
+      out.write.mode("overwrite").option("compression", compression).parquet(dir)
     else
-      out.write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
+      out.write.mode("overwrite").option("compression", compression)
+        .partitionBy(BucketCol).parquet(dir)
 
     writeMeta(Meta(
       lastBatch = math.max(batchId, m.lastBatch),

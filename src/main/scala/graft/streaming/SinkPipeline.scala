@@ -46,7 +46,8 @@ class SinkPipeline(
   def store(spark: org.apache.spark.sql.SparkSession, b: SinkConfig.TableBinding): KeyedParquetTable =
     stores.getOrElseUpdate(b.qualifiedTable,
       new KeyedParquetTable(spark, tables(b.qualifiedTable),
-        s"$storeRoot/${b.qualifiedTable}", b.nullToUnset))
+        s"$storeRoot/${b.qualifiedTable}", b.nullToUnset,
+        compression = config.parquetCodec))
 
   /** All messages down an exception's cause chain (for unwrapping a per-row
     * assert failure out of Spark's job-abort wrappers). */

@@ -111,4 +111,27 @@ class KeyedParquetTableSpec extends SparkSuite {
     assert(!Files.exists(Paths.get(root, "v1")))
     assert(t.state().count() == 4)
   }
+
+  test("X2 compression: state written with the configured parquet codec") {
+    import graft.mapping.SinkConfig
+    // reference name → parquet codec mapping, invalid values rejected
+    def cfg(c: String) = SinkConfig.parse(Map(
+      "topic.t.ks.bt.mapping" -> "my_pk=key, my_value=value.k",
+      "compression" -> c))
+    assert(cfg("None").parquetCodec == "uncompressed")
+    assert(cfg("Snappy").parquetCodec == "snappy")
+    assert(cfg("LZ4").parquetCodec == "lz4_raw")
+    intercept[IllegalArgumentException](cfg("Gzip"))
+
+    val root = Files.createTempDirectory("graft-lz4").toString
+    val t = new KeyedParquetTable(s, table, root, compression = "lz4_raw")
+    t.applyBatch(mapped((1L, 10L, 100L), (2L, 20L, 100L)), batchId = 1L)
+    // round-trips, and the data files carry the codec suffix
+    assert(t.state().count() == 2)
+    val files = Files.walk(Paths.get(root)).iterator()
+    val names = Iterator.continually(files).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).toList
+    assert(names.exists(_.endsWith(".lz4raw.parquet")),
+      s"expected lz4raw parquet files, saw: ${names.filter(_.endsWith("parquet"))}")
+  }
 }
