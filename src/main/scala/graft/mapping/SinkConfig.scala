@@ -62,7 +62,12 @@ object SinkConfig {
         * dist/conf/...properties.sample:59-61). The reference compresses the
         * wire protocol; here the analogous byte-saving knob is the sink
         * state's parquet codec. */
-      compression: String = "None") {
+      compression: String = "None",
+      /** X3 analogue: the reference forwards unrecognized
+        * `datastax-java-driver.*` keys to the driver session (reference:
+        * dist/conf/...properties.sample:227-247). Here `spark.*` keys pass
+        * through to the Spark session when the pipeline starts. */
+      sparkPassthrough: Map[String, String] = Map.empty) {
     require(Set("None", "Snappy", "LZ4").contains(compression),
       s"compression must be None, Snappy, or LZ4 (got '$compression')")
     /** Parquet codec for the reference's compression name (LZ4 → the
@@ -141,6 +146,7 @@ object SinkConfig {
         codec = codecByTopic.getOrElse(topic, CodecSettings()))
     }
     Config(bindings, props.getOrElse("ignoreErrors", "None"),
-      props.getOrElse("compression", "None"))
+      props.getOrElse("compression", "None"),
+      props.view.filterKeys(_.startsWith("spark.")).toMap)
   }
 }

@@ -152,10 +152,16 @@ class SinkPipeline(
   }
 
   /** Wire a streaming source through the sink. */
-  def start(records: DataFrame, checkpoint: String): StreamingQuery =
+  def start(records: DataFrame, checkpoint: String): StreamingQuery = {
+    // X3 analogue: forward spark.* passthrough keys to the session, as the
+    // reference forwards datastax-java-driver.* keys to its driver session
+    config.sparkPassthrough.foreach { case (k, v) =>
+      records.sparkSession.conf.set(k, v)
+    }
     records.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) => processBatch(batch, id) }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

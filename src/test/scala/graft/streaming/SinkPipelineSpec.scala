@@ -199,4 +199,23 @@ class SinkPipelineSpec extends SparkSuite {
       assert(listener.stats.values.map(_.inputRows.get).sum >= 1L)
     } finally s.streams.removeListener(listener)
   }
+
+  test("X3 passthrough: spark.* config keys reach the session at start") {
+    val root = Files.createTempDirectory("graft-pt").toString
+    val srcDir = Files.createTempDirectory("graft-pt-src").toString
+    val ckpt = Files.createTempDirectory("graft-pt-ckpt").toString
+    batch(("orders", 0L, "7", """{"v": 70, "t": "z"}""", 1000L))
+      .write.mode("overwrite").parquet(srcDir)
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "spark.sql.parquet.filterPushdown" -> "true",
+      "datastax-java-driver.basic.request.timeout" -> "ignored"))
+    // only spark.* keys pass through; foreign driver keys are dropped
+    assert(config.sparkPassthrough ==
+      Map("spark.sql.parquet.filterPushdown" -> "true"))
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
+    val q = pipe.start(s.readStream.schema(kafkaSchema).parquet(srcDir), ckpt)
+    q.awaitTermination(60000)
+    assert(s.conf.get("spark.sql.parquet.filterPushdown") == "true")
+  }
 }
