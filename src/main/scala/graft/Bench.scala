@@ -104,8 +104,9 @@ object Bench {
       "q41_corpus_pipeline", "q42_ann_ivf_cells", "q48_udt_tuple_codec",
       "q51_decimal_base64", "q52_header_typed", "q53_ann_ivf_trained",
       "q57_avro_ingest", "q61_pii_redact", "q62_repetition",
-      "q63_decontaminate", "q64_pack_plan", "q66_mixture_sample",
-      "q67_budget_select")
+      "q63_decontaminate", "q64_pack_plan", "q65_pack_occupancy",
+      "q66_mixture_sample", "q67_budget_select", "q69_langid_script",
+      "q70_epoch_shuffle")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       // min of two runs: first run pays codegen/JIT warmup; min is the

