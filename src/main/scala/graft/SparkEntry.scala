@@ -1089,6 +1089,34 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_rank"))
         .orderBy("shuffle_rank")),
 
+    // C7 oracled: WKT / DateRange carrier validation — deterministic
+    // synthesized literals (every 5th point / 7th range malformed), same
+    // Java∩RE2 validation regex embedded verbatim in the DuckDB oracle;
+    // invalid literals produce the capturable error string, not a pass
+    Q("q71_wkt_validate", Some({
+      val ptRe = Codecs.wktPattern("POINT")
+      val drRe = Codecs.wktPattern("DATERANGE")
+      s"""WITH s AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'POINT (' || CAST(doc_id % 100 AS VARCHAR) || ')' ELSE 'POINT (' || CAST(doc_id % 100 AS VARCHAR) || '.5 -' || CAST(doc_id % 50 AS VARCHAR) || '.25)' END AS pt, CASE WHEN doc_id % 7 = 0 THEN '[2010 TO]' ELSE '[' || CAST(2000 + doc_id % 20 AS VARCHAR) || ' TO *]' END AS dr FROM documents) SELECT doc_id, CASE WHEN regexp_matches(upper(pt), '$ptRe') THEN pt END AS pt_valid, CASE WHEN NOT regexp_matches(upper(pt), '$ptRe') THEN 'Could not parse ''' || pt || ''' as POINT' END AS pt_err, CASE WHEN regexp_matches(upper(dr), '$drRe') THEN dr END AS dr_valid, CASE WHEN NOT regexp_matches(upper(dr), '$drRe') THEN 'Could not parse ''' || dr || ''' as DATERANGE' END AS dr_err FROM s ORDER BY doc_id"""
+    }),
+      (s, dir) => {
+        val base = docs(tune(s), dir).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("POINT ("), (col("doc_id") % 100).cast(StringType),
+              lit(")")))
+            .otherwise(concat(lit("POINT ("),
+              (col("doc_id") % 100).cast(StringType), lit(".5 -"),
+              (col("doc_id") % 50).cast(StringType), lit(".25)"))).as("pt"),
+          when(col("doc_id") % 7 === 0, lit("[2010 TO]"))
+            .otherwise(concat(lit("["),
+              (lit(2000) + col("doc_id") % 20).cast(StringType),
+              lit(" TO *]"))).as("dr"))
+        val (ptV, ptE) = Codecs.validateWkt(col("pt"), "POINT")
+        val (drV, drE) = Codecs.validateWkt(col("dr"), "DATERANGE")
+        base.select(col("doc_id"), ptV.as("pt_valid"), ptE.as("pt_err"),
+          drV.as("dr_valid"), drE.as("dr_err"))
+          .orderBy("doc_id")
+      }),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -244,14 +244,18 @@ object Codecs {
    * strings (the strategy SURVEY §2.4 picks) — a malformed literal becomes a
    * capturable parse failure, not a silent pass-through.
    */
+  /** The validation pattern for a WKT/DateRange kind — Java∩RE2 dialect, so
+    * an oracle can embed it verbatim. */
+  def wktPattern(kind: String): String = kind.toUpperCase match {
+    case "POINT"      => PointRe
+    case "LINESTRING" => LineStringRe
+    case "POLYGON"    => PolygonRe
+    case "DATERANGE"  => DateRangeRe
+    case other => throw new IllegalArgumentException(s"unknown WKT kind $other")
+  }
+
   def validateWkt(col: Column, kind: String): (Column, Column) = {
-    val re = kind.toUpperCase match {
-      case "POINT"      => PointRe
-      case "LINESTRING" => LineStringRe
-      case "POLYGON"    => PolygonRe
-      case "DATERANGE"  => DateRangeRe
-      case other => throw new IllegalArgumentException(s"unknown WKT kind $other")
-    }
+    val re = wktPattern(kind)
     val ok = upper(col).rlike(re)
     val valid = when(col.isNotNull && ok, col)
     val err = when(col.isNotNull && !ok,
