@@ -1117,6 +1117,30 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // P8 oracled: schema defaults — the declared value schema carries
+    // defaults for BOTH fields; `k` is present in every record (default must
+    // NOT override it, my_value varies), `d` is absent in every record
+    // (default fills it, my_text = '42' after the string target cast)
+    Q("q72_schema_defaults", Some(
+      """SELECT event_id AS kafka_offset, CAST(user_id AS BIGINT) AS my_pk, CAST(json_extract_string(props, '$.k') AS BIGINT) AS my_value, '42' AS my_text FROM events ORDER BY kafka_offset"""),
+      (s, dir) => {
+        val f = KafkaLike.frame(tune(s), dir)
+        val sch = StructType(Seq(
+          StructField("k", LongType, nullable = true,
+            new MetadataBuilder().putString("default", "7").build()),
+          StructField("d", LongType, nullable = true,
+            new MetadataBuilder().putString("default", "42").build())))
+        val b = binding(
+          "topic.t.ks1.pk_value3.mapping" ->
+            "my_pk=key, my_value=value.k, my_text=value.d",
+          "topic.t.ks1.pk_value3.deletesEnabled" -> "false")
+        RecordMapper.compile(b, pkValue3, f, keepCols = Seq("offset"),
+          valueFormat = RecordMapper.Format.JsonWithSchema(sch))
+          .select(col("offset").as("kafka_offset"), col("my_pk"),
+            col("my_value"), col("my_text"))
+          .orderBy("kafka_offset")
+      }),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(
