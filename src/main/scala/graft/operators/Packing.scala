@@ -119,6 +119,12 @@ object Packing {
     val scoreSums = df.groupBy(scoreCol)
       .agg(sum(tokensCol).as("score_tokens"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    // the collect above is bounded by the score DOMAIN, not the corpus —
+    // fail loudly if a caller passes a high-cardinality column (e.g. an id)
+    // as the score, instead of silently ballooning the driver
+    require(scoreSums.length <= 100000,
+      s"budgetSelect score domain has ${scoreSums.length} distinct values; " +
+        "quantize the score to a bounded range (e.g. an integer pct) first")
     var acc = 0L
     val offsets = scoreSums.map { case (s, n) =>
       val off = acc; acc += n; (s, off)
