@@ -1068,6 +1068,27 @@ object SparkEntry {
           .orderBy("cluster_id")
       }),
 
+    // the deduplicated corpus itself: every cluster collapses to its
+    // canonical doc (source-priority, then lowest id); singletons are their
+    // own canonicals — the semi-join is the apply step of q68's pick
+    Q("q73_canonical_corpus", Some(
+      s"""${dMinhashSig.replaceFirst("^WITH ", "WITH RECURSIVE ")}, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), reach(s, t) AS (SELECT s, t FROM e UNION SELECT reach.s, e2.t FROM reach JOIN e e2 ON reach.t = e2.s), cl AS (SELECT d.doc_id AS doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(reach.t), d.doc_id)) AS BIGINT) AS cluster_id FROM documents d LEFT JOIN reach ON d.doc_id = reach.s GROUP BY d.doc_id), pr AS (SELECT cl.doc_id, cl.cluster_id, CAST(substring(d2.source, 4) AS BIGINT) AS prio FROM cl JOIN documents d2 ON cl.doc_id = d2.doc_id), keep AS (SELECT cluster_id, doc_id FROM (SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id ORDER BY prio, doc_id) AS rn FROM pr) WHERE rn = 1) SELECT d.doc_id, d.source, d.lang FROM documents d JOIN keep ON d.doc_id = keep.doc_id ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val clusters = Dedup.nearDupClusters(d, cands, "doc_id")
+        val ranked = clusters.join(
+          d.select(col("doc_id"),
+            expr("CAST(substring(source, 4) AS BIGINT)").as("prio")),
+          "doc_id")
+        val keep = Dedup.canonicalPick(ranked, "cluster_id", "doc_id",
+          col("prio")).select(col("canonical_id").as("doc_id"))
+        d.join(keep, "doc_id")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      }),
+
     // script-aware language ID: CJK-script detection first (marker voting
     // is blind to unsegmented text), then the marker argmax; scored against
     // the table's ground-truth lang column
