@@ -287,6 +287,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(serial.toSeq == out.map(t => (t._1, t._3)).toSeq)
   }
 
+  test("pack plan matches a serial scan on seeded random corpora") {
+    val rng = new scala.util.Random(20260812L)
+    // sparse, shuffled, duplicate-free ids with varied token counts
+    val ids = rng.shuffle((1L to 400L).map(_ * 7919L % 100000L).distinct.toList)
+    val rows = ids.map(id => (id, Seq.fill(rng.nextInt(9))("w").mkString(" ")))
+    val d = docs(rows: _*)
+    val serial = rows.sortBy(_._1).foldLeft((0L, Map.empty[Long, Long])) {
+      case ((off, acc), (id, text)) =>
+        val n = text.split("\\s+").count(_.nonEmpty).toLong
+        (off + n, acc + (id -> off))
+    }._2
+    for (nb <- Seq(1, 5, 64)) {
+      val got = Packing.packPlan(d, "text", "doc_id", seqLen = 16, nBuckets = nb)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == serial, s"nBuckets=$nb")
+    }
+  }
+
   test("pack occupancy: docs per sequence and filled slots") {
     val d = docs((1L, "a b c"), (2L, "d e f g"), (3L, "   "),
       (4L, "h i j k l m"))
