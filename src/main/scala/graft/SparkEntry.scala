@@ -1162,6 +1162,26 @@ object SparkEntry {
           .orderBy("kafka_offset")
       }),
 
+    // as-of join (custom operator — Spark has none): each purchase picks up
+    // the latest view event at-or-before it per user, via ONE keyed window
+    // over the unioned sides (O(|L|+|R|) shuffle, no range-join fan-out);
+    // DuckDB's native ASOF JOIN is the exact oracle
+    Q("q74_asof_join", Some(
+      """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), r AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, MAX(event_id) AS view_event FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(epoch_us(ts) AS BIGINT)) SELECT l.event_id AS event_id, l.user_id AS user_id, l.ts_us AS ts_us, r.view_event AS asof_view_event FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us ORDER BY event_id"""),
+      (s, dir) => {
+        // both engines compare at µs: the parquet carries nanos (Spark reads
+        // them as int64), DuckDB reads the column at µs precision
+        val ev = KafkaLike.events(tune(s), dir)
+          .withColumn("ts_us", expr("ts DIV 1000"))
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val r = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as("view_event"))
+        AsofJoin.asofJoin(l, r, "user_id", "ts_us", Seq("view_event"))
+          .orderBy("event_id")
+      }),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -384,6 +384,27 @@ class PipelineOpsSpec extends SparkSuite {
       .sortBy(_._1).toSeq == e1.sortBy(_._1).toSeq)
   }
 
+  test("asof join: greatest right time <= left time, equal ts matches, keys isolated") {
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("v", LongType)))
+    def frame(rows: (String, Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, t, v) => l.add(Row(k, t, v)) }
+      s.createDataFrame(l, sch)
+    }
+    val left = frame(("a", 4L, 100L), ("a", 5L, 101L), ("a", 12L, 102L),
+      ("b", 9L, 103L)).withColumnRenamed("v", "lv")
+    val right = frame(("a", 5L, 1L), ("a", 10L, 2L), ("c", 1L, 9L))
+    val out = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("a", 4L, -1L),   // before any right row
+      ("a", 5L, 1L),    // equal timestamp matches (>= semantics)
+      ("a", 12L, 2L),   // latest prior right row
+      ("b", 9L, -1L)))  // other key's right rows never leak
+  }
+
   test("script langid: CJK text detected as zh; latin falls through to markers") {
     val d = docs((1L, "今天天气很好我们去公园"),
       (2L, "the cat and the dog of the house"),
