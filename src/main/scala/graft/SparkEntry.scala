@@ -1182,6 +1182,27 @@ object SparkEntry {
           .orderBy("event_id")
       }),
 
+    // range join (custom operator): purchases falling inside the 1-hour
+    // window opened by each view, per user — interval-bucketed equi-join
+    // (bounded fan-out, no per-key cross product); plain range-predicate
+    // SQL is the oracle
+    Q("q75_range_join", Some(
+      """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), r AS (SELECT event_id AS view_event, user_id, CAST(epoch_us(ts) AS BIGINT) AS s_us, CAST(epoch_us(ts) AS BIGINT) + 3600000000 AS e_us FROM events WHERE event_type = 'view') SELECT l.event_id AS event_id, r.view_event AS view_event, l.user_id AS user_id FROM l JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.s_us AND l.ts_us < r.e_us ORDER BY event_id, view_event"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .withColumn("ts_us", expr("ts DIV 1000"))
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val r = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_event"), col("user_id"),
+            col("ts_us").as("s_us"),
+            (col("ts_us") + 3600000000L).as("e_us"))
+        RangeJoin.bucketed(l, r, "user_id", "ts_us", "s_us", "e_us",
+          bucketWidth = 3600000000L)
+          .select(col("event_id"), col("view_event"), col("user_id"))
+          .orderBy("event_id", "view_event")
+      }),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

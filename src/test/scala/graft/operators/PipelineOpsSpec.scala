@@ -405,6 +405,31 @@ class PipelineOpsSpec extends SparkSuite {
       ("b", 9L, -1L)))  // other key's right rows never leak
   }
 
+  test("range join: bucket-crossing intervals, boundary in/exclusivity, no dup pairs") {
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType)))
+    def evts(rows: (String, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, t) => l.add(Row(k, t)) }
+      s.createDataFrame(l, sch)
+    }
+    val left = evts(("a", 5L), ("a", 10L), ("a", 19L), ("a", 20L), ("b", 5L))
+      .withColumnRenamed("t", "t")
+    val right = evts(("a", 5L), ("a", 15L))
+      .select(col("k"), col("t").as("s"), (col("t") + 15L).as("e"))
+      .withColumn("iv", concat(col("s"), lit("-")))
+    // width 10 < interval length 15: every interval spans multiple buckets
+    val out = RangeJoin.bucketed(left, right, "k", "t", "s", "e", 10L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("t"), r.getAs[Long]("s")))
+      .sorted
+    assert(out.toSeq == Seq(
+      ("a", 5L, 5L),    // start inclusive
+      ("a", 10L, 5L),   // bucket boundary, still inside [5,20)
+      ("a", 19L, 5L), ("a", 19L, 15L),  // two overlapping intervals, once each
+      ("a", 20L, 15L))) // 20 excluded from [5,20), inside [15,30)
+    // ("b",5) matches nothing: no right intervals for its key
+  }
+
   test("script langid: CJK text detected as zh; latin falls through to markers") {
     val d = docs((1L, "今天天气很好我们去公园"),
       (2L, "the cat and the dog of the house"),
