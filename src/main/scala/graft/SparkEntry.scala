@@ -1203,6 +1203,18 @@ object SparkEntry {
           .orderBy("event_id", "view_event")
       }),
 
+    // exact per-group quantiles: value at rank ceil(n*q/100) via a KEYED
+    // window + partial-agg pick — deterministic on any partitioning, unlike
+    // percentile_approx; values quantized to integer cents so both engines
+    // compare integers
+    Q("q76_group_quantiles", Some(
+      """WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events), r AS (SELECT event_type, cents, row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM v) SELECT event_type, MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50, MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END) AS p90, MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99 FROM r GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => Stats.groupQuantiles(
+        KafkaLike.events(tune(s), dir).select(col("event_type"),
+          floor(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "cents", Seq(50, 90, 99))
+        .orderBy("event_type")),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -430,6 +430,24 @@ class PipelineOpsSpec extends SparkSuite {
     // ("b",5) matches nothing: no right intervals for its key
   }
 
+  test("group quantiles: exact disc ranks, per class, partitioning-independent") {
+    val sch = StructType(Seq(StructField("c", StringType),
+      StructField("v", LongType)))
+    val l = new java.util.ArrayList[Row]()
+    // class x: 1..10 → p50=5, p90=9, p99=10; class y: single value
+    (1L to 10L).foreach(v => l.add(Row("x", v)))
+    l.add(Row("y", 7L))
+    val d = s.createDataFrame(l, sch)
+    val out = Stats.groupQuantiles(d, "c", "v", Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(("x", 5L, 9L, 10L), ("y", 7L, 7L, 7L)))
+    val repart = Stats.groupQuantiles(d.repartition(7), "c", "v", Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(repart.toSeq == out.toSeq)
+  }
+
   test("script langid: CJK text detected as zh; latin falls through to markers") {
     val d = docs((1L, "今天天气很好我们去公园"),
       (2L, "the cat and the dog of the house"),
