@@ -1215,6 +1215,17 @@ object SparkEntry {
         "event_type", "cents", Seq(50, 90, 99))
         .orderBy("event_type")),
 
+    // per-source data card: the summary table a corpus release ships —
+    // doc count, token volume, quality-pass pct, dominant predicted
+    // language (alphabetical tiebreak); two source-keyed aggregations
+    Q("q77_data_card", Some(
+      s"""WITH t AS (SELECT doc_id, source, text, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)), b AS (SELECT t.doc_id, t.source, CAST(len(tk) AS BIGINT) AS n_tokens, (length(text) >= 100 AND (length(text) - length(translate(text, '.,;:!?', ''))) * 10 <= length(text) AND len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) >= 1) AS q_ok, lg.lang AS lang FROM t JOIN lg ON t.doc_id = lg.doc_id), agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS quality_docs FROM b GROUP BY source), tl AS (SELECT source, lang AS top_lang FROM (SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC) AS r FROM b GROUP BY source, lang) WHERE r = 1) SELECT agg.source AS source, n_docs, total_tokens, quality_docs, top_lang, quality_docs * 100 // n_docs AS quality_pct FROM agg JOIN tl ON agg.source = tl.source ORDER BY source"""),
+      (s, dir) => TextAnalysis.corpusDataCard(docs(tune(s), dir), "text",
+        "doc_id", "source")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("quality_docs"), col("top_lang"), col("quality_pct"))
+        .orderBy("source")),
+
     // ---------------- multimodal ----------------
 
     Q("q35_mm_metadata", Some(

@@ -180,6 +180,35 @@ object TextAnalysis {
     }
   }
 
+  /**
+   * Per-source corpus data card: the summary table a corpus release ships —
+   * document count, token volume, quality-pass rate (integer pct), and the
+   * dominant predicted language (ties break alphabetically). One pass for
+   * the per-doc facets, two partial-agg groupBys and one keyed window for
+   * the language mode — scales as a pair of source-keyed aggregations.
+   */
+  def corpusDataCard(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, sourceCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(sourceCol), col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      qualityOk(col(textCol)).as("q_ok"),
+      langId(col(textCol)).as("lang"))
+    val agg = base.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(when(col("q_ok"), 1L).otherwise(0L)).as("quality_docs"))
+    val topLang = base.groupBy(col(sourceCol), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("c").desc, col("lang").asc)))
+      .filter(col("__r") === 1)
+      .select(col(sourceCol), col("lang").as("top_lang"))
+    agg.join(topLang, sourceCol)
+      .withColumn("quality_pct", expr("quality_docs * 100 DIV n_docs"))
+  }
+
   // ------------------------------------------------------------ PII
 
   /**
