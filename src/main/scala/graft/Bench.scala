@@ -106,7 +106,8 @@ object Bench {
       "q57_avro_ingest", "q61_pii_redact", "q62_repetition",
       "q63_decontaminate", "q64_pack_plan", "q65_pack_occupancy",
       "q66_mixture_sample", "q67_budget_select", "q69_langid_script",
-      "q70_epoch_shuffle", "q74_asof_join", "q75_range_join")
+      "q70_epoch_shuffle", "q74_asof_join", "q75_range_join",
+      "q76_group_quantiles", "q77_data_card")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       // min of two runs: first run pays codegen/JIT warmup; min is the
