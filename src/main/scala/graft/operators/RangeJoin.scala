@@ -26,10 +26,13 @@ object RangeJoin {
       timeCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    // end is exclusive: an interval covers buckets of [start, end-1]
-    val rb = right.withColumn("__bucket",
-      explode(sequence(expr(s"$startCol DIV $bucketWidth"),
-        expr(s"($endCol - 1) DIV $bucketWidth"))))
+    // end is exclusive: an interval covers buckets of [start, end-1].
+    // empty/inverted intervals are dropped BEFORE the explode — Spark's
+    // sequence() would otherwise step backwards and emit spurious buckets
+    val rb = right.filter(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(expr(s"$startCol DIV $bucketWidth"),
+          expr(s"($endCol - 1) DIV $bucketWidth"))))
     val lb = left.withColumn("__bucket", expr(s"$timeCol DIV $bucketWidth"))
     lb.join(rb, Seq(keyCol, "__bucket"))
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))

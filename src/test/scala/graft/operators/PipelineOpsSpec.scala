@@ -428,6 +428,11 @@ class PipelineOpsSpec extends SparkSuite {
       ("a", 19L, 5L), ("a", 19L, 15L),  // two overlapping intervals, once each
       ("a", 20L, 15L))) // 20 excluded from [5,20), inside [15,30)
     // ("b",5) matches nothing: no right intervals for its key
+    // empty and inverted intervals are dropped, not exploded backwards
+    val degenerate = evts(("a", 5L))
+      .select(col("k"), col("t").as("s"), (col("t") - 10L).as("e"))
+    assert(RangeJoin.bucketed(left, degenerate, "k", "t", "s", "e", 10L)
+      .count() == 0)
   }
 
   test("group quantiles: exact disc ranks, per class, partitioning-independent") {
