@@ -16,6 +16,14 @@ import graft.sources.KafkaLike
  * across 3 workers ≈ 6.7k rec/s/worker): q00_ingest_pipeline maps the whole
  * events table through decode → projection → routing → LWW merge and fully
  * materializes the result.
+ *
+ * Every timing is the MEDIAN OF 3 runs (first run still pays codegen/JIT
+ * warmup and is included as a candidate — the median discards it when it is
+ * the outlier). Min-of-2 proved fragile under sandbox contention: one loaded
+ * neighbor inflates both runs and the "min" reports a 4× phantom regression
+ * (round-3 q20–q22). The median tolerates one bad run out of three, and the
+ * raw per-run timings ship in the JSON (`runs`) so a noisy capture is
+ * VISIBLE in the artifact instead of silently poisoning the comparison.
  */
 object Bench {
 
@@ -27,6 +35,12 @@ object Bench {
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Three timed executions; (median, all runs in order). */
+  private def timed3(f: => Unit): (Double, Seq[Double]) = {
+    val runs = Seq(time(f), time(f), time(f))
+    (runs.sorted.apply(1), runs)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,10 +56,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+
+    def record(name: String)(f: => Unit): Unit = {
+      val (med, runs) = timed3(f)
+      results += name -> med
+      allRuns += name -> runs
+    }
 
     // ---- headline: full mapped-ingest pipeline throughput ----
-    val nRecords = KafkaLike.events(spark, sfDir).count()
-    val ingestSec = time {
+    val nRecords = KafkaLike.events(spark, sfDir).count() // warms the scan
+    record("q00_ingest_pipeline") {
       val frame = KafkaLike.frameWithTombstones(spark, sfDir)
       val b = SinkConfig.parse(Map(
         "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value.k"))
@@ -68,15 +89,15 @@ object Bench {
       force(Upserts.lwwCompact(mapped, Seq("my_pk"),
         Seq(col(RecordMapper.WritetimeCol))))
     }
-    results += "q00_ingest_pipeline" -> ingestSec
+    val ingestSec = results("q00_ingest_pipeline")
 
     // sustained rate: 10× the volume amortizes the ~2s fixed job overhead
-    val frame10 = {
-      val f = KafkaLike.frameWithTombstones(spark, sfDir)
-      (1 to 10).map(_ => f).reduce(_ unionByName _)
-    }
     val n10 = nRecords * 10
-    val sustainedSec = time {
+    val (sustainedSec, sustainedRuns) = timed3 {
+      val frame10 = {
+        val f = KafkaLike.frameWithTombstones(spark, sfDir)
+        (1 to 10).map(_ => f).reduce(_ unionByName _)
+      }
       val b = SinkConfig.parse(Map(
         "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value.k"))
         .bindings.head
@@ -91,6 +112,7 @@ object Bench {
       force(Upserts.lwwCompact(mapped, Seq("my_pk"),
         Seq(col(RecordMapper.WritetimeCol))))
     }
+    allRuns += "ingest_sustained" -> sustainedRuns
 
     // ---- per-operator timings (forced full materialization) ----
     val benched = Seq(
@@ -110,13 +132,8 @@ object Bench {
       "q76_group_quantiles", "q77_data_card")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
-      // min of two runs: first run pays codegen/JIT warmup; min is the
-      // stable per-operator cost
-      results += name -> (try {
-        val a = time(force(fn(spark, sfDir)))
-        val bt = time(force(fn(spark, sfDir)))
-        math.min(a, bt)
-      } catch { case _: Throwable => -1.0 })
+      try record(name)(force(fn(spark, sfDir)))
+      catch { case _: Throwable => results += name -> -1.0 }
     }
 
     // ---- bucketed sink state: a 1-key micro-batch merge must not scale
@@ -133,24 +150,30 @@ object Bench {
           org.apache.spark.sql.types.StructField("my_value",
             org.apache.spark.sql.types.LongType))),
         Seq("my_pk"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-state")
-      val t = new graft.sink.KeyedParquetTable(spark, tbl, dir.toString,
-        numBuckets = 64)
-      t.applyBatch(mappedBatch(stateRows), 1L)
-      val sec = time { t.applyBatch(mappedBatch(1L), 2L) }
-      sec
+      // fresh state per run (a replayed batchId would no-op); median of 3
+      val runs = (1 to 3).map { i =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-state")
+        val t = new graft.sink.KeyedParquetTable(spark, tbl, dir.toString,
+          numBuckets = 64)
+        t.applyBatch(mappedBatch(stateRows), 1L)
+        time { t.applyBatch(mappedBatch(1L), 2L) }
+      }
+      runs.sorted.apply(1)
     }
     val merge50k = mergeOneKeyAt(50000L)
     val merge200k = mergeOneKeyAt(200000L)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%1.3f""" }
       .mkString("{", ",", "}")
+    val runsJson = allRuns.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%1.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val totalStr = f"$total%1.3f"
     val rps = if (ingestSec > 0) (nRecords / ingestSec).toLong else 0L
     val sustained = if (sustainedSec > 0) (n10 / sustainedSec).toLong else 0L
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"}}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"}}""")
     spark.stop()
   }
 }

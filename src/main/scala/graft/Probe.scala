@@ -125,6 +125,24 @@ object Probe {
     // shape the maxIters guard exists for). Per-round cost is one equi-join
     // + partial agg over (id, label) pairs — shuffle volume never grows with
     // rounds.
+    // ---- as-of join skew: one hot key carrying 90% of both sides must
+    // spread across time slices — the as-of window partitions by
+    // (key, slice), never by key alone, so no single task sorts the hot
+    // key's full history
+    val asofBase = spark.range(1000000L)
+    val hotKey = when(col("id") % 10L === 0L, col("id") % 97L + 1L)
+      .otherwise(lit(0L)).as("k")
+    val asofL = asofBase.filter(col("id") % 2 === 0)
+      .select(hotKey, col("id").as("t"), (col("id") * 3L).as("lv"))
+    val asofR = asofBase.filter(col("id") % 2 === 1)
+      .select(hotKey, col("id").as("t"), (col("id") + 7L).as("v"))
+    val asof = graft.operators.AsofJoin.asofJoin(asofL, asofR, "k", "t", Seq("v"))
+    val asofPlan = asof.queryExecution.executedPlan.toString
+    require(asofPlan.contains("__tb"),
+      "as-of window must partition by (key, time-slice), not key alone")
+    println("asof plan: window partitioned by (key, time-slice) (checked)")
+    timed("asof join (hot key 90% @1M rows)")(asof.count())
+
     val nDocs = 100000L
     val docsIds = spark.range(nDocs).select(col("id").as("doc_id"))
     val star = spark.range(1L, 50000L)

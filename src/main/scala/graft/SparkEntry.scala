@@ -1163,9 +1163,10 @@ object SparkEntry {
       }),
 
     // as-of join (custom operator — Spark has none): each purchase picks up
-    // the latest view event at-or-before it per user, via ONE keyed window
-    // over the unioned sides (O(|L|+|R|) shuffle, no range-join fan-out);
-    // DuckDB's native ASOF JOIN is the exact oracle
+    // the latest view event at-or-before it per user, via a TIME-SLICED
+    // keyed window over the unioned sides (O(|L|+|R|) shuffle, no range-join
+    // fan-out, and a hot user's history spreads across slices instead of
+    // one task's sort); DuckDB's native ASOF JOIN is the exact oracle
     Q("q74_asof_join", Some(
       """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), r AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, MAX(event_id) AS view_event FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(epoch_us(ts) AS BIGINT)) SELECT l.event_id AS event_id, l.user_id AS user_id, l.ts_us AS ts_us, r.view_event AS asof_view_event FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us ORDER BY event_id"""),
       (s, dir) => {

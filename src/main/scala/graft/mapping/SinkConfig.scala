@@ -18,6 +18,7 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.nullToUnset        (default true)
  *   topic.<topic>.<keyspace>.<table>.deletesEnabled     (default true)
  *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
+ *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell, default row)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *
  * Topic names may themselves contain dots; the keyspace/table pair is the
@@ -48,7 +49,15 @@ object SinkConfig {
       nullToUnset: Boolean = true,
       deletesEnabled: Boolean = true,
       query: Option[String] = None,
-      codec: CodecSettings = CodecSettings()) {
+      codec: CodecSettings = CodecSettings(),
+      /** `row` (default): one writetime per row ([[graft.operators.Upserts.mergeInto]]).
+        * `cell`: per-column writetimes, Cassandra's actual reconciliation
+        * granularity ([[graft.operators.Upserts.mergeIntoCellWise]]) — needed
+        * when several bindings write DISJOINT columns of one table out of
+        * timestamp order. */
+      mergeMode: String = "row") {
+    require(Set("row", "cell").contains(mergeMode),
+      s"mergeMode must be row or cell (got '$mergeMode')")
     def qualifiedTable: String = s"$keyspace.$table"
   }
 
@@ -70,6 +79,13 @@ object SinkConfig {
       sparkPassthrough: Map[String, String] = Map.empty) {
     require(Set("None", "Snappy", "LZ4").contains(compression),
       s"compression must be None, Snappy, or LZ4 (got '$compression')")
+    // one table = one state store = one merge granularity: bindings that
+    // fan into the same table (the very case cell mode exists for) must agree
+    bindings.groupBy(_.qualifiedTable).foreach { case (tbl, bs) =>
+      require(bs.map(_.mergeMode).distinct.size == 1,
+        s"bindings for $tbl disagree on mergeMode: " +
+          bs.map(b => s"${b.topic}=${b.mergeMode}").mkString(", "))
+    }
     /** Parquet codec for the reference's compression name (LZ4 → the
       * pure-JVM lz4_raw codec). */
     def parquetCodec: String = compression match {
@@ -84,7 +100,7 @@ object SinkConfig {
 
   private val TableSettings = Set(
     "mapping", "ttl", "ttlTimeUnit", "timestampTimeUnit", "consistencyLevel",
-    "nullToUnset", "deletesEnabled", "query")
+    "nullToUnset", "deletesEnabled", "query", "mergeMode")
   private val CodecSettingNames =
     Set("timestamp", "date", "time", "unit", "timeZone", "locale", "decimal")
 
@@ -143,7 +159,8 @@ object SinkConfig {
         nullToUnset = m.get("nullToUnset").forall(_.toBoolean),
         deletesEnabled = m.get("deletesEnabled").forall(_.toBoolean),
         query = m.get("query"),
-        codec = codecByTopic.getOrElse(topic, CodecSettings()))
+        codec = codecByTopic.getOrElse(topic, CodecSettings()),
+        mergeMode = m.getOrElse("mergeMode", "row"))
     }
     Config(bindings, props.getOrElse("ignoreErrors", "None"),
       props.getOrElse("compression", "None"),

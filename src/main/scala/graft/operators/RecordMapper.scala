@@ -246,7 +246,7 @@ object RecordMapper {
     }
 
     // headers may carry string values (the classic contract) or binary
-    // values (typed headers, reference: HeadersCCMIT.java:330-518)
+    // values (typed headers, reference: HeadersCCMIT.java:120-226)
     val headerValueType: Option[DataType] =
       records.schema.fields.find(_.name == "headers").map(_.dataType).collect {
         case ArrayType(st: StructType, _) =>

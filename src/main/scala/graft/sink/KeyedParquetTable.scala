@@ -40,7 +40,15 @@ class KeyedParquetTable(
     numBuckets: Int = 16,
     /** Parquet codec for state files (X2 `compression` mapped via
       * `SinkConfig.Config.parquetCodec`). */
-    compression: String = "snappy") {
+    compression: String = "snappy",
+    /** `row`: one writetime per row ([[Upserts.mergeInto]]); `cell`:
+      * per-column writetimes persisted as `__wt_<col>` state columns
+      * ([[Upserts.mergeIntoCellWise]] — Cassandra's actual reconciliation
+      * granularity, for bindings writing disjoint columns out of order). */
+    mergeMode: String = "row") {
+
+  require(Set("row", "cell").contains(mergeMode),
+    s"mergeMode must be row or cell (got '$mergeMode')")
 
   val BucketCol = "__bucket"
 
@@ -52,45 +60,71 @@ class KeyedParquetTable(
   private def bucketOf: Column =
     pmod(hash(table.primaryKey.map(col): _*), lit(numBuckets))
 
-  /** Manifest: last applied batch id, newest version, bucket → version.
-    * Replay of an already-applied micro-batch is a no-op, which upgrades the
-    * pipeline to exactly-once even for counters (the one write mode LWW
-    * can't make replay-idempotent; reference hard part, SURVEY §7.4).
+  /** The replay-guard key used when no binding is named: single-writer
+    * tables (the common case) track one batch watermark. */
+  val DefaultBinding = "_"
+
+  /** Manifest: last applied batch id PER BINDING, newest version, bucket →
+    * version. Replay of an already-applied micro-batch is a no-op, which
+    * upgrades the pipeline to exactly-once even for counters (the one write
+    * mode LWW can't make replay-idempotent; reference hard part, SURVEY
+    * §7.4). The watermark is per binding because several bindings can fan
+    * into ONE table (reference S7 — the very case cell-wise merge exists
+    * for): with a single watermark, the first binding's merge of batch N
+    * would make the second binding's merge of the SAME batch look like a
+    * replay and silently drop its records.
     *
-    * The header also pins `numBuckets`: bucketOf re-hashes keys, so reopening
-    * existing state with a different bucket count would silently read the
-    * wrong partitions and drop/duplicate rows on merge — a mismatch fails
-    * fast instead. */
-  private case class Meta(lastBatch: Long, maxV: Int, buckets: Map[Int, Int])
+    * The header also pins `numBuckets` (bucketOf re-hashes keys, so a
+    * different bucket count would silently read the wrong partitions) and
+    * `mergeMode` (cell mode persists `__wt_<col>` columns a row-mode reopen
+    * would drop) — a mismatch fails fast instead. */
+  private case class Meta(lastBatch: Map[String, Long], maxV: Int,
+      buckets: Map[Int, Int]) {
+    def lastFor(binding: String): Long = lastBatch.getOrElse(binding, -1L)
+  }
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
 
   private def currentMeta: Meta =
-    if (!Files.exists(currentFile)) Meta(-1L, 0, Map.empty)
+    if (!Files.exists(currentFile)) Meta(Map.empty, 0, Map.empty)
     else {
       val lines = Files.readString(currentFile).trim.split('\n')
       val head = lines.head.split(' ')
-      val Array(b, v) = head.take(2)
-      head.drop(2).headOption.map(_.toInt).foreach { persisted =>
-        require(persisted == numBuckets,
-          s"state at $root was written with numBuckets=$persisted but opened " +
-            s"with numBuckets=$numBuckets; re-hashing keys would corrupt " +
-            "bucket pruning — open with the original bucket count")
-      }
-      val buckets = lines.tail.filter(_.nonEmpty).map { ln =>
+      require(head.length == 3,
+        s"unrecognized manifest header at $root: '${lines.head}'")
+      require(head(1).toInt == numBuckets,
+        s"state at $root was written with numBuckets=${head(1)} but opened " +
+          s"with numBuckets=$numBuckets; re-hashing keys would corrupt " +
+          "bucket pruning — open with the original bucket count")
+      require(head(2) == mergeMode,
+        s"state at $root was written with mergeMode=${head(2)} but opened " +
+          s"with mergeMode=$mergeMode — open with the original merge mode")
+      val (bindingLines, bucketLines) = lines.tail.filter(_.nonEmpty)
+        .partition(_.startsWith("b "))
+      val lastBatch = bindingLines.map { ln =>
+        val Array(_, k, v) = ln.split(' '); dec(k) -> v.toLong
+      }.toMap
+      val buckets = bucketLines.map { ln =>
         val Array(k, ver) = ln.split(':'); k.toInt -> ver.toInt
       }.toMap
-      Meta(b.toLong, v.toInt, buckets)
+      Meta(lastBatch, head(0).toInt, buckets)
     }
 
   private def writeMeta(m: Meta): Unit = {
-    val body = (s"${m.lastBatch} ${m.maxV} $numBuckets" +:
-      m.buckets.toSeq.sorted.map { case (k, v) => s"$k:$v" }).mkString("\n")
+    val body = (s"${m.maxV} $numBuckets $mergeMode" +:
+      (m.lastBatch.toSeq.sortBy(_._1).map { case (k, v) => s"b ${enc(k)} $v" } ++
+        m.buckets.toSeq.sorted.map { case (k, v) => s"$k:$v" })).mkString("\n")
     val tmp = rootPath.resolve("CURRENT.tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, currentFile, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def lastAppliedBatchId: Long = currentMeta.lastBatch
+  def lastAppliedBatchId: Long = currentMeta.lastFor(DefaultBinding)
+  def lastAppliedBatchId(binding: String): Long = currentMeta.lastFor(binding)
 
   private def emptyState: DataFrame = {
     val base = spark.createDataFrame(
@@ -143,16 +177,21 @@ class KeyedParquetTable(
 
   /** Apply one routed, mapped micro-batch (columns: mapped table cols +
     * __mode + __writetime [+ __ttl_seconds]). A batchId ≤ the last applied
-    * one is a replay — skipped, exactly-once. */
-  def applyBatch(batch: DataFrame, batchId: Long = Long.MinValue): Unit = {
+    * one FOR THIS BINDING is a replay — skipped, exactly-once. Bindings that
+    * fan into the same table pass distinct `binding` keys so each one's
+    * merge of a batch is tracked independently. */
+  def applyBatch(batch: DataFrame, batchId: Long = Long.MinValue,
+      binding: String = DefaultBinding): Unit = {
     val m = currentMeta
-    if (batchId != Long.MinValue && batchId <= m.lastBatch) return
+    if (batchId != Long.MinValue && batchId <= m.lastFor(binding)) return
+    def bumped = m.lastBatch +
+      (binding -> math.max(batchId, m.lastFor(binding)))
 
     // the batch determines which buckets the merge touches at all
     val touched = batch.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) {
-      writeMeta(m.copy(lastBatch = math.max(batchId, m.lastBatch)))
+      writeMeta(m.copy(lastBatch = bumped))
       return
     }
 
@@ -160,6 +199,8 @@ class KeyedParquetTable(
     val next =
       if (table.counterCols.nonEmpty)
         Upserts.mergeCounters(stTouched, Upserts.counterCombine(batch, table), table)
+      else if (mergeMode == "cell")
+        Upserts.mergeIntoCellWise(stTouched, batch, table, nullToUnset)
       else
         Upserts.mergeInto(stTouched, batch, table, nullToUnset)
 
@@ -173,7 +214,7 @@ class KeyedParquetTable(
         .partitionBy(BucketCol).parquet(dir)
 
     writeMeta(Meta(
-      lastBatch = math.max(batchId, m.lastBatch),
+      lastBatch = bumped,
       maxV = v,
       buckets = m.buckets ++ touched.map(_ -> v)))
     vacuum() // superseded versions are unreachable

@@ -47,7 +47,7 @@ class SinkPipeline(
     stores.getOrElseUpdate(b.qualifiedTable,
       new KeyedParquetTable(spark, tables(b.qualifiedTable),
         s"$storeRoot/${b.qualifiedTable}", b.nullToUnset,
-        compression = config.parquetCodec))
+        compression = config.parquetCodec, mergeMode = b.mergeMode))
 
   /** All messages down an exception's cause chain (for unwrapping a per-row
     * assert failure out of Spark's job-abort wrappers). */
@@ -75,12 +75,23 @@ class SinkPipeline(
     // cache: the batch is read once per binding + once for the unknown count
     records.persist()
     try {
-      val unknown = records.filter(!col("topic").isInCollection(knownTopics)).count()
-      failedWithUnknownTopic.add(unknown)
+      // ONE tiny agg action gives the unknown-topic count AND per-binding
+      // emptiness: a binding whose topic slice is empty must be skipped
+      // outright — an empty plan's CollectMetrics node gets optimized away
+      // (empty-relation propagation), so its Observation would never fire
+      // and obs.get would block forever
+      val topicCounts = records.groupBy("topic").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      failedWithUnknownTopic.add(
+        topicCounts.filterNot(kv => knownTopics.contains(kv._1)).values.sum)
       // replayed micro-batches: the state merge would be skipped anyway, but
-      // the dead-letter append and counters must not double-apply either
+      // the dead-letter append and counters must not double-apply either.
+      // The replay watermark is PER BINDING (keyed by topic): bindings that
+      // fan into one table must each get to merge the same batch id.
       val toApply = config.bindings.filter { b =>
-        batchId == Long.MinValue || batchId > store(spark, b).lastAppliedBatchId
+        topicCounts.getOrElse(b.topic, 0L) > 0L &&
+          (batchId == Long.MinValue ||
+            batchId > store(spark, b).lastAppliedBatchId(b.topic))
       }
       toApply.foreach { b =>
         val forTopic = records.filter(col("topic") === b.topic)
@@ -128,7 +139,8 @@ class SinkPipeline(
           count(lit(1)).as("total"), count(col(ErrorCol)).as("failed"))
         try {
           store(spark, b).applyBatch(
-            observed.filter(col(ErrorCol).isNull).drop(ErrorCol), batchId)
+            observed.filter(col(ErrorCol).isNull).drop(ErrorCol), batchId,
+            binding = b.topic)
         } catch {
           case e: Throwable if causeChain(e)
               .exists(m => m != null && m.contains("ignoreErrors=None")) =>

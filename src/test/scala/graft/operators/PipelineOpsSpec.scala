@@ -405,6 +405,40 @@ class PipelineOpsSpec extends SparkSuite {
       ("b", 9L, -1L)))  // other key's right rows never leak
   }
 
+  test("asof join: carries cross time slices; slicing never changes the answer") {
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("v", LongType)))
+    def frame(rows: (String, Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, t, v) => l.add(Row(k, t, v)) }
+      s.createDataFrame(l, sch)
+    }
+    // right rows all live in the FIRST slice, left rows in the LAST: with
+    // nSlices=3 only the carried boundary row can produce these matches
+    val left = frame(("a", 10L, 100L), ("a", 11L, 101L), ("a", 12L, 102L))
+      .withColumnRenamed("v", "lv")
+    val right = frame(("a", 1L, 1L), ("a", 2L, 2L))
+    val out = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"), nSlices = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sorted
+    assert(out.toSeq == Seq((10L, 2L), (11L, 2L), (12L, 2L)))
+
+    // hot key: slicing configurations must all agree with the single-window
+    // plan (nSlices=1 degenerates to one slice per key)
+    import org.apache.spark.sql.functions.{col => c, when => w}
+    val base = s.range(2000L)
+    val hotKey = w(c("id") % 10L === 0L, (c("id") % 7L + 1L).cast(StringType))
+      .otherwise("hot")
+    val hl = base.filter(c("id") % 2 === 0)
+      .select(hotKey.as("k"), c("id").as("t"), (c("id") * 3L).as("lv"))
+    val hr = base.filter(c("id") % 2 === 1)
+      .select(hotKey.as("k"), c("id").as("t"), (c("id") + 7L).as("v"))
+    def run(n: Int) = AsofJoin.asofJoin(hl, hr, "k", "t", Seq("v"), nSlices = n)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+    val single = run(1)
+    assert(single.nonEmpty && single == run(5) && single == run(64))
+  }
+
   test("range join: bucket-crossing intervals, boundary in/exclusivity, no dup pairs") {
     val sch = StructType(Seq(StructField("k", StringType),
       StructField("t", LongType)))

@@ -109,7 +109,7 @@ class RecordMapperSpec extends SparkSuite {
     assert(out == Seq(1L, 0L))
   }
 
-  test("header access (HeadersCCMIT.java:330-518)") {
+  test("header access (HeadersCCMIT.java:120-226)") {
     val t = SinkTable("ks", "th", StructType(Seq(
       StructField("my_pk", LongType), StructField("h", StringType))), Seq("my_pk"))
     val b = bind("topic.t.ks.th.mapping" -> "my_pk=key, h=header.h1")
@@ -117,7 +117,7 @@ class RecordMapperSpec extends SparkSuite {
     assert(out.head.getString(0) == "hv1")
   }
 
-  test("typed binary headers: numeric, string, struct, __ttl (HeadersCCMIT.java:330-518)") {
+  test("typed binary headers: numeric, string, struct, __ttl (HeadersCCMIT.java:120-226)") {
     import graft.functions.BigEndianHelper.longToBytes
     val binHeaderSchema = StructType(Seq(
       StructField("topic", StringType), StructField("partition", IntegerType),

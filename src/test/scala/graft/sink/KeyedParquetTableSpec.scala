@@ -112,6 +112,77 @@ class KeyedParquetTableSpec extends SparkSuite {
     assert(t.state().count() == 4)
   }
 
+  test("cell-wise merge mode: disjoint-column writes interleave across micro-batches") {
+    val wide = SinkTable("ks", "cw", StructType(Seq(
+      StructField("my_pk", LongType), StructField("my_value", LongType),
+      StructField("my_text", StringType))), Seq("my_pk"))
+    // binding A maps only my_value, binding B only my_text — each batch
+    // frame carries just its own column (an absent column is never touched)
+    def valBatch(rows: (Long, Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (pk, v, wt) => l.add(Row(pk, v, wt, RecordMapper.ModeUpsert)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("my_pk", LongType), StructField("my_value", LongType),
+        StructField(RecordMapper.WritetimeCol, LongType),
+        StructField(RecordMapper.ModeCol, StringType))))
+    }
+    def textBatch(rows: (Long, String, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (pk, t, wt) => l.add(Row(pk, t, wt, RecordMapper.ModeUpsert)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("my_pk", LongType), StructField("my_text", StringType),
+        StructField(RecordMapper.WritetimeCol, LongType),
+        StructField(RecordMapper.ModeCol, StringType))))
+    }
+    val root = Files.createTempDirectory("graft-cell").toString
+    val t = new KeyedParquetTable(s, wide, root, numBuckets = 4, mergeMode = "cell")
+
+    t.applyBatch(valBatch((1L, 100L, 200L), (2L, 200L, 200L)), batchId = 1L)
+    // OLDER writetime on the OTHER column: row-level LWW would refuse this;
+    // per-cell timestamps must land it
+    t.applyBatch(textBatch((1L, "late-but-lands", 150L)), batchId = 2L)
+    // older write to an already-written cell: refused per-cell
+    t.applyBatch(valBatch((1L, 999L, 120L)), batchId = 3L)
+    val st = t.state().collect().map(r => (r.getAs[Long]("my_pk"),
+      r.getAs[Long]("my_value"), r.getAs[String]("my_text"),
+      r.getAs[Long]("__wt_my_value"),
+      Option(r.getAs[java.lang.Long]("__wt_my_text")).map(_.toLong)))
+      .sortBy(_._1)
+    assert(st.toSeq == Seq(
+      (1L, 100L, "late-but-lands", 200L, Some(150L)),
+      (2L, 200L, null, 200L, None)))  // never-written cell: null value AND null wt
+
+    // restart over the same root: manifest + cell wts survive; replay no-op
+    val t2 = new KeyedParquetTable(s, wide, root, numBuckets = 4, mergeMode = "cell")
+    assert(t2.lastAppliedBatchId == 3L)
+    t2.applyBatch(valBatch((1L, 777L, 500L)), batchId = 3L)
+    assert(t2.state().filter(col("my_pk") === 1L).head()
+      .getAs[Long]("my_value") == 100L)
+
+    // endurance: 20 more interleaved micro-batches alternating columns with
+    // sawtooth writetimes — final cells = per-column max-writetime write
+    (4 to 23).foreach { b =>
+      val wt = 1000L + (b % 7) * 100L  // deliberately non-monotonic
+      if (b % 2 == 0) t2.applyBatch(valBatch((1L, b.toLong, wt)), batchId = b.toLong)
+      else t2.applyBatch(textBatch((1L, s"t$b", wt)), batchId = b.toLong)
+    }
+    // per column: the max-writetime write wins; at equal writetimes across
+    // DIFFERENT batches the later merge wins (cell overwrites on >=, the
+    // Cassandra reconciliation order for sequential mutations). Max wt 1600
+    // hits b%7==6 → b ∈ {6,13,20}: value sees it at b=6 then b=20 (20 wins),
+    // text only at b=13.
+    val fin = t2.state().filter(col("my_pk") === 1L).head()
+    assert(fin.getAs[Long]("my_value") == 20L)      // wt 1600, later merge wins
+    assert(fin.getAs[String]("my_text") == "t13")   // wt 1600, only odd hit
+    assert(fin.getAs[Long]("__wt_my_value") == 1600L)
+    assert(fin.getAs[Long]("__wt_my_text") == 1600L)
+
+    // the state's merge granularity is pinned: row-mode reopen fails fast
+    val tRow = new KeyedParquetTable(s, wide, root, numBuckets = 4)
+    val e = intercept[IllegalArgumentException] { tRow.state() }
+    assert(e.getMessage.contains("mergeMode=cell"))
+  }
+
   test("X2 compression: state written with the configured parquet codec") {
     import graft.mapping.SinkConfig
     // reference name → parquet codec mapping, invalid values rejected

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkSuite
@@ -153,6 +154,46 @@ class SinkPipelineSpec extends SparkSuite {
     assert(literal.collect().toSeq == Seq(Row(1L, "FROM mapped")))
     // the view is dropped after analysis — nothing leaks into the catalog
     assert(!s.catalog.tableExists("mapped"))
+  }
+
+  test("mergeMode=cell: disjoint-column bindings land out-of-order writes via processBatch") {
+    val root = Files.createTempDirectory("graft-cellpipe").toString
+    val wide = SinkTable("ks", "cw", StructType(Seq(
+      StructField("my_pk", LongType), StructField("my_value", LongType),
+      StructField("my_text", StringType))), Seq("my_pk"))
+    val config = SinkConfig.parse(Map(
+      "topic.vals.ks.cw.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.vals.ks.cw.mergeMode" -> "cell",
+      "topic.texts.ks.cw.mapping" -> "my_pk=key, my_text=value.t",
+      "topic.texts.ks.cw.mergeMode" -> "cell"))
+    val pipe = new SinkPipeline(config, Map("ks.cw" -> wide), root)
+
+    // batch 1: the value column lands at t=5000
+    pipe.processBatch(batch(("vals", 0L, "1", """{"v": 100}""", 5000L)), 0L)
+    // batch 2: the text column arrives with an OLDER record timestamp —
+    // row-level LWW would refuse it; per-cell reconciliation must land it
+    pipe.processBatch(batch(("texts", 1L, "1", """{"t": "late"}""", 3000L)), 1L)
+
+    val st = pipe.store(s, config.bindings.head).state()
+      .select("my_pk", "my_value", "my_text").head()
+    assert(st == Row(1L, 100L, "late"))
+
+    // batch 3: BOTH topics inside ONE micro-batch — the replay watermark is
+    // per binding, so the second binding's merge of the same batchId must
+    // not be mistaken for a replay of the first's
+    pipe.processBatch(batch(
+      ("vals", 2L, "2", """{"v": 7}""", 8000L),
+      ("texts", 3L, "2", """{"t": "both"}""", 9000L)), 2L)
+    val st2 = pipe.store(s, config.bindings.head).state()
+      .filter(col("my_pk") === 2L)
+      .select("my_pk", "my_value", "my_text").head()
+    assert(st2 == Row(2L, 7L, "both"))
+
+    // bindings that fan into one table must agree on the merge granularity
+    intercept[IllegalArgumentException](SinkConfig.parse(Map(
+      "topic.vals.ks.cw.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.vals.ks.cw.mergeMode" -> "cell",
+      "topic.texts.ks.cw.mapping" -> "my_pk=key, my_text=value.t")))
   }
 
   test("counter replay with the same batchId is exactly-once") {
