@@ -14,10 +14,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
  * State = one boolean per distinct content hash, partitioned by the hash —
  * grows with distinct content (the theoretical minimum for exact streaming
  * dedup) and shards across executors with the shuffle. For corpus-scale
- * streams where even that is too large, cap it with a TTL'd state
- * (processing-time timeout) and accept re-admits after the horizon, or run
- * the batch `Dedup.exact` as a periodic compaction — both compose with this
- * operator unchanged.
+ * streams where even that is too large, [[firstSeenTtl]] bounds state to
+ * the hashes sighted within a horizon (processing-time timeout, re-admits
+ * after a quiet horizon); the batch `Dedup.exact` as a periodic compaction
+ * composes with either variant unchanged.
  *
  * Stateless curation ops (PII redaction, quality/langid scoring, repetition
  * stats' per-doc projections) need no streaming form: they are pure
@@ -50,6 +50,36 @@ object StreamingDedup {
       }
   }
 
+  /** TTL'd first-seen filter: like [[firstSeen]], but a hash's state row
+    * expires after `horizonMs` with no sighting. The horizon SLIDES: a
+    * duplicate arriving inside it is dropped AND re-arms the timer, so a
+    * hash is only forgotten after a full quiet horizon; the next copy then
+    * re-admits (at most one extra emit per hash per quiet horizon). State
+    * is bounded by the hashes ACTIVE within the horizon instead of all
+    * distinct content ever — the trade a 100 TB/day stream has to take;
+    * duplicates in real corpora cluster in time (re-crawls, retries), which
+    * is exactly what the window keeps. */
+  def firstSeenTtl(docs: Dataset[HashedDoc], horizonMs: Long)
+      : Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: Long, it: Iterator[HashedDoc],
+            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            state.setTimeoutDuration(horizonMs) // sighting re-arms the horizon
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(horizonMs)
+            Iterator.single(it.minBy(_.docId))
+          }
+      }
+  }
+
   /** Convenience: hash a (id, text) stream and keep first-seen docs. */
   def dedupStream(docs: DataFrame, textCol: String, idCol: String)
       : Dataset[HashedDoc] = {
@@ -58,5 +88,119 @@ object StreamingDedup {
       col(idCol).cast("long").as("docId"),
       contentHash(col(textCol)).as("h"))
       .as[HashedDoc])
+  }
+
+  /** Convenience: [[dedupStream]] with the TTL'd state variant. */
+  def dedupStreamTtl(docs: DataFrame, textCol: String, idCol: String,
+      horizonMs: Long): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    firstSeenTtl(docs.select(
+      col(idCol).cast("long").as("docId"),
+      contentHash(col(textCol)).as("h"))
+      .as[HashedDoc], horizonMs)
+  }
+
+  // ------------------------------------------------------- streaming near-dup
+
+  case class BandedDoc(docId: Long, bandId: Int, bandHash: Long)
+  case class CandidatePair(docA: Long, docB: Long)
+
+  /**
+   * Map-only MinHash banding for a STREAM: per doc, shingle hashes, k min
+   * hashes, and LSH band hashes are all computed with higher-order array
+   * expressions inside projections — no window, no groupBy, so it runs on a
+   * streaming DataFrame as-is. Produces the EXACT same (doc_id, band_id,
+   * band_hash) rows as the batch `Dedup.minhashBands(Dedup.minhashSignatures(…))`
+   * (same token hashes, same positional shingle fold, same affine seeds,
+   * same band fold — pinned by a batch-equivalence spec), so stream and
+   * batch candidates agree.
+   *
+   * Docs with fewer than `shingleN` tokens have no shingles and emit no
+   * bands, matching the batch path.
+   */
+  def bandedStream(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame = {
+    import graft.operators.Dedup.seeds
+    import graft.operators.TextAnalysis.{tokenHashes, HashPrime}
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val nBands = numHashes / rowsPerBand
+    val ths = tokenHashes(col(textCol))
+    // shingle hash at position i: fold over token hashes i..i+n-1, exactly
+    // the batch shingleHashRows window fold, done positionally in-array
+    val shingles = when(size(ths) >= shingleN,
+      transform(sequence(lit(0), size(ths) - shingleN),
+        i => (1 until shingleN).foldLeft(element_at(ths, i + 1): Column) {
+          (acc, j) => (acc * 131L + element_at(ths, i + j + 1)) % HashPrime
+        })).otherwise(array().cast("array<bigint>"))
+    val withShingles = docs.select(
+      col(idCol).cast("long").as("doc_id"), shingles.as("__sh"))
+    val mins = array(seeds(numHashes).map(sd =>
+      array_min(transform(col("__sh"),
+        x => (lit(sd.a) * x + lit(sd.b)) % HashPrime))): _*)
+    val bands = transform(sequence(lit(0), lit(nBands - 1)),
+      b => struct(
+        b.cast("int").as("band_id"),
+        (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, j) =>
+          (acc * 131L + element_at(col("__mins"), b * rowsPerBand + j + 1)) %
+            HashPrime
+        }.as("band_hash")))
+    withShingles
+      .select(col("doc_id"), mins.as("__mins"))
+      .select(col("doc_id"), explode(bands).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+      .filter(col("band_hash").isNotNull) // shingle-less docs band to null
+  }
+
+  /**
+   * Online LSH candidate pairs: state per (band_id, band_hash) bucket is the
+   * member doc-id list; a doc landing in a non-empty bucket emits a pair
+   * with every existing member (docA < docB). Buckets are HARD-CAPPED at
+   * `bucketCap` members — the same bound as the batch
+   * `Similarity.lshCandidates` cap: a degenerate bucket (boilerplate text
+   * every doc shares) emits at most cap·(cap−1)/2 pairs ever, and docs
+   * beyond the cap are ignored for that bucket (they still pair through
+   * their other bands). State per bucket is ≤ cap longs.
+   *
+   * A pair sharing SEVERAL bands emits once per band (each bucket's state
+   * is independent); run the output through `.dropDuplicates` per batch or a
+   * pair-keyed [[firstSeen]]-style filter when exact-once pairs matter —
+   * the batch-equivalence spec compares distinct sets.
+   */
+  def streamingCandidates(banded: Dataset[BandedDoc], bucketCap: Int = 64)
+      : Dataset[CandidatePair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(d => (d.bandId, d.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[BandedDoc],
+            state: org.apache.spark.sql.streaming.GroupState[List[Long]]) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val newIds = it.map(_.docId).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          val out = Seq.newBuilder[CandidatePair]
+          var members = seen
+          newIds.foreach { id =>
+            if (members.size < bucketCap) {
+              members.foreach(m =>
+                out += CandidatePair(math.min(m, id), math.max(m, id)))
+              members = id :: members
+            }
+          }
+          if (members ne seen) state.update(members)
+          out.result().iterator
+      }
+  }
+
+  /** Convenience: band a raw (id, text) stream and emit candidate pairs. */
+  def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4,
+      bucketCap: Int = 64): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    streamingCandidates(
+      bandedStream(docs, textCol, idCol, numHashes, shingleN, rowsPerBand)
+        .select(col("doc_id").as("docId"), col("band_id").as("bandId"),
+          col("band_hash").as("bandHash"))
+        .as[BandedDoc], bucketCap)
   }
 }

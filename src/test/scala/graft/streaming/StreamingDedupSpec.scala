@@ -43,6 +43,110 @@ class StreamingDedupSpec extends SparkSuite {
     assert(out.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("TTL'd dedup: in-horizon duplicates drop, quiet horizon re-admits, state shrinks") {
+    val src = Files.createTempDirectory("graft-sdttl-src").toString
+    val ckpt = Files.createTempDirectory("graft-sdttl-ckpt").toString
+    val horizonMs = 4000L
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val q = StreamingDedup.dedupStreamTtl(stream, "text", "doc_id", horizonMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdttl_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    // processing-time state timeouts make every batch "require another
+    // batch", so noNewData never latches and processAllAvailable would
+    // block forever — poll the sink instead
+    def emitted(): Seq[Long] =
+      s.table("sdttl_out").collect().map(_.getAs[Long]("docId")).sorted.toSeq
+    def awaitEmitted(expected: Seq[Long]): Unit = {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (System.currentTimeMillis() < deadline && emitted() != expected)
+        Thread.sleep(200L)
+      assert(emitted() == expected)
+    }
+    try {
+      // batch 1: two hashes enter state
+      write(src + "/f1", (1L, "aaa"), (2L, "bbb"))
+      awaitEmitted(Seq(1L, 2L))
+      // inside the horizon: duplicate drops (and re-arms aaa's timer)
+      write(src + "/f2", (3L, "aaa"))
+      Thread.sleep(1500L)
+      assert(emitted() == Seq(1L, 2L))
+      // a full quiet horizon passes: aaa and bbb expire
+      Thread.sleep(horizonMs + 2000L)
+      write(src + "/f3", (4L, "ccc"))
+      awaitEmitted(Seq(1L, 2L, 4L))
+      // the expired hash re-admits
+      write(src + "/f4", (5L, "aaa"))
+      awaitEmitted(Seq(1L, 2L, 4L, 5L))
+      // state is bounded by ACTIVE hashes: 3 distinct hashes were seen but
+      // only {ccc, aaa} survive the expiry (bbb is gone)
+      val deadline = System.currentTimeMillis() + 30000L
+      def liveRows(): Option[Long] = q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty => p.stateOperators.head.numRowsTotal
+      }
+      while (System.currentTimeMillis() < deadline && !liveRows().contains(2L))
+        Thread.sleep(200L)
+      assert(liveRows().contains(2L), s"expected 2 live state rows, got ${liveRows()}")
+    } finally q.stop()
+  }
+
+  test("streaming banding reproduces the batch minhash bands exactly") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words here entirely now"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "to on"))  // < shingleN tokens: no bands on either path
+      .foreach { case (id, t) => l.add(Row(id, t)) }
+    val df = s.createDataFrame(l, schema)
+    val batch = graft.operators.Dedup.minhashBands(
+      graft.operators.Dedup.minhashSignatures(df, "text", "doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band_id"),
+        r.getAs[Long]("band_hash"))).sorted
+    val streamShaped = StreamingDedup.bandedStream(df, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band_id"),
+        r.getAs[Long]("band_hash"))).sorted
+    assert(streamShaped.nonEmpty && streamShaped.toSeq == batch.toSeq)
+    assert(!streamShaped.exists(_._1 == 5L))
+  }
+
+  test("streaming near-dup candidates across micro-batches equal the batch LSH pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words here entirely now"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox leaps over the lazy dog"))
+    val src = Files.createTempDirectory("graft-ndstream-src").toString
+    val ckpt = Files.createTempDirectory("graft-ndstream-ckpt").toString
+    // three micro-batches; candidates must connect docs across them
+    write(src + "/f1", docs(0), docs(1))
+    write(src + "/f2", docs(2), docs(3))
+    write(src + "/f3", docs(4))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val q = StreamingDedup.nearDupStream(stream, "text", "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nd_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = s.table("nd_out").collect()
+      .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+    val l = new java.util.ArrayList[Row]()
+    docs.foreach { case (id, t) => l.add(Row(id, t)) }
+    val all = s.createDataFrame(l, schema)
+    val batch = graft.operators.Dedup.minhashCandidates(
+      graft.operators.Dedup.minhashBands(
+        graft.operators.Dedup.minhashSignatures(all, "text", "doc_id")))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // the near-dup family must actually appear
+    assert(streamed.contains((1L, 4L)))
+  }
+
   test("streaming and batch exact dedup keep the same documents") {
     val l = new java.util.ArrayList[Row]()
     Seq((2L, "x y z"), (9L, "x y z"), (5L, "q"), (7L, "q"), (8L, "solo"))
