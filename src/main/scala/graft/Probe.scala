@@ -118,6 +118,44 @@ object Probe {
       graft.operators.Similarity.lshCandidates(buckets).count())
     buckets.unpersist(); ebig.unpersist()
 
+    // ---- embedding near-dup RECALL vs brute-force ground truth: the LSH
+    // path (8 tables × 12 planes) trades recall for never forming n² pairs;
+    // this measures what that trade costs at the operator's own cos ≥ 2/5
+    // threshold (ground truth brute-forced here — affordable only in a probe)
+    {
+      import graft.operators.{Dedup, Similarity}
+      val emb = ebase.select("vec_id", "embedding")
+      val qv = emb.select(col("vec_id").as("vid"),
+        Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("n2", Similarity.norm2Q(col("qv"))).cache()
+      val a = qv.alias("a"); val b = qv.alias("b")
+      val truthAll = a.join(b, col("a.vid") < col("b.vid"))
+        .select(col("a.vid").as("item_a"), col("b.vid").as("item_b"),
+          (Similarity.dotQ(col("a.qv"), col("b.qv")) /
+            sqrt(col("a.n2") * col("b.n2"))).as("cosd"))
+        .filter(col("cosd") >= 0.4).cache()
+      truthAll.count()
+      def recallAt(planes: Int, tables: Int): Unit = {
+        val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          numTables = tables, planesPerTable = planes)
+          .select("item_a", "item_b").cache()
+        got.count()
+        Seq(0.4, 0.7, 0.9).foreach { t =>
+          val tr = truthAll.filter(col("cosd") >= t)
+          val n = tr.count()
+          val hit = tr.join(got, Seq("item_a", "item_b"), "left_semi").count()
+          println(f"embedding near-dup recall@cos>=$t%.1f " +
+            f"[$tables tables x $planes planes]: $hit/$n = " +
+            f"${hit * 100.0 / math.max(n, 1)}%.1f%%")
+        }
+        got.unpersist()
+      }
+      recallAt(12, 8)  // shipped default: a cos>=0.95 configuration
+      recallAt(6, 8)   // shorter band: recalls the 0.4-0.7 regime
+      recallAt(4, 16)  // shortest practical band x double tables
+      qv.unpersist(); truthAll.unpersist()
+    }
+
     // ---- near-dup cluster propagation: rounds are bounded by component
     // DIAMETER, not size — a 50k-doc STAR (the realistic near-dup shape: one
     // boilerplate template matching many docs) converges in ~2 rounds; the

@@ -156,6 +156,28 @@ class SinkPipelineSpec extends SparkSuite {
     assert(!s.catalog.tableExists("mapped"))
   }
 
+  test("provided query: independent sessions run concurrently without view collisions") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two sessions over one context: temp views are session-scoped, so both
+    // can use the PUBLIC view name at once; the per-session lock must not
+    // serialize them into each other's registrations
+    val s2 = s.newSession()
+    def burst(sess: org.apache.spark.sql.SparkSession, tag: Long) = Future {
+      (1 to 20).map { _ =>
+        val df = sess.range(5).selectExpr(s"id + ${tag * 1000} AS my_pk")
+        graft.operators.ProvidedQuery
+          .run(df, "SELECT SUM(my_pk) AS t FROM mapped")
+          .head().getLong(0)
+      }
+    }
+    val (a, b) = (burst(s, 1L), burst(s2, 2L))
+    val (ra, rb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    // 0+1+..+4 = 10, plus 5*tag*1000 — every run saw ITS session's frame
+    assert(ra.forall(_ == 5010L) && rb.forall(_ == 10010L))
+  }
+
   test("mergeMode=cell: disjoint-column bindings land out-of-order writes via processBatch") {
     val root = Files.createTempDirectory("graft-cellpipe").toString
     val wide = SinkTable("ks", "cw", StructType(Seq(
