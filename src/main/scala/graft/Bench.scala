@@ -163,6 +163,70 @@ object Bench {
     val merge50k = mergeOneKeyAt(50000L)
     val merge200k = mergeOneKeyAt(200000L)
 
+    // ---- sf1 scale probe: the five most expensive queries at 10× the data
+    // (replicas of the driver's own sf tables with consistently shifted
+    // keys — joins stay within a replica). Catches O(n log n)-vs-O(n) drift
+    // the sf0.1 numbers hide: a healthy plan grows ≤ ~12× on 10× data.
+    // Disable with SPARK_GRAFT_SF1=0.
+    val sf1Results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") {
+      val sf1Dir = s"/tmp/graft_sf1_${Math.floorMod(sfDir.hashCode, 1000000)}"
+      val okFlag = java.nio.file.Paths.get(sf1Dir, "_BUILT")
+      if (!java.nio.file.Files.exists(okFlag)) {
+        val shift = 10000000000L
+        val tableKeys = Map(
+          "events" -> Seq("event_id", "user_id"),
+          "lineitem" -> Seq("l_orderkey"),
+          "orders" -> Seq("o_orderkey", "o_custkey"),
+          "customer" -> Seq("c_custkey"),
+          "documents" -> Seq("doc_id"),
+          "embeddings" -> Seq("vec_id"))
+        tableKeys.foreach { case (t, keys) =>
+          val base = spark.read.parquet(s"$sfDir/$t.parquet")
+          (0 until 10).map { i =>
+            keys.foldLeft(base) { (df, k) =>
+              df.withColumn(k, col(k) + lit(i * shift)) }
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
+        }
+        java.nio.file.Files.createFile(okFlag)
+      }
+      Seq("q00_ingest_pipeline" -> null,
+        "q20_tpch_q1" -> SparkEntry.queries("q20_tpch_q1"),
+        "q21_join_enrich" -> SparkEntry.queries("q21_join_enrich"),
+        "q32_jaccard_pairs" -> SparkEntry.queries("q32_jaccard_pairs"),
+        "q53_ann_ivf_trained" -> SparkEntry.queries("q53_ann_ivf_trained"))
+        .foreach { case (name, fn) =>
+          // two runs, min: JIT is warm from the sf0.1 pass; the check is a
+          // 10×-growth ratio, not an absolute latency
+          def once: Double =
+            if (fn != null) time(force(fn(spark, sf1Dir)))
+            else time {
+              val frame = KafkaLike.frameWithTombstones(spark, sf1Dir)
+              val b = SinkConfig.parse(Map(
+                "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value.k"))
+                .bindings.head
+              val table = graft.sink.SinkTable("ks1", "t",
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("my_pk",
+                    org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField("my_value",
+                    org.apache.spark.sql.types.LongType))),
+                Seq("my_pk"))
+              val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType)))
+              val mapped = RecordMapper.compile(b, table, frame,
+                valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema))
+              force(Upserts.lwwCompact(mapped, Seq("my_pk"),
+                Seq(col(RecordMapper.WritetimeCol))))
+            }
+          sf1Results += name -> (try math.min(once, once)
+            catch { case _: Throwable => -1.0 })
+        }
+      sf1Results += "state_merge_1key_1m_sec" -> mergeOneKeyAt(1000000L)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%1.3f""" }
       .mkString("{", ",", "}")
     val runsJson = allRuns.map { case (k, rs) =>
@@ -172,8 +236,10 @@ object Bench {
     val totalStr = f"$total%1.3f"
     val rps = if (ingestSec > 0) (nRecords / ingestSec).toLong else 0L
     val sustained = if (sustainedSec > 0) (n10 / sustainedSec).toLong else 0L
+    val sf1Json = sf1Results.map { case (k, v) => "\"" + k + f"""\":$v%1.3f""" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"}}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json}""")
     spark.stop()
   }
 }

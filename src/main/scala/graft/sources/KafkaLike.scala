@@ -55,4 +55,54 @@ object KafkaLike {
     frame(spark, sfDir).withColumn("value",
       when(col("topic") === "error", lit(null).cast(StringType))
         .otherwise(col("value")))
+
+  /**
+   * Real Kafka subscription config, mirroring the reference connector's
+   * surface (reference: sink/src/main/.../CassandraSinkConnector.java:72-88
+   * and dist/conf/cassandra-sink-standalone.properties.sample:33-36 —
+   * `topics` / topic regex / starting offsets). Exactly one of `subscribe`
+   * (comma-separated topic list) or `subscribePattern` (regex) must be set.
+   */
+  case class KafkaSubscription(
+      bootstrapServers: String,
+      subscribe: Option[String] = None,
+      subscribePattern: Option[String] = None,
+      startingOffsets: String = "earliest") {
+    require(subscribe.isDefined ^ subscribePattern.isDefined,
+      "exactly one of subscribe / subscribePattern must be set")
+    require(startingOffsets == "earliest" || startingOffsets == "latest" ||
+      startingOffsets.trim.startsWith("{"),
+      s"startingOffsets must be earliest, latest, or a JSON offset map")
+  }
+
+  /**
+   * The real `format("kafka")` wiring: builds a streaming reader with the
+   * subscription options and normalizes its output to THE SAME column
+   * contract as [[frame]] (key/value cast binary→string for the JSON
+   * mapping path; headers stay array<struct<key,value:binary>>, which is
+   * the typed-binary header route in RecordMapper). Everything downstream
+   * — SinkPipeline.start, RecordMapper, the sink tables — is agnostic to
+   * which source produced the frame.
+   *
+   * INERT IN THIS CONTAINER: there is no broker and no spark-sql-kafka jar,
+   * so `.load()` fails with DATA_SOURCE_NOT_FOUND — the construction path
+   * up to that boundary is what the spec covers. On a cluster with the
+   * kafka connector on the classpath this method is the production entry.
+   */
+  def kafkaStream(spark: SparkSession, sub: KafkaSubscription): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", sub.bootstrapServers)
+      .option("startingOffsets", sub.startingOffsets)
+      .option("includeHeaders", "true")
+    val subscribed = sub.subscribe match {
+      case Some(topics) => reader.option("subscribe", topics)
+      case None => reader.option("subscribePattern", sub.subscribePattern.get)
+    }
+    subscribed.load().select(
+      col("topic"), col("partition"), col("offset"),
+      col("key").cast(StringType).as("key"),
+      col("value").cast(StringType).as("value"),
+      col("headers"),
+      col("timestamp"))
+  }
 }
