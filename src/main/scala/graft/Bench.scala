@@ -238,8 +238,22 @@ object Bench {
     val sustained = if (sustainedSec > 0) (n10 / sustainedSec).toLong else 0L
     val sf1Json = sf1Results.map { case (k, v) => "\"" + k + f"""\":$v%1.3f""" }
       .mkString("{", ",", "}")
+    // The driver captures only the tail of stdout, so the LAST line must be
+    // a compact, complete JSON object (medians + headline numbers, no runs
+    // arrays — those pushed the round-4 line past the capture window and the
+    // official artifact held a truncated fragment). The per-run detail goes
+    // to a sidecar file and its path is announced on an earlier line.
+    val runsPath = sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE",
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_runs.json")
+        .toString)
+    val fullJson =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(runsPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // sidecar is best-effort
+    println(s"""{"runs_file":"$runsPath"}""")
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json}""")
     spark.stop()
   }
 }

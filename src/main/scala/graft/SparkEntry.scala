@@ -1179,7 +1179,10 @@ object SparkEntry {
         val r = ev.filter(col("event_type") === "view")
           .groupBy(col("user_id"), col("ts_us"))
           .agg(max(col("event_id")).as("view_event"))
-        AsofJoin.asofJoin(l, r, "user_id", "ts_us", Seq("view_event"))
+        // the time domain is known (30 days of epoch-µs events), so pass
+        // the slice width — 12h ≈ 60 slices — and skip the derivation scan
+        AsofJoin.asofJoin(l, r, "user_id", "ts_us", Seq("view_event"),
+          sliceWidth = Some(12.0 * 3600 * 1e6))
           .orderBy("event_id")
       }),
 

@@ -19,6 +19,7 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.deletesEnabled     (default true)
  *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
  *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell, default row)
+ *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms>, default none)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *
  * Topic names may themselves contain dots; the keyspace/table pair is the
@@ -55,10 +56,32 @@ object SinkConfig {
         * granularity ([[graft.operators.Upserts.mergeIntoCellWise]]) — needed
         * when several bindings write DISJOINT columns of one table out of
         * timestamp order. */
-      mergeMode: String = "row") {
+      mergeMode: String = "row",
+      /** Content-level dedup stage between decode and merge (the online form
+        * of [[graft.streaming.StreamingDedup]], reachable from config):
+        * `none` (default) | `exact` (first copy of each record value ever
+        * reaches the table) | `exactTtl:<ms>` (seen-hash forgotten after a
+        * quiet horizon — sightings re-arm it, bounding state to content
+        * active within the window). Tombstones (null values) never dedup:
+        * every delete reaches the table. Extends the reference's
+        * offset-level idempotent replay (reference:
+        * sink/src/it/.../SimpleEndToEndSimulacronIT.java:407-473) to
+        * content level. */
+      dedup: String = "none") {
     require(Set("row", "cell").contains(mergeMode),
       s"mergeMode must be row or cell (got '$mergeMode')")
+    require(dedup == "none" || dedup == "exact" ||
+      (dedup.startsWith("exactTtl:") &&
+        scala.util.Try(dedup.stripPrefix("exactTtl:").toLong).toOption
+          .exists(_ > 0)),
+      s"dedup must be none, exact, or exactTtl:<positive ms> (got '$dedup')")
     def qualifiedTable: String = s"$keyspace.$table"
+    def dedupEnabled: Boolean = dedup != "none"
+    /** The horizon for `exactTtl:<ms>`; None for `none`/`exact`. */
+    def dedupTtlMs: Option[Long] =
+      if (dedup.startsWith("exactTtl:"))
+        Some(dedup.stripPrefix("exactTtl:").toLong)
+      else None
   }
 
   case class Config(bindings: Seq[TableBinding],
@@ -100,7 +123,7 @@ object SinkConfig {
 
   private val TableSettings = Set(
     "mapping", "ttl", "ttlTimeUnit", "timestampTimeUnit", "consistencyLevel",
-    "nullToUnset", "deletesEnabled", "query", "mergeMode")
+    "nullToUnset", "deletesEnabled", "query", "mergeMode", "dedup")
   private val CodecSettingNames =
     Set("timestamp", "date", "time", "unit", "timeZone", "locale", "decimal")
 
@@ -160,7 +183,8 @@ object SinkConfig {
         deletesEnabled = m.get("deletesEnabled").forall(_.toBoolean),
         query = m.get("query"),
         codec = codecByTopic.getOrElse(topic, CodecSettings()),
-        mergeMode = m.getOrElse("mergeMode", "row"))
+        mergeMode = m.getOrElse("mergeMode", "row"),
+        dedup = m.getOrElse("dedup", "none"))
     }
     Config(bindings, props.getOrElse("ignoreErrors", "None"),
       props.getOrElse("compression", "None"),

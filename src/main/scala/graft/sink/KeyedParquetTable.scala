@@ -151,6 +151,16 @@ class KeyedParquetTable(
   /** Current full state; empty frame with the right schema before any write. */
   def state(): DataFrame = readBuckets(currentMeta, None)
 
+  /** State restricted to the buckets touched by `keys`' primary-key values —
+    * the partition-pruned read for point-lookup joins (a batch-vs-state
+    * anti-join reads O(touched buckets), not O(total state)). `keys` must
+    * carry the table's pk columns; the bucket collect is ≤ numBuckets rows. */
+  def stateForKeys(keys: DataFrame): DataFrame = {
+    val touched = keys.select(bucketOf.as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    readBuckets(currentMeta, Some(touched))
+  }
+
   /** Drop version directories no longer referenced by any bucket pointer
     * (bounded disk; the manifest always stays valid). */
   def vacuum(): Unit = {

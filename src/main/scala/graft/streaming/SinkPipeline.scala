@@ -49,6 +49,78 @@ class SinkPipeline(
         s"$storeRoot/${b.qualifiedTable}", b.nullToUnset,
         compression = config.parquetCodec, mergeMode = b.mergeMode))
 
+  // --------------------------------------------------- content-level dedup
+  // The `dedup = exact | exactTtl:<ms>` stage (SinkConfig). Seen-hash state
+  // is a pk-bucketed KeyedParquetTable keyed by the 64-bit content hash, one
+  // per binding: the batch-vs-seen anti-join reads only the buckets the
+  // batch's hashes touch (stateForKeys), so per-batch cost is O(batch +
+  // touched state), never O(all content ever) — the foreachBatch analogue of
+  // StreamingDedup.firstSeen/firstSeenTtl, sharing its sliding-horizon
+  // semantics (a sighting re-arms the TTL).
+
+  private val dedupStores = TrieMap[String, KeyedParquetTable]()
+
+  private def dedupStore(spark: org.apache.spark.sql.SparkSession,
+      b: SinkConfig.TableBinding): KeyedParquetTable =
+    dedupStores.getOrElseUpdate(s"${b.topic}.${b.qualifiedTable}", {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last_seen",
+          org.apache.spark.sql.types.LongType)))
+      new KeyedParquetTable(spark,
+        SinkTable(b.keyspace, s"${b.table}__dedup", schema, Seq("h")),
+        s"$storeRoot/_dedup/${b.topic}.${b.qualifiedTable}",
+        compression = config.parquetCodec)
+    })
+
+  /** Filter a topic slice down to first-seen content. Returns the filtered
+    * slice plus a deferred sightings merge to run AFTER the table merge
+    * succeeds — so a failed batch replays with the seen-set unchanged and
+    * re-selects the same rows. (A crash between table merge and sightings
+    * merge re-admits that batch's content later: dedup is at-least-once
+    * across a crash window; the table itself stays exactly-once via its own
+    * replay watermark, and the LWW merge absorbs the re-admit.) */
+  private def dedupFilter(spark: org.apache.spark.sql.SparkSession,
+      b: SinkConfig.TableBinding, slice: DataFrame, batchId: Long)
+      : (DataFrame, Option[() => Unit]) =
+    if (!b.dedupEnabled) (slice, None)
+    else {
+      val ds = dedupStore(spark, b)
+      val nowMs = System.currentTimeMillis()
+      val hcol = "__content_hash"
+      val hashed = slice.withColumn(hcol, xxhash64(col("value")))
+      // tombstones never dedup: all-null values would collapse every delete
+      val dedupable = hashed.filter(col("value").isNotNull)
+      val tombstones = slice.filter(col("value").isNull)
+      val recordCols = slice.columns
+      // in-batch first copy per hash: min (partition, offset) — a
+      // map-side-combined min_by, not a window (a hot value's copies would
+      // otherwise pile into one task's sort)
+      val first = dedupable.groupBy(col(hcol))
+        .agg(min_by(struct(recordCols.map(col): _*),
+          struct(col("partition"), col("offset"))).as("__first"))
+      val seenAll = ds.stateForKeys(first.select(col(hcol).as("h")))
+      val seen = b.dedupTtlMs match {
+        case Some(t) => seenAll.filter(col("last_seen") >= nowMs - t)
+        case None    => seenAll
+      }
+      val fresh = first.join(seen.select(col("h").as(hcol)), Seq(hcol),
+        "left_anti")
+      val out = fresh.select(col("__first.*")).unionByName(tombstones)
+      // exact: only fresh hashes need recording; exactTtl: EVERY sighting
+      // re-arms the horizon (LWW keeps the newest last_seen)
+      val sighted = b.dedupTtlMs match {
+        case Some(_) => dedupable.select(col(hcol)).distinct()
+        case None    => fresh.select(col(hcol))
+      }
+      val sightings = sighted.select(col(hcol).as("h"),
+        lit(nowMs).as("last_seen"),
+        lit(nowMs * 1000).as(WritetimeCol),
+        lit(ModeUpsert).as(ModeCol))
+      (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic)))
+    }
+
   /** All messages down an exception's cause chain (for unwrapping a per-row
     * assert failure out of Spark's job-abort wrappers). */
   private def causeChain(e: Throwable): Seq[String] =
@@ -94,7 +166,8 @@ class SinkPipeline(
             batchId > store(spark, b).lastAppliedBatchId(b.topic))
       }
       toApply.foreach { b =>
-        val forTopic = records.filter(col("topic") === b.topic)
+        val (forTopic, commitSightings) =
+          dedupFilter(spark, b, records.filter(col("topic") === b.topic), batchId)
         val compiled = RecordMapper.compile(b, tables(b.qualifiedTable), forTopic,
           captureErrors = true)
         // S6: a provided query transforms the mapped batch in place of the
@@ -148,8 +221,11 @@ class SinkPipeline(
               s"record(s) failed mapping for ${b.qualifiedTable} and " +
                 "ignoreErrors=None; failing the batch for retry", e)
         }
+        // a dedup stage can empty a NON-empty topic slice — empty-relation
+        // propagation then drops the CollectMetrics node and the observation
+        // fires with no keys, so the reads must default to 0
         val metrics = obs.get
-        val nFailed = metrics("failed").asInstanceOf[Long]
+        val nFailed = metrics.getOrElse("failed", 0L).asInstanceOf[Long]
         if (nFailed > 0) {
           // error side-output (reference F3): failed records go to the dead
           // letter, never silently into the table
@@ -158,7 +234,10 @@ class SinkPipeline(
         }
         counter(spark, s"${b.topic}.${b.qualifiedTable}.failedRecordCount").add(nFailed)
         counter(spark, s"${b.topic}.${b.qualifiedTable}.recordCount")
-          .add(metrics("total").asInstanceOf[Long])
+          .add(metrics.getOrElse("total", 0L).asInstanceOf[Long])
+        // record this batch's content hashes only after the table merge is
+        // durable (see dedupFilter's replay contract)
+        commitSightings.foreach(_.apply())
       }
     } finally records.unpersist()
   }

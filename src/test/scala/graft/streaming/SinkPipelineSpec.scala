@@ -263,6 +263,89 @@ class SinkPipelineSpec extends SparkSuite {
     } finally s.streams.removeListener(listener)
   }
 
+  test("dedup=exact: duplicate content across micro-batches reaches state once") {
+    val root = Files.createTempDirectory("graft-dedup").toString
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.orders.ks.t1.dedup" -> "exact"))
+    assert(config.bindings.head.dedupEnabled &&
+      config.bindings.head.dedupTtlMs.isEmpty)
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
+    // batch 0: duplicate value INSIDE the batch — first copy (lowest offset)
+    // wins; the same content under another key never lands
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", """{"v": 10}""", 1000L),
+      ("orders", 1L, "2", """{"v": 10}""", 2000L),
+      ("orders", 2L, "3", """{"v": 30}""", 3000L)), 0L)
+    val st1 = pipe.store(s, config.bindings.head).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted
+    assert(st1.toSeq == Seq(1L, 3L))
+    // batch 1: the same content ACROSS the batch boundary is dropped; new
+    // content lands — this is the "duplicates across micro-batches reach
+    // state once" contract
+    pipe.processBatch(batch(
+      ("orders", 3L, "4", """{"v": 10}""", 4000L),
+      ("orders", 4L, "5", """{"v": 50}""", 5000L)), 1L)
+    val st2 = pipe.store(s, config.bindings.head).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted
+    assert(st2.toSeq == Seq(1L, 3L, 5L))
+    // replay of batch 1 (same batchId): a no-op, seen-set unchanged
+    pipe.processBatch(batch(
+      ("orders", 3L, "4", """{"v": 10}""", 4000L),
+      ("orders", 4L, "5", """{"v": 50}""", 5000L)), 1L)
+    assert(pipe.store(s, config.bindings.head).state().count() == 3)
+    // tombstones never dedup: both null-value deletes reach the table
+    pipe.processBatch(batch(
+      ("orders", 5L, "1", null, 6000L),
+      ("orders", 6L, "3", null, 7000L)), 2L)
+    val st3 = pipe.store(s, config.bindings.head).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted
+    assert(st3.toSeq == Seq(5L))
+  }
+
+  test("dedup=exactTtl: drops inside the horizon, re-admits after a quiet one") {
+    def ttlConfig(ms: Long) = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.orders.ks.t1.dedup" -> s"exactTtl:$ms"))
+    // wide horizon: the cross-batch duplicate is still inside it → dropped
+    // (the horizon must dominate inter-batch processing latency here)
+    val wide = ttlConfig(600000L)
+    assert(wide.bindings.head.dedupTtlMs.contains(600000L))
+    val pipeW = new SinkPipeline(wide, Map("ks.t1" -> t1),
+      Files.createTempDirectory("graft-dedupttl-w").toString)
+    pipeW.processBatch(batch(("orders", 0L, "1", """{"v": 10}""", 1000L)), 0L)
+    pipeW.processBatch(batch(("orders", 1L, "2", """{"v": 10}""", 2000L)), 1L)
+    assert(pipeW.store(s, wide.bindings.head).state().count() == 1)
+    // narrow horizon: a full quiet horizon passes — the hash is forgotten
+    // and the next copy re-admits
+    val narrow = ttlConfig(1000L)
+    val pipeN = new SinkPipeline(narrow, Map("ks.t1" -> t1),
+      Files.createTempDirectory("graft-dedupttl-n").toString)
+    pipeN.processBatch(batch(("orders", 0L, "1", """{"v": 10}""", 1000L)), 0L)
+    Thread.sleep(1500)
+    pipeN.processBatch(batch(("orders", 2L, "3", """{"v": 10}""", 3000L)), 1L)
+    val st = pipeN.store(s, narrow.bindings.head).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted
+    assert(st.toSeq == Seq(1L, 3L))
+  }
+
+  test("dedup config round-trips and rejects malformed values") {
+    def conf(v: String) = Map(
+      "topic.o.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.o.ks.t1.dedup" -> v)
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("fuzzy")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("exactTtl:-5")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("exactTtl:abc")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("exactTtl:")))
+    val none = SinkConfig.parse(Map(
+      "topic.o.ks.t1.mapping" -> "my_pk=key, my_value=value.v"))
+    assert(!none.bindings.head.dedupEnabled)
+    val c = SinkConfig.parse(conf("exactTtl:60000"))
+    assert(c.bindings.head.dedup == "exactTtl:60000")
+    assert(c.bindings.head.dedupTtlMs.contains(60000L))
+    assert(SinkConfig.parse(conf("exact")).bindings.head.dedupEnabled)
+  }
+
   test("X3 passthrough: spark.* config keys reach the session at start") {
     val root = Files.createTempDirectory("graft-pt").toString
     val srcDir = Files.createTempDirectory("graft-pt-src").toString
