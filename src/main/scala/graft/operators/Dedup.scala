@@ -251,10 +251,21 @@ object Dedup {
   // ------------------------------------------------------------------ jaccard
 
   /**
-   * Exact n-gram Jaccard for candidate pairs, all-integer: docs sharing at
-   * least one shingle get |A∩B| via a shingle join; |A∪B| = |A|+|B|-|A∩B|.
-   * The shingle join IS the candidate filter — disjoint docs never meet, so
-   * no cross join at any scale.
+   * Exact n-gram Jaccard pairs at or above `minJaccardPct`, all-integer,
+   * PREFIX-FILTERED: instead of joining every co-occurring shingle (the
+   * round-1..4 shape, whose volume is Σ_h df(h)² — the one measured
+   * super-linear query at 10× data), candidate pairs come from a join on
+   * each doc's PREFIX under a global rarest-first shingle order. The prefix
+   * lemma (AllPairs/PPJoin family): sort each doc's shingle set by a global
+   * total order; if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and the SMALLEST
+   * common shingle has position ≤ |A| − ⌈t·|A|⌉ + 1 in A (everything after
+   * it in A is ≥ it, and there are ≥ |A∩B| such common elements) — likewise
+   * in B. So joining only prefixes of length n − ⌈t·n⌉ + 1 loses NO
+   * qualifying pair: the gate is exact, not probabilistic (an LSH gate
+   * would trade recall at the threshold). Ordering rarest-first makes the
+   * prefixes the lowest-df shingles, so join fan-out per key is minimal.
+   * Verification then counts the FULL intersection only for candidate
+   * pairs — cost scales with near-dup density, not corpus².
    *
    * `maxShingleDF` is the skew guard: a shingle present in k docs emits
    * k²/2 join rows on ONE key, so a single boilerplate trigram (header,
@@ -263,32 +274,50 @@ object Dedup {
    * intersections and sizes — the operator is defined over the DF-capped
    * sets, so Jaccard stays a real set similarity). Near-universal shingles
    * carry no dedup signal; the cap only stops them from dominating the
-   * join.
+   * join (and bounds the prefix join's worst key).
    */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minJaccardPct: Int = 50,
       maxShingleDF: Int = 100): DataFrame = {
     // hash-native: shingles are 8-byte deterministic hashes end to end, so
-    // the equi-join shuffles longs, never text. (Hash collisions perturb the
+    // the equi-joins shuffle longs, never text. (Hash collisions perturb the
     // count identically in any engine computing the same fold — the operator
     // is defined over the hashed shingle set.)
-    // the shingle frame feeds four plan branches (DF count, join left, join
-    // right, sizes) — materialize it once instead of recomputing the
-    // tokenize+hash stage per branch (at cluster scale: persist/checkpoint
-    // to storage)
+    // the shingle frame feeds several plan branches (DF count, prefix rank,
+    // verify left/right, sizes) — materialize it once instead of recomputing
+    // the tokenize+hash stage per branch (at cluster scale: persist/
+    // checkpoint to storage)
     val sh0 = shingleHashRows(docs, textCol, idCol, shingleN).localCheckpoint()
+    val dfCounts = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // the cap filter joins against the OVER-cap set, which is tiny by
     // definition (each member appears in > maxShingleDF docs, so there are
     // at most rows/cap of them at any corpus size) — a broadcast anti-join,
     // not a shuffled semi-join against the huge under-cap set
-    val overCap = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDF).select(col("h"))
+    val overCap = dfCounts.filter(col("df") > maxShingleDF).select(col("h"))
     val sh = sh0.join(broadcast(overCap), Seq("h"), "left_anti")
+      .localCheckpoint() // feeds rank + both verify sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val l = sh.alias("l"); val r = sh.alias("r")
-    val inter = l.join(r,
+    // global total order = (df asc, h asc); the per-doc window partitions on
+    // doc_id with ≤ |doc| rows per partition — no skew at any corpus size
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val ranked = sh.join(dfCounts, Seq("h"))
+      .withColumn("pos", row_number().over(byRarity))
+    // ⌈pct·n/100⌉ in exact integer form; prefix keeps pos ≤ n − ⌈t·n⌉ + 1
+    val need = floor((lit(minJaccardPct.toLong) * col("n_shingles") + 99L)
+      / lit(100L)).cast(LongType)
+    val prefix = ranked.join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("n_shingles") - need + 1L)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.alias("l").join(prefix.alias("r"),
         col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    // verify: full-set intersection count, but ONLY for candidate pairs
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
