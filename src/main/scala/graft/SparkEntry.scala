@@ -735,8 +735,11 @@ object SparkEntry {
       (s, dir) => Dedup.simhash(docs(tune(s), dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // LSH-gated exact Jaccard: candidates from the q26 band gate (identical
+    // CTE chain), exact DF-capped set-Jaccard verified only on candidates —
+    // the oracle applies the SAME gate, so the hash compare stays exact.
     Q("q32_jaccard_pairs", Some(
-      s"""$dShingles, rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shex GROUP BY h) WHERE df <= 100), shc AS (SELECT shex.doc_id, shex.h FROM shex JOIN rare USING (h)), sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1), inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter FROM shc l JOIN shc r ON l.h = r.h AND l.doc_id < r.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, n_inter, CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 50 ORDER BY doc_a, doc_b"""),
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shex GROUP BY h) WHERE df <= 100), shc AS (SELECT shex.doc_id, shex.h FROM shex JOIN rare USING (h)), sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1), inter AS (SELECT cand.doc_a, cand.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter FROM cand JOIN shc l ON l.doc_id = cand.doc_a JOIN shc r ON r.doc_id = cand.doc_b AND r.h = l.h GROUP BY 1, 2) SELECT doc_a, doc_b, n_inter, CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 50 ORDER BY doc_a, doc_b"""),
       (s, dir) => Dedup.ngramJaccardPairs(docs(tune(s), dir), "text", "doc_id",
         shingleN = 3, minJaccardPct = 50, maxShingleDF = 100)
         .orderBy("doc_a", "doc_b")),

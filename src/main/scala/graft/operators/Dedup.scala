@@ -251,43 +251,63 @@ object Dedup {
   // ------------------------------------------------------------------ jaccard
 
   /**
-   * Exact n-gram Jaccard pairs at or above `minJaccardPct`, all-integer,
-   * PREFIX-FILTERED: instead of joining every co-occurring shingle (the
-   * round-1..4 shape, whose volume is Σ_h df(h)² — the one measured
-   * super-linear query at 10× data), candidate pairs come from a join on
-   * each doc's PREFIX under a global rarest-first shingle order. The prefix
-   * lemma (AllPairs/PPJoin family): sort each doc's shingle set by a global
-   * total order; if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and the SMALLEST
-   * common shingle has position ≤ |A| − ⌈t·|A|⌉ + 1 in A (everything after
-   * it in A is ≥ it, and there are ≥ |A∩B| such common elements) — likewise
-   * in B. So joining only prefixes of length n − ⌈t·n⌉ + 1 loses NO
-   * qualifying pair: the gate is exact, not probabilistic (an LSH gate
-   * would trade recall at the threshold). Ordering rarest-first makes the
-   * prefixes the lowest-df shingles, so join fan-out per key is minimal.
-   * Verification then counts the FULL intersection only for candidate
-   * pairs — cost scales with near-dup density, not corpus².
+   * n-gram Jaccard pairs at or above `minJaccardPct`, all-integer,
+   * LSH-GATED: candidate pairs come from the MinHash band join
+   * ([[minhashBands]]/[[minhashCandidates]] over the SAME shingle hashes),
+   * and the exact set-Jaccard is then computed ONLY for candidates. The
+   * round-1..4 all-co-occurring-shingles join had volume Σ_h df(h)² (the
+   * one measured super-linear query at 10× data), and the round-5
+   * AllPairs-prefix rewrite paid a second full shuffle+sort of the corpus
+   * for the rarity rank plus a half-of-every-doc "prefix" at t = 50 —
+   * both shapes grow with the CORPUS. The band gate's candidate volume
+   * grows with near-dup DENSITY instead: band hashes are a groupBy over
+   * the signature rows (map-side combined), the bucket self-join shuffles
+   * only (doc_id, band_hash) longs, and verify cost is |candidates| × the
+   * mean doc size. That is the shape that survives 100 TB.
    *
-   * `maxShingleDF` is the skew guard: a shingle present in k docs emits
-   * k²/2 join rows on ONE key, so a single boilerplate trigram (header,
-   * license blurb) goes quadratic at corpus scale. Shingles with document
-   * frequency above the cap are dropped from the shingle SETS (both
-   * intersections and sizes — the operator is defined over the DF-capped
-   * sets, so Jaccard stays a real set similarity). Near-universal shingles
-   * carry no dedup signal; the cap only stops them from dominating the
-   * join (and bounds the prefix join's worst key).
+   * RECALL CONTRACT: the gate is probabilistic, not exact. A pair at
+   * Jaccard j reaches verification with probability 1 − (1 − j^r)^b
+   * (r = `rowsPerBand`, b = numHashes/rowsPerBand); the default 16×4
+   * passes ≥ 97% of pairs at j = 0.7 and ~50% at j = 0.5 — band-gated
+   * dedup trades recall exactly AT the threshold for linear scaling, the
+   * standard production trade (raise `numHashes` / shorten bands to hunt
+   * looser duplicates). Pairs that do reach verification are EXACT:
+   * reported (n_inter, n_union) are true DF-capped set counts, never
+   * estimates, so precision is 1 by construction.
+   *
+   * `maxShingleDF` is the skew guard on the verify sets: shingles with
+   * document frequency above the cap are dropped from the shingle SETS
+   * (both intersections and sizes — the operator is defined over the
+   * DF-capped sets, so Jaccard stays a real set similarity).
+   * Near-universal boilerplate (headers, license blurbs) carries no dedup
+   * signal; dropping it also stops a single hot shingle from dominating
+   * the verify join. The gate itself runs on UNCAPPED signatures (minhash
+   * of the full shingle set — bit-identical to [[minhashSignatures]]);
+   * a boilerplate-only collision then verifies to an intersection below
+   * threshold and drops.
    */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minJaccardPct: Int = 50,
-      maxShingleDF: Int = 100): DataFrame = {
+      maxShingleDF: Int = 100,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     // hash-native: shingles are 8-byte deterministic hashes end to end, so
     // the equi-joins shuffle longs, never text. (Hash collisions perturb the
     // count identically in any engine computing the same fold — the operator
-    // is defined over the hashed shingle set.)
-    // the shingle frame feeds several plan branches (DF count, prefix rank,
-    // verify left/right, sizes) — materialize it once instead of recomputing
-    // the tokenize+hash stage per branch (at cluster scale: persist/
-    // checkpoint to storage)
+    // is defined over the hashed shingle set.) The shingle frame feeds the
+    // gate, the DF count and both verify sides — materialize it once (at
+    // cluster scale: persist/checkpoint to storage).
     val sh0 = shingleHashRows(docs, textCol, idCol, shingleN).localCheckpoint()
+    // gate: minhash signatures from the SAME shingle rows (identical to
+    // minhashSignatures(docs, …) without re-running tokenize+hash), banded
+    // and bucket-joined — one partial-agg groupBy + one narrow self-join
+    val mins = seeds(numHashes).map { sd =>
+      min((lit(sd.a) * col("h") + lit(sd.b)) % HashPrime).as(s"m${sd.id}")
+    }
+    val sigs = sh0.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(j => col(s"m$j")): _*))
+          .as(Seq("seed_id", "minhash")))
+    val cand = minhashCandidates(minhashBands(sigs, rowsPerBand))
     val dfCounts = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // the cap filter joins against the OVER-cap set, which is tiny by
     // definition (each member appears in > maxShingleDF docs, so there are
@@ -295,25 +315,10 @@ object Dedup {
     // not a shuffled semi-join against the huge under-cap set
     val overCap = dfCounts.filter(col("df") > maxShingleDF).select(col("h"))
     val sh = sh0.join(broadcast(overCap), Seq("h"), "left_anti")
-      .localCheckpoint() // feeds rank + both verify sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    // global total order = (df asc, h asc); the per-doc window partitions on
-    // doc_id with ≤ |doc| rows per partition — no skew at any corpus size
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val ranked = sh.join(dfCounts, Seq("h"))
-      .withColumn("pos", row_number().over(byRarity))
-    // ⌈pct·n/100⌉ in exact integer form; prefix keeps pos ≤ n − ⌈t·n⌉ + 1
-    val need = floor((lit(minJaccardPct.toLong) * col("n_shingles") + 99L)
-      / lit(100L)).cast(LongType)
-    val prefix = ranked.join(sizes, Seq("doc_id"))
-      .filter(col("pos") <= col("n_shingles") - need + 1L)
-      .select(col("doc_id"), col("h"))
-    val cand = prefix.alias("l").join(prefix.alias("r"),
-        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    // verify: full-set intersection count, but ONLY for candidate pairs
+    // verify: full DF-capped intersection count, ONLY for candidate pairs —
+    // the cand ⋈ sh(doc_a) intermediate is |cand| × mean doc size, bounded
+    // by dup density (not corpus²) because cand came through the band gate
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
