@@ -161,6 +161,27 @@ class KeyedParquetTable(
     readBuckets(currentMeta, Some(touched))
   }
 
+  /** Rewrite EVERY bucket keeping only rows satisfying `keep` — the physical
+    * expiry hook for TTL'd state (the merge-time `retain` prune in
+    * [[applyBatch]] only rewrites the buckets a batch touches; sweep bounds
+    * the rest). One read + one write of live state; intended for a periodic
+    * maintenance call, not the per-batch path. */
+  def sweep(keep: Column): Unit = {
+    val m = currentMeta
+    if (m.buckets.isEmpty) return
+    val kept = readBuckets(m, None).filter(keep)
+    val v = m.maxV + 1
+    val dir = rootPath.resolve(s"v$v").toString
+    val out = kept.withColumn(BucketCol, bucketOf)
+    if (out.isEmpty)
+      out.write.mode("overwrite").option("compression", compression).parquet(dir)
+    else
+      out.write.mode("overwrite").option("compression", compression)
+        .partitionBy(BucketCol).parquet(dir)
+    writeMeta(Meta(m.lastBatch, v, m.buckets.keys.map(_ -> v).toMap))
+    vacuum()
+  }
+
   /** Drop version directories no longer referenced by any bucket pointer
     * (bounded disk; the manifest always stays valid). */
   def vacuum(): Unit = {
@@ -189,9 +210,16 @@ class KeyedParquetTable(
     * __mode + __writetime [+ __ttl_seconds]). A batchId ≤ the last applied
     * one FOR THIS BINDING is a replay — skipped, exactly-once. Bindings that
     * fan into the same table pass distinct `binding` keys so each one's
-    * merge of a batch is tracked independently. */
+    * merge of a batch is tracked independently.
+    *
+    * `retain`: rows of the MERGED touched buckets failing this predicate are
+    * dropped before the write — TTL'd state (e.g. the dedup seen-hash store)
+    * expires physically during the merge it was already paying for, zero
+    * extra passes. Untouched buckets keep their expired rows until the next
+    * batch lands in them or [[sweep]] runs. */
   def applyBatch(batch: DataFrame, batchId: Long = Long.MinValue,
-      binding: String = DefaultBinding): Unit = {
+      binding: String = DefaultBinding,
+      retain: Option[Column] = None): Unit = {
     val m = currentMeta
     if (batchId != Long.MinValue && batchId <= m.lastFor(binding)) return
     def bumped = m.lastBatch +
@@ -206,13 +234,14 @@ class KeyedParquetTable(
     }
 
     val stTouched = readBuckets(m, Some(touched))
-    val next =
+    val merged =
       if (table.counterCols.nonEmpty)
         Upserts.mergeCounters(stTouched, Upserts.counterCombine(batch, table), table)
       else if (mergeMode == "cell")
         Upserts.mergeIntoCellWise(stTouched, batch, table, nullToUnset)
       else
         Upserts.mergeInto(stTouched, batch, table, nullToUnset)
+    val next = retain.map(merged.filter).getOrElse(merged)
 
     val v = m.maxV + 1
     val dir = rootPath.resolve(s"v$v").toString

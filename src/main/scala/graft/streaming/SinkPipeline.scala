@@ -60,7 +60,9 @@ class SinkPipeline(
 
   private val dedupStores = TrieMap[String, KeyedParquetTable]()
 
-  private def dedupStore(spark: org.apache.spark.sql.SparkSession,
+  /** The seen-hash store backing a binding's dedup stage (public for
+    * maintenance and state inspection — row count = live tracked hashes). */
+  def dedupStore(spark: org.apache.spark.sql.SparkSession,
       b: SinkConfig.TableBinding): KeyedParquetTable =
     dedupStores.getOrElseUpdate(s"${b.topic}.${b.qualifiedTable}", {
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -118,7 +120,27 @@ class SinkPipeline(
         lit(nowMs).as("last_seen"),
         lit(nowMs * 1000).as(WritetimeCol),
         lit(ModeUpsert).as(ModeCol))
-      (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic)))
+      // exactTtl: hashes past the horizon are dropped PHYSICALLY during the
+      // sightings merge (the touched-bucket rewrite was already happening —
+      // zero extra passes), so disk and touched-bucket read volume track
+      // recently-active content, not all content ever seen. Buckets no batch
+      // lands in keep their expired rows until vacuumDedupState sweeps them.
+      val horizon = b.dedupTtlMs.map(t => col("last_seen") >= nowMs - t)
+      (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic,
+        retain = horizon)))
+    }
+
+  /** Physically expire dedup hashes past their TTL horizon in EVERY bucket of
+    * every `exactTtl` binding's seen-hash store — the maintenance sweep for
+    * buckets the per-batch merge prune hasn't touched lately. Call
+    * periodically (e.g. from a maintenance trigger); per-batch cost stays on
+    * the touched-bucket path. */
+  def vacuumDedupState(spark: org.apache.spark.sql.SparkSession,
+      nowMs: Long = System.currentTimeMillis()): Unit =
+    config.bindings.foreach { b =>
+      b.dedupTtlMs.foreach { t =>
+        dedupStore(spark, b).sweep(col("last_seen") >= nowMs - t)
+      }
     }
 
   /** All messages down an exception's cause chain (for unwrapping a per-row

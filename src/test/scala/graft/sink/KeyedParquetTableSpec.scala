@@ -54,6 +54,41 @@ class KeyedParquetTableSpec extends SparkSuite {
     assert(t.state().filter(col("my_pk") === 1L).head().getLong(1) == 999L)
   }
 
+  test("applyBatch retain: expired rows in touched buckets drop during the merge") {
+    val root = Files.createTempDirectory("graft-retain").toString
+    // one bucket → every merge touches ALL state, so the prune is observable
+    // deterministically (no dependence on which bucket a hash lands in)
+    val t = new KeyedParquetTable(s, table, root, numBuckets = 1)
+    t.applyBatch(mapped((1L, 10L, 100L), (2L, 20L, 110L), (3L, 30L, 200L)),
+      batchId = 1L)
+    assert(t.state().count() == 3)
+    // next merge prunes rows below the horizon (writetime < 150) while
+    // landing a new row — zero extra passes, same write it was doing anyway
+    t.applyBatch(mapped((4L, 40L, 300L)), batchId = 2L,
+      retain = Some(col(RecordMapper.WritetimeCol) >= 150L))
+    val st = t.state().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st == Map(3L -> 30L, 4L -> 40L))
+  }
+
+  test("sweep: full-state expiry rewrite shrinks every bucket; manifest stays live") {
+    val root = Files.createTempDirectory("graft-sweep").toString
+    val t = new KeyedParquetTable(s, table, root, numBuckets = 8)
+    t.applyBatch(mapped((1L to 40L).map(k =>
+      (k, k, if (k <= 30) 100L else 900L)): _*), batchId = 1L)
+    assert(t.state().count() == 40)
+    t.sweep(col(RecordMapper.WritetimeCol) >= 500L)
+    // only the 10 recent rows survive, across all buckets
+    assert(t.state().collect().map(_.getLong(0)).sorted.toSeq == (31L to 40L))
+    // the swept state stays a normal, writable table
+    t.applyBatch(mapped((99L, 990L, 1000L)), batchId = 2L)
+    assert(t.state().count() == 11)
+    // sweep to empty is valid (schema-only state) and reopenable
+    t.sweep(lit(false))
+    assert(t.state().count() == 0)
+    t.applyBatch(mapped((7L, 70L, 1100L)), batchId = 3L)
+    assert(t.state().count() == 1)
+  }
+
   test("state stays correct and disk-bounded over many micro-batches; manifest survives restart") {
     val root = Files.createTempDirectory("graft-endure").toString
     val t = new KeyedParquetTable(s, table, root, numBuckets = 4)

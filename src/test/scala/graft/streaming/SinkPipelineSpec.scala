@@ -329,6 +329,33 @@ class SinkPipelineSpec extends SparkSuite {
     assert(st.toSeq == Seq(1L, 3L))
   }
 
+  test("dedup=exactTtl: expired hashes leave the store PHYSICALLY, not just logically") {
+    val ms = 800L
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.orders.ks.t1.dedup" -> s"exactTtl:$ms"))
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1),
+      Files.createTempDirectory("graft-dedupttl-x").toString)
+    val b = config.bindings.head
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", """{"v": 10}""", 1000L),
+      ("orders", 1L, "2", """{"v": 20}""", 2000L)), 0L)
+    assert(pipe.dedupStore(s, b).state().count() == 2)
+    // a full quiet horizon passes; the maintenance sweep drops the expired
+    // hashes from EVERY bucket — on-disk state shrinks to zero, so at scale
+    // the store tracks recently-active content, never all content ever seen
+    Thread.sleep(ms + 300)
+    pipe.vacuumDedupState(s)
+    assert(pipe.dedupStore(s, b).state().count() == 0)
+    // old content re-admits (the hash is physically gone) and its sighting
+    // re-arms the store with exactly the live row
+    pipe.processBatch(batch(("orders", 2L, "3", """{"v": 10}""", 3000L)), 1L)
+    assert(pipe.dedupStore(s, b).state().count() == 1)
+    val st = pipe.store(s, b).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted
+    assert(st.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("dedup config round-trips and rejects malformed values") {
     def conf(v: String) = Map(
       "topic.o.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
