@@ -22,10 +22,49 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms>, default none)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *
+ * plus the global endpoint/security surface (X4, validated at parse time —
+ * reference: dist/conf/cassandra-sink-standalone.properties.sample:8-110):
+ *
+ *   contactPoints, loadBalancing.localDc, port
+ *   auth.{provider,username,password,gssapi.{keyTab,principal,service}}
+ *   ssl.{provider,cipherSuites,hostnameValidation,keystore.*,truststore.*,openssl.*}
+ *   cloud.secureConnectBundle
+ *
  * Topic names may themselves contain dots; the keyspace/table pair is the
  * two segments immediately before a recognized setting name.
  */
 object SinkConfig {
+
+  /** X4 (§2.8) — authentication settings, parse-and-validate level (this
+    * library has no Cassandra wire to authenticate against; what IS testable
+    * and what a production user hits on day one is the config contract:
+    * enums, provider inference, required-together keys, fail-fast conflicts).
+    * Surface and rules re-derived from the reference's shipped sample
+    * (reference: dist/conf/cassandra-sink-standalone.properties.sample:63-82)
+    * and auth ITs (reference:
+    * sink/src/it/.../auth/PlaintextAuthCCMIT.java:64-121 — a username with
+    * provider None/unset infers PLAIN, "auth.provider was coerced"). */
+  case class AuthSettings(
+      provider: String = "None",
+      username: Option[String] = None,
+      password: Option[String] = None,
+      gssapiKeyTab: Option[String] = None,
+      gssapiPrincipal: Option[String] = None,
+      gssapiService: String = "dse")
+
+  /** X4 (§2.8) — SSL settings (reference:
+    * dist/conf/cassandra-sink-standalone.properties.sample:84-110; usage
+    * reference: sink/src/it/.../auth/SslEndToEndCCMIT.java:47-110). */
+  case class SslSettings(
+      provider: String = "None",
+      cipherSuites: Seq[String] = Nil,
+      hostnameValidation: Boolean = true,
+      keystorePath: Option[String] = None,
+      keystorePassword: Option[String] = None,
+      truststorePath: Option[String] = None,
+      truststorePassword: Option[String] = None,
+      opensslKeyCertChain: Option[String] = None,
+      opensslPrivateKey: Option[String] = None)
 
   case class CodecSettings(
       timestamp: String = "CQL_TIMESTAMP",
@@ -99,7 +138,20 @@ object SinkConfig {
         * `datastax-java-driver.*` keys to the driver session (reference:
         * dist/conf/...properties.sample:227-247). Here `spark.*` keys pass
         * through to the Spark session when the pipeline starts. */
-      sparkPassthrough: Map[String, String] = Map.empty) {
+      sparkPassthrough: Map[String, String] = Map.empty,
+      /** X4: cluster endpoint + security settings, validated at parse time
+        * exactly as reference startup does (the live wire is out of scope —
+        * documented in the SURVEY). */
+      contactPoints: Seq[String] = Nil,
+      localDc: Option[String] = None,
+      port: Int = 9042,
+      auth: AuthSettings = AuthSettings(),
+      ssl: SslSettings = SslSettings(),
+      secureConnectBundle: Option[String] = None,
+      /** Startup warnings the reference logs rather than rejects (e.g. the
+        * cloud consistency-level coercion) — surfaced so a caller can log
+        * them the same way. */
+      warnings: Seq[String] = Nil) {
     require(Set("None", "Snappy", "LZ4").contains(compression),
       s"compression must be None, Snappy, or LZ4 (got '$compression')")
     // one table = one state store = one merge granularity: bindings that
@@ -124,6 +176,95 @@ object SinkConfig {
   private val TableSettings = Set(
     "mapping", "ttl", "ttlTimeUnit", "timestampTimeUnit", "consistencyLevel",
     "nullToUnset", "deletesEnabled", "query", "mergeMode", "dedup")
+
+  private def boolProp(props: Map[String, String], key: String,
+      default: Boolean): Boolean =
+    props.get(key).map { v =>
+      require(v == "true" || v == "false",
+        s"$key must be true or false (got '$v')")
+      v.toBoolean
+    }.getOrElse(default)
+
+  private def nonEmpty(props: Map[String, String], key: String): Option[String] =
+    props.get(key).map(_.trim).filter(_.nonEmpty)
+
+  /** X4: parse + fail-fast validation of endpoint/auth/SSL/cloud settings,
+    * mirroring reference startup (reference:
+    * dist/conf/cassandra-sink-standalone.properties.sample:8-34,63-110 — the
+    * sample documents the exact conflict rule: "The loadBalancing.localDc,
+    * contactPoints or any config under ssl prefix cannot be set together
+    * with cloud.secureConnectBundle. In such a case a ConfigException will
+    * be thrown"). Returns everything but the warnings (cloud CL coercion is
+    * applied to the bindings by [[parse]]). */
+  private def parseSecurity(props: Map[String, String])
+      : (Seq[String], Option[String], Int, AuthSettings, SslSettings, Option[String]) = {
+    val contactPoints = nonEmpty(props, "contactPoints").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val localDc = nonEmpty(props, "loadBalancing.localDc")
+    val port = props.getOrElse("port", "9042")
+    require(scala.util.Try(port.toInt).toOption.exists(p => p >= 1 && p <= 65535),
+      s"port must be an integer in [1, 65535] (got '$port')")
+    // "Data center name ... Required if contactPoints is specified."
+    // (properties.sample:21-22)
+    require(contactPoints.isEmpty || localDc.isDefined,
+      "loadBalancing.localDc is required when contactPoints is specified")
+
+    val rawProvider = props.getOrElse("auth.provider", "None")
+    require(Set("None", "PLAIN", "GSSAPI").contains(rawProvider),
+      s"auth.provider must be None, PLAIN, or GSSAPI (got '$rawProvider')")
+    val username = nonEmpty(props, "auth.username")
+    val password = nonEmpty(props, "auth.password")
+    // provider inference: credentials with provider None/unset coerce to
+    // PLAIN (reference: PlaintextAuthCCMIT.java:64-66,94-99 "should infer
+    // auth.provider to PLAIN")
+    val provider =
+      if (rawProvider == "None" && (username.isDefined || password.isDefined))
+        "PLAIN"
+      else rawProvider
+    if (provider == "PLAIN")
+      require(username.isDefined && password.isDefined,
+        "auth.provider=PLAIN (given or inferred from credentials) requires " +
+          "both auth.username and auth.password")
+    val auth = AuthSettings(provider, username, password,
+      gssapiKeyTab = nonEmpty(props, "auth.gssapi.keyTab"),
+      gssapiPrincipal = nonEmpty(props, "auth.gssapi.principal"),
+      gssapiService = props.getOrElse("auth.gssapi.service", "dse"))
+
+    val sslProvider = props.getOrElse("ssl.provider", "None")
+    require(Set("None", "JDK", "OpenSSL").contains(sslProvider),
+      s"ssl.provider must be None, JDK, or OpenSSL (got '$sslProvider')")
+    val ksPath = nonEmpty(props, "ssl.keystore.path")
+    val ksPass = nonEmpty(props, "ssl.keystore.password")
+    require(ksPath.isDefined == ksPass.isDefined,
+      "ssl.keystore.path and ssl.keystore.password must be provided together")
+    val tsPath = nonEmpty(props, "ssl.truststore.path")
+    val tsPass = nonEmpty(props, "ssl.truststore.password")
+    require(tsPath.isDefined == tsPass.isDefined,
+      "ssl.truststore.path and ssl.truststore.password must be provided together")
+    val certChain = nonEmpty(props, "ssl.openssl.keyCertChain")
+    val privateKey = nonEmpty(props, "ssl.openssl.privateKey")
+    require(certChain.isDefined == privateKey.isDefined,
+      "ssl.openssl.keyCertChain and ssl.openssl.privateKey must be provided together")
+    val ssl = SslSettings(sslProvider,
+      cipherSuites = nonEmpty(props, "ssl.cipherSuites").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      hostnameValidation = boolProp(props, "ssl.hostnameValidation", default = true),
+      keystorePath = ksPath, keystorePassword = ksPass,
+      truststorePath = tsPath, truststorePassword = tsPass,
+      opensslKeyCertChain = certChain, opensslPrivateKey = privateKey)
+
+    val bundle = nonEmpty(props, "cloud.secureConnectBundle")
+    if (bundle.isDefined) {
+      val sslKeys = props.keys.filter(_.startsWith("ssl.")).toSeq.sorted
+      require(sslKeys.isEmpty && contactPoints.isEmpty && localDc.isEmpty,
+        "cloud.secureConnectBundle cannot be set together with " +
+          "contactPoints, loadBalancing.localDc, or any ssl.* setting " +
+          "(that information is part of the bundle's data); conflicting: " +
+          (sslKeys ++ (if (contactPoints.nonEmpty) Seq("contactPoints") else Nil) ++
+            localDc.map(_ => "loadBalancing.localDc")).mkString(", "))
+    }
+    (contactPoints, localDc, port.toInt, auth, ssl, bundle)
+  }
   private val CodecSettingNames =
     Set("timestamp", "date", "time", "unit", "timeZone", "locale", "decimal")
 
@@ -186,8 +327,27 @@ object SinkConfig {
         mergeMode = m.getOrElse("mergeMode", "row"),
         dedup = m.getOrElse("dedup", "none"))
     }
-    Config(bindings, props.getOrElse("ignoreErrors", "None"),
+    val (contactPoints, localDc, port, auth, ssl, bundle) = parseSecurity(props)
+    // cloud forces LOCAL_QUORUM: Astra rejects other write CLs — the
+    // reference coerces and logs rather than failing (reference:
+    // sink/src/it/.../cloud/CloudSniEndToEndIT.java:96-120, "Cloud
+    // deployments reject consistency level %s when writing; forcing
+    // LOCAL_QUORUM")
+    val (coerced, warnings) =
+      if (bundle.isEmpty) (bindings, Nil)
+      else {
+        val warns = bindings.filter(_.consistencyLevel != "LOCAL_QUORUM").map(b =>
+          s"Cloud deployments reject consistency level ${b.consistencyLevel} " +
+            "when writing; forcing LOCAL_QUORUM " +
+            s"(topic.${b.topic}.${b.keyspace}.${b.table})")
+        (bindings.map(b => if (b.consistencyLevel == "LOCAL_QUORUM") b
+          else b.copy(consistencyLevel = "LOCAL_QUORUM")), warns)
+      }
+    Config(coerced, props.getOrElse("ignoreErrors", "None"),
       props.getOrElse("compression", "None"),
-      props.view.filterKeys(_.startsWith("spark.")).toMap)
+      props.view.filterKeys(_.startsWith("spark.")).toMap,
+      contactPoints = contactPoints, localDc = localDc, port = port,
+      auth = auth, ssl = ssl, secureConnectBundle = bundle,
+      warnings = warnings)
   }
 }

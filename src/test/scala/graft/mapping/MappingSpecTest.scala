@@ -152,4 +152,108 @@ class MappingSpecTest extends AnyFunSuite {
       "topic.u.ks1.c.mapping" -> "pk=key"))
     assert(cfg.forTopic("t").map(_.table).sorted == Seq("a", "b"))
   }
+
+  // ------------------------------------------------------------- X4 (§2.8)
+
+  private val baseMapping = Map("topic.t.ks1.a.mapping" -> "pk=key")
+
+  test("X4 endpoint: contactPoints parse; localDc required with them; port range") {
+    val cfg = SinkConfig.parse(baseMapping ++ Map(
+      "contactPoints" -> "10.0.0.1, 10.0.0.2",
+      "loadBalancing.localDc" -> "dc1",
+      "port" -> "9043"))
+    assert(cfg.contactPoints == Seq("10.0.0.1", "10.0.0.2"))
+    assert(cfg.localDc.contains("dc1") && cfg.port == 9043)
+    // "Required if contactPoints is specified" (properties.sample:21-22)
+    intercept[IllegalArgumentException](SinkConfig.parse(
+      baseMapping + ("contactPoints" -> "10.0.0.1")))
+    intercept[IllegalArgumentException](SinkConfig.parse(
+      baseMapping + ("port" -> "0")))
+    intercept[IllegalArgumentException](SinkConfig.parse(
+      baseMapping + ("port" -> "words")))
+    // defaults: empty = localhost, 9042 (properties.sample:16-18,28)
+    val d = SinkConfig.parse(baseMapping)
+    assert(d.contactPoints.isEmpty && d.port == 9042 && d.warnings.isEmpty)
+  }
+
+  test("X4 auth: enum, PLAIN requirements, provider inference from credentials") {
+    intercept[IllegalArgumentException](SinkConfig.parse(
+      baseMapping + ("auth.provider" -> "KERBEROS")))
+    // PLAIN needs both credentials
+    intercept[IllegalArgumentException](SinkConfig.parse(baseMapping ++ Map(
+      "auth.provider" -> "PLAIN", "auth.username" -> "u")))
+    // credentials with provider unset/None infer PLAIN (reference:
+    // PlaintextAuthCCMIT "auth.provider was coerced")
+    val inferred = SinkConfig.parse(baseMapping ++ Map(
+      "auth.username" -> "u", "auth.password" -> "p"))
+    assert(inferred.auth.provider == "PLAIN")
+    val explicitNone = SinkConfig.parse(baseMapping ++ Map(
+      "auth.provider" -> "None",
+      "auth.username" -> "u", "auth.password" -> "p"))
+    assert(explicitNone.auth.provider == "PLAIN")
+    // inference with only a username still fails PLAIN validation
+    intercept[IllegalArgumentException](SinkConfig.parse(
+      baseMapping + ("auth.username" -> "u")))
+    val gssapi = SinkConfig.parse(baseMapping ++ Map(
+      "auth.provider" -> "GSSAPI",
+      "auth.gssapi.keyTab" -> "/kt", "auth.gssapi.principal" -> "user@REALM"))
+    assert(gssapi.auth.provider == "GSSAPI" &&
+      gssapi.auth.gssapiService == "dse" &&
+      gssapi.auth.gssapiPrincipal.contains("user@REALM"))
+    assert(SinkConfig.parse(baseMapping).auth.provider == "None")
+  }
+
+  test("X4 ssl: enum, required-together keystore/truststore/openssl pairs, bool") {
+    intercept[IllegalArgumentException](SinkConfig.parse(
+      baseMapping + ("ssl.provider" -> "BoringSSL")))
+    intercept[IllegalArgumentException](SinkConfig.parse(baseMapping ++ Map(
+      "ssl.provider" -> "JDK", "ssl.keystore.path" -> "/ks")))
+    intercept[IllegalArgumentException](SinkConfig.parse(baseMapping ++ Map(
+      "ssl.provider" -> "JDK", "ssl.truststore.password" -> "secret")))
+    intercept[IllegalArgumentException](SinkConfig.parse(baseMapping ++ Map(
+      "ssl.provider" -> "OpenSSL", "ssl.openssl.keyCertChain" -> "/chain")))
+    intercept[IllegalArgumentException](SinkConfig.parse(baseMapping ++ Map(
+      "ssl.hostnameValidation" -> "yes")))
+    val ok = SinkConfig.parse(baseMapping ++ Map(
+      "ssl.provider" -> "JDK",
+      "ssl.keystore.path" -> "/ks", "ssl.keystore.password" -> "kp",
+      "ssl.truststore.path" -> "/ts", "ssl.truststore.password" -> "tp",
+      "ssl.cipherSuites" -> "TLS_A, TLS_B",
+      "ssl.hostnameValidation" -> "false"))
+    assert(ok.ssl.provider == "JDK" && !ok.ssl.hostnameValidation &&
+      ok.ssl.cipherSuites == Seq("TLS_A", "TLS_B") &&
+      ok.ssl.keystorePath.contains("/ks"))
+    assert(SinkConfig.parse(baseMapping).ssl.hostnameValidation)
+  }
+
+  test("X4 cloud: bundle conflicts fail fast; CL coerced to LOCAL_QUORUM with warning") {
+    // "The loadBalancing.localDc, contactPoints or any config under ssl
+    // prefix cannot be set together with cloud.secureConnectBundle"
+    // (properties.sample:10-13)
+    intercept[IllegalArgumentException](SinkConfig.parse(baseMapping ++ Map(
+      "cloud.secureConnectBundle" -> "/b.zip", "contactPoints" -> "h1",
+      "loadBalancing.localDc" -> "dc1")))
+    intercept[IllegalArgumentException](SinkConfig.parse(baseMapping ++ Map(
+      "cloud.secureConnectBundle" -> "/b.zip", "ssl.provider" -> "JDK")))
+    intercept[IllegalArgumentException](SinkConfig.parse(baseMapping ++ Map(
+      "cloud.secureConnectBundle" -> "/b.zip",
+      "loadBalancing.localDc" -> "dc1")))
+    // wrong CL is coerced, not rejected, with the reference's warning
+    // (CloudSniEndToEndIT.java:96-120)
+    val coerced = SinkConfig.parse(baseMapping ++ Map(
+      "cloud.secureConnectBundle" -> "/b.zip",
+      "topic.t.ks1.a.consistencyLevel" -> "ONE",
+      "auth.username" -> "u", "auth.password" -> "p"))
+    assert(coerced.secureConnectBundle.contains("/b.zip"))
+    assert(coerced.bindings.head.consistencyLevel == "LOCAL_QUORUM")
+    assert(coerced.warnings.exists(_.contains(
+      "Cloud deployments reject consistency level ONE when writing; " +
+        "forcing LOCAL_QUORUM")))
+    // the right CL passes silently
+    val quiet = SinkConfig.parse(baseMapping ++ Map(
+      "cloud.secureConnectBundle" -> "/b.zip",
+      "topic.t.ks1.a.consistencyLevel" -> "LOCAL_QUORUM"))
+    assert(quiet.warnings.isEmpty &&
+      quiet.bindings.head.consistencyLevel == "LOCAL_QUORUM")
+  }
 }
