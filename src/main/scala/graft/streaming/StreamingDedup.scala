@@ -162,10 +162,9 @@ object StreamingDedup {
    * beyond the cap are ignored for that bucket (they still pair through
    * their other bands). State per bucket is ≤ cap longs.
    *
-   * A pair sharing SEVERAL bands emits once per band (each bucket's state
-   * is independent); run the output through `.dropDuplicates` per batch or a
-   * pair-keyed [[firstSeen]]-style filter when exact-once pairs matter —
-   * the batch-equivalence spec compares distinct sets.
+   * A pair sharing SEVERAL bands emits once per band from THIS operator
+   * (each bucket's state is independent — a band bucket cannot see another
+   * band's emissions); [[oneShotPairs]] downstream is the one-shot contract.
    */
   def streamingCandidates(banded: Dataset[BandedDoc], bucketCap: Int = 64)
       : Dataset[CandidatePair] = {
@@ -192,15 +191,42 @@ object StreamingDedup {
       }
   }
 
-  /** Convenience: band a raw (id, text) stream and emit candidate pairs. */
+  /** One-shot pair contract: each (docA, docB) candidate emits EXACTLY once
+    * across bands and micro-batches — a pair-keyed first-seen filter over
+    * the per-band emissions of [[streamingCandidates]] (a pair sharing k
+    * bands otherwise surfaces up to k times). State = one boolean per
+    * distinct emitted pair, bounded by the band gate's candidate volume
+    * (near-dup density × bucketCap ceiling), not by the corpus. Chaining two
+    * Append-mode flatMapGroupsWithState operators is supported streaming
+    * topology; the spec drives it through checkpointed micro-batches. */
+  def oneShotPairs(pairs: Dataset[CandidatePair]): Dataset[CandidatePair] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(p => (p.docA, p.docB))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: (Long, Long), _: Iterator[CandidatePair],
+            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(CandidatePair(k._1, k._2))
+          }
+      }
+  }
+
+  /** Convenience: band a raw (id, text) stream and emit candidate pairs —
+    * exactly once per pair (the [[oneShotPairs]] contract; pass
+    * `oneShot = false` for the raw once-per-shared-band firehose when a
+    * downstream consumer dedups anyway and the extra state is unwanted). */
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4,
-      bucketCap: Int = 64): Dataset[CandidatePair] = {
+      bucketCap: Int = 64, oneShot: Boolean = true): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    streamingCandidates(
+    val raw = streamingCandidates(
       bandedStream(docs, textCol, idCol, numHashes, shingleN, rowsPerBand)
         .select(col("doc_id").as("docId"), col("band_id").as("bandId"),
           col("band_hash").as("bandHash"))
         .as[BandedDoc], bucketCap)
+    if (oneShot) oneShotPairs(raw) else raw
   }
 }

@@ -147,6 +147,53 @@ class StreamingDedupSpec extends SparkSuite {
     assert(streamed.contains((1L, 4L)))
   }
 
+  test("one-shot pair contract: a multi-band pair emits exactly once across micro-batches") {
+    // exact copies share ALL bands: without the pair-keyed filter, (1,2)
+    // surfaces once per shared band (4x here) and copies arriving in later
+    // batches re-emit against every bucket member — the one-shot stage must
+    // collapse all of it to a single row per distinct pair
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different words here entirely now"))
+    val src = Files.createTempDirectory("graft-osp-src").toString
+    val ckpt = Files.createTempDirectory("graft-osp-ckpt").toString
+    write(src + "/f1", docs(0), docs(3))
+    write(src + "/f2", docs(1))
+    write(src + "/f3", docs(2))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val q = StreamingDedup.nearDupStream(stream, "text", "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("osp_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = s.table("osp_out").collect()
+      .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB")))
+    // every distinct pair exactly once — no per-band or cross-batch repeats
+    assert(rows.length == rows.distinct.length,
+      s"pairs repeated: ${rows.groupBy(identity).filter(_._2.length > 1).keys}")
+    assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the raw firehose DOES repeat multi-band pairs (the contract the
+    // one-shot stage exists to fix) — pin the contrast on the same data
+    val ckpt2 = Files.createTempDirectory("graft-osp-ckpt2").toString
+    val stream2 = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val q2 = StreamingDedup.nearDupStream(stream2, "text", "doc_id",
+        oneShot = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("osp_raw")
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val raw = s.table("osp_raw").collect()
+      .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB")))
+    assert(raw.toSet == rows.toSet)   // same distinct pairs
+    assert(raw.length > raw.distinct.length) // but with per-band repeats
+  }
+
   test("streaming and batch exact dedup keep the same documents") {
     val l = new java.util.ArrayList[Row]()
     Seq((2L, "x y z"), (9L, "x y z"), (5L, "q"), (7L, "q"), (8L, "solo"))
