@@ -163,12 +163,37 @@ object Bench {
     val merge50k = mergeOneKeyAt(50000L)
     val merge200k = mergeOneKeyAt(200000L)
 
+    // ---- sink-dedup batch path: the config-reachable `dedup=exact` stage
+    // (hash → touched-bucket anti-join → first-copy pick → merge + sightings
+    // commit) over the whole events frame into a FRESH store per run — the
+    // per-run temp root keeps runs comparable (a warm store would dedup the
+    // second run to nothing) ----
+    def sinkDedupBatchOnce(dir: String): Unit = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bench-dedup").toString
+      val cfg = SinkConfig.parse(Map(
+        "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value",
+        "topic.purchase.ks1.t.dedup" -> "exact"))
+      val table = graft.sink.SinkTable("ks1", "t",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("my_pk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("my_value",
+            org.apache.spark.sql.types.StringType))),
+        Seq("my_pk"))
+      val pipe = new graft.streaming.SinkPipeline(cfg,
+        Map("ks1.t" -> table), root)
+      pipe.processBatch(KafkaLike.frameWithTombstones(spark, dir), 0L)
+    }
+    record("sink_dedup_batch") { sinkDedupBatchOnce(sfDir) }
+
     // ---- sf1 scale probe: the five most expensive queries at 10× the data
     // (replicas of the driver's own sf tables with consistently shifted
     // keys — joins stay within a replica). Catches O(n log n)-vs-O(n) drift
     // the sf0.1 numbers hide: a healthy plan grows ≤ ~12× on 10× data.
     // Disable with SPARK_GRAFT_SF1=0.
     val sf1Results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sf1Runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") {
       val sf1Dir = s"/tmp/graft_sf1_${Math.floorMod(sfDir.hashCode, 1000000)}"
       val okFlag = java.nio.file.Paths.get(sf1Dir, "_BUILT")
@@ -191,39 +216,51 @@ object Bench {
         }
         java.nio.file.Files.createFile(okFlag)
       }
-      Seq("q00_ingest_pipeline" -> null,
-        "q20_tpch_q1" -> SparkEntry.queries("q20_tpch_q1"),
-        "q21_join_enrich" -> SparkEntry.queries("q21_join_enrich"),
-        "q32_jaccard_pairs" -> SparkEntry.queries("q32_jaccard_pairs"),
-        "q53_ann_ivf_trained" -> SparkEntry.queries("q53_ann_ivf_trained"))
-        .foreach { case (name, fn) =>
-          // two runs, min: JIT is warm from the sf0.1 pass; the check is a
-          // 10×-growth ratio, not an absolute latency
-          def once: Double =
-            if (fn != null) time(force(fn(spark, sf1Dir)))
-            else time {
-              val frame = KafkaLike.frameWithTombstones(spark, sf1Dir)
-              val b = SinkConfig.parse(Map(
-                "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value.k"))
-                .bindings.head
-              val table = graft.sink.SinkTable("ks1", "t",
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("my_pk",
-                    org.apache.spark.sql.types.LongType),
-                  org.apache.spark.sql.types.StructField("my_value",
-                    org.apache.spark.sql.types.LongType))),
-                Seq("my_pk"))
-              val valueSchema = org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("k",
-                  org.apache.spark.sql.types.LongType)))
-              val mapped = RecordMapper.compile(b, table, frame,
-                valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema))
-              force(Upserts.lwwCompact(mapped, Seq("my_pk"),
-                Seq(col(RecordMapper.WritetimeCol))))
-            }
-          sf1Results += name -> (try math.min(once, once)
-            catch { case _: Throwable => -1.0 })
-        }
+      def ingestOnce(): Unit = {
+        val frame = KafkaLike.frameWithTombstones(spark, sf1Dir)
+        val b = SinkConfig.parse(Map(
+          "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value.k"))
+          .bindings.head
+        val table = graft.sink.SinkTable("ks1", "t",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("my_pk",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("my_value",
+              org.apache.spark.sql.types.LongType))),
+          Seq("my_pk"))
+        val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        val mapped = RecordMapper.compile(b, table, frame,
+          valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema))
+        force(Upserts.lwwCompact(mapped, Seq("my_pk"),
+          Seq(col(RecordMapper.WritetimeCol))))
+      }
+      val probes: Seq[(String, () => Unit)] = Seq(
+        "q00_ingest_pipeline" -> (() => ingestOnce()),
+        "q20_tpch_q1" ->
+          (() => force(SparkEntry.queries("q20_tpch_q1")(spark, sf1Dir))),
+        "q21_join_enrich" ->
+          (() => force(SparkEntry.queries("q21_join_enrich")(spark, sf1Dir))),
+        "q32_jaccard_pairs" ->
+          (() => force(SparkEntry.queries("q32_jaccard_pairs")(spark, sf1Dir))),
+        "q53_ann_ivf_trained" ->
+          (() => force(SparkEntry.queries("q53_ann_ivf_trained")(spark, sf1Dir))),
+        "q74_asof_join" ->
+          (() => force(SparkEntry.queries("q74_asof_join")(spark, sf1Dir))),
+        "q75_range_join" ->
+          (() => force(SparkEntry.queries("q75_range_join")(spark, sf1Dir))),
+        "sink_dedup_batch" -> (() => sinkDedupBatchOnce(sf1Dir)))
+      probes.foreach { case (name, fn) =>
+        // two runs, min headline: JIT is warm from the sf0.1 pass; the check
+        // is a 10×-growth ratio, not an absolute latency. BOTH raw runs ship
+        // in `sf1_probe_runs` so a lucky min (r5's q53 probe == its sf0.1
+        // median to the ms) is adjudicable from the artifact alone.
+        val runs = try Seq(time(fn()), time(fn()))
+          catch { case _: Throwable => Seq(-1.0) }
+        sf1Runs += name -> runs
+        sf1Results += name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      }
       sf1Results += "state_merge_1key_1m_sec" -> mergeOneKeyAt(1000000L)
     }
 
@@ -238,6 +275,9 @@ object Bench {
     val sustained = if (sustainedSec > 0) (n10 / sustainedSec).toLong else 0L
     val sf1Json = sf1Results.map { case (k, v) => "\"" + k + f"""\":$v%1.3f""" }
       .mkString("{", ",", "}")
+    val sf1RunsJson = sf1Runs.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%1.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // The driver captures only the tail of stdout, so the LAST line must be
     // a compact, complete JSON object (medians + headline numbers, no runs
     // arrays — those pushed the round-4 line past the capture window and the
@@ -247,13 +287,13 @@ object Bench {
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_runs.json")
         .toString)
     val fullJson =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json,"sf1_probe_runs":$sf1RunsJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(runsPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // sidecar is best-effort
     println(s"""{"runs_file":"$runsPath"}""")
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json,"sf1_probe_runs":$sf1RunsJson}""")
     spark.stop()
   }
 }
