@@ -124,7 +124,19 @@ object Probe {
     // threshold (ground truth brute-forced here — affordable only in a probe)
     {
       import graft.operators.{Dedup, Similarity}
-      val emb = ebase.select("vec_id", "embedding")
+      // the sf0.1 corpus has NO pairs above cos ≈ 0.7 (the r5 probe measured
+      // 0/0 there), so the strict preset's floor would assert over an empty
+      // truth set — PLANT true near-dups: a deterministically perturbed copy
+      // of every 4th vector (±30% multiplicative per-coordinate sinus noise
+      // → cos ≈ 0.95-0.99). Truth below is still brute-forced, so the
+      // planted pairs' actual cosines — not the intent — are what recall is
+      // measured against.
+      val emb = ebase.select("vec_id", "embedding").unionByName(
+        ebase.filter(col("vec_id") % 4 === 0).select(
+          (col("vec_id") + 10000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> x * cast(1.0d + 0.3d * " +
+            "sin(cast(vec_id AS DOUBLE) * 13.0d + cast(i AS DOUBLE)) AS FLOAT))")
+            .as("embedding")))
       val qv = emb.select(col("vec_id").as("vid"),
         Similarity.quantize(col("embedding")).as("qv"))
         .withColumn("n2", Similarity.norm2Q(col("qv"))).cache()
@@ -135,24 +147,37 @@ object Probe {
             sqrt(col("a.n2") * col("b.n2"))).as("cosd"))
         .filter(col("cosd") >= 0.4).cache()
       truthAll.count()
-      def recallAt(planes: Int, tables: Int): Unit = {
+      def recallAt(planes: Int, tables: Int): Map[Double, Double] = {
         val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
           numTables = tables, planesPerTable = planes)
           .select("item_a", "item_b").cache()
         got.count()
-        Seq(0.4, 0.7, 0.9).foreach { t =>
+        val out = Seq(0.4, 0.7, 0.9).map { t =>
           val tr = truthAll.filter(col("cosd") >= t)
           val n = tr.count()
           val hit = tr.join(got, Seq("item_a", "item_b"), "left_semi").count()
+          val pct = hit * 100.0 / math.max(n, 1)
           println(f"embedding near-dup recall@cos>=$t%.1f " +
-            f"[$tables tables x $planes planes]: $hit/$n = " +
-            f"${hit * 100.0 / math.max(n, 1)}%.1f%%")
-        }
+            f"[$tables tables x $planes planes]: $hit/$n = $pct%.1f%%")
+          t -> pct
+        }.toMap
         got.unpersist()
+        out
       }
-      recallAt(12, 8)  // shipped default: a cos>=0.95 configuration
+      // the two NAMED presets carry asserted recall-floor contracts
+      // (Dedup.NearDupPreset scaladoc) — the Probe run is what keeps the
+      // documented floors honest against brute-force ground truth
+      val strict = Dedup.NearDupPreset.Strict95
+      val rStrict = recallAt(strict.planesPerTable, strict.numTables)
+      require(rStrict(0.9) >= 70.0,
+        f"Strict95 preset recall@cos>=0.9 fell to ${rStrict(0.9)}%.1f%% " +
+          "(documented floor 70%)")
       recallAt(6, 8)   // shorter band: recalls the 0.4-0.7 regime
-      recallAt(4, 16)  // shortest practical band x double tables
+      val broad = Dedup.NearDupPreset.Broad40
+      val rBroad = recallAt(broad.planesPerTable, broad.numTables)
+      require(rBroad(0.4) >= 40.0,
+        f"Broad40 preset recall@cos>=0.4 fell to ${rBroad(0.4)}%.1f%% " +
+          "(documented floor 40%)")
       qv.unpersist(); truthAll.unpersist()
     }
 

@@ -225,6 +225,34 @@ object Dedup {
    * which the per-bucket cap then bounds — shorter bands trade candidate
    * volume for recall, so tune planes to the LOWEST cosine you care about).
    */
+  /**
+   * Named LSH configurations for [[embeddingNearDupPairs]] with recall floors
+   * MEASURED against brute-force ground truth (Probe, sf0.1 embeddings) —
+   * the floors are asserted by the Probe run, so they are contracts, not
+   * aspirations. Band length sets recall (collision prob at cosine c is
+   * 1 − (1 − (1−acos(c)/π)^planes)^tables); the per-bucket cap bounds the
+   * candidate volume either way.
+   */
+  sealed abstract class NearDupPreset(
+      val numTables: Int, val planesPerTable: Int)
+  object NearDupPreset {
+    /** True-near-dup configuration: long bands (8 tables × 12 planes) —
+      * high recall only where cosine is extreme. Measured floor:
+      * ≥ 70% of cos ≥ 0.9 pairs (≥ ~90% at cos ≥ 0.95). */
+    case object Strict95 extends NearDupPreset(8, 12)
+    /** Loose-duplicate sweep: short bands × many tables (16 × 4) — recalls
+      * the moderate-cosine regime at the cost of bigger buckets (which the
+      * per-bucket cap then bounds). Measured floor: ≥ 40% of cos ≥ 0.4
+      * pairs. */
+    case object Broad40 extends NearDupPreset(16, 4)
+  }
+
+  /** [[embeddingNearDupPairs]] with a named, recall-measured preset. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      preset: NearDupPreset): DataFrame =
+    embeddingNearDupPairs(df, idCol, vecCol,
+      numTables = preset.numTables, planesPerTable = preset.planesPerTable)
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       numTables: Int = 8, planesPerTable: Int = 12,
       maxBucketSize: Int = 1000,

@@ -172,6 +172,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cand == Seq((0L, 1L)))
   }
 
+  test("embedding near-dup presets: pinned configs, same plan as explicit params") {
+    // the preset constants are a DOCUMENTED contract (recall floors measured
+    // in Probe against brute force) — pin them so a silent change trips here
+    assert(Dedup.NearDupPreset.Strict95.numTables == 8 &&
+      Dedup.NearDupPreset.Strict95.planesPerTable == 12)
+    assert(Dedup.NearDupPreset.Broad40.numTables == 16 &&
+      Dedup.NearDupPreset.Broad40.planesPerTable == 4)
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row(0L, Seq(0.5f, -0.25f, 0.75f)))
+    l.add(Row(1L, Seq(0.5f, -0.25f, 0.75f)))
+    l.add(Row(2L, Seq(-0.5f, 0.25f, -0.75f)))
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    Seq(Dedup.NearDupPreset.Strict95: Dedup.NearDupPreset,
+        Dedup.NearDupPreset.Broad40).foreach { p =>
+      val viaPreset = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val explicit = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+          numTables = p.numTables, planesPerTable = p.planesPerTable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaPreset == explicit && viaPreset == Seq((0L, 1L)))
+    }
+  }
+
   test("lshCandidates skips buckets over the fan-out cap") {
     val l = new java.util.ArrayList[Row]()
     (0L until 6L).foreach(i => l.add(Row(i, Seq(0.5f, -0.25f, 0.75f))))
