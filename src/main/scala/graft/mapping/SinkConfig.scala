@@ -19,7 +19,7 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.deletesEnabled     (default true)
  *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
  *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell, default row)
- *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms>, default none)
+ *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | near[:<k>x<r>], default none)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *
  * plus the global endpoint/security surface (X4, validated at parse time —
@@ -105,23 +105,49 @@ object SinkConfig {
         * every delete reaches the table. Extends the reference's
         * offset-level idempotent replay (reference:
         * sink/src/it/.../SimpleEndToEndSimulacronIT.java:407-473) to
-        * content level. */
+        * content level.
+        *
+        * `near` | `near:<numHashes>x<rowsPerBand>` (default 16x4): NEAR-dup
+        * dedup — a record sharing any MinHash LSH band with earlier content
+        * is dropped (the online, config-reachable form of
+        * [[graft.operators.Dedup.applyNearDedup]] over
+        * [[graft.streaming.StreamingDedup]]'s banding; state = seen band
+        * hashes, keyed by (band_id, band_hash)). */
       dedup: String = "none") {
     require(Set("row", "cell").contains(mergeMode),
       s"mergeMode must be row or cell (got '$mergeMode')")
     require(dedup == "none" || dedup == "exact" ||
       (dedup.startsWith("exactTtl:") &&
         scala.util.Try(dedup.stripPrefix("exactTtl:").toLong).toOption
-          .exists(_ > 0)),
-      s"dedup must be none, exact, or exactTtl:<positive ms> (got '$dedup')")
+          .exists(_ > 0)) ||
+      (dedup.startsWith("near") && SinkConfig.nearParams(dedup).isDefined),
+      s"dedup must be none, exact, exactTtl:<positive ms>, or " +
+        s"near[:<numHashes>x<rowsPerBand> with rowsPerBand dividing " +
+        s"numHashes] (got '$dedup')")
     def qualifiedTable: String = s"$keyspace.$table"
     def dedupEnabled: Boolean = dedup != "none"
-    /** The horizon for `exactTtl:<ms>`; None for `none`/`exact`. */
+    /** The horizon for `exactTtl:<ms>`; None for `none`/`exact`/`near`. */
     def dedupTtlMs: Option[Long] =
       if (dedup.startsWith("exactTtl:"))
         Some(dedup.stripPrefix("exactTtl:").toLong)
       else None
+    /** (numHashes, rowsPerBand) for `near`/`near:<k>x<r>`; None otherwise. */
+    def dedupNearParams: Option[(Int, Int)] = SinkConfig.nearParams(dedup)
   }
+
+  /** `near` → the 16x4 default; `near:<k>x<r>` → (k, r) when r divides k. */
+  private[graft] def nearParams(dedup: String): Option[(Int, Int)] =
+    if (dedup == "near") Some((16, 4))
+    else if (dedup.startsWith("near:"))
+      dedup.stripPrefix("near:").split('x') match {
+        case Array(k, r) =>
+          for {
+            nh <- k.toIntOption if nh > 0
+            rb <- r.toIntOption if rb > 0 && nh % rb == 0
+          } yield (nh, rb)
+        case _ => None
+      }
+    else None
 
   case class Config(bindings: Seq[TableBinding],
       /** `None` (default): a failed record fails the batch — the stream

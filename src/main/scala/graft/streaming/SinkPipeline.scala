@@ -61,17 +61,25 @@ class SinkPipeline(
   private val dedupStores = TrieMap[String, KeyedParquetTable]()
 
   /** The seen-hash store backing a binding's dedup stage (public for
-    * maintenance and state inspection — row count = live tracked hashes). */
+    * maintenance and state inspection — row count = live tracked hashes).
+    * `exact`/`exactTtl` key on the 64-bit content hash; `near` keys on the
+    * (band_id, band_hash) pair — one row per LSH band bucket ever occupied. */
   def dedupStore(spark: org.apache.spark.sql.SparkSession,
       b: SinkConfig.TableBinding): KeyedParquetTable =
     dedupStores.getOrElseUpdate(s"${b.topic}.${b.qualifiedTable}", {
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("h",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("last_seen",
-          org.apache.spark.sql.types.LongType)))
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      val (schema, pk) =
+        if (b.dedupNearParams.isDefined)
+          (StructType(Seq(
+            StructField("band_id", IntegerType),
+            StructField("band_hash", LongType),
+            StructField("last_seen", LongType))), Seq("band_id", "band_hash"))
+        else
+          (StructType(Seq(
+            StructField("h", LongType),
+            StructField("last_seen", LongType))), Seq("h"))
       new KeyedParquetTable(spark,
-        SinkTable(b.keyspace, s"${b.table}__dedup", schema, Seq("h")),
+        SinkTable(b.keyspace, s"${b.table}__dedup", schema, pk),
         s"$storeRoot/_dedup/${b.topic}.${b.qualifiedTable}",
         compression = config.parquetCodec)
     })
@@ -87,6 +95,7 @@ class SinkPipeline(
       b: SinkConfig.TableBinding, slice: DataFrame, batchId: Long)
       : (DataFrame, Option[() => Unit]) =
     if (!b.dedupEnabled) (slice, None)
+    else if (b.dedupNearParams.isDefined) nearDedupFilter(spark, b, slice, batchId)
     else {
       val ds = dedupStore(spark, b)
       val nowMs = System.currentTimeMillis()
@@ -129,6 +138,58 @@ class SinkPipeline(
       (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic,
         retain = horizon)))
     }
+
+  /** `dedup=near`: drop a record sharing any MinHash LSH band with EARLIER
+    * content — earlier batches via the seen-band state (touched-bucket read),
+    * earlier (partition, offset) within the batch via a per-band min. The
+    * keep/drop policy matches the batch [[graft.operators.Dedup.applyNearDedup]]
+    * over band-bucket candidates exactly: a dropped record's bands still
+    * block later look-alikes (every doc occupies its buckets, kept or not),
+    * so admission never depends on join order. Banding is
+    * [[StreamingDedup.withBandArray]] — bit-identical to the batch
+    * minhashBands fold. Short records with no shingles have no bands and
+    * always pass; tombstones never dedup. Replay contract is the same
+    * deferred-sightings commit as the exact path. */
+  private def nearDedupFilter(spark: org.apache.spark.sql.SparkSession,
+      b: SinkConfig.TableBinding, slice: DataFrame, batchId: Long)
+      : (DataFrame, Option[() => Unit]) = {
+    val (numHashes, rowsPerBand) = b.dedupNearParams.get
+    val ds = dedupStore(spark, b)
+    val nowMs = System.currentTimeMillis()
+    val dedupable = slice.filter(col("value").isNotNull)
+    val tombstones = slice.filter(col("value").isNull)
+    // (partition, offset) is the record identity and arrival order — unique
+    // within a topic by Kafka's contract
+    val banded = StreamingDedup.withBandArray(dedupable, "value", "__bands",
+      numHashes = numHashes, rowsPerBand = rowsPerBand)
+    val bandRows = banded.select(col("partition"), col("offset"),
+        explode(col("__bands")).as("__b"))
+      .select(col("partition"), col("offset"),
+        col("__b.band_id").as("band_id"), col("__b.band_hash").as("band_hash"))
+      .localCheckpoint() // feeds the state lookup, the in-batch min, and the
+                         // sightings merge — compute the banding once
+    val seen = ds.stateForKeys(bandRows.select("band_id", "band_hash"))
+    // a record loses if ANY of its bands is already in state…
+    val hitState = bandRows
+      .join(seen.select("band_id", "band_hash"), Seq("band_id", "band_hash"),
+        "left_semi")
+      .select("partition", "offset")
+    // …or has an earlier record (per-band min over ALL of this batch's
+    // records — kept or dropped, matching applyNearDedup's pair semantics)
+    val firstPerBand = bandRows.groupBy("band_id", "band_hash")
+      .agg(min(struct(col("partition"), col("offset"))).as("__first"))
+    val hitBatch = bandRows.join(firstPerBand, Seq("band_id", "band_hash"))
+      .filter(struct(col("partition"), col("offset")) =!= col("__first"))
+      .select("partition", "offset")
+    val dropped = hitState.unionByName(hitBatch).distinct()
+    val out = dedupable.join(dropped, Seq("partition", "offset"), "left_anti")
+      .unionByName(tombstones)
+    val sightings = bandRows.select(col("band_id"), col("band_hash")).distinct()
+      .withColumn("last_seen", lit(nowMs))
+      .withColumn(WritetimeCol, lit(nowMs * 1000))
+      .withColumn(ModeCol, lit(ModeUpsert))
+    (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic)))
+  }
 
   /** Physically expire dedup hashes past their TTL horizon in EVERY bucket of
     * every `exactTtl` binding's seen-hash store — the maintenance sweep for

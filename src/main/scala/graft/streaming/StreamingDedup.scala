@@ -119,6 +119,27 @@ object StreamingDedup {
    * bands, matching the batch path.
    */
   def bandedStream(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame =
+    withBandArray(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")), "__text", "__bands",
+        numHashes, shingleN, rowsPerBand)
+      .select(col("doc_id"), explode(col("__bands")).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+
+  /**
+   * Append `bandsCol` = array<struct<band_id:int, band_hash:bigint>> computed
+   * MAP-ONLY from `textCol` — the shared core of [[bandedStream]] and the
+   * sink pipeline's `dedup=near` stage. Per row: shingle hashes, k min
+   * hashes, and LSH band hashes via higher-order array expressions inside
+   * projections (no window, no groupBy — runs on streaming frames as-is),
+   * producing the EXACT same band values as the batch
+   * `Dedup.minhashBands(Dedup.minhashSignatures(…))` (pinned by the
+   * batch-equivalence spec). Rows with fewer than `shingleN` tokens get an
+   * EMPTY array (no shingles → no bands, matching the batch path, where
+   * they simply have no band rows).
+   */
+  def withBandArray(docs: DataFrame, textCol: String, bandsCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame = {
     import graft.operators.Dedup.seeds
     import graft.operators.TextAnalysis.{tokenHashes, HashPrime}
@@ -132,24 +153,22 @@ object StreamingDedup {
         i => (1 until shingleN).foldLeft(element_at(ths, i + 1): Column) {
           (acc, j) => (acc * 131L + element_at(ths, i + j + 1)) % HashPrime
         })).otherwise(array().cast("array<bigint>"))
-    val withShingles = docs.select(
-      col(idCol).cast("long").as("doc_id"), shingles.as("__sh"))
     val mins = array(seeds(numHashes).map(sd =>
-      array_min(transform(col("__sh"),
+      array_min(transform(col("__graft_sh"),
         x => (lit(sd.a) * x + lit(sd.b)) % HashPrime))): _*)
     val bands = transform(sequence(lit(0), lit(nBands - 1)),
       b => struct(
         b.cast("int").as("band_id"),
         (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, j) =>
-          (acc * 131L + element_at(col("__mins"), b * rowsPerBand + j + 1)) %
+          (acc * 131L + element_at(col("__graft_mins"), b * rowsPerBand + j + 1)) %
             HashPrime
         }.as("band_hash")))
-    withShingles
-      .select(col("doc_id"), mins.as("__mins"))
-      .select(col("doc_id"), explode(bands).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"),
-        col("band.band_hash").as("band_hash"))
-      .filter(col("band_hash").isNotNull) // shingle-less docs band to null
+    docs
+      .withColumn("__graft_sh", shingles)
+      .withColumn("__graft_mins", mins)
+      // shingle-less rows min to null band hashes — filter to an empty array
+      .withColumn(bandsCol, filter(bands, b => b.getField("band_hash").isNotNull))
+      .drop("__graft_sh", "__graft_mins")
   }
 
   /**

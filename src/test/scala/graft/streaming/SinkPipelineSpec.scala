@@ -371,6 +371,63 @@ class SinkPipelineSpec extends SparkSuite {
     assert(c.bindings.head.dedup == "exactTtl:60000")
     assert(c.bindings.head.dedupTtlMs.contains(60000L))
     assert(SinkConfig.parse(conf("exact")).bindings.head.dedupEnabled)
+    // near: bare form defaults to the 16x4 banding; explicit form must have
+    // rowsPerBand dividing numHashes; malformed shapes fail at parse
+    val near = SinkConfig.parse(conf("near")).bindings.head
+    assert(near.dedupEnabled && near.dedupNearParams.contains((16, 4)) &&
+      near.dedupTtlMs.isEmpty)
+    assert(SinkConfig.parse(conf("near:8x2")).bindings.head
+      .dedupNearParams.contains((8, 2)))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:5x2")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:0x0")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:axb")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:16")))
+  }
+
+  test("dedup=near: band-colliding content dropped in-batch, cross-batch, and via dropped records' bands") {
+    val root = Files.createTempDirectory("graft-neardedup").toString
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+      "topic.orders.ks.t2.dedup" -> "near"))
+    val pipe = new SinkPipeline(config, Map("ks.t2" -> t2), root)
+    val b = config.bindings.head
+    // the PipelineOpsSpec banding fixtures: base ~ nearDup collide in the
+    // 16x4 bands; other shares no band with either
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tokX")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val fresh = (1 to 60).map(i => s"qqq$i").mkString(" ")
+    // batch 0: nearDup shares a band with the EARLIER (lower offset) base →
+    // dropped in-batch; other shares none → lands
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", base, 1000L),
+      ("orders", 1L, "2", nearDup, 2000L),
+      ("orders", 2L, "3", other, 3000L)), 0L)
+    assert(pipe.store(s, b).state().select("my_pk").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // batch 1: nearDup AGAIN — its batch-0 copy was dropped, but a dropped
+    // record's bands still block (applyNearDedup pair semantics: kept or
+    // not, every doc occupies its buckets); fresh content lands
+    pipe.processBatch(batch(
+      ("orders", 3L, "4", nearDup, 4000L),
+      ("orders", 4L, "5", fresh, 5000L)), 1L)
+    assert(pipe.store(s, b).state().select("my_pk").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    // replay of batch 1: a no-op — state and seen-band store unchanged
+    val bandRows = pipe.dedupStore(s, b).state().count()
+    pipe.processBatch(batch(
+      ("orders", 3L, "4", nearDup, 4000L),
+      ("orders", 4L, "5", fresh, 5000L)), 1L)
+    assert(pipe.store(s, b).state().count() == 3)
+    assert(pipe.dedupStore(s, b).state().count() == bandRows)
+    // shingle-less records (< 3 tokens) have no bands: both identical short
+    // values pass — near dedup never sees them; tombstones never dedup
+    pipe.processBatch(batch(
+      ("orders", 5L, "6", "hi", 6000L),
+      ("orders", 6L, "7", "hi", 7000L),
+      ("orders", 7L, "1", null, 8000L)), 2L)
+    assert(pipe.store(s, b).state().select("my_pk").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 6L, 7L))
   }
 
   test("X3 passthrough: spark.* config keys reach the session at start") {
