@@ -146,7 +146,7 @@ class SinkPipeline(
     * over band-bucket candidates exactly: a dropped record's bands still
     * block later look-alikes (every doc occupies its buckets, kept or not),
     * so admission never depends on join order. Banding is
-    * [[StreamingDedup.withBandArray]] — bit-identical to the batch
+    * [[StreamingDedup.bandRows]] — bit-identical to the batch
     * minhashBands fold. Short records with no shingles have no bands and
     * always pass; tombstones never dedup. Replay contract is the same
     * deferred-sightings commit as the exact path. */
@@ -160,12 +160,10 @@ class SinkPipeline(
     val tombstones = slice.filter(col("value").isNull)
     // (partition, offset) is the record identity and arrival order — unique
     // within a topic by Kafka's contract
-    val banded = StreamingDedup.withBandArray(dedupable, "value", "__bands",
-      numHashes = numHashes, rowsPerBand = rowsPerBand)
-    val bandRows = banded.select(col("partition"), col("offset"),
-        explode(col("__bands")).as("__b"))
-      .select(col("partition"), col("offset"),
-        col("__b.band_id").as("band_id"), col("__b.band_hash").as("band_hash"))
+    val bandRows = StreamingDedup.bandRows(
+        dedupable.select(col("partition"), col("offset"), col("value")),
+        "value", Seq("partition", "offset"),
+        numHashes = numHashes, rowsPerBand = rowsPerBand)
       .localCheckpoint() // feeds the state lookup, the in-batch min, and the
                          // sightings merge — compute the banding once
     val seen = ds.stateForKeys(bandRows.select("band_id", "band_hash"))

@@ -120,31 +120,36 @@ object StreamingDedup {
    */
   def bandedStream(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame =
-    withBandArray(docs.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("__text")), "__text", "__bands",
-        numHashes, shingleN, rowsPerBand)
-      .select(col("doc_id"), explode(col("__bands")).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"),
-        col("band.band_hash").as("band_hash"))
+    bandRows(docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text")), "__text", Seq("doc_id"),
+      numHashes, shingleN, rowsPerBand)
 
   /**
-   * Append `bandsCol` = array<struct<band_id:int, band_hash:bigint>> computed
-   * MAP-ONLY from `textCol` — the shared core of [[bandedStream]] and the
-   * sink pipeline's `dedup=near` stage. Per row: shingle hashes, k min
-   * hashes, and LSH band hashes via higher-order array expressions inside
-   * projections (no window, no groupBy — runs on streaming frames as-is),
-   * producing the EXACT same band values as the batch
-   * `Dedup.minhashBands(Dedup.minhashSignatures(…))` (pinned by the
-   * batch-equivalence spec). Rows with fewer than `shingleN` tokens get an
-   * EMPTY array (no shingles → no bands, matching the batch path, where
-   * they simply have no band rows).
+   * One row per (key columns, band_id, band_hash) computed MAP-ONLY from
+   * `textCol` — the shared core of [[bandedStream]] and the sink pipeline's
+   * `dedup=near` stage (which keys on (partition, offset) instead of a doc
+   * id). Per row: shingle hashes, k min hashes, and LSH band hashes via
+   * higher-order array expressions inside projections (no window, no
+   * groupBy — runs on streaming frames as-is), producing the EXACT same
+   * band values as the batch `Dedup.minhashBands(Dedup.minhashSignatures(…))`
+   * (pinned by the batch-equivalence spec). Rows with fewer than `shingleN`
+   * tokens have no shingles and emit no band rows, matching the batch path.
+   *
+   * PLAN SHAPE MATTERS HERE: each stage is its own narrow `select`
+   * (shingles → mins → explode(bands) → null filter on the exploded
+   * scalar), which keeps every intermediate array an ATTRIBUTE between
+   * projections. Collapsing the stages into one projection (e.g. building
+   * the band array and filtering it in place) re-evaluates the tokenize +
+   * shingle fold once per `element_at` reference inside the downstream
+   * lambdas — measured ~67× slower on sf0.01 documents.
    */
-  def withBandArray(docs: DataFrame, textCol: String, bandsCol: String,
+  def bandRows(docs: DataFrame, textCol: String, keyCols: Seq[String],
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame = {
     import graft.operators.Dedup.seeds
     import graft.operators.TextAnalysis.{tokenHashes, HashPrime}
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val nBands = numHashes / rowsPerBand
+    val keys = keyCols.map(col)
     val ths = tokenHashes(col(textCol))
     // shingle hash at position i: fold over token hashes i..i+n-1, exactly
     // the batch shingleHashRows window fold, done positionally in-array
@@ -154,21 +159,22 @@ object StreamingDedup {
           (acc, j) => (acc * 131L + element_at(ths, i + j + 1)) % HashPrime
         })).otherwise(array().cast("array<bigint>"))
     val mins = array(seeds(numHashes).map(sd =>
-      array_min(transform(col("__graft_sh"),
+      array_min(transform(col("__sh"),
         x => (lit(sd.a) * x + lit(sd.b)) % HashPrime))): _*)
     val bands = transform(sequence(lit(0), lit(nBands - 1)),
       b => struct(
         b.cast("int").as("band_id"),
         (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, j) =>
-          (acc * 131L + element_at(col("__graft_mins"), b * rowsPerBand + j + 1)) %
+          (acc * 131L + element_at(col("__mins"), b * rowsPerBand + j + 1)) %
             HashPrime
         }.as("band_hash")))
     docs
-      .withColumn("__graft_sh", shingles)
-      .withColumn("__graft_mins", mins)
-      // shingle-less rows min to null band hashes — filter to an empty array
-      .withColumn(bandsCol, filter(bands, b => b.getField("band_hash").isNotNull))
-      .drop("__graft_sh", "__graft_mins")
+      .select(keys :+ shingles.as("__sh"): _*)
+      .select(keys :+ mins.as("__mins"): _*)
+      .select(keys :+ explode(bands).as("band"): _*)
+      .select(keys :+ col("band.band_id").as("band_id") :+
+        col("band.band_hash").as("band_hash"): _*)
+      .filter(col("band_hash").isNotNull) // shingle-less docs band to null
   }
 
   /**
