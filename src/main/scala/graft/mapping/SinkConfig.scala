@@ -19,7 +19,7 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.deletesEnabled     (default true)
  *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
  *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell, default row)
- *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | near[:<k>x<r>], default none)
+ *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | near[:<k>x<r>[:<ttlMs>]], default none)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *
  * plus the global endpoint/security surface (X4, validated at parse time —
@@ -107,12 +107,15 @@ object SinkConfig {
         * sink/src/it/.../SimpleEndToEndSimulacronIT.java:407-473) to
         * content level.
         *
-        * `near` | `near:<numHashes>x<rowsPerBand>` (default 16x4): NEAR-dup
-        * dedup — a record sharing any MinHash LSH band with earlier content
-        * is dropped (the online, config-reachable form of
-        * [[graft.operators.Dedup.applyNearDedup]] over
+        * `near` | `near:<numHashes>x<rowsPerBand>[:<ttlMs>]` (default 16x4,
+        * no horizon): NEAR-dup dedup — a record sharing any MinHash LSH
+        * band with earlier content is dropped (the online, config-reachable
+        * form of [[graft.operators.Dedup.applyNearDedup]] over
         * [[graft.streaming.StreamingDedup]]'s banding; state = seen band
-        * hashes, keyed by (band_id, band_hash)). */
+        * hashes, keyed by (band_id, band_hash)). The optional third segment
+        * is the same sliding horizon as `exactTtl`: band sightings re-arm
+        * it, bands quiet for a full horizon expire physically (merge-time
+        * prune + vacuum sweep), bounding state to recently-active content. */
       dedup: String = "none") {
     require(Set("row", "cell").contains(mergeMode),
       s"mergeMode must be row or cell (got '$mergeMode')")
@@ -122,32 +125,43 @@ object SinkConfig {
           .exists(_ > 0)) ||
       (dedup.startsWith("near") && SinkConfig.nearParams(dedup).isDefined),
       s"dedup must be none, exact, exactTtl:<positive ms>, or " +
-        s"near[:<numHashes>x<rowsPerBand> with rowsPerBand dividing " +
-        s"numHashes] (got '$dedup')")
+        s"near[:<numHashes>x<rowsPerBand>[:<positive ttl ms>] with " +
+        s"rowsPerBand dividing numHashes] (got '$dedup')")
     def qualifiedTable: String = s"$keyspace.$table"
     def dedupEnabled: Boolean = dedup != "none"
-    /** The horizon for `exactTtl:<ms>`; None for `none`/`exact`/`near`. */
+    /** The sliding horizon for `exactTtl:<ms>` and `near:<k>x<r>:<ms>`;
+      * None for the unbounded modes. */
     def dedupTtlMs: Option[Long] =
       if (dedup.startsWith("exactTtl:"))
         Some(dedup.stripPrefix("exactTtl:").toLong)
-      else None
-    /** (numHashes, rowsPerBand) for `near`/`near:<k>x<r>`; None otherwise. */
-    def dedupNearParams: Option[(Int, Int)] = SinkConfig.nearParams(dedup)
+      else SinkConfig.nearParams(dedup).flatMap(_._3)
+    /** (numHashes, rowsPerBand) for the `near` modes; None otherwise. */
+    def dedupNearParams: Option[(Int, Int)] =
+      SinkConfig.nearParams(dedup).map(p => (p._1, p._2))
   }
 
-  /** `near` → the 16x4 default; `near:<k>x<r>` → (k, r) when r divides k. */
-  private[graft] def nearParams(dedup: String): Option[(Int, Int)] =
-    if (dedup == "near") Some((16, 4))
-    else if (dedup.startsWith("near:"))
-      dedup.stripPrefix("near:").split('x') match {
+  /** `near` → the 16x4 default; `near:<k>x<r>[:<ttlMs>]` → (k, r, ttl?)
+    * when r divides k and the ttl (if given) is positive. */
+  private[graft] def nearParams(dedup: String)
+      : Option[(Int, Int, Option[Long])] =
+    if (dedup == "near") Some((16, 4, None))
+    else if (dedup.startsWith("near:")) {
+      val segs = dedup.stripPrefix("near:").split(':')
+      val ttl = segs match {
+        case Array(_) => Some(None)
+        case Array(_, t) => t.toLongOption.filter(_ > 0).map(Some(_))
+        case _ => None
+      }
+      segs(0).split('x') match {
         case Array(k, r) =>
           for {
             nh <- k.toIntOption if nh > 0
             rb <- r.toIntOption if rb > 0 && nh % rb == 0
-          } yield (nh, rb)
+            t <- ttl
+          } yield (nh, rb, t)
         case _ => None
       }
-    else None
+    } else None
 
   case class Config(bindings: Seq[TableBinding],
       /** `None` (default): a failed record fails the batch — the stream

@@ -166,7 +166,13 @@ class SinkPipeline(
         numHashes = numHashes, rowsPerBand = rowsPerBand)
       .localCheckpoint() // feeds the state lookup, the in-batch min, and the
                          // sightings merge — compute the banding once
-    val seen = ds.stateForKeys(bandRows.select("band_id", "band_hash"))
+    // near:<k>x<r>:<ttl>: same sliding horizon as exactTtl — bands quiet for
+    // a full horizon stop blocking (and expire physically below)
+    val seenAll = ds.stateForKeys(bandRows.select("band_id", "band_hash"))
+    val seen = b.dedupTtlMs match {
+      case Some(t) => seenAll.filter(col("last_seen") >= nowMs - t)
+      case None    => seenAll
+    }
     // a record loses if ANY of its bands is already in state…
     val hitState = bandRows
       .join(seen.select("band_id", "band_hash"), Seq("band_id", "band_hash"),
@@ -186,12 +192,19 @@ class SinkPipeline(
       .withColumn("last_seen", lit(nowMs))
       .withColumn(WritetimeCol, lit(nowMs * 1000))
       .withColumn(ModeCol, lit(ModeUpsert))
-    (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic)))
+    // TTL'd near: every sighting re-arms the horizon (LWW keeps the newest
+    // last_seen); expired bands leave touched buckets PHYSICALLY during the
+    // sightings merge, and vacuumDedupState sweeps the rest — identical
+    // state-bounding contract to exactTtl
+    val horizon = b.dedupTtlMs.map(t => col("last_seen") >= nowMs - t)
+    (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic,
+      retain = horizon)))
   }
 
-  /** Physically expire dedup hashes past their TTL horizon in EVERY bucket of
-    * every `exactTtl` binding's seen-hash store — the maintenance sweep for
-    * buckets the per-batch merge prune hasn't touched lately. Call
+  /** Physically expire dedup state past its TTL horizon in EVERY bucket of
+    * every TTL'd binding's seen store (`exactTtl` content hashes and TTL'd
+    * `near` band hashes alike — both carry `last_seen`) — the maintenance
+    * sweep for buckets the per-batch merge prune hasn't touched lately. Call
     * periodically (e.g. from a maintenance trigger); per-batch cost stays on
     * the touched-bucket path. */
   def vacuumDedupState(spark: org.apache.spark.sql.SparkSession,

@@ -378,10 +378,47 @@ class SinkPipelineSpec extends SparkSuite {
       near.dedupTtlMs.isEmpty)
     assert(SinkConfig.parse(conf("near:8x2")).bindings.head
       .dedupNearParams.contains((8, 2)))
+    val nearTtl = SinkConfig.parse(conf("near:8x2:60000")).bindings.head
+    assert(nearTtl.dedupNearParams.contains((8, 2)) &&
+      nearTtl.dedupTtlMs.contains(60000L))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:5x2")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:0x0")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:axb")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:16")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:-5")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:abc")))
+  }
+
+  test("dedup=near with TTL: quiet horizon re-admits; expired bands leave the store physically") {
+    def ttlConfig(ms: Long) = SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+      "topic.orders.ks.t2.dedup" -> s"near:16x4:$ms"))
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tokX")
+    // wide horizon (must dominate inter-batch processing latency): the
+    // cross-batch near-dup is still inside it → dropped
+    val wide = ttlConfig(600000L)
+    val pipeW = new SinkPipeline(wide, Map("ks.t2" -> t2),
+      Files.createTempDirectory("graft-nearttl-w").toString)
+    pipeW.processBatch(batch(("orders", 0L, "1", base, 1000L)), 0L)
+    assert(pipeW.dedupStore(s, wide.bindings.head).state().count() > 0)
+    pipeW.processBatch(batch(("orders", 1L, "2", nearDup, 2000L)), 1L)
+    assert(pipeW.store(s, wide.bindings.head).state().select("my_pk")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // narrow horizon: a full quiet horizon passes — the vacuum sweep
+    // empties the band store PHYSICALLY and the near-dup content re-admits
+    val ms = 900L
+    val narrow = ttlConfig(ms)
+    val b = narrow.bindings.head
+    val pipeN = new SinkPipeline(narrow, Map("ks.t2" -> t2),
+      Files.createTempDirectory("graft-nearttl-n").toString)
+    pipeN.processBatch(batch(("orders", 0L, "1", base, 1000L)), 0L)
+    Thread.sleep(ms + 300)
+    pipeN.vacuumDedupState(s)
+    assert(pipeN.dedupStore(s, b).state().count() == 0)
+    pipeN.processBatch(batch(("orders", 2L, "3", nearDup, 3000L)), 1L)
+    assert(pipeN.store(s, b).state().select("my_pk").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
   test("dedup=near: band-colliding content dropped in-batch, cross-batch, and via dropped records' bands") {
