@@ -129,7 +129,8 @@ object Bench {
       "q63_decontaminate", "q64_pack_plan", "q65_pack_occupancy",
       "q66_mixture_sample", "q67_budget_select", "q69_langid_script",
       "q70_epoch_shuffle", "q74_asof_join", "q75_range_join",
-      "q76_group_quantiles", "q77_data_card")
+      "q76_group_quantiles", "q77_data_card", "q79_span_dedup",
+      "q80_distinctive_terms")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -905,6 +905,20 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, unnest($dToks) AS token FROM documents) SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100"""),
       (s, dir) => TextAnalysis.vocabulary(docs(tune(s), dir), "text", "doc_id", 100)),
 
+    // C4-style SPAN dedup: 8-token tiles whose exact text repeats anywhere
+    // in the corpus are dropped; the doc is rebuilt from surviving tiles
+    Q("q79_span_dedup", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), pos AS (SELECT doc_id, tk, unnest(generate_series(0, CAST((len(tk) + 7) // 8 AS BIGINT) - 1)) AS pos FROM toks WHERE len(tk) > 0), spans AS (SELECT doc_id, pos, array_to_string(tk[CAST(pos*8+1 AS BIGINT):CAST(pos*8+8 AS BIGINT)], ' ') AS span FROM pos), cnt AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY 1), kept AS (SELECT s.doc_id, s.pos, s.span FROM spans s JOIN cnt USING (span) WHERE c < 2), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans GROUP BY 1), reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT t.doc_id AS doc_id, t.n_spans AS n_spans, COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.clean_text, '') AS clean_text FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"""),
+      (s, dir) => Dedup.spanDedup(docs(tune(s), dir), "text", "doc_id",
+        spanTokens = 8, minCount = 2).orderBy("doc_id")),
+
+    // tf-idf as a pure-integer lexicographic rank: top-3 per doc by
+    // (tf DESC, df ASC, token) — rare-but-frequent-here topical keywords
+    Q("q80_distinctive_terms", Some(
+      s"""WITH t AS (SELECT doc_id, unnest($dToks) AS token FROM documents), tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS INT) AS rank FROM tf JOIN df USING (token)) SELECT doc_id, rank, token, tf, df FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      (s, dir) => TextAnalysis.distinctiveTerms(docs(tune(s), dir), "text",
+        "doc_id", 3).orderBy("doc_id", "rank")),
+
     // deterministic per-language quota sample (balanced-class downsampling):
     // up to 100 docs per predicted language, picked by an integer id hash —
     // same sample on any cluster/partitioning, no RNG state

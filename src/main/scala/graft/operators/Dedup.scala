@@ -363,6 +363,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /**
+   * SPAN-level dedup (the C4 recipe at token granularity): tile each doc
+   * into fixed `spanTokens`-token spans, drop every span whose exact text
+   * occurs at least `minCount` times across the corpus, and rebuild the
+   * document from the surviving spans (single-space rejoined canonical
+   * form). Doc-level dedup misses the boilerplate INSIDE otherwise-distinct
+   * documents (headers, navigation, license blurbs); span dedup is the
+   * standard corpus-cleaning pass for that (C4 dropped any 3-sentence span
+   * occurring more than once).
+   *
+   * Shape at 100 TB: tokenize + tile is map-only (tokens stay an attribute
+   * between stages — see [[graft.streaming.StreamingDedup.bandRows]] on why
+   * staging matters); the span count is one partial-agg groupBy; the kept
+   * filter is an anti-join against the over-threshold span set (small by
+   * definition — each member occurs ≥ minCount times, so there are at most
+   * spans/minCount of them); the rebuild is a per-doc groupBy. Spans here
+   * join on exact text so the DuckDB oracle reproduces the operator
+   * bit-for-bit; at corpus scale the join key would be the 8-byte span
+   * hash, same as every other dedup stage in this file.
+   *
+   * Output: (doc_id, n_spans, n_kept, clean_text) — clean_text is "" when
+   * every span was boilerplate.
+   */
+  def spanDedup(docs: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8, minCount: Int = 2): DataFrame = {
+    val w = spanTokens
+    val spanRows = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("__tk")) > 0,
+          transform(
+            sequence(lit(0), (size(col("__tk")) + lit(w - 1)).divide(lit(w))
+              .cast(IntegerType) - lit(1)),
+            i => array_join(slice(col("__tk"), i * w + 1, lit(w)), " ")))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "span")))
+    val common = spanRows.groupBy(col("span"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select(col("span"))
+    val kept = spanRows.join(common, Seq("span"), "left_anti")
+    val tot = spanRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"))
+    tot.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // --------------------------------------------------------- contamination
 
   /**

@@ -299,4 +299,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
+
+  /**
+   * Top-`k` DISTINCTIVE terms per document: the tf-idf ranking expressed as
+   * a pure-integer lexicographic order — in-doc term frequency descending,
+   * corpus document frequency ascending (rare beats common), then the token
+   * itself for a total order. Equivalent to ranking by tf·idf without the
+   * floating-point idf, so the result is deterministic across engines (the
+   * repo's oracle rule: integer arithmetic only). The topical-keyword
+   * extraction every curation pipeline runs for domain tagging and
+   * mixture construction.
+   *
+   * Shape at 100 TB: tf is one partial-agg groupBy over (doc, token); df
+   * derives from the same frame (each (doc, token) row is one doc) — no
+   * second pass over text; the rank is a keyed window per doc_id (never a
+   * global sort).
+   */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
+  }
 }

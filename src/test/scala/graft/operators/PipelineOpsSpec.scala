@@ -103,6 +103,40 @@ class PipelineOpsSpec extends SparkSuite {
     assert(ok.toSeq == Seq(1L))
   }
 
+  test("span dedup drops repeated tiles, rebuilds from survivors, empties all-boilerplate docs") {
+    // spans of 4 tokens; "b1 b2 b3 b4" repeats across docs 1 and 2 → dropped
+    // from both; doc 3 is ALL boilerplate → clean_text empty, row kept
+    val d = docs(
+      (1L, "u1 u2 u3 u4 b1 b2 b3 b4"),
+      (2L, "b1 b2 b3 b4 v1 v2 v3 v4"),
+      (3L, "b1 b2 b3 b4"),
+      (4L, "w1 w2 w3 w4 w5")) // 5 tokens → 2 spans, second is the 1-token tail
+    val out = Dedup.spanDedup(d, "text", "doc_id", spanTokens = 4, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, "u1 u2 u3 u4"),
+      (2L, 2L, 1L, "v1 v2 v3 v4"),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 2L, "w1 w2 w3 w4 w5")))
+  }
+
+  test("distinctive terms rank by tf desc, then rarity, then token") {
+    // doc 1: 'aa' tf=2 beats everything; 'rare' (df=1) beats 'common' (df=2)
+    val d = docs(
+      (1L, "aa aa rare common"),
+      (2L, "common zz"))
+    val out = TextAnalysis.distinctiveTerms(d, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 1, "aa", 2L, 1L),
+      (1L, 2, "rare", 1L, 1L),
+      (1L, 3, "common", 1L, 2L),
+      (2L, 1, "zz", 1L, 1L),
+      (2L, 2, "common", 1L, 2L)))
+  }
+
   test("vocabulary ranks by tf with deterministic tie-break; df counts docs") {
     val d = docs((1L, "apple apple pear"), (2L, "apple banana banana"))
     val out = TextAnalysis.vocabulary(d, "text", "doc_id", 2)
