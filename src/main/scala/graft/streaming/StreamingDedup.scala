@@ -216,6 +216,44 @@ object StreamingDedup {
       }
   }
 
+  /** [[streamingCandidates]] with the sliding-horizon state bound: a band
+    * bucket with no sighting for `horizonMs` clears its member list (any
+    * sighting re-arms the timer), so state tracks buckets ACTIVE within the
+    * horizon instead of every bucket ever occupied — the same trade as
+    * [[firstSeenTtl]] and the sink's `near:<k>x<r>:<ttlMs>` mode. A doc
+    * arriving after its look-alikes' bucket expired pairs with nothing
+    * (duplicates in real corpora cluster in time; the horizon is what a
+    * 100 TB/day stream keeps). */
+  def streamingCandidatesTtl(banded: Dataset[BandedDoc], horizonMs: Long,
+      bucketCap: Int = 64): Dataset[CandidatePair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(d => (d.bandId, d.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: (Int, Long), it: Iterator[BandedDoc],
+            state: org.apache.spark.sql.streaming.GroupState[List[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Nil)
+            val newIds = it.map(_.docId).toSeq.distinct.sorted
+              .filterNot(seen.contains)
+            val out = Seq.newBuilder[CandidatePair]
+            var members = seen
+            newIds.foreach { id =>
+              if (members.size < bucketCap) {
+                members.foreach(m =>
+                  out += CandidatePair(math.min(m, id), math.max(m, id)))
+                members = id :: members
+              }
+            }
+            if (members ne seen) state.update(members)
+            state.setTimeoutDuration(horizonMs) // any sighting re-arms
+            out.result().iterator
+          }
+      }
+  }
+
   /** One-shot pair contract: each (docA, docB) candidate emits EXACTLY once
     * across bands and micro-batches — a pair-keyed first-seen filter over
     * the per-band emissions of [[streamingCandidates]] (a pair sharing k
@@ -242,16 +280,24 @@ object StreamingDedup {
   /** Convenience: band a raw (id, text) stream and emit candidate pairs —
     * exactly once per pair (the [[oneShotPairs]] contract; pass
     * `oneShot = false` for the raw once-per-shared-band firehose when a
-    * downstream consumer dedups anyway and the extra state is unwanted). */
+    * downstream consumer dedups anyway and the extra state is unwanted).
+    * `stateHorizonMs` switches the bucket state to the sliding-horizon
+    * bound of [[streamingCandidatesTtl]]; the one-shot pair state stays
+    * unbounded by the band gate's candidate volume either way. */
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4,
-      bucketCap: Int = 64, oneShot: Boolean = true): Dataset[CandidatePair] = {
+      bucketCap: Int = 64, oneShot: Boolean = true,
+      stateHorizonMs: Option[Long] = None): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    val raw = streamingCandidates(
-      bandedStream(docs, textCol, idCol, numHashes, shingleN, rowsPerBand)
-        .select(col("doc_id").as("docId"), col("band_id").as("bandId"),
-          col("band_hash").as("bandHash"))
-        .as[BandedDoc], bucketCap)
+    val banded = bandedStream(docs, textCol, idCol, numHashes, shingleN,
+        rowsPerBand)
+      .select(col("doc_id").as("docId"), col("band_id").as("bandId"),
+        col("band_hash").as("bandHash"))
+      .as[BandedDoc]
+    val raw = stateHorizonMs match {
+      case Some(h) => streamingCandidatesTtl(banded, h, bucketCap)
+      case None    => streamingCandidates(banded, bucketCap)
+    }
     if (oneShot) oneShotPairs(raw) else raw
   }
 }

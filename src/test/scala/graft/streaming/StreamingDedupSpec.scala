@@ -194,6 +194,44 @@ class StreamingDedupSpec extends SparkSuite {
     assert(raw.length > raw.distinct.length) // but with per-band repeats
   }
 
+  test("TTL'd candidate buckets: in-horizon near-dups pair, expired buckets forget") {
+    val src = Files.createTempDirectory("graft-ndttl-src").toString
+    val ckpt = Files.createTempDirectory("graft-ndttl-ckpt").toString
+    val horizonMs = 4000L
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox jumps over the lazy cat"
+    val c = "the quick brown fox jumps over the lazy owl"
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val q = StreamingDedup.nearDupStream(stream, "text", "doc_id",
+        stateHorizonMs = Some(horizonMs))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndttl_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    def emitted(): Set[(Long, Long)] = s.table("ndttl_out").collect()
+      .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+    def awaitEmitted(expected: Set[(Long, Long)]): Unit = {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (System.currentTimeMillis() < deadline && emitted() != expected)
+        Thread.sleep(200L)
+      assert(emitted() == expected)
+    }
+    try {
+      // inside the horizon: the near-dup pairs
+      write(src + "/f1", (1L, a))
+      write(src + "/f2", (2L, b))
+      awaitEmitted(Set((1L, 2L)))
+      // a full quiet horizon passes: the buckets forget docs 1 and 2 — a
+      // third look-alike arrives to EMPTY buckets and pairs with nothing
+      Thread.sleep(horizonMs + 2500L)
+      write(src + "/f3", (3L, c))
+      Thread.sleep(3000L)
+      assert(emitted() == Set((1L, 2L)),
+        s"expired buckets must not pair: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("streaming and batch exact dedup keep the same documents") {
     val l = new java.util.ArrayList[Row]()
     Seq((2L, "x y z"), (9L, "x y z"), (5L, "q"), (7L, "q"), (8L, "solo"))
