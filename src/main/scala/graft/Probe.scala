@@ -47,6 +47,18 @@ object Probe {
     timed("pii redact (projection)")(
       big.select(col("doc_id"),
         graft.operators.TextAnalysis.piiRedact(col("text")).as("r")).count())
+    // span dedup: tile + count + anti-join + rebuild — all linear stages;
+    // on this 20x-replicated corpus EVERY span repeats, so the common-span
+    // set is maximal and the rebuild runs at full volume (the worst case)
+    timed("span dedup (8-token tiles, dup-dense)")(
+      graft.operators.Dedup.spanDedup(big, "text", "doc_id").count())
+    // distinctive terms: the tf-idf rank must stay a KEYED window per doc
+    val dterms = graft.operators.TextAnalysis
+      .distinctiveTerms(big, "text", "doc_id", 3)
+    require(!dterms.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition()"),
+      "distinctive terms must not use an unpartitioned window")
+    timed("distinctive terms (top-3/doc)")(dterms.count())
     timed("repetition stats")(
       graft.operators.TextAnalysis.repetitionStats(big, "text", "doc_id").count())
     val contam = graft.operators.Dedup.contamination(
