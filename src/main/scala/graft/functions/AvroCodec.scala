@@ -192,8 +192,8 @@ object AvroCodec {
         val conv = catalystToAvro(mt.valueType, schema.getValueType)
         v => {
           val m = v.asInstanceOf[MapData]
-          val keys = m.keyArray.toObjectArray(StringType)
-          val vals = m.valueArray.toObjectArray(mt.valueType)
+          val keys = m.keyArray().toObjectArray(StringType)
+          val vals = m.valueArray().toObjectArray(mt.valueType)
           val out = new java.util.HashMap[String, Any](keys.length)
           var i = 0
           while (i < keys.length) {

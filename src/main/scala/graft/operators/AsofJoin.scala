@@ -114,7 +114,7 @@ object AsofJoin {
     bucketed.unionByName(carries)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        valueCols.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)
+      .select((leftCols.map(col) ++
+        valueCols.map(v => col(s"__asof.$v").as(s"asof_$v"))).toIndexedSeq: _*)
   }
 }

@@ -109,7 +109,7 @@ class SinkPipeline(
       // map-side-combined min_by, not a window (a hot value's copies would
       // otherwise pile into one task's sort)
       val first = dedupable.groupBy(col(hcol))
-        .agg(min_by(struct(recordCols.map(col): _*),
+        .agg(min_by(struct(recordCols.toIndexedSeq.map(col): _*),
           struct(col("partition"), col("offset"))).as("__first"))
       val seenAll = ds.stateForKeys(first.select(col(hcol).as("h")))
       val seen = b.dedupTtlMs match {
