@@ -121,6 +121,39 @@ class PipelineOpsSpec extends SparkSuite {
       (4L, 2L, 2L, "w1 w2 w3 w4 w5")))
   }
 
+  test("span dedup matches a serial reference scan on seeded random corpora") {
+    def serial(corpus: Seq[(Long, String)], w: Int, minCount: Int)
+        : Seq[(Long, Long, Long, String)] = {
+      val tiled = corpus.map { case (id, t) =>
+        val tk = t.trim.split("\\s+").filter(_.nonEmpty)
+        id -> tk.grouped(w).map(_.mkString(" ")).toSeq
+      }
+      val counts = tiled.flatMap(_._2).groupBy(identity).map { case (sp, o) =>
+        sp -> o.size }
+      tiled.filter(_._2.nonEmpty).map { case (id, spans) =>
+        val kept = spans.filter(sp => counts(sp) < minCount)
+        (id, spans.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }
+    }
+    Seq(7, 21).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val shared = (0 until 12).map(i => s"s${seed}b$i").mkString(" ")
+      val corpus = (0L until 25L).map { id =>
+        val own = (0 until rnd.nextInt(30)).map(i => s"d${id}t$i").mkString(" ")
+        // half the docs carry the shared block at a random tile-aligned-ish
+        // position so repeated spans occur both aligned and offset
+        val t = if (id % 2 == 0) s"$own $shared" else own
+        (id, t)
+      }.filter(_._2.trim.nonEmpty)
+      val d = docs(corpus: _*)
+      val got = Dedup.spanDedup(d, "text", "doc_id", spanTokens = 4, minCount = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(got == serial(corpus, 4, 2).sortBy(_._1), s"seed $seed")
+    }
+  }
+
   test("distinctive terms rank by tf desc, then rarity, then token") {
     // doc 1: 'aa' tf=2 beats everything; 'rare' (df=1) beats 'common' (df=2)
     val d = docs(

@@ -389,6 +389,48 @@ class SinkPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:abc")))
   }
 
+  test("dedup=near over one batch equals batch applyNearDedup on the same corpus") {
+    // offsets mirror doc ids, so the sink's (partition, offset) arrival
+    // order IS the batch path's doc-id order — the two keep-sets must then
+    // match EXACTLY: kept = docs minus doc_b of every band-candidate pair
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft-neareq").toString
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+      "topic.orders.ks.t2.dedup" -> "near"))
+    val pipe = new SinkPipeline(config, Map("ks.t2" -> t2), root)
+    // seeded corpus: 3 near-dup families with mutations + unique docs
+    val rnd = new scala.util.Random(42)
+    val fams = (0 until 3).map(f =>
+      (0 until 40).map(i => s"f${f}w$i").mkString(" "))
+    val docsSeq = (0L until 30L).map { id =>
+      val t =
+        if (id < 18) { // near-dup family member: mutate one token
+          val base = fams((id % 3).toInt).split(" ")
+          base.updated(rnd.nextInt(base.length), s"m$id").mkString(" ")
+        } else (0 until 40).map(i => s"u${id}x$i").mkString(" ")
+      (id, t)
+    }
+    pipe.processBatch(batch(docsSeq.map { case (id, t) =>
+      ("orders", id, id.toString, t, 1000L + id) }: _*), 0L)
+    val sinkKept = pipe.store(s, config.bindings.head).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted.toSeq
+    val df = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      docsSeq.foreach { case (id, t) => l.add(org.apache.spark.sql.Row(id, t)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    }
+    val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+      Dedup.minhashSignatures(df, "text", "doc_id")))
+    val batchKept = Dedup.applyNearDedup(df, cands, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sinkKept == batchKept,
+      s"sink kept $sinkKept != batch kept $batchKept")
+    // the corpus must actually exercise the filter (some docs dropped)
+    assert(sinkKept.size < 30 && sinkKept.nonEmpty)
+  }
+
   test("dedup=near with TTL: quiet horizon re-admits; expired bands leave the store physically") {
     def ttlConfig(ms: Long) = SinkConfig.parse(Map(
       "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
