@@ -130,7 +130,7 @@ object Bench {
       "q66_mixture_sample", "q67_budget_select", "q69_langid_script",
       "q70_epoch_shuffle", "q74_asof_join", "q75_range_join",
       "q76_group_quantiles", "q77_data_card", "q79_span_dedup",
-      "q80_distinctive_terms")
+      "q80_distinctive_terms", "q81_cross_corpus_neardup")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

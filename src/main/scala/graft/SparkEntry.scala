@@ -912,6 +912,18 @@ object SparkEntry {
       (s, dir) => Dedup.spanDedup(docs(tune(s), dir), "text", "doc_id",
         spanTokens = 8, minCount = 2).orderBy("doc_id")),
 
+    // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
+    // even doc_ids the curated reference; an incoming doc sharing any
+    // MinHash band with the reference is flagged (kept = no collision)
+    Q("q81_cross_corpus_neardup", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1), rb AS (SELECT doc_id AS ref_id, band_id, band_hash FROM bands WHERE doc_id % 2 = 0), hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ref_matches FROM (SELECT DISTINCT nb.doc_id, rb.ref_id FROM nb JOIN rb USING (band_id, band_hash)) GROUP BY 1) SELECT d.doc_id AS doc_id, COALESCE(h.n_ref_matches, 0) AS n_ref_matches, COALESCE(h.n_ref_matches, 0) = 0 AS kept FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        Dedup.crossCorpusNearDup(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id").orderBy("doc_id")
+      }),
+
     // tf-idf as a pure-integer lexicographic rank: top-3 per doc by
     // (tf DESC, df ASC, token) — rare-but-frequent-here topical keywords
     Q("q80_distinctive_terms", Some(

@@ -414,6 +414,41 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /**
+   * CROSS-CORPUS near-dup screen (incremental ingest): for each NEW doc,
+   * how many docs of an existing REFERENCE corpus it shares a MinHash LSH
+   * band with, and whether it survives (`kept` = no collision). Self-dedup
+   * answers "is this corpus internally unique"; this answers the ingest
+   * question "is this batch new relative to what we already curated" —
+   * without ever joining new×ref text.
+   *
+   * Shape at 100 TB: both sides reduce to (doc_id, band_id, band_hash)
+   * longs via the same map+partial-agg banding as [[minhashBands]]; the
+   * collision join is the band-bucket equi-join (shuffles only long
+   * triples); the per-new-doc count is partial-aggregated. The reference
+   * side's bands can be precomputed once and reused across ingest batches
+   * — at which point the per-batch cost is banding the batch plus one
+   * bucket join against band state (the batch form of the sink's
+   * `dedup=near` stage).
+   */
+  def crossCorpusNearDup(newDocs: DataFrame, refDocs: DataFrame,
+      textCol: String, idCol: String,
+      numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame = {
+    def bands(d: DataFrame) = minhashBands(
+      minhashSignatures(d, textCol, idCol, numHashes, shingleN), rowsPerBand)
+    val nb = bands(newDocs).select(col("doc_id"), col("band_id"), col("band_hash"))
+    val rb = bands(refDocs).select(col("doc_id").as("ref_id"),
+      col("band_id"), col("band_hash"))
+    val hits = nb.join(rb, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("ref_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ref_matches"))
+    newDocs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ref_matches"), lit(0L)).as("n_ref_matches"))
+      .withColumn("kept", col("n_ref_matches") === 0L)
+  }
+
   // --------------------------------------------------------- contamination
 
   /**

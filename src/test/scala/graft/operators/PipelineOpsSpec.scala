@@ -154,6 +154,18 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("cross-corpus near-dup flags incoming docs colliding with the reference only") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val ref = docs((10L, base), (12L, (1 to 60).map(i => s"r$i").mkString(" ")))
+    val incoming = docs(
+      (1L, base.replace("tok30", "tokX")),              // near-dup of ref 10
+      (3L, (1 to 60).map(i => s"n$i").mkString(" ")))   // genuinely new
+    val out = Dedup.crossCorpusNearDup(incoming, ref, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, false), (3L, 0L, true)))
+  }
+
   test("distinctive terms rank by tf desc, then rarity, then token") {
     // doc 1: 'aa' tf=2 beats everything; 'rare' (df=1) beats 'common' (df=2)
     val d = docs(
