@@ -146,7 +146,9 @@ object SinkConfig {
       : Option[(Int, Int, Option[Long])] =
     if (dedup == "near") Some((16, 4, None))
     else if (dedup.startsWith("near:")) {
-      val segs = dedup.stripPrefix("near:").split(':')
+      // limit -1 keeps trailing empties: "near:16x4:" must reject, not
+      // silently parse as the no-ttl form
+      val segs = dedup.stripPrefix("near:").split(":", -1)
       val ttl = segs match {
         case Array(_) => Some(None)
         case Array(_, t) => t.toLongOption.filter(_ > 0).map(Some(_))

@@ -387,6 +387,8 @@ class SinkPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:16")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:-5")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:abc")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:0")))
   }
 
   test("dedup=near over one batch equals batch applyNearDedup on the same corpus") {
