@@ -908,7 +908,7 @@ object SparkEntry {
     // C4-style SPAN dedup: 8-token tiles whose exact text repeats anywhere
     // in the corpus are dropped; the doc is rebuilt from surviving tiles
     Q("q79_span_dedup", Some(
-      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), pos AS (SELECT doc_id, tk, unnest(generate_series(0, CAST((len(tk) + 7) // 8 AS BIGINT) - 1)) AS pos FROM toks WHERE len(tk) > 0), spans AS (SELECT doc_id, pos, array_to_string(tk[CAST(pos*8+1 AS BIGINT):CAST(pos*8+8 AS BIGINT)], ' ') AS span FROM pos), cnt AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY 1), kept AS (SELECT s.doc_id, s.pos, s.span FROM spans s JOIN cnt USING (span) WHERE c < 2), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans GROUP BY 1), reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT t.doc_id AS doc_id, t.n_spans AS n_spans, COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.clean_text, '') AS clean_text FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"""),
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), pos AS (SELECT doc_id, tk, unnest(generate_series(0, CAST((len(tk) + 7) // 8 AS BIGINT) - 1)) AS pos FROM toks WHERE len(tk) > 0), spans AS (SELECT doc_id, pos, array_to_string(tk[CAST(pos*8+1 AS BIGINT):CAST(pos*8+8 AS BIGINT)], ' ') AS span FROM pos), cnt AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY 1), kept AS (SELECT s.doc_id, s.pos, s.span FROM spans s JOIN cnt USING (span) WHERE c < 2), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans GROUP BY 1), reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT d.doc_id AS doc_id, COALESCE(t.n_spans, 0) AS n_spans, COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.clean_text, '') AS clean_text FROM (SELECT doc_id FROM documents) d LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"""),
       (s, dir) => Dedup.spanDedup(docs(tune(s), dir), "text", "doc_id",
         spanTokens = 8, minCount = 2).orderBy("doc_id")),
 

@@ -50,8 +50,15 @@ object Dedup {
    * this is a pure map stage.
    */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sh = shingleHashRows(docs, textCol, idCol, shingleN)
+      numHashes: Int = 16, shingleN: Int = 3): DataFrame =
+    signaturesFromShingles(
+      shingleHashRows(docs, textCol, idCol, shingleN), numHashes)
+
+  /** Signatures from already-computed (doc_id, h) shingle rows — the single
+    * definition of the affine-min + unpivot construction, shared by
+    * [[minhashSignatures]] and [[ngramJaccardPairs]]'s gate so the two can
+    * never silently desynchronize (the q32 oracle pins exactly this fold). */
+  private def signaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     // k min-hash columns in ONE partial-aggregated groupBy over the narrow
     // (doc_id, h) rows — each seed's affine transform is codegen'd arithmetic
     val mins = seeds(numHashes).map { sd =>
@@ -206,26 +213,6 @@ object Dedup {
   // ------------------------------------------------------- embedding near-dup
 
   /**
-   * Embedding-cosine near-duplicate pairs, fully integer-exact: candidates
-   * from multi-table random-hyperplane LSH (only same-(table,bucket) vectors
-   * ever meet, per-bucket fan-out hard-capped — see
-   * [[Similarity.lshCandidates]]),
-   * then an exact cosine threshold in quantized integer arithmetic —
-   * cos(a,b) ≥ num/den  ⟺  dot>0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²,
-   * so no FP comparison anywhere.
-   *
-   * RECALL is set by the band length, and the cosine filter is a PRECISION
-   * post-filter, not a completeness claim: with random hyperplanes, a pair
-   * at cosine c collides in one table with prob (1−acos(c)/π)^planes.
-   * Measured against brute-force ground truth (Probe, sf0.1 embeddings):
-   * the 8×12 default recalls ~5% of cos ≥ 0.4 pairs but ≥ ~90% of
-   * cos ≥ 0.95 pairs — it is a TRUE-near-dup configuration. Hunting looser
-   * duplicates needs a shorter band and/or more tables (8×6 measures ~44%
-   * at cos ≥ 0.4; 16×4 more, at the cost of 2^planes-fold bigger buckets,
-   * which the per-bucket cap then bounds — shorter bands trade candidate
-   * volume for recall, so tune planes to the LOWEST cosine you care about).
-   */
-  /**
    * Named LSH configurations for [[embeddingNearDupPairs]] with recall floors
    * MEASURED against brute-force ground truth (Probe, sf0.1 embeddings) —
    * the floors are asserted by the Probe run, so they are contracts, not
@@ -253,6 +240,27 @@ object Dedup {
     embeddingNearDupPairs(df, idCol, vecCol,
       numTables = preset.numTables, planesPerTable = preset.planesPerTable)
 
+  /**
+   * Embedding-cosine near-duplicate pairs, fully integer-exact: candidates
+   * from multi-table random-hyperplane LSH (only same-(table,bucket) vectors
+   * ever meet, per-bucket fan-out hard-capped — see
+   * [[Similarity.lshCandidates]]),
+   * then an exact cosine threshold in quantized integer arithmetic —
+   * cos(a,b) ≥ num/den  ⟺  dot>0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²,
+   * so no FP comparison anywhere.
+   *
+   * RECALL is set by the band length, and the cosine filter is a PRECISION
+   * post-filter, not a completeness claim: with random hyperplanes, a pair
+   * at cosine c collides in one table with prob (1−acos(c)/π)^planes.
+   * Measured against brute-force ground truth (Probe, sf0.1 embeddings):
+   * the 8×12 default recalls ~5% of cos ≥ 0.4 pairs but ≥ ~90% of
+   * cos ≥ 0.95 pairs — it is a TRUE-near-dup configuration. Hunting looser
+   * duplicates needs a shorter band and/or more tables (8×6 measures ~44%
+   * at cos ≥ 0.4; 16×4 more, at the cost of 2^planes-fold bigger buckets,
+   * which the per-bucket cap then bounds — shorter bands trade candidate
+   * volume for recall, so tune planes to the LOWEST cosine you care about).
+   * The [[NearDupPreset]] overload names the two measured configurations.
+   */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       numTables: Int = 8, planesPerTable: Int = 12,
       maxBucketSize: Int = 1000,
@@ -328,13 +336,7 @@ object Dedup {
     // gate: minhash signatures from the SAME shingle rows (identical to
     // minhashSignatures(docs, …) without re-running tokenize+hash), banded
     // and bucket-joined — one partial-agg groupBy + one narrow self-join
-    val mins = seeds(numHashes).map { sd =>
-      min((lit(sd.a) * col("h") + lit(sd.b)) % HashPrime).as(s"m${sd.id}")
-    }
-    val sigs = sh0.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until numHashes).map(j => col(s"m$j")): _*))
-          .as(Seq("seed_id", "minhash")))
+    val sigs = signaturesFromShingles(sh0, numHashes)
     val cand = minhashCandidates(minhashBands(sigs, rowsPerBand))
     val dfCounts = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // the cap filter joins against the OVER-cap set, which is tiny by
@@ -383,12 +385,16 @@ object Dedup {
    * bit-for-bit; at corpus scale the join key would be the 8-byte span
    * hash, same as every other dedup stage in this file.
    *
-   * Output: (doc_id, n_spans, n_kept, clean_text) — clean_text is "" when
-   * every span was boilerplate.
+   * Output: (doc_id, n_spans, n_kept, clean_text) for EVERY input doc —
+   * clean_text is "" when every span was boilerplate, and a token-less doc
+   * reports (0, 0, "") rather than vanishing (a corpus rebuilt by joining
+   * this output back must not silently lose rows).
    */
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       spanTokens: Int = 8, minCount: Int = 2): DataFrame = {
     val w = spanTokens
+    // the span frame feeds the count, the anti-join, and the per-doc totals
+    // — materialize the tokenize+tile stage once
     val spanRows = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
       .select(col("doc_id"), posexplode(
@@ -399,6 +405,7 @@ object Dedup {
             i => array_join(slice(col("__tk"), i * w + 1, lit(w)), " ")))
           .otherwise(array().cast("array<string>")))
         .as(Seq("pos", "span")))
+      .localCheckpoint()
     val common = spanRows.groupBy(col("span"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select(col("span"))
     val kept = spanRows.join(common, Seq("span"), "left_anti")
@@ -408,8 +415,11 @@ object Dedup {
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("span")))),
           s => s.getField("span")), " ").as("clean_text"))
-    tot.join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
+    docs.select(col(idCol).as("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
