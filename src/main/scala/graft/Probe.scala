@@ -22,6 +22,18 @@ object Probe {
       println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    // a plan-STRING substring check for "windowspecdefinition()" can never
+    // fire (the printed form always carries order/frame args inside the
+    // parens) — walk the optimized plan and check the partition spec itself
+    def assertKeyedWindows(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      require(bad.isEmpty, s"$what uses an UNPARTITIONED window — every " +
+        "window must be keyed or the whole input sorts in one task")
+    }
+
     // 20× the sf0.1 documents with distinct ids → 100k docs
     val base = spark.read.parquet(s"$dir/documents.parquet")
     val big = (0 until 20).map(i =>
@@ -55,9 +67,7 @@ object Probe {
     // distinctive terms: the tf-idf rank must stay a KEYED window per doc
     val dterms = graft.operators.TextAnalysis
       .distinctiveTerms(big, "text", "doc_id", 3)
-    require(!dterms.queryExecution.executedPlan.toString
-      .contains("windowspecdefinition()"),
-      "distinctive terms must not use an unpartitioned window")
+    assertKeyedWindows(dterms, "distinctive terms")
     timed("distinctive terms (top-3/doc)")(dterms.count())
     timed("repetition stats")(
       graft.operators.TextAnalysis.repetitionStats(big, "text", "doc_id").count())
@@ -78,8 +88,7 @@ object Probe {
     require(packPlan.contains("BroadcastHashJoin") ||
       packPlan.contains("BroadcastExchange"),
       "pack plan must broadcast the bucket offsets")
-    require(!packPlan.contains("windowspecdefinition()"),
-      "pack plan must not use an unpartitioned window")
+    assertKeyedWindows(pack, "pack plan")
     println("pack plan: bucket offsets broadcast, window keyed (checked)")
     timed("pack plan (2048-token seqs)")(pack.count())
     timed("pack occupancy")(

@@ -165,8 +165,13 @@ class KeyedParquetTable(
     * expiry hook for TTL'd state (the merge-time `retain` prune in
     * [[applyBatch]] only rewrites the buckets a batch touches; sweep bounds
     * the rest). One read + one write of live state; intended for a periodic
-    * maintenance call, not the per-batch path. */
-  def sweep(keep: Column): Unit = {
+    * maintenance call, not the per-batch path. Serialized against
+    * [[applyBatch]] (both are manifest read-modify-writes: an interleaving
+    * would have two writers race the same `v<N+1>` directory and the loser's
+    * bucket pointers silently vanish from the manifest — e.g. a maintenance
+    * vacuum timer firing mid-merge). Single-JVM lock: the driver is the only
+    * manifest writer, as in any single-writer table format. */
+  def sweep(keep: Column): Unit = synchronized {
     val m = currentMeta
     if (m.buckets.isEmpty) return
     val kept = readBuckets(m, None).filter(keep)
@@ -219,7 +224,7 @@ class KeyedParquetTable(
     * batch lands in them or [[sweep]] runs. */
   def applyBatch(batch: DataFrame, batchId: Long = Long.MinValue,
       binding: String = DefaultBinding,
-      retain: Option[Column] = None): Unit = {
+      retain: Option[Column] = None): Unit = synchronized {
     val m = currentMeta
     if (batchId != Long.MinValue && batchId <= m.lastFor(binding)) return
     def bumped = m.lastBatch +

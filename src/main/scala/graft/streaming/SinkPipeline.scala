@@ -63,24 +63,34 @@ class SinkPipeline(
   /** The seen-hash store backing a binding's dedup stage (public for
     * maintenance and state inspection — row count = live tracked hashes).
     * `exact`/`exactTtl` key on the 64-bit content hash; `near` keys on the
-    * (band_id, band_hash) pair — one row per LSH band bucket ever occupied. */
+    * (band_id, band_hash) pair — one row per LSH band bucket ever occupied.
+    *
+    * The on-disk path carries the state LAYOUT (`hashes` vs
+    * `bands<k>x<r>`): a config change that alters what the rows MEAN —
+    * exact↔near, or different banding parameters — lands on a fresh store
+    * and re-seeds, instead of crashing on a schema mismatch (exact→near) or
+    * silently treating stale bands from another parameterization as live
+    * dedup state (near:16x4→near:8x2). TTL changes share the layout — the
+    * horizon reinterprets `last_seen`, it doesn't change the key. */
   def dedupStore(spark: org.apache.spark.sql.SparkSession,
       b: SinkConfig.TableBinding): KeyedParquetTable =
     dedupStores.getOrElseUpdate(s"${b.topic}.${b.qualifiedTable}", {
       import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-      val (schema, pk) =
-        if (b.dedupNearParams.isDefined)
+      val (schema, pk, layout) = b.dedupNearParams match {
+        case Some((k, r)) =>
           (StructType(Seq(
             StructField("band_id", IntegerType),
             StructField("band_hash", LongType),
-            StructField("last_seen", LongType))), Seq("band_id", "band_hash"))
-        else
+            StructField("last_seen", LongType))), Seq("band_id", "band_hash"),
+            s"bands${k}x$r")
+        case None =>
           (StructType(Seq(
             StructField("h", LongType),
-            StructField("last_seen", LongType))), Seq("h"))
+            StructField("last_seen", LongType))), Seq("h"), "hashes")
+      }
       new KeyedParquetTable(spark,
         SinkTable(b.keyspace, s"${b.table}__dedup", schema, pk),
-        s"$storeRoot/_dedup/${b.topic}.${b.qualifiedTable}",
+        s"$storeRoot/_dedup/${b.topic}.${b.qualifiedTable}/$layout",
         compression = config.parquetCodec)
     })
 

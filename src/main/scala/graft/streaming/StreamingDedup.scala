@@ -277,13 +277,42 @@ object StreamingDedup {
       }
   }
 
+  /** [[oneShotPairs]] with the sliding-horizon state bound: a pair's
+    * emitted-flag expires after a quiet `horizonMs` (re-sightings re-arm
+    * it), so a pair re-surfacing after a full quiet horizon emits again —
+    * at most one emit per pair per quiet horizon instead of exactly once
+    * ever. The trade that keeps the pair store bounded on an unbounded
+    * stream; pairs the TTL'd bucket state can still generate are exactly
+    * the in-horizon ones, so the two horizons compose. */
+  def oneShotPairsTtl(pairs: Dataset[CandidatePair], horizonMs: Long)
+      : Dataset[CandidatePair] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(p => (p.docA, p.docB))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (k: (Long, Long), _: Iterator[CandidatePair],
+            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            state.setTimeoutDuration(horizonMs)
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(horizonMs)
+            Iterator.single(CandidatePair(k._1, k._2))
+          }
+      }
+  }
+
   /** Convenience: band a raw (id, text) stream and emit candidate pairs —
     * exactly once per pair (the [[oneShotPairs]] contract; pass
     * `oneShot = false` for the raw once-per-shared-band firehose when a
     * downstream consumer dedups anyway and the extra state is unwanted).
-    * `stateHorizonMs` switches the bucket state to the sliding-horizon
-    * bound of [[streamingCandidatesTtl]]; the one-shot pair state stays
-    * unbounded by the band gate's candidate volume either way. */
+    * `stateHorizonMs` switches BOTH stateful stages to the sliding-horizon
+    * bound ([[streamingCandidatesTtl]] buckets + [[oneShotPairsTtl]] pair
+    * flags) — a caller bounding bucket state must not silently accumulate
+    * unbounded pair state downstream. */
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4,
       bucketCap: Int = 64, oneShot: Boolean = true,
@@ -294,10 +323,12 @@ object StreamingDedup {
       .select(col("doc_id").as("docId"), col("band_id").as("bandId"),
         col("band_hash").as("bandHash"))
       .as[BandedDoc]
-    val raw = stateHorizonMs match {
-      case Some(h) => streamingCandidatesTtl(banded, h, bucketCap)
-      case None    => streamingCandidates(banded, bucketCap)
+    (stateHorizonMs, oneShot) match {
+      case (Some(h), true) =>
+        oneShotPairsTtl(streamingCandidatesTtl(banded, h, bucketCap), h)
+      case (Some(h), false) => streamingCandidatesTtl(banded, h, bucketCap)
+      case (None, true)     => oneShotPairs(streamingCandidates(banded, bucketCap))
+      case (None, false)    => streamingCandidates(banded, bucketCap)
     }
-    if (oneShot) oneShotPairs(raw) else raw
   }
 }
