@@ -42,6 +42,16 @@ object Bench {
     (runs.sorted.apply(1), runs)
   }
 
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    try {
+      val all = Files.walk(root).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -130,7 +140,8 @@ object Bench {
       "q66_mixture_sample", "q67_budget_select", "q69_langid_script",
       "q70_epoch_shuffle", "q74_asof_join", "q75_range_join",
       "q76_group_quantiles", "q77_data_card", "q79_span_dedup",
-      "q80_distinctive_terms", "q81_cross_corpus_neardup")
+      "q80_distinctive_terms", "q81_cross_corpus_neardup",
+      "q82_capped_candidates", "q83_cross_corpus_prebanded")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))
@@ -157,7 +168,9 @@ object Bench {
         val t = new graft.sink.KeyedParquetTable(spark, tbl, dir.toString,
           numBuckets = 64)
         t.applyBatch(mappedBatch(stateRows), 1L)
-        time { t.applyBatch(mappedBatch(1L), 2L) }
+        val sec = time { t.applyBatch(mappedBatch(1L), 2L) }
+        deleteTree(dir)
+        sec
       }
       runs.sorted.apply(1)
     }
@@ -171,7 +184,7 @@ object Bench {
     // second run to nothing) ----
     def sinkDedupBatchOnce(dir: String): Unit = {
       val root = java.nio.file.Files
-        .createTempDirectory("graft-bench-dedup").toString
+        .createTempDirectory("graft-bench-dedup")
       val cfg = SinkConfig.parse(Map(
         "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value",
         "topic.purchase.ks1.t.dedup" -> "exact"))
@@ -183,8 +196,9 @@ object Bench {
             org.apache.spark.sql.types.StringType))),
         Seq("my_pk"))
       val pipe = new graft.streaming.SinkPipeline(cfg,
-        Map("ks1.t" -> table), root)
+        Map("ks1.t" -> table), root.toString)
       pipe.processBatch(KafkaLike.frameWithTombstones(spark, dir), 0L)
+      deleteTree(root) // each run seeds a fresh store; don't leak the tree
     }
     record("sink_dedup_batch") { sinkDedupBatchOnce(sfDir) }
 
@@ -281,11 +295,14 @@ object Bench {
     val sf1RunsJson = sf1Runs.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(r => f"$r%1.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // The driver captures only the tail of stdout, so the LAST line must be
-    // a compact, complete JSON object (medians + headline numbers, no runs
-    // arrays — those pushed the round-4 line past the capture window and the
-    // official artifact held a truncated fragment). The per-run detail goes
-    // to a sidecar file and its path is announced on an earlier line.
+    // The driver captures only the last ~2,000 bytes of stdout, so the LAST
+    // line must be a SHORT, complete JSON object. Round 4 overflowed it with
+    // per-run arrays; round 6 overflowed it again when the 46-entry `queries`
+    // map + sf1 probe maps grew past the window. The final line now carries
+    // ONLY the total + headline scalars + the sidecar path (~300 bytes, with
+    // hard headroom under any future query growth); the full detail —
+    // `queries` medians, raw `runs`, `sf1_probe`, `sf1_probe_runs` — lives
+    // exclusively in the sidecar file named by `runs_file`.
     val runsPath = sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE",
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_runs.json")
         .toString)
@@ -294,9 +311,14 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(runsPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // sidecar is best-effort
-    println(s"""{"runs_file":"$runsPath"}""")
-    println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json,"sf1_probe_runs":$sf1RunsJson}""")
+    val finalLine =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","queries_benched":${results.size},"ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"runs_file":"$runsPath"}"""
+    // Belt and braces for the adjudication channel: never let this line grow
+    // past the driver's capture window again, even if a future edit adds a
+    // field. 1,000 bytes is half the window.
+    assert(finalLine.length < 1000,
+      s"Bench final line ${finalLine.length}B >= 1000B — move detail to the sidecar")
+    println(finalLine)
     spark.stop()
   }
 }

@@ -53,6 +53,112 @@ object Probe {
     timed("exact dedup")(
       graft.operators.Dedup.exact(big, "text", "doc_id").count())
 
+    // ---- capped band candidates on a DUP-DENSE corpus: 50k byte-identical
+    // docs put every copy in ONE bucket per band — uncapped that is
+    // 50k²/2 ≈ 1.25B pairs (the quadratic degenerate case); the cap's
+    // star contract emits exactly n−1 pairs (bucket-min, other), linear
+    {
+      import graft.operators.Dedup
+      val oneDoc = (1 to 40).map(i => s"w$i").mkString(" ")
+      val dupDense = spark.range(50000L)
+        .select(col("id").as("doc_id"), lit(oneDoc).as("text"))
+      val bands = Dedup.minhashBands(
+        Dedup.minhashSignatures(dupDense, "text", "doc_id"))
+      timed("capped candidates (50k copies of ONE doc)") {
+        val n = Dedup.minhashCandidates(bands, maxBucketSize = 64).count()
+        require(n == 49999L,
+          s"dup-dense capped candidates must be the n-1 star, got $n")
+        n
+      }
+      // outcome equivalence: the star preserves the dedup result — survivors
+      // and clusters match the all-pairs form (cap forced tiny to exercise
+      // the star path on ordinary buckets too)
+      val mixed = base.select("doc_id", "text")
+      val mBands = Dedup.minhashBands(
+        Dedup.minhashSignatures(mixed, "text", "doc_id"))
+      val keepAll = Dedup.applyNearDedup(mixed,
+        Dedup.minhashCandidates(mBands), "doc_id")
+        .select("doc_id")
+      val keepCapped = Dedup.applyNearDedup(mixed,
+        Dedup.minhashCandidates(mBands, maxBucketSize = 2), "doc_id")
+        .select("doc_id")
+      require(keepAll.exceptAll(keepCapped).count() == 0 &&
+        keepCapped.exceptAll(keepAll).count() == 0,
+        "capped candidates changed the applyNearDedup survivor set")
+      println("capped candidates: star contract preserves survivors (checked)")
+    }
+
+    // ---- staging hook: building an operator must not trigger a Spark job
+    // (lazy staging — the round-6 eager localCheckpoint materialized at
+    // construction time), and the cluster-grade persist mode computes the
+    // same result as the local-checkpoint default
+    {
+      import graft.operators.{Dedup, Staging}
+      // count only jobs whose START TIME falls inside the build window —
+      // the listener also receives events of EARLIER jobs still queued in
+      // the async bus at registration, which a plain counter miscounts
+      @volatile var jobsStarted = 0
+      @volatile var t0 = Long.MaxValue
+      @volatile var t1 = Long.MaxValue
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (js.time >= t0 && js.time <= t1) jobsStarted += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // map-only staged frame (the round-6 advice case): zero jobs at build
+      t0 = System.currentTimeMillis()
+      val built = Dedup.spanDedup(base.select("doc_id", "text"), "text", "doc_id")
+      t1 = System.currentTimeMillis()
+      Thread.sleep(1000) // listener delivery is async
+      require(jobsStarted == 0,
+        s"building spanDedup triggered $jobsStarted Spark job(s) — " +
+          "staging a map-only frame must be job-free")
+      // shuffle-bearing staged frame (the band table): `local` staging under
+      // AQE materializes its exchange stages at consumer-plan build (see
+      // Staging scaladoc); `persist` must stay FULLY lazy on the same shape
+      spark.conf.set(Staging.ConfKey, "persist")
+      jobsStarted = 0
+      t0 = System.currentTimeMillis()
+      val builtPairs = Dedup.ngramJaccardPairs(
+        base.select("doc_id", "text"), "text", "doc_id")
+      t1 = System.currentTimeMillis()
+      Thread.sleep(1000)
+      require(jobsStarted == 0,
+        s"building ngramJaccardPairs under staging=persist triggered " +
+          s"$jobsStarted Spark job(s) — persist staging must be fully lazy")
+      spark.sparkContext.removeSparkListener(listener)
+      // result equality across staging modes (persist is the 100-TB setting)
+      val persistPairs = builtPairs.count()
+      val persistSpans = Dedup.spanDedup(base.select("doc_id", "text"),
+        "text", "doc_id").count()
+      spark.conf.set(Staging.ConfKey, "local")
+      require(Dedup.ngramJaccardPairs(base.select("doc_id", "text"),
+        "text", "doc_id").count() == persistPairs,
+        "staging mode changed the ngramJaccardPairs result")
+      require(built.count() == persistSpans,
+        "staging mode changed the spanDedup result")
+      println("staging: map-only build job-free, persist fully lazy, " +
+        "modes result-identical (checked)")
+    }
+
+    // ---- cross-corpus screen: precomputed reference bands (the
+    // band-once-reuse-per-batch ingest shape) must equal the recompute form
+    {
+      import graft.operators.Dedup
+      val newDocs = base.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val refDocs = base.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+      val recompute = Dedup.crossCorpusNearDup(newDocs, refDocs, "text", "doc_id")
+      val refBands = Dedup.refCorpusBands(refDocs, "text", "doc_id")
+        .localCheckpoint() // stands in for the parquet round-trip
+      val reuse = Dedup.crossCorpusNearDupPrebanded(newDocs, refBands,
+        "text", "doc_id")
+      require(reuse.exceptAll(recompute).count() == 0 &&
+        recompute.exceptAll(reuse).count() == 0,
+        "prebanded cross-corpus screen diverged from the recompute form")
+      println("cross-corpus screen: prebanded reuse == recompute (checked)")
+    }
+
     // ---- curation pass probes: PII + repetition are pure projections /
     // keyed windows (map-scale); decontamination must BROADCAST the eval
     // shingle set so the corpus side never shuffles to meet it

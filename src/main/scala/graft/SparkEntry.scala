@@ -924,6 +924,35 @@ object SparkEntry {
           "text", "doc_id").orderBy("doc_id")
       }),
 
+    // the ingest-shaped form of q81: the reference corpus is banded ONCE
+    // (refCorpusBands — at scale written to parquet after curation) and the
+    // screen joins the precomputed (ref_id, band_id, band_hash) triples, so
+    // per-batch cost is banding the batch + one bucket join. Same oracle as
+    // q81 — reuse must equal recompute bit-for-bit.
+    Q("q83_cross_corpus_prebanded", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1), rb AS (SELECT doc_id AS ref_id, band_id, band_hash FROM bands WHERE doc_id % 2 = 0), hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ref_matches FROM (SELECT DISTINCT nb.doc_id, rb.ref_id FROM nb JOIN rb USING (band_id, band_hash)) GROUP BY 1) SELECT d.doc_id AS doc_id, COALESCE(h.n_ref_matches, 0) AS n_ref_matches, COALESCE(h.n_ref_matches, 0) = 0 AS kept FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val refBands = Dedup.refCorpusBands(
+          d.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        Dedup.crossCorpusNearDupPrebanded(
+          d.filter(col("doc_id") % 2 === 1), refBands,
+          "text", "doc_id").orderBy("doc_id")
+      }),
+
+    // capped band candidates (the dup-dense hardening of q26): buckets over
+    // the cap emit only the (bucket-min, other) star — n−1 pairs instead of
+    // n²/2 — which preserves the applyNearDedup survivor set and the
+    // nearDupClusters components (Probe-pinned). Cap forced to 2 here so
+    // real sf buckets exercise BOTH the all-pairs and the star paths; the
+    // oracle applies the identical size gate.
+    Q("q82_capped_candidates", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), stats AS (SELECT band_id, band_hash, COUNT(*) AS bsz, MIN(doc_id) AS bmin FROM bands GROUP BY 1, 2), wb AS (SELECT bands.doc_id, bands.band_id, bands.band_hash, stats.bsz, stats.bmin FROM bands JOIN stats USING (band_id, band_hash)), small AS (SELECT doc_id, band_id, band_hash FROM wb WHERE bsz <= 2), sp AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM small l JOIN small r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), st AS (SELECT bmin AS doc_a, doc_id AS doc_b FROM wb WHERE bsz > 2 AND doc_id <> bmin) SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM sp UNION ALL SELECT * FROM st) ORDER BY doc_a, doc_b"""),
+      (s, dir) => Dedup.minhashCandidates(Dedup.minhashBands(
+        Dedup.minhashSignatures(docs(tune(s), dir), "text", "doc_id")),
+        maxBucketSize = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // tf-idf as a pure-integer lexicographic rank: top-3 per doc by
     // (tf DESC, df ASC, token) — rare-but-frequent-here topical keywords
     Q("q80_distinctive_terms", Some(

@@ -19,8 +19,9 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.deletesEnabled     (default true)
  *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
  *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell, default row)
- *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | near[:<k>x<r>[:<ttlMs>]], default none)
+ *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | near[:<k>x<r>|:strict95|:broad40[:<ttlMs>]], default none)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
+ *   dedupVacuumEvery                                    (batches between automatic dedup-state sweeps, default 100, 0 = off)
  *
  * plus the global endpoint/security surface (X4, validated at parse time —
  * reference: dist/conf/cassandra-sink-standalone.properties.sample:8-110):
@@ -125,8 +126,9 @@ object SinkConfig {
           .exists(_ > 0)) ||
       (dedup.startsWith("near") && SinkConfig.nearParams(dedup).isDefined),
       s"dedup must be none, exact, exactTtl:<positive ms>, or " +
-        s"near[:<numHashes>x<rowsPerBand>[:<positive ttl ms>] with " +
-        s"rowsPerBand dividing numHashes] (got '$dedup')")
+        s"near[:<numHashes>x<rowsPerBand>[:<positive ttl ms>]] (with " +
+        s"rowsPerBand dividing numHashes) or " +
+        s"near:strict95|broad40[:<positive ttl ms>] (got '$dedup')")
     def qualifiedTable: String = s"$keyspace.$table"
     def dedupEnabled: Boolean = dedup != "none"
     /** The sliding horizon for `exactTtl:<ms>` and `near:<k>x<r>:<ms>`;
@@ -140,8 +142,19 @@ object SinkConfig {
       SinkConfig.nearParams(dedup).map(p => (p._1, p._2))
   }
 
+  /** Named band geometries for `dedup=near:<preset>`, exposing the
+    * Probe-measured recall contracts of [[graft.operators.Dedup.NearDupPreset]]
+    * on the config surface. In MinHash-banding terms a preset's
+    * (tables × band length) is (numBands × rowsPerBand), i.e.
+    * numHashes = tables·length: `strict95` = 8 bands × 12 rows (96x12, long
+    * bands — only true near-dups collide), `broad40` = 16 bands × 4 rows
+    * (64x4, loose-duplicate sweep). */
+  private[graft] val NearPresets: Map[String, (Int, Int)] =
+    Map("strict95" -> (96, 12), "broad40" -> (64, 4))
+
   /** `near` → the 16x4 default; `near:<k>x<r>[:<ttlMs>]` → (k, r, ttl?)
-    * when r divides k and the ttl (if given) is positive. */
+    * when r divides k and the ttl (if given) is positive;
+    * `near:strict95|broad40[:<ttlMs>]` → the named preset geometry. */
   private[graft] def nearParams(dedup: String)
       : Option[(Int, Int, Option[Long])] =
     if (dedup == "near") Some((16, 4, None))
@@ -154,15 +167,17 @@ object SinkConfig {
         case Array(_, t) => t.toLongOption.filter(_ > 0).map(Some(_))
         case _ => None
       }
-      segs(0).split('x') match {
-        case Array(k, r) =>
-          for {
-            nh <- k.toIntOption if nh > 0
-            rb <- r.toIntOption if rb > 0 && nh % rb == 0
-            t <- ttl
-          } yield (nh, rb, t)
-        case _ => None
+      val geometry = NearPresets.get(segs(0)).orElse {
+        segs(0).split('x') match {
+          case Array(k, r) =>
+            for {
+              nh <- k.toIntOption if nh > 0
+              rb <- r.toIntOption if rb > 0 && nh % rb == 0
+            } yield (nh, rb)
+          case _ => None
+        }
       }
+      for { g <- geometry; t <- ttl } yield (g._1, g._2, t)
     } else None
 
   case class Config(bindings: Seq[TableBinding],
@@ -193,9 +208,16 @@ object SinkConfig {
       /** Startup warnings the reference logs rather than rejects (e.g. the
         * cloud consistency-level coercion) — surfaced so a caller can log
         * them the same way. */
-      warnings: Seq[String] = Nil) {
+      warnings: Seq[String] = Nil,
+      /** Run [[graft.streaming.SinkPipeline.vacuumDedupState]] automatically
+        * every N processed batches (default 100), so untouched buckets of
+        * TTL'd dedup stores shrink without an operator call. 0 disables the
+        * cadence (sweep only on explicit invocation). */
+      dedupVacuumEvery: Int = 100) {
     require(Set("None", "Snappy", "LZ4").contains(compression),
       s"compression must be None, Snappy, or LZ4 (got '$compression')")
+    require(dedupVacuumEvery >= 0,
+      s"dedupVacuumEvery must be >= 0 (0 disables; got $dedupVacuumEvery)")
     // one table = one state store = one merge granularity: bindings that
     // fan into the same table (the very case cell mode exists for) must agree
     bindings.groupBy(_.qualifiedTable).foreach { case (tbl, bs) =>
@@ -390,6 +412,11 @@ object SinkConfig {
       props.view.filterKeys(_.startsWith("spark.")).toMap,
       contactPoints = contactPoints, localDc = localDc, port = port,
       auth = auth, ssl = ssl, secureConnectBundle = bundle,
-      warnings = warnings)
+      warnings = warnings,
+      dedupVacuumEvery = props.get("dedupVacuumEvery").map { v =>
+        require(v.toIntOption.exists(_ >= 0),
+          s"dedupVacuumEvery must be a non-negative integer (got '$v')")
+        v.toInt
+      }.getOrElse(100))
   }
 }

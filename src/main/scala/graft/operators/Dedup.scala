@@ -86,16 +86,53 @@ object Dedup {
         (acc, s) => (acc * 131L + s.getField("minhash")) % HashPrime).as("band_hash"))
 
   /** Candidate pairs from band buckets (a < b, distinct). */
-  def minhashCandidates(bands: DataFrame): DataFrame = {
+  def minhashCandidates(bands: DataFrame): DataFrame =
+    minhashCandidates(bands, maxBucketSize = 0)
+
+  /**
+   * Candidate pairs with an optional per-bucket fan-out cap: a bucket of
+   * size s emits s·(s−1)/2 pairs, so one degenerate bucket (millions of
+   * byte-identical docs all landing on the same band hash) turns the join
+   * quadratic. With `maxBucketSize` > 0, buckets larger than the cap emit
+   * only the pairs (bucket-min, other) — s−1 pairs, linear — which PRESERVES
+   * the dedup outcome ([[applyNearDedup]] drops every non-min member either
+   * way; [[nearDupClusters]] still gets a connected component via the star)
+   * while bounding candidate volume. Same contract as the streaming path's
+   * `bucketCap` ([[graft.streaming.StreamingDedup.streamingCandidates]]) and
+   * the embedding path's cap ([[Similarity.lshCandidates]]).
+   *
+   * Default 0 = uncapped: all-pairs output, byte-identical to the historical
+   * operator (the q26/q32/q47 oracles pin that form).
+   */
+  def minhashCandidates(bands: DataFrame, maxBucketSize: Int): DataFrame = {
     // self-join: materialize the band table once, not once per side
-    val bandsM = bands.localCheckpoint()
-    val l = bandsM.alias("l"); val r = bandsM.alias("r")
-    l.join(r,
-        col("l.band_id") === col("r.band_id") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    val bandsM = Staging.stage(bands)
+    def allPairs(b: DataFrame): DataFrame = {
+      val l = b.alias("l"); val r = b.alias("r")
+      l.join(r,
+          col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    }
+    val pairs =
+      if (maxBucketSize <= 0) allPairs(bandsM)
+      else {
+        // per-bucket size + min from one partial-agg groupBy; small buckets
+        // keep the all-pairs join, over-cap buckets short-circuit to the
+        // (min, other) star without ever entering the self-join
+        val stats = bandsM.groupBy(col("band_id"), col("band_hash"))
+          .agg(count(lit(1)).as("__bsz"), min(col("doc_id")).as("__bmin"))
+        val withStats = bandsM.join(stats, Seq("band_id", "band_hash"))
+        val small = withStats.filter(col("__bsz") <= maxBucketSize)
+          .select(col("doc_id"), col("band_id"), col("band_hash"))
+        val starPairs = withStats
+          .filter(col("__bsz") > maxBucketSize &&
+            col("doc_id") =!= col("__bmin"))
+          .select(col("__bmin").as("doc_a"), col("doc_id").as("doc_b"))
+        allPairs(small).union(starPairs) // __bmin < doc_id, so a < b holds
+      }
+    pairs.distinct()
   }
 
   // ---------------------------------------------------------------- simhash
@@ -325,19 +362,22 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minJaccardPct: Int = 50,
       maxShingleDF: Int = 100,
-      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Int = 0): DataFrame = {
     // hash-native: shingles are 8-byte deterministic hashes end to end, so
     // the equi-joins shuffle longs, never text. (Hash collisions perturb the
     // count identically in any engine computing the same fold — the operator
     // is defined over the hashed shingle set.) The shingle frame feeds the
-    // gate, the DF count and both verify sides — materialize it once (at
-    // cluster scale: persist/checkpoint to storage).
-    val sh0 = shingleHashRows(docs, textCol, idCol, shingleN).localCheckpoint()
+    // gate, the DF count and both verify sides — materialize it once
+    // (mechanism per `spark.graft.staging`, see [[Staging]]).
+    val sh0 = Staging.stage(shingleHashRows(docs, textCol, idCol, shingleN))
     // gate: minhash signatures from the SAME shingle rows (identical to
     // minhashSignatures(docs, …) without re-running tokenize+hash), banded
-    // and bucket-joined — one partial-agg groupBy + one narrow self-join
+    // and bucket-joined — one partial-agg groupBy + one narrow self-join.
+    // `maxBucketSize` > 0 opts into the star-capped candidate contract
+    // ([[minhashCandidates]]) for dup-dense corpora.
     val sigs = signaturesFromShingles(sh0, numHashes)
-    val cand = minhashCandidates(minhashBands(sigs, rowsPerBand))
+    val cand = minhashCandidates(minhashBands(sigs, rowsPerBand), maxBucketSize)
     val dfCounts = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // the cap filter joins against the OVER-cap set, which is tiny by
     // definition (each member appears in > maxShingleDF docs, so there are
@@ -394,8 +434,8 @@ object Dedup {
       spanTokens: Int = 8, minCount: Int = 2): DataFrame = {
     val w = spanTokens
     // the span frame feeds the count, the anti-join, and the per-doc totals
-    // — materialize the tokenize+tile stage once
-    val spanRows = docs
+    // — materialize the tokenize+tile stage once (lazily: see [[Staging]])
+    val spanRows = Staging.stage(docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
       .select(col("doc_id"), posexplode(
         when(size(col("__tk")) > 0,
@@ -404,8 +444,7 @@ object Dedup {
               .cast(IntegerType) - lit(1)),
             i => array_join(slice(col("__tk"), i * w + 1, lit(w)), " ")))
           .otherwise(array().cast("array<string>")))
-        .as(Seq("pos", "span")))
-      .localCheckpoint()
+        .as(Seq("pos", "span"))))
     val common = spanRows.groupBy(col("span"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select(col("span"))
     val kept = spanRows.join(common, Seq("span"), "left_anti")
@@ -443,12 +482,40 @@ object Dedup {
    */
   def crossCorpusNearDup(newDocs: DataFrame, refDocs: DataFrame,
       textCol: String, idCol: String,
+      numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame =
+    crossCorpusNearDupPrebanded(newDocs,
+      refCorpusBands(refDocs, textCol, idCol, numHashes, shingleN, rowsPerBand),
+      textCol, idCol, numHashes, shingleN, rowsPerBand)
+
+  /**
+   * The reference side of [[crossCorpusNearDup]], banded ONCE for reuse
+   * across ingest batches: (ref_id, band_id, band_hash) long triples. Write
+   * this to parquet after curating the reference corpus and feed it to
+   * [[crossCorpusNearDupPrebanded]] for every batch — the per-batch cost is
+   * then banding the batch plus one bucket join against these rows; the
+   * reference TEXT is never re-read. The geometry (numHashes, shingleN,
+   * rowsPerBand) is baked into the hashes, so the same values must be
+   * passed to the screen.
+   */
+  def refCorpusBands(refDocs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame =
+    minhashBands(
+      minhashSignatures(refDocs, textCol, idCol, numHashes, shingleN),
+      rowsPerBand)
+      .select(col("doc_id").as("ref_id"), col("band_id"), col("band_hash"))
+
+  /** [[crossCorpusNearDup]] against a PRECOMPUTED reference band table
+    * (from [[refCorpusBands]], typically read back from parquet). Identical
+    * output to the two-corpus form when the geometry matches — Probe pins
+    * reuse == recompute. */
+  def crossCorpusNearDupPrebanded(newDocs: DataFrame, refBands: DataFrame,
+      textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame = {
-    def bands(d: DataFrame) = minhashBands(
-      minhashSignatures(d, textCol, idCol, numHashes, shingleN), rowsPerBand)
-    val nb = bands(newDocs).select(col("doc_id"), col("band_id"), col("band_hash"))
-    val rb = bands(refDocs).select(col("doc_id").as("ref_id"),
-      col("band_id"), col("band_hash"))
+    val nb = minhashBands(
+      minhashSignatures(newDocs, textCol, idCol, numHashes, shingleN),
+      rowsPerBand)
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+    val rb = refBands.select(col("ref_id"), col("band_id"), col("band_hash"))
     val hits = nb.join(rb, Seq("band_id", "band_hash"))
       .select(col("doc_id"), col("ref_id")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ref_matches"))

@@ -40,6 +40,7 @@ class SinkPipeline(
   val recordCount = TrieMap[String, LongAccumulator]()
   val failedWithUnknownTopic = new LongAccumulator
   @volatile private var metricsRegistered = false
+  private val batchesProcessed = new java.util.concurrent.atomic.AtomicLong(0)
 
   private val stores = TrieMap[String, KeyedParquetTable]()
 
@@ -71,7 +72,15 @@ class SinkPipeline(
     * and re-seeds, instead of crashing on a schema mismatch (exact→near) or
     * silently treating stale bands from another parameterization as live
     * dedup state (near:16x4→near:8x2). TTL changes share the layout — the
-    * horizon reinterprets `last_seen`, it doesn't change the key. */
+    * horizon reinterprets `last_seen`, it doesn't change the key.
+    *
+    * A `_LAYOUT` marker records which layout is ACTIVE: a config round-trip
+    * (exact→near→exact, or 16x4→8x2→16x4) would otherwise silently revive
+    * the earlier layout's on-disk rows as live state. On open, a layout that
+    * differs from the marker clears the binding's stale layout directories
+    * and re-seeds — switching dedup config is a state reset, by design.
+    * (A marker-less store from an earlier version adopts the opened layout
+    * as active without clearing.) */
   def dedupStore(spark: org.apache.spark.sql.SparkSession,
       b: SinkConfig.TableBinding): KeyedParquetTable =
     dedupStores.getOrElseUpdate(s"${b.topic}.${b.qualifiedTable}", {
@@ -88,11 +97,40 @@ class SinkPipeline(
             StructField("h", LongType),
             StructField("last_seen", LongType))), Seq("h"), "hashes")
       }
+      val bindingRoot = java.nio.file.Paths.get(
+        storeRoot, "_dedup", s"${b.topic}.${b.qualifiedTable}")
+      val marker = bindingRoot.resolve("_LAYOUT")
+      val prior =
+        if (java.nio.file.Files.exists(marker))
+          Some(new String(java.nio.file.Files.readAllBytes(marker),
+            "UTF-8").trim)
+        else None
+      if (prior.exists(_ != layout)) {
+        // layout change: every layout dir under this binding is stale state
+        // from another parameterization — clear them all so the active
+        // layout re-seeds instead of reviving long-dead hashes/bands
+        val listing = java.nio.file.Files.list(bindingRoot)
+        try {
+          val stale = listing.iterator()
+          while (stale.hasNext) {
+            val p = stale.next()
+            if (java.nio.file.Files.isDirectory(p)) deleteTree(p)
+          }
+        } finally listing.close()
+      }
+      java.nio.file.Files.createDirectories(bindingRoot)
+      java.nio.file.Files.write(marker, layout.getBytes("UTF-8"))
       new KeyedParquetTable(spark,
         SinkTable(b.keyspace, s"${b.table}__dedup", schema, pk),
-        s"$storeRoot/_dedup/${b.topic}.${b.qualifiedTable}/$layout",
+        bindingRoot.resolve(layout).toString,
         compression = config.parquetCodec)
     })
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val all = java.nio.file.Files.walk(root).iterator().asScala.toSeq
+    all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 
   /** Filter a topic slice down to first-seen content. Returns the filtered
     * slice plus a deferred sightings merge to run AFTER the table merge
@@ -170,12 +208,12 @@ class SinkPipeline(
     val tombstones = slice.filter(col("value").isNull)
     // (partition, offset) is the record identity and arrival order — unique
     // within a topic by Kafka's contract
-    val bandRows = StreamingDedup.bandRows(
+    val bandRows = graft.operators.Staging.stage(StreamingDedup.bandRows(
         dedupable.select(col("partition"), col("offset"), col("value")),
         "value", Seq("partition", "offset"),
-        numHashes = numHashes, rowsPerBand = rowsPerBand)
-      .localCheckpoint() // feeds the state lookup, the in-batch min, and the
-                         // sightings merge — compute the banding once
+        numHashes = numHashes, rowsPerBand = rowsPerBand))
+      // feeds the state lookup, the in-batch min, and the sightings merge —
+      // compute the banding once (mechanism per spark.graft.staging)
     // near:<k>x<r>:<ttl>: same sliding horizon as exactTtl — bands quiet for
     // a full horizon stop blocking (and expire physically below)
     val seenAll = ds.stateForKeys(bandRows.select("band_id", "band_hash"))
@@ -337,12 +375,34 @@ class SinkPipeline(
             .parquet(s"$storeRoot/_dead_letter/${b.topic}.${b.qualifiedTable}")
         }
         counter(spark, s"${b.topic}.${b.qualifiedTable}.failedRecordCount").add(nFailed)
-        counter(spark, s"${b.topic}.${b.qualifiedTable}.recordCount")
-          .add(metrics.getOrElse("total", 0L).asInstanceOf[Long])
+        val nTotal = metrics.getOrElse("total", 0L).asInstanceOf[Long]
+        counter(spark, s"${b.topic}.${b.qualifiedTable}.recordCount").add(nTotal)
+        // dedup-stage observability (A3 analogue — the reference counts per
+        // topic.ks.table, reference: SimpleEndToEndSimulacronIT.java:469-473):
+        // kept = rows that survived the dedup filter (they are exactly the
+        // rows the write job observed); dropped = the topic slice minus kept.
+        // Both fall out of numbers already in hand — zero extra actions.
+        // (With a provided query the write-job row count is the QUERY's
+        // output, so the slice-minus-kept difference is not a dedup count —
+        // skip rather than lie.)
+        if (b.dedupEnabled && b.query.isEmpty) {
+          val slice = topicCounts.getOrElse(b.topic, 0L)
+          counter(spark, s"${b.topic}.${b.qualifiedTable}.dedupKeptCount")
+            .add(nTotal)
+          counter(spark, s"${b.topic}.${b.qualifiedTable}.dedupDroppedCount")
+            .add(math.max(0L, slice - nTotal))
+        }
         // record this batch's content hashes only after the table merge is
         // durable (see dedupFilter's replay contract)
         commitSightings.foreach(_.apply())
       }
+      // automatic vacuum cadence: every N-th processed batch sweeps expired
+      // rows out of UNTOUCHED buckets of every TTL'd dedup store (the
+      // per-batch merge already prunes touched buckets); N=0 disables
+      val n = batchesProcessed.incrementAndGet()
+      if (config.dedupVacuumEvery > 0 && n % config.dedupVacuumEvery == 0 &&
+          config.bindings.exists(b => b.dedupEnabled && b.dedupTtlMs.isDefined))
+        vacuumDedupState(spark)
     } finally records.unpersist()
   }
 

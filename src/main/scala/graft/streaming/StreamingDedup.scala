@@ -216,14 +216,19 @@ object StreamingDedup {
       }
   }
 
-  /** [[streamingCandidates]] with the sliding-horizon state bound: a band
-    * bucket with no sighting for `horizonMs` clears its member list (any
-    * sighting re-arms the timer), so state tracks buckets ACTIVE within the
-    * horizon instead of every bucket ever occupied — the same trade as
-    * [[firstSeenTtl]] and the sink's `near:<k>x<r>:<ttlMs>` mode. A doc
-    * arriving after its look-alikes' bucket expired pairs with nothing
-    * (duplicates in real corpora cluster in time; the horizon is what a
-    * 100 TB/day stream keeps). */
+  /** [[streamingCandidates]] with the sliding-horizon state bound: a bucket
+    * member with no sighting for `horizonMs` stops pairing, and a bucket
+    * quiet for a full horizon clears entirely. State per member is
+    * (docId, lastSeenMs) and the horizon is enforced AT PAIRING TIME —
+    * `lastSeen >= now − horizon`, the sink's exact filter — because Spark's
+    * processing-time timeout has no strict upper bound on firing latency:
+    * with a timeout-only horizon a doc arriving after the deadline but
+    * before the timeout fires would pair with stale members (round-6
+    * advice). The timeout is retained purely as the state-EVICTION
+    * mechanism; a member sighting re-arms both its own age and the bucket
+    * timer. Same trade as [[firstSeenTtl]] and the sink's
+    * `near:<k>x<r>:<ttlMs>` mode: duplicates in real corpora cluster in
+    * time; the horizon is what a 100 TB/day stream keeps. */
   def streamingCandidatesTtl(banded: Dataset[BandedDoc], horizonMs: Long,
       bucketCap: Int = 64): Dataset[CandidatePair] = {
     import banded.sparkSession.implicits._
@@ -232,23 +237,30 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.ProcessingTimeTimeout) {
         (_: (Int, Long), it: Iterator[BandedDoc],
-            state: org.apache.spark.sql.streaming.GroupState[List[Long]]) =>
+            state: org.apache.spark.sql.streaming.GroupState[List[(Long, Long)]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val seen = state.getOption.getOrElse(Nil)
-            val newIds = it.map(_.docId).toSeq.distinct.sorted
-              .filterNot(seen.contains)
+            val now = System.currentTimeMillis()
+            // exact horizon: age members out HERE, not at timeout fire
+            val live = state.getOption.getOrElse(Nil)
+              .filter(_._2 >= now - horizonMs)
+            val arrivals = it.map(_.docId).toSeq.distinct.sorted
             val out = Seq.newBuilder[CandidatePair]
-            var members = seen
-            newIds.foreach { id =>
+            // a re-sighted member re-arms its own age (and pairs with no one
+            // — it is already in the bucket, matching the untimed variant)
+            var members = live.map { case (id, ts) =>
+              if (arrivals.contains(id)) (id, now) else (id, ts)
+            }
+            arrivals.filterNot(id => live.exists(_._1 == id)).foreach { id =>
               if (members.size < bucketCap) {
-                members.foreach(m =>
-                  out += CandidatePair(math.min(m, id), math.max(m, id)))
-                members = id :: members
+                members.foreach { case (m, _) =>
+                  out += CandidatePair(math.min(m, id), math.max(m, id)) }
+                members = (id, now) :: members
               }
             }
-            if (members ne seen) state.update(members)
-            state.setTimeoutDuration(horizonMs) // any sighting re-arms
+            state.update(members)
+            state.setTimeoutDuration(horizonMs) // eviction only — any
+                                                // sighting re-arms the bucket
             out.result().iterator
           }
       }
@@ -281,9 +293,13 @@ object StreamingDedup {
     * emitted-flag expires after a quiet `horizonMs` (re-sightings re-arm
     * it), so a pair re-surfacing after a full quiet horizon emits again —
     * at most one emit per pair per quiet horizon instead of exactly once
-    * ever. The trade that keeps the pair store bounded on an unbounded
-    * stream; pairs the TTL'd bucket state can still generate are exactly
-    * the in-horizon ones, so the two horizons compose. */
+    * ever. State is the pair's lastSeenMs and the horizon is checked AT
+    * ARRIVAL (`lastSeen >= now − horizon`), with the processing-time
+    * timeout as eviction only — exact horizon semantics regardless of
+    * timeout firing latency, same contract as [[streamingCandidatesTtl]].
+    * The trade that keeps the pair store bounded on an unbounded stream;
+    * pairs the TTL'd bucket state can still generate are exactly the
+    * in-horizon ones, so the two horizons compose. */
   def oneShotPairsTtl(pairs: Dataset[CandidatePair], horizonMs: Long)
       : Dataset[CandidatePair] = {
     import pairs.sparkSession.implicits._
@@ -292,15 +308,16 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.ProcessingTimeTimeout) {
         (k: (Long, Long), _: Iterator[CandidatePair],
-            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) {
+          else {
+            val now = System.currentTimeMillis()
+            val freshWithinHorizon =
+              state.getOption.exists(_ >= now - horizonMs)
+            state.update(now) // any sighting re-arms
             state.setTimeoutDuration(horizonMs)
-            Iterator.empty
-          } else {
-            state.update(true)
-            state.setTimeoutDuration(horizonMs)
-            Iterator.single(CandidatePair(k._1, k._2))
+            if (freshWithinHorizon) Iterator.empty
+            else Iterator.single(CandidatePair(k._1, k._2))
           }
       }
   }

@@ -389,6 +389,112 @@ class SinkPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:abc")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:0")))
+    // named presets expose the Probe-measured geometries on the config
+    // surface: strict95 = 8 bands × 12 rows, broad40 = 16 bands × 4 rows
+    val strict = SinkConfig.parse(conf("near:strict95")).bindings.head
+    assert(strict.dedupNearParams.contains((96, 12)) &&
+      strict.dedupTtlMs.isEmpty)
+    val broad = SinkConfig.parse(conf("near:broad40:60000")).bindings.head
+    assert(broad.dedupNearParams.contains((64, 4)) &&
+      broad.dedupTtlMs.contains(60000L))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:strict95:")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:strict95:-5")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("near:bogus95")))
+  }
+
+  test("dedup=near:broad40 preset drives the pipeline end to end") {
+    val root = Files.createTempDirectory("graft-preset").toString
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+      "topic.orders.ks.t2.dedup" -> "near:broad40"))
+    val pipe = new SinkPipeline(config, Map("ks.t2" -> t2), root)
+    val b = config.bindings.head
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tokX")
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", base, 1000L),
+      ("orders", 1L, "2", nearDup, 2000L)), 0L)
+    // 64x4 banding: the 1-token mutation shares a band with base → dropped
+    assert(pipe.store(s, b).state().select("my_pk").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // the preset's geometry names the store layout on disk
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "_dedup", "orders.ks.t2", "bands64x4")))
+  }
+
+  test("dedup observability: per-binding kept/dropped counters ride the write job (A3)") {
+    val root = Files.createTempDirectory("graft-dedupmetrics").toString
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "topic.orders.ks.t1.dedup" -> "exact"))
+    val pipe = new SinkPipeline(config, Map("ks.t1" -> t1), root)
+    // 3 records, one duplicate value → 2 kept, 1 dropped; zero extra actions
+    // (kept = the write job's observed total, dropped = slice − kept)
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", """{"v": 10}""", 1000L),
+      ("orders", 1L, "2", """{"v": 10}""", 2000L),
+      ("orders", 2L, "3", """{"v": 30}""", 3000L)), 0L)
+    assert(pipe.recordCount("orders.ks.t1.dedupKeptCount").value == 2L)
+    assert(pipe.recordCount("orders.ks.t1.dedupDroppedCount").value == 1L)
+    // a tombstone never dedups: it counts as kept, not dropped
+    pipe.processBatch(batch(("orders", 3L, "1", null, 4000L)), 1L)
+    assert(pipe.recordCount("orders.ks.t1.dedupKeptCount").value == 3L)
+    assert(pipe.recordCount("orders.ks.t1.dedupDroppedCount").value == 1L)
+  }
+
+  test("dedupVacuumEvery: expired rows leave untouched buckets on the cadence, no operator call") {
+    def run(cadence: String): Long = {
+      val config = SinkConfig.parse(Map(
+        "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+        "topic.orders.ks.t1.dedup" -> "exactTtl:700",
+        "dedupVacuumEvery" -> cadence))
+      assert(config.dedupVacuumEvery == cadence.toInt)
+      val pipe = new SinkPipeline(config, Map("ks.t1" -> t1),
+        Files.createTempDirectory("graft-vac").toString)
+      pipe.processBatch(batch(
+        ("orders", 0L, "1", """{"v": 10}""", 1000L),
+        ("orders", 1L, "2", """{"v": 20}""", 2000L)), 0L)
+      assert(pipe.dedupStore(s, config.bindings.head).state().count() == 2)
+      Thread.sleep(1000) // both hashes pass the horizon
+      // the second batch touches NO bucket of this store (unknown topic):
+      // any shrink is the automatic sweep, not the merge-time prune
+      pipe.processBatch(batch(("mystery", 2L, "9", """{"v": 1}""", 3000L)), 1L)
+      pipe.dedupStore(s, config.bindings.head).state().count()
+    }
+    assert(run("2") == 0L) // cadence reached at the 2nd batch → swept
+    assert(run("0") == 2L) // disabled: expired rows linger until explicit sweep
+    intercept[IllegalArgumentException](SinkConfig.parse(Map(
+      "topic.o.ks.t1.mapping" -> "my_pk=key", "dedupVacuumEvery" -> "-1")))
+    intercept[IllegalArgumentException](SinkConfig.parse(Map(
+      "topic.o.ks.t1.mapping" -> "my_pk=key", "dedupVacuumEvery" -> "abc")))
+  }
+
+  test("dedup layout round-trip: a revived layout re-seeds instead of reviving stale state") {
+    val root = Files.createTempDirectory("graft-layout").toString
+    def mk(dedup: String) = {
+      val config = SinkConfig.parse(Map(
+        "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+        "topic.orders.ks.t1.dedup" -> dedup))
+      (new SinkPipeline(config, Map("ks.t1" -> t1), root), config.bindings.head)
+    }
+    // era 1 (exact): content {"v": 10} enters the seen-hash state
+    val (p1, b1) = mk("exact")
+    p1.processBatch(batch(("orders", 0L, "1", """{"v": 10}""", 1000L)), 0L)
+    assert(p1.dedupStore(s, b1).state().count() == 1)
+    // era 2 (near): opening the bands layout flips the marker and clears the
+    // hashes directory — the config change is a state reset by design
+    val (p2, b2) = mk("near")
+    p2.processBatch(batch(("orders", 1L, "2", """{"v": 20}""", 2000L)), 1L)
+    assert(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get(root, "_dedup", "orders.ks.t1", "_LAYOUT")), "UTF-8") == "bands16x4")
+    // era 3 (back to exact): WITHOUT the marker the old hashes dir would
+    // revive and silently re-block {"v": 10}; with it the store re-seeds
+    val (p3, b3) = mk("exact")
+    assert(p3.dedupStore(s, b3).state().count() == 0)
+    p3.processBatch(batch(("orders", 2L, "3", """{"v": 10}""", 3000L)), 2L)
+    val st = p3.store(s, b3).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted.toSeq
+    assert(st.contains(3L)) // the round-tripped content re-admitted
   }
 
   test("dedup=near over one batch equals batch applyNearDedup on the same corpus") {
