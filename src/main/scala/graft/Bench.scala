@@ -141,7 +141,8 @@ object Bench {
       "q70_epoch_shuffle", "q74_asof_join", "q75_range_join",
       "q76_group_quantiles", "q77_data_card", "q79_span_dedup",
       "q80_distinctive_terms", "q81_cross_corpus_neardup",
-      "q82_capped_candidates", "q83_cross_corpus_prebanded")
+      "q82_capped_candidates", "q83_cross_corpus_prebanded",
+      "q84_winnowed_fingerprints")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -953,6 +953,18 @@ object SparkEntry {
         maxBucketSize = 2)
         .orderBy("doc_a", "doc_b")),
 
+    // winnowed fingerprints (MOSS scheme, SIGMOD 2003): min shingle hash per
+    // sliding 4-window over POSITIONAL 3-shingle hashes, distinct per doc —
+    // local overlap detection at ~2/(w+1) density (q31's whole-doc rolling
+    // hash changes entirely on any edit; this localizes shared runs). Docs
+    // with fewer than 4 shingles emit their global min; shingle-less docs
+    // emit nothing.
+    Q("q84_winnowed_fingerprints", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), th AS (SELECT doc_id, list_transform(tk, t -> ${dFold("t")}) AS th FROM toks), shl AS (SELECT doc_id, CASE WHEN len(th) < 3 THEN [] ELSE list_transform(range(len(th)-2), i -> ((((th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647)*131 + th[CAST(i+3 AS INT)]) % 2147483647)) END AS sh FROM th), fps AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(sh) = 0 THEN [] WHEN len(sh) < 4 THEN [list_min(sh)] ELSE list_transform(range(len(sh)-3), i -> list_min(sh[CAST(i+1 AS BIGINT):CAST(i+4 AS BIGINT)])) END)) AS fp FROM shl) SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"""),
+      (s, dir) => TextAnalysis.winnowedFingerprints(docs(tune(s), dir),
+        "text", "doc_id", shingleN = 3, window = 4)
+        .orderBy("doc_id", "fp")),
+
     // tf-idf as a pure-integer lexicographic rank: top-3 per doc by
     // (tf DESC, df ASC, token) — rare-but-frequent-here topical keywords
     Q("q80_distinctive_terms", Some(

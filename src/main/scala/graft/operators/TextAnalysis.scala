@@ -101,6 +101,57 @@ object TextAnalysis {
       .distinct()
   }
 
+  /**
+   * WINNOWED document fingerprints (the MOSS scheme — Schleimer, Wilkerson
+   * & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+   * SIGMOD 2003, public): slide a `window`-wide window over the doc's
+   * POSITIONAL n-shingle hashes and select each window's minimum; the
+   * distinct selected hashes are the fingerprint set. Guarantees any shared
+   * run of `window + shingleN − 1` tokens contributes at least one COMMON
+   * fingerprint between two docs, at expected density 2/(window+1) — the
+   * local-selection property a plain "every k-th shingle" sample lacks.
+   * [[fingerprint]] is a whole-doc rolling hash (any edit changes it);
+   * winnowed fingerprints localize overlap, the unit for copy detection
+   * and fine-grained boilerplate mining over a corpus.
+   *
+   * Shape at 100 TB: tokens explode once (hashed once, as
+   * [[shingleHashRows]]), and BOTH the shingle fold and the sliding min are
+   * windows keyed by the doc id — one shuffle co-locating each doc's
+   * tokens, the sort reused across the two window frames, then a partial-agg
+   * distinct. All-integer (mod-prime arithmetic), so the DuckDB oracle
+   * reproduces the set bit-for-bit.
+   *
+   * Docs with no shingles (< shingleN tokens) emit no fingerprints; docs
+   * with fewer than `window` shingles emit exactly one (the global min) —
+   * every fingerprintable doc stays representable.
+   */
+  def winnowedFingerprints(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, window: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokenHashes(col(textCol))).as(Seq("pos", "th")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingleHash = (1 until shingleN).foldLeft(col("th")) { (acc, j) =>
+      (acc * 131L + lead(col("th"), j).over(byDoc)) % HashPrime
+    }
+    val sh = toks
+      .withColumn("h", shingleHash)
+      .filter(col("h").isNotNull) // positions 0..n_sh-1 survive, contiguous
+      .select(col("doc_id"), col("pos"), col("h"))
+    val slide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    sh
+      .withColumn("fp", min(col("h")).over(slide))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // full windows only — except the single all-shingle window of a doc
+      // shorter than `window`, anchored at position 0
+      .filter(col("pos") <= col("n_sh") - window ||
+        (col("n_sh") < window && col("pos") === 0))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   // ------------------------------------------------------------ quality
 
   /** Integer quality facets (integers so oracles match exactly):

@@ -602,4 +602,49 @@ class PipelineOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, "zh"), (2L, "en"), (3L, "und")))
   }
+
+  test("winnowed fingerprints: sliding-min selection, short-doc fallback, shared-run guarantee") {
+    val w = 4
+    val d = docs(
+      (1L, (1 to 20).map(i => s"tok$i").mkString(" ")), // 18 shingles, normal
+      (2L, "a b c d e"),  // 3 shingles < w → single global-min fp
+      (3L, "a b"),        // no shingles → no rows
+      (4L, ""),           // no tokens → no rows
+      // shares tokens 8..15 with doc 1: a common run of 8 = w + n − 1
+      // tokens must yield at least one COMMON fingerprint (the winnowing
+      // guarantee), while the surrounding text differs entirely
+      (5L, "xxa xxb xxc " + (8 to 15).map(i => s"tok$i").mkString(" ") +
+        " yya yyb yyc"))
+    val out = TextAnalysis.winnowedFingerprints(d, "text", "doc_id",
+      shingleN = 3, window = w)
+    val byDoc = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // independent reimplementation: positional shingle hashes from the same
+    // token hashes, then plain-Scala sliding-window minima
+    val shingleRows = d.select(col("doc_id"),
+      TextAnalysis.tokenHashes(col("text")).as("th")).collect()
+      .map { r =>
+        val th = r.getSeq[Long](1)
+        val sh = if (th.length < 3) Seq.empty[Long]
+          else (0 to th.length - 3).map(i =>
+            ((th(i) * 131 + th(i + 1)) % 2147483647L * 131 + th(i + 2)) %
+              2147483647L)
+        r.getLong(0) -> sh
+      }.toMap
+    shingleRows.foreach { case (id, sh) =>
+      val expect =
+        if (sh.isEmpty) Set.empty[Long]
+        else if (sh.length < w) Set(sh.min)
+        else sh.sliding(w).map(_.min).toSet
+      assert(byDoc.getOrElse(id, Set.empty) == expect,
+        s"doc $id fingerprints diverge from the serial winnowing scan")
+    }
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    assert(byDoc(2L).size == 1)
+    // the shared 8-token run gives docs 1 and 5 a common fingerprint
+    assert((byDoc(1L) & byDoc(5L)).nonEmpty)
+    // density sanity: far fewer fingerprints than shingles (expected
+    // 2/(w+1) of 18 ≈ 7 for doc 1; allow a loose upper bound)
+    assert(byDoc(1L).size < 18)
+  }
 }
