@@ -965,6 +965,18 @@ object SparkEntry {
         "text", "doc_id", shingleN = 3, window = 4)
         .orderBy("doc_id", "fp")),
 
+    // the MOSS matching step over q84: doc pairs sharing >= 2 winnowed
+    // fingerprints (partial-copy detection — a shared run registers wherever
+    // it sits in either doc, where doc-level Jaccard barely moves). The
+    // fingerprint self-join carries the q32-style DF cap against
+    // corpus-wide boilerplate.
+    Q("q85_winnowed_overlap", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), th AS (SELECT doc_id, list_transform(tk, t -> ${dFold("t")}) AS th FROM toks), shl AS (SELECT doc_id, CASE WHEN len(th) < 3 THEN [] ELSE list_transform(range(len(th)-2), i -> ((((th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647)*131 + th[CAST(i+3 AS INT)]) % 2147483647)) END AS sh FROM th), fps AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(sh) = 0 THEN [] WHEN len(sh) < 4 THEN [list_min(sh)] ELSE list_transform(range(len(sh)-3), i -> list_min(sh[CAST(i+1 AS BIGINT):CAST(i+4 AS BIGINT)])) END)) AS fp FROM shl), rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1) WHERE df <= 100), kf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)) SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared FROM kf l JOIN kf r ON l.fp = r.fp AND l.doc_id < r.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b"""),
+      (s, dir) => TextAnalysis.winnowedOverlapPairs(docs(tune(s), dir),
+        "text", "doc_id", shingleN = 3, window = 4,
+        minShared = 2, maxFpDF = 100)
+        .orderBy("doc_a", "doc_b")),
+
     // tf-idf as a pure-integer lexicographic rank: top-3 per doc by
     // (tf DESC, df ASC, token) — rare-but-frequent-here topical keywords
     Q("q80_distinctive_terms", Some(

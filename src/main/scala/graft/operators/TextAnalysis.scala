@@ -152,6 +152,46 @@ object TextAnalysis {
       .distinct()
   }
 
+  /**
+   * Winnowed-fingerprint OVERLAP pairs — the MOSS matching step over
+   * [[winnowedFingerprints]]: doc pairs sharing at least `minShared`
+   * selected fingerprints, with the shared count. Detects PARTIAL copies —
+   * a quoted paragraph, a lifted function, boilerplate spliced into
+   * otherwise-distinct documents — which whole-doc similarity
+   * ([[graft.operators.Dedup.ngramJaccardPairs]]) misses by construction
+   * (a short shared run barely moves doc-level Jaccard) and
+   * [[graft.operators.Dedup.spanDedup]] only catches at exact fixed-tile
+   * alignment. The winnowing guarantee makes the detection positional-
+   * robust: any shared run of `window + shingleN − 1` tokens contributes
+   * at least one shared fingerprint wherever it sits in either doc.
+   *
+   * Shape at 100 TB: the self-join key is the 8-byte fingerprint, so the
+   * join volume is Σ_fp df(fp)² — the same skew exposure as the q32 shingle
+   * join, guarded the same way: `maxFpDF` drops fingerprints present in
+   * more than that many docs (corpus-wide boilerplate carries no copy
+   * signal and would dominate the join). The over-cap set is at most
+   * rows/cap members by definition — a broadcast anti-join, never a
+   * shuffled semi-join. Fingerprints are ~2/(window+1) of shingle volume,
+   * so the pair join runs on a frame (w+1)/2 times smaller than a raw
+   * shingle self-join before any gating.
+   */
+  def winnowedOverlapPairs(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, window: Int = 4,
+      minShared: Int = 2, maxFpDF: Int = 100): org.apache.spark.sql.DataFrame = {
+    val fps = Staging.stage(
+      winnowedFingerprints(docs, textCol, idCol, shingleN, window))
+    val overCap = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFpDF).select(col("fp"))
+    val kept = fps.join(broadcast(overCap), Seq("fp"), "left_anti")
+    val l = kept.alias("l"); val r = kept.alias("r")
+    l.join(r, col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared")) // fp distinct per doc upstream
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------------------ quality
 
   /** Integer quality facets (integers so oracles match exactly):

@@ -647,4 +647,36 @@ class PipelineOpsSpec extends SparkSuite {
     // 2/(w+1) of 18 ≈ 7 for doc 1; allow a loose upper bound)
     assert(byDoc(1L).size < 18)
   }
+
+  test("winnowed overlap pairs: partial copy detected, unrelated docs not, boilerplate capped") {
+    // doc 2 lifts a 12-token run from doc 1 into otherwise-different text —
+    // a partial copy whose doc-level Jaccard is far below any threshold;
+    // doc 3 shares nothing
+    val lifted = (20 to 31).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"aa$i").mkString(" ") + " " + lifted + " " +
+        (1 to 20).map(i => s"bb$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"zz$i").mkString(" ")))
+    val pairs = TextAnalysis.winnowedOverlapPairs(d, "text", "doc_id",
+      minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 >= 1L)
+    // a fingerprint present in EVERY doc is boilerplate: with the DF cap at
+    // 2 the all-doc run stops pairing, and only the 1-2 lift survives
+    val boiler = (100 to 120).map(i => s"com$i").mkString(" ")
+    val d2 = docs(
+      (1L, boiler + " " + (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (2L, boiler + " " + lifted + " " + (1 to 10).map(i => s"cc$i").mkString(" ")),
+      (3L, boiler + " " + (1 to 30).map(i => s"qq$i").mkString(" ")),
+      (4L, (1 to 30).map(i => s"tok$i").mkString(" ")))
+    val capped = TextAnalysis.winnowedOverlapPairs(d2, "text", "doc_id",
+      minShared = 1, maxFpDF = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // boilerplate (df=3 > cap) never pairs; the tok runs (df <= 2) do:
+    // doc 2's lift overlaps docs 1 and 4's tok ranges
+    assert(!capped.contains((1L, 3L)) && !capped.contains((2L, 3L)))
+    assert(capped.contains((1L, 4L))) // shared tok1..30 run, under the cap
+  }
 }
