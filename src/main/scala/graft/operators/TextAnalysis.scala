@@ -84,6 +84,14 @@ object TextAnalysis {
     * and re-inline their inputs: measured 20× slower). The window shuffle
     * keys on the doc id, which co-locates a doc's tokens — the same
     * partitioning every downstream dedup consumer wants.
+    *
+    * A round-7 experiment re-measured the in-array alternative (the
+    * bandRows-style fold + array_distinct, zero shuffles): 230 s vs 4.6 s
+    * for minhash signatures over 100k documents — HOF lambdas evaluate
+    * INTERPRETED per element, and a corpus-scale doc has hundreds of fold
+    * steps per row. The shuffle this window pays is the cheaper side of
+    * that trade on long documents; bandRows keeps the in-array form because
+    * streaming micro-batches are small and windows don't run on streams.
     */
   def shingleHashRows(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
@@ -408,10 +416,12 @@ object TextAnalysis {
    */
   def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
-    val tf = docs
+    // tf feeds both the df aggregate and the join below — stage it so the
+    // explode + groupBy over every corpus token runs ONCE, not twice
+    val tf = Staging.stage(docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("token"))
       .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
