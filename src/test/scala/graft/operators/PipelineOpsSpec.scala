@@ -679,4 +679,32 @@ class PipelineOpsSpec extends SparkSuite {
     assert(!capped.contains((1L, 3L)) && !capped.contains((2L, 3L)))
     assert(capped.contains((1L, 4L))) // shared tok1..30 run, under the cap
   }
+
+  test("cross-corpus prebanded: parquet-round-tripped reference bands equal the recompute form") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val newDocs = docs(
+      (1L, base.replace("tok30", "tokX")), // near-dup of ref doc 10
+      (2L, (1 to 60).map(i => s"qq$i").mkString(" ")))
+    val refDocs = docs(
+      (10L, base),
+      (11L, (1 to 60).map(i => s"zz$i").mkString(" ")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-refbands").toString
+    // band the curated reference ONCE, persist, read back — the cross-batch
+    // ingest shape the operator's doc promises
+    Dedup.refCorpusBands(refDocs, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = s.read.parquet(dir)
+    val viaParquet = Dedup.crossCorpusNearDupPrebanded(
+      newDocs, reloaded, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val recompute = Dedup.crossCorpusNearDup(
+      newDocs, refDocs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(viaParquet.toSeq == recompute.toSeq)
+    // and the fixture actually screens: doc 1 collides with ref, doc 2 not
+    assert(viaParquet.toSeq == Seq((1L, 1L, false), (2L, 0L, true)))
+  }
 }
