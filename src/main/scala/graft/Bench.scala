@@ -268,6 +268,8 @@ object Bench {
           (() => force(SparkEntry.queries("q75_range_join")(spark, sf1Dir))),
         "q79_span_dedup" ->
           (() => force(SparkEntry.queries("q79_span_dedup")(spark, sf1Dir))),
+        "q80_distinctive_terms" ->
+          (() => force(SparkEntry.queries("q80_distinctive_terms")(spark, sf1Dir))),
         "q84_winnowed_fingerprints" ->
           (() => force(SparkEntry.queries("q84_winnowed_fingerprints")(spark, sf1Dir))),
         "sink_dedup_batch" -> (() => sinkDedupBatchOnce(sf1Dir)))
