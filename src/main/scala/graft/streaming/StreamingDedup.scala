@@ -178,6 +178,46 @@ object StreamingDedup {
   }
 
   /**
+   * MAP-ONLY winnowed fingerprints for a STREAM — the streaming form of
+   * [[graft.operators.TextAnalysis.winnowedFingerprints]] (which uses
+   * doc-keyed windows, unavailable on streaming frames): per row, shingle
+   * hashes and the per-sliding-window minima are computed with higher-order
+   * array expressions inside staged narrow selects (the [[bandRows]] plan
+   * shape — each intermediate array stays an ATTRIBUTE between
+   * projections), producing the EXACT same (keys, fp) rows as the batch
+   * operator (pinned by an equivalence spec). Short rows follow the batch
+   * contract: no shingles → no fingerprints; fewer than `window` shingles
+   * → the single global min.
+   *
+   * COST CAVEAT, measured round 7: in-array HOF folds evaluate interpreted
+   * per element — on 100k LONG documents the batch window form is ~50×
+   * faster (4.6 s vs 230 s for the shingle stage). This form exists for
+   * STREAMS, where micro-batches are bounded and record values are
+   * typically short (the sink's value column); for batch corpora use
+   * [[graft.operators.TextAnalysis.winnowedFingerprints]].
+   */
+  def winnowedFingerprintRows(docs: DataFrame, textCol: String,
+      keyCols: Seq[String],
+      shingleN: Int = 3, window: Int = 4): DataFrame = {
+    import graft.operators.TextAnalysis.{tokenHashes, HashPrime}
+    val keys = keyCols.map(col)
+    val ths = tokenHashes(col(textCol))
+    val shingles = when(size(ths) >= shingleN,
+      transform(sequence(lit(0), size(ths) - shingleN),
+        i => (1 until shingleN).foldLeft(element_at(ths, i + 1): Column) {
+          (acc, j) => (acc * 131L + element_at(ths, i + j + 1)) % HashPrime
+        })).otherwise(array().cast("array<bigint>"))
+    val mins = when(size(col("__sh")) === 0, array().cast("array<bigint>"))
+      .when(size(col("__sh")) < window, array(array_min(col("__sh"))))
+      .otherwise(transform(sequence(lit(0), size(col("__sh")) - window),
+        i => array_min(slice(col("__sh"), i + 1, lit(window)))))
+    docs
+      .select(keys :+ shingles.as("__sh"): _*)
+      .select(keys :+ array_distinct(mins).as("__fp"): _*)
+      .select(keys :+ explode(col("__fp")).as("fp"): _*)
+  }
+
+  /**
    * Online LSH candidate pairs: state per (band_id, band_hash) bucket is the
    * member doc-id list; a doc landing in a non-empty bucket emits a pair
    * with every existing member (docA < docB). Buckets are HARD-CAPPED at

@@ -112,6 +112,44 @@ class StreamingDedupSpec extends SparkSuite {
     assert(!streamShaped.exists(_._1 == 5L))
   }
 
+  test("streaming winnowed fingerprints reproduce the batch operator exactly") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((1L, (1 to 20).map(i => s"tok$i").mkString(" ")), // 18 shingles
+      (2L, "a b c d e"), // 3 shingles < window → single global min
+      (3L, "to on"),     // no shingles → no rows on either path
+      (4L, (1 to 20).map(i => s"tok$i").mkString(" ")),   // duplicate of 1
+      (5L, "xa xb " + (5 to 14).map(i => s"tok$i").mkString(" ") + " yc yd"))
+      .foreach { case (id, t) => l.add(Row(id, t)) }
+    val df = s.createDataFrame(l, schema)
+    val batch = graft.operators.TextAnalysis
+      .winnowedFingerprints(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val streamShaped = StreamingDedup
+      .winnowedFingerprintRows(df, "text", Seq("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp"))).sorted
+    assert(streamShaped.nonEmpty && streamShaped.toSeq == batch.toSeq)
+    assert(!streamShaped.exists(_._1 == 3L))
+    // and it runs on an actual unbounded frame (map-only — no window, no
+    // state): drive a two-file stream through to a memory sink
+    val src = Files.createTempDirectory("graft-winnow-src").toString
+    val ckpt = Files.createTempDirectory("graft-winnow-ckpt").toString
+    write(src + "/f1", (1L, (1 to 20).map(i => s"tok$i").mkString(" ")))
+    write(src + "/f2", (2L, "a b c d e"))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val q = StreamingDedup.winnowedFingerprintRows(stream, "text", Seq("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winnow_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = s.table("winnow_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp"))).toSet
+    val expect = batch.filter(p => p._1 == 1L).toSet ++
+      streamShaped.filter(_._1 == 2L).toSet
+    assert(streamed == expect)
+  }
+
   test("streaming near-dup candidates across micro-batches equal the batch LSH pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
