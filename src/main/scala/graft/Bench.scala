@@ -42,15 +42,10 @@ object Bench {
     (runs.sorted.apply(1), runs)
   }
 
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
-    try {
-      val all = Files.walk(root).iterator().asScala.toSeq
-      all.sortBy(-_.getNameCount).foreach(p =>
-        try Files.deleteIfExists(p) catch { case _: Throwable => () })
-    } catch { case _: Throwable => () }
-  }
+  /** Best-effort: a failed cleanup must never fail a bench run. */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try graft.streaming.SinkPipeline.deleteTree(root)
+    catch { case _: Throwable => () }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

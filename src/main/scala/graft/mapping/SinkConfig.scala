@@ -142,13 +142,16 @@ object SinkConfig {
       SinkConfig.nearParams(dedup).map(p => (p._1, p._2))
   }
 
-  /** Named band geometries for `dedup=near:<preset>`, exposing the
-    * Probe-measured recall contracts of [[graft.operators.Dedup.NearDupPreset]]
-    * on the config surface. In MinHash-banding terms a preset's
-    * (tables × band length) is (numBands × rowsPerBand), i.e.
-    * numHashes = tables·length: `strict95` = 8 bands × 12 rows (96x12, long
-    * bands — only true near-dups collide), `broad40` = 16 bands × 4 rows
-    * (64x4, loose-duplicate sweep). */
+  /** Named band geometries for `dedup=near:<preset>`: `strict95` = 8 bands
+    * × 12 rows (96x12 — long bands, only high-Jaccard near-dups collide),
+    * `broad40` = 16 bands × 4 rows (64x4 — short bands, loose-duplicate
+    * sweep). The names mirror [[graft.operators.Dedup.NearDupPreset]]'s
+    * strict/broad REGIMES, but the recall law here is MinHash banding over
+    * JACCARD — a pair at Jaccard j gates through with probability
+    * 1 − (1 − j^r)^b (strict95: r=12, b=8 → ~97% at j=0.9, ~3% at j=0.5;
+    * broad40: r=4, b=16 → ~98% at j=0.5) — NOT the cosine floors the
+    * embedding presets carry, which were measured for a different hash
+    * family (random hyperplanes over cosine). */
   private[graft] val NearPresets: Map[String, (Int, Int)] =
     Map("strict95" -> (96, 12), "broad40" -> (64, 4))
 

@@ -95,11 +95,14 @@ object Dedup {
    * byte-identical docs all landing on the same band hash) turns the join
    * quadratic. With `maxBucketSize` > 0, buckets larger than the cap emit
    * only the pairs (bucket-min, other) — s−1 pairs, linear — which PRESERVES
-   * the dedup outcome ([[applyNearDedup]] drops every non-min member either
-   * way; [[nearDupClusters]] still gets a connected component via the star)
-   * while bounding candidate volume. Same contract as the streaming path's
-   * `bucketCap` ([[graft.streaming.StreamingDedup.streamingCandidates]]) and
-   * the embedding path's cap ([[Similarity.lshCandidates]]).
+   * the dedup outcome for consumers that act on the RAW candidates:
+   * [[applyNearDedup]] drops every non-min member either way, and
+   * [[nearDupClusters]] still gets a connected component via the star.
+   * A consumer that FILTERS candidates before acting (the
+   * [[ngramJaccardPairs]] verify) does NOT commute with the star — see the
+   * recall note there. Same contract as the streaming path's `bucketCap`
+   * ([[graft.streaming.StreamingDedup.streamingCandidates]]) and the
+   * embedding path's cap ([[Similarity.lshCandidates]]).
    *
    * Default 0 = uncapped: all-pairs output, byte-identical to the historical
    * operator (the q26/q32/q47 oracles pin that form).
@@ -374,8 +377,14 @@ object Dedup {
     // gate: minhash signatures from the SAME shingle rows (identical to
     // minhashSignatures(docs, …) without re-running tokenize+hash), banded
     // and bucket-joined — one partial-agg groupBy + one narrow self-join.
-    // `maxBucketSize` > 0 opts into the star-capped candidate contract
-    // ([[minhashCandidates]]) for dup-dense corpora.
+    // `maxBucketSize` > 0 star-caps candidate GENERATION for dup-dense
+    // corpora — an additional RECALL trade on top of the band gate's: a pair
+    // (a, b) inside an over-cap bucket only reaches the verify through the
+    // bucket min m, so if neither (m, a) nor (m, b) passes the threshold the
+    // true pair (a, b) is never tested (the star commutes with raw-candidate
+    // consumers, NOT with this verify). Loss is confined to over-cap buckets
+    // (boilerplate-dominated by construction); leave 0 when exact gated
+    // recall matters more than the quadratic bound.
     val sigs = signaturesFromShingles(sh0, numHashes)
     val cand = minhashCandidates(minhashBands(sigs, rowsPerBand), maxBucketSize)
     val dfCounts = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -489,25 +498,32 @@ object Dedup {
 
   /**
    * The reference side of [[crossCorpusNearDup]], banded ONCE for reuse
-   * across ingest batches: (ref_id, band_id, band_hash) long triples. Write
-   * this to parquet after curating the reference corpus and feed it to
+   * across ingest batches: (ref_id, band_id, band_hash) long triples plus a
+   * `__geometry` tag ("<numHashes>x<rowsPerBand>x<shingleN>"). Write this to
+   * parquet after curating the reference corpus and feed it to
    * [[crossCorpusNearDupPrebanded]] for every batch — the per-batch cost is
    * then banding the batch plus one bucket join against these rows; the
-   * reference TEXT is never re-read. The geometry (numHashes, shingleN,
-   * rowsPerBand) is baked into the hashes, so the same values must be
-   * passed to the screen.
+   * reference TEXT is never re-read. The geometry is baked into the hashes;
+   * the screen CHECKS the tag against its own parameters and fails fast on
+   * a mismatch — without the check, mismatched geometries join to zero hits
+   * and every near-duplicate would silently come back `kept`.
    */
   def refCorpusBands(refDocs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame =
     minhashBands(
       minhashSignatures(refDocs, textCol, idCol, numHashes, shingleN),
       rowsPerBand)
-      .select(col("doc_id").as("ref_id"), col("band_id"), col("band_hash"))
+      .select(col("doc_id").as("ref_id"), col("band_id"), col("band_hash"),
+        lit(s"${numHashes}x${rowsPerBand}x$shingleN").as("__geometry"))
 
   /** [[crossCorpusNearDup]] against a PRECOMPUTED reference band table
     * (from [[refCorpusBands]], typically read back from parquet). Identical
     * output to the two-corpus form when the geometry matches — Probe pins
-    * reuse == recompute. */
+    * reuse == recompute; a `__geometry` tag in the band table (present on
+    * anything [[refCorpusBands]] built) is verified row-level against this
+    * call's parameters, so a stale-parameter call fails instead of silently
+    * admitting everything. Hand-built band tables without the tag skip the
+    * check. */
   def crossCorpusNearDupPrebanded(newDocs: DataFrame, refBands: DataFrame,
       textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame = {
@@ -515,7 +531,15 @@ object Dedup {
       minhashSignatures(newDocs, textCol, idCol, numHashes, shingleN),
       rowsPerBand)
       .select(col("doc_id"), col("band_id"), col("band_hash"))
-    val rb = refBands.select(col("ref_id"), col("band_id"), col("band_hash"))
+    val expected = s"${numHashes}x${rowsPerBand}x$shingleN"
+    val rb0 =
+      if (!refBands.columns.contains("__geometry")) refBands
+      else refBands.filter(assert_true(
+        col("__geometry") === lit(expected),
+        concat(lit("refBands geometry "), col("__geometry"),
+          lit(s" does not match the screen's $expected — rebuild the " +
+            "reference bands or pass the original parameters"))).isNull)
+    val rb = rb0.select(col("ref_id"), col("band_id"), col("band_hash"))
     val hits = nb.join(rb, Seq("band_id", "band_hash"))
       .select(col("doc_id"), col("ref_id")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ref_matches"))

@@ -47,4 +47,16 @@ object Staging {
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be local|persist|none, got '$other'")
     }
+
+  /** Release a staged frame once its consumers have run. Under `persist`
+    * this matters for LIFETIME: `persist()` registers the plan in the
+    * session CacheManager, which holds it until explicitly unpersisted —
+    * a long-running pipeline staging a frame per micro-batch would pin
+    * unbounded cache otherwise (localCheckpoint RDDs are GC'd via the
+    * ContextCleaner, so `local` mode self-cleans). No-op for frames that
+    * are not cached. One-shot batch queries can skip this (session teardown
+    * clears the cache); anything called repeatedly in one session — the
+    * sink's per-batch staging, an operator invoked in a loop — must pair
+    * stage with unstage or run `spark.catalog.clearCache()` periodically. */
+  def unstage(df: DataFrame): Unit = df.unpersist()
 }

@@ -126,11 +126,8 @@ class SinkPipeline(
         compression = config.parquetCodec)
     })
 
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val all = java.nio.file.Files.walk(root).iterator().asScala.toSeq
-    all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    SinkPipeline.deleteTree(root)
 
   /** Filter a topic slice down to first-seen content. Returns the filtered
     * slice plus a deferred sightings merge to run AFTER the table merge
@@ -245,8 +242,14 @@ class SinkPipeline(
     // sightings merge, and vacuumDedupState sweeps the rest — identical
     // state-bounding contract to exactTtl
     val horizon = b.dedupTtlMs.map(t => col("last_seen") >= nowMs - t)
-    (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic,
-      retain = horizon)))
+    (out, Some(() => {
+      ds.applyBatch(sightings, batchId, binding = b.topic, retain = horizon)
+      // the staged banding's last consumer was the sightings merge: release
+      // it so persist-mode staging doesn't pin one cached plan per batch
+      // for the life of the stream (a failed batch leaks one entry until
+      // its replay re-stages — bounded by the retry count)
+      graft.operators.Staging.unstage(bandRows)
+    }))
   }
 
   /** Physically expire dedup state past its TTL horizon in EVERY bucket of
@@ -418,5 +421,15 @@ class SinkPipeline(
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+}
+
+object SinkPipeline {
+  /** Recursive delete, deepest-first (shared by the layout-marker reset
+    * here and the bench's per-run store cleanup). */
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val all = java.nio.file.Files.walk(root).iterator().asScala.toSeq
+    all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

@@ -389,8 +389,9 @@ class SinkPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:abc")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:0")))
-    // named presets expose the Probe-measured geometries on the config
+    // named presets expose the strict/broad band regimes on the config
     // surface: strict95 = 8 bands × 12 rows, broad40 = 16 bands × 4 rows
+    // (MinHash-over-Jaccard recall law — see SinkConfig.NearPresets)
     val strict = SinkConfig.parse(conf("near:strict95")).bindings.head
     assert(strict.dedupNearParams.contains((96, 12)) &&
       strict.dedupTtlMs.isEmpty)

@@ -112,6 +112,63 @@ class StreamingDedupSpec extends SparkSuite {
     assert(!streamShaped.exists(_._1 == 5L))
   }
 
+  test("TTL'd buckets enforce the horizon at pairing time, not at timeout fire") {
+    // THE case the per-member age filter exists for: Spark's processing-time
+    // timeout fires on a TRIGGER, so a doc arriving after a member's
+    // deadline but before any trigger runs must not pair with it. Holding
+    // the query DOWN across the horizon makes that window deterministic —
+    // on restart the bucket receives data, so hasTimedOut is false and the
+    // stale member is still in state; only the lastSeen >= now − horizon
+    // filter stands between it and a bogus pair.
+    val src = Files.createTempDirectory("graft-agefilter-src").toString
+    val ckpt = Files.createTempDirectory("graft-agefilter-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-agefilter-out").toString
+    // wide enough that restart latency (phase 3's positive control must
+    // land INSIDE it) cannot flake the test on a loaded machine
+    val horizonMs = 30000L
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def runOnce(): Unit = {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+      val q = StreamingDedup.nearDupStream(stream, "text", "doc_id",
+          stateHorizonMs = Some(horizonMs))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      // processing-time timeouts keep scheduling batches, so AvailableNow
+      // never self-terminates (see the TTL'd-dedup test above) — poll for
+      // the data batch, then stop the query
+      try {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (System.currentTimeMillis() < deadline &&
+            !q.recentProgress.exists(_.numInputRows > 0))
+          Thread.sleep(200L)
+        assert(q.recentProgress.exists(_.numInputRows > 0),
+          "stream made no progress within 60s")
+        Thread.sleep(1000L) // sink epoch commit
+      } finally q.stop()
+    }
+    def pairs(): Set[(Long, Long)] =
+      try s.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+      catch { case _: Throwable => Set.empty }
+    write(src + "/f1", (1L, base))
+    runOnce()
+    assert(pairs().isEmpty)
+    // the horizon passes while the query is DOWN — no trigger, no timeout
+    Thread.sleep(horizonMs + 1000L)
+    write(src + "/f2", (2L, base.replace("tok30", "tokX")))
+    runOnce()
+    assert(pairs().isEmpty,
+      "doc 2 paired with a member whose last sighting is past the horizon")
+    // positive control: doc 2 re-seeded the buckets, so a near-dup arriving
+    // INSIDE the horizon pairs — an age filter that dropped everything
+    // would pass the phases above but fail here
+    write(src + "/f3", (3L, base.replace("tok31", "tokY")))
+    runOnce()
+    assert(pairs() == Set((2L, 3L)))
+  }
+
   test("streaming winnowed fingerprints reproduce the batch operator exactly") {
     val l = new java.util.ArrayList[Row]()
     Seq((1L, (1 to 20).map(i => s"tok$i").mkString(" ")), // 18 shingles
