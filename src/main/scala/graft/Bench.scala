@@ -137,7 +137,8 @@ object Bench {
       "q76_group_quantiles", "q77_data_card", "q79_span_dedup",
       "q80_distinctive_terms", "q81_cross_corpus_neardup",
       "q82_capped_candidates", "q83_cross_corpus_prebanded",
-      "q84_winnowed_fingerprints", "q85_winnowed_overlap")
+      "q84_winnowed_fingerprints", "q85_winnowed_overlap",
+      "q86_common_spans")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -912,6 +912,14 @@ object SparkEntry {
       (s, dir) => Dedup.spanDedup(docs(tune(s), dir), "text", "doc_id",
         spanTokens = 8, minCount = 2).orderBy("doc_id")),
 
+    // boilerplate mining: the top repeated exact 8-token spans with
+    // occurrence/document counts and an example doc — the report a curation
+    // team reads BEFORE deciding what q79's span dedup should strip
+    Q("q86_common_spans", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), pos AS (SELECT doc_id, tk, unnest(generate_series(0, CAST((len(tk) + 7) // 8 AS BIGINT) - 1)) AS pos FROM toks WHERE len(tk) > 0), spans AS (SELECT doc_id, pos, array_to_string(tk[CAST(pos*8+1 AS BIGINT):CAST(pos*8+8 AS BIGINT)], ' ') AS span FROM pos) SELECT span, CAST(COUNT(*) AS BIGINT) AS n_occurrences, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS example_doc_id FROM spans GROUP BY span HAVING COUNT(*) >= 2 ORDER BY n_occurrences DESC, span LIMIT 100"""),
+      (s, dir) => Dedup.commonSpans(docs(tune(s), dir), "text", "doc_id",
+        spanTokens = 8, minCount = 2, topK = 100)),
+
     // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
     // even doc_ids the curated reference; an incoming doc sharing any
     // MinHash band with the reference is flagged (kept = no collision)

@@ -441,19 +441,9 @@ object Dedup {
    */
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       spanTokens: Int = 8, minCount: Int = 2): DataFrame = {
-    val w = spanTokens
     // the span frame feeds the count, the anti-join, and the per-doc totals
     // — materialize the tokenize+tile stage once (lazily: see [[Staging]])
-    val spanRows = Staging.stage(docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
-      .select(col("doc_id"), posexplode(
-        when(size(col("__tk")) > 0,
-          transform(
-            sequence(lit(0), (size(col("__tk")) + lit(w - 1)).divide(lit(w))
-              .cast(IntegerType) - lit(1)),
-            i => array_join(slice(col("__tk"), i * w + 1, lit(w)), " ")))
-          .otherwise(array().cast("array<string>")))
-        .as(Seq("pos", "span"))))
+    val spanRows = Staging.stage(tileSpans(docs, textCol, idCol, spanTokens))
     val common = spanRows.groupBy(col("span"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select(col("span"))
     val kept = spanRows.join(common, Seq("span"), "left_anti")
@@ -471,6 +461,48 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** The span tiling shared by [[spanDedup]] and [[commonSpans]]: one row
+    * per (doc_id, pos, span) with fixed `w`-token tiles, map-only. */
+  private def tileSpans(docs: DataFrame, textCol: String, idCol: String,
+      w: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("__tk")) > 0,
+          transform(
+            sequence(lit(0), (size(col("__tk")) + lit(w - 1)).divide(lit(w))
+              .cast(IntegerType) - lit(1)),
+            i => array_join(slice(col("__tk"), i * w + 1, lit(w)), " ")))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "span")))
+
+  /**
+   * BOILERPLATE MINING report — the actionable form of [[spanDedup]]'s
+   * interior: the top-`topK` most-repeated exact spans across the corpus,
+   * with total occurrences, the number of distinct documents carrying each,
+   * and a deterministic example doc (the lowest id). [[spanDedup]] silently
+   * REMOVES repeated spans; a curation team first wants to SEE them —
+   * which template text (headers, navigation, license blurbs) pollutes the
+   * corpus and how widely — before deciding strip rules, and this is that
+   * report.
+   *
+   * Shape at 100 TB: map-only tiling, ONE partial-agg groupBy over span
+   * text (occurrences + distinct-doc count + min example combine map-side),
+   * then a TakeOrdered top-k — no window, no self-join; the ordering
+   * (n_occurrences DESC, span ASC) is total because span is the group key,
+   * so the report is deterministic on any partitioning.
+   */
+  def commonSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8, minCount: Int = 2, topK: Int = 100): DataFrame =
+    tileSpans(docs, textCol, idCol, spanTokens)
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("example_doc_id"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("span").asc)
+      .limit(topK)
 
   /**
    * CROSS-CORPUS near-dup screen (incremental ingest): for each NEW doc,

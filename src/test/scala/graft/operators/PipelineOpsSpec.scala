@@ -680,6 +680,27 @@ class PipelineOpsSpec extends SparkSuite {
     assert(capped.contains((1L, 4L))) // shared tok1..30 run, under the cap
   }
 
+  test("common spans: repeated tiles surface with counts, example doc, and stable order") {
+    // spans are 4-token tiles; "h1 h2 h3 h4" appears in docs 1, 2 (twice: as
+    // tiles 0 and 1 of doc 2) and 3 — boilerplate; unique tails don't repeat
+    val boiler = "h1 h2 h3 h4"
+    val d = docs(
+      (1L, boiler + " " + "a1 a2 a3 a4"),
+      (2L, boiler + " " + boiler),
+      (3L, boiler + " " + "c1 c2 c3 c4"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"))
+    val out = Dedup.commonSpans(d, "text", "doc_id",
+      spanTokens = 4, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((boiler, 4L, 3L, 1L)))
+    // the report and the scrub agree: spanDedup drops exactly the reported
+    // span's occurrences
+    val cleaned = Dedup.spanDedup(d, "text", "doc_id",
+      spanTokens = 4, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(cleaned(2L) == "" && cleaned(1L) == "a1 a2 a3 a4")
+  }
+
   test("cross-corpus prebanded: parquet-round-tripped reference bands equal the recompute form") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val newDocs = docs(
