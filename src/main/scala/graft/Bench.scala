@@ -42,10 +42,12 @@ object Bench {
     (runs.sorted.apply(1), runs)
   }
 
-  /** Best-effort: a failed cleanup must never fail a bench run. */
+  /** Best-effort per file: one contested temp file (a late executor task
+    * writing into a store being torn down) must not abandon the rest of the
+    * tree, let alone fail a bench run. */
   private def deleteTree(root: java.nio.file.Path): Unit =
-    try graft.streaming.SinkPipeline.deleteTree(root)
-    catch { case _: Throwable => () }
+    try graft.streaming.SinkPipeline.deleteTree(root, bestEffort = true)
+    catch { case _: Throwable => () } // Files.walk itself can throw
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -525,7 +525,10 @@ object Dedup {
       textCol: String, idCol: String,
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame =
     crossCorpusNearDupPrebanded(newDocs,
-      refCorpusBands(refDocs, textCol, idCol, numHashes, shingleN, rowsPerBand),
+      // same call builds the bands — the tag check would only compare the
+      // constant against itself; drop it so the screen skips the check
+      refCorpusBands(refDocs, textCol, idCol, numHashes, shingleN, rowsPerBand)
+        .drop("__geometry"),
       textCol, idCol, numHashes, shingleN, rowsPerBand)
 
   /**
@@ -563,12 +566,17 @@ object Dedup {
       minhashSignatures(newDocs, textCol, idCol, numHashes, shingleN),
       rowsPerBand)
       .select(col("doc_id"), col("band_id"), col("band_hash"))
+    // row-level on purpose: validating lazily (no action at plan-build)
+    // means the check rides the scan; the constant column dictionary-encodes
+    // to ~nothing in parquet and the comparison codegens to a constant
+    // equality. Null-tagged rows (legacy tables merged with tagged ones)
+    // SKIP the check rather than crash — same contract as a missing column.
     val expected = s"${numHashes}x${rowsPerBand}x$shingleN"
     val rb0 =
       if (!refBands.columns.contains("__geometry")) refBands
       else refBands.filter(assert_true(
-        col("__geometry") === lit(expected),
-        concat(lit("refBands geometry "), col("__geometry"),
+        col("__geometry").isNull || col("__geometry") === lit(expected),
+        concat(lit("refBands geometry "), coalesce(col("__geometry"), lit("?")),
           lit(s" does not match the screen's $expected — rebuild the " +
             "reference bands or pass the original parameters"))).isNull)
     val rb = rb0.select(col("ref_id"), col("band_id"), col("band_hash"))

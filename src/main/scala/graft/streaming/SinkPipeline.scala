@@ -425,11 +425,20 @@ class SinkPipeline(
 }
 
 object SinkPipeline {
-  /** Recursive delete, deepest-first (shared by the layout-marker reset
-    * here and the bench's per-run store cleanup). */
-  private[graft] def deleteTree(root: java.nio.file.Path): Unit = {
+  /** Recursive delete, deepest-first. The layout-marker reset calls it
+    * STRICT (a file that survives the reset would revive stale dedup state,
+    * so failing loudly beats proceeding); the bench's per-run cleanup calls
+    * it best-effort (one contested temp file must not abandon the rest of
+    * the tree, let alone a bench run). */
+  private[graft] def deleteTree(root: java.nio.file.Path,
+      bestEffort: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     val all = java.nio.file.Files.walk(root).iterator().asScala.toSeq
-    all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    all.sortBy(-_.getNameCount).foreach { p =>
+      if (bestEffort)
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: Throwable => () }
+      else java.nio.file.Files.deleteIfExists(p)
+    }
   }
 }

@@ -137,14 +137,19 @@ class StreamingDedupSpec extends SparkSuite {
         .trigger(Trigger.AvailableNow()).start()
       // processing-time timeouts keep scheduling batches, so AvailableNow
       // never self-terminates (see the TTL'd-dedup test above) — poll for
-      // the data batch, then stop the query
+      // the data batch, then stop the query. The deadline sits BELOW the
+      // horizon on purpose: phase 3's positive control needs doc 3 to pair
+      // before doc 2 ages out, so a restart too slow for the horizon must
+      // fail HERE (a clear environment diagnosis), not as a bogus
+      // no-pair-emitted assertion downstream.
       try {
-        val deadline = System.currentTimeMillis() + 60000L
+        val deadline = System.currentTimeMillis() + 25000L
         while (System.currentTimeMillis() < deadline &&
             !q.recentProgress.exists(_.numInputRows > 0))
           Thread.sleep(200L)
         assert(q.recentProgress.exists(_.numInputRows > 0),
-          "stream made no progress within 60s")
+          "stream made no progress within 25s (query restart slower than " +
+            "the test horizon — environment, not product)")
         Thread.sleep(1000L) // sink epoch commit
       } finally q.stop()
     }
