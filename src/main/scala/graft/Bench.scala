@@ -140,7 +140,8 @@ object Bench {
       "q80_distinctive_terms", "q81_cross_corpus_neardup",
       "q82_capped_candidates", "q83_cross_corpus_prebanded",
       "q84_winnowed_fingerprints", "q85_winnowed_overlap",
-      "q86_common_spans")
+      "q86_common_spans", "q87_bm25_topk", "q88_semantic_dedup",
+      "q89_collocations", "q90_knn_classify")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -920,6 +920,46 @@ object SparkEntry {
       (s, dir) => Dedup.commonSpans(docs(tune(s), dir), "text", "doc_id",
         spanTokens = 8, minCount = 2, topK = 100)),
 
+    // BM25 top-k retrieval (integer-exact: rational tf saturation at ×1e6
+    // fixed-point, Lucene odds idf through the piecewise-linear qlog2 —
+    // see Retrieval.scala). Three fixed bag-of-words queries over the
+    // corpus vocabulary; k=10 per query.
+    Q("q87_bm25_topk", Some(
+      s"""WITH t AS (SELECT doc_id, unnest($dToks) AS token FROM documents), tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl), am AS (SELECT (1000*tt)//n AS a, n FROM st), q(query_id, token) AS (VALUES (0, 'spark'), (0, 'hash'), (0, 'merge'), (1, 'window'), (1, 'sort'), (1, 'batch'), (2, 'table'), (2, 'scan'), (2, 'value')), dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf WHERE token IN (SELECT token FROM q) GROUP BY 1), idf AS (SELECT token, (1024*(length(bin(x))-1) + ((x*1024) >> (length(bin(x))-1)) - 1024) - 20480 AS idf_q FROM (SELECT token, ((2*(SELECT n FROM am)+2) << 20) // (2*df+1) AS x FROM dfx)), sc AS (SELECT q.query_id, tf.doc_id, (((22*tf.tf*am.a*1000000) // (20*tf.tf*am.a + 6*am.a + 18*dl.dl*1000)) * idf.idf_q) // 1024 AS term_score FROM tf JOIN q ON tf.token = q.token JOIN idf ON tf.token = idf.token JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN am), s2 AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_q FROM sc GROUP BY 1, 2), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS INT) AS rank FROM s2) SELECT CAST(query_id AS INT) AS query_id, doc_id, score_q, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"""),
+      (s, dir) => Retrieval.bm25TopK(docs(tune(s), dir), "text", "doc_id",
+        Seq(0 -> Seq("spark", "hash", "merge"),
+          1 -> Seq("window", "sort", "batch"),
+          2 -> Seq("table", "scan", "value")), k = 10)
+        .orderBy("query_id", "rank")),
+
+    // SemDeDup: k-means clusters (the same deterministic integer k-means as
+    // q53, centroids templated into the oracle) + exhaustive within-cluster
+    // quantized-cosine scan at cos >= 0.9; min-id-wins keep policy
+    Q("q88_semantic_dedup", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv, CAST(list_sum(list_transform($dQuant, x -> x*x)) AS BIGINT) AS n2 FROM embeddings), c AS (SELECT CAST(cell_id AS INT) AS cell_id, list_transform(cv, x -> CAST(x AS BIGINT)) AS cv, CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS cn2 FROM (VALUES $IvfCentroidsPlaceholder) t(cell_id, cv)), d AS (SELECT item_id, cell_id, n2 + cn2 - 2*CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*cv[CAST(i+1 AS INT)])) AS BIGINT) AS dist2 FROM v CROSS JOIN c), asg AS (SELECT item_id, cell_id FROM (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY dist2, cell_id) AS rn FROM d) WHERE rn = 1), pr AS (SELECT a.item_id AS ia, b.item_id AS ib, CAST(list_sum(list_transform(range(len(va.qv)), i -> va.qv[CAST(i+1 AS INT)]*vb.qv[CAST(i+1 AS INT)])) AS BIGINT) AS dot, va.n2 AS na, vb.n2 AS nb FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.item_id < b.item_id JOIN v va ON va.item_id = a.item_id JOIN v vb ON vb.item_id = b.item_id), dup AS (SELECT ib AS item_id, CAST(COUNT(*) AS BIGINT) AS n_earlier_dups FROM pr WHERE dot > 0 AND 100*dot*dot >= 81*na*nb GROUP BY 1) SELECT asg.item_id, asg.cell_id, COALESCE(dup.n_earlier_dups, 0) AS n_earlier_dups, COALESCE(dup.n_earlier_dups, 0) = 0 AS kept FROM asg LEFT JOIN dup ON asg.item_id = dup.item_id ORDER BY asg.item_id"""),
+      (s, dir) => Dedup.semanticDedup(embeddings(tune(s), dir),
+        "vec_id", "embedding", nCells = 8, iters = 3,
+        cosNum = 9L, cosDen = 10L).orderBy("item_id")),
+
+    // PMI collocations: adjacent-bigram phrase mining ranked by the exact
+    // integer lift ratio ×1000 (log omitted — monotone), min count 5
+    Q("q89_collocations", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), un AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT unnest(tk) AS token FROM toks) GROUP BY 1), st AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM un), bt AS (SELECT CAST(SUM(GREATEST(len(tk) - 1, 0)) AS BIGINT) AS b FROM toks), pos AS (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 2), bg AS (SELECT token_a, token_b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM (SELECT tk[CAST(i+1 AS INT)] AS token_a, tk[CAST(i+2 AS INT)] AS token_b FROM pos) GROUP BY 1, 2), j AS (SELECT bg.token_a, bg.token_b, bg.n_ab, ua.n AS n_a, ub.n AS n_b FROM bg JOIN un ua ON bg.token_a = ua.token JOIN un ub ON bg.token_b = ub.token WHERE bg.n_ab >= 5), sc AS (SELECT token_a, token_b, n_ab, n_a, n_b, (((n_ab * t * 1000) // (n_a * n_b)) * t) // b AS pmi_x1000 FROM j CROSS JOIN st CROSS JOIN bt) SELECT token_a, token_b, n_ab, n_a, n_b, pmi_x1000 FROM sc ORDER BY pmi_x1000 DESC, token_a, token_b LIMIT 100"""),
+      (s, dir) => TextAnalysis.collocations(docs(tune(s), dir), "text",
+        "doc_id", minCount = 5L, topK = 100)),
+
+    // k-NN majority-vote classification: vec_id < 50 are the "unlabeled"
+    // queries, the rest the labeled corpus; k=5 by exact quantized dot
+    // (the pluggable-ANN operator's brute-force baseline path)
+    Q("q90_knn_classify", Some(
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv, label FROM embeddings), q AS (SELECT vec_id AS query_id, qv AS qq FROM v WHERE vec_id < 50), c AS (SELECT vec_id AS item_id, qv, label FROM v WHERE vec_id >= 50), sc AS (SELECT query_id, item_id, label, CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*qq[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM c CROSS JOIN q), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM sc), nn AS (SELECT query_id, item_id, label, rank FROM r WHERE rank <= 5), vt AS (SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes, MIN(rank) AS best_rank FROM nn GROUP BY 1, 2), w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, best_rank ASC, label ASC) AS rn FROM vt) SELECT query_id, CAST(label AS INT) AS pred_label, votes FROM w WHERE rn = 1 ORDER BY query_id"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Similarity.knnClassify(e.filter(col("vec_id") >= 50),
+          e.filter(col("vec_id") < 50), "vec_id", "embedding", "label", k = 5)
+          .orderBy("query_id")
+      }),
+
     // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
     // even doc_ids the curated reference; an incoming doc sharing any
     // MinHash band with the reference is flagged (kept = no collision)

@@ -324,6 +324,61 @@ object Dedup {
       .select(col("item_a"), col("item_b"), col("dot"))
   }
 
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+   * k-means-cluster the embeddings, then drop any vector whose cosine to a
+   * LOWER-ID vector in the same cluster meets the threshold — the clusters
+   * bound the pairwise work (no global all-pairs), which is the method's
+   * entire scale story: k grows with the corpus so cluster occupancy stays
+   * flat, and each cluster's pair scan is independent and parallel.
+   *
+   * Everything is integer-exact end to end: the deterministic all-integer
+   * k-means of [[Similarity.kmeansCentroids]] (truncating-DIV means, exact
+   * L2 assignment) and the quantized cosine gate
+   * `cos ≥ num/den ⟺ dot>0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²` — the same
+   * rational form as [[embeddingNearDupPairs]], so the DuckDB oracle
+   * reproduces kept/dropped bit-for-bit from the templated centroids.
+   *
+   * Unlike the LSH screen (probabilistic recall, tuned by band shape), the
+   * within-cluster scan is EXHAUSTIVE — recall loss happens only when a
+   * near-dup pair straddles a cluster boundary (the paper's accepted miss
+   * mode; multi-cluster assignment would trade cost for recall).
+   *
+   * Output: one row per input vector —
+   * (item_id, cell_id, n_earlier_dups, kept) where `n_earlier_dups` counts
+   * same-cluster lower-id vectors within the cosine threshold and
+   * `kept = (n_earlier_dups == 0)` (min-id-wins, the policy every dedup
+   * operator here shares).
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 8, iters: Int = 3,
+      cosNum: Long = 9L, cosDen: Long = 10L): DataFrame = {
+    val v = Staging.stage(emb.select(col(idCol).as("item_id"),
+      Similarity.quantize(col(vecCol)).as("qv")))
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val cells = Similarity.assignCells(v, cents).select("item_id", "cell_id")
+    val q = Staging.stage(cells.join(v, "item_id")
+      .select(col("item_id"), col("cell_id"), col("qv"),
+        Similarity.norm2Q(col("qv")).as("n2")))
+    val a = q.alias("a"); val b = q.alias("b")
+    val dupCounts = a.join(b,
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.item_id") < col("b.item_id"))
+      .select(col("b.item_id").as("item_id"),
+        Similarity.dotQ(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+      .filter(col("dot") > 0 &&
+        lit(cosDen * cosDen) * col("dot") * col("dot") >=
+          lit(cosNum * cosNum) * col("na") * col("nb"))
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"))
+    q.select(col("item_id"), col("cell_id"))
+      .join(dupCounts, Seq("item_id"), "left")
+      .select(col("item_id"), col("cell_id"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"))
+      .withColumn("kept", col("n_earlier_dups") === 0L)
+  }
+
   // ------------------------------------------------------------------ jaccard
 
   /**

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Query-driven document retrieval over the corpus: an inverted-index build
+ * (tf / df / doc-length) plus BM25 scoring — the standard lexical-search
+ * ranking a curation pipeline uses to pull topic slices out of a 100 TB
+ * corpus (and the retrieval half of a decontamination screen: score the
+ * eval question against the corpus, inspect the top hits).
+ *
+ * Determinism contract (the whole module is integer-exact so the DuckDB
+ * oracle hash-matches):
+ *
+ *  - BM25's `tf` saturation term is an exact rational: with k1 = 6/5 and
+ *    b = 3/4, `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` multiplied through
+ *    by `10·avgdl` becomes `22·tf·A / (20·tf·A + 6·A + 18·dl·1000)` where
+ *    `A = (1000·T) div N` is the corpus mean doc length in exact
+ *    milli-tokens — every factor is corpus-size-INDEPENDENT (A ≈ 1000·avgdl,
+ *    tf and dl are per-doc), so the int64 arithmetic never outgrows 64 bits
+ *    no matter how large the corpus is. Scaled to 1e6 fixed-point by
+ *    truncating division (floor on the all-positive inputs, identical in
+ *    both engines).
+ *  - The idf log is [[qlog2]], a piecewise-LINEAR fixed-point log2 (1024
+ *    units per bit, interpolated inside each octave from the integer bit
+ *    length): monotone, deterministic, max |error| vs true log2 ≈ 0.086 —
+ *    a rank-faithful stand-in for ln that both engines compute bit-for-bit
+ *    (floating log differs in last-ulp between libm builds, which would
+ *    break hash equality). idf = qlog2(odds) with Lucene's always-positive
+ *    odds `1 + (N−df+0.5)/(df+0.5) = (2N+2)/(2df+1)`, carried at 2^20
+ *    fixed-point before the log so small odds keep precision.
+ *
+ * Scale shape: tf/df/dl are one explode + two partial-aggregated groupBys
+ * (the inverted-index build — shuffles on token and doc id, both
+ * map-side-combined). The query set is broadcast; df joins the query terms
+ * (vocabulary-sized table semi-joined down to the handful of query terms)
+ * so scoring touches only postings of query terms. Final top-k is a window
+ * partitioned BY QUERY — parallel across queries, never a global sort.
+ */
+object Retrieval {
+
+  /** Fixed-point log2 (1024 units/bit) of a positive long column:
+    * `1024·ilog2(x) + frac` where `ilog2 = length(bin(x))−1` (exact integer
+    * bit length — `bin` renders minimal-width binary in Spark and DuckDB
+    * alike) and `frac` linearly interpolates within the octave as
+    * `(x·1024) >> ilog2 − 1024`. Monotone in x; inputs must stay below
+    * 2^53 so the ·1024 cannot overflow. */
+  def qlog2(x: Column): Column = {
+    val ilog2 = (length(bin(x)) - 1).cast(LongType)
+    lit(1024L) * ilog2 + IntMath.shr(x * 1024L, ilog2) - 1024L
+  }
+
+  /**
+   * BM25 top-k retrieval: for each (query_id, terms) pair, the k best docs
+   * by summed per-term BM25 (k1 = 1.2, b = 0.75, rational-exact as above).
+   * Duplicate query terms count once (terms are a SET — the common
+   * bag-of-words query convention). Ties break on doc id ascending.
+   *
+   * Output: (query_id, doc_id, score_q, rank) — `score_q` is the integer
+   * fixed-point score (tf-component ×1e6, idf in 1024ths of a bit,
+   * rescaled by ÷1024 after the product).
+   */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val tfStaged = Staging.stage(tf)
+    val dl = tfStaged.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // two corpus scalars (N docs, T tokens) — collected as literals so the
+    // per-row arithmetic is corpus-size-independent (see A above)
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val nDocs = stats.getLong(0)
+    val tTokens = stats.getLong(1)
+    val aMilli = (1000L * tTokens) / nDocs // JVM long division — exact
+
+    val qRows = new java.util.ArrayList[Row]()
+    queries.foreach { case (qid, terms) =>
+      terms.distinct.foreach(t => qRows.add(Row(qid, t)))
+    }
+    val qTerms = spark.createDataFrame(qRows, StructType(Seq(
+      StructField("query_id", IntegerType), StructField("token", StringType))))
+
+    val df = tfStaged.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qTerms.select("token").distinct()), Seq("token"), "left_semi")
+    // idf at 2^20 fixed-point odds, then the fixed-point log
+    val idf = df.select(col("token"),
+      (qlog2(IntMath.idiv(shiftleft(lit(2L) * nDocs + 2L, 20),
+        lit(2L) * col("df") + 1L)) - 20L * 1024L).as("idf_q"))
+
+    val perTerm = tfStaged
+      .join(broadcast(qTerms), "token")
+      .join(broadcast(idf), "token")
+      .join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        IntMath.idiv(
+          IntMath.idiv(lit(22L) * col("tf") * aMilli * 1000000L,
+            lit(20L) * col("tf") * aMilli + lit(6L) * aMilli +
+              lit(18L) * col("dl") * 1000L) * col("idf_q"),
+          lit(1024L)).as("term_score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

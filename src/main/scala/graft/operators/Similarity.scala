@@ -289,6 +289,38 @@ object Similarity {
   }
 
   /**
+   * k-NN majority-vote classification: label each query vector by the
+   * modal label of its `k` nearest labeled neighbors — the
+   * embedding-space quality/domain classifier a curation pipeline runs
+   * when it has a small labeled seed set (label propagation's one-hop
+   * form). Neighbor search is pluggable: pass `neighbors` from any ANN
+   * path producing (query_id, item_id, rank) — [[ivfTopKTrained]] for the
+   * 100 TB shape — or omit it for the exact [[bruteForceTopK]] baseline
+   * (query side broadcast, corpus never shuffled).
+   *
+   * Vote ties break on smaller label, then the winning label's best
+   * (smallest) neighbor rank — integer-deterministic like everything else.
+   * Output: (query_id, pred_label, votes).
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 5,
+      neighbors: Option[DataFrame] = None): DataFrame = {
+    val nn = neighbors.getOrElse(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k))
+      .select(col("query_id"), col("item_id"), col("rank"))
+    val labels = corpus.select(col(idCol).as("item_id"),
+      col(labelCol).cast(IntegerType).as("label"))
+    val votes = nn.join(labels, "item_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /**
    * Candidate pairs sharing any (table, bucket), a < b, distinct across
    * tables. `maxBucketSize` is the hard fan-out bound: buckets larger than
    * the cap are skipped entirely (a bucket holding k docs would emit k²/2

@@ -430,4 +430,59 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
   }
+
+  /**
+   * Top-`k` collocations (adjacent-token bigrams) ranked by integer
+   * fixed-point PMI — the phrase-mining pass a tokenizer-training or
+   * domain-analysis pipeline runs over the corpus. PMI's log argument is
+   * the lift ratio `p(ab) / (p(a)·p(b)) = n_ab·T² / (B·n_a·n_b)` (unigram
+   * probabilities over T tokens, bigram over B = T − N_docs positions);
+   * since log is monotone, ranking by the ratio IS ranking by PMI, so no
+   * log is computed. The ratio is carried at ×1000 fixed-point with a
+   * pinned evaluation order —
+   * `((n_ab·T·1000) DIV (n_a·n_b)) · T DIV B` — truncating division on
+   * all-positive int64, bit-identical in both engines. (The split keeps
+   * every intermediate ≤ 1000·T²; at corpora beyond ~10¹³ the ×1000 scale
+   * must shrink or the arithmetic move to DECIMAL.)
+   *
+   * Shape at 100 TB: bigrams come from zipping each token array with its
+   * own tail (map-only — no self-join, no window over positions); unigram
+   * and bigram counts are partial-agg groupBys; the two count joins key on
+   * single tokens (vocabulary-sized tables); top-k is a TakeOrdered, never
+   * a global sort. `minCount` prunes the long tail of singleton bigrams
+   * before the joins.
+   */
+  def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minCount: Long = 5L, topK: Int = 100)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    val uni = Staging.stage(toks
+      .select(explode(col("tk")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n")))
+    val bi = toks
+      .filter(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
+        slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))).as("pair"))
+      .groupBy(col("pair.a").as("token_a"), col("pair.b").as("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val stats = uni.agg(sum(col("n")).as("t")).head()
+    val tTokens = stats.getLong(0)
+    val bTotal = toks.select(
+      sum(greatest(size(col("tk")).cast(LongType) - 1L, lit(0L))).as("b"))
+      .head().getLong(0)
+    bi.filter(col("n_ab") >= minCount)
+      .join(uni.withColumnRenamed("token", "token_a")
+        .withColumnRenamed("n", "n_a"), "token_a")
+      .join(uni.withColumnRenamed("token", "token_b")
+        .withColumnRenamed("n", "n_b"), "token_b")
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        IntMath.idiv(
+          IntMath.idiv(col("n_ab") * tTokens * 1000L,
+            col("n_a") * col("n_b")) * tTokens,
+          lit(bTotal)).as("pmi_x1000"))
+      .orderBy(col("pmi_x1000").desc, col("token_a").asc, col("token_b").asc)
+      .limit(topK)
+  }
 }

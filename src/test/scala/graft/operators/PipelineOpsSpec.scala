@@ -728,4 +728,119 @@ class PipelineOpsSpec extends SparkSuite {
     // and the fixture actually screens: doc 1 collides with ref, doc 2 not
     assert(viaParquet.toSeq == Seq((1L, 1L, false), (2L, 0L, true)))
   }
+
+  test("qlog2 is exact on powers of two and monotone between them") {
+    import org.apache.spark.sql.functions.lit
+    val vals = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1000L, 1024L, 1025L, 1L << 40)
+    val out = s.range(1).select(
+      vals.map(v => Retrieval.qlog2(lit(v))): _*).head()
+    val got = vals.indices.map(out.getLong)
+    // 1024 units per bit: qlog2(2^n) = 1024n exactly
+    assert(got(0) == 0L && got(1) == 1024L && got(3) == 2048L &&
+      got(5) == 3072L && got(7) == 10240L && got(9) == 40960L)
+    // linear interpolation inside the octave: qlog2(3) = 1024 + 512
+    assert(got(2) == 1536L)
+    // monotone across the sampled points
+    assert(got.zip(got.tail).forall { case (a, b) => a <= b } ||
+      got.sorted == got) // vals are ascending, so got must be non-decreasing
+  }
+
+  test("bm25 ranks the doc saturated with a rare query term first") {
+    // 'zebra' appears only in docs 1 and 2; doc 1 is shorter and denser.
+    // 'filler' is corpus-wide so its idf is tiny.
+    val d = docs(
+      (1L, "zebra zebra zebra filler"),
+      (2L, "zebra filler filler filler filler filler filler filler"),
+      (3L, "filler filler filler filler"),
+      (4L, "filler other words here"))
+    val out = Retrieval.bm25TopK(d, "text", "doc_id",
+      Seq(0 -> Seq("zebra", "filler")), k = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(out.head == (1L, 1)) // densest rare-term doc wins
+    assert(out.map(_._1).take(2) == Seq(1L, 2L)) // any 'zebra' doc beats none
+    assert(out.size == 4) // 'filler' docs still score (positive idf floor)
+  }
+
+  test("bm25 duplicate query terms count once and unknown terms drop out") {
+    val d = docs((1L, "alpha beta"), (2L, "beta gamma"))
+    val once = Retrieval.bm25TopK(d, "text", "doc_id",
+      Seq(0 -> Seq("alpha")), k = 2).collect()
+    val dup = Retrieval.bm25TopK(d, "text", "doc_id",
+      Seq(0 -> Seq("alpha", "alpha", "nosuchterm")), k = 2).collect()
+    assert(once.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      dup.map(r => (r.getLong(1), r.getLong(2))).toSeq)
+    assert(once.map(_.getLong(1)).toSeq == Seq(1L)) // only doc 1 matches
+  }
+
+  test("semantic dedup drops the same-cluster near-identical vector, keeps the min id") {
+    val l = new java.util.ArrayList[Row]()
+    // cluster A: two near-identical (cos ~ 1) + its exemplar; cluster B: far
+    l.add(Row(0L, Seq(1.0f, 0.0f, 0.0f)))
+    l.add(Row(1L, Seq(0.999f, 0.001f, 0.0f))) // near-dup of 0 → dropped
+    l.add(Row(2L, Seq(-1.0f, 0.0f, 0.0f)))    // opposite → own cluster
+    l.add(Row(3L, Seq(-0.999f, -0.001f, 0.0f))) // near-dup of 2 → dropped
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val out = Dedup.semanticDedup(e, "vec_id", "embedding",
+      nCells = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(0L) == (0L, true) && out(2L) == (0L, true))
+    assert(out(1L) == (1L, false) && out(3L) == (1L, false))
+  }
+
+  test("collocations surface the planted phrase with exact counts") {
+    // 'new york' 6×; 'of the' 6× but both tokens are everywhere (low lift)
+    val phrase = "new york"
+    val noise = "of the and of the and of the"
+    val d = docs(
+      (1L, s"$phrase $noise $phrase"), (2L, s"$phrase $noise $phrase"),
+      (3L, s"$phrase $noise $phrase"), (4L, s"$noise of the of and"))
+    val out = TextAnalysis.collocations(d, "text", "doc_id",
+      minCount = 5L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(5))))
+    val top = out.head
+    assert(top._1 == ("new", "york"))
+    assert(top._2._1 == 6L) // n_ab exact
+    // every reported pair meets the min count and scores are non-increasing
+    assert(out.forall(_._2._1 >= 5L))
+    assert(out.map(_._2._2).sliding(2).forall(s => s.head >= s.last))
+  }
+
+  test("knn classification takes the majority label; vote ties break on smaller label") {
+    val l = new java.util.ArrayList[Row]()
+    // labeled corpus: 3 of label 1 near +x, 2 of label 2 near +y
+    l.add(Row(100L, Seq(1.0f, 0.0f), 1))
+    l.add(Row(101L, Seq(0.99f, 0.01f), 1))
+    l.add(Row(102L, Seq(0.98f, 0.02f), 1))
+    l.add(Row(103L, Seq(0.0f, 1.0f), 2))
+    l.add(Row(104L, Seq(0.01f, 0.99f), 2))
+    // query 0 near +x → label 1 by 3 votes of 5
+    l.add(Row(0L, Seq(0.9f, 0.1f), 9))
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+    val out = Similarity.knnClassify(e.filter(col("vec_id") >= 100),
+      e.filter(col("vec_id") < 100), "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1, 3L)))
+    // genuine 2–2 vote tie: best_rank decides (label 2 holds the nearest
+    // neighbor, so it wins even though label 1 is smaller)
+    val l2 = new java.util.ArrayList[Row]()
+    l2.add(Row(200L, Seq(1.0f, 0.0f), 2)) // rank 1
+    l2.add(Row(201L, Seq(0.9f, 0.0f), 1)) // rank 2
+    l2.add(Row(202L, Seq(0.8f, 0.0f), 1)) // rank 3
+    l2.add(Row(203L, Seq(0.7f, 0.0f), 2)) // rank 4
+    l2.add(Row(0L, Seq(0.9f, 0.1f), 9))
+    val e2 = s.createDataFrame(l2, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+    val tied = Similarity.knnClassify(e2.filter(col("vec_id") >= 100),
+      e2.filter(col("vec_id") < 100), "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(tied.toSeq == Seq((0L, 2, 2L)))
+  }
 }
