@@ -141,7 +141,8 @@ object Bench {
       "q82_capped_candidates", "q83_cross_corpus_prebanded",
       "q84_winnowed_fingerprints", "q85_winnowed_overlap",
       "q86_common_spans", "q87_bm25_topk", "q88_semantic_dedup",
-      "q89_collocations", "q90_knn_classify")
+      "q89_collocations", "q90_knn_classify", "q91_naive_bayes",
+      "q92_prototype_classify")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -112,6 +112,12 @@ object SparkEntry {
        |seeds AS (SELECT CAST(j AS INT) AS seed_id, CAST(1000003 + 2*j*4391 AS BIGINT) AS a, CAST((7919*(j+1)) % 2147483647 AS BIGINT) AS b FROM range(16) t(j)),
        |sig AS (SELECT doc_id, seed_id, CAST(MIN((a*h + b) % 2147483647) AS BIGINT) AS minhash FROM shex CROSS JOIN seeds GROUP BY doc_id, seed_id)""".stripMargin
 
+  /** DuckDB mirror of Retrieval.qlog2 (fixed-point piecewise-linear log2,
+    * 1024 units/bit; `bin` is minimal-width in both engines). `x` is
+    * inlined three times — pass a column reference, not a heavy expr. */
+  private def dQlog2(x: String): String =
+    s"(1024*(length(bin($x))-1) + ((($x)*1024) >> (length(bin($x))-1)) - 1024)"
+
   /** DuckDB: quantized embedding vectors CTE (exact long milli-units). */
   private val dQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
@@ -957,6 +963,30 @@ object SparkEntry {
         val e = embeddings(tune(s), dir)
         Similarity.knnClassify(e.filter(col("vec_id") >= 50),
           e.filter(col("vec_id") < 50), "vec_id", "embedding", "label", k = 5)
+          .orderBy("query_id")
+      }),
+
+    // multinomial Naive Bayes with add-1 smoothing, trained on the even
+    // doc_ids' lang labels, classifying the odd — all log-probs through the
+    // integer qlog2 at 2^30 fixed point (see TextAnalysis.naiveBayesClassify)
+    Q("q91_naive_bayes", Some(
+      s"""WITH tr AS (SELECT doc_id, lang AS label, $dToks AS tk FROM documents WHERE doc_id % 2 = 0), te AS (SELECT doc_id, $dToks AS tk FROM documents WHERE doc_id % 2 = 1), cnt AS (SELECT label, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT label, unnest(tk) AS token FROM tr) GROUP BY 1, 2), tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1), vs AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM cnt), pri AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tr GROUP BY 1), ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr), cls AS (SELECT tot.label, tot.tot, ${dQlog2("px")} - 30720 AS prior_q FROM (SELECT tot.label, tot.tot, (pri.n_docs << 30) // ntr.n AS px FROM tot JOIN pri USING (label) CROSS JOIN ntr) tot), tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(tk) AS token FROM te) GROUP BY 1, 2), ct AS (SELECT doc_id, label, prior_q, tf * (${dQlog2("cx")} - 30720) AS c FROM (SELECT tf.doc_id, cls.label, cls.prior_q, tf.tf, ((COALESCE(cnt.cnt, 0) + 1) << 30) // (cls.tot + vs.v) AS cx FROM tf CROSS JOIN cls CROSS JOIN vs LEFT JOIN cnt ON cnt.token = tf.token AND cnt.label = cls.label)), sc AS (SELECT doc_id, label, prior_q + CAST(SUM(c) AS BIGINT) AS score_q FROM ct GROUP BY 1, 2, prior_q), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label ASC) AS rn FROM sc) SELECT doc_id, label AS pred_label, score_q FROM r WHERE rn = 1 ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        TextAnalysis.naiveBayesClassify(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", "lang").orderBy("doc_id")
+      }),
+
+    // nearest-prototype (Rocchio) classification: per-label integer-mean
+    // embedding prototypes from vec_id >= 50, queries assigned by exact
+    // integer squared-L2 — the parametric counterpart of q90's kNN
+    Q("q92_prototype_classify", Some(
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv, label FROM embeddings), tr AS (SELECT * FROM v WHERE vec_id >= 50), pe AS (SELECT label, unnest(range(len(qv))) AS dim, qv FROM tr), pm AS (SELECT label, dim, CAST(SUM(qv[CAST(dim+1 AS INT)]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cx FROM pe GROUP BY 1, 2), pv AS (SELECT label, list(cx ORDER BY dim) AS cv FROM pm GROUP BY 1), pn AS (SELECT CAST(label AS INT) AS label, cv, CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM pv), q AS (SELECT vec_id AS query_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM v WHERE vec_id < 50), d AS (SELECT query_id, label, n2 + cn2 - 2*CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*cv[CAST(i+1 AS INT)])) AS BIGINT) AS dist2 FROM q CROSS JOIN pn), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, label) AS rn FROM d) SELECT query_id, label AS pred_label, dist2 FROM r WHERE rn = 1 ORDER BY query_id"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Similarity.prototypeClassify(e.filter(col("vec_id") >= 50),
+          e.filter(col("vec_id") < 50), "vec_id", "embedding", "label")
           .orderBy("query_id")
       }),
 

@@ -321,6 +321,51 @@ object Similarity {
   }
 
   /**
+   * Per-label prototype vectors: the element-wise integer mean (truncating
+   * DIV, like [[kmeansCentroids]]) of each label's quantized embeddings —
+   * the parametric counterpart of [[knnClassify]] (nearest-class-mean /
+   * Rocchio). Returns (label, cv array<long>, cn2).
+   *
+   * Shape: one posexplode + two partial-agg groupBys over (label, dim) —
+   * the shuffle carries per-dimension partial sums, never vectors; output
+   * is #labels rows.
+   */
+  def labelPrototypes(train: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val proto = train
+      .select(col(labelCol).cast(IntegerType).as("label"),
+        posexplode(quantize(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(expr("CAST(sum(x) DIV count(1) AS BIGINT)").as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+    proto.select(col("label"), col("cv"), norm2Q(col("cv")).as("cn2"))
+  }
+
+  /**
+   * Nearest-prototype classification: assign each query vector to the
+   * label whose prototype is closest by exact integer squared-L2
+   * (prototypes broadcast — map-only over the query side at any scale).
+   * Output: (query_id, pred_label, dist2).
+   */
+  def prototypeClassify(train: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val protos = labelPrototypes(train, idCol, vecCol, labelCol)
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", norm2Q(col("qv")))
+    q.join(broadcast(protos))
+      .select(col("query_id"), col("label"),
+        (col("n2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv"))).as("dist2"))
+      .groupBy(col("query_id"))
+      .agg(min_by(struct(col("dist2"), col("label")), struct(col("dist2"), col("label")))
+        .as("best"))
+      .select(col("query_id"), col("best.label").as("pred_label"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /**
    * Candidate pairs sharing any (table, bucket), a < b, distinct across
    * tables. `maxBucketSize` is the hard fan-out bound: buckets larger than
    * the cap are skipped entirely (a bucket holding k docs would emit k²/2

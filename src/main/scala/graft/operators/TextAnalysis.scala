@@ -452,6 +452,70 @@ object TextAnalysis {
    * a global sort. `minCount` prunes the long tail of singleton bigrams
    * before the joins.
    */
+  /**
+   * Multinomial Naive Bayes text classifier, integer-exact end to end —
+   * the supervised quality/domain scorer a curation pipeline trains on a
+   * labeled seed set and sweeps across the corpus (the role fastText's
+   * linear classifier plays in public pipelines, in its classic
+   * count-based form).
+   *
+   * Train: per-(label, token) counts with add-1 smoothing over the
+   * training vocabulary V; class priors from document counts. All
+   * log-probabilities go through [[Retrieval.qlog2]] (fixed-point
+   * piecewise-linear log2, 1024 units/bit) of exact integer ratios at
+   * 2^30 fixed point: contribution(token, c) =
+   * `qlog2(((cnt+1) << 30) DIV (tot_c + V))` — monotone, deterministic,
+   * and reproduced bit-for-bit by the oracle. (The 2^30 carrier keeps the
+   * smoothed ratio ≥ 1 up to ~10⁹ tokens per class; beyond that widen the
+   * shift.) Scoring sums `tf · contribution` over the doc's tokens plus
+   * the prior `qlog2((docs_c << 30) DIV docs_total)`; argmax breaks ties
+   * on label ascending.
+   *
+   * Shape at 100 TB: counts and tf are partial-agg groupBys; the test
+   * side crosses with the CLASS LIST (a handful of rows, broadcast) and
+   * left-joins the (token, label) count table — token-keyed joins against
+   * vocabulary-sized state, the corpus text never re-shuffles.
+   *
+   * Output: (doc_id, pred_label, score_q) per test doc.
+   */
+  def naiveBayesClassify(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      labelCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tTok = Staging.stage(train.select(col(labelCol).as("label"),
+      explode(tokens(col(textCol))).as("token")))
+    val cnt = tTok.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val vocabSize = cnt.select(col("token")).distinct().count()
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTrain = train.count()
+    val classes = broadcast(tot.join(priors, "label")
+      .select(col("label"), col("tot"),
+        (Retrieval.qlog2(IntMath.idiv(shiftleft(col("n_docs"), 30),
+          lit(nTrain))) - 30L * 1024L).as("prior_q")))
+
+    val tf = test.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val contrib = tf.join(classes)
+      .join(cnt, Seq("token", "label"), "left")
+      .select(col("doc_id"), col("label"), col("prior_q"),
+        (col("tf") * (Retrieval.qlog2(IntMath.idiv(
+          shiftleft(coalesce(col("cnt"), lit(0L)) + 1L, 30),
+          col("tot") + vocabSize)) - 30L * 1024L)).as("c"))
+    val scored = contrib.groupBy(col("doc_id"), col("label"), col("prior_q"))
+      .agg(sum(col("c")).as("lik"))
+      .select(col("doc_id"), col("label"),
+        (col("prior_q") + col("lik")).as("score_q"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("label").asc)
+    scored.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"), col("score_q"))
+  }
+
   def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minCount: Long = 5L, topK: Int = 100)
       : org.apache.spark.sql.DataFrame = {

@@ -808,6 +808,51 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out.map(_._2._2).sliding(2).forall(s => s.head >= s.last))
   }
 
+  test("naive bayes classifies by training vocabulary; smoothing handles unseen tokens") {
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row(0L, "apfel birne apfel kirsche", "de"))
+    l.add(Row(2L, "birne apfel apfel", "de"))
+    l.add(Row(4L, "apple pear apple cherry", "en"))
+    l.add(Row(6L, "pear apple apple", "en"))
+    val train = s.createDataFrame(l, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType))))
+    val t = new java.util.ArrayList[Row]()
+    t.add(Row(1L, "apfel birne", "de"))
+    t.add(Row(3L, "apple pear neverseen", "en")) // unseen token → smoothed
+    val test = s.createDataFrame(t, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType))))
+    val out = TextAnalysis.naiveBayesClassify(train, test,
+      "text", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "de", 3L -> "en"))
+  }
+
+  test("prototype classifier assigns queries to the nearest label mean") {
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row(100L, Seq(1.0f, 0.0f), 1))
+    l.add(Row(101L, Seq(0.8f, 0.2f), 1))
+    l.add(Row(102L, Seq(0.0f, 1.0f), 2))
+    l.add(Row(103L, Seq(0.2f, 0.8f), 2))
+    l.add(Row(0L, Seq(0.85f, 0.15f), 9)) // near label-1 mean
+    l.add(Row(1L, Seq(0.1f, 0.9f), 9))   // near label-2 mean
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+    val out = Similarity.prototypeClassify(e.filter(col("vec_id") >= 100),
+      e.filter(col("vec_id") < 100), "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 1, 1L -> 2))
+    // prototypes are the truncating integer means of the quantized vectors
+    val protos = Similarity.labelPrototypes(e.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(protos(1) == Seq(900L, 100L)) // (1000+800)/2, (0+200)/2
+    assert(protos(2) == Seq(100L, 900L))
+  }
+
   test("knn classification takes the majority label; vote ties break on smaller label") {
     val l = new java.util.ArrayList[Row]()
     // labeled corpus: 3 of label 1 near +x, 2 of label 2 near +y
