@@ -990,6 +990,32 @@ object SparkEntry {
           .orderBy("query_id")
       }),
 
+    // product quantization ENCODE: 8 subspaces × 16 cells trained by the
+    // deterministic integer k-means (codebooks templated into the oracle
+    // like q53's centroids); each 64-dim vector compresses to 8 codes —
+    // emitted one row per (item, sub) for exact comparison
+    Q("q93_pq_encode", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), cb AS (SELECT CAST(sub_id AS INT) AS sub_id, CAST(cell_id AS INT) AS cell_id, list_transform(cv, x -> CAST(x AS BIGINT)) AS cv FROM (VALUES $PqCodebooksPlaceholder) t(sub_id, cell_id, cv)), d AS (SELECT item_id, sub_id, cell_id, CAST(list_sum(list_transform(range(8), i -> (qv[CAST(sub_id*8 + i + 1 AS INT)] - cv[CAST(i+1 AS INT)]) * (qv[CAST(sub_id*8 + i + 1 AS INT)] - cv[CAST(i+1 AS INT)]))) AS BIGINT) AS dist2 FROM v CROSS JOIN cb), a AS (SELECT item_id, sub_id, cell_id AS code FROM (SELECT *, row_number() OVER (PARTITION BY item_id, sub_id ORDER BY dist2, cell_id) AS rn FROM d) WHERE rn = 1) SELECT item_id, sub_id, code FROM a ORDER BY item_id, sub_id"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Pq.encode(e, "vec_id", "embedding",
+          Pq.trainCodebooks(e, "vec_id", "embedding", 8, 16, 3), 8)
+          .orderBy("item_id", "sub_id")
+      }),
+
+    // product quantization ADC top-k: per-query distance TABLE against the
+    // sub-codebooks, summed over each corpus vector's codes — the
+    // compressed-domain scan (corpus vectors never decompress)
+    Q("q94_pq_adc_topk", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), cb AS (SELECT CAST(sub_id AS INT) AS sub_id, CAST(cell_id AS INT) AS cell_id, list_transform(cv, x -> CAST(x AS BIGINT)) AS cv FROM (VALUES $PqCodebooksPlaceholder) t(sub_id, cell_id, cv)), d AS (SELECT item_id, sub_id, cell_id, CAST(list_sum(list_transform(range(8), i -> (qv[CAST(sub_id*8 + i + 1 AS INT)] - cv[CAST(i+1 AS INT)]) * (qv[CAST(sub_id*8 + i + 1 AS INT)] - cv[CAST(i+1 AS INT)]))) AS BIGINT) AS dist2 FROM v CROSS JOIN cb), a AS (SELECT item_id, sub_id, cell_id AS code FROM (SELECT *, row_number() OVER (PARTITION BY item_id, sub_id ORDER BY dist2, cell_id) AS rn FROM d) WHERE rn = 1), q AS (SELECT vec_id AS query_id, $dQuant AS qq FROM embeddings WHERE vec_id < 10), dt AS (SELECT query_id, sub_id, cell_id, CAST(list_sum(list_transform(range(8), i -> (qq[CAST(sub_id*8 + i + 1 AS INT)] - cv[CAST(i+1 AS INT)]) * (qq[CAST(sub_id*8 + i + 1 AS INT)] - cv[CAST(i+1 AS INT)]))) AS BIGINT) AS dt FROM q CROSS JOIN cb), sc AS (SELECT dt.query_id, a.item_id, CAST(SUM(dt.dt) AS BIGINT) AS adist2 FROM a JOIN dt ON a.sub_id = dt.sub_id AND a.code = dt.cell_id WHERE a.item_id <> dt.query_id GROUP BY 1, 2), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, item_id ASC) AS INT) AS rank FROM sc) SELECT query_id, item_id, adist2, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        val cb = Pq.trainCodebooks(e, "vec_id", "embedding", 8, 16, 3)
+        Pq.adcTopK(Pq.encode(e, "vec_id", "embedding", cb, 8),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", cb, k = 5, 8)
+          .orderBy("query_id", "rank")
+      }),
+
     // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
     // even doc_ids the curated reference; an incoming doc sharing any
     // MinHash band with the reference is flagged (kept = no collision)
@@ -1432,6 +1458,10 @@ object SparkEntry {
     * supply (the trained k-means centroids for q53). */
   val IvfCentroidsPlaceholder = "__IVF_CENTROIDS__"
 
+  /** Same mechanism for the PQ sub-codebooks (q93/q94): rows of
+    * `(sub_id, cell_id, [cv...])`. */
+  val PqCodebooksPlaceholder = "__PQ_CODEBOOKS__"
+
   /**
    * Resolve oracle-SQL placeholders against a concrete sf directory: runs the
    * deterministic integer k-means once and splices the collected centroids in
@@ -1449,10 +1479,21 @@ object SparkEntry {
         s"(${r.getInt(0)}, ${r.getSeq[Long](1).mkString("[", ", ", "]")})"
       }.mkString(", ")
     }
+    lazy val pqValues: String = {
+      val rows = Pq.trainCodebooks(
+          embeddings(tune(spark), sfDir), "vec_id", "embedding", 8, 16, 3)
+        .orderBy("sub_id", "cell_id").collect()
+      rows.map { r =>
+        s"(${r.getInt(0)}, ${r.getInt(1)}, ${r.getSeq[Long](2).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+    }
     oracleSql.map { case (name, sql) =>
-      name -> (if (sql.contains(IvfCentroidsPlaceholder))
-        sql.replace(IvfCentroidsPlaceholder, centroidValues)
-      else sql)
+      var out = sql
+      if (out.contains(IvfCentroidsPlaceholder))
+        out = out.replace(IvfCentroidsPlaceholder, centroidValues)
+      if (out.contains(PqCodebooksPlaceholder))
+        out = out.replace(PqCodebooksPlaceholder, pqValues)
+      name -> out
     }
   }
 }

@@ -164,10 +164,17 @@ object Similarity {
    * set.
    */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    val v = df.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
-      .localCheckpoint()
+      k: Int, iters: Int = 3): DataFrame =
+    kmeansOnQuantized(
+      df.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
+        .localCheckpoint(), k, iters)
+
+  /** [[kmeansCentroids]] over an ALREADY-quantized (item_id, qv) frame —
+    * the entry point PQ subspace training uses on sliced sub-vectors. The
+    * caller stages/checkpoints `v` (it is iterated `iters + 1` times). */
+  private[operators] def kmeansOnQuantized(v: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    val spark = v.sparkSession
     val stats = v.agg(min(col("item_id")).cast(LongType).as("mn"),
       count(lit(1)).as("n")).head()
     val minId = stats.getLong(0)

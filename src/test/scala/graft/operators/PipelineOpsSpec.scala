@@ -853,6 +853,43 @@ class PipelineOpsSpec extends SparkSuite {
     assert(protos(2) == Seq(100L, 900L))
   }
 
+  test("pq: encode snaps to the nearest sub-centroid; ADC ranks the true neighbor first") {
+    val l = new java.util.ArrayList[Row]()
+    // two clear clusters per 2-dim subspace (4 dims, 2 subspaces)
+    l.add(Row(0L, Seq(1.0f, 1.0f, -1.0f, -1.0f)))
+    l.add(Row(1L, Seq(0.9f, 0.9f, -0.9f, -0.9f)))  // near 0
+    l.add(Row(2L, Seq(-1.0f, -1.0f, 1.0f, 1.0f)))  // opposite corner
+    l.add(Row(3L, Seq(-0.9f, -0.9f, 0.9f, 0.9f)))  // near 2
+    val e = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val cb = Pq.trainCodebooks(e, "vec_id", "embedding",
+      numSubspaces = 2, cellsPerSub = 2, iters = 2)
+    assert(cb.count() == 4) // 2 subspaces × 2 cells
+    val codes = Pq.encode(e, "vec_id", "embedding", cb, numSubspaces = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == 8) // one code per (vec, sub)
+    // cluster-mates share codes in every subspace; opposite corners differ
+    (0 until 2).foreach { sub =>
+      assert(codes((0L, sub)) == codes((1L, sub)))
+      assert(codes((2L, sub)) == codes((3L, sub)))
+      assert(codes((0L, sub)) != codes((2L, sub)))
+    }
+    // ADC from query 0: its cluster-mate 1 must rank first
+    val top = Pq.adcTopK(
+      Pq.encode(e, "vec_id", "embedding", cb, numSubspaces = 2),
+      e.filter(col("vec_id") === 0), "vec_id", "embedding", cb,
+      k = 3, numSubspaces = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.head == (1L, 1))
+    // dims not divisible into subspaces → clear error
+    val err = intercept[IllegalArgumentException] {
+      Pq.trainCodebooks(e, "vec_id", "embedding",
+        numSubspaces = 3, cellsPerSub = 2, iters = 1)
+    }
+    assert(err.getMessage.contains("not divisible"))
+  }
+
   test("knn classification takes the majority label; vote ties break on smaller label") {
     val l = new java.util.ArrayList[Row]()
     // labeled corpus: 3 of label 1 near +x, 2 of label 2 near +y
