@@ -142,7 +142,8 @@ object Bench {
       "q84_winnowed_fingerprints", "q85_winnowed_overlap",
       "q86_common_spans", "q87_bm25_topk", "q88_semantic_dedup",
       "q89_collocations", "q90_knn_classify", "q91_naive_bayes",
-      "q92_prototype_classify", "q93_pq_encode", "q94_pq_adc_topk")
+      "q92_prototype_classify", "q93_pq_encode", "q94_pq_adc_topk",
+      "q95_vocab_drift", "q96_bpe_merges")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

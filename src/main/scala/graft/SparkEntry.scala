@@ -1016,6 +1016,25 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       }),
 
+    // corpus drift report: odd doc_ids are the NEW ingest batch, even the
+    // curated reference; per-token integer KL contribution with add-1
+    // smoothing over the joint vocabulary, top 50 over-represented terms
+    Q("q95_vocab_drift", Some(
+      s"""WITH nd AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_new FROM (SELECT unnest($dToks) AS token FROM documents WHERE doc_id % 2 = 1) GROUP BY 1), rd AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_ref FROM (SELECT unnest($dToks) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY 1), j AS (SELECT token, COALESCE(n_new, 0) AS n_new, COALESCE(n_ref, 0) AS n_ref FROM nd FULL OUTER JOIN rd USING (token)), st AS (SELECT CAST(SUM(n_new) AS BIGINT) AS tn, CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(COUNT(*) AS BIGINT) AS v FROM j), x AS (SELECT token, n_new, n_ref, (((n_new+1)*(tr+v)) << 20) // ((n_ref+1)*(tn+v)) AS r FROM j CROSS JOIN st), d AS (SELECT token, n_new, n_ref, (n_new+1)*(${dQlog2("r")} - 20480) AS drift_q FROM x) SELECT token, n_new, n_ref, drift_q FROM d ORDER BY drift_q DESC, token LIMIT 50"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        TextAnalysis.vocabDrift(d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0), "text", topK = 50)
+      }),
+
+    // BPE merge candidates: the first byte-pair-encoding training
+    // iteration — within-token adjacent character pairs weighted by token
+    // frequency, over the (token, tf) vocabulary (not the raw corpus)
+    Q("q96_bpe_merges", Some(
+      s"""WITH vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT unnest($dToks) AS token FROM documents) GROUP BY 1), ch AS (SELECT tf, string_split(token, '') AS cs FROM vocab WHERE len(token) >= 2), pos AS (SELECT tf, cs, unnest(range(len(cs) - 1)) AS i FROM ch), pr AS (SELECT cs[CAST(i+1 AS INT)] AS sym_a, cs[CAST(i+2 AS INT)] AS sym_b, tf FROM pos) SELECT sym_a, sym_b, CAST(SUM(tf) AS BIGINT) AS n FROM pr GROUP BY 1, 2 ORDER BY n DESC, sym_a, sym_b LIMIT 100"""),
+      (s, dir) => TextAnalysis.bpeMergeCandidates(docs(tune(s), dir),
+        "text", topK = 100)),
+
     // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
     // even doc_ids the curated reference; an incoming doc sharing any
     // MinHash band with the reference is flagged (kept = no collision)

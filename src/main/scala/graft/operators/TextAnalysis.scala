@@ -516,6 +516,71 @@ object TextAnalysis {
       .select(col("doc_id"), col("label").as("pred_label"), col("score_q"))
   }
 
+  /**
+   * Corpus drift report: the top-k tokens by their contribution to the
+   * (add-1-smoothed) KL divergence of the NEW corpus's unigram
+   * distribution from the REFERENCE corpus's — the monitoring pass a
+   * pipeline runs per ingest batch to catch topical/source drift before it
+   * poisons a training mix. Per-token contribution, integer fixed-point:
+   * `(n_new+1) · (qlog2(ratio) − 20480)` where `ratio` carries
+   * `p_new/p_ref = (n_new+1)(T_ref+V) / ((n_ref+1)(T_new+V))` at 2^20
+   * fixed point (V = joint vocabulary, so both smoothed distributions
+   * share support). Positive = over-represented in the new corpus.
+   *
+   * Shape: two partial-agg token counts + a full outer join keyed on
+   * token (vocabulary-sized), three collected scalars (totals + V);
+   * top-k is a TakeOrdered.
+   */
+  def vocabDrift(newDocs: org.apache.spark.sql.DataFrame,
+      refDocs: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    def counts(d: org.apache.spark.sql.DataFrame, as: String) =
+      d.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val j = Staging.stage(
+      counts(newDocs, "n_new").join(counts(refDocs, "n_ref"),
+        Seq("token"), "full_outer")
+        .select(col("token"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref")))
+    val st = j.agg(sum(col("n_new")).as("tn"), sum(col("n_ref")).as("tr"),
+      count(lit(1)).as("v")).head()
+    val (tNew, tRef, v) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val ratio = IntMath.idiv(
+      shiftleft((col("n_new") + 1L) * (tRef + v), 20),
+      (col("n_ref") + 1L) * (tNew + v))
+    j.select(col("token"), col("n_new"), col("n_ref"),
+        ((col("n_new") + 1L) * (Retrieval.qlog2(ratio) - 20480L)).as("drift_q"))
+      .orderBy(col("drift_q").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /**
+   * BPE merge candidates — the first iteration of byte-pair-encoding
+   * training: adjacent symbol (character) pairs inside tokens, weighted by
+   * token frequency, ranked by total count. (A full BPE trainer repeats
+   * this over merged symbol sequences; the heavy lifting — the weighted
+   * pair count over a corpus-scale word-frequency table — is exactly this
+   * shape each round.) Deterministic order: count desc, then the pair.
+   *
+   * Shape: tokens partial-agg to a (token, tf) vocabulary FIRST (the
+   * corpus-size → vocabulary-size reduction every BPE trainer exploits),
+   * then the per-token char-pair explode runs over vocabulary rows only.
+   */
+  def bpeMergeCandidates(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    val vocab = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val chars = split(col("token"), "")
+    vocab.filter(length(col("token")) >= 2)
+      .select(col("tf"), explode(arrays_zip(
+        slice(chars, lit(1), size(chars) - 1).as("a"),
+        slice(chars, lit(2), size(chars) - 1).as("b"))).as("pair"))
+      .groupBy(col("pair.a").as("sym_a"), col("pair.b").as("sym_b"))
+      .agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("sym_a").asc, col("sym_b").asc)
+      .limit(topK)
+  }
+
   def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minCount: Long = 5L, topK: Int = 100)
       : org.apache.spark.sql.DataFrame = {

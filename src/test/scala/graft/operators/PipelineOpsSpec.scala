@@ -853,6 +853,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(protos(2) == Seq(100L, 900L))
   }
 
+  test("vocab drift surfaces the token over-represented in the new corpus") {
+    val ref = docs((0L, "stable common words stable common"),
+      (2L, "stable common words here"))
+    val newC = docs((1L, "drifty drifty drifty stable common"),
+      (3L, "drifty drifty words common"))
+    val out = TextAnalysis.vocabDrift(newC, ref, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head._1 == "drifty")
+    assert(out.head._2 == 5L && out.head._3 == 0L) // exact counts
+    // a token only in the reference drifts negative
+    val stable = out.find(_._1 == "stable").get
+    assert(stable._4 < out.head._4)
+    assert(out.map(_._4).sliding(2).forall(s => s.head >= s.last))
+  }
+
+  test("bpe merge candidates count within-token pairs weighted by tf") {
+    val d = docs((1L, "aaab aaab aaab"), (2L, "xy aaab"))
+    val out = TextAnalysis.bpeMergeCandidates(d, "text", topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out(("a", "a")) == 8L) // 'aaab' tf=4, two 'aa' pairs each
+    assert(out(("a", "b")) == 4L)
+    assert(out(("x", "y")) == 1L)
+  }
+
   test("pq: encode snaps to the nearest sub-centroid; ADC ranks the true neighbor first") {
     val l = new java.util.ArrayList[Row]()
     // two clear clusters per 2-dim subspace (4 dims, 2 subspaces)
