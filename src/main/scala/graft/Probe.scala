@@ -346,6 +346,58 @@ object Probe {
       require(moved == 49999L + 31L - 1L, s"wrong cluster sizes: $moved moved")
       moved
     }
+
+    // ---- round-8 operators at 100k docs: the retrieval/classifier/report
+    // family must stay keyed-window-only and roughly linear in the corpus
+    {
+      import graft.operators.{Retrieval, TextAnalysis}
+      val bm25 = Retrieval.bm25TopK(big, "text", "doc_id",
+        Seq(0 -> Seq("spark", "hash", "merge"),
+          1 -> Seq("window", "sort", "batch")), k = 10)
+      assertKeyedWindows(bm25, "bm25TopK")
+      timed("bm25 retrieval (2 queries @100k docs)")(bm25.count())
+      timed("collocations (@100k docs)")(
+        TextAnalysis.collocations(big, "text", "doc_id").count())
+      timed("naive bayes train+classify (50k/50k split @100k docs)") {
+        val train = big.filter(col("doc_id") % 2 === 0)
+          .withColumn("lang", TextAnalysis.langId(col("text")))
+        val nb = TextAnalysis.naiveBayesClassify(train,
+          big.filter(col("doc_id") % 2 === 1), "text", "doc_id", "lang")
+        assertKeyedWindows(nb, "naiveBayesClassify")
+        nb.count()
+      }
+      timed("vocab drift (50k vs 50k docs)")(
+        TextAnalysis.vocabDrift(big.filter(col("doc_id") % 2 === 1),
+          big.filter(col("doc_id") % 2 === 0), "text").count())
+      timed("bpe merge candidates (@100k docs)")(
+        TextAnalysis.bpeMergeCandidates(big, "text").count())
+    }
+
+    // ---- embedding family at 10× (sf0.1 → 50k vectors with distinct ids):
+    // PQ encode is map-only, semantic dedup's pair scan is bounded by
+    // cluster occupancy (more cells at bigger corpora — here 32)
+    {
+      import graft.operators.{Dedup, Pq, Similarity}
+      val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val bigE = (0 until 10).map(i =>
+        e0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _).cache()
+      println(s"embeddings: ${bigE.count()} vectors")
+      val cb = Pq.trainCodebooks(bigE, "vec_id", "embedding", 8, 16, 3)
+      timed("pq encode (@10x embeddings)")(
+        Pq.encode(bigE, "vec_id", "embedding", cb, 8).count())
+      timed("semantic dedup (32 cells @10x embeddings)") {
+        val out = Dedup.semanticDedup(bigE, "vec_id", "embedding",
+          nCells = 32, iters = 2)
+        out.count()
+      }
+      timed("prototype classify (@10x embeddings)")(
+        Similarity.prototypeClassify(bigE.filter(col("vec_id") % 7 =!= 0L),
+          bigE.filter(col("vec_id") % 7 === 0L),
+          "vec_id", "embedding", "label").count())
+      bigE.unpersist()
+    }
     spark.stop()
   }
 }

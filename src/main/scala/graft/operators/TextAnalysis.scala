@@ -482,10 +482,14 @@ object TextAnalysis {
       test: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       labelCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tTok = Staging.stage(train.select(col(labelCol).as("label"),
-      explode(tokens(col(textCol))).as("token")))
-    val cnt = tTok.groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
+    // stage the AGGREGATED (label, token, cnt) table — vocabulary × classes
+    // rows — not the exploded token frame: the train explode runs once and
+    // every consumer (totals, vocab size, contribution table) reads the
+    // tiny aggregate
+    val cnt = Staging.stage(train.select(col(labelCol).as("label"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt")))
     val tot = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
     val vocabSize = cnt.select(col("token")).distinct().count()
     val priors = train.groupBy(col(labelCol).as("label"))
@@ -496,15 +500,26 @@ object TextAnalysis {
         (Retrieval.qlog2(IntMath.idiv(shiftleft(col("n_docs"), 30),
           lit(nTrain))) - 30L * 1024L).as("prior_q")))
 
+    // contributions are a function of (token, label) ONLY — evaluate the
+    // qlog2 once per (vocab × label) row plus one unseen-token default per
+    // label, and make the corpus side a broadcast-join lookup (the naive
+    // per-test-row qlog2 costs a bin()-string per row × classes — measured
+    // 2-3× slower at 100k docs)
+    val contribTable = broadcast(cnt.join(classes, "label")
+      .select(col("token"), col("label"),
+        (Retrieval.qlog2(IntMath.idiv(shiftleft(col("cnt") + 1L, 30),
+          col("tot") + vocabSize)) - 30L * 1024L).as("c_tl")))
+    val defaults = broadcast(classes.select(col("label"), col("prior_q"),
+      (Retrieval.qlog2(IntMath.idiv(shiftleft(lit(1L), 30),
+        col("tot") + vocabSize)) - 30L * 1024L).as("c0")))
+
     val tf = test.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val contrib = tf.join(classes)
-      .join(cnt, Seq("token", "label"), "left")
+    val contrib = tf.join(defaults)
+      .join(contribTable, Seq("token", "label"), "left")
       .select(col("doc_id"), col("label"), col("prior_q"),
-        (col("tf") * (Retrieval.qlog2(IntMath.idiv(
-          shiftleft(coalesce(col("cnt"), lit(0L)) + 1L, 30),
-          col("tot") + vocabSize)) - 30L * 1024L)).as("c"))
+        (col("tf") * coalesce(col("c_tl"), col("c0"))).as("c"))
     val scored = contrib.groupBy(col("doc_id"), col("label"), col("prior_q"))
       .agg(sum(col("c")).as("lik"))
       .select(col("doc_id"), col("label"),
