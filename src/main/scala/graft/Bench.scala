@@ -273,6 +273,18 @@ object Bench {
           (() => force(SparkEntry.queries("q80_distinctive_terms")(spark, sf1Dir))),
         "q84_winnowed_fingerprints" ->
           (() => force(SparkEntry.queries("q84_winnowed_fingerprints")(spark, sf1Dir))),
+        // SemDeDup's scale contract is k ∝ corpus (fixed occupancy) — the
+        // oracle query pins k=8 for templating, so the 10× probe runs the
+        // OPERATOR at k=32 (the honest usage at 10× the vectors; a fixed-k
+        // probe would just measure the known quadratic of over-full cells)
+        "q88_semantic_dedup_k32" -> (() => force(
+          graft.operators.Dedup.semanticDedup(
+            spark.read.parquet(s"$sf1Dir/embeddings.parquet"),
+            "vec_id", "embedding", nCells = 32, iters = 3))),
+        "q93_pq_encode" ->
+          (() => force(SparkEntry.queries("q93_pq_encode")(spark, sf1Dir))),
+        "q94_pq_adc_topk" ->
+          (() => force(SparkEntry.queries("q94_pq_adc_topk")(spark, sf1Dir))),
         "sink_dedup_batch" -> (() => sinkDedupBatchOnce(sf1Dir)))
       probes.foreach { case (name, fn) =>
         // two runs, min headline: JIT is warm from the sf0.1 pass; the check

@@ -28,13 +28,22 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x * 1000d).cast(LongType))
 
-  /** Integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Integer dot product of two quantized vectors — a codegen'd native
+    * expression ([[graft.functions.LongArrayDotExpr]]); the composable
+    * higher-order form evaluates interpreted per element and was the
+    * measured hot-path cost of every pair scan. */
+  def dotQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.LongArrayDotExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
-  /** Squared L2 norm of a quantized vector (for cosine post-filtering). */
-  def norm2Q(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+  /** Squared L2 norm of a quantized vector (codegen'd, see [[dotQ]]). */
+  def norm2Q(a: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.LongArrayNorm2Expr(
+      GraftBridge.expression(a)))
+  }
 
   /** Double-precision cosine similarity (non-oracle path; FP). */
   def cosine(a: Column, b: Column): Column = {
@@ -154,14 +163,15 @@ object Similarity {
    *
    * Returns (cell_id, cv array<long>, cn2) ready for [[assignCells]].
    *
-   * Seed selection is a deterministic id-stride FILTER (map-only at any
-   * corpus size): seeds are the rows whose id sits on a stride boundary of
-   * the [minId, minId+n) range — for dense ids this is exactly the evenly
-   * strided pick, with no global window sort anywhere (a rank-by-id window
-   * with no partition moves the whole corpus to one partition — the round-2
-   * scale-killer this replaces). Sparse id spaces still get a deterministic
-   * (if uneven) pick; cell ids are densified from the tiny collected seed
-   * set.
+   * Seed selection is a deterministic HASH-BUCKET MIN (one partial-agg
+   * groupBy at any corpus size, identical under any partitioning): each row
+   * hashes to one of k buckets by the high bits of the Knuth multiplicative
+   * hash of its id, and the minimum-id row per bucket seeds that cell. This
+   * gives ≤ k well-spread seeds for ANY id distribution — the id-STRIDE
+   * filter it replaces assumed dense ids and collapsed to a handful of
+   * seeds on sparse/segmented id spaces (the sf1 probe's replica-shifted
+   * ids got 4 cells out of 32, leaving cells 8× over-full). Cell ids are
+   * densified from the tiny collected seed set in ascending id order.
    */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame =
@@ -175,20 +185,8 @@ object Similarity {
   private[operators] def kmeansOnQuantized(v: DataFrame,
       k: Int, iters: Int): DataFrame = {
     val spark = v.sparkSession
-    val stats = v.agg(min(col("item_id")).cast(LongType).as("mn"),
-      count(lit(1)).as("n")).head()
-    val minId = stats.getLong(0)
-    val n = stats.getLong(1)
-    val stride = math.max(1L, n / k)
-    // ≤ k strided candidates — tiny by construction, so collecting them (like
-    // the per-iteration centroids below) is k·dims longs, not a data motion
-    val seedRows = v
-      .filter((col("item_id") - minId) % stride === 0 &&
-        col("item_id") < minId + k.toLong * stride)
-      .orderBy(col("item_id"))
-      .collect()
     val seedList = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    seedRows.zipWithIndex.foreach { case (r, i) =>
+    seedRows(v, k).zipWithIndex.foreach { case (r, i) =>
       seedList.add(org.apache.spark.sql.Row(i, r.getSeq[Long](1)))
     }
     var cents = spark.createDataFrame(seedList,
@@ -217,6 +215,23 @@ object Similarity {
 
   private def withNorm(cents: DataFrame): DataFrame =
     cents.select(col("cell_id"), col("cv"), norm2Q(col("cv")).as("cn2"))
+
+  /** Deterministic ≤ k seed rows (item_id, qv) for k-means: min-id row per
+    * hash bucket, bucket = high bits of the Knuth hash of the id (one
+    * partial-agg groupBy; identical on any partitioning; robust to sparse
+    * or segmented id spaces). Sorted by item_id for stable cell numbering.
+    * Buckets with no rows simply contribute no seed (≤ k cells). */
+  private[operators] def seedRows(v: DataFrame, k: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val p = 2147483647L
+    val h = (pmod(col("item_id"), lit(p)) * 2654435761L) % p
+    v.withColumn("__bucket", IntMath.idiv(h * k, lit(p)))
+      .groupBy(col("__bucket"))
+      .agg(min_by(struct(col("item_id"), col("qv")), col("item_id")).as("s"))
+      .select(col("s.item_id").as("item_id"), col("s.qv").as("qv"))
+      .orderBy(col("item_id"))
+      .collect()
+  }
 
   /** Nearest-cell assignment by exact integer squared-L2
     * (‖a−c‖² = ‖a‖² + ‖c‖² − 2a·c); centroids broadcast → map-only at any
