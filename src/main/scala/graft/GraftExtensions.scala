@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{StringFoldHashExpr, TimeUuidExpression}
+import graft.functions.{LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr, TimeUuidExpression}
 
 /**
  * SparkSessionExtensions hook: registers graft's custom expressions as SQL
@@ -11,6 +11,8 @@ import graft.functions.{StringFoldHashExpr, TimeUuidExpression}
  *
  *   now_timeuuid()        fresh RFC-4122 v1 TIMEUUID per row per call
  *   graft_fold_hash(s)    the engine's portable string hash
+ *   graft_qdot(a, b)      codegen'd int64 dot product over array<long>
+ *   graft_qnorm2(a)       codegen'd int64 squared norm over array<long>
  *
  * Wire up with:
  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
@@ -28,5 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[StringFoldHashExpr].getName, "graft_fold_hash"),
       (args: Seq[Expression]) => StringFoldHashExpr(args.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qdot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LongArrayDotExpr].getName, "graft_qdot"),
+      (args: Seq[Expression]) => LongArrayDotExpr(args.head, args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qnorm2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LongArrayNorm2Expr].getName, "graft_qnorm2"),
+      (args: Seq[Expression]) => LongArrayNorm2Expr(args.head)))
   }
 }

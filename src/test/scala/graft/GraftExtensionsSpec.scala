@@ -23,6 +23,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT now_timeuuid() AS u, graft_fold_hash('abc') AS h").collect().head
       assert(java.util.UUID.fromString(r.getString(0)).version() == 1)
       assert(r.getLong(1) == 96354L) // (('a'*31+'b')*31+'c') mod p
+      val q = spark.sql(
+        "SELECT graft_qdot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
+          "graft_qnorm2(array(3L, 4L)) AS n").collect().head
+      assert(q.getLong(0) == 32L && q.getLong(1) == 25L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
