@@ -1027,6 +1027,35 @@ object SparkEntry {
           d.filter(col("doc_id") % 2 === 0), "text", topK = 50)
       }),
 
+    // classifier evaluation: confusion matrix of the q91 Naive Bayes sweep
+    // against the true lang labels — train on even doc_ids, classify odd,
+    // count (true, predicted) pairs
+    Q("q97_confusion_matrix", Some(
+      s"""WITH tr AS (SELECT doc_id, lang AS label, $dToks AS tk FROM documents WHERE doc_id % 2 = 0), te AS (SELECT doc_id, $dToks AS tk FROM documents WHERE doc_id % 2 = 1), cnt AS (SELECT label, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT label, unnest(tk) AS token FROM tr) GROUP BY 1, 2), tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1), vs AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM cnt), pri AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tr GROUP BY 1), ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr), cls AS (SELECT tot.label, tot.tot, ${dQlog2("px")} - 30720 AS prior_q FROM (SELECT tot.label, tot.tot, (pri.n_docs << 30) // ntr.n AS px FROM tot JOIN pri USING (label) CROSS JOIN ntr) tot), tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(tk) AS token FROM te) GROUP BY 1, 2), ct AS (SELECT doc_id, label, prior_q, tf * (${dQlog2("cx")} - 30720) AS c FROM (SELECT tf.doc_id, cls.label, cls.prior_q, tf.tf, ((COALESCE(cnt.cnt, 0) + 1) << 30) // (cls.tot + vs.v) AS cx FROM tf CROSS JOIN cls CROSS JOIN vs LEFT JOIN cnt ON cnt.token = tf.token AND cnt.label = cls.label)), sc AS (SELECT doc_id, label, prior_q + CAST(SUM(c) AS BIGINT) AS score_q FROM ct GROUP BY 1, 2, prior_q), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label ASC) AS rn FROM sc), cm AS (SELECT d.lang AS true_label, r.label AS pred_label FROM r JOIN documents d ON r.doc_id = d.doc_id WHERE r.rn = 1) SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n FROM cm GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val test = d.filter(col("doc_id") % 2 === 1)
+        val pred = TextAnalysis.naiveBayesClassify(
+          d.filter(col("doc_id") % 2 === 0), test, "text", "doc_id", "lang")
+        TextAnalysis.confusionMatrix(pred, test, "doc_id",
+          "pred_label", "lang").orderBy("true_label", "pred_label")
+      }),
+
+    // ANN quality as a first-class operator: recall@5 of the trained
+    // multi-probe IVF (q59's exact configuration) against brute-force
+    // ground truth (q33's), per query — integer recall_pct
+    Q("q98_ann_recall", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv, CAST(list_sum(list_transform($dQuant, x -> x*x)) AS BIGINT) AS n2 FROM embeddings), c AS (SELECT CAST(cell_id AS INT) AS cell_id, list_transform(cv, x -> CAST(x AS BIGINT)) AS cv, CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS cn2 FROM (VALUES $IvfCentroidsPlaceholder) t(cell_id, cv)), d AS (SELECT item_id, cell_id, n2 + cn2 - 2*CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*cv[CAST(i+1 AS INT)])) AS BIGINT) AS dist2 FROM v CROSS JOIN c), a AS (SELECT item_id, cell_id FROM (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY dist2, cell_id) AS rn FROM d) WHERE rn = 1), q AS (SELECT item_id AS query_id FROM v WHERE item_id < 10), p AS (SELECT query_id, cell_id FROM (SELECT q.query_id, d.cell_id, row_number() OVER (PARTITION BY q.query_id ORDER BY d.dist2, d.cell_id) AS pr FROM q JOIN d ON q.query_id = d.item_id) WHERE pr <= 2), cand AS (SELECT DISTINCT p.query_id, a.item_id FROM p JOIN a USING (cell_id) WHERE a.item_id <> p.query_id), asc0 AS (SELECT cand.query_id, cand.item_id, CAST(list_sum(list_transform(range(len(cv2.qv)), i -> cv2.qv[CAST(i+1 AS INT)]*qv2.qv[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM cand JOIN v cv2 ON cand.item_id = cv2.item_id JOIN v qv2 ON cand.query_id = qv2.item_id), ap AS (SELECT query_id, item_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM asc0) WHERE rank <= 5), exsc AS (SELECT q.query_id, v.item_id, CAST(list_sum(list_transform(range(len(v.qv)), i -> v.qv[CAST(i+1 AS INT)]*qv3.qv[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM v CROSS JOIN q JOIN v qv3 ON q.query_id = qv3.item_id WHERE v.item_id <> q.query_id), ex AS (SELECT query_id, item_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM exsc) WHERE rank <= 5), hits AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM ex JOIN ap USING (query_id, item_id) GROUP BY 1), qs AS (SELECT DISTINCT query_id FROM ex) SELECT qs.query_id, COALESCE(h.n_hits, 0) AS n_hits, (COALESCE(h.n_hits, 0) * 100) // 5 AS recall_pct FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id ORDER BY qs.query_id"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        val qs = e.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+          Similarity.ivfTopKTrained(e, qs, "vec_id", "embedding",
+            k = 5, nCells = 8, nProbe = 2, iters = 3),
+          Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5), 5)
+          .orderBy("query_id")
+      }),
+
     // BPE merge candidates: the first byte-pair-encoding training
     // iteration — within-token adjacent character pairs weighted by token
     // frequency, over the (token, tf) vocabulary (not the raw corpus)

@@ -388,6 +388,32 @@ object Similarity {
   }
 
   /**
+   * Recall@k of an approximate neighbor result against exact ground truth
+   * — ANN quality measurement as a first-class operator (the dial every
+   * IVF/LSH deployment tunes against; until now this lived only in the
+   * Probe harness). Both inputs are (query_id, item_id, ...) top-k frames,
+   * e.g. [[ivfTopKTrained]] vs [[bruteForceTopK]]. The join keys on
+   * (query, item) — k·|queries| rows a side, trivially small relative to
+   * the searches that produced them.
+   *
+   * Output: (query_id, n_hits, recall_pct) with `recall_pct` the integer
+   * `100·hits DIV k` — every query appears (zero-hit queries included via
+   * the truth side).
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("item_id"))
+      .join(approx.select(col("query_id"), col("item_id")), Seq("query_id", "item_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        IntMath.idiv(coalesce(col("n_hits"), lit(0L)) * 100L, lit(k.toLong))
+          .as("recall_pct"))
+  }
+
+  /**
    * Candidate pairs sharing any (table, bucket), a < b, distinct across
    * tables. `maxBucketSize` is the hard fan-out bound: buckets larger than
    * the cap are skipped entirely (a bucket holding k docs would emit k²/2

@@ -596,6 +596,24 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /**
+   * Confusion matrix for a classifier sweep: predicted vs true label
+   * counts — the evaluation report that closes the train → classify →
+   * evaluate loop (e.g. [[naiveBayesClassify]] predictions against the
+   * labeled column). One inner join on the id + one partial-agg groupBy;
+   * output is |labels|² rows at most.
+   *
+   * Output: (true_label, pred_label, n) — diagonal = correct.
+   */
+  def confusionMatrix(pred: org.apache.spark.sql.DataFrame,
+      truth: org.apache.spark.sql.DataFrame, idCol: String,
+      predCol: String, truthCol: String): org.apache.spark.sql.DataFrame =
+    truth.select(col(idCol).as("__id"), col(truthCol).as("true_label"))
+      .join(pred.select(col(idCol).as("__id"), col(predCol).as("pred_label")),
+        "__id")
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+
   def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minCount: Long = 5L, topK: Int = 100)
       : org.apache.spark.sql.DataFrame = {

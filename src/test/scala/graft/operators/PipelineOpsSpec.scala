@@ -877,6 +877,35 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(("x", "y")) == 1L)
   }
 
+  test("confusion matrix counts (true, predicted) pairs; diagonal = correct") {
+    val l = new java.util.ArrayList[Row]()
+    l.add(Row(1L, "en")); l.add(Row(2L, "en")); l.add(Row(3L, "de"))
+    val truth = s.createDataFrame(l, StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType))))
+    val p = new java.util.ArrayList[Row]()
+    p.add(Row(1L, "en")); p.add(Row(2L, "de")); p.add(Row(3L, "de"))
+    val pred = s.createDataFrame(p, StructType(Seq(
+      StructField("doc_id", LongType), StructField("pred_label", StringType))))
+    val out = TextAnalysis.confusionMatrix(pred, truth, "doc_id",
+      "pred_label", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("en", "en") -> 1L, ("en", "de") -> 1L, ("de", "de") -> 1L))
+  }
+
+  test("recall@k: hits counted per query, zero-hit queries still appear") {
+    def tk(rows: (Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (q, i) => l.add(Row(q, i)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("query_id", LongType), StructField("item_id", LongType))))
+    }
+    val exact = tk((0L, 10L), (0L, 11L), (1L, 20L), (1L, 21L))
+    val approx = tk((0L, 10L), (0L, 99L), (1L, 98L), (1L, 97L))
+    val out = Similarity.recallAtK(approx, exact, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 1L, 50L), (1L, 0L, 0L)))
+  }
+
   test("pq: encode snaps to the nearest sub-centroid; ADC ranks the true neighbor first") {
     val l = new java.util.ArrayList[Row]()
     // two clear clusters per 2-dim subspace (4 dims, 2 subspaces)
