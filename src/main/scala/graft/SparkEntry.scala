@@ -1064,6 +1064,19 @@ object SparkEntry {
       (s, dir) => TextAnalysis.bpeMergeCandidates(docs(tune(s), dir),
         "text", topK = 100)),
 
+    // bigram-LM perplexity scorer (CCNet recipe): train an add-1-smoothed
+    // bigram model on the trusted half (even doc_ids), score the other
+    // half's docs with total + per-bigram-average negative
+    // log2-likelihood, integer qlog2 fixed point
+    Q("q99_bigram_lm", Some(
+      s"""WITH tr AS (SELECT doc_id, $dToks AS tk FROM documents WHERE doc_id % 2 = 0), te AS (SELECT doc_id, $dToks AS tk FROM documents WHERE doc_id % 2 = 1), trb AS (SELECT unnest(list_transform(range(len(tk)-1), i -> [tk[CAST(i+1 AS INT)], tk[CAST(i+2 AS INT)]])) AS bg FROM tr WHERE len(tk) >= 2), c2 AS (SELECT bg[1] AS a, bg[2] AS b, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM trb GROUP BY 1, 2), cx AS (SELECT a, CAST(SUM(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1), vs AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM (SELECT unnest(tk) AS token FROM tr)), teb AS (SELECT doc_id, unnest(list_transform(range(len(tk)-1), i -> [tk[CAST(i+1 AS INT)], tk[CAST(i+2 AS INT)]])) AS bg FROM te WHERE len(tk) >= 2), tb AS (SELECT doc_id, bg[1] AS a, bg[2] AS b, CAST(COUNT(*) AS BIGINT) AS n FROM teb GROUP BY 1, 2, 3), x AS (SELECT doc_id, n, ((COALESCE(cnt2, 0)+1) << 30) // (COALESCE(cnt1, 0) + vs.v) AS px FROM tb LEFT JOIN c2 USING (a, b) LEFT JOIN cx USING (a) CROSS JOIN vs), sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, CAST(-SUM(n*(${dQlog2("px")} - 30720)) AS BIGINT) AS nll_q FROM x GROUP BY 1) SELECT te.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, COALESCE(sc.nll_q, 0) AS nll_q, COALESCE(sc.nll_q // sc.n_bigrams, 0) AS nll_q_avg FROM te LEFT JOIN sc ON te.doc_id = sc.doc_id ORDER BY te.doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        TextAnalysis.bigramLmScore(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id").orderBy("doc_id")
+      }),
+
     // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
     // even doc_ids the curated reference; an incoming doc sharing any
     // MinHash band with the reference is flagged (kept = no collision)

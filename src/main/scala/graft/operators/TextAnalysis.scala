@@ -614,6 +614,65 @@ object TextAnalysis {
       .groupBy(col("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
 
+  /**
+   * Bigram language-model scorer — the perplexity-style quality filter a
+   * training-data pipeline runs over every candidate document (the CCNet
+   * recipe: score text under a model trained on a trusted corpus; high
+   * negative log-likelihood = out-of-domain or garbled). Trains an
+   * add-1-smoothed bigram model on `train` and scores each `test` doc
+   * with its total and per-bigram-average negative log2-likelihood, in
+   * qlog2 fixed point (1024 units/bit) so the DuckDB oracle reproduces
+   * it bit-for-bit: `P(b|a) = (cnt(a,b)+1) / (ctx(a)+V)` with `ctx(a)` =
+   * occurrences of `a` as a bigram context in training and V the
+   * training unigram vocabulary; unseen bigrams/contexts flow through
+   * the same formula with zero counts.
+   *
+   * Shape: the train explode partial-aggs to an (a, b, cnt) bigram table
+   * once (vocabulary²-observed scale, not corpus scale); scoring is the
+   * test doc's aggregated bigrams through two equi-joins — keyed on
+   * (a, b) then (a) — no window, no collect beyond the single V scalar.
+   * Docs with <2 tokens emit (0, 0, 0) rather than vanishing.
+   *
+   * Output: (doc_id, n_bigrams, nll_q, nll_q_avg) — `nll_q` the total
+   * negative log2-likelihood ×1024, `nll_q_avg` its truncating
+   * per-bigram mean.
+   */
+  def bigramLmScore(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame, textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    def bigrams(d: org.apache.spark.sql.DataFrame) =
+      d.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))).as("pair"))
+        .select(col("doc_id"), col("pair.a").as("a"), col("pair.b").as("b"))
+    val cnt2 = Staging.stage(bigrams(train)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt2")))
+    val ctx = cnt2.groupBy(col("a")).agg(sum(col("cnt2")).as("cnt1"))
+    val vocabSize = train.select(explode(tokens(col(textCol))).as("token"))
+      .distinct().count()
+    val tb = bigrams(test)
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val lp = tb.join(cnt2, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .select(col("doc_id"), col("n"),
+        (Retrieval.qlog2(IntMath.idiv(
+          shiftleft(coalesce(col("cnt2"), lit(0L)) + 1L, 30),
+          coalesce(col("cnt1"), lit(0L)) + vocabSize)) - 30L * 1024L)
+          .as("lp_q"))
+    val sc = lp.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        (-sum(col("n") * col("lp_q"))).as("nll_q"))
+    test.select(col(idCol).as("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_q"), lit(0L)).as("nll_q"),
+        coalesce(IntMath.idiv(col("nll_q"), col("n_bigrams")), lit(0L))
+          .as("nll_q_avg"))
+  }
+
   def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minCount: Long = 5L, topK: Int = 100)
       : org.apache.spark.sql.DataFrame = {

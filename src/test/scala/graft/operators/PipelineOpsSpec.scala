@@ -906,6 +906,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq((0L, 1L, 50L), (1L, 0L, 0L)))
   }
 
+  test("bigram LM: hand-computed qlog2 NLL; short docs emit zeros") {
+    def mk(rows: (Long, String)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (id, t) => l.add(Row(id, t)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    }
+    // train "a b a b": V=2, cnt2 (a,b)=2 (b,a)=1, ctx a=2 b=1
+    // test "a b c": (a,b) px=(3<<30)//4 -> lp_q=-512; (b,c) px=(1<<30)//3
+    // -> lp_q=-1707; nll_q=2219, avg=1109. test "z": no bigrams -> zeros
+    val out = TextAnalysis.bigramLmScore(
+      mk((0L, "a b a b")), mk((1L, "a b c"), (3L, "z")), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((2L, 2219L, 1109L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
   test("pq: encode snaps to the nearest sub-centroid; ADC ranks the true neighbor first") {
     val l = new java.util.ArrayList[Row]()
     // two clear clusters per 2-dim subspace (4 dims, 2 subspaces)
