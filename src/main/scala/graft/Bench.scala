@@ -143,7 +143,8 @@ object Bench {
       "q86_common_spans", "q87_bm25_topk", "q88_semantic_dedup",
       "q89_collocations", "q90_knn_classify", "q91_naive_bayes",
       "q92_prototype_classify", "q93_pq_encode", "q94_pq_adc_topk",
-      "q95_vocab_drift", "q96_bpe_merges")
+      "q95_vocab_drift", "q96_bpe_merges", "q97_confusion_matrix",
+      "q98_ann_recall", "q99_bigram_lm")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -371,6 +371,12 @@ object Probe {
           big.filter(col("doc_id") % 2 === 0), "text").count())
       timed("bpe merge candidates (@100k docs)")(
         TextAnalysis.bpeMergeCandidates(big, "text").count())
+      timed("bigram LM train+score (50k/50k split @100k docs)") {
+        val lm = TextAnalysis.bigramLmScore(big.filter(col("doc_id") % 2 === 0),
+          big.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+        assertKeyedWindows(lm, "bigramLmScore")
+        lm.count()
+      }
     }
 
     // ---- embedding family at 10× (sf0.1 → 50k vectors with distinct ids):
