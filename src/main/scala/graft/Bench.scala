@@ -144,7 +144,8 @@ object Bench {
       "q89_collocations", "q90_knn_classify", "q91_naive_bayes",
       "q92_prototype_classify", "q93_pq_encode", "q94_pq_adc_topk",
       "q95_vocab_drift", "q96_bpe_merges", "q97_confusion_matrix",
-      "q98_ann_recall", "q99_bigram_lm")
+      "q98_ann_recall", "q99_bigram_lm", "q100_bpe_encode",
+      "q101_key_skew", "q102_snapshot_diff")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

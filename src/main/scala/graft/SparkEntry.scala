@@ -1077,6 +1077,42 @@ object SparkEntry {
           "text", "doc_id").orderBy("doc_id")
       }),
 
+    // BPE tokenizer APPLICATION: the top-24 first-iteration merges (q96's
+    // candidates, collected bounded like the q53 centroids) applied as an
+    // ordered replace chain over the (token, tf) vocabulary; per-doc
+    // token/piece counts via one vocabulary-keyed join. The oracle folds
+    // the SAME data-dependent merge list with list_reduce — no templating.
+    Q("q100_bpe_encode", Some(
+      s"""WITH vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT unnest($dToks) AS token FROM documents) GROUP BY 1), ch AS (SELECT tf, string_split(token, '') AS cs FROM vocab WHERE len(token) >= 2), pos AS (SELECT tf, cs, unnest(range(len(cs) - 1)) AS i FROM ch), pr AS (SELECT cs[CAST(i+1 AS INT)] AS sym_a, cs[CAST(i+2 AS INT)] AS sym_b, tf FROM pos), mc AS (SELECT sym_a, sym_b, CAST(SUM(tf) AS BIGINT) AS n FROM pr GROUP BY 1, 2 ORDER BY n DESC, sym_a, sym_b LIMIT 24), ml AS (SELECT COALESCE(list(sym_a || chr(31) || sym_b ORDER BY n DESC, sym_a, sym_b), []) AS ms FROM mc), enc AS (SELECT token, CAST(len(list_filter(string_split(trim(list_reduce(list_prepend(' ' || array_to_string(string_split(token, ''), ' ') || ' ', (SELECT ms FROM ml)), (acc, m) -> replace(acc, ' ' || replace(m, chr(31), ' ') || ' ', ' ' || replace(m, chr(31), '') || ' '))), ' '), p -> len(p) > 0)) AS BIGINT) AS n_pieces FROM vocab), pd AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT doc_id, unnest($dToks) AS token FROM documents) GROUP BY 1, 2), ag AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, CAST(SUM(n * n_pieces) AS BIGINT) AS n_pieces FROM pd JOIN enc USING (token) GROUP BY 1) SELECT d.doc_id, COALESCE(ag.n_tokens, 0) AS n_tokens, COALESCE(ag.n_pieces, 0) AS n_pieces FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        // bounded driver collect: exactly topK=24 (merge-list size) rows
+        val merges = TextAnalysis.bpeMergeCandidates(d, "text", topK = 24)
+          .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+        TextAnalysis.bpeEncode(d, "text", "doc_id", merges).orderBy("doc_id")
+      }),
+
+    // hot-key skew report over the event stream's user key — the
+    // pre-shuffle diagnostic for salting / skew-join decisions
+    Q("q101_key_skew", Some(
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM c) SELECT key, n, (n * 1000000) // total AS share_ppm, (((n * 1000000) // total) * n_keys) // 1000 AS vs_mean_x1000 FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20"""),
+      (s, dir) => Stats.keySkew(
+        tune(s).read.parquet(s"$dir/events.parquet"), "user_id", topK = 20)),
+
+    // snapshot diff: old = docs without the 5-residue-4 slice, new = docs
+    // without the 7-residue-6 slice with every 3-residue-0 text mutated —
+    // added/removed/changed/unchanged per id from (id, md5) pairs only
+    Q("q102_snapshot_diff", Some(
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents WHERE doc_id % 5 <> 4), b AS (SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS hb FROM documents WHERE doc_id % 7 <> 6) SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id ORDER BY 1"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val old = d.filter(col("doc_id") % 5 =!= 4)
+        val neu = d.filter(col("doc_id") % 7 =!= 6)
+          .withColumn("text", when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Snapshot.diff(old, neu, "doc_id", "text").orderBy("doc_id")
+      }),
+
     // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
     // even doc_ids the curated reference; an incoming doc sharing any
     // MinHash band with the reference is flagged (kept = no collision)

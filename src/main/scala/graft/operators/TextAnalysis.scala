@@ -597,6 +597,70 @@ object TextAnalysis {
   }
 
   /**
+   * Apply an ordered BPE merge list (the "merges.txt" a trained tokenizer
+   * ships) to the corpus vocabulary — the tokenizer-APPLICATION half of
+   * byte-pair encoding, pairing with [[bpeMergeCandidates]] (the training
+   * half). Each token is represented as space-delimited symbols
+   * (`" a b c "`); merge `(x, y) → xy` is one left-to-right non-overlapping
+   * string replace of `" x y "` with `" xy "` (the shared delimiter is
+   * consumed and re-emitted, so greedy-left semantics match the classic
+   * algorithm). Because a merged symbol can only appear in LATER-ranked
+   * merges (merge ranks are creation-ordered — a pair involving symbol
+   * `xy` can only be learned after `xy` exists), a single ordered pass
+   * over the merge list is equivalent to the iterative
+   * lowest-rank-pair-first algorithm, so the whole encode is a chain of
+   * codegen'd `replace` calls — no loops, no UDF.
+   *
+   * Shape at 100 TB: the corpus reduces to the (token, tf) vocabulary
+   * FIRST (one partial-agg groupBy); the replace chain runs over
+   * vocabulary rows only — cost tracks |vocab| × |merges|, not corpus
+   * size.
+   *
+   * Output: (token, tf, pieces, n_pieces).
+   */
+  def bpeEncodeVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val vocab = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val init = concat(lit(" "),
+      array_join(split(col("token"), ""), " "), lit(" "))
+    val enc = merges.foldLeft(init) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a $b "), lit(s" $a$b ")) }
+    vocab.select(col("token"), col("tf"),
+        filter(split(trim(enc), " "), p => length(p) > 0).as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast(LongType))
+  }
+
+  /**
+   * Per-document token-piece counts under a BPE merge list — the fertility
+   * report (pieces per whitespace token) a pipeline runs before committing
+   * to a tokenizer. Doc-level counts come back from [[bpeEncodeVocab]] via
+   * one vocabulary-keyed join (like [[naiveBayesClassify]], the corpus
+   * joins against vocabulary-sized state, never against itself). Docs with
+   * no tokens emit (0, 0) rather than vanishing.
+   *
+   * Output: (doc_id, n_tokens, n_pieces).
+   */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, merges: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("n"))
+    val pieces = bpeEncodeVocab(docs, textCol, merges)
+      .select(col("token"), col("n_pieces"))
+    val agg = perDoc.join(pieces, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast(LongType).as("n_tokens"),
+        sum(col("n") * col("n_pieces")).cast(LongType).as("n_pieces"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /**
    * Confusion matrix for a classifier sweep: predicted vs true label
    * counts — the evaluation report that closes the train → classify →
    * evaluate loop (e.g. [[naiveBayesClassify]] predictions against the

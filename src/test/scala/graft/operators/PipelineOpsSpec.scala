@@ -996,4 +996,47 @@ class PipelineOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(tied.toSeq == Seq((0L, 2, 2L)))
   }
+
+  test("bpe encode: hierarchical merges apply in rank order, greedy-left") {
+    // merge 2 builds on merge 1's output symbol — the ordered replace
+    // chain must realize the hierarchy; 'aaa' pins greedy-left semantics
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "a"))
+    val d = docs((1L, "the aaa th"), (2L, ""))
+    val vocab = TextAnalysis.bpeEncodeVocab(d, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(vocab("the") == Seq("the"))
+    assert(vocab("aaa") == Seq("aa", "a"))
+    assert(vocab("th") == Seq("th"))
+    val out = TextAnalysis.bpeEncode(d, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 4L))) // 3 tokens -> 1 + 2 + 1 pieces
+    assert(out(2L) == ((0L, 0L))) // empty doc emits zeros
+  }
+
+  test("key skew: exact shares, vs-mean ratio, bounded top-k") {
+    val d = docs((1L, "k"), (2L, "k"), (3L, "k"), (4L, "k"), (5L, "k"),
+        (6L, "k"), (7L, "b"), (8L, "b"), (9L, "b"), (10L, "c"))
+      .withColumn("key", when(col("doc_id") <= 6, lit("a"))
+        .when(col("doc_id") <= 9, lit("b")).otherwise(lit("c")))
+    val all = Stats.keySkew(d, "key", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 10 rows over 3 keys: a=6 b=3 c=1
+    assert(all.toSeq == Seq(("a", 6L, 600000L, 1800L),
+      ("b", 3L, 300000L, 900L), ("c", 1L, 100000L, 300L)))
+    val top2 = Stats.keySkew(d, "key", topK = 2).collect().map(_.getString(0))
+    assert(top2.toSeq == Seq("a", "b"))
+  }
+
+  test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
+    val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
+    val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))
+    val out = Snapshot.diff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val sum = Snapshot.diffSummary(a, b, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
 }
