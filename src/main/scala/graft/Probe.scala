@@ -379,6 +379,36 @@ object Probe {
       }
     }
 
+    // ---- round-8 additions at 100k docs: BPE encode must track |vocab|
+    // (the corpus reduces first), snapshot diff must shuffle hashes only,
+    // and key skew must resolve through a bounded top-K (no global window)
+    {
+      import graft.operators.{Snapshot, Stats, TextAnalysis}
+      timed("bpe encode (24 merges @100k docs)") {
+        val merges = TextAnalysis.bpeMergeCandidates(big, "text", topK = 24)
+          .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+        val enc = TextAnalysis.bpeEncode(big, "text", "doc_id", merges)
+        assertKeyedWindows(enc, "bpeEncode")
+        enc.count()
+      }
+      timed("snapshot diff (@100k docs, both sides)") {
+        val neu = big.withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        Snapshot.diff(big, neu, "doc_id", "text").count()
+      }
+      timed("key skew (20x events)") {
+        val e0 = spark.read.parquet(s"$dir/events.parquet")
+        val bigEv = (0 until 20).map(i =>
+          e0.select(col("user_id") + lit(i * 1000000L) * (col("user_id") % 2))
+            .toDF("user_id"))
+          .reduce(_ unionByName _)
+        val sk = Stats.keySkew(bigEv, "user_id", topK = 20)
+        assertKeyedWindows(sk, "keySkew")
+        sk.count()
+      }
+    }
+
     // ---- embedding family at 10× (sf0.1 → 50k vectors with distinct ids):
     // PQ encode is map-only, semantic dedup's pair scan is bounded by
     // cluster occupancy (more cells at bigger corpora — here 32)

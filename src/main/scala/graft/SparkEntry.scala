@@ -1113,6 +1113,39 @@ object SparkEntry {
         Snapshot.diff(old, neu, "doc_id", "text").orderBy("doc_id")
       }),
 
+    // Gopher/RefinedWeb-style rule report: named per-rule booleans (word
+    // count, mean word length, alpha fraction, distinct stopwords) so the
+    // pipeline can report per-rule rejection rates, not just one keep bit
+    Q("q103_gopher_rules", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, CASE WHEN len(tk) = 0 THEN 0 ELSE (CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) * 100) // len(tk) END AS mean_word_len_x100, CASE WHEN len(tk) = 0 THEN 0 ELSE (CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) * 100) // len(tk) END AS alpha_word_pct, CAST(len(list_filter(list_distinct(tk), x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS BIGINT) AS n_distinct_stop FROM t) SELECT doc_id, n_words, mean_word_len_x100, alpha_word_pct, n_distinct_stop, (n_words >= 20 AND n_words <= 100000) AS r_wordcount, (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000) AS r_wordlen, (alpha_word_pct >= 80) AS r_alpha, (n_distinct_stop >= 2) AS r_stop, (n_words >= 20 AND n_words <= 100000 AND mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000 AND alpha_word_pct >= 80 AND n_distinct_stop >= 2) AS keep FROM f ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.gopherRules(docs(tune(s), dir), "text",
+        "doc_id").orderBy("doc_id")),
+
+    // hard-negative mining (the DPR BM25-negatives recipe): queries derive
+    // from three seed docs (tokens at positions 1/3/5), gold = the seed doc
+    // itself, excluded BEFORE the top-k cut so negative ranks are dense
+    Q("q104_hard_negatives", Some(
+      s"""WITH tt AS (SELECT doc_id, $dToks AS tk FROM documents), q AS (SELECT DISTINCT CAST(doc_id AS INT) AS query_id, t AS token FROM (SELECT doc_id, tk[1] AS t FROM tt WHERE doc_id < 3 AND len(tk) >= 1 UNION ALL SELECT doc_id, tk[3] FROM tt WHERE doc_id < 3 AND len(tk) >= 3 UNION ALL SELECT doc_id, tk[5] FROM tt WHERE doc_id < 3 AND len(tk) >= 5)), t AS (SELECT doc_id, unnest(tk) AS token FROM tt), tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt2 FROM dl), am AS (SELECT (1000*tt2)//n AS a, n FROM st), dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf WHERE token IN (SELECT token FROM q) GROUP BY 1), idf AS (SELECT token, (1024*(length(bin(x))-1) + ((x*1024) >> (length(bin(x))-1)) - 1024) - 20480 AS idf_q FROM (SELECT token, ((2*(SELECT n FROM am)+2) << 20) // (2*df+1) AS x FROM dfx)), sc AS (SELECT q.query_id, tf.doc_id, (((22*tf.tf*am.a*1000000) // (20*tf.tf*am.a + 6*am.a + 18*dl.dl*1000)) * idf.idf_q) // 1024 AS term_score FROM tf JOIN q ON tf.token = q.token JOIN idf ON tf.token = idf.token JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN am), s2 AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_q FROM sc GROUP BY 1, 2), g(query_id, doc_id) AS (VALUES (0, 0), (1, 1), (2, 2)), s3 AS (SELECT s2.* FROM s2 LEFT JOIN g ON s2.query_id = g.query_id AND s2.doc_id = g.doc_id WHERE g.query_id IS NULL), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS INT) AS rank FROM s3) SELECT CAST(query_id AS INT) AS query_id, doc_id, score_q, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        // bounded collect: the three seed docs' token arrays
+        val seeds = d.filter(col("doc_id") < 3)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .collect().toSeq.map { r =>
+            val tk = r.getSeq[String](1)
+            (r.getLong(0).toInt,
+              Seq(0, 2, 4).filter(_ < tk.size).map(tk).distinct)
+          }
+        val gRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        seeds.foreach { case (qid, _) =>
+          gRows.add(org.apache.spark.sql.Row(qid, qid.toLong)) }
+        val gold = s.createDataFrame(gRows, StructType(Seq(
+          StructField("query_id", IntegerType),
+          StructField("doc_id", LongType))))
+        Retrieval.hardNegatives(d, "text", "doc_id", seeds, gold, k = 10)
+          .orderBy("query_id", "rank")
+      }),
+
     // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
     // even doc_ids the curated reference; an incoming doc sharing any
     // MinHash band with the reference is flagged (kept = no collision)

@@ -64,7 +64,14 @@ object Retrieval {
    * rescaled by ÷1024 after the product).
    */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
-      queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
+      queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame =
+    rankTopK(bm25Scores(docs, textCol, idCol, queries), k)
+
+  /** Per-(query, doc) summed BM25 — the scoring stage of [[bm25TopK]]
+    * without the final cut, for callers that filter candidates first
+    * (e.g. [[hardNegatives]]). Output: (query_id, doc_id, score_q). */
+  def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
     val spark = docs.sparkSession
     import org.apache.spark.sql.Row
 
@@ -106,11 +113,34 @@ object Retrieval {
               lit(18L) * col("dl") * 1000L) * col("idf_q"),
           lit(1024L)).as("term_score"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_q").desc, col("doc_id").asc)
     perTerm.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_score")).as("score_q"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  }
+
+  /** Keyed-window top-k over (query_id, doc_id, score_q); ties on doc id. */
+  private def rankTopK(scores: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    scores.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * Hard-negative mining — the retrieval-training-data op: for each query,
+   * the top-k BM25 docs EXCLUDING the known-relevant (gold) docs. These
+   * lexically-close-but-not-relevant docs are the negatives a dense
+   * retriever / reranker trains against (the BM25-negatives recipe of the
+   * public DPR work). `gold` is (query_id, doc_id); it broadcasts into an
+   * anti-join against the scored candidates, so exclusion happens BEFORE
+   * the top-k cut and ranks are dense over the negatives.
+   *
+   * Output: (query_id, doc_id, score_q, rank).
+   */
+  def hardNegatives(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, Seq[String])], gold: DataFrame, k: Int = 10)
+      : DataFrame = {
+    val g = gold.select(col("query_id").cast(IntegerType).as("query_id"),
+      col("doc_id"))
+    rankTopK(bm25Scores(docs, textCol, idCol, queries)
+      .join(broadcast(g), Seq("query_id", "doc_id"), "left_anti"), k)
   }
 }

@@ -597,6 +597,48 @@ object TextAnalysis {
   }
 
   /**
+   * Rule-based quality filter report in the style of the published Gopher /
+   * RefinedWeb heuristics: each rule is a NAMED boolean column so the
+   * pipeline can report per-rule rejection rates (the data-card form), not
+   * just a single keep bit like [[qualityOk]]. Rules (all integer-exact):
+   *
+   *  - `r_wordcount`: token count within [minWords, maxWords]
+   *  - `r_wordlen`: mean token length ×100 within [300, 1000]
+   *  - `r_alpha`: ≥80% of tokens contain an alphabetic character
+   *  - `r_stop`: ≥2 DISTINCT stopwords from the standard list
+   *  - `keep` = all four
+   *
+   * Map-only over the corpus (one projection, no shuffle at all); every
+   * facet is codegen'd array arithmetic.
+   *
+   * Output: (doc_id, n_words, mean_word_len_x100, alpha_word_pct,
+   * n_distinct_stop, r_wordcount, r_wordlen, r_alpha, r_stop, keep).
+   */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minWords: Long = 20L, maxWords: Long = 100000L)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = tokens(col(textCol))
+    val n = size(tk).cast(LongType)
+    val meanLen = when(n === 0L, lit(0L)).otherwise(IntMath.idiv(
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)) * 100L, n))
+    val alphaPct = when(n === 0L, lit(0L)).otherwise(IntMath.idiv(
+      size(filter(tk, t => t.rlike("[A-Za-z]"))).cast(LongType) * 100L, n))
+    val nStop = size(array_intersect(tk,
+      array(StopwordsEn.map(lit): _*))).cast(LongType)
+    docs.select(col(idCol).as("doc_id"),
+        n.as("n_words"), meanLen.as("mean_word_len_x100"),
+        alphaPct.as("alpha_word_pct"), nStop.as("n_distinct_stop"))
+      .withColumn("r_wordcount",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_wordlen", col("mean_word_len_x100") >= 300L &&
+        col("mean_word_len_x100") <= 1000L)
+      .withColumn("r_alpha", col("alpha_word_pct") >= 80L)
+      .withColumn("r_stop", col("n_distinct_stop") >= 2L)
+      .withColumn("keep", col("r_wordcount") && col("r_wordlen") &&
+        col("r_alpha") && col("r_stop"))
+  }
+
+  /**
    * Apply an ordered BPE merge list (the "merges.txt" a trained tokenizer
    * ships) to the corpus vocabulary — the tokenizer-APPLICATION half of
    * byte-pair encoding, pairing with [[bpeMergeCandidates]] (the training

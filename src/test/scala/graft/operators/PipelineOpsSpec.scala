@@ -1027,6 +1027,49 @@ class PipelineOpsSpec extends SparkSuite {
     assert(top2.toSeq == Seq("a", "b"))
   }
 
+  test("gopher rules: named facets, boundary cases, composite keep") {
+    val good = (1 to 25).map(i => s"word$i").mkString(" ") + " the of"
+    val short = "the of tiny"                       // fails wordcount only
+    val longTok = (1 to 25).map(_ => "supercalifragilistic").mkString(" ") +
+      " the of"                                      // fails mean word len
+    val noStop = (1 to 25).map(i => s"word$i").mkString(" ") // fails stopwords
+    val d = docs((1L, good), (2L, short), (3L, longTok), (4L, noStop))
+    val out = TextAnalysis.gopherRules(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L) == ((false, true, true, true, false)))
+    assert(out(3L) == ((true, false, true, true, false)))
+    assert(out(4L) == ((true, true, true, false, false)))
+    // facet values exact: doc 2 = 3 words, mean len (3+2+4)*100/3 = 300
+    val f = TextAnalysis.gopherRules(d, "text", "doc_id")
+      .filter(col("doc_id") === 2).head()
+    assert(f.getLong(1) == 3L && f.getLong(2) == 300L &&
+      f.getLong(3) == 100L && f.getLong(4) == 2L)
+  }
+
+  test("hard negatives: gold docs excluded before the cut, ranks dense") {
+    val d = docs(
+      (0L, "alpha beta alpha beta"),    // gold for query 0 — best match
+      (1L, "alpha beta delta"),          // next best
+      (2L, "alpha zeta zeta"),           // weaker
+      (3L, "omega omega omega"))         // no query terms
+    val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    l.add(org.apache.spark.sql.Row(0, 0L))
+    val gold = s.createDataFrame(l, StructType(Seq(
+      StructField("query_id", IntegerType), StructField("doc_id", LongType))))
+    val q = Seq(0 -> Seq("alpha", "beta"))
+    val neg = Retrieval.hardNegatives(d, "text", "doc_id", q, gold, k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    // doc 0 excluded; 1 and 2 rank densely; 3 never scores
+    assert(neg.toSeq == Seq((1L, 1), (2L, 2)))
+    // consistency: without gold, bm25TopK puts doc 0 first
+    val top = Retrieval.bm25TopK(d, "text", "doc_id", q, k = 1)
+      .collect().map(_.getLong(1))
+    assert(top.toSeq == Seq(0L))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))
