@@ -145,7 +145,9 @@ object Bench {
       "q92_prototype_classify", "q93_pq_encode", "q94_pq_adc_topk",
       "q95_vocab_drift", "q96_bpe_merges", "q97_confusion_matrix",
       "q98_ann_recall", "q99_bigram_lm", "q100_bpe_encode",
-      "q101_key_skew", "q102_snapshot_diff")
+      "q101_key_skew", "q102_snapshot_diff", "q103_gopher_rules",
+      "q104_hard_negatives", "q105_chunk_docs", "q106_rrf_fusion",
+      "q107_stratified_split", "q108_ngram_overlap", "q109_sliding_window")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

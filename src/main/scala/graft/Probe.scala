@@ -407,6 +407,32 @@ object Probe {
         assertKeyedWindows(sk, "keySkew")
         sk.count()
       }
+      // chunking is map-only (no shuffle at all — fan-out ⌈n/stride⌉);
+      // stratified split must rank inside the stratum partition; ngram
+      // overlap shuffles (id, hash) rows only, cost ∝ paired docs
+      timed("chunk docs 64/16 (@100k docs)") {
+        val c = TextAnalysis.chunkDocs(big, "text", "doc_id", 64, 16)
+        assert(c.queryExecution.executedPlan.toString
+          .indexOf("Exchange") < 0, "chunkDocs must not shuffle")
+        c.count()
+      }
+      timed("stratified split (@100k docs)") {
+        val sp = graft.operators.Sampling.stratifiedSplit(
+          big.select(col("doc_id"),
+            TextAnalysis.langId(col("text")).as("lang")),
+          "lang", "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        assertKeyedWindows(sp, "stratifiedSplit")
+        sp.count()
+      }
+      timed("ngram overlap (50k pairs @100k docs)") {
+        val ids = big.select(col("doc_id"))
+        val p = ids.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("cand_id"))
+          .join(ids.select(col("doc_id").as("ref_id")),
+            col("ref_id") === col("cand_id") + 1)
+        TextAnalysis.ngramOverlapScore(big, "text", "doc_id", p, n = 2)
+          .count()
+      }
     }
 
     // ---- embedding family at 10× (sf0.1 → 50k vectors with distinct ids):

@@ -1146,6 +1146,66 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       }),
 
+    // RAG chunking: 64-token chunks overlapping by 16 (stride 48); chunk i
+    // covers [i*48, min(i*48+64, n)) — full coverage, last chunk may be short
+    Q("q105_chunk_docs", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), f AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n, CASE WHEN len(tk) <= 0 THEN 0 ELSE 1 + greatest(0, (CAST(len(tk) AS BIGINT) - 64 + 47) // 48) END AS nc FROM t), x AS (SELECT doc_id, tk, n, unnest(range(nc)) AS i FROM f) SELECT doc_id, CAST(i AS INT) AS chunk_id, CAST(i*48 AS BIGINT) AS start_tok, CAST(least(64, n - i*48) AS BIGINT) AS n_tok, array_to_string(list_slice(tk, CAST(i*48 + 1 AS INT), CAST(i*48 + least(64, n - i*48) AS INT)), ' ') AS chunk_text FROM x ORDER BY doc_id, chunk_id"""),
+      (s, dir) => TextAnalysis.chunkDocs(docs(tune(s), dir), "text", "doc_id",
+        chunkTokens = 64, overlapTokens = 16).orderBy("doc_id", "chunk_id")),
+
+    // deterministic stratified 80/10/10 split by language: within each
+    // stratum rows order by the id hash; exact floor proportions per stratum
+    Q("q107_stratified_split", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS BIGINT) AS r, CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n FROM lg) SELECT doc_id, lang, CASE WHEN r*100 <= n*80 THEN 'train' WHEN r*100 <= n*90 THEN 'val' ELSE 'test' END AS split FROM r ORDER BY doc_id"""),
+      (s, dir) => Sampling.stratifiedSplit(
+        docs(tune(s), dir).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang")),
+        "lang", "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("lang"), col("split")).orderBy("doc_id")),
+
+    // reciprocal-rank fusion of BM25 lexical top-10 (q87's fixed queries)
+    // with embedding brute-force-cosine top-10 (query vectors = vec_id<3):
+    // score = sum of floor(1e6/(60+rank)) over the lists ranking the doc
+    Q("q106_rrf_fusion", Some(
+      s"""WITH t AS (SELECT doc_id, unnest($dToks) AS token FROM documents), tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl), am AS (SELECT (1000*tt)//n AS a, n FROM st), q(query_id, token) AS (VALUES (0, 'spark'), (0, 'hash'), (0, 'merge'), (1, 'window'), (1, 'sort'), (1, 'batch'), (2, 'table'), (2, 'scan'), (2, 'value')), dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf WHERE token IN (SELECT token FROM q) GROUP BY 1), idf AS (SELECT token, (1024*(length(bin(x))-1) + ((x*1024) >> (length(bin(x))-1)) - 1024) - 20480 AS idf_q FROM (SELECT token, ((2*(SELECT n FROM am)+2) << 20) // (2*df+1) AS x FROM dfx)), sc AS (SELECT q.query_id, tf.doc_id, (((22*tf.tf*am.a*1000000) // (20*tf.tf*am.a + 6*am.a + 18*dl.dl*1000)) * idf.idf_q) // 1024 AS term_score FROM tf JOIN q ON tf.token = q.token JOIN idf ON tf.token = idf.token JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN am), s2 AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_q FROM sc GROUP BY 1, 2), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS INT) AS rank FROM s2), bm AS (SELECT CAST(query_id AS INT) AS query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10), q2 AS (SELECT vec_id AS query_id, $dQuant AS qq FROM embeddings WHERE vec_id < 3), c2 AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), sc2 AS (SELECT query_id, item_id, CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * qq[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM c2 CROSS JOIN q2 WHERE item_id <> query_id), r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM sc2), ann AS (SELECT CAST(query_id AS INT) AS query_id, item_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM r2 WHERE rank <= 10), u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann), f AS (SELECT query_id, doc_id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score, CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2), fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank FROM f) SELECT query_id, doc_id, rrf_score, n_lists, rank FROM fr WHERE rank <= 10 ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val bm = Retrieval.bm25TopK(docs(tune(s), dir), "text", "doc_id",
+          Seq(0 -> Seq("spark", "hash", "merge"),
+            1 -> Seq("window", "sort", "batch"),
+            2 -> Seq("table", "scan", "value")), k = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val e = embeddings(tune(s), dir)
+        val ann = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("item_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(bm, ann), k = 10).orderBy("query_id", "rank")
+      }),
+
+    // ROUGE-2-style n-gram overlap eval: even docs as candidates scored
+    // against doc_id+1 as reference; ppm precision/recall/F1, zero-overlap
+    // and sub-n-token pairs kept as zeros
+    Q("q108_ngram_overlap", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), th AS (SELECT doc_id, list_transform(tk, t -> ${dFold("t")}) AS th FROM toks), gx AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(th) < 2 THEN [] ELSE list_transform(range(len(th)-1), i -> ((th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647)) END)) AS h FROM th), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM gx GROUP BY 1), p AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 2 = 0), ov AS (SELECT p.cand_id, p.ref_id, CAST(COUNT(*) AS BIGINT) AS n_overlap FROM p JOIN gx c ON c.doc_id = p.cand_id JOIN gx r ON r.doc_id = p.ref_id AND r.h = c.h GROUP BY 1, 2), f AS (SELECT p.cand_id, p.ref_id, COALESCE(sc.n, 0) AS n_cand, COALESCE(sr.n, 0) AS n_ref, COALESCE(ov.n_overlap, 0) AS n_overlap FROM p LEFT JOIN sz sc ON sc.doc_id = p.cand_id LEFT JOIN sz sr ON sr.doc_id = p.ref_id LEFT JOIN ov ON ov.cand_id = p.cand_id AND ov.ref_id = p.ref_id), g AS (SELECT *, CASE WHEN n_cand > 0 THEN (n_overlap*1000000) // n_cand ELSE 0 END AS precision_ppm, CASE WHEN n_ref > 0 THEN (n_overlap*1000000) // n_ref ELSE 0 END AS recall_ppm FROM f) SELECT cand_id, ref_id, n_cand, n_ref, n_overlap, precision_ppm, recall_ppm, CASE WHEN precision_ppm + recall_ppm > 0 THEN (2*precision_ppm*recall_ppm) // (precision_ppm + recall_ppm) ELSE 0 END AS f1_ppm FROM g ORDER BY cand_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val ids = d.select(col("doc_id"))
+        val p = ids.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("cand_id"))
+          .join(ids.select(col("doc_id").as("ref_id")),
+            col("ref_id") === col("cand_id") + 1)
+        TextAnalysis.ngramOverlapScore(d, "text", "doc_id", p, n = 2)
+          .orderBy("cand_id")
+      }),
+
+    // sliding event-time windows (1h wide, 30min slide): every event lands
+    // in exactly width/slide = 2 windows — bounded explode, one shuffle
+    Q("q109_sliding_window", Some(
+      """WITH e AS (SELECT (CAST(epoch_ms(ts) AS BIGINT) // 1800000) * 1800000 AS base, event_type AS topic FROM events), w AS (SELECT base - CAST(j AS BIGINT) * 1800000 AS window_start_ms, topic FROM e CROSS JOIN range(2) t(j)) SELECT window_start_ms, topic, CAST(COUNT(*) AS BIGINT) AS n_events FROM w GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => graft.streaming.EventTimeOps.slidingCounts(
+        KafkaLike.frame(tune(s), dir), widthMs = 3600000L, slideMs = 1800000L)
+        .orderBy("window_start_ms", "topic")),
+
     // cross-corpus near-dup screen: odd doc_ids are the incoming batch,
     // even doc_ids the curated reference; an incoming doc sharing any
     // MinHash band with the reference is flagged (kept = no collision)

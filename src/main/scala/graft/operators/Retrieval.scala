@@ -143,4 +143,39 @@ object Retrieval {
     rankTopK(bm25Scores(docs, textCol, idCol, queries)
       .join(broadcast(g), Seq("query_id", "doc_id"), "left_anti"), k)
   }
+
+  /**
+   * Reciprocal-rank fusion — the standard hybrid-retrieval merge (Cormack,
+   * Clarke & Büttcher, SIGIR 2009, public): each input ranking contributes
+   * `⌊1e6 / (kRrf + rank)⌋` to every (query, doc) it ranks, the fused score
+   * is the sum, and docs re-rank per query by fused score (ties on doc id).
+   * Docs surfacing in MULTIPLE rankings (e.g. BM25 lexical + embedding ANN)
+   * rise — the lexical/semantic consensus a dense-retriever training set is
+   * mined with. Integer arithmetic throughout, so fusion is deterministic
+   * and engine-portable.
+   *
+   * Each input needs (query_id, doc_id, rank). Candidate volume is already
+   * top-k-bounded per source, so the union + one partial-agg groupBy + one
+   * keyed window costs O(queries × k × sources) regardless of corpus size.
+   *
+   * Output: (query_id, doc_id, rrf_score, n_lists, rank).
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, kRrf: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val norm = rankings.map(_.select(
+      col("query_id").cast(IntegerType).as("query_id"),
+      col("doc_id").cast(LongType).as("doc_id"),
+      col("rank").cast(LongType).as("rank")))
+    val fused = norm.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(
+        sum(IntMath.idiv(lit(1000000L), lit(kRrf.toLong) + col("rank")))
+          .as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -98,6 +98,45 @@ object Sampling {
       .drop("__bucket", "__bucket_off", "__h")
   }
 
+  /**
+   * Deterministic stratified train/val/test split with EXACT per-stratum
+   * proportions: within each class (language, source, domain), rows order
+   * by the id hash and the first `floor(n·80/100)` become "train", the next
+   * slice "val", and so on — so every stratum lands within one row of its
+   * target percentage, unlike the map-only `hash % 100` split whose
+   * per-stratum proportions only hold in expectation. Splits must sum to
+   * 100; assignment is reproducible on any cluster and any partitioning.
+   *
+   * One keyed window per stratum (rank + stratum size share the same
+   * partition — no global window, no second shuffle); the split label is a
+   * codegen'd integer comparison chain. Skewed strata are a single window
+   * partition each — at extreme stratum cardinality pre-split big strata
+   * with [[ratePct]] shards, as with [[quotaByClass]].
+   *
+   * Output: the input columns plus `split`.
+   */
+  def stratifiedSplit(df: DataFrame, classCol: String, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 100,
+      s"split percentages must be non-negative and sum to 100: $splits")
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(idHash(col(idCol)).asc, col(idCol).asc)
+    val cw = Window.partitionBy(col(classCol))
+    val cums = splits.scanLeft(0)(_ + _._2).tail
+    // rank·100 <= n·cumPct picks the first matching slice; the last cum is
+    // 100 so the chain is total (otherwise() is unreachable)
+    val label = splits.zip(cums).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = col("__r") * 100L <= col("__n") * cum.toLong
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.get.otherwise(splits.last._1)
+    df.withColumn("__r", row_number().over(w).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("split", label)
+      .drop("__r", "__n")
+  }
+
   def mixtureSample(df: DataFrame, classCol: String, idCol: String,
       weightsPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
     require((defaultPct +: weightsPct.values.toSeq).forall(_ >= 0),

@@ -639,6 +639,100 @@ object TextAnalysis {
   }
 
   /**
+   * Fixed-size overlapping token chunks — the RAG / context-window prep
+   * step: each document becomes `ceil`-many chunks of `chunkTokens`
+   * whitespace tokens, consecutive chunks sharing `overlapTokens` tokens so
+   * no sentence is orphaned at a boundary. Chunk `i` covers token positions
+   * `[i·stride, min(i·stride + chunkTokens, n))` with
+   * `stride = chunkTokens − overlapTokens`; the final chunk may be shorter
+   * but every token is covered exactly by construction. Empty documents
+   * emit no chunks.
+   *
+   * Map-only: tokenize → bounded `sequence` explode → `slice` +
+   * `concat_ws`, all codegen'd — no shuffle, no state; chunk fan-out per
+   * doc is `⌈n/stride⌉`, linear in corpus size at any scale.
+   *
+   * Output: (doc_id, chunk_id, start_tok, n_tok, chunk_text).
+   */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, chunkTokens: Int = 64, overlapTokens: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      s"need 0 <= overlapTokens < chunkTokens, got $chunkTokens/$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val n = size(col("tk"))
+    // 1 + ceil((n - chunk)/stride) full-coverage chunks; trunc-toward-zero
+    // division is safe because greatest(0, ·) clamps the negative case
+    val nChunks = when(n <= 0, lit(0)).otherwise(
+      lit(1) + greatest(lit(0),
+        IntMath.idiv(n - chunkTokens + stride - 1, lit(stride))
+          .cast(IntegerType)))
+    val start = col("chunk_id") * stride
+    val chunkLen = least(lit(chunkTokens), n - start)
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .withColumn("chunk_id",
+        explode(when(nChunks > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast(ArrayType(IntegerType)))))
+      .select(col("doc_id"), col("chunk_id"),
+        start.cast(LongType).as("start_tok"),
+        chunkLen.cast(LongType).as("n_tok"),
+        concat_ws(" ", slice(col("tk"), start + 1, chunkLen)).as("chunk_text"))
+  }
+
+  /**
+   * ROUGE-style n-gram overlap between candidate/reference document pairs —
+   * the summarization / generation eval primitive: for each (cand_id,
+   * ref_id) pair, the DISTINCT token-n-gram sets intersect and score as
+   * integer parts-per-million precision (overlap/|cand|), recall
+   * (overlap/|ref|), and their F1. A doc with fewer than `n` tokens has an
+   * empty n-gram set and scores zero all around; pairs with no overlap are
+   * kept (zeros), so the output has exactly one row per input pair.
+   *
+   * Shape at 100 TB: text reduces to (doc_id, ngramHash) rows once
+   * ([[shingleHashRows]], staged because three downstream joins read it);
+   * every join afterwards is keyed by doc id or (id, hash) — document text
+   * never shuffles, and pair cost is proportional to the paired docs'
+   * n-gram sets, not the corpus.
+   *
+   * Output: (cand_id, ref_id, n_cand, n_ref, n_overlap, precision_ppm,
+   * recall_ppm, f1_ppm).
+   */
+  def ngramOverlapScore(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, pairs: org.apache.spark.sql.DataFrame, n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val hashes = Staging.stage(shingleHashRows(docs, textCol, idCol, n))
+    val sizes = hashes.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val p = pairs.select(col("cand_id"), col("ref_id"))
+    val ov = p
+      .join(hashes.select(col("doc_id").as("cand_id"), col("h")), Seq("cand_id"))
+      .join(hashes.select(col("doc_id").as("ref_id"), col("h")),
+        Seq("ref_id", "h"))
+      .groupBy("cand_id", "ref_id").agg(count(lit(1)).as("n_overlap"))
+    p.join(sizes.select(col("doc_id").as("cand_id"), col("n").as("n_cand")),
+        Seq("cand_id"), "left")
+      .join(sizes.select(col("doc_id").as("ref_id"), col("n").as("n_ref")),
+        Seq("ref_id"), "left")
+      .join(ov, Seq("cand_id", "ref_id"), "left")
+      .na.fill(0L, Seq("n_cand", "n_ref", "n_overlap"))
+      .withColumn("precision_ppm", when(col("n_cand") > 0,
+        IntMath.idiv(col("n_overlap") * 1000000L, col("n_cand")))
+        .otherwise(0L))
+      .withColumn("recall_ppm", when(col("n_ref") > 0,
+        IntMath.idiv(col("n_overlap") * 1000000L, col("n_ref")))
+        .otherwise(0L))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0,
+          IntMath.idiv(lit(2L) * col("precision_ppm") * col("recall_ppm"),
+            col("precision_ppm") + col("recall_ppm"))).otherwise(0L))
+      .select(col("cand_id"), col("ref_id"), col("n_cand"), col("n_ref"),
+        col("n_overlap"), col("precision_ppm"), col("recall_ppm"),
+        col("f1_ppm"))
+  }
+
+  /**
    * Apply an ordered BPE merge list (the "merges.txt" a trained tokenizer
    * ships) to the corpus vocabulary — the tokenizer-APPLICATION half of
    * byte-pair encoding, pairing with [[bpeMergeCandidates]] (the training

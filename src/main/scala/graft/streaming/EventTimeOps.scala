@@ -30,6 +30,40 @@ object EventTimeOps {
       .groupBy(col("bucket_start_ms"), col("topic"))
       .agg(count(lit(1)).as("n_events"))
 
+  /**
+   * Batch sliding-window counts: width must be a multiple of slide, so each
+   * event lands in exactly `width/slide` windows — a bounded integer
+   * `sequence` explode off the event's base bucket, then the same one
+   * partial-aggregated shuffle as [[tumblingCounts]]. Fan-out is the fixed
+   * window ratio (no per-key state, no range join), so the plan scales
+   * linearly with event volume at any slide ratio.
+   */
+  def slidingCounts(records: DataFrame, widthMs: Long, slideMs: Long)
+      : DataFrame = {
+    require(widthMs > 0 && slideMs > 0 && widthMs % slideMs == 0,
+      s"width ($widthMs) must be a positive multiple of slide ($slideMs)")
+    val k = widthMs / slideMs
+    records
+      .withColumn("__base",
+        expr(s"(unix_millis(timestamp) DIV $slideMs) * $slideMs"))
+      .withColumn("window_start_ms",
+        explode(sequence(col("__base") - (k - 1) * slideMs, col("__base"),
+          lit(slideMs))))
+      .groupBy(col("window_start_ms"), col("topic"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming form of [[slidingCounts]]: Spark's native sliding `window()`
+    * with a watermark — state is bounded by the watermark horizon. */
+  def slidingCountsStreaming(stream: DataFrame, width: String, slide: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), width, slide), col("topic"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("topic"),
+        col("n_events"))
+
   /** Streaming form: watermarked tumbling window (late data beyond the
     * watermark is dropped; state is bounded). */
   def tumblingCountsStreaming(stream: DataFrame, width: String,

@@ -1070,6 +1070,89 @@ class PipelineOpsSpec extends SparkSuite {
     assert(top.toSeq == Seq(0L))
   }
 
+  test("chunking: full coverage, overlap, short tail, empty doc") {
+    // chunk=5, overlap=2, stride=3
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val d = docs((1L, ten), (2L, "a b c"), (3L, "   "))
+    val out = TextAnalysis.chunkDocs(d, "text", "doc_id",
+        chunkTokens = 5, overlapTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: [0,5) [3,8) [6,10) — covers all 10 tokens, no 4th chunk
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 0L, 5L, "t1 t2 t3 t4 t5"),
+      (1L, 1, 3L, 5L, "t4 t5 t6 t7 t8"),
+      (1L, 2, 6L, 4L, "t7 t8 t9 t10")))
+    // doc 2 fits in one short chunk; doc 3 (whitespace only) emits none
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0L, 3L, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(d, "text", "doc_id", 5, 5)
+    }
+  }
+
+  test("stratified split: exact floor proportions per stratum, deterministic") {
+    // stratum a: 10 rows → 8/1/1; stratum b: 4 rows → 3/0/1 (floor + tail)
+    val rows = (0L until 10L).map(i => (i, "a")) ++
+      (100L until 104L).map(i => (i, "b"))
+    val d = {
+      import s.implicits._
+      rows.toDF("doc_id", "cls")
+    }
+    val out = Sampling.stratifiedSplit(d, "cls", "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val byCls = out.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.groupBy(_._2).view.mapValues(_.size).toMap }
+    assert(byCls("a") == Map("train" -> 8, "val" -> 1, "test" -> 1))
+    // 4 rows: floor(4*.8)=3 train, floor(4*.9)-3=0 val, tail=1 test
+    assert(byCls("b") == Map("train" -> 3, "test" -> 1))
+    // deterministic under repartitioning
+    val a = Sampling.stratifiedSplit(d.repartition(7), "cls", "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val b = Sampling.stratifiedSplit(d.repartition(2), "cls", "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(d, "cls", "doc_id", Seq("train" -> 90))
+    }
+  }
+
+  test("rrf fusion: consensus docs rise, scores exact, n_lists counted") {
+    import s.implicits._
+    // list 1: q0 ranks A(1), B(2); list 2: q0 ranks B(1), C(2)
+    val l1 = Seq((0, 10L, 1), (0, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((0, 11L, 1), (0, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(l1, l2), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // B: 1e6/61 + 1e6/62 = 16393 + 16129 = 32522 over 2 lists
+    assert(out.toSeq == Seq(
+      (11L, 32522L, 2L, 1), (10L, 16393L, 1L, 2), (12L, 16129L, 1L, 3)))
+  }
+
+  test("ngram overlap: ppm precision/recall/f1, zero-overlap pairs kept") {
+    import s.implicits._
+    val d = docs(
+      (1L, "a b c d"),   // bigrams ab bc cd
+      (2L, "a b c x"),   // bigrams ab bc cx → overlap 2 of 3
+      (3L, "p q"),       // bigram pq
+      (4L, "r s"),       // bigram rs → no overlap with doc 3
+      (5L, "solo"),      // < 2 tokens → empty set
+      (6L, "t u"))
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+      .toDF("cand_id", "ref_id")
+    val out = TextAnalysis.ngramOverlapScore(d, "text", "doc_id", pairs, n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out(1L) == ((3L, 3L, 2L, 666666L, 666666L, 666666L)))
+    assert(out(3L) == ((1L, 1L, 0L, 0L, 0L, 0L)))
+    assert(out(5L) == ((0L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))

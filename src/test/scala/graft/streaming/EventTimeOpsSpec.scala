@@ -36,6 +36,27 @@ class EventTimeOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq((0L, "a", 2L), (3600000L, "a", 1L), (7200000L, "b", 1L)))
   }
 
+  test("sliding windows: each event lands in exactly width/slide windows") {
+    // width 1000, slide 500 → 2 windows per event
+    val df = events(
+      ("a", 0L, "u", 0L),     // windows -500, 0
+      ("a", 1L, "u", 499L),   // windows -500, 0
+      ("a", 2L, "u", 500L),   // windows 0, 500
+      ("b", 3L, "u", 1700L))  // windows 1000, 1500
+    val out = slidingCounts(df, 1000L, 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq((-500L, "a", 2L), (0L, "a", 3L),
+      (500L, "a", 1L), (1000L, "b", 1L), (1500L, "b", 1L)))
+    // width == slide degenerates to tumbling
+    val tum = slidingCounts(df, 1000L, 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val ref = tumblingCounts(df, 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tum == ref)
+    intercept[IllegalArgumentException] { slidingCounts(df, 1000L, 300L) }
+  }
+
   test("batch sessionization splits on gaps > threshold") {
     val df = events(
       ("a", 0L, "u1", 1000L), ("a", 1L, "u1", 2000L),   // session 1
