@@ -147,7 +147,9 @@ object Bench {
       "q98_ann_recall", "q99_bigram_lm", "q100_bpe_encode",
       "q101_key_skew", "q102_snapshot_diff", "q103_gopher_rules",
       "q104_hard_negatives", "q105_chunk_docs", "q106_rrf_fusion",
-      "q107_stratified_split", "q108_ngram_overlap", "q109_sliding_window")
+      "q107_stratified_split", "q108_ngram_overlap", "q109_sliding_window",
+      "q110_contrastive_pairs", "q111_length_deciles",
+      "q112_global_quantiles")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -433,6 +433,25 @@ object Probe {
         TextAnalysis.ngramOverlapScore(big, "text", "doc_id", p, n = 2)
           .count()
       }
+      // global quantiles must resolve through the bucketed scan — the
+      // only window is KEYED on __bucket, never a single global partition
+      timed("global quantiles (@2M events cents)") {
+        val e0 = spark.read.parquet(s"$dir/events.parquet")
+        val bigEv = (0 until 20).map(i =>
+          e0.select((floor(col("value") * 100) + lit(i)).cast("long")
+            .as("cents"))).reduce(_ unionByName _)
+        val gq = Stats.globalQuantiles(bigEv, "cents", Seq(1, 50, 99))
+        assertKeyedWindows(gq, "globalQuantiles")
+        gq.count()
+      }
+      timed("length deciles (7 classes @100k docs)") {
+        val nt = Stats.ntileBuckets(
+          big.withColumn("n_chars", length(col("text")))
+            .withColumn("cls", pmod(col("doc_id"), lit(7L))),
+          "cls", "n_chars", "doc_id", 10)
+        assertKeyedWindows(nt, "ntileBuckets")
+        nt.count()
+      }
     }
 
     // ---- embedding family at 10× (sf0.1 → 50k vectors with distinct ids):

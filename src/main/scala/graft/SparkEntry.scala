@@ -1198,6 +1198,35 @@ object SparkEntry {
           .orderBy("cand_id")
       }),
 
+    // contrastive (anchor, positive) pairs from the q54 near-dup clusters:
+    // anchor = min-id cluster label, up to 4 positives per anchor
+    Q("q110_contrastive_pairs", Some(
+      s"""${dMinhashSig.replaceFirst("^WITH ", "WITH RECURSIVE ")}, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), reach(s, t) AS (SELECT s, t FROM e UNION SELECT reach.s, e2.t FROM reach JOIN e e2 ON reach.t = e2.s), cl AS (SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(reach.t), d.doc_id)) AS BIGINT) AS cluster_id FROM documents d LEFT JOIN reach ON d.doc_id = reach.s GROUP BY d.doc_id), pr AS (SELECT cluster_id AS anchor_id, doc_id AS positive_id, CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS INT) AS pair_rank FROM cl WHERE doc_id <> cluster_id) SELECT anchor_id, positive_id, pair_rank FROM pr WHERE pair_rank <= 4 ORDER BY anchor_id, pair_rank"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        Dedup.contrastivePairs(
+          Dedup.nearDupClusters(d, cands, "doc_id"), maxPositives = 4)
+          .orderBy("anchor_id", "pair_rank")
+      }),
+
+    // per-source length deciles (NTILE with a deterministic id tie-break):
+    // the length-balanced sampling / curriculum binning assignment
+    Q("q111_length_deciles", Some(
+      """SELECT doc_id, source, n_chars, CAST(NTILE(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS INT) AS bucket FROM documents ORDER BY doc_id"""),
+      (s, dir) => Stats.ntileBuckets(
+        docs(tune(s), dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", "doc_id", nBuckets = 10).orderBy("doc_id")),
+
+    // exact GLOBAL quantiles of doc length via the two-stage bucketed scan
+    // (no global sort/window); value at rank ceil(n*q/100)
+    Q("q112_global_quantiles", Some(
+      """WITH v AS (SELECT n_chars AS v FROM documents), o AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM v), c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v), qs(q_pct) AS (VALUES (1), (25), (50), (75), (90), (99)) SELECT CAST(qs.q_pct AS INT) AS q_pct, CAST((c.n*qs.q_pct+99)//100 AS BIGINT) AS rank, o.v AS value FROM qs CROSS JOIN c JOIN o ON o.r = (c.n*qs.q_pct+99)//100 ORDER BY q_pct"""),
+      (s, dir) => Stats.globalQuantiles(docs(tune(s), dir), "n_chars",
+        Seq(1, 25, 50, 75, 90, 99)).orderBy("q_pct")),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

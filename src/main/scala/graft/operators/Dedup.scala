@@ -688,4 +688,32 @@ object Dedup {
       .agg(
         min_by(col(idCol), struct(rankCol, col(idCol))).as("canonical_id"),
         count(lit(1)).cast(LongType).as("cluster_size"))
+
+  /**
+   * Contrastive (anchor, positive) pair mining from a near-dup cluster
+   * assignment — the training-pair generator for a dense retriever or
+   * embedding model: documents that near-duplicate each other are
+   * semantically equivalent, so each cluster's canonical doc (the min-id
+   * cluster label [[nearDupClusters]] already carries) anchors up to
+   * `maxPositives` of its other members as positives. Hard negatives for
+   * the same anchors come from [[graft.operators.Retrieval.hardNegatives]];
+   * together they form the standard (anchor, positive, negatives) triple.
+   *
+   * One keyed window over (anchor, member) id pairs — singleton clusters
+   * emit nothing, the cap bounds fan-out per cluster, text never moves.
+   *
+   * Output: (anchor_id, positive_id, pair_rank).
+   */
+  def contrastivePairs(clusters: DataFrame, maxPositives: Int = 4)
+      : DataFrame = {
+    require(maxPositives >= 1, s"maxPositives must be >= 1, got $maxPositives")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("positive_id"))
+    clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("anchor_id"),
+        col("doc_id").as("positive_id"))
+      .withColumn("pair_rank", row_number().over(w)
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .filter(col("pair_rank") <= maxPositives)
+  }
 }

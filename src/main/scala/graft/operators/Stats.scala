@@ -67,4 +67,82 @@ object Stats {
       .orderBy(col("n").desc, col("key").asc)
       .limit(topK)
   }
+
+  /**
+   * Per-class NTILE bucketing — the length-balanced sampling / curriculum
+   * binning primitive: within each class, rows order by (value, id) (the id
+   * tie-break makes bucket assignment deterministic on any partitioning)
+   * and split into `nBuckets` near-equal buckets, the first buckets taking
+   * the remainder rows — standard SQL NTILE semantics, reproduced exactly
+   * by the oracle. One keyed window; classes sort in parallel.
+   *
+   * Output: the input columns plus `bucket` (1-based).
+   */
+  def ntileBuckets(df: DataFrame, classCol: String, valueCol: String,
+      idCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col(valueCol), col(idCol))
+    df.withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
+  /**
+   * EXACT GLOBAL quantiles without a global sort — the 100 TB form of
+   * [[groupQuantiles]] when there is no class to key the window by. A
+   * single-partition `row_number` over the corpus is the textbook
+   * scale-killer; instead the value at global rank `⌈n·q/100⌉` resolves
+   * through a two-stage bucketed scan (the `Packing.packPlan` /
+   * `Sampling.epochShuffle` pattern):
+   *
+   *  1. one 1-row aggregate fixes (min, max, n); values bucket by fixed
+   *     width, and per-bucket counts (≤ `nBuckets` rows, bounded collect)
+   *     become exclusive prefix offsets on the driver;
+   *  2. each target rank lands in exactly one bucket at a known
+   *     within-bucket rank; only those buckets are rescanned (the bucket
+   *     filter prunes before the window), ranked by a window KEYED on the
+   *     bucket, and joined to a broadcast (bucket, rank → percentile)
+   *     lookup.
+   *
+   * Ties order arbitrarily within a bucket, but the VALUE at any rank of a
+   * value-ordered sequence is tie-invariant, so the result is deterministic
+   * on any cluster. Empty input is rejected (a quantile of nothing).
+   *
+   * Output: (q_pct, rank, value), one row per requested percent.
+   */
+  def globalQuantiles(df: DataFrame, valueCol: String, percents: Seq[Int],
+      nBuckets: Int = 1024): DataFrame = {
+    require(percents.nonEmpty && percents.forall(q => q >= 1 && q <= 100),
+      "percents must be integers in [1, 100]")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val vals = df.select(col(valueCol).cast(
+      org.apache.spark.sql.types.LongType).as("v"))
+    val mm = vals.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    require(mm.getLong(2) > 0, "globalQuantiles of an empty frame")
+    val (lo, n) = (mm.getLong(0), mm.getLong(2))
+    val width = math.max(1L, (mm.getLong(1) - lo) / nBuckets + 1)
+    val bucketed = vals.withColumn("__bucket",
+      IntMath.idiv(col("v") - lo, lit(width)))
+    // bounded collect: one (bucket, count) row per occupied bucket
+    val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o, c) }
+    val targets = percents.distinct.sorted.map(q => (q, (n * q + 99) / 100))
+    val lookup = targets.map { case (q, r) =>
+      val (b, off, _) = offsets.find { case (_, off, c) =>
+        r > off && r <= off + c }.get
+      (b, r - off, q, r)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lookupDf = lookup.toDF("__bucket", "__r", "q_pct", "rank")
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("v"))
+    bucketed.filter(col("__bucket").isin(lookup.map(_._1).distinct: _*))
+      .withColumn("__r", row_number().over(w).cast(
+        org.apache.spark.sql.types.LongType))
+      .join(broadcast(lookupDf), Seq("__bucket", "__r"))
+      .select(col("q_pct").cast(org.apache.spark.sql.types.IntegerType),
+        col("rank").cast(org.apache.spark.sql.types.LongType),
+        col("v").as("value"))
+  }
 }

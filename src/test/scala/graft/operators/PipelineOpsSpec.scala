@@ -1153,6 +1153,45 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(5L) == ((0L, 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("contrastive pairs: anchor = cluster label, cap, singletons drop") {
+    import s.implicits._
+    // cluster 1 = {1,2,3,4,5,6}; cluster 7 = {7}; cluster 8 = {8,9}
+    val cl = (Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L),
+      (7L, 7L), (8L, 8L), (9L, 8L))).toDF("doc_id", "cluster_id")
+    val out = Dedup.contrastivePairs(cl, maxPositives = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._3))
+    assert(out.toSeq == Seq((1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 3),
+      (1L, 5L, 4), (8L, 9L, 1)))
+  }
+
+  test("ntile buckets: SQL NTILE semantics with deterministic ties") {
+    import s.implicits._
+    // class a: 5 rows, 2 buckets → sizes 3/2; ties on value break by id
+    val d = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "a", 20L), (5L, "a", 20L), (6L, "b", 1L))
+      .toDF("doc_id", "cls", "v")
+    val out = Stats.ntileBuckets(d, "cls", "v", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 1))
+  }
+
+  test("global quantiles: exact rank pick through the bucketed scan") {
+    import s.implicits._
+    val d = (1L to 100L).toDF("v")
+    val out = Stats.globalQuantiles(d, "v", Seq(1, 50, 99), nBuckets = 7)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(out.toSeq == Seq((1, 1L, 1L), (50, 50L, 50L), (99, 99L, 99L)))
+    // heavy ties: 90×5 then 10×50 → p50 = 5, p99 = 50; 2 occupied buckets
+    val t = (Seq.fill(90)(5L) ++ Seq.fill(10)(50L)).toDF("v")
+    val o2 = Stats.globalQuantiles(t, "v", Seq(50, 99), nBuckets = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).sorted
+    assert(o2.toSeq == Seq((50, 5L), (99, 50L)))
+    intercept[IllegalArgumentException] {
+      Stats.globalQuantiles(d.filter(col("v") < 0), "v", Seq(50))
+    }
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))
