@@ -149,7 +149,8 @@ object Bench {
       "q104_hard_negatives", "q105_chunk_docs", "q106_rrf_fusion",
       "q107_stratified_split", "q108_ngram_overlap", "q109_sliding_window",
       "q110_contrastive_pairs", "q111_length_deciles",
-      "q112_global_quantiles")
+      "q112_global_quantiles", "q113_diversity_report", "q114_char_entropy",
+      "q115_source_budget_select")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -452,6 +452,25 @@ object Probe {
         assertKeyedWindows(nt, "ntileBuckets")
         nt.count()
       }
+      timed("diversity report (10 sources @100k docs)") {
+        TextAnalysis.diversityReport(
+          big.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(10L)))),
+          "text", "doc_id", "source").count()
+      }
+      timed("char entropy (@100k docs)") {
+        TextAnalysis.charEntropy(big, "text", "doc_id").count()
+      }
+      timed("group budget select (10 sources @100k docs)") {
+        val gb = graft.operators.Packing.groupBudgetSelect(
+          big.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(10L))))
+            .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+            .withColumn("score", pmod(col("doc_id"), lit(100L))),
+          "source", "score", "doc_id", "n_tokens", budgetTokens = 500000L)
+        assertKeyedWindows(gb, "groupBudgetSelect")
+        gb.count()
+      }
     }
 
     // ---- embedding family at 10× (sf0.1 → 50k vectors with distinct ids):

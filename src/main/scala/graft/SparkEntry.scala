@@ -1227,6 +1227,38 @@ object SparkEntry {
       (s, dir) => Stats.globalQuantiles(docs(tune(s), dir), "n_chars",
         Seq(1, 25, 50, 75, 90, 99)).orderBy("q_pct")),
 
+    // per-source corpus diversity: distinct-bigram ratio (template-spam
+    // detector) and tokenizer fertility (tokens per kilochar), all integer
+    Q("q113_diversity_report", Some(
+      s"""WITH toks AS (SELECT doc_id, source, $dToks AS tk, CAST(length(text) AS BIGINT) AS nc FROM documents), b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS n_tokens, CAST(SUM(GREATEST(len(tk)-1, 0)) AS BIGINT) AS n_bigrams, CAST(SUM(nc) AS BIGINT) AS n_chars FROM toks GROUP BY source), th AS (SELECT doc_id, source, list_transform(tk, t -> ${dFold("t")}) AS th FROM toks), bg AS (SELECT DISTINCT source, h FROM (SELECT source, unnest(CASE WHEN len(th) < 2 THEN [] ELSE list_transform(range(len(th)-1), i -> (th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647) END) AS h FROM th)), d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS distinct_bigrams FROM bg GROUP BY source) SELECT b.source, n_docs, n_tokens, n_bigrams, CAST(COALESCE(d.distinct_bigrams, 0) AS BIGINT) AS distinct_bigrams, CAST(CASE WHEN n_bigrams = 0 THEN 0 ELSE COALESCE(d.distinct_bigrams, 0) * 1000000 // n_bigrams END AS BIGINT) AS distinct_ppm, CAST(CASE WHEN n_chars = 0 THEN 0 ELSE n_tokens * 1000 // n_chars END AS BIGINT) AS fertility_tpk FROM b LEFT JOIN d USING (source) ORDER BY source"""),
+      (s, dir) => TextAnalysis.diversityReport(docs(tune(s), dir), "text",
+        "doc_id", "source").orderBy("source")),
+
+    // per-doc character entropy (qlog2 fixed point, 1024 units/bit): the
+    // repeated-dump / encoded-noise quality signal
+    Q("q114_char_entropy", Some(
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents), c AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt FROM ch WHERE ch <> '' GROUP BY doc_id, ch), a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(cnt * ${dQlog2("cnt")}) AS BIGINT) AS s FROM c GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_chars_counted, CAST(COALESCE((a.n * ${dQlog2("a.n")} - a.s) // a.n, 0) AS BIGINT) AS entropy_q FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id"""),
+      (s, dir) => TextAnalysis.charEntropy(docs(tune(s), dir), "text",
+        "doc_id").orderBy("doc_id")),
+
+    // domain-mix balancing: per-source token budget, best-score-first (the
+    // keyed-window counterpart of the global q67 budget select)
+    Q("q115_source_budget_select", Some(
+      s"""WITH t AS (SELECT doc_id, source, $dToks AS tk FROM documents), b AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS BIGINT) AS sw FROM t), sc AS (SELECT doc_id, source, n_tokens, CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE sw * 100 // n_tokens END AS BIGINT) AS score FROM b), c AS (SELECT doc_id, source, score, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM sc) SELECT source, doc_id, score, n_tokens, start_off FROM c WHERE start_off < 5000 ORDER BY doc_id"""),
+      (s, dir) => {
+        val base = docs(tune(s), dir).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.stopwordCount(col("text")).as("sw"))
+          .withColumn("score", when(col("n_tokens") === 0, 0L)
+            .otherwise(expr("sw * 100 DIV n_tokens")))
+          .drop("sw")
+        Packing.groupBudgetSelect(base, "source", "score", "doc_id",
+          "n_tokens", 5000L)
+          .select(col("source"), col("doc_id"), col("score"),
+            col("n_tokens"), col("start_off"))
+          .orderBy("doc_id")
+      }),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

@@ -142,6 +142,28 @@ object Packing {
   }
 
   /**
+   * Per-group token-budget selection — the domain-mix balancer: within each
+   * group (source/domain/language), take documents best-score-first until
+   * the group's token budget fills (the doc straddling the boundary is
+   * kept, as [[budgetSelect]]). Unlike the global [[budgetSelect]] (which
+   * needs a two-stage prefix scan to avoid a global window), the per-group
+   * form is exactly one GROUP-KEYED window — groups fill in parallel, no
+   * driver-side state, no collect.
+   *
+   * Output: the input columns plus `start_off` (tokens consumed by
+   * strictly-better rows of the same group).
+   */
+  def groupBudgetSelect(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_off", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("start_off") < budgetTokens)
+  }
+
+  /**
    * Sequence-slot occupancy: for each `seqLen`-token output sequence, how
    * many documents contribute tokens to it and how many of its slots are
    * filled (the last sequence may be partial). Derived from [[packPlan]] by

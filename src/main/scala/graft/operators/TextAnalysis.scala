@@ -906,4 +906,77 @@ object TextAnalysis {
       .orderBy(col("pmi_x1000").desc, col("token_a").asc, col("token_b").asc)
       .limit(topK)
   }
+
+  /**
+   * Per-group corpus diversity report — the pre-training health check for a
+   * data mixture: a source whose distinct-bigram ratio collapses is
+   * template/boilerplate spam (the distinct-n diversity metric), and
+   * tokens-per-kilochar fertility flags sources the tokenizer fragments
+   * (non-Latin scripts, code, tables). Two source-keyed partial aggregations
+   * plus the [[shingleHashRows]] distinct stage — text itself never
+   * shuffles, only 8-byte hashes and per-doc counters.
+   *
+   * Output per group: (group, n_docs, n_tokens, n_bigrams, distinct_bigrams,
+   * distinct_ppm, fertility_tpk) — `distinct_ppm` = distinct/total bigrams
+   * ×10⁶, `fertility_tpk` = tokens per 1000 chars, both integer-floored.
+   */
+  def diversityReport(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, groupCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(groupCol).as("grp"),
+      tokenCount(col(textCol)).as("nt"), charCount(col(textCol)).as("nc"))
+    val facets = base.groupBy("grp").agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").as("n_tokens"),
+      sum(greatest(col("nt") - 1L, lit(0L))).as("n_bigrams"),
+      sum("nc").as("n_chars"))
+    // per-doc distinct bigram hashes → per-group distinct: the doc-keyed
+    // distinct (inside shingleHashRows) shrinks the explode before the
+    // group-keyed distinct aggregates it
+    val dist = shingleHashRows(docs, textCol, idCol, n = 2)
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp")),
+        "doc_id")
+      .select("grp", "h").distinct()
+      .groupBy("grp").agg(count(lit(1)).as("distinct_bigrams"))
+    facets.join(dist, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_bigrams"),
+        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"),
+        when(col("n_bigrams") === 0L, 0L)
+          .otherwise(IntMath.idiv(
+            coalesce(col("distinct_bigrams"), lit(0L)) * 1000000L,
+            col("n_bigrams"))).as("distinct_ppm"),
+        when(col("n_chars") === 0L, 0L)
+          .otherwise(IntMath.idiv(col("n_tokens") * 1000L, col("n_chars")))
+          .as("fertility_tpk"))
+  }
+
+  /**
+   * Per-document character-level Shannon entropy in [[Retrieval.qlog2]]
+   * fixed point (1024 units/bit) — the cheap randomness/quality signal:
+   * near-zero entropy is a repeated-character dump, implausibly high
+   * entropy is compressed/encoded noise; natural language sits in a stable
+   * band. Using Σc·log₂c ≡ n·log₂n − Σcᵢ·log₂cᵢ keeps the whole computation
+   * two partial-agg groupBys over (doc, char) rows — all-integer, so the
+   * oracle matches bit-for-bit, and deterministic on any partitioning.
+   *
+   * Docs with no characters report entropy 0 over 0 counted chars.
+   * Output: (doc_id, n_chars_counted, entropy_q).
+   */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val ch = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val counts = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val agg = counts.groupBy("doc_id").agg(
+      sum("cnt").as("n"),
+      sum(col("cnt") * Retrieval.qlog2(col("cnt"))).as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars_counted"),
+        coalesce(IntMath.idiv(
+          col("n") * Retrieval.qlog2(col("n")) - col("s"), col("n")),
+          lit(0L)).as("entropy_q"))
+  }
 }

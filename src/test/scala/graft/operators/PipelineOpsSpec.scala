@@ -1192,6 +1192,45 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("diversity report: distinct bigram ratio and fertility per source") {
+    import s.implicits._
+    val d = Seq((1L, "x y z", "a"), (2L, "x y x y", "a"), (3L, "q", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.diversityReport(d, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    // a: 7 tokens, 5 bigrams {xy,yz,yx,xy dup} -> 3 distinct; 12 chars
+    // b: 1 token, 0 bigrams, 1 char
+    assert(out.toSeq == Seq(
+      ("a", 2L, 7L, 5L, 3L, 600000L, 583L),
+      ("b", 1L, 1L, 0L, 0L, 0L, 1000L)))
+  }
+
+  test("char entropy: uniform, degenerate, and empty docs") {
+    val d = docs((1L, "aaaa"), (2L, "aabb"), (3L, "abcd"), (4L, "aab"),
+      (5L, ""))
+    val out = TextAnalysis.charEntropy(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((4L, 0L)))     // one symbol: zero bits
+    assert(out(2L) == ((4L, 1024L)))  // two equiprobable: exactly 1 bit
+    assert(out(3L) == ((4L, 2048L)))  // four equiprobable: exactly 2 bits
+    assert(out(4L) == ((3L, 853L)))   // (2/3,1/3): 0.833 bits piecewise
+    assert(out(5L) == ((0L, 0L)))     // empty doc defined as zero
+  }
+
+  test("group budget select: per-group fill, straddler kept, keyed window") {
+    import s.implicits._
+    val d = Seq((1L, "a", 9L, 3L), (2L, "a", 9L, 3L), (3L, "a", 5L, 3L),
+      (4L, "b", 1L, 10L)).toDF("doc_id", "grp", "score", "n_tokens")
+    val out = Packing.groupBudgetSelect(d, "grp", "score", "doc_id",
+      "n_tokens", budgetTokens = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    // a: ids 1 (off 0), 2 (off 3, straddles), 3 (off 6 >= 5 dropped)
+    // b: id 4 (off 0) kept even though it alone exceeds the budget
+    assert(out.toSeq == Seq((1L, 0L), (2L, 3L), (4L, 0L)))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))
