@@ -461,6 +461,25 @@ object Probe {
       timed("char entropy (@100k docs)") {
         TextAnalysis.charEntropy(big, "text", "doc_id").count()
       }
+      timed("pagerank (3 iters, ring+hub graph @100k nodes)") {
+        // synthetic edges: a 100k-node ring plus a 1000-spoke hub — no
+        // text pipeline, isolates the iterate-join-agg core
+        val ids = big.select(col("doc_id"))
+        val ring = ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 1L).as("dst"))
+        val hub = ids.limit(1000).select(col("doc_id").as("src"),
+          lit(0L).as("dst"))
+        graft.operators.Graph.pageRankLite(big, "doc_id",
+          ring.unionByName(hub), "src", "dst", iterations = 3).count()
+      }
+      timed("hll distinct (10 sources @100k docs, all token hashes)") {
+        graft.operators.Stats.hllDistinct(
+          big.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(10L))))
+            .select(col("source"),
+              explode(TextAnalysis.tokenHashes(col("text"))).as("h")),
+          "source", "h").count()
+      }
       timed("group budget select (10 sources @100k docs)") {
         val gb = graft.operators.Packing.groupBudgetSelect(
           big.withColumn("source",

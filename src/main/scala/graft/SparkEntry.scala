@@ -1259,6 +1259,36 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // fixed-point PageRank (3 iterations, ppm) over the symmetric MinHash
+    // candidate graph: dup-cluster hubs rank up, isolated docs at 150000
+    Q("q116_pagerank", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s), r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents), m1 AS (SELECT e.t AS doc_id, CAST(SUM(r0.r // deg.d) AS BIGINT) AS m FROM e JOIN deg USING (s) JOIN r0 ON r0.doc_id = e.s GROUP BY e.t), r1 AS (SELECT d0.doc_id, CAST(150000 + (850000 * COALESCE(m1.m, 0)) // 1000000 AS BIGINT) AS r FROM documents d0 LEFT JOIN m1 USING (doc_id)), m2 AS (SELECT e.t AS doc_id, CAST(SUM(r1.r // deg.d) AS BIGINT) AS m FROM e JOIN deg USING (s) JOIN r1 ON r1.doc_id = e.s GROUP BY e.t), r2 AS (SELECT d0.doc_id, CAST(150000 + (850000 * COALESCE(m2.m, 0)) // 1000000 AS BIGINT) AS r FROM documents d0 LEFT JOIN m2 USING (doc_id)), m3 AS (SELECT e.t AS doc_id, CAST(SUM(r2.r // deg.d) AS BIGINT) AS m FROM e JOIN deg USING (s) JOIN r2 ON r2.doc_id = e.s GROUP BY e.t), r3 AS (SELECT d0.doc_id, CAST(150000 + (850000 * COALESCE(m3.m, 0)) // 1000000 AS BIGINT) AS r FROM documents d0 LEFT JOIN m3 USING (doc_id)) SELECT doc_id AS node_id, r AS rank_ppm FROM r3 ORDER BY node_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val edges = cands
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(cands
+            .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        Graph.pageRankLite(d, "doc_id", edges, "src", "dst", iterations = 3)
+          .orderBy("node_id")
+      }),
+
+    // HLL cardinality sketch per source (m=256, integer raw estimator),
+    // with the exact distinct joined alongside for self-evaluation
+    Q("q117_hll_distinct", Some(
+      s"""WITH toks AS (SELECT source, unnest($dToks) AS tok FROM documents), hh AS (SELECT source, ${dFold("tok")} AS h FROM toks), mx1 AS (SELECT source, h, (xor(h >> 16, h) * 73244475) & 2147483647 AS h1 FROM hh), mx2 AS (SELECT source, h, (xor(h1 >> 16, h1) * 73244475) & 2147483647 AS h2 FROM mx1), mx AS (SELECT source, h, xor(h2 >> 16, h2) AS hm FROM mx2), b AS (SELECT source, hm >> 23 AS bucket, CASE WHEN (hm & 8388607) = 0 THEN 24 ELSE 24 - length(bin(hm & 8388607)) END AS rho FROM mx), mj AS (SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS m_j FROM b GROUP BY source, bucket), a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS occupied_buckets, CAST(SUM(1073741824 >> CAST(m_j AS INT)) AS BIGINT) AS s_occ FROM mj GROUP BY source), x AS (SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct FROM hh GROUP BY source) SELECT a.source, occupied_buckets, CAST(s_occ + (256 - occupied_buckets) * 1073741824 AS BIGINT) AS sketch_sum, CAST(718273 * (70368744177664 // (s_occ + (256 - occupied_buckets) * 1073741824)) // 1000000 AS BIGINT) AS est_distinct, x.exact_distinct FROM a JOIN x USING (source) ORDER BY source"""),
+      (s, dir) => {
+        val h = docs(tune(s), dir).select(col("source"),
+          explode(TextAnalysis.tokenHashes(col("text"))).as("h"))
+        val exact = h.select("source", "h").distinct()
+          .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+        Stats.hllDistinct(h, "source", "h")
+          .join(exact, Seq("source"))
+          .orderBy("source")
+      }),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

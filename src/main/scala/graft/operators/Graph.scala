@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over document-similarity / link graphs. A corpus pipeline
+ * meets graphs twice: the near-dup candidate graph (who shares a MinHash
+ * band with whom) and citation/link structure when sources carry it; both
+ * want an importance score that survives distribution. The operators here
+ * are all-integer so any cluster, any partitioning, any summation order
+ * produces bit-identical results (the DuckDB oracle reproduces them).
+ */
+object Graph {
+
+  /**
+   * Fixed-point PageRank in parts-per-million units. Every node starts at
+   * 1,000,000; each iteration
+   *
+   *   r'(v) = 150,000 + (850,000 · Σ_{u→v} (r(u) DIV outdeg(u))) DIV 10⁶
+   *
+   * — the standard 0.15/0.85 damping, with truncating integer division in
+   * place of FP. Truncation leaks a little mass (as real dangling-node
+   * handling does); what it buys is determinism: FP PageRank differs run to
+   * run with summation order, this never does. Edges are DIRECTED — pass
+   * both directions for an undirected similarity graph. Nodes with no
+   * in-edges settle at 150,000 after one iteration; isolated docs rank at
+   * the floor and dup-cluster hubs rise.
+   *
+   * Shape at 100 TB: out-degrees join the edge frame once (staged); each of
+   * the (bounded, default 3) iterations is one src-keyed join + one
+   * dst-keyed partial-agg — the rank frame is 2 longs per node, always far
+   * smaller than the edges. No collect, no global window. Overflow-safe
+   * while total graph mass stays under ~10¹³ ppm (10 B in-neighbors of one
+   * node) — beyond that, split the 850,000 multiply.
+   *
+   * Output: (node_id, rank_ppm).
+   */
+  def pageRankLite(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val deg = edges.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("deg"))
+    val e = Staging.stage(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(deg, "src"))
+    val n0 = nodes.select(col(idCol).as("node_id"))
+    var rank = n0.withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(rank.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst"),
+          IntMath.idiv(col("rank_ppm"), col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("in_mass"))
+      rank = n0
+        .join(contrib.withColumnRenamed("dst", "node_id"), Seq("node_id"),
+          "left")
+        .select(col("node_id"),
+          (lit(150000L) + IntMath.idiv(
+            lit(850000L) * coalesce(col("in_mass"), lit(0L)),
+            lit(1000000L))).as("rank_ppm"))
+    }
+    rank
+  }
+}

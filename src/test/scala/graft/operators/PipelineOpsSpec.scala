@@ -1231,6 +1231,33 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 0L), (2L, 3L), (4L, 0L)))
   }
 
+  test("pagerank lite: exact fixed-point ranks on a hand-computed graph") {
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRankLite(nodes, "doc_id", edges, "src", "dst",
+      iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1 = (1000000, 1850000, 150000, 150000); hand-rolled second step
+    assert(out == Map(1L -> 1722500L, 2L -> 1127500L, 3L -> 150000L,
+      4L -> 150000L))
+  }
+
+  test("hll distinct: pinned estimates, floor case, repartition-invariant") {
+    import s.implicits._
+    val one = Seq(("g", 0L)).toDF("grp", "h")
+    val o1 = Stats.hllDistinct(one, "grp", "h").collect().head
+    assert((o1.getLong(1), o1.getLong(2), o1.getLong(3)) ==
+      ((1L, 273804165184L, 184L)))  // raw-HLL floor on a 1-element group
+    val many = (1L to 50000L).map(("g", _)).toDF("grp", "h")
+    val est = Stats.hllDistinct(many, "grp", "h")
+      .collect().head.getLong(3)
+    assert(est == 50599L)  // 1.2% off 50000, bit-pinned
+    val est7 = Stats.hllDistinct(many.repartition(7), "grp", "h")
+      .collect().head.getLong(3)
+    assert(est7 == est)
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))
