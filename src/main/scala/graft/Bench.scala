@@ -150,7 +150,8 @@ object Bench {
       "q107_stratified_split", "q108_ngram_overlap", "q109_sliding_window",
       "q110_contrastive_pairs", "q111_length_deciles",
       "q112_global_quantiles", "q113_diversity_report", "q114_char_entropy",
-      "q115_source_budget_select", "q116_pagerank", "q117_hll_distinct")
+      "q115_source_budget_select", "q116_pagerank", "q117_hll_distinct",
+      "q118_cms_topk", "q119_random_project", "q120_normalize")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -480,6 +480,18 @@ object Probe {
               explode(TextAnalysis.tokenHashes(col("text"))).as("h")),
           "source", "h").count()
       }
+      timed("count-min sketch + top-20 estimate (@100k docs)") {
+        val h = big.select(explode(
+          TextAnalysis.tokenHashes(col("text"))).as("h"))
+        val probes = TextAnalysis.vocabulary(big, "text", "doc_id", 20)
+          .select(col("token"), TextAnalysis.stringHash(col("token")).as("h"))
+        graft.operators.Stats.cmsEstimate(
+          graft.operators.Stats.countMinSketch(h, "h"), probes, "h").count()
+      }
+      timed("normalize + hash (@100k docs)") {
+        big.select(TextAnalysis.stringHash(
+          TextAnalysis.normalizeText(col("text"))).as("nh")).count()
+      }
       timed("group budget select (10 sources @100k docs)") {
         val gb = graft.operators.Packing.groupBudgetSelect(
           big.withColumn("source",
@@ -506,6 +518,8 @@ object Probe {
       val cb = Pq.trainCodebooks(bigE, "vec_id", "embedding", 8, 16, 3)
       timed("pq encode (@10x embeddings)")(
         Pq.encode(bigE, "vec_id", "embedding", cb, 8).count())
+      timed("random project k=16 (@10x embeddings)")(
+        Similarity.randomProject(bigE, "vec_id", "embedding", 16).count())
       timed("semantic dedup (32 cells @10x embeddings)") {
         val out = Dedup.semanticDedup(bigE, "vec_id", "embedding",
           nCells = 32, iters = 2)

@@ -1289,6 +1289,43 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+    // count-min sketch (4x1024) over all token occurrences; estimates for
+    // the exact top-20 tokens ride alongside their true counts
+    Q("q118_cms_topk", Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents), hh AS (SELECT tok, ${dFold("tok")} AS h FROM toks), sk AS (SELECT i AS row_id, ((h*(1000003 + 2*i*4391) + ((7919*(i+1)) % 2147483647)) % 2147483647) % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM hh CROSS JOIN range(4) t(i) GROUP BY 1, 2), top AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok ORDER BY exact_n DESC, token ASC LIMIT 20), pc AS (SELECT token, exact_n, i AS row_id, ((${dFold("token")}*(1000003 + 2*i*4391) + ((7919*(i+1)) % 2147483647)) % 2147483647) % 1024 AS bucket FROM top CROSS JOIN range(4) t(i)), est AS (SELECT token, exact_n, CAST(MIN(COALESCE(sk.n, 0)) AS BIGINT) AS cms_est FROM pc LEFT JOIN sk USING (row_id, bucket) GROUP BY token, exact_n) SELECT token, exact_n, cms_est FROM est ORDER BY token"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val h = d.select(explode(
+          TextAnalysis.tokenHashes(col("text"))).as("h"))
+        val probes = TextAnalysis.vocabulary(d, "text", "doc_id", 20)
+          .select(col("token"), col("tf").as("exact_n"),
+            TextAnalysis.stringHash(col("token")).as("h"))
+        Stats.cmsEstimate(Stats.countMinSketch(h, "h"), probes, "h")
+          .select(col("token"), col("exact_n"), col("cms_est"))
+          .orderBy("token")
+      }),
+
+    // signed random projection to 16 integer dims — the JL reduction
+    // before clustering; oracle-exact because signs/sums are all int64
+    Q("q119_random_project", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), pb AS (SELECT item_id, CAST(p AS BIGINT) AS proj_dim, CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * (CASE WHEN (((2654435761 + 2027808446*p) % 4294967296) * (i+1)) % 4294967296 >= 2147483648 THEN 1 ELSE -1 END))) AS BIGINT) AS value FROM v CROSS JOIN range(16) t(p)) SELECT item_id, proj_dim, value FROM pb ORDER BY item_id, proj_dim"""),
+      (s, dir) => Similarity.randomProject(
+        embeddings(tune(s), dir), "vec_id", "embedding", k = 16)
+        .orderBy("item_id", "proj_dim")),
+
+    // ASCII-alnum normalization: the canonical hash + changed flag per doc
+    // (the normalize-then-exact-dedup key)
+    Q("q120_normalize", Some(
+      s"""WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents) SELECT doc_id, ${dFold("norm")} AS norm_hash, CAST(CASE WHEN norm = text THEN 0 ELSE 1 END AS BIGINT) AS changed, CAST(length(norm) AS BIGINT) AS n_norm_chars FROM n ORDER BY doc_id"""),
+      (s, dir) => {
+        val norm = TextAnalysis.normalizeText(col("text"))
+        docs(tune(s), dir).select(col("doc_id"),
+          TextAnalysis.stringHash(norm).as("norm_hash"),
+          when(norm === col("text"), 0L).otherwise(1L).as("changed"),
+          length(norm).cast(LongType).as("n_norm_chars"))
+          .orderBy("doc_id")
+      }),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

@@ -89,6 +89,32 @@ object Similarity {
   }
 
   /**
+   * Deterministic signed random projection (the ±1 JL/Achlioptas
+   * construction, public) of quantized embeddings to `k` integer output
+   * dimensions: out_j = Σ_i qv_i · sign(j, i), signs from the same
+   * [[planeSign]] Weyl hyperplanes as [[lshBuckets]]. The cheap
+   * dimensionality reduction ahead of clustering or visualization at
+   * corpus scale — pairwise dot products are preserved in expectation, and
+   * everything is int64, so the oracle reproduces values bit-for-bit
+   * (a float Gaussian projection cannot hash-match across engines).
+   *
+   * Same execution shape as [[lshBuckets]]: posexplode the vector once,
+   * broadcast the k plane ids, one partial-agg groupBy — the shuffle
+   * carries k longs per vector. Output: (item_id, proj_dim, value).
+   */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    val ex = df.select(col(idCol).as("item_id"),
+      posexplode(quantize(col(vecCol))).as(Seq("dim", "x")))
+    val planes = df.sparkSession.range(k).select(col("id").as("proj_dim"))
+    ex.join(broadcast(planes))
+      .groupBy(col("item_id"), col("proj_dim"))
+      .agg(sum(col("x") * planeSign(col("proj_dim"), col("dim").cast(LongType)))
+        .as("value"))
+  }
+
+  /**
    * Multi-table random-hyperplane LSH: `numTables` independent hash tables
    * of `planesPerTable` planes each; bucket bit j of table t =
    * [dot(vec, plane_{t·P+j}) > 0]. Output: (item_id, table_id, bucket).

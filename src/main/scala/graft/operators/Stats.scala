@@ -125,6 +125,59 @@ object Stats {
         lit(1000000L)).as("est_distinct"))
   }
 
+  /** Count-min row/bucket assignment shared by [[countMinSketch]] and
+    * [[cmsEstimate]]: bucket_i(h) = ((aᵢ·h + bᵢ) mod (2³¹−1)) mod width,
+    * seeds from the minhash family (pairwise-independent enough, and
+    * already engine-portable). */
+  private def cmsBuckets(h: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { i =>
+      val a = 1000003L + 2L * i * 4391L
+      val b = (7919L * (i + 1)) % 2147483647L
+      struct(lit(i).as("row_id"),
+        ((h * a + b) % 2147483647L % width).as("bucket"))
+    }: _*)
+
+  /**
+   * Count-min sketch (Cormode & Muthukrishnan 2005, public) over pre-hashed
+   * values — approximate frequencies in depth·width counters where exact
+   * counting keeps one row per distinct key. Deterministic: fixed hash
+   * family, integer counts, no sampling; sketches merge across shards/days
+   * by cell-wise SUM (the same partial agg that builds them). Point
+   * estimates ([[cmsEstimate]]) are exact-or-over, never under:
+   * est(h) = min_i sketch[i][bucket_i(h)] ≥ true count, with the standard
+   * ε·N overestimate bound (ε = e/width).
+   *
+   * Shape at 100 TB: one map-side explode of `depth` rows per input, one
+   * partial-agg groupBy to ≤ depth·width rows. Output: (row_id, bucket, n).
+   */
+  def countMinSketch(df: DataFrame, hashCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 16, s"width must be >= 16, got $width")
+    df.select(explode(cmsBuckets(col(hashCol), depth, width)).as("rb"))
+      .groupBy(col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Point-frequency estimates from a [[countMinSketch]]: for each probe
+   * hash, the minimum of its `depth` counters. The sketch is ≤ depth·width
+   * rows — broadcast side; probes can be any size. Probes absent from the
+   * sketch (all their cells zero-hit) return est 0 via the outer join.
+   *
+   * Output: the probe frame's columns plus `cms_est`.
+   */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, hashCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cells = probes.withColumn("rb",
+        explode(cmsBuckets(col(hashCol), depth, width)))
+      .select(probes.columns.map(col) :+ col("rb.row_id").as("row_id")
+        :+ col("rb.bucket").as("bucket"): _*)
+    cells.join(broadcast(sketch), Seq("row_id", "bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+  }
+
   /**
    * Per-class NTILE bucketing — the length-balanced sampling / curriculum
    * binning primitive: within each class, rows order by (value, id) (the id

@@ -40,6 +40,16 @@ object TextAnalysis {
     (runs + trans).cast(LongType)
   }
 
+  /** ASCII-alnum canonical form — the normalize-then-hash unit for
+    * normalized dedup and URL/title keying: lowercase, every run of
+    * non-[a-z0-9] characters collapses to ONE space, trimmed. A single
+    * regex pass whose character class evaluates identically in Java regex
+    * and RE2, so the DuckDB oracle matches byte-for-byte. Non-Latin text
+    * normalizes toward empty by design (this is an ASCII canonicalizer;
+    * script-aware forms would extend the class). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) mod p
     * over the characters. Portable (DuckDB list_reduce reproduces it), and
     * implemented as a native codegen'd Catalyst expression — see

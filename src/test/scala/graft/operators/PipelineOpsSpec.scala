@@ -1258,6 +1258,49 @@ class PipelineOpsSpec extends SparkSuite {
     assert(est7 == est)
   }
 
+  test("count-min sketch: exact-or-over estimates, absent key 0, mergeable") {
+    import s.implicits._
+    val h = Seq(1L, 1L, 1L, 2L, 2L, 9L).toDF("h")
+    val sketch = Stats.countMinSketch(h, "h")
+    val probes = Seq(1L, 2L, 9L, 42L).toDF("h")
+    val est = Stats.cmsEstimate(sketch, probes, "h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == Map(1L -> 3L, 2L -> 2L, 9L -> 1L, 42L -> 0L))
+    // merge = cell-wise sum: sketch(A) + sketch(B) == sketch(A ∪ B)
+    val a = Seq(1L, 1L, 2L).toDF("h"); val b = Seq(1L, 2L, 9L).toDF("h")
+    val merged = Stats.countMinSketch(a, "h")
+      .unionByName(Stats.countMinSketch(b, "h"))
+      .groupBy("row_id", "bucket").agg(sum("n").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = Stats.countMinSketch(h, "h")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full)
+  }
+
+  test("random projection: linear, sign-symmetric, repartition-invariant") {
+    import s.implicits._
+    val v = Seq((1L, Seq(1f, 0f, 2f, -1f)), (2L, Seq(-1f, 0f, -2f, 1f)),
+      (3L, Seq(2f, 0f, 4f, -2f))).toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(v, "vec_id", "embedding", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 8L).foreach { j =>
+      assert(p((2L, j)) == -p((1L, j)))   // proj(-v) = -proj(v)
+      assert(p((3L, j)) == 2L * p((1L, j))) // proj(2v) = 2·proj(v)
+    }
+    val p7 = Similarity.randomProject(v.repartition(7), "vec_id",
+      "embedding", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p7 == p)
+  }
+
+  test("normalize text: case, punct runs, whitespace, unchanged flag") {
+    val d = docs((1L, "Hello,  World!!"), (2L, "abc 123"), (3L, "你好"))
+    val out = d.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "hello world", 2L -> "abc 123", 3L -> ""))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))
