@@ -151,7 +151,8 @@ object Bench {
       "q110_contrastive_pairs", "q111_length_deciles",
       "q112_global_quantiles", "q113_diversity_report", "q114_char_entropy",
       "q115_source_budget_select", "q116_pagerank", "q117_hll_distinct",
-      "q118_cms_topk", "q119_random_project", "q120_normalize")
+      "q118_cms_topk", "q119_random_project", "q120_normalize",
+      "q121_zipf_fit", "q122_kappa", "q123_calibration")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

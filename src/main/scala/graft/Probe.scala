@@ -492,6 +492,26 @@ object Probe {
         big.select(TextAnalysis.stringHash(
           TextAnalysis.normalizeText(col("text"))).as("nh")).count()
       }
+      timed("zipf fit (top-1000 vocab @100k docs)") {
+        // the only single-partition window is over the top-K frame (1000
+        // rows), bounded by construction
+        graft.operators.Stats.zipfFit(
+          TextAnalysis.vocabulary(big, "text", "doc_id", 1000), "tf").count()
+      }
+      timed("kappa + calibration (@100k docs)") {
+        val d = big.withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(4L))))
+        graft.operators.Stats.cohenKappa(d.select(
+          TextAnalysis.scriptLangId(col("text")).as("p"), col("lang")),
+          "p", "lang").count()
+        val base = d.select(
+          TextAnalysis.tokenCount(col("text")).as("nt"),
+          TextAnalysis.stopwordCount(col("text")).as("sw"),
+          (col("lang") === "l0").as("y"))
+          .withColumn("score_ppm", when(col("nt") === 0, 0L)
+            .otherwise(expr("sw * 1000000 DIV nt")))
+        graft.operators.Stats.calibrationBins(base, "score_ppm", "y").count()
+      }
       timed("group budget select (10 sources @100k docs)") {
         val gb = graft.operators.Packing.groupBudgetSelect(
           big.withColumn("source",

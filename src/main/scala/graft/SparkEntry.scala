@@ -1326,6 +1326,39 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // Zipf rank-frequency fit over the top-1000 vocabulary: slope ~ -1 on
+    // natural language, all qlog2 fixed point (slope negated so every
+    // division is positive/positive)
+    Q("q121_zipf_fit", Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents), tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok ORDER BY tf DESC, tok LIMIT 1000), rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC) AS r FROM tf), xy AS (SELECT ${dQlog2("r")} AS x, ${dQlog2("tf")} AS y FROM rk), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx FROM xy) SELECT n AS n_terms, CAST((sx*sy - n*sxy) * 1000 // (n*sxx - sx*sx) AS BIGINT) AS slope_neg_x1000, CAST((sy*1000 + ((sx*sy - n*sxy) * 1000 // (n*sxx - sx*sx))*sx) // (1000*n) AS BIGINT) AS intercept_q FROM s"""),
+      (s, dir) => Stats.zipfFit(
+        TextAnalysis.vocabulary(docs(tune(s), dir), "text", "doc_id", 1000),
+        "tf")),
+
+    // Cohen's kappa between the script-aware language detector and the
+    // ground-truth lang column — chance-corrected accuracy, integer ppm
+    Q("q122_kappa", Some(
+      s"""WITH t AS (SELECT doc_id, lang AS true_lang, text, $dToks AS tk FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM t), lg AS (SELECT doc_id, CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END AS marker_lang FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc)), pr AS (SELECT CASE WHEN (CASE WHEN strlen(t.text) = len(t.text) THEN 0 ELSE len(regexp_extract_all(t.text, '[\\x{4e00}-\\x{9fff}]')) END) * 10 >= len(t.text) THEN 'zh' ELSE lg.marker_lang END AS a, t.true_lang AS b FROM t JOIN lg ON t.doc_id = lg.doc_id), ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree FROM pr), ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS na FROM pr GROUP BY a), mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM pr GROUP BY b), pe AS (SELECT CAST(COALESCE(SUM(na*nb), 0) AS BIGINT) AS pe_num FROM ma JOIN mb ON ma.a = mb.b), k AS (SELECT n, CAST(agree*1000000//n AS BIGINT) AS po_ppm, CAST(pe_num*1000000//(n*n) AS BIGINT) AS pe_ppm FROM ag CROSS JOIN pe) SELECT n, po_ppm, pe_ppm, CAST(GREATEST(po_ppm - pe_ppm, 0)*1000000 // (1000000 - pe_ppm) AS BIGINT) AS kappa_ppm FROM k"""),
+      (s, dir) => Stats.cohenKappa(
+        docs(tune(s), dir).select(
+          TextAnalysis.scriptLangId(col("text")).as("pred"), col("lang")),
+        "pred", "lang")),
+
+    // calibration of stopword-rate-as-English-confidence: per score decile,
+    // how often is the doc actually English — map-only value binning
+    Q("q123_calibration", Some(
+      s"""WITH t AS (SELECT lang, $dToks AS tk FROM documents), b AS (SELECT CAST(len(tk) AS BIGINT) AS nt, CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS BIGINT) AS sw, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM t), sc AS (SELECT CAST(CASE WHEN nt = 0 THEN 0 ELSE sw*1000000//nt END AS BIGINT) AS s, y FROM b), bn AS (SELECT CAST(s*10//1000001 AS BIGINT) AS bin, s, y FROM sc) SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s)//COUNT(*) AS BIGINT) AS mean_score_ppm, CAST(SUM(y)*1000000//COUNT(*) AS BIGINT) AS pos_rate_ppm FROM bn GROUP BY bin ORDER BY bin"""),
+      (s, dir) => {
+        val base = docs(tune(s), dir).select(
+          TextAnalysis.tokenCount(col("text")).as("nt"),
+          TextAnalysis.stopwordCount(col("text")).as("sw"),
+          (col("lang") === "en").as("is_en"))
+          .withColumn("score_ppm", when(col("nt") === 0, 0L)
+            .otherwise(expr("sw * 1000000 DIV nt")))
+        Stats.calibrationBins(base, "score_ppm", "is_en", nBins = 10)
+          .orderBy("bin")
+      }),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

@@ -171,11 +171,97 @@ object Stats {
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val cells = probes.withColumn("rb",
         explode(cmsBuckets(col(hashCol), depth, width)))
-      .select(probes.columns.map(col) :+ col("rb.row_id").as("row_id")
-        :+ col("rb.bucket").as("bucket"): _*)
+      .select(probes.columns.toIndexedSeq.map(col)
+        :+ col("rb.row_id").as("row_id") :+ col("rb.bucket").as("bucket"): _*)
     cells.join(broadcast(sketch), Seq("row_id", "bucket"), "left")
-      .groupBy(probes.columns.map(col): _*)
+      .groupBy(probes.columns.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+  }
+
+  /**
+   * Zipf rank-frequency fit over a (rank-ordered) term-frequency table —
+   * the corpus-health one-liner: natural language fits log f ≈ c − s·log r
+   * with slope s ≈ 1; template spam and synthetic junk bend the curve. The
+   * least-squares slope runs entirely in [[graft.operators.Retrieval.qlog2]]
+   * fixed point (x = qlog2(rank), y = qlog2(tf)), with the slope NEGATED so
+   * every division is positive-over-positive (truncating DIV and floor
+   * division agree on non-negatives — the engine-portability rule).
+   *
+   * Input: a frame with `tf` (long) — typically
+   * [[TextAnalysis.vocabulary]]'s top-K, so the single-partition rank
+   * window is bounded by K, not the corpus. Output one row:
+   * (n_terms, slope_neg_x1000, intercept_q) — slope_neg_x1000 ≈ 1000 on
+   * Zipfian text, intercept_q in 1024ths of a bit.
+   */
+  def zipfFit(topTerms: DataFrame, tfCol: String): DataFrame = {
+    val w = Window.orderBy(col(tfCol).desc)
+    val xy = topTerms
+      .withColumn("x", Retrieval.qlog2(row_number().over(w).cast(LongType)))
+      .withColumn("y", Retrieval.qlog2(col(tfCol)))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    xy.select(col("n").as("n_terms"), col("sx"), col("sy"),
+        IntMath.idiv((col("sx") * col("sy") - col("n") * col("sxy")) * 1000L,
+          col("n") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_neg_x1000"))
+      .select(col("n_terms"), col("slope_neg_x1000"),
+        IntMath.idiv(col("sy") * 1000L + col("slope_neg_x1000") * col("sx"),
+          lit(1000L) * col("n_terms")).as("intercept_q"))
+  }
+
+  /**
+   * Cohen's kappa agreement between two label columns over the same rows —
+   * the standard chance-corrected eval for comparing two classifiers (or
+   * annotator passes) at corpus scale. po/pe in ppm, all integer; kappa is
+   * CLAMPED at zero (worse-than-chance → 0) so the division stays
+   * positive-over-positive and engine-portable. Per-class marginal products
+   * bound n at ~3·10⁹ rows in int64 — the labeled-eval-set regime kappa is
+   * for, not the raw corpus.
+   *
+   * Two partial-agg passes (one per marginal) plus a 1-row agreement agg.
+   * Output one row: (n, po_ppm, pe_ppm, kappa_ppm).
+   */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = df.select(col(colA).as("a"), col(colB).as("b"))
+    val agree = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val ma = base.groupBy("a").agg(count(lit(1)).as("na"))
+    val mb = base.groupBy("b").agg(count(lit(1)).as("nb"))
+    val pe = ma.join(mb, col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    agree.crossJoin(pe)
+      .select(col("n"),
+        IntMath.idiv(col("agree") * 1000000L, col("n")).as("po_ppm"),
+        IntMath.idiv(col("pe_num") * 1000000L, col("n") * col("n"))
+          .as("pe_ppm"))
+      .select(col("n"), col("po_ppm"), col("pe_ppm"),
+        IntMath.idiv(
+          greatest(col("po_ppm") - col("pe_ppm"), lit(0L)) * 1000000L,
+          lit(1000000L) - col("pe_ppm")).as("kappa_ppm"))
+  }
+
+  /**
+   * Calibration/reliability bins for a ppm-scaled score against a binary
+   * label: does "score 0.8" mean "right 80% of the time"? Bin by score
+   * VALUE (bin = score·nBins DIV (10⁶+1) — map-only, no global sort or
+   * NTILE), then per bin the count, mean score and positive rate, all
+   * integer ppm. One partial-agg groupBy; empty bins are absent rows.
+   *
+   * Output: (bin, n, mean_score_ppm, pos_rate_ppm).
+   */
+  def calibrationBins(pred: DataFrame, scorePpmCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins in [2,1000], got $nBins")
+    pred.select(
+        IntMath.idiv(col(scorePpmCol) * nBins, lit(1000001L)).as("bin"),
+        col(scorePpmCol).as("s"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("s").as("ss"), sum("y").as("sy"))
+      .select(col("bin"), col("n"),
+        IntMath.idiv(col("ss"), col("n")).as("mean_score_ppm"),
+        IntMath.idiv(col("sy") * 1000000L, col("n")).as("pos_rate_ppm"))
   }
 
   /**

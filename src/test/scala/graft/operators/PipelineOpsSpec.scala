@@ -1301,6 +1301,42 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out == Map(1L -> "hello world", 2L -> "abc 123", 3L -> ""))
   }
 
+  test("zipf fit: exact slope/intercept on a perfect power law") {
+    import s.implicits._
+    // tf = 12/r: qlog2 happens to be exact on these ratios, so the fit
+    // recovers slope -1 and intercept qlog2(12) with zero residual
+    val tf = Seq(("a", 12L), ("b", 6L), ("c", 4L), ("d", 3L))
+      .toDF("token", "tf")
+    val out = Stats.zipfFit(tf, "tf").collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) ==
+      ((4L, 1000L, 3584L)))
+  }
+
+  test("cohen kappa: exact ppm agreement, chance correction, clamp") {
+    import s.implicits._
+    val d = Seq(("x", "x"), ("x", "x"), ("x", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val out = Stats.cohenKappa(d, "a", "b").collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((4L, 750000L, 500000L, 500000L)))
+    // worse than chance clamps to 0
+    val w = Seq(("x", "y"), ("y", "x")).toDF("a", "b")
+    assert(Stats.cohenKappa(w, "a", "b").collect().head.getLong(3) == 0L)
+  }
+
+  test("calibration bins: value binning, mean score and positive rate") {
+    import s.implicits._
+    val p = Seq((50000L, false), (150000L, false), (950000L, true),
+      (999999L, true)).toDF("score_ppm", "label")
+    val out = Stats.calibrationBins(p, "score_ppm", "label", nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      0L -> ((1L, 50000L, 0L)),
+      1L -> ((1L, 150000L, 0L)),
+      9L -> ((2L, 974999L, 1000000L))))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))
