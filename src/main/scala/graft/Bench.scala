@@ -152,7 +152,8 @@ object Bench {
       "q112_global_quantiles", "q113_diversity_report", "q114_char_entropy",
       "q115_source_budget_select", "q116_pagerank", "q117_hll_distinct",
       "q118_cms_topk", "q119_random_project", "q120_normalize",
-      "q121_zipf_fit", "q122_kappa", "q123_calibration")
+      "q121_zipf_fit", "q122_kappa", "q123_calibration",
+      "q124_bloom_screen", "q125_funnel", "q126_rolling")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

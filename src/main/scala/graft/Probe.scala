@@ -512,6 +512,29 @@ object Probe {
             .otherwise(expr("sw * 1000000 DIV nt")))
         graft.operators.Stats.calibrationBins(base, "score_ppm", "y").count()
       }
+      timed("bloom build + probe (@100k docs token hashes)") {
+        val h = big.select(explode(
+          TextAnalysis.tokenHashes(col("text"))).as("h"))
+        val bl = graft.operators.Stats.bloomBuild(h, "h")
+        graft.operators.Stats.bloomContains(bl,
+          h.distinct().limit(5000), "h").count()
+      }
+      timed("funnel + rolling (20x events = 2M)") {
+        val e0 = spark.read.parquet(s"$dir/events.parquet")
+        val bigEv = (0 until 20).map(i =>
+          e0.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+            graft.operators.IntMath.idiv(col("ts"), lit(1000000L))
+              .as("ts_ms"),
+            col("event_type"), (col("event_id") + lit(i * 10000000L))
+              .as("event_id"))).reduce(_ unionByName _)
+        graft.streaming.EventTimeOps.funnel(bigEv, "user_id", "ts_ms",
+          "event_type", Seq("view", "click", "purchase")).count()
+        val roll = graft.streaming.EventTimeOps.rollingAgg(
+          bigEv.withColumn("one", lit(1L)), "user_id", "ts_ms", "one",
+          3600000L)
+        assertKeyedWindows(roll, "rollingAgg")
+        roll.count()
+      }
       timed("group budget select (10 sources @100k docs)") {
         val gb = graft.operators.Packing.groupBudgetSelect(
           big.withColumn("source",

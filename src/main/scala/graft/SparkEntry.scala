@@ -1359,6 +1359,51 @@ object SparkEntry {
           .orderBy("bin")
       }),
 
+    // Bloom-filter decontamination screen: bloom of the eval slice's token
+    // hashes, probed by every corpus token — no false negatives by
+    // construction, and the exact membership rides alongside
+    Q("q124_bloom_screen", Some(
+      s"""WITH ev AS (SELECT DISTINCT ${dFold("tok")} AS h FROM (SELECT unnest($dToks) AS tok FROM documents WHERE doc_id % 7 = 0)), bp AS (SELECT h, j, ((h*(1000003 + 2*j*4391) + ((7919*(j+1)) % 2147483647)) % 2147483647) % 65536 AS bit FROM ev CROSS JOIN range(4) t(j)), bl AS (SELECT bit // 32 AS block_id, CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS BIGINT) AS bits FROM bp GROUP BY 1), pr AS (SELECT DISTINCT tok AS token FROM (SELECT unnest($dToks) AS tok FROM documents WHERE doc_id % 7 <> 0)), prh AS (SELECT token, ${dFold("token")} AS h FROM pr), pc AS (SELECT token, h, ((h*(1000003 + 2*j*4391) + ((7919*(j+1)) % 2147483647)) % 2147483647) % 65536 AS bit FROM prh CROSS JOIN range(4) t(j)), hit AS (SELECT token, h, MIN(COALESCE((bl.bits >> CAST(pc.bit % 32 AS INT)) & 1, 0)) AS mn FROM pc LEFT JOIN bl ON bl.block_id = pc.bit // 32 GROUP BY token, h) SELECT token, mn = 1 AS might_contain, (h IN (SELECT h FROM ev)) AS actually_in FROM hit ORDER BY token"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val evalH = d.filter(col("doc_id") % 7 === 0)
+          .select(explode(TextAnalysis.tokenHashes(col("text"))).as("h"))
+          .distinct()
+        val rest = d.filter(col("doc_id") % 7 =!= 0)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .distinct()
+          .withColumn("h", TextAnalysis.stringHash(col("token")))
+        Stats.bloomContains(Stats.bloomBuild(evalH, "h"), rest, "h")
+          .join(evalH.withColumn("actually_in", lit(true)), Seq("h"), "left")
+          .select(col("token"), col("might_contain"),
+            coalesce(col("actually_in"), lit(false)).as("actually_in"))
+          .orderBy("token")
+      }),
+
+    // conversion funnel view -> click -> purchase per user: each step is
+    // the earliest occurrence strictly after the previous step's time
+    Q("q125_funnel", Some(
+      """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts, event_type AS et FROM events), r1 AS (SELECT k, MIN(ts) AS t FROM e WHERE et = 'view' GROUP BY k), r2 AS (SELECT e.k, MIN(e.ts) AS t FROM e JOIN r1 ON e.k = r1.k WHERE e.et = 'click' AND e.ts > r1.t GROUP BY e.k), r3 AS (SELECT e.k, MIN(e.ts) AS t FROM e JOIN r2 ON e.k = r2.k WHERE e.et = 'purchase' AND e.ts > r2.t GROUP BY e.k) SELECT CAST(1 AS INT) AS step, 'view' AS step_name, CAST((SELECT COUNT(*) FROM r1) AS BIGINT) AS n_keys UNION ALL SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM r2) AS BIGINT) UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM r3) AS BIGINT) ORDER BY step"""),
+      (s, dir) => graft.streaming.EventTimeOps.funnel(
+        tune(s).read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_type")),
+        "user_id", "ts_ms", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
+    // trailing-hour rolling count/volume per user: key-keyed RANGE window,
+    // tie-safe in both engines by frame semantics
+    Q("q126_rolling", Some(
+      """WITH e AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, CAST(floor(value*100) AS BIGINT) AS cents FROM events) SELECT event_id, user_id, ts_ms, cents, CAST(COUNT(*) OVER w AS BIGINT) AS n_win, CAST(SUM(cents) OVER w AS BIGINT) AS sum_win FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) ORDER BY event_id"""),
+      (s, dir) => graft.streaming.EventTimeOps.rollingAgg(
+        tune(s).read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "user_id", "ts_ms", "cents", windowMs = 3600000L)
+        .orderBy("event_id")),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

@@ -264,6 +264,60 @@ object Stats {
         IntMath.idiv(col("sy") * 1000000L, col("n")).as("pos_rate_ppm"))
   }
 
+  /** Bloom bit positions for a hash: bitⱼ(h) = ((aⱼ·h + bⱼ) mod (2³¹−1))
+    * mod mBits, the same seed family as [[countMinSketch]]. Bits pack into
+    * 32-bit blocks so every block value stays positive in int64. */
+  private def bloomBits(h: Column, k: Int, mBits: Int): Column =
+    array((0 until k).map { j =>
+      val a = 1000003L + 2L * j * 4391L
+      val b = (7919L * (j + 1)) % 2147483647L
+      val bit = (h * a + b) % 2147483647L % mBits
+      struct(IntMath.idiv(bit, lit(32L)).as("block_id"),
+        (bit % 32L).as("pos"))
+    }: _*)
+
+  /**
+   * Bloom filter (Bloom 1970, public) over pre-hashed values — the
+   * set-membership sketch completing the [[hllDistinct]] / [[countMinSketch]]
+   * trio: `mBits` bits, `k` probes per key, packed into 32-bit blocks so
+   * sketches merge across shards by block-wise `bit_or` (the same partial
+   * agg that builds them) and all arithmetic stays positive int64 in both
+   * engines. Only occupied blocks materialize — the frame is ≤ mBits/32
+   * rows. Output: (block_id, bits).
+   */
+  def bloomBuild(df: DataFrame, hashCol: String, mBits: Int = 65536,
+      k: Int = 4): DataFrame = {
+    require(mBits >= 64 && mBits % 32 == 0,
+      s"mBits must be a multiple of 32 >= 64, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    df.select(explode(bloomBits(col(hashCol), k, mBits)).as("bp"))
+      .groupBy(col("bp.block_id").as("block_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bp.pos AS INT)))")
+        .as("bits"))
+  }
+
+  /**
+   * Membership probe against a [[bloomBuild]] sketch: `might_contain` is
+   * true iff ALL k bits are set — no false negatives, false-positive rate
+   * ≈ (1−e^(−kn/m))^k. The sketch broadcasts (≤ mBits/32 rows); probes
+   * stream through a map-side join + one keyed partial agg.
+   *
+   * Output: the probe frame's columns plus `might_contain`.
+   */
+  def bloomContains(bloom: DataFrame, probes: DataFrame, hashCol: String,
+      mBits: Int = 65536, k: Int = 4): DataFrame = {
+    val cells = probes
+      .withColumn("bp", explode(bloomBits(col(hashCol), k, mBits)))
+      .select(probes.columns.toIndexedSeq.map(col)
+        :+ col("bp.block_id").as("block_id") :+ col("bp.pos").as("pos"): _*)
+    cells.join(broadcast(bloom), Seq("block_id"), "left")
+      .withColumn("hit",
+        IntMath.shr(coalesce(col("bits"), lit(0L)), col("pos"))
+          .bitwiseAND(lit(1L)))
+      .groupBy(probes.columns.toIndexedSeq.map(col): _*)
+      .agg((min(col("hit")) === 1L).as("might_contain"))
+  }
+
   /**
    * Per-class NTILE bucketing — the length-balanced sampling / curriculum
    * binning primitive: within each class, rows order by (value, id) (the id

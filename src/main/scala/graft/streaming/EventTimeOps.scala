@@ -96,6 +96,59 @@ object EventTimeOps {
         min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
   }
 
+  /**
+   * Funnel analysis over an event log: how many keys (users) reach step 1,
+   * then step 2 strictly after their earliest step-1 time, and so on — the
+   * standard conversion funnel. Semantics are pure min-aggregations ("the
+   * earliest occurrence of step i+1 strictly after the chosen step-i
+   * time"), so the result is deterministic even under timestamp ties — no
+   * per-key event ordering or array collection is ever needed. Each step is
+   * one key-partial-agg groupBy + one co-keyed join: k steps = k bounded
+   * shuffles on the key; the result is a lazy union of k one-row
+   * aggregates, nothing driver-side.
+   *
+   * Output: (step, step_name, n_keys) — n_keys is monotone non-increasing.
+   */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 16, "1..16 funnel steps")
+    val base = events.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(typeCol).as("et"))
+    def stepRow(i: Int, name: String, reached: DataFrame): DataFrame =
+      reached.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i).as("step"), lit(name).as("step_name"), col("n_keys"))
+    var reached = base.filter(col("et") === steps.head)
+      .groupBy("k").agg(min(col("ts")).as("t"))
+    var out = stepRow(1, steps.head, reached)
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      reached = base.filter(col("et") === s)
+        .join(reached.select(col("k"), col("t").as("t_prev")), "k")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy("k").agg(min(col("ts")).as("t"))
+      out = out.unionByName(stepRow(i + 1, s, reached))
+    }
+    out
+  }
+
+  /**
+   * Rolling event-time aggregates per key — the feature every time-series
+   * pipeline wants ("events and volume in the trailing hour"): a key-KEYED
+   * window with a RANGE frame of `windowMs` preceding milliseconds. RANGE
+   * (not ROWS) makes timestamp ties frame-identical in every engine, so
+   * the result is deterministic under any partitioning. One shuffle on the
+   * key; value stays integer (pre-scaled by the caller).
+   *
+   * Output: the input columns plus `n_win` and `sum_win`.
+   */
+  def rollingAgg(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowMs: Long): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rangeBetween(-windowMs, 0)
+    events.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", sum(col(valueCol)).over(w))
+  }
+
   // ---------------------------------------------------------- streaming state
 
   case class SessionEvent(key: String, ms: Long)

@@ -1337,6 +1337,25 @@ class PipelineOpsSpec extends SparkSuite {
       9L -> ((2L, 974999L, 1000000L))))
   }
 
+  test("bloom filter: no false negatives, pinned negatives, or-merge") {
+    import s.implicits._
+    val in = Seq(1L, 2L, 3L).toDF("h")
+    val bloom = Stats.bloomBuild(in, "h")
+    val probes = Seq(1L, 2L, 3L, 100L, 101L, 102L, 103L, 104L).toDF("h")
+    val out = Stats.bloomContains(bloom, probes, "h")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_)))
+    assert(Seq(100L, 101L, 102L, 103L, 104L).forall(!out(_))) // m=65536, n=3
+    // shard merge = block-wise bit_or
+    val a = Seq(1L, 2L).toDF("h"); val b = Seq(2L, 3L).toDF("h")
+    val merged = Stats.bloomBuild(a, "h").unionByName(Stats.bloomBuild(b, "h"))
+      .groupBy("block_id").agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Stats.bloomBuild(in, "h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full)
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))

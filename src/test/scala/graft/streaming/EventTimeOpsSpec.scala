@@ -83,6 +83,42 @@ class EventTimeOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq((0L, "a", 2L), (3600000L, "b", 1L)))
   }
 
+  test("funnel: strictly-after steps, ties excluded, monotone counts") {
+    import s.implicits._
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 5L, "click"),          // click before view
+      (3L, 10L, "view"), (3L, 10L, "click"),         // tie: not strictly after
+      (3L, 50L, "purchase"),
+      (4L, 1L, "click"), (4L, 2L, "purchase"))       // never viewed
+      .toDF("user_id", "ts", "event_type")
+    val out = funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+  }
+
+  test("rolling agg: trailing range frame, tie rows share the frame") {
+    import s.implicits._
+    val ev = Seq(
+      ("a", 0L, 1L), ("a", 1000L, 2L), ("a", 3600000L, 3L),
+      ("a", 3600500L, 4L), ("a", 7300000L, 5L),
+      ("b", 100L, 10L), ("b", 100L, 20L))
+      .toDF("k", "ts", "v")
+    val out = rollingAgg(ev, "k", "ts", "v", windowMs = 3600000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out(("a", 0L, 1L)) == ((1L, 1L)))
+    assert(out(("a", 1000L, 2L)) == ((2L, 3L)))
+    assert(out(("a", 3600000L, 3L)) == ((3L, 6L)))   // 0 is in-range
+    assert(out(("a", 3600500L, 4L)) == ((3L, 9L)))   // 0 aged out
+    assert(out(("a", 7300000L, 5L)) == ((1L, 5L)))
+    assert(out(("b", 100L, 10L)) == ((2L, 30L)))     // RANGE: ties share
+    assert(out(("b", 100L, 20L)) == ((2L, 30L)))
+  }
+
   test("streaming sessionization closes sessions across batches, keeps last open") {
     import s.implicits._
     val src = Files.createTempDirectory("graft-ss-src").toString
