@@ -153,7 +153,8 @@ object Bench {
       "q115_source_budget_select", "q116_pagerank", "q117_hll_distinct",
       "q118_cms_topk", "q119_random_project", "q120_normalize",
       "q121_zipf_fit", "q122_kappa", "q123_calibration",
-      "q124_bloom_screen", "q125_funnel", "q126_rolling")
+      "q124_bloom_screen", "q125_funnel", "q126_rolling",
+      "q127_triangles", "q128_mi_terms", "q129_cohort")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

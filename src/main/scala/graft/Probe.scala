@@ -519,6 +519,21 @@ object Probe {
         graft.operators.Stats.bloomContains(bl,
           h.distinct().limit(5000), "h").count()
       }
+      timed("triangles (100k-ring + 1000-clique-ish hub)") {
+        val ids = big.select(col("doc_id"))
+        val ring = ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 1L).as("dst"))
+        val hub = ids.limit(1000).select(col("doc_id").as("src"),
+          lit(0L).as("dst"))
+        graft.operators.Graph.triangleCounts(big, "doc_id",
+          ring.unionByName(hub), "src", "dst").count()
+      }
+      timed("mi terms (10 sources @100k docs)") {
+        TextAnalysis.miTerms(
+          big.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(10L)))),
+          "text", "doc_id", "source", k = 5).count()
+      }
       timed("funnel + rolling (20x events = 2M)") {
         val e0 = spark.read.parquet(s"$dir/events.parquet")
         val bigEv = (0 until 20).map(i =>
@@ -534,6 +549,8 @@ object Probe {
           3600000L)
         assertKeyedWindows(roll, "rollingAgg")
         roll.count()
+        graft.streaming.EventTimeOps.cohortRetention(bigEv, "user_id",
+          "ts_ms").count()
       }
       timed("group budget select (10 sources @100k docs)") {
         val gb = graft.operators.Packing.groupBudgetSelect(

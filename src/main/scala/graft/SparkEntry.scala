@@ -1404,6 +1404,36 @@ object SparkEntry {
         "user_id", "ts_ms", "cents", windowMs = 3600000L)
         .orderBy("event_id")),
 
+    // per-node triangle counts over the MinHash candidate graph: tight
+    // dup cliques vs incidental band collisions
+    Q("q127_triangles", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c FROM cand e1 JOIN cand e2 ON e1.doc_b = e2.doc_a JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b), pn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY n) SELECT d.doc_id AS node_id, CAST(COALESCE(pn.c, 0) AS BIGINT) AS n_triangles FROM documents d LEFT JOIN pn ON d.doc_id = pn.n ORDER BY node_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        Graph.triangleCounts(d, "doc_id", cands, "doc_a", "doc_b")
+          .orderBy("node_id")
+      }),
+
+    // class-discriminative vocabulary: frequency-weighted PMI of (token,
+    // source) over document occurrence, top-5 per source
+    Q("q128_mi_terms", Some(
+      s"""WITH dt AS (SELECT DISTINCT doc_id, cls, tok AS token FROM (SELECT doc_id, source AS cls, unnest($dToks) AS tok FROM documents)), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), tc AS (SELECT cls, token, CAST(COUNT(*) AS BIGINT) AS df_tc FROM dt GROUP BY cls, token), tt AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_t FROM dt GROUP BY token), cc AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS df_c FROM documents GROUP BY source), pr AS (SELECT tc.cls, tc.token, tc.df_tc, CAST(nn.n*tc.df_tc AS BIGINT) AS p1, CAST(tt.df_t*cc.df_c AS BIGINT) AS p2 FROM tc JOIN tt USING (token) JOIN cc USING (cls) CROSS JOIN nn), sc AS (SELECT cls, token, df_tc, CAST(df_tc * (${dQlog2("p1")} - ${dQlog2("p2")}) AS BIGINT) AS score_q FROM pr), rk AS (SELECT cls, token, df_tc, score_q, CAST(row_number() OVER (PARTITION BY cls ORDER BY score_q DESC, token ASC) AS INT) AS rank FROM sc) SELECT cls, token, df_tc, score_q, rank FROM rk WHERE rank <= 5 ORDER BY cls, rank"""),
+      (s, dir) => TextAnalysis.miTerms(docs(tune(s), dir), "text", "doc_id",
+        "source", k = 5).orderBy("cls", "rank")),
+
+    // cohort retention triangle over the event log: first-activity-week
+    // cohorts x distinct active week offsets
+    Q("q129_cohort", Some(
+      """WITH w AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) // 604800000 AS wk FROM events), c AS (SELECT k, CAST(MIN(wk) AS BIGINT) AS cohort_week FROM w GROUP BY k), dw AS (SELECT DISTINCT k, wk FROM w) SELECT c.cohort_week, CAST(dw.wk - c.cohort_week AS BIGINT) AS week_offset, CAST(COUNT(*) AS BIGINT) AS n_users FROM dw JOIN c ON dw.k = c.k GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => graft.streaming.EventTimeOps.cohortRetention(
+        tune(s).read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms")),
+        "user_id", "ts_ms")
+        .orderBy("cohort_week", "week_offset")),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

@@ -62,4 +62,36 @@ object Graph {
     }
     rank
   }
+
+  /**
+   * Per-node triangle counts over an UNDIRECTED graph given as canonical
+   * edges (src < dst, deduplicated) — the local clustering signal: in a
+   * near-dup candidate graph, high triangle counts mark tight duplicate
+   * cliques (transitively-supported dups) vs. incidental band collisions.
+   * Standard two-join enumeration with every triangle materialized exactly
+   * once as a < b < c, then an explode credits each corner. Cost is bounded
+   * by Σ deg(a)·deg(b) over edges — on a CAPPED candidate graph
+   * ([[Dedup.minhashCandidates]] with `maxBucketSize`) this stays near-linear
+   * in edges; on an uncapped dup-dense graph cap first.
+   *
+   * Output: (node_id, n_triangles) — one row per input node, 0 for
+   * triangle-free nodes.
+   */
+  def triangleCounts(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val e = Staging.stage(edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") < col("b")).distinct())
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n"))
+    nodes.select(col(idCol).as("node_id"))
+      .join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -918,6 +918,46 @@ object TextAnalysis {
   }
 
   /**
+   * Class-discriminative vocabulary by (frequency-weighted) pointwise
+   * mutual information over DOCUMENT occurrence — the feature-selection /
+   * domain-signature operator: which tokens make source X look like source
+   * X. For token t and class c over n docs:
+   *
+   *   pmi_q = qlog2(n·df_tc) − qlog2(df_t·df_c),  score_q = df_tc · pmi_q
+   *
+   * (1024ths of a bit; the df_tc weight suppresses the rare-token PMI
+   * blow-up, the standard fix). Differs from [[distinctiveTerms]] (per-DOC
+   * tf-idf ranks) — this ranks per CLASS. All counts are document
+   * frequencies from one distinct-(doc, token) explode; the rank is a
+   * class-keyed window. Ties break (score desc, token asc).
+   *
+   * Output: (class, token, df_tc, score_q, rank), top-`k` per class.
+   */
+  def miTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, classCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = docs.select(col(idCol).as("doc_id"),
+        col(classCol).as("cls"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val n = docs.select(col(idCol)).count()
+    val dfTc = dt.groupBy("cls", "token").agg(count(lit(1)).as("df_tc"))
+    val dfT = dt.groupBy("token").agg(countDistinct(col("doc_id")).as("df_t"))
+    val dfC = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("df_c"))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("score_q").desc, col("token").asc)
+    dfTc.join(dfT, "token").join(dfC, "cls")
+      .withColumn("score_q", col("df_tc") *
+        (Retrieval.qlog2(lit(n) * col("df_tc"))
+          - Retrieval.qlog2(col("df_t") * col("df_c"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("token"), col("df_tc"), col("score_q"),
+        col("rank"))
+  }
+
+  /**
    * Per-group corpus diversity report — the pre-training health check for a
    * data mixture: a source whose distinct-bigram ratio collapses is
    * template/boilerplate spam (the distinct-n diversity metric), and

@@ -149,6 +149,28 @@ object EventTimeOps {
       .withColumn("sum_win", sum(col(valueCol)).over(w))
   }
 
+  /**
+   * Cohort retention matrix over an event log: users cohort by their
+   * first-activity week (epoch-week = ts_ms DIV 604,800,000), and cell
+   * (cohort_week, week_offset) counts users of that cohort active
+   * `week_offset` weeks later — the standard retention triangle. Offset 0
+   * is the cohort size. Three key-partial aggregations (first-seen per
+   * user, distinct user-weeks, matrix roll-up) — all integer, no windows.
+   *
+   * Output: (cohort_week, week_offset, n_users).
+   */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val weeks = events.select(col(keyCol).as("k"),
+      graft.operators.IntMath.idiv(col(tsCol), lit(604800000L)).as("wk"))
+    val cohort = weeks.groupBy("k").agg(min(col("wk")).as("cohort_week"))
+    weeks.distinct()
+      .join(cohort, "k")
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   // ---------------------------------------------------------- streaming state
 
   case class SessionEvent(key: String, ms: Long)

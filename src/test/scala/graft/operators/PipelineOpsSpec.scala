@@ -1356,6 +1356,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged == full)
   }
 
+  test("triangle counts: shared-edge triangles, direction/dup-proof, zeros") {
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // triangles (1,2,3) and (2,3,4); edge (1,2) also given reversed + dup
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 5L)).toDF("src", "dst")
+    val out = Graph.triangleCounts(nodes, "doc_id", edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("mi terms: frequency-weighted pmi ranks class signatures") {
+    import s.implicits._
+    val d = Seq((1L, "x y", "a"), (2L, "x z", "a"), (3L, "y", "b"),
+      (4L, "y z", "b")).toDF("doc_id", "text", "cls")
+    val out = TextAnalysis.miTerms(d, "text", "doc_id", "cls", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(4)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", 1)) == (("x", 2L, 2048L)))  // 2*(qlog2(8)-qlog2(4))
+    assert(out(("a", 2)) == (("z", 1L, 0L)))     // qlog2(4)-qlog2(4)
+    assert(out(("b", 1)) == (("y", 2L, 1024L)))  // 2*(qlog2(8)-qlog2(6))
+    assert(out(("b", 2)) == (("z", 1L, 0L)))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))

@@ -119,6 +119,18 @@ class EventTimeOpsSpec extends SparkSuite {
     assert(out(("b", 100L, 20L)) == ((2L, 30L)))
   }
 
+  test("cohort retention: first-week cohorts, distinct weekly activity") {
+    import s.implicits._
+    val W = 604800000L
+    val ev = Seq((1L, 0L * W + 5), (1L, 1L * W + 9), (1L, 3L * W + 1),
+      (2L, 1L * W + 2), (2L, 1L * W + 7), (2L, 2L * W + 3),
+      (3L, 0L * W + 8)).toDF("user_id", "ts_ms")
+    val out = cohortRetention(ev, "user_id", "ts_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
   test("streaming sessionization closes sessions across batches, keeps last open") {
     import s.implicits._
     val src = Files.createTempDirectory("graft-ss-src").toString
