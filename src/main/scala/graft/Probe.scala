@@ -534,6 +534,18 @@ object Probe {
             concat(lit("src"), pmod(col("doc_id"), lit(10L)))),
           "text", "doc_id", "source", k = 5).count()
       }
+      timed("label propagation (2 hops, ring+hub @100k nodes)") {
+        val ids = big.select(col("doc_id"))
+        val und = ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 1L).as("dst"))
+        val edges = und.unionByName(
+          und.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.labelPropagate(big, "doc_id", edges,
+          "src", "dst",
+          big.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+            concat(lit("l"), pmod(col("doc_id"), lit(4L))).as("label")),
+          "doc_id", "label", iterations = 2).count()
+      }
       timed("funnel + rolling (20x events = 2M)") {
         val e0 = spark.read.parquet(s"$dir/events.parquet")
         val bigEv = (0 until 20).map(i =>
@@ -551,6 +563,10 @@ object Probe {
         roll.count()
         graft.streaming.EventTimeOps.cohortRetention(bigEv, "user_id",
           "ts_ms").count()
+        val tm = graft.streaming.EventTimeOps.transitionMatrix(bigEv,
+          "user_id", "ts_ms", "event_id", "event_type")
+        assertKeyedWindows(tm, "transitionMatrix")
+        tm.count()
       }
       timed("group budget select (10 sources @100k docs)") {
         val gb = graft.operators.Packing.groupBudgetSelect(

@@ -1434,6 +1434,48 @@ object SparkEntry {
         "user_id", "ts_ms")
         .orderBy("cohort_week", "week_offset")),
 
+    // semi-supervised label propagation over the candidate graph: every
+    // fifth doc seeds its source label; two synchronous hops
+    Q("q130_label_propagate", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), l0 AS (SELECT doc_id AS node_id, source AS label FROM documents WHERE doc_id % 5 = 0), v1 AS (SELECT e.t AS node_id, l0.label, CAST(COUNT(*) AS BIGINT) AS cnt FROM e JOIN l0 ON e.s = l0.node_id GROUP BY e.t, l0.label), p1 AS (SELECT node_id, label FROM (SELECT node_id, label, row_number() OVER (PARTITION BY node_id ORDER BY cnt DESC, label ASC) AS rn FROM v1) WHERE rn = 1), l1 AS (SELECT * FROM l0 UNION ALL SELECT p1.node_id, p1.label FROM p1 WHERE p1.node_id NOT IN (SELECT node_id FROM l0)), v2 AS (SELECT e.t AS node_id, l1.label, CAST(COUNT(*) AS BIGINT) AS cnt FROM e JOIN l1 ON e.s = l1.node_id GROUP BY e.t, l1.label), p2 AS (SELECT node_id, label FROM (SELECT node_id, label, row_number() OVER (PARTITION BY node_id ORDER BY cnt DESC, label ASC) AS rn FROM v2) WHERE rn = 1), l2 AS (SELECT * FROM l0 UNION ALL SELECT p2.node_id, p2.label FROM p2 WHERE p2.node_id NOT IN (SELECT node_id FROM l0)) SELECT d.doc_id AS node_id, l2.label FROM documents d LEFT JOIN l2 ON d.doc_id = l2.node_id ORDER BY node_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val edges = cands
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(cands
+            .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        Graph.labelPropagate(d, "doc_id", edges, "src", "dst",
+          d.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("source").as("label")),
+          "doc_id", "label", iterations = 2)
+          .orderBy("node_id")
+      }),
+
+    // first-order event-type transition matrix per user, ppm-normalized
+    Q("q131_transitions", Some(
+      """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, event_type AS et FROM events), p AS (SELECT lag(et, 1) OVER (PARTITION BY k ORDER BY ts_ms, event_id) AS from_type, et AS to_type FROM e), c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2), t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) SELECT c.from_type, c.to_type, c.n, CAST(c.n*1000000 // t.tot AS BIGINT) AS p_ppm FROM c JOIN t USING (from_type) ORDER BY from_type, to_type"""),
+      (s, dir) => graft.streaming.EventTimeOps.transitionMatrix(
+        tune(s).read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_id"), col("event_type")),
+        "user_id", "ts_ms", "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
+
+    // per-source near-dup rate: the curation dashboard row per source
+    Q("q132_dedup_rate", Some(
+      s"""${dMinhashSig.replaceFirst("^WITH ", "WITH RECURSIVE ")}, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), reach(s, t) AS (SELECT s, t FROM e UNION SELECT reach.s, e2.t FROM reach JOIN e e2 ON reach.t = e2.s), cl AS (SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(reach.t), d.doc_id)) AS BIGINT) AS cluster_id FROM documents d LEFT JOIN reach ON d.doc_id = reach.s GROUP BY d.doc_id), sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz FROM cl GROUP BY cluster_id), j AS (SELECT cl.doc_id, CASE WHEN sz.csz > 1 THEN 1 ELSE 0 END AS is_dup FROM cl JOIN sz USING (cluster_id)), r AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(j.is_dup) AS BIGINT) AS dup_docs FROM j JOIN documents d ON j.doc_id = d.doc_id GROUP BY d.source) SELECT source, n_docs, dup_docs, CAST(dup_docs*1000000 // n_docs AS BIGINT) AS dup_ppm FROM r ORDER BY source"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        Dedup.dedupRateReport(Dedup.nearDupClusters(d, cands, "doc_id"),
+          d, "doc_id", "source")
+          .orderBy("source")
+      }),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

@@ -690,6 +690,32 @@ object Dedup {
         count(lit(1)).cast(LongType).as("cluster_size"))
 
   /**
+   * Per-source dedup health report — the curation dashboard row: how much
+   * of each source is near-duplicated (member of a >1-doc cluster from
+   * [[nearDupClusters]]). A source with a high dup_ppm is template spam or
+   * a mirror; the number to watch across ingest batches. Two partial-agg
+   * groupBys (cluster sizes, source roll-up) + one id-keyed join — no
+   * text, no windows.
+   *
+   * Output: (source, n_docs, dup_docs, dup_ppm).
+   */
+  def dedupRateReport(clusters: DataFrame, docs: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__csz"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("doc_id"),
+        when(col("__csz") > 1L, 1L).otherwise(0L).as("is_dup"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("dup_docs"),
+        IntMath.idiv(col("dup_docs") * 1000000L, col("n_docs"))
+          .as("dup_ppm"))
+  }
+
+  /**
    * Contrastive (anchor, positive) pair mining from a near-dup cluster
    * assignment — the training-pair generator for a dense retriever or
    * embedding model: documents that near-duplicate each other are

@@ -64,6 +64,48 @@ object Graph {
   }
 
   /**
+   * Semi-supervised label propagation (Zhu & Ghahramani 2002, public):
+   * seed nodes carry fixed labels; each synchronous iteration, every
+   * unlabeled node adopts the most common label among its labeled
+   * in-neighbors, ties breaking (count desc, label asc) so the result is
+   * deterministic on any partitioning. Seeds never change; nodes with no
+   * labeled neighbor stay unlabeled (null). The cheap classifier over a
+   * near-dup/similarity graph: propagate trusted source/language/quality
+   * labels to their duplicate neighborhoods.
+   *
+   * Edges are directed (pass both directions for undirected); `iterations`
+   * bounded small — each is one src-keyed join + one (node, label)
+   * partial agg + one node-keyed rank window.
+   *
+   * Output: (node_id, label) for EVERY node, null when never reached.
+   */
+  def labelPropagate(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, seeds: DataFrame, seedIdCol: String,
+      labelCol: String, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1, 10], got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val e = Staging.stage(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val seed = seeds.select(col(seedIdCol).as("node_id"),
+      col(labelCol).as("label"))
+    var labels = seed
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to iterations) {
+      val picks = e.join(labels.withColumnRenamed("node_id", "src"), "src")
+        .groupBy("dst", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node_id"), col("label"))
+      labels = seed.unionByName(
+        picks.join(seed.select("node_id"), Seq("node_id"), "left_anti"))
+    }
+    nodes.select(col(idCol).as("node_id"))
+      .join(labels, Seq("node_id"), "left")
+  }
+
+  /**
    * Per-node triangle counts over an UNDIRECTED graph given as canonical
    * edges (src < dst, deduplicated) — the local clustering signal: in a
    * near-dup candidate graph, high triangle counts mark tight duplicate

@@ -171,6 +171,32 @@ object EventTimeOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /**
+   * First-order Markov transition matrix over per-key event sequences:
+   * consecutive (from → to) event-type pairs under a key-keyed window
+   * ordered by (ts, id) — the id tie-break pins sequence order under
+   * equal timestamps — with transition probabilities in ppm (integer,
+   * floor). The session-behavior fingerprint; rows with no predecessor
+   * (each key's first event) contribute nothing.
+   *
+   * Output: (from_type, to_type, n, p_ppm) — p is row-normalized by
+   * from_type's outgoing total.
+   */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        graft.operators.IntMath.idiv(col("n") * 1000000L, col("tot"))
+          .as("p_ppm"))
+  }
+
   // ---------------------------------------------------------- streaming state
 
   case class SessionEvent(key: String, ms: Long)

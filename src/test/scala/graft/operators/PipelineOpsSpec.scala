@@ -1380,6 +1380,34 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(("b", 2)) == (("z", 1L, 0L)))
   }
 
+  test("label propagation: seeds fixed, tie-break, reach by hops, nulls") {
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("doc_id")
+    val und = Seq((1L, 2L), (2L, 3L), (4L, 5L), (1L, 9L), (5L, 9L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (5L, "b")).toDF("doc_id", "label")
+    val out = Graph.labelPropagate(nodes, "doc_id", edges, "src", "dst",
+      seeds, "doc_id", "label", iterations = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // 9 sees one 'a' and one 'b' vote: tie breaks to 'a' (label asc);
+    // 3 is reached on the second hop; 6 is isolated and stays null
+    assert(out == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> Some("a"),
+      4L -> Some("b"), 5L -> Some("b"), 6L -> None, 9L -> Some("a")))
+  }
+
+  test("dedup rate report: per-source member-of-cluster ppm") {
+    import s.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (7L, 7L),
+      (4L, 4L), (5L, 4L), (6L, 6L)).toDF("doc_id", "cluster_id")
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("doc_id", "source")
+    val out = Dedup.dedupRateReport(clusters, d, "doc_id", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map("a" -> ((4L, 2L, 500000L)),
+      "b" -> ((3L, 2L, 666666L))))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))

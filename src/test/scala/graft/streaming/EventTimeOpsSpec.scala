@@ -131,6 +131,21 @@ class EventTimeOpsSpec extends SparkSuite {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
 
+  test("transition matrix: id tie-break order, row-normalized ppm") {
+    import s.implicits._
+    val ev = Seq(
+      ("u", 1L, 1L, "v"), ("u", 2L, 2L, "c"), ("u", 2L, 3L, "p"),
+      ("u", 5L, 4L, "v"),   // ties at ts=2 order by id: c then p
+      ("w", 1L, 5L, "v"), ("w", 2L, 6L, "p"))
+      .toDF("k", "ts", "id", "et")
+    val out = transitionMatrix(ev, "k", "ts", "id", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("v", "c") -> ((1L, 500000L)), ("v", "p") -> ((1L, 500000L)),
+      ("c", "p") -> ((1L, 1000000L)), ("p", "v") -> ((1L, 1000000L))))
+  }
+
   test("streaming sessionization closes sessions across batches, keeps last open") {
     import s.implicits._
     val src = Files.createTempDirectory("graft-ss-src").toString
