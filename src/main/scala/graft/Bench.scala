@@ -155,7 +155,8 @@ object Bench {
       "q121_zipf_fit", "q122_kappa", "q123_calibration",
       "q124_bloom_screen", "q125_funnel", "q126_rolling",
       "q127_triangles", "q128_mi_terms", "q129_cohort",
-      "q130_label_propagate", "q131_transitions", "q132_dedup_rate")
+      "q130_label_propagate", "q131_transitions", "q132_dedup_rate",
+      "q133_decayed_counts", "q134_containment", "q135_chi2")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -567,6 +567,11 @@ object Probe {
           "user_id", "ts_ms", "event_id", "event_type")
         assertKeyedWindows(tm, "transitionMatrix")
         tm.count()
+        graft.streaming.EventTimeOps.decayedCounts(bigEv, "user_id",
+          "ts_ms", nowMs = 4102444800000L, halfLifeMs = 604800000L).count()
+        graft.operators.Stats.chiSquare(
+          bigEv.select(col("event_type").as("et"),
+            pmod(col("user_id"), lit(2L)).as("grp")), "et", "grp").count()
       }
       timed("group budget select (10 sources @100k docs)") {
         val gb = graft.operators.Packing.groupBudgetSelect(

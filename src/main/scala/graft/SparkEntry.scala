@@ -1476,6 +1476,37 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+    // recency-weighted activity per user: shift-exact exponential decay
+    // (halving per week), anchored at the corpus max timestamp
+    Q("q133_decayed_counts", Some(
+      """WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), mx AS (SELECT CAST(MAX(ts_ms) AS BIGINT) AS now FROM e) SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(1048576 >> CAST(LEAST((mx.now - e.ts_ms) // 604800000, 20) AS INT)) AS BIGINT) AS decayed_x2p20 FROM e CROSS JOIN mx GROUP BY user_id ORDER BY key"""),
+      (s, dir) => {
+        val ev = tune(s).read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"))
+        val now = ev.agg(max("ts_ms")).head().getLong(0)
+        graft.streaming.EventTimeOps.decayedCounts(ev, "user_id", "ts_ms",
+          nowMs = now, halfLifeMs = 604800000L)
+          .orderBy("key")
+      }),
+
+    // asymmetric containment on candidate pairs: the quote/subset detector
+    // symmetric Jaccard misses
+    Q("q134_containment", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shex GROUP BY h) WHERE df <= 100), shc AS (SELECT shex.doc_id, shex.h FROM shex JOIN rare USING (h)), sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1), inter AS (SELECT cand.doc_a, cand.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter FROM cand JOIN shc l ON l.doc_id = cand.doc_a JOIN shc r ON r.doc_id = cand.doc_b AND r.h = l.h GROUP BY 1, 2) SELECT doc_a, doc_b, n_inter, CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b, CAST(n_inter*1000000 // sa.n AS BIGINT) AS contain_a_ppm, CAST(n_inter*1000000 // sb.n AS BIGINT) AS contain_b_ppm FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id WHERE GREATEST(n_inter*1000000 // sa.n, n_inter*1000000 // sb.n) >= 500000 ORDER BY doc_a, doc_b"""),
+      (s, dir) => Dedup.containmentPairs(docs(tune(s), dir), "text",
+        "doc_id", shingleN = 3, minContainPct = 50, maxShingleDF = 100)
+        .orderBy("doc_a", "doc_b")),
+
+    // chi-square independence of event mix vs A/B user split, integer
+    Q("q135_chi2", Some(
+      """WITH b AS (SELECT event_type AS r, user_id % 2 AS c FROM events), cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY r, c), rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rn FROM cells GROUP BY r), ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY c), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells), grid AS (SELECT rt.r, ct.c, rt.rn, ct.cn, COALESCE(cells.o, 0) AS o FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c), s AS (SELECT CAST(SUM(((o*tot.n - rn*cn)*(o*tot.n - rn*cn)) // (rn*cn)) AS BIGINT) AS s, CAST(MAX(tot.n) AS BIGINT) AS n FROM grid CROSS JOIN tot) SELECT s.n, CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof, CAST(s.s*1000 // s.n AS BIGINT) AS chi2_x1000 FROM s"""),
+      (s, dir) => Stats.chiSquare(
+        tune(s).read.parquet(s"$dir/events.parquet")
+          .select(col("event_type").as("et"),
+            pmod(col("user_id"), lit(2L)).as("grp")),
+        "et", "grp")),
+
     // sliding event-time windows (1h wide, 30min slide): every event lands
     // in exactly width/slide = 2 windows — bounded explode, one shuffle
     Q("q109_sliding_window", Some(

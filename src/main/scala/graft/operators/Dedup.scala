@@ -470,6 +470,49 @@ object Dedup {
   }
 
   /**
+   * ASYMMETRIC shingle containment for candidate pairs — the
+   * quote/subset detector [[ngramJaccardPairs]]'s symmetric Jaccard
+   * misses: a short doc fully quoted inside a long one scores low Jaccard
+   * (union is large) but containment |A∩B|/|A| ≈ 1. Same machinery — band
+   * gate, DF cap, candidate-only verify over hashed shingles — emitting
+   * per-direction containment in ppm; a pair is kept when EITHER direction
+   * reaches `minContainPct`. Docs whose every shingle was DF-capped drop
+   * out (no denominator), as in the Jaccard form.
+   *
+   * Output: (doc_a, doc_b, n_inter, size_a, size_b, contain_a_ppm,
+   * contain_b_ppm).
+   */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, minContainPct: Int = 50,
+      maxShingleDF: Int = 100,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sh0 = Staging.stage(shingleHashRows(docs, textCol, idCol, shingleN))
+    val sigs = signaturesFromShingles(sh0, numHashes)
+    val cand = minhashCandidates(minhashBands(sigs, rowsPerBand))
+    val overCap = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDF).select(col("h"))
+    val sh = sh0.join(broadcast(overCap), Seq("h"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("contain_a_ppm",
+        IntMath.idiv(col("n_inter") * 1000000L, col("size_a")))
+      .withColumn("contain_b_ppm",
+        IntMath.idiv(col("n_inter") * 1000000L, col("size_b")))
+      .filter(greatest(col("contain_a_ppm"), col("contain_b_ppm"))
+        >= minContainPct.toLong * 10000L)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("size_a"),
+        col("size_b"), col("contain_a_ppm"), col("contain_b_ppm"))
+  }
+
+  /**
    * SPAN-level dedup (the C4 recipe at token granularity): tile each doc
    * into fixed `spanTokens`-token spans, drop every span whose exact text
    * occurs at least `minCount` times across the corpus, and rebuild the

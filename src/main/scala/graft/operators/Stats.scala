@@ -319,6 +319,39 @@ object Stats {
   }
 
   /**
+   * Chi-square test of independence between two categorical columns — the
+   * A/B sanity check ("is the event mix independent of the bucket?") in
+   * pure integer arithmetic: with observed o, row/col marginals rᵢ/cⱼ and
+   * total n, each cell contributes ((o·n − rᵢ·cⱼ)² DIV (rᵢ·cⱼ)) and the
+   * statistic is Σcell · 1000 DIV n (exactly Σ(o−e)²/e ×1000 up to the
+   * documented floor). The square makes every numerator non-negative, so
+   * truncating and flooring division agree — engine-portable. Zero cells
+   * of the full r×c grid are included (they contribute rᵢ·cⱼ DIV n-ish
+   * mass). int64-safe while o·n < 2⁶³ — the eval-scale regime (n ≤ ~3·10⁹),
+   * as [[cohenKappa]].
+   *
+   * Output one row: (n, dof, chi2_x1000).
+   */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("r").agg(sum("o").as("rn"))
+    val ct = cells.groupBy("c").agg(sum("o").as("cn"))
+    val tot = cells.agg(sum("o").as("n"))
+    val grid = rt.crossJoin(ct).join(cells, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val dev = col("o") * col("n") - col("rn") * col("cn")
+    val cellSum = grid.crossJoin(tot)
+      .withColumn("cell", IntMath.idiv(dev * dev, col("rn") * col("cn")))
+      .agg(sum("cell").as("s"), max("n").as("n"))
+    val dims = rt.agg(count(lit(1)).as("nr"))
+      .crossJoin(ct.agg(count(lit(1)).as("nc")))
+    cellSum.crossJoin(dims)
+      .select(col("n"), ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"),
+        IntMath.idiv(col("s") * 1000L, col("n")).as("chi2_x1000"))
+  }
+
+  /**
    * Per-class NTILE bucketing — the length-balanced sampling / curriculum
    * binning primitive: within each class, rows order by (value, id) (the id
    * tie-break makes bucket assignment deterministic on any partitioning)

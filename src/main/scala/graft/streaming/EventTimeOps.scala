@@ -197,6 +197,31 @@ object EventTimeOps {
           .as("p_ppm"))
   }
 
+  /**
+   * Recency-weighted activity score with EXACT exponential decay: each
+   * event contributes 2²⁰ >> (age DIV halfLife) — halving per half-life
+   * via a bit shift, so the "exponential" stays pure integer and
+   * bit-identical in every engine (the usual e^(−λt) float decay cannot
+   * hash-match). Ages clamp at `maxHalfLives` shifts (weight 1 forever —
+   * monotone, never negative). One key-partial aggregation; `nowMs` is an
+   * explicit parameter so replays are deterministic.
+   *
+   * Output: (key, n_events, decayed_x2p20) — a fresh event is worth
+   * 1,048,576; a one-half-life-old one 524,288.
+   */
+  def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
+      nowMs: Long, halfLifeMs: Long, maxHalfLives: Int = 20): DataFrame = {
+    require(halfLifeMs > 0, "halfLifeMs must be positive")
+    require(maxHalfLives >= 1 && maxHalfLives <= 62, "maxHalfLives in [1,62]")
+    val age = greatest(lit(nowMs) - col(tsCol), lit(0L))
+    val shifts = least(graft.operators.IntMath.idiv(age, lit(halfLifeMs)),
+      lit(maxHalfLives.toLong))
+    events.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.operators.IntMath.shr(lit(1048576L), shifts))
+          .as("decayed_x2p20"))
+  }
+
   // ---------------------------------------------------------- streaming state
 
   case class SessionEvent(key: String, ms: Long)

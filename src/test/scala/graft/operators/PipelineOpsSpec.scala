@@ -1408,6 +1408,35 @@ class PipelineOpsSpec extends SparkSuite {
       "b" -> ((3L, 2L, 666666L))))
   }
 
+  test("containment pairs: subset doc scores 1e6 one-way, gate fires") {
+    val long = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 20).map(i => s"zzz$i").mkString(" ")
+    val d = docs((1L, long), (2L, short), (3L, other))
+    // Jaccard is 14/18 = 77% — an ngramJaccardPairs at 90% would miss it;
+    // containment of the short side is exactly 100%
+    val out = Dedup.containmentPairs(d, "text", "doc_id",
+      minContainPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(out == Map((1L, 2L) -> ((14L, 18L, 14L, 777777L, 1000000L))))
+  }
+
+  test("chi square: exact statistic, zero cells of the full grid counted") {
+    import s.implicits._
+    val strong = (Seq.fill(30)(("x", 0L)) ++ Seq.fill(10)(("x", 1L)) ++
+      Seq.fill(10)(("y", 0L)) ++ Seq.fill(30)(("y", 1L))).toDF("r", "c")
+    val o1 = Stats.chiSquare(strong, "r", "c").collect().head
+    assert((o1.getLong(0), o1.getLong(1), o1.getLong(2)) ==
+      ((80L, 1L, 20000L)))  // chi2 = 20 exactly
+    val sparse = (Seq.fill(2)(("x", 0L)) ++ Seq.fill(2)(("x", 1L)) ++
+      Seq.fill(2)(("y", 0L))).toDF("r", "c")
+    val o2 = Stats.chiSquare(sparse, "r", "c").collect().head
+    assert((o2.getLong(0), o2.getLong(1), o2.getLong(2)) ==
+      ((6L, 1L, 1500L)))    // the absent (y,1) cell contributes its mass
+  }
+
   test("snapshot diff: added/removed/changed/unchanged from hash pairs") {
     val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
     val b = docs((2L, "y"), (3L, "zz"), (4L, "w"))

@@ -146,6 +146,20 @@ class EventTimeOpsSpec extends SparkSuite {
       ("c", "p") -> ((1L, 1000000L)), ("p", "v") -> ((1L, 1000000L))))
   }
 
+  test("decayed counts: shift-exact halving, future clamp, max half-lives") {
+    import s.implicits._
+    val ev = Seq(("u", 100L), ("u", 90L), ("u", 85L), ("u", 0L),
+      ("u", 150L)).toDF("k", "ts")
+    val out = decayedCounts(ev, "k", "ts", nowMs = 100L, halfLifeMs = 10L)
+      .collect().head
+    // 2^20 + 2^19 + 2^19 + (2^20 >> 10) + 2^20 (future age clamps to 0)
+    assert((out.getLong(1), out.getLong(2)) == ((5L, 3146752L)))
+    val capped = decayedCounts(ev.filter(col("ts") === 0L), "k", "ts",
+      nowMs = 100L, halfLifeMs = 10L, maxHalfLives = 3)
+      .collect().head
+    assert(capped.getLong(2) == 131072L)  // min(10, 3) shifts
+  }
+
   test("streaming sessionization closes sessions across batches, keeps last open") {
     import s.implicits._
     val src = Files.createTempDirectory("graft-ss-src").toString
