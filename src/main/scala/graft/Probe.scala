@@ -398,7 +398,7 @@ object Probe {
         Snapshot.diff(big, neu, "doc_id", "text").count()
       }
       timed("key skew (20x events)") {
-        val e0 = spark.read.parquet(s"$dir/events.parquet")
+        val e0 = graft.sources.KafkaLike.events(spark, dir)
         val bigEv = (0 until 20).map(i =>
           e0.select(col("user_id") + lit(i * 1000000L) * (col("user_id") % 2))
             .toDF("user_id"))
@@ -436,7 +436,7 @@ object Probe {
       // global quantiles must resolve through the bucketed scan — the
       // only window is KEYED on __bucket, never a single global partition
       timed("global quantiles (@2M events cents)") {
-        val e0 = spark.read.parquet(s"$dir/events.parquet")
+        val e0 = graft.sources.KafkaLike.events(spark, dir)
         val bigEv = (0 until 20).map(i =>
           e0.select((floor(col("value") * 100) + lit(i)).cast("long")
             .as("cents"))).reduce(_ unionByName _)
@@ -547,7 +547,7 @@ object Probe {
           "doc_id", "label", iterations = 2).count()
       }
       timed("funnel + rolling (20x events = 2M)") {
-        val e0 = spark.read.parquet(s"$dir/events.parquet")
+        val e0 = graft.sources.KafkaLike.events(spark, dir)
         val bigEv = (0 until 20).map(i =>
           e0.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
             graft.operators.IntMath.idiv(col("ts"), lit(1000000L))

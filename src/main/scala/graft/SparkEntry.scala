@@ -28,9 +28,10 @@ object SparkEntry {
 
   /** Session settings queries rely on; safe to set repeatedly. */
   private def tune(spark: SparkSession): SparkSession = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    // read as nanos BIGINT and convert with integer DIV (exact, like DuckDB's
-    // ns→µs truncation).
+    // Testdata generations differ: events.ts has been TIMESTAMP(NANOS)
+    // (which Spark's reader rejects without this legacy conf — it then
+    // reads as a nanos BIGINT) and TIMESTAMP(MICROS); KafkaLike.events
+    // normalizes either to the canonical nanos-BIGINT contract.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
@@ -1097,7 +1098,7 @@ object SparkEntry {
     Q("q101_key_skew", Some(
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM c) SELECT key, n, (n * 1000000) // total AS share_ppm, (((n * 1000000) // total) * n_keys) // 1000 AS vs_mean_x1000 FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20"""),
       (s, dir) => Stats.keySkew(
-        tune(s).read.parquet(s"$dir/events.parquet"), "user_id", topK = 20)),
+        KafkaLike.events(tune(s), dir), "user_id", topK = 20)),
 
     // snapshot diff: old = docs without the 5-residue-4 slice, new = docs
     // without the 7-residue-6 slice with every 3-residue-0 text mutated —
@@ -1385,7 +1386,7 @@ object SparkEntry {
     Q("q125_funnel", Some(
       """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts, event_type AS et FROM events), r1 AS (SELECT k, MIN(ts) AS t FROM e WHERE et = 'view' GROUP BY k), r2 AS (SELECT e.k, MIN(e.ts) AS t FROM e JOIN r1 ON e.k = r1.k WHERE e.et = 'click' AND e.ts > r1.t GROUP BY e.k), r3 AS (SELECT e.k, MIN(e.ts) AS t FROM e JOIN r2 ON e.k = r2.k WHERE e.et = 'purchase' AND e.ts > r2.t GROUP BY e.k) SELECT CAST(1 AS INT) AS step, 'view' AS step_name, CAST((SELECT COUNT(*) FROM r1) AS BIGINT) AS n_keys UNION ALL SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM r2) AS BIGINT) UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM r3) AS BIGINT) ORDER BY step"""),
       (s, dir) => graft.streaming.EventTimeOps.funnel(
-        tune(s).read.parquet(s"$dir/events.parquet")
+        KafkaLike.events(tune(s), dir)
           .select(col("user_id"),
             IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
             col("event_type")),
@@ -1397,7 +1398,7 @@ object SparkEntry {
     Q("q126_rolling", Some(
       """WITH e AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, CAST(floor(value*100) AS BIGINT) AS cents FROM events) SELECT event_id, user_id, ts_ms, cents, CAST(COUNT(*) OVER w AS BIGINT) AS n_win, CAST(SUM(cents) OVER w AS BIGINT) AS sum_win FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) ORDER BY event_id"""),
       (s, dir) => graft.streaming.EventTimeOps.rollingAgg(
-        tune(s).read.parquet(s"$dir/events.parquet")
+        KafkaLike.events(tune(s), dir)
           .select(col("event_id"), col("user_id"),
             IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
             floor(col("value") * 100).cast(LongType).as("cents")),
@@ -1428,7 +1429,7 @@ object SparkEntry {
     Q("q129_cohort", Some(
       """WITH w AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) // 604800000 AS wk FROM events), c AS (SELECT k, CAST(MIN(wk) AS BIGINT) AS cohort_week FROM w GROUP BY k), dw AS (SELECT DISTINCT k, wk FROM w) SELECT c.cohort_week, CAST(dw.wk - c.cohort_week AS BIGINT) AS week_offset, CAST(COUNT(*) AS BIGINT) AS n_users FROM dw JOIN c ON dw.k = c.k GROUP BY 1, 2 ORDER BY 1, 2"""),
       (s, dir) => graft.streaming.EventTimeOps.cohortRetention(
-        tune(s).read.parquet(s"$dir/events.parquet")
+        KafkaLike.events(tune(s), dir)
           .select(col("user_id"),
             IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms")),
         "user_id", "ts_ms")
@@ -1457,7 +1458,7 @@ object SparkEntry {
     Q("q131_transitions", Some(
       """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, event_type AS et FROM events), p AS (SELECT lag(et, 1) OVER (PARTITION BY k ORDER BY ts_ms, event_id) AS from_type, et AS to_type FROM e), c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2), t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) SELECT c.from_type, c.to_type, c.n, CAST(c.n*1000000 // t.tot AS BIGINT) AS p_ppm FROM c JOIN t USING (from_type) ORDER BY from_type, to_type"""),
       (s, dir) => graft.streaming.EventTimeOps.transitionMatrix(
-        tune(s).read.parquet(s"$dir/events.parquet")
+        KafkaLike.events(tune(s), dir)
           .select(col("user_id"),
             IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
             col("event_id"), col("event_type")),
@@ -1481,7 +1482,7 @@ object SparkEntry {
     Q("q133_decayed_counts", Some(
       """WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), mx AS (SELECT CAST(MAX(ts_ms) AS BIGINT) AS now FROM e) SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(1048576 >> CAST(LEAST((mx.now - e.ts_ms) // 604800000, 20) AS INT)) AS BIGINT) AS decayed_x2p20 FROM e CROSS JOIN mx GROUP BY user_id ORDER BY key"""),
       (s, dir) => {
-        val ev = tune(s).read.parquet(s"$dir/events.parquet")
+        val ev = KafkaLike.events(tune(s), dir)
           .select(col("user_id"),
             IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"))
         val now = ev.agg(max("ts_ms")).head().getLong(0)
@@ -1502,7 +1503,7 @@ object SparkEntry {
     Q("q135_chi2", Some(
       """WITH b AS (SELECT event_type AS r, user_id % 2 AS c FROM events), cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY r, c), rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rn FROM cells GROUP BY r), ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY c), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells), grid AS (SELECT rt.r, ct.c, rt.rn, ct.cn, COALESCE(cells.o, 0) AS o FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c), s AS (SELECT CAST(SUM(((o*tot.n - rn*cn)*(o*tot.n - rn*cn)) // (rn*cn)) AS BIGINT) AS s, CAST(MAX(tot.n) AS BIGINT) AS n FROM grid CROSS JOIN tot) SELECT s.n, CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof, CAST(s.s*1000 // s.n AS BIGINT) AS chi2_x1000 FROM s"""),
       (s, dir) => Stats.chiSquare(
-        tune(s).read.parquet(s"$dir/events.parquet")
+        KafkaLike.events(tune(s), dir)
           .select(col("event_type").as("et"),
             pmod(col("user_id"), lit(2L)).as("grp")),
         "et", "grp")),

@@ -136,4 +136,61 @@ object Graph {
       .select(col("node_id"),
         coalesce(col("n"), lit(0L)).as("n_triangles"))
   }
+
+  /**
+   * Degree histogram of an undirected pair graph: (degree, n_nodes),
+   * including degree 0 for isolated nodes — the one-glance shape check of a
+   * candidate graph (a heavy high-degree tail means dup-dense buckets or a
+   * too-loose band gate; run BEFORE the quadratic downstream ops).
+   *
+   * Two partial aggregations (per-node degree, then per-degree count) plus
+   * one left join for the zero row — fully distributed, no windows.
+   */
+  def degreeHistogram(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val deg = edges.select(col(srcCol).as("node_id"))
+      .unionAll(edges.select(col(dstCol).as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+    nodes.select(col(idCol).as("node_id"))
+      .join(deg, Seq("node_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /**
+   * Approximate k-core via `rounds` synchronous peels: each round drops
+   * every node whose CURRENT degree is below `k`, then recomputes degrees
+   * on the induced subgraph. The true k-core is the fixpoint; a fixed
+   * round count keeps the plan statically bounded (same contract as
+   * [[pageRankLite]]/[[labelPropagate]]) and each round is one groupBy +
+   * two semi-joins — shuffle-bounded at any scale. Nodes keep
+   * (node_id, rounds_survived ∈ [0, rounds]); survivors of all rounds are
+   * the approximate core.
+   */
+  def kcoreSurvivors(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    var e = Staging.stage(edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") < col("b")).distinct())
+    var survived = nodes.select(col(idCol).as("node_id"),
+      lit(0L).as("rounds_survived"))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("node_id"))
+        .unionAll(e.select(col("b").as("node_id")))
+        .groupBy("node_id").agg(count(lit(1)).as("deg"))
+      val keep = Staging.stage(
+        deg.filter(col("deg") >= k).select("node_id"))
+      survived = survived
+        .join(keep.withColumn("__kept", lit(1L)), Seq("node_id"), "left")
+        .select(col("node_id"),
+          (col("rounds_survived") + coalesce(col("__kept"), lit(0L)))
+            .as("rounds_survived"))
+      e = Staging.stage(e
+        .join(keep.select(col("node_id").as("a")), Seq("a"))
+        .join(keep.select(col("node_id").as("b")), Seq("b"))
+        .select("a", "b"))
+    }
+    survived
+  }
 }

@@ -428,4 +428,47 @@ object Stats {
         col("rank").cast(org.apache.spark.sql.types.LongType),
         col("v").as("value"))
   }
+
+  /**
+   * Mergeable log₂-histogram quantile sketch: bucket = bit-width of the
+   * value (`length(bin(v))` — exact integer, no float log), one partial-agg
+   * groupBy to per-bucket counts, then quantile q = the smallest bucket
+   * whose cumulative count reaches ⌈n·q/100⌉, reported with its inclusive
+   * upper bound 2^bucket − 1.
+   *
+   * This is the 100 TB tier of [[globalQuantiles]]: the sketch is ≤ 64 rows
+   * REGARDLESS of input size, merges across shards/days by summing bucket
+   * counts (associative, like the HLL/CMS/Bloom sketches), and answers any
+   * quantile with relative error bounded by the bucket width (value within
+   * 2× of truth) — the classic accuracy-for-mergeability trade. The
+   * cumulative window is unpartitioned but bounded-by-construction (≤ 64
+   * bucket rows), the same exemption the zipf fit uses.
+   *
+   * Input must be non-negative (bucket 1 covers {0, 1}). Output:
+   * (q_pct, bucket, upper_bound, n_le) per requested percent.
+   */
+  def logHistQuantiles(df: DataFrame, valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be integer percents in [1,100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(length(bin(col(valueCol))).cast(LongType).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(wcum))
+    val total = cum.agg(max(col("cum")).as("n"))
+    val pcts = percents.distinct.sorted.toDF("q_pct")
+    cum.crossJoin(total).crossJoin(broadcast(pcts))
+      .filter(col("cum") * 100 >= col("q_pct") * col("n"))
+      .groupBy(col("q_pct"))
+      .agg(min(col("bucket")).as("bucket"))
+      .join(cum.select(col("bucket"), col("cum")), Seq("bucket"))
+      .select(col("q_pct").cast(org.apache.spark.sql.types.IntegerType),
+        col("bucket"),
+        (expr("shiftleft(1L, cast(bucket as int))") - 1L).as("upper_bound"),
+        col("cum").as("n_le"))
+  }
 }

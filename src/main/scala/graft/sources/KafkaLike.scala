@@ -18,8 +18,28 @@ object KafkaLike {
 
   val NumPartitions = 8
 
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+  /**
+   * events table loader. The driver's parquet has carried `ts` as
+   * TIMESTAMP(NANOS) in some testdata generations (Spark reads it as a
+   * nanos BIGINT under `nanosAsLong`) and TIMESTAMP(MICROS) in others —
+   * normalize on load to the canonical in-engine contract, epoch **nanos**
+   * as BIGINT, so every downstream integer-DIV truncation stays exact
+   * regardless of the file's physical type. NTZ values are interpreted in
+   * the session timezone (UTC in every graft entrypoint), matching DuckDB's
+   * naive-timestamp `epoch_ms`.
+   */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected nanos BIGINT " +
+          "or a timestamp)")
+    }
+  }
 
   /**
    * events → Kafka record frame:

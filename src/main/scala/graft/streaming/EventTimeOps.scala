@@ -222,6 +222,60 @@ object EventTimeOps {
           .as("decayed_x2p20"))
   }
 
+  /**
+   * SCD2-style status history: per key, collapse the event stream into
+   * maximal runs of equal `statusCol` and emit one validity interval per
+   * run — the slowly-changing-dimension build every warehouse needs when
+   * ingesting a mutable attribute from an append-only log.
+   *
+   * Gaps-and-islands with KEYED windows only: a lag() marks run starts, a
+   * running sum numbers runs, one partial-agg groupBy collapses each run,
+   * and a lead() closes each interval with the next run's start
+   * (`valid_to_ms` NULL + `is_current` on the last run). Ties on `tsCol`
+   * break on `idCol`, so runs are deterministic under concurrent events.
+   * Everything partitions by key — no global sort at any width.
+   */
+  def statusIntervals(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, statusCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val runs = events
+      .withColumn("__chg",
+        when(lag(col(statusCol), 1).over(w).isNull ||
+          lag(col(statusCol), 1).over(w) =!= col(statusCol), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("__chg")).over(w))
+    val collapsed = runs
+      .groupBy(col(keyCol).as("key"), col("run_id"), col(statusCol).as("status"))
+      .agg(min(col(tsCol)).as("valid_from_ms"), count(lit(1)).as("n_events"))
+    val wk = Window.partitionBy(col("key")).orderBy(col("run_id"))
+    collapsed
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wk))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select("key", "run_id", "status", "valid_from_ms", "valid_to_ms",
+        "n_events", "is_current")
+  }
+
+  /**
+   * Per-group inter-arrival statistics: lag() deltas within each key's
+   * ordered stream, then one partial aggregation per `groupCol` — the
+   * ingest-health report (event spacing per type/source/shard). All
+   * integer: avg is a truncating DIV. Keyed windows only.
+   */
+  def interarrivalStats(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, groupCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__gap", col(tsCol) - col("__prev"))
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap_ms"),
+        max(col("__gap")).as("max_gap_ms"),
+        graft.operators.IntMath.idiv(sum(col("__gap")), count(lit(1)))
+          .as("avg_gap_ms"))
+  }
+
   // ---------------------------------------------------------- streaming state
 
   case class SessionEvent(key: String, ms: Long)
