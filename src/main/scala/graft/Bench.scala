@@ -156,7 +156,9 @@ object Bench {
       "q124_bloom_screen", "q125_funnel", "q126_rolling",
       "q127_triangles", "q128_mi_terms", "q129_cohort",
       "q130_label_propagate", "q131_transitions", "q132_dedup_rate",
-      "q133_decayed_counts", "q134_containment", "q135_chi2")
+      "q133_decayed_counts", "q134_containment", "q135_chi2",
+      "q136_log_hist_quantiles", "q137_fuzzy_pairs",
+      "q138_status_intervals", "q139_degree_hist", "q140_simhash_pairs")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

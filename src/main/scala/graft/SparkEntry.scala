@@ -1945,7 +1945,60 @@ object SparkEntry {
         Multimodal.frameSamplePlan(decoded.toDF(), everyNth = 4)
           .select(col("media_id"), col("n_frames"), col("n_sampled"))
           .orderBy("media_id")
-      })
+      }),
+
+    // mergeable log2-histogram quantile sketch: ≤64 bucket rows regardless
+    // of input size, shard-merge by summing counts — the 100 TB tier of
+    // q112's exact global quantiles (value within 2x of truth)
+    Q("q136_log_hist_quantiles", Some(
+      """WITH v AS (SELECT CAST(floor(value*100) AS BIGINT) AS cents FROM events), b AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1), cum AS (SELECT bucket, c, CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM b), n AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum), p AS (SELECT unnest([50, 90, 99]) AS q_pct), sel AS (SELECT p.q_pct, MIN(cum.bucket) AS bucket FROM cum CROSS JOIN n JOIN p ON cum.cum*100 >= p.q_pct*n.n GROUP BY p.q_pct) SELECT CAST(sel.q_pct AS INT) AS q_pct, sel.bucket, CAST((CAST(1 AS BIGINT) << CAST(sel.bucket AS INT)) - 1 AS BIGINT) AS upper_bound, cum.cum AS n_le FROM sel JOIN cum USING (bucket) ORDER BY q_pct"""),
+      (s, dir) => Stats.logHistQuantiles(
+        KafkaLike.events(tune(s), dir)
+          .select(floor(col("value") * 100).cast(LongType).as("cents")),
+        "cents", Seq(50, 90, 99))
+        .orderBy("q_pct")),
+
+    // blocked fuzzy self-join (record linkage): equality join on the block
+    // key + length band + Levenshtein verify, never a cross product
+    Q("q137_fuzzy_pairs", Some(
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name, split_part(p_name, ' ', 1) AS blk, length(p_name) AS len FROM part) SELECT l.id AS id_a, r.id AS id_b, l.name AS name_a, r.name AS name_b, CAST(levenshtein(l.name, r.name) AS INT) AS dist FROM p l JOIN p r ON l.blk = r.blk AND l.id < r.id AND abs(l.len - r.len) <= 3 AND levenshtein(l.name, r.name) <= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => Linkage.blockedFuzzyPairs(
+        tune(s).read.parquet(s"$dir/part.parquet"),
+        "p_partkey", "p_name", substring_index(col("p_name"), " ", 1),
+        maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // SCD2 status history from the append-only event log: gaps-and-islands
+    // runs of equal event_type per user, one validity interval per run
+    Q("q138_status_intervals", Some(
+      """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, event_type AS st FROM events), m AS (SELECT k, ts_ms, event_id, st, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY k ORDER BY ts_ms, event_id)), r AS (SELECT k, ts_ms, st, CAST(SUM(chg) OVER (PARTITION BY k ORDER BY ts_ms, event_id) AS BIGINT) AS run_id FROM m), c AS (SELECT k AS key, run_id, st AS status, CAST(MIN(ts_ms) AS BIGINT) AS valid_from_ms, CAST(COUNT(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2, 3) SELECT key, run_id, status, valid_from_ms, CAST(lead(valid_from_ms) OVER wk AS BIGINT) AS valid_to_ms, n_events, lead(valid_from_ms) OVER wk IS NULL AS is_current FROM c WINDOW wk AS (PARTITION BY key ORDER BY run_id) ORDER BY key, run_id"""),
+      (s, dir) => graft.streaming.EventTimeOps.statusIntervals(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_id"), col("event_type")),
+        "user_id", "ts_ms", "event_id", "event_type")
+        .orderBy("key", "run_id")),
+
+    // candidate-graph degree histogram incl. the zero row: the shape check
+    // before any quadratic downstream op
+    Q("q139_degree_hist", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), deg AS (SELECT node_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (SELECT doc_a AS node_id FROM cand UNION ALL SELECT doc_b FROM cand) GROUP BY 1), alln AS (SELECT d.doc_id, CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree FROM documents d LEFT JOIN deg ON d.doc_id = deg.node_id) SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM alln GROUP BY 1 ORDER BY degree"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        Graph.degreeHistogram(d, "doc_id", cands, "doc_a", "doc_b")
+          .orderBy("degree")
+      }),
+
+    // SimHash Hamming pairs (Manku WWW'07 pigeonhole bands): EXACT
+    // hamming<=2 pair recall from 3 chunk-equality joins + popcount verify
+    Q("q140_simhash_pairs", Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents), h AS (SELECT doc_id, ${dFold("tok")} AS h FROM toks), bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bal FROM h CROSS JOIN range(32) t(j) GROUP BY doc_id, j), sh AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id), bands AS (SELECT doc_id, simhash, j AS band_id, CASE WHEN j = 0 THEN simhash & 1023 WHEN j = 1 THEN (simhash >> 10) & 1023 ELSE (simhash >> 20) & 4095 END AS band_val FROM sh CROSS JOIN range(3) t(j)) SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id WHERE bit_count(xor(l.simhash, r.simhash)) <= 2 ORDER BY doc_a, doc_b"""),
+      (s, dir) => Dedup.simhashPairs(docs(tune(s), dir), "text", "doc_id",
+        maxHamming = 2)
+        .orderBy("doc_a", "doc_b"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

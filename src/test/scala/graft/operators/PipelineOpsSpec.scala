@@ -1449,4 +1449,117 @@ class PipelineOpsSpec extends SparkSuite {
     assert(sum == Map("removed" -> 1L, "unchanged" -> 1L,
       "changed" -> 1L, "added" -> 1L))
   }
+
+  test("log-histogram quantiles: exact bucket pick and shard-mergeability") {
+    import s.implicits._
+    // 1..100: bucket b holds values [2^(b-1), 2^b-1]; p50 rank 50 →
+    // bucket 6 (cum 63), p99 rank 99 → bucket 7 (cum 100)
+    val v = (1L to 100L).toDF("v")
+    val out = Stats.logHistQuantiles(v, "v", Seq(50, 99))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((50, 6L, 63L, 63L), (99, 7L, 127L, 100L)))
+    // mergeability: quantiles over A++B equal quantiles over the summed
+    // bucket counts of A and B (what a per-shard rollup would store)
+    val a = (1L to 40L).toDF("v"); val b = (41L to 100L).toDF("v")
+    val merged = Stats.logHistQuantiles(a.unionAll(b), "v", Seq(90))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(merged == Seq((90, 7L)))
+  }
+
+  test("blocked fuzzy pairs: match within block, miss across, cap drops") {
+    import s.implicits._
+    val parts = Seq(
+      (1L, "small ring"), (2L, "small rink"), (3L, "small gear"),
+      (4L, "large ring"), (5L, "small ring")).toDF("id", "name")
+    val pairs = Linkage.blockedFuzzyPairs(parts, "id", "name",
+        substring_index(col("name"), " ", 1), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).sortBy(p => (p._1, p._2))
+    // (1,2) dist 1, (1,5) dist 0, (2,5) dist 1; gear is 3+ edits away;
+    // "large ring" is in another block despite dist 1 to "small ring"
+    assert(pairs.toSeq == Seq((1L, 2L, 1), (1L, 5L, 0), (2L, 5L, 1)))
+    val capped = Linkage.blockedFuzzyPairs(parts, "id", "name",
+        substring_index(col("name"), " ", 1), maxDist = 1, maxBlockSize = 3)
+      .collect()
+    assert(capped.isEmpty) // the 4-row "small" block is over the cap
+    val report = Linkage.oversizedBlocks(parts,
+        substring_index(col("name"), " ", 1), maxBlockSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(report.toSeq == Seq(("small", 4L)))
+  }
+
+  test("status intervals: runs collapse, ties break on id, last is open") {
+    import s.implicits._
+    val ev = Seq(
+      (7L, 10L, 1L, "a"), (7L, 20L, 2L, "a"), (7L, 30L, 3L, "b"),
+      (7L, 30L, 4L, "a"), // tie at ts=30 → order by id: b then a
+      (9L, 5L, 5L, "x")).toDF("k", "ts", "id", "st")
+    val out = graft.streaming.EventTimeOps
+      .statusIntervals(ev, "k", "ts", "id", "st")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (7L, 1L, "a", 10L, 30L, 2L, false),
+      (7L, 2L, "b", 30L, 30L, 1L, false),
+      (7L, 3L, "a", 30L, -1L, 1L, true),
+      (9L, 1L, "x", 5L, -1L, 1L, true)))
+  }
+
+  test("interarrival stats: keyed gaps, truncating integer avg") {
+    import s.implicits._
+    val ev = Seq(
+      (1L, 0L, 1L, "t"), (1L, 10L, 2L, "t"), (1L, 25L, 3L, "t"),
+      (2L, 100L, 4L, "t"), (2L, 104L, 5L, "u")).toDF("k", "ts", "id", "g")
+    val out = graft.streaming.EventTimeOps
+      .interarrivalStats(ev, "k", "ts", "id", "g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // key 1 gaps: 10 (→t), 15 (→t); key 2 gap: 4 (→u)
+    assert(out.toSeq == Seq(("t", 2L, 10L, 15L, 12L), ("u", 1L, 4L, 4L, 4L)))
+  }
+
+  test("degree histogram includes the zero row for isolated nodes") {
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val out = Graph.degreeHistogram(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+  }
+
+  test("k-core peeling: cascades across rounds, core survives") {
+    import s.implicits._
+    // triangle {1,2,3} (each deg>=2) + tail 3-4-5: 5 peels round 1,
+    // 4 peels only in round 2 (after losing 5) — the cascade
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Graph.kcoreSurvivors(nodes, "id", edges, "a", "b",
+        k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("simhash pairs: exact hamming<=maxHamming recall vs brute force") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, base), (2L, base), // identical → hamming 0
+      (3L, base.replace("w30", "w30x")), // near → small hamming
+      (4L, (1 to 60).map(i => s"z${i}z").mkString(" ")))
+    val sh = Dedup.simhash(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 2
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute) // pigeonhole bands lose NO pair within budget
+    assert(got.contains((1L, 2L)))
+    val h12 = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(h12((1L, 2L)) == 0L)
+  }
 }
