@@ -158,7 +158,9 @@ object Bench {
       "q130_label_propagate", "q131_transitions", "q132_dedup_rate",
       "q133_decayed_counts", "q134_containment", "q135_chi2",
       "q136_log_hist_quantiles", "q137_fuzzy_pairs",
-      "q138_status_intervals", "q139_degree_hist", "q140_simhash_pairs")
+      "q138_status_intervals", "q139_degree_hist", "q140_simhash_pairs",
+      "q141_kcore", "q142_interarrival", "q143_gapfill",
+      "q144_weighted_sample", "q145_mmr_rerank")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -1998,7 +1998,69 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents), h AS (SELECT doc_id, ${dFold("tok")} AS h FROM toks), bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bal FROM h CROSS JOIN range(32) t(j) GROUP BY doc_id, j), sh AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id), bands AS (SELECT doc_id, simhash, j AS band_id, CASE WHEN j = 0 THEN simhash & 1023 WHEN j = 1 THEN (simhash >> 10) & 1023 ELSE (simhash >> 20) & 4095 END AS band_val FROM sh CROSS JOIN range(3) t(j)) SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id WHERE bit_count(xor(l.simhash, r.simhash)) <= 2 ORDER BY doc_a, doc_b"""),
       (s, dir) => Dedup.simhashPairs(docs(tune(s), dir), "text", "doc_id",
         maxHamming = 2)
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // approximate k-core of the candidate graph via 2 synchronous peels:
+    // rounds_survived separates core dup cliques from stragglers
+    Q("q141_kcore", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS a, doc_b AS b FROM cand), d1 AS (SELECT node_id, COUNT(*) AS deg FROM (SELECT a AS node_id FROM e UNION ALL SELECT b FROM e) GROUP BY 1), k1 AS (SELECT node_id FROM d1 WHERE deg >= 2), e2 AS (SELECT e.a, e.b FROM e JOIN k1 ka ON e.a = ka.node_id JOIN k1 kb ON e.b = kb.node_id), d2 AS (SELECT node_id, COUNT(*) AS deg FROM (SELECT a AS node_id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1), k2 AS (SELECT node_id FROM d2 WHERE deg >= 2) SELECT d.doc_id AS node_id, CAST((CASE WHEN k1.node_id IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN k2.node_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rounds_survived FROM documents d LEFT JOIN k1 ON d.doc_id = k1.node_id LEFT JOIN k2 ON d.doc_id = k2.node_id ORDER BY node_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        Graph.kcoreSurvivors(d, "doc_id", cands, "doc_a", "doc_b",
+          k = 2, rounds = 2)
+          .orderBy("node_id")
+      }),
+
+    // per-event-type inter-arrival spacing: keyed lag deltas, one partial
+    // agg — the ingest-health dashboard row
+    Q("q142_interarrival", Some(
+      """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, event_type AS g FROM events), p AS (SELECT g, ts_ms - lag(ts_ms) OVER (PARTITION BY k ORDER BY ts_ms, event_id) AS gap FROM e) SELECT g AS grp, CAST(COUNT(*) AS BIGINT) AS n_gaps, CAST(MIN(gap) AS BIGINT) AS min_gap_ms, CAST(MAX(gap) AS BIGINT) AS max_gap_ms, CAST(SUM(gap) // COUNT(*) AS BIGINT) AS avg_gap_ms FROM p WHERE gap IS NOT NULL GROUP BY 1 ORDER BY grp"""),
+      (s, dir) => graft.streaming.EventTimeOps.interarrivalStats(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_id"), col("event_type")),
+        "user_id", "ts_ms", "event_id", "event_type")
+        .orderBy("grp")),
+
+    // hourly forward-filled per-user value series: dense grid resample,
+    // last observation carried across empty buckets
+    Q("q143_gapfill", Some(
+      """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, CAST(floor(value*100) AS BIGINT) AS cents FROM events), b AS (SELECT k, ts_ms // 3600000 AS bucket, ts_ms, event_id, cents FROM e), pb AS (SELECT k, bucket, cents FROM (SELECT k, bucket, cents, row_number() OVER (PARTITION BY k, bucket ORDER BY ts_ms DESC, event_id DESC) AS rn FROM b) WHERE rn = 1), sp AS (SELECT k, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b GROUP BY k), grid AS (SELECT k, unnest(range(b0, b1 + 1)) AS bucket FROM sp), j AS (SELECT grid.k, grid.bucket, pb.cents AS observed FROM grid LEFT JOIN pb ON grid.k = pb.k AND grid.bucket = pb.bucket) SELECT k AS key, CAST(bucket * 3600000 AS BIGINT) AS bucket_start_ms, CAST(last_value(observed IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled, observed IS NOT NULL AS is_observed FROM j ORDER BY key, bucket_start_ms"""),
+      (s, dir) => graft.streaming.EventTimeOps.gapfillForwardFill(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "user_id", "ts_ms", "event_id", "cents", stepMs = 3600000L)
+        .orderBy("key", "bucket_start_ms")),
+
+    // deterministic weight-proportional sampling: keep probability tracks
+    // n_chars (map-only importance sampling, no RNG)
+    Q("q144_weighted_sample", Some(
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, LEAST(1000000, n_chars * 300) AS threshold_ppm FROM documents) SELECT doc_id, n_chars, CAST(threshold_ppm AS BIGINT) AS threshold_ppm FROM d WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 1000000 < threshold_ppm ORDER BY doc_id"""),
+      (s, dir) => Sampling.weightedKeep(
+        docs(tune(s), dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", perUnitPpm = 300L)
+        .orderBy("doc_id")),
+
+    // MMR diversity re-rank of the top-16 cosine slice for query vec 0:
+    // greedy integer lambda*rel - (1-lambda)*maxSim, unrolled in the oracle
+    Q("q145_mmr_rerank", Some(
+      s"""WITH q AS (SELECT $dQuant AS qq FROM embeddings WHERE vec_id = 0), c AS (SELECT vec_id, $dQuant AS qv FROM embeddings WHERE vec_id <> 0), sc AS (SELECT vec_id, qv, CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * qq[CAST(i+1 AS INT)])) AS BIGINT) AS rel FROM c CROSS JOIN q), cand AS (SELECT vec_id, qv, rel FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rnk FROM sc) WHERE rnk <= 16), sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib, CAST(list_sum(list_transform(range(len(a.qv)), i -> a.qv[CAST(i+1 AS INT)] * b.qv[CAST(i+1 AS INT)])) AS BIGINT) AS s FROM cand a JOIN cand b ON a.vec_id <> b.vec_id), s1 AS (SELECT vec_id, rel, CAST(7*rel AS BIGINT) AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1), p1 AS (SELECT vec_id FROM s1), c2 AS (SELECT c.vec_id, c.rel, 7*c.rel - 3*(SELECT MAX(s.s) FROM sims s WHERE s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM p1)) AS score FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)), s2 AS (SELECT * FROM c2 ORDER BY score DESC, vec_id LIMIT 1), p2 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM s2), c3 AS (SELECT c.vec_id, c.rel, 7*c.rel - 3*(SELECT MAX(s.s) FROM sims s WHERE s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM p2)) AS score FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p2)), s3 AS (SELECT * FROM c3 ORDER BY score DESC, vec_id LIMIT 1), p3 AS (SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM s3), c4 AS (SELECT c.vec_id, c.rel, 7*c.rel - 3*(SELECT MAX(s.s) FROM sims s WHERE s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM p3)) AS score FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p3)), s4 AS (SELECT * FROM c4 ORDER BY score DESC, vec_id LIMIT 1) SELECT CAST(1 AS INT) AS mmr_rank, vec_id AS id, rel, score AS score_q FROM s1 UNION ALL SELECT CAST(2 AS INT), vec_id, rel, score FROM s2 UNION ALL SELECT CAST(3 AS INT), vec_id, rel, score FROM s3 UNION ALL SELECT CAST(4 AS INT), vec_id, rel, score FROM s4 ORDER BY mmr_rank"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        val cand = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 16)
+        val withVec = cand.join(
+          e.select(col("vec_id").as("item_id"),
+            Similarity.quantize(col("embedding")).as("qv")), "item_id")
+        Retrieval.mmrRerank(withVec, "item_id", "dot", "qv", k = 4)
+          .orderBy("mmr_rank")
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

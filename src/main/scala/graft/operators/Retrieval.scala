@@ -178,4 +178,70 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /**
+   * Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR 1998)
+   * of a SMALL candidate set: greedily pick k items maximizing
+   * `λ·relevance − (1−λ)·max_sim_to_already_picked`, trading relevance
+   * against redundancy — the diversity selector applied to a retrieval
+   * slice before it becomes training pairs or RAG context.
+   *
+   * All integer: λ = `lambdaX10`/10, score = `lambdaX10·rel −
+   * (10−lambdaX10)·maxSimQ` with quantized-dot similarities, ties on id —
+   * bit-reproducible in any engine. The greedy loop is inherently
+   * sequential in k, so this runs on the DRIVER over a guarded collect
+   * (candidates ≤ `maxCandidates`); re-ranking is a top-of-funnel
+   * operation — the distributed half is producing the candidate slice
+   * ([[bm25TopK]], [[Similarity.bruteForceTopK]]), never this.
+   *
+   * Input columns: idCol, relCol (integer relevance), vecCol (quantized
+   * long vector, e.g. [[Similarity.quantize]] output).
+   * Output: (mmr_rank, id, rel, score_q) — score_q of rank 1 is
+   * `lambdaX10·rel` (empty picked set → no redundancy term).
+   */
+  def mmrRerank(candidates: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int, lambdaX10: Int = 7,
+      maxCandidates: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaX10 >= 0 && lambdaX10 <= 10, "lambdaX10 in [0,10]")
+    val rows = candidates
+      .select(col(idCol).cast(LongType).as("id"),
+        col(relCol).cast(LongType).as("rel"), col(vecCol).as("v"))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank is a driver-side re-rank: pass <= $maxCandidates " +
+        "candidates (got more) — narrow the retrieval slice first")
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getLong(1))
+    val vecs = rows.map(_.getSeq[Long](2).toArray)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val n = ids.length
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    val maxSim = Array.fill(n)(Long.MinValue) // max dot to picked set
+    val used = Array.fill(n)(false)
+    for (rank <- 1 to math.min(k, n)) {
+      var best = -1
+      var bestScore = Long.MinValue
+      for (i <- 0 until n if !used(i)) {
+        val redundancy = if (rank == 1) 0L else maxSim(i)
+        val score = lambdaX10 * rel(i) - (10 - lambdaX10) * redundancy
+        if (best == -1 || score > bestScore ||
+          (score == bestScore && ids(i) < ids(best))) {
+          best = i; bestScore = score
+        }
+      }
+      used(best) = true
+      picked += ((rank, ids(best), rel(best), bestScore))
+      for (i <- 0 until n if !used(i)) {
+        val s = dot(vecs(i), vecs(best))
+        if (s > maxSim(i)) maxSim(i) = s
+      }
+    }
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    picked.toSeq.toDF("mmr_rank", "id", "rel", "score_q")
+      .select(col("mmr_rank").cast(IntegerType), col("id"), col("rel"),
+        col("score_q"))
+  }
 }

@@ -49,6 +49,24 @@ object Sampling {
     df.filter(idHash(col(idCol)) % 100L < pct.toLong)
 
   /**
+   * Weight-proportional Bernoulli sample, deterministic: a row is kept iff
+   * `idHash(id) mod 1e6 < min(1e6, weight · perUnitPpm)` — expected keep
+   * rate proportional to its weight (ppm per weight unit), saturating at
+   * certainty. The length-aware downsampler (weight = token count keeps
+   * long docs, thins boilerplate shorts) and the importance-sampling
+   * primitive for any non-negative integer weight. Map-only, no RNG, no
+   * shuffle; `threshold_ppm` rides along for audit. Weights must satisfy
+   * `weight · perUnitPpm < 2⁶³` (far beyond any doc-length use).
+   */
+  def weightedKeep(df: DataFrame, idCol: String, weightCol: String,
+      perUnitPpm: Long): DataFrame = {
+    require(perUnitPpm > 0, "perUnitPpm must be positive")
+    df.withColumn("threshold_ppm",
+        least(lit(1000000L), col(weightCol) * perUnitPpm))
+      .filter(idHash(col(idCol)) % 1000000L < col("threshold_ppm"))
+  }
+
+  /**
    * Domain-mixture resampling: re-weight classes (language / source /
    * quality tier) toward a target mixture by REPLICATING or dropping rows.
    * `weightsPct(c) = 250` keeps 2.5 copies of every class-`c` row (2 always,

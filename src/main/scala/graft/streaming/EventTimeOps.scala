@@ -276,6 +276,45 @@ object EventTimeOps {
           .as("avg_gap_ms"))
   }
 
+  /**
+   * Regular-grid resample with forward fill: bucket each key's events to
+   * `stepMs` buckets, keep the LAST observation per bucket (deterministic:
+   * max (ts, id)), expand each key's [first, last] bucket range to a dense
+   * grid, and carry the last observed value across empty buckets — the
+   * standard time-series densification before windowed feature extraction.
+   *
+   * Scale shape: the per-bucket pick and the fill are KEYED windows; the
+   * grid explode is bounded per key by span/stepMs — size `stepMs` against
+   * the retention window (a year of 1-second buckets per key is 31M rows:
+   * choose a coarser step or pre-split the key range). First bucket of
+   * every key is observed by construction, so `filled` is never null.
+   *
+   * Output: (key, bucket_start_ms, filled, is_observed).
+   */
+  def gapfillForwardFill(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, stepMs: Long): DataFrame = {
+    require(stepMs > 0, "stepMs must be positive")
+    val bucketed = events.select(col(keyCol).as("key"),
+      graft.operators.IntMath.idiv(col(tsCol), lit(stepMs)).as("bucket"),
+      col(tsCol).as("__ts"), col(idCol).as("__id"), col(valueCol).as("__v"))
+    val wLast = Window.partitionBy(col("key"), col("bucket"))
+      .orderBy(col("__ts").desc, col("__id").desc)
+    val perBucket = bucketed
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("bucket"), col("__v").as("observed"))
+    val grid = bucketed.groupBy("key")
+      .agg(min("bucket").as("__b0"), max("bucket").as("__b1"))
+      .select(col("key"),
+        explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    val wFill = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("key", "bucket"), "left")
+      .withColumn("filled", last(col("observed"), ignoreNulls = true).over(wFill))
+      .select(col("key"), (col("bucket") * stepMs).as("bucket_start_ms"),
+        col("filled"), col("observed").isNotNull.as("is_observed"))
+  }
+
   // ---------------------------------------------------------- streaming state
 
   case class SessionEvent(key: String, ms: Long)

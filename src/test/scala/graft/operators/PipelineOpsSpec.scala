@@ -1542,6 +1542,57 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("gapfill: dense grid, last-in-bucket pick, forward fill across holes") {
+    import s.implicits._
+    // key 1: buckets 0 (two obs, later wins), 1 (hole), 3 (obs) over step 10
+    val ev = Seq(
+      (1L, 3L, 1L, 100L), (1L, 7L, 2L, 200L), // bucket 0 → last is 200
+      (1L, 35L, 3L, 900L), // bucket 3; buckets 1,2 are holes
+      (2L, 10L, 4L, 5L)).toDF("k", "ts", "id", "v")
+    val out = graft.streaming.EventTimeOps
+      .gapfillForwardFill(ev, "k", "ts", "id", "v", stepMs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 200L, true), (1L, 10L, 200L, false), (1L, 20L, 200L, false),
+      (1L, 30L, 900L, true), (2L, 10L, 5L, true)))
+  }
+
+  test("weighted keep: threshold tracks weight and saturates at certainty") {
+    import s.implicits._
+    val df = Seq((1L, 0L), (2L, 1000L), (3L, 5000L), (4L, 0L))
+      .toDF("id", "w")
+    val out = Sampling.weightedKeep(df, "id", "w", perUnitPpm = 300L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // weight 0 → threshold 0 → never kept; weight 5000*300 saturates at 1e6
+    assert(!out.contains(1L) && !out.contains(4L))
+    assert(out.get(3L).contains(1000000L)) // certainty: hash mod 1e6 < 1e6
+    // weight 1000 → threshold 300000: kept iff idHash(2) mod 1e6 < 300000
+    val h2 = ((2L % 2147483647L) * 2654435761L % 2147483647L) % 1000000L
+    assert(out.contains(2L) == (h2 < 300000L))
+  }
+
+  test("mmr rerank: diversity beats redundant relevance at rank 2") {
+    import s.implicits._
+    // rel: a=100, b=95, c=60. a and b near-identical (sim 10000),
+    // c orthogonal (sim 0). MMR(λ=.7): rank1=a; rank2: b scores
+    // 7*95-3*10000 << c's 7*60-0 → c wins despite lower relevance.
+    val cand = Seq(
+      (1L, 100L, Seq(100L, 0L)), (2L, 95L, Seq(100L, 0L)),
+      (3L, 60L, Seq(0L, 80L)))
+      .toDF("id", "rel", "v")
+    val out = Retrieval.mmrRerank(cand, "id", "rel", "v", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    assert(out.head._3 == 700L) // rank-1 score = lambdaX10 * rel
+    // guarded collect: an over-limit candidate set must be refused
+    val big = s.range(0, 10).select(col("id"), lit(1L).as("rel"),
+      array(lit(1L)).as("v"))
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(big, "id", "rel", "v", k = 2, maxCandidates = 5)
+    }
+  }
+
   test("simhash pairs: exact hamming<=maxHamming recall vs brute force") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val d = docs(
