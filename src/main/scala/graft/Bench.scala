@@ -160,7 +160,9 @@ object Bench {
       "q136_log_hist_quantiles", "q137_fuzzy_pairs",
       "q138_status_intervals", "q139_degree_hist", "q140_simhash_pairs",
       "q141_kcore", "q142_interarrival", "q143_gapfill",
-      "q144_weighted_sample", "q145_mmr_rerank")
+      "q144_weighted_sample", "q145_mmr_rerank",
+      "q146_score_percentile", "q147_split_leakage", "q148_user_features",
+      "q149_class_separation", "q150_mad_outliers")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -2060,7 +2060,65 @@ object SparkEntry {
             Similarity.quantize(col("embedding")).as("qv")), "item_id")
         Retrieval.mmrRerank(withVec, "item_id", "dot", "qv", k = 4)
           .orderBy("mmr_rank")
-      })
+      }),
+
+    // within-source percentile rank (ppm): the cross-corpus score
+    // normalizer — raw scores aren't comparable, percentiles are
+    Q("q146_score_percentile", Some(
+      """WITH r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r, CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM documents) SELECT doc_id, source, n_chars, CAST((r-1)*1000000 // GREATEST(n-1, 1) AS BIGINT) AS pctile_ppm FROM r ORDER BY doc_id"""),
+      (s, dir) => Stats.percentileRank(
+        docs(tune(s), dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id")
+        .orderBy("doc_id")),
+
+    // train/val/test leakage audit: candidate pairs straddling splits —
+    // the evidence for cluster-aware splitting
+    Q("q147_split_leakage", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS BIGINT) AS r, CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM documents), sp AS (SELECT doc_id, CASE WHEN r*100 <= n*80 THEN 'train' WHEN r*100 <= n*90 THEN 'val' ELSE 'test' END AS split FROM r) SELECT cand.doc_a, cand.doc_b, sa.split AS split_a, sb.split AS split_b FROM cand JOIN sp sa ON cand.doc_a = sa.doc_id JOIN sp sb ON cand.doc_b = sb.doc_id WHERE sa.split <> sb.split ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val assign = Sampling.stratifiedSplit(
+          d.select(col("doc_id"), col("source")), "source", "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .select(col("doc_id"), col("split"))
+        Dedup.splitLeakagePairs(cands, assign, "doc_id", "split")
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // per-user feature-store build: conditional per-type counts, value
+    // sum, first/last activity, exact active days — one grouped agg
+    Q("q148_user_features", Some(
+      """SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view, CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase, CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error, CAST(SUM(cents) AS BIGINT) AS sum_value, CAST(MIN(ts_ms) AS BIGINT) AS first_ts_ms, CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms, CAST(COUNT(DISTINCT ts_ms // 86400000) AS BIGINT) AS n_active_days FROM (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events) GROUP BY user_id ORDER BY key"""),
+      (s, dir) => graft.streaming.EventTimeOps.userActivityFeatures(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "user_id", "ts_ms", "event_type", "cents",
+        Seq("view", "click", "purchase", "signup", "error"))
+        .orderBy("key")),
+
+    // pairwise class-centroid distances: the label-separation report read
+    // before trusting any classifier on the embedding space
+    Q("q149_class_separation", Some(
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv, label FROM embeddings), pe AS (SELECT label, unnest(range(len(qv))) AS dim, qv FROM v), pm AS (SELECT label, dim, CAST(SUM(qv[CAST(dim+1 AS INT)]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cx FROM pe GROUP BY 1, 2), pv AS (SELECT label, list(cx ORDER BY dim) AS cv FROM pm GROUP BY 1), pn AS (SELECT CAST(label AS INT) AS label, cv, CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2 FROM pv) SELECT a.label AS label_a, b.label AS label_b, CAST(a.cn2 + b.cn2 - 2*list_sum(list_transform(range(len(a.cv)), i -> a.cv[CAST(i+1 AS INT)]*b.cv[CAST(i+1 AS INT)])) AS BIGINT) AS dist2 FROM pn a JOIN pn b ON a.label < b.label ORDER BY label_a, label_b"""),
+      (s, dir) => Similarity.classCentroidDistances(
+        embeddings(tune(s), dir), "vec_id", "embedding", "label")
+        .orderBy("label_a", "label_b")),
+
+    // robust outlier report: per-type median + MAD + count beyond 5*MAD —
+    // skew-proof and integer-exact where stddev is neither
+    Q("q150_mad_outliers", Some(
+      """WITH v AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events), r1 AS (SELECT event_type, cents, row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM v), med AS (SELECT event_type, MAX(CASE WHEN rn = (n*50+99)//100 THEN cents END) AS med FROM r1 GROUP BY event_type), d AS (SELECT v.event_type, v.cents, abs(v.cents - med.med) AS dev FROM v JOIN med USING (event_type)), r2 AS (SELECT event_type, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM d), mad AS (SELECT event_type, MAX(CASE WHEN rn = (n*50+99)//100 THEN dev END) AS mad FROM r2 GROUP BY event_type) SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(med.med) AS BIGINT) AS median, CAST(MAX(mad.mad) AS BIGINT) AS mad, CAST(SUM(CASE WHEN d.dev > 5*mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM d JOIN med USING (event_type) JOIN mad USING (event_type) GROUP BY d.event_type ORDER BY event_type"""),
+      (s, dir) => Stats.madOutlierReport(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "cents", k = 5)
+        .orderBy("event_type"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

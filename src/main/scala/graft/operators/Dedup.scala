@@ -827,4 +827,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Train/val/test leakage audit: near-dup candidate pairs whose two docs
+   * landed in DIFFERENT splits — each row is an eval example whose
+   * near-copy sits in training (the contamination mode a random split
+   * cannot avoid when the corpus has near-dups; the fix is splitting by
+   * CLUSTER, and this report is the evidence). Two keyed joins of the pair
+   * list against the assignment — scales with the candidate count.
+   *
+   * `candidates`: (doc_a, doc_b) e.g. [[minhashCandidates]];
+   * `assignment`: (idCol, splitCol) e.g. [[Sampling.stratifiedSplit]].
+   * Output: (doc_a, doc_b, split_a, split_b), split_a ≠ split_b.
+   */
+  def splitLeakagePairs(candidates: DataFrame, assignment: DataFrame,
+      idCol: String, splitCol: String): DataFrame =
+    candidates
+      .join(assignment.select(col(idCol).as("doc_a"),
+        col(splitCol).as("split_a")), "doc_a")
+      .join(assignment.select(col(idCol).as("doc_b"),
+        col(splitCol).as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b")
 }

@@ -462,4 +462,23 @@ object Similarity {
       .select(col("l.item_id").as("item_a"), col("r.item_id").as("item_b"))
       .distinct()
   }
+
+  /**
+   * Pairwise squared-L2 distances between per-label centroids — the class
+   * SEPARATION report (are my labels distinguishable in embedding space,
+   * which pairs blur together?), read before trusting any classifier on
+   * them. Centroids from [[labelPrototypes]] (truncating integer means);
+   * with L labels the output is L·(L−1)/2 rows from a self-join of an
+   * L-row frame — the heavy lifting is the one partial-agg centroid pass.
+   * Output: (label_a, label_b, dist2), label_a < label_b.
+   */
+  def classCentroidDistances(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val protos = labelPrototypes(df, idCol, vecCol, labelCol)
+    val l = protos.alias("l"); val r = protos.alias("r")
+    l.join(r, col("l.label") < col("r.label"))
+      .select(col("l.label").as("label_a"), col("r.label").as("label_b"),
+        (col("l.cn2") + col("r.cn2") -
+          lit(2L) * dotQ(col("l.cv"), col("r.cv"))).as("dist2"))
+  }
 }

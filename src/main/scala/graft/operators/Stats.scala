@@ -471,4 +471,55 @@ object Stats {
         (expr("shiftleft(1L, cast(bucket as int))") - 1L).as("upper_bound"),
         col("cum").as("n_le"))
   }
+
+  /**
+   * Per-class percentile rank of a score, in ppm: `(rank−1)·1e6 DIV
+   * max(n−1, 1)` with rank ordered by (value, id) — min gets 0, max gets
+   * 1e6, a singleton class gets 0. The cross-corpus score normalizer:
+   * quality scores from different sources aren't comparable in raw units,
+   * their within-source percentiles are. One keyed window (per-class sort,
+   * classes in parallel) — the same shape as [[groupQuantiles]].
+   */
+  def percentileRank(df: DataFrame, classCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col(valueCol), col(idCol))
+    df.withColumn("__r", row_number().over(w).cast(LongType))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(classCol))))
+      .withColumn("pctile_ppm",
+        IntMath.idiv((col("__r") - 1L) * 1000000L,
+          greatest(col("__n") - 1L, lit(1L))))
+      .drop("__r", "__n")
+  }
+
+  /**
+   * Robust per-class outlier report: median, MAD (median absolute
+   * deviation), and the count of values beyond `k·MAD` from the median —
+   * the skew-proof anomaly screen (mean/stddev break under the heavy tails
+   * this is used on, and stddev's sqrt would break integer exactness).
+   *
+   * Two keyed exact medians (the [[groupQuantiles]] rank pick) plus one
+   * counting pass — three shuffles total, each keyed by class. A MAD of 0
+   * (over half the class at one value) flags any deviation > 0.
+   *
+   * Output: (class, n, median, mad, n_outliers).
+   */
+  def madOutlierReport(df: DataFrame, classCol: String, valueCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val med = groupQuantiles(df, classCol, valueCol, Seq(50))
+      .select(col(classCol), col("p50").as("__med"))
+    val withDev = df.join(med, classCol)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = groupQuantiles(withDev, classCol, "__dev", Seq(50))
+      .select(col(classCol), col("p50").as("__mad"))
+    withDev.join(mad, classCol)
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__dev") > lit(k.toLong) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

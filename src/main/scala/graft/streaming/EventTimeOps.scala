@@ -315,6 +315,28 @@ object EventTimeOps {
         col("filled"), col("observed").isNotNull.as("is_observed"))
   }
 
+  /**
+   * Per-key activity feature extraction — the feature-store build from an
+   * event log: total count, one count per named event type, value sum,
+   * first/last timestamps, and exact active-day count. One grouped
+   * aggregation; every per-type count is a map-side conditional sum
+   * (NOT a pivot shuffle per type), and the distinct-day count rides the
+   * same shuffle. Unlisted event types count toward `n_events` only.
+   */
+  def userActivityFeatures(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, valueCol: String, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "pass at least one event type to count")
+    val perType = types.map(t =>
+      sum(when(col(typeCol) === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val aggs = Seq(count(lit(1)).as("n_events")) ++ perType ++ Seq(
+      sum(col(valueCol)).as("sum_value"),
+      min(col(tsCol)).as("first_ts_ms"),
+      max(col(tsCol)).as("last_ts_ms"),
+      countDistinct(graft.operators.IntMath.idiv(col(tsCol),
+        lit(86400000L))).as("n_active_days"))
+    events.groupBy(col(keyCol).as("key")).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---------------------------------------------------------- streaming state
 
   case class SessionEvent(key: String, ms: Long)

@@ -1542,6 +1542,67 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("percentile rank: 0 at min, 1e6 at max, singleton class gets 0") {
+    import s.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 999L)).toDF("id", "cls", "v")
+    val out = Stats.percentileRank(df, "cls", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L, 4L -> 0L))
+  }
+
+  test("split leakage: only cross-split candidate pairs survive") {
+    import s.implicits._
+    val cands = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train")).toDF("doc_id", "split")
+    val out = Dedup.splitLeakagePairs(cands, assign, "doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 2L, "train", "test")))
+  }
+
+  test("user features: conditional counts, sums, exact active days") {
+    import s.implicits._
+    val ev = Seq(
+      (1L, 0L, "view", 10L), (1L, 1000L, "click", 20L),
+      (1L, 86400000L, "view", 30L), // second day
+      (2L, 5L, "other", 7L)).toDF("k", "ts", "et", "cents")
+    val out = graft.streaming.EventTimeOps.userActivityFeatures(
+        ev, "k", "ts", "et", "cents", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    // (n_events, n_view, n_click, sum_value, first, last, active_days)
+    assert(out(1L) == ((3L, 2L, 1L, 60L, 0L, 86400000L, 2L)))
+    assert(out(2L) == ((1L, 0L, 0L, 7L, 5L, 5L, 1L))) // unlisted type
+  }
+
+  test("class centroid distances: identical labels at 0, symmetry by a<b") {
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(1.0f, 0.0f), 2))
+      .toDF("id", "vec", "label")
+    val out = Similarity.classCentroidDistances(df, "id", "vec", "label")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // centroids: l0 = l2 = (1000, 0); l1 = (0, 1000)
+    assert(out == Map((0, 1) -> 2000000L, (0, 2) -> 0L, (1, 2) -> 2000000L))
+  }
+
+  test("mad outliers: zero-MAD class flags every deviation") {
+    import s.implicits._
+    val df = (Seq.fill(6)(("a", 100L)) ++ Seq(("a", 100000L)) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L))).toDF("cls", "v")
+    val out = Stats.madOutlierReport(df, "cls", "v", k = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // class a: median 100, MAD 0 → the 100000 row is the lone outlier
+    assert(out("a") == ((7L, 100L, 0L, 1L)))
+    // class b: median 2, MAD 1, no value beyond 5*1 from 2
+    assert(out("b") == ((3L, 2L, 1L, 0L)))
+  }
+
   test("gapfill: dense grid, last-in-bucket pick, forward fill across holes") {
     import s.implicits._
     // key 1: buckets 0 (two obs, later wins), 1 (hole), 3 (obs) over step 10
