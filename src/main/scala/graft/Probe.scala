@@ -610,7 +610,100 @@ object Probe {
         Similarity.prototypeClassify(bigE.filter(col("vec_id") % 7 =!= 0L),
           bigE.filter(col("vec_id") % 7 === 0L),
           "vec_id", "embedding", "label").count())
+      timed("class centroid distances (@10x embeddings)")(
+        Similarity.classCentroidDistances(bigE, "vec_id", "embedding",
+          "label").count())
       bigE.unpersist()
+    }
+
+    // ---- round-7 additions: event ops at 20× (2M events), text/graph at
+    // 100k docs, fuzzy linkage at full sf0.1 part (20k rows) ----
+    {
+      import graft.operators.{Dedup, Graph, Linkage, Sampling, Stats}
+      val e0 = graft.sources.KafkaLike.events(spark, dir)
+      val bigEv = (0 until 20).map(i =>
+        e0.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+          graft.operators.IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+          col("event_type"),
+          (col("event_id") + lit(i * 10000000L)).as("event_id"),
+          floor(col("value") * 100).cast(
+            org.apache.spark.sql.types.LongType).as("cents")))
+        .reduce(_ unionByName _).cache()
+      println(s"events20x: ${bigEv.count()} events")
+      timed("status intervals (@2M events)") {
+        val si = graft.streaming.EventTimeOps.statusIntervals(bigEv,
+          "user_id", "ts_ms", "event_id", "event_type")
+        assertKeyedWindows(si, "statusIntervals")
+        si.count()
+      }
+      timed("interarrival stats (@2M events)") {
+        val ia = graft.streaming.EventTimeOps.interarrivalStats(bigEv,
+          "user_id", "ts_ms", "event_id", "event_type")
+        assertKeyedWindows(ia, "interarrivalStats")
+        ia.count()
+      }
+      timed("gapfill hourly (@2M events, 30k keys)") {
+        val gf = graft.streaming.EventTimeOps.gapfillForwardFill(bigEv,
+          "user_id", "ts_ms", "event_id", "cents", stepMs = 3600000L)
+        assertKeyedWindows(gf, "gapfillForwardFill")
+        gf.count()
+      }
+      timed("user features (@2M events)")(
+        graft.streaming.EventTimeOps.userActivityFeatures(bigEv,
+          "user_id", "ts_ms", "event_type", "cents",
+          Seq("view", "click", "purchase", "signup", "error")).count())
+      timed("mad outlier report (@2M events)")(
+        Stats.madOutlierReport(bigEv.select(col("event_type"),
+          col("cents")), "event_type", "cents").count())
+      timed("log-hist quantiles (@2M events; <=64-row sketch)")(
+        Stats.logHistQuantiles(bigEv.select(col("cents")), "cents",
+          Seq(50, 90, 99)).count())
+      bigEv.unpersist()
+
+      val bigPart = spark.read.parquet(s"$dir/part.parquet")
+      // 8 natural blocks: unsalted serializes into 8 tasks (measured
+      // 23.5 s); the salted triangular join spreads the same pairs over
+      // blocks * S(S+1)/2 partitions
+      timed("blocked fuzzy pairs SALTED s=16 (sf0.1 part, 8 blocks)")(
+        Linkage.blockedFuzzyPairs(bigPart, "p_partkey", "p_name",
+          substring_index(col("p_name"), " ", 1), maxDist = 3,
+          saltBuckets = 16).count())
+
+      // natural corpus: Manku exact pairs; the 20x-replicated corpus is
+      // DUP-DENSE (every text has 20 byte-identical copies) — uncapped
+      // output is legitimately quadratic there (measured 194M pairs), so
+      // that shape runs with the bucket cap's star contract
+      timed("simhash hamming pairs (sf0.1 natural 5k docs, uncapped)")(
+        Dedup.simhashPairs(base.select("doc_id", "text"), "text", "doc_id",
+          maxHamming = 2).count())
+      timed("simhash hamming pairs CAPPED 64 (@100k dup-dense docs)")(
+        Dedup.simhashPairs(big, "text", "doc_id", maxHamming = 2,
+          maxBucketSize = 64).count())
+      val pr = Stats.percentileRank(
+        big.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(8L))))
+          .withColumn("n", length(col("text"))),
+        "source", "n", "doc_id")
+      assertKeyedWindows(pr, "percentileRank")
+      timed("percentile rank (@100k docs, 8 sources)")(pr.count())
+      locally {
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(big, "text", "doc_id")), maxBucketSize = 64)
+        timed("degree histogram (@100k docs candidate graph)")(
+          Graph.degreeHistogram(big, "doc_id", cands, "doc_a", "doc_b")
+            .count())
+        timed("k-core 2 rounds (@100k docs candidate graph)")(
+          Graph.kcoreSurvivors(big, "doc_id", cands, "doc_a", "doc_b",
+            k = 2, rounds = 2).count())
+        val assign = Sampling.stratifiedSplit(
+          big.withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(8L))))
+            .select(col("doc_id"), col("source")),
+          "source", "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        timed("split leakage (@100k docs)")(
+          Dedup.splitLeakagePairs(cands,
+            assign.select(col("doc_id"), col("split")),
+            "doc_id", "split").count())
+      }
     }
     spark.stop()
   }

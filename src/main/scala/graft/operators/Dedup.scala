@@ -804,7 +804,7 @@ object Dedup {
    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
    */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 2): DataFrame = {
+      maxHamming: Int = 2, maxBucketSize: Int = 0): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 7,
       s"maxHamming in [1,7], got $maxHamming")
     val nBands = maxHamming + 1
@@ -816,16 +816,43 @@ object Dedup {
         val bits = if (j == nBands - 1) 32 - shift else width
         expr(s"shiftright(simhash, $shift) & ${(1L << bits) - 1}")
       }: _*)).as(Seq("band_id", "band_val")))
-    val l = bands.alias("l"); val r = bands.alias("r")
-    l.join(r,
-        col("l.band_id") === col("r.band_id") &&
-        col("l.band_val") === col("r.band_val") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        expr("bit_count(l.simhash ^ r.simhash)").cast(
-          org.apache.spark.sql.types.LongType).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    def pairsOf(b: DataFrame): DataFrame = {
+      val l = b.alias("l"); val r = b.alias("r")
+      l.join(r,
+          col("l.band_id") === col("r.band_id") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          expr("bit_count(l.simhash ^ r.simhash)").cast(
+            org.apache.spark.sql.types.LongType).as("hamming"))
+    }
+    // A dup-dense corpus puts every copy of one text in ONE bucket per
+    // band — the uncapped join is quadratic in the copy count (the same
+    // degenerate case minhashCandidates caps). With a cap, over-cap
+    // buckets short-circuit to the (bucket-min, other) star: the EXACT
+    // all-pairs-within-hamming contract narrows to bucket members linking
+    // to their bucket min — still sufficient for connected-component
+    // dedup (copies of one text share the bucket), not for exhaustive
+    // pair listing. Uncapped (0) keeps the Manku pigeonhole exactness.
+    val pairs =
+      if (maxBucketSize <= 0) pairsOf(bands)
+      else {
+        val stats = bands.groupBy(col("band_id"), col("band_val"))
+          .agg(count(lit(1)).as("__bsz"), min(col("doc_id")).as("__bmin"))
+        val withStats = bands.join(stats, Seq("band_id", "band_val"))
+        val small = withStats.filter(col("__bsz") <= maxBucketSize)
+          .select("doc_id", "simhash", "band_id", "band_val")
+        val star = withStats
+          .filter(col("__bsz") > maxBucketSize &&
+            col("doc_id") =!= col("__bmin"))
+          .join(sh.select(col("doc_id").as("__bmin"),
+            col("simhash").as("__minhashv")), "__bmin")
+          .select(col("__bmin").as("doc_a"), col("doc_id").as("doc_b"),
+            expr("bit_count(__minhashv ^ simhash)").cast(
+              org.apache.spark.sql.types.LongType).as("hamming"))
+        pairsOf(small).union(star)
+      }
+    pairs.filter(col("hamming") <= maxHamming).distinct()
   }
 
   /**

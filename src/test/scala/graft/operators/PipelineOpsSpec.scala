@@ -1488,6 +1488,33 @@ class PipelineOpsSpec extends SparkSuite {
     assert(report.toSeq == Seq(("small", 4L)))
   }
 
+  test("salted triangular fuzzy join emits exactly the unsalted pairs") {
+    import s.implicits._
+    // enough rows that every salt-combo shape (same-salt, cross-salt)
+    // occurs; salted must be a pure parallelism change
+    val parts = (1L to 40L).map(i =>
+      (i, s"blk${i % 2} name${i % 7}")).toDF("id", "name")
+    def run(salt: Int) = Linkage.blockedFuzzyPairs(parts, "id", "name",
+        substring_index(col("name"), " ", 1), maxDist = 2,
+        saltBuckets = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val plain = run(0)
+    assert(plain.nonEmpty)
+    assert(run(4) == plain)
+    assert(run(16) == plain) // more salts than rows per block still exact
+  }
+
+  test("simhash pairs cap: over-cap buckets star to the min, dedup holds") {
+    val oneText = (1 to 50).map(i => s"w$i").mkString(" ")
+    val d = docs((1L to 10L).map(i => (i, oneText)): _*)
+    val capped = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 2,
+      maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 10 identical docs, cap 4: the star links every copy to doc 1 —
+    // n-1 pairs instead of 45, same connected component
+    assert(capped.toSet == (2L to 10L).map(b => (1L, b)).toSet)
+  }
+
   test("status intervals: runs collapse, ties break on id, last is open") {
     import s.implicits._
     val ev = Seq(
