@@ -1965,7 +1965,7 @@ object SparkEntry {
       (s, dir) => Linkage.blockedFuzzyPairs(
         tune(s).read.parquet(s"$dir/part.parquet"),
         "p_partkey", "p_name", substring_index(col("p_name"), " ", 1),
-        maxDist = 3, saltBuckets = 16)
+        maxDist = 3)
         .orderBy("id_a", "id_b")),
 
     // SCD2 status history from the append-only event log: gaps-and-islands

@@ -22,14 +22,17 @@ object Linkage {
    * Scale shape: one equality self-join keyed by the block value (shuffle
    * partitions by block), with two codegen'd guards BEFORE the O(len²)
    * Levenshtein — a length band (|len_a − len_b| ≤ maxDist is necessary for
-   * edit distance ≤ maxDist) and the id order. Plain blocking's parallelism
-   * is bounded by block-key cardinality; `saltBuckets = S > 1` switches to
-   * a salted triangular self-join (every unordered pair lands in exactly
-   * one of S(S+1)/2 combo partitions per block) so a low-cardinality
-   * natural key still spreads across the cluster — identical output,
-   * measured 23.5 s → ~4 s on the 8-block sf0.1 part corpus. Multi-pass
-   * blocking (union of pair sets from several keys) recovers recall lost
-   * to a single key. `maxBlockSize > 0` drops over-cap blocks from pairing
+   * edit distance ≤ maxDist) and the id order. While the blocked table fits
+   * a broadcast, parallelism comes from repartitioning the probe side (the
+   * verify work spreads over the cluster regardless of block cardinality);
+   * past broadcast size the join degrades to one sort-merge task per block,
+   * and `saltBuckets = S > 1` switches to a salted triangular self-join —
+   * every unordered pair lands in exactly one of S(S+1)/2 combo partitions
+   * per block, so a low-cardinality natural key (8 part adjectives here)
+   * still spreads across the cluster. Identical output either way
+   * (spec-pinned). Multi-pass blocking (union of pair sets from several
+   * keys) recovers recall lost to a single key. `maxBlockSize > 0` drops
+   * over-cap blocks from pairing
    * entirely (standard ER practice for junk keys — empty-string names, "n/a"
    * — whose blocks are quadratic and match-free); [[oversizedBlocks]] is the
    * companion report so the drop is observable, never silent.
@@ -48,15 +51,21 @@ object Linkage {
           .drop("__bsz")
       }
     val lenBand = abs(col("l.len") - col("r.len")) <= maxDist
-    val verified =
+    // The Levenshtein verify dominates end-to-end cost, so two plan
+    // properties matter more than the join strategy: (1) the probe side
+    // must be spread over the cluster — a blocked table read from one
+    // parquet file otherwise runs the whole verify in ONE task under a
+    // broadcast join (measured 23.5 s → 1-task serial at sf0.1); (2) the
+    // distance is computed ONCE, post-join, and filtered — putting it in
+    // the join condition evaluates it a second time for the output column.
+    val nPar = df.sparkSession.sparkContext.defaultParallelism
+    val candidates =
       if (saltBuckets <= 1) {
-        // plain per-block self-join: one task per block — fine when the
-        // block key is high-cardinality
-        val l = blocked.alias("l"); val r = blocked.alias("r")
+        val l = blocked.repartition(nPar).alias("l")
+        val r = blocked.alias("r")
         l.join(r,
             col("l.blk") === col("r.blk") &&
-            col("l.id") < col("r.id") && lenBand &&
-            levenshtein(col("l.name"), col("r.name")) <= maxDist)
+            col("l.id") < col("r.id") && lenBand)
       } else {
         // salted TRIANGULAR self-join: rows get a deterministic salt
         // s ∈ [0, S); the left side replicates each row under combo keys
@@ -72,7 +81,8 @@ object Linkage {
           graft.operators.Sampling.idHash(col("id")) % s)
         val l = salted
           .withColumn("__cj", explode(sequence(col("__salt"), lit(s - 1))))
-          .withColumnRenamed("__salt", "__ci").alias("l")
+          .withColumnRenamed("__salt", "__ci")
+          .repartition(col("blk"), col("__ci"), col("__cj")).alias("l")
         val r = salted
           .withColumn("__ci", explode(sequence(lit(0), col("__salt"))))
           .withColumnRenamed("__salt", "__cj").alias("r")
@@ -83,10 +93,9 @@ object Linkage {
             // same-salt combos pair by id order; cross-salt combos are
             // already unique per pair, any id order
             (col("l.__ci") =!= col("l.__cj") || col("l.id") < col("r.id")) &&
-            col("l.id") =!= col("r.id") && lenBand &&
-            levenshtein(col("l.name"), col("r.name")) <= maxDist)
+            col("l.id") =!= col("r.id") && lenBand)
       }
-    verified
+    candidates
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"),
         when(col("l.id") < col("r.id"), col("l.name"))
@@ -94,6 +103,7 @@ object Linkage {
         when(col("l.id") < col("r.id"), col("r.name"))
           .otherwise(col("l.name")).as("name_b"),
         levenshtein(col("l.name"), col("r.name")).as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 
   /** Blocks larger than `maxBlockSize`: (blk, n_rows) — the audit row for
