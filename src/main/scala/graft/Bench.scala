@@ -162,7 +162,9 @@ object Bench {
       "q141_kcore", "q142_interarrival", "q143_gapfill",
       "q144_weighted_sample", "q145_mmr_rerank",
       "q146_score_percentile", "q147_split_leakage", "q148_user_features",
-      "q149_class_separation", "q150_mad_outliers")
+      "q149_class_separation", "q150_mad_outliers",
+      "q151_sketch_percentile", "q152_status_enrich",
+      "q153_cluster_examples")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -2118,7 +2118,59 @@ object SparkEntry {
           .select(col("event_type"),
             floor(col("value") * 100).cast(LongType).as("cents")),
         "event_type", "cents", k = 5)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // score a stream against the <=64-row reference sketch: broadcast the
+    // sketch, never the reference corpus — map-only at any target volume
+    Q("q151_sketch_percentile", Some(
+      """WITH v AS (SELECT event_id, CAST(floor(value*100) AS BIGINT) AS cents FROM events), b AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS rb, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1), cum AS (SELECT rb, CAST(SUM(c) OVER (ORDER BY rb) AS BIGINT) AS cum FROM b), n AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum), dense AS (SELECT g.bucket, CAST(COALESCE(MAX(cum.cum), 0) AS BIGINT) AS n_le FROM (SELECT unnest(range(1, 65)) AS bucket) g LEFT JOIN cum ON cum.rb <= g.bucket GROUP BY g.bucket) SELECT CAST(length(bin(v.cents)) AS BIGINT) AS bucket, v.event_id, v.cents, CAST(n_le*1000000 // n.n AS BIGINT) AS est_pctile_ppm FROM v JOIN dense ON dense.bucket = length(bin(v.cents)) CROSS JOIN n ORDER BY event_id"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .select(col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents"))
+        Stats.logHistPercentileScore(ev, "cents", ev, "cents")
+          .orderBy("event_id")
+      }),
+
+    // enrich events with their status AT EVENT TIME: SCD2 intervals +
+    // the bucketed interval join (each event meets one interval)
+    Q("q152_status_enrich", Some(
+      """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, event_type AS st FROM events), m AS (SELECT k, ts_ms, event_id, st, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY k ORDER BY ts_ms, event_id)), r AS (SELECT k, ts_ms, st, CAST(SUM(chg) OVER (PARTITION BY k ORDER BY ts_ms, event_id) AS BIGINT) AS run_id FROM m), c AS (SELECT k AS key, run_id, st AS status, CAST(MIN(ts_ms) AS BIGINT) AS valid_from_ms, CAST(COUNT(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2, 3), iv AS (SELECT key, run_id, status, valid_from_ms, lead(valid_from_ms) OVER (PARTITION BY key ORDER BY run_id) AS valid_to_ms FROM c), mx AS (SELECT CAST(MAX(ts_ms) + 1 AS BIGINT) AS now FROM e) SELECT e.event_id, e.k AS user_id, e.ts_ms, iv.run_id, iv.status FROM e JOIN iv ON e.k = iv.key AND e.ts_ms >= iv.valid_from_ms AND e.ts_ms < COALESCE(iv.valid_to_ms, (SELECT now FROM mx)) ORDER BY event_id"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_id"), col("event_type"))
+        val iv = graft.streaming.EventTimeOps.statusIntervals(
+          ev, "user_id", "ts_ms", "event_id", "event_type")
+        val nowMs = ev.agg(max("ts_ms")).head().getLong(0) + 1L
+        val ivc = iv.select(col("key").as("user_id"), col("run_id"),
+          col("status"), col("valid_from_ms"),
+          coalesce(col("valid_to_ms"), lit(nowMs)).as("valid_to_ms"))
+        RangeJoin.bucketed(
+          ev.select(col("user_id"), col("ts_ms"), col("event_id")), ivc,
+          "user_id", "ts_ms", "valid_from_ms", "valid_to_ms",
+          bucketWidth = 86400000L)
+          .select("event_id", "user_id", "ts_ms", "run_id", "status")
+          .orderBy("event_id")
+      }),
+
+    // k review examples per non-trivial dup cluster: the human-audit
+    // sample, deterministic via the quota hash
+    Q("q153_cluster_examples", Some(
+      s"""${dMinhashSig.replaceFirst("^WITH ", "WITH RECURSIVE ")}, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), eg AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), reach(s, t) AS (SELECT s, t FROM eg UNION SELECT reach.s, e2.t FROM reach JOIN eg e2 ON reach.t = e2.s), cl AS (SELECT d.doc_id AS doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(reach.t), d.doc_id)) AS BIGINT) AS cluster_id FROM documents d LEFT JOIN reach ON d.doc_id = reach.s GROUP BY d.doc_id), sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz FROM cl GROUP BY 1), mult AS (SELECT cl.cluster_id, cl.doc_id, sz.csz FROM cl JOIN sz USING (cluster_id) WHERE sz.csz > 1) SELECT cluster_id, doc_id, csz, CAST(rn AS INT) AS sample_rank FROM (SELECT cluster_id, doc_id, csz, row_number() OVER (PARTITION BY cluster_id ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS rn FROM mult) WHERE rn <= 2 ORDER BY cluster_id, doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val clusters = Dedup.nearDupClusters(d, cands, "doc_id")
+        val sizes = clusters.groupBy("cluster_id")
+          .agg(count(lit(1)).as("csz"))
+        val multi = clusters.join(sizes.filter(col("csz") > 1L), "cluster_id")
+        Sampling.quotaByClass(multi.select("cluster_id", "doc_id", "csz"),
+          "cluster_id", "doc_id", quota = 2)
+          .orderBy("cluster_id", "doc_id")
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -473,6 +473,45 @@ object Stats {
   }
 
   /**
+   * Score a (possibly huge) target column against a REFERENCE distribution
+   * summarized as the [[logHistQuantiles]] bucket sketch: estimated
+   * percentile of each value = (reference count in buckets ≤ the value's
+   * bucket) · 1e6 DIV n. The sketch is ≤ 64 rows, so the lookup is a
+   * broadcast theta-join + one keyed max — the target side never shuffles
+   * on data volume. This is how a 100 TB stream gets scored against
+   * yesterday's corpus without touching yesterday's corpus: ship the
+   * sketch, not the data. Values below every reference bucket score 0.
+   *
+   * Output: target columns + (bucket, est_pctile_ppm).
+   */
+  def logHistPercentileScore(target: DataFrame, valueCol: String,
+      reference: DataFrame, refValueCol: String): DataFrame = {
+    val counts = reference
+      .select(length(bin(col(refValueCol))).cast(LongType).as("__rb"))
+      .groupBy("__rb").agg(count(lit(1)).as("__c"))
+    val wcum = Window.orderBy(col("__rb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(wcum))
+      .select(col("__rb"), col("__cum"))
+    val total = cum.agg(max(col("__cum")).as("__n"))
+    // densify over the fixed bucket domain [1, 64] (the theta-lookup and
+    // the fill both happen INSIDE the <=64-row sketch, so the target side
+    // is one broadcast equality join — map-only at any volume)
+    val spark = target.sparkSession
+    val dense = spark.range(1L, 65L).toDF("bucket")
+      .join(cum, col("__rb") <= col("bucket"), "left")
+      .groupBy("bucket")
+      .agg(coalesce(max(col("__cum")), lit(0L)).as("__n_le"))
+      .crossJoin(total)
+    target.withColumn("bucket",
+        length(bin(col(valueCol))).cast(LongType))
+      .join(broadcast(dense), Seq("bucket"))
+      .withColumn("est_pctile_ppm",
+        IntMath.idiv(col("__n_le") * 1000000L, col("__n")))
+      .drop("__n_le", "__n")
+  }
+
+  /**
    * Per-class percentile rank of a score, in ppm: `(rank−1)·1e6 DIV
    * max(n−1, 1)` with rank ordered by (value, id) — min gets 0, max gets
    * 1e6, a singleton class gets 0. The cross-corpus score normalizer:

@@ -1630,6 +1630,37 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out("b") == ((3L, 2L, 1L, 0L)))
   }
 
+  test("sketch percentile score: dense lookup, below-all scores 0") {
+    import s.implicits._
+    val ref = (1L to 100L).toDF("v") // cum: b6=63, b7=100
+    val target = Seq((1L, 40L), (2L, 1L), (3L, 100L)).toDF("id", "v")
+    val out = Stats.logHistPercentileScore(target, "v", ref, "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("est_pctile_ppm")).toMap
+    // 40 → bucket 6 → n_le 63 → 630000; 1 → bucket 1 → n_le 1 → 10000;
+    // 100 → bucket 7 → n_le 100 → 1000000
+    assert(out == Map(1L -> 630000L, 2L -> 10000L, 3L -> 1000000L))
+  }
+
+  test("status enrichment: every event gets exactly its at-time status") {
+    import s.implicits._
+    val ev = Seq(
+      (7L, 10L, 1L, "a"), (7L, 20L, 2L, "a"), (7L, 30L, 3L, "b"),
+      (7L, 40L, 4L, "a"), (9L, 5L, 5L, "x")).toDF("k", "ts", "id", "st")
+    val iv = graft.streaming.EventTimeOps
+      .statusIntervals(ev, "k", "ts", "id", "st")
+    val now = 41L
+    val ivc = iv.select(col("key").as("k"), col("run_id"), col("status"),
+      col("valid_from_ms"),
+      coalesce(col("valid_to_ms"), lit(now)).as("valid_to_ms"))
+    val out = RangeJoin.bucketed(
+        ev.select(col("k"), col("ts"), col("id")), ivc,
+        "k", "ts", "valid_from_ms", "valid_to_ms", bucketWidth = 15L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status"))
+      .toMap
+    assert(out == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "x"))
+  }
+
   test("gapfill: dense grid, last-in-bucket pick, forward fill across holes") {
     import s.implicits._
     // key 1: buckets 0 (two obs, later wins), 1 (hole), 3 (obs) over step 10
