@@ -349,6 +349,48 @@ object EventTimeOps {
    * gap elapsed, keep the last one open in state. Emits closed sessions
    * (append mode); state is one OpenSession per key — bounded.
    */
+  case class StatusEvent(key: String, ms: Long, status: String)
+  case class OpenRun(status: String, startMs: Long, lastMs: Long, n: Long)
+  case class ClosedRun(key: String, status: String, validFromMs: Long,
+    validToMs: Long, n: Long)
+
+  /**
+   * Streaming SCD2 build — the incremental form of [[statusIntervals]]:
+   * per key, one open run in state; a batch's events (sorted by time,
+   * status tie-break) extend the open run while the status repeats and
+   * close it (validTo = the successor's start, exactly the batch
+   * semantics) when it changes. Emits closed runs in append mode; state
+   * is ONE OpenRun per key — bounded on unbounded streams. Events
+   * arriving out of order ACROSS micro-batches split runs at the batch
+   * boundary (same contract as [[sessionizeStreaming]]); feed from a
+   * watermarked, event-time-sorted upstream when that matters.
+   */
+  def statusIntervalsStreaming(events: Dataset[StatusEvent])
+      : Dataset[ClosedRun] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[StatusEvent], state: GroupState[OpenRun]) =>
+          val sorted = it.toArray.sortBy(e => (e.ms, e.status))
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedRun]
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if o.status == e.status =>
+                open = Some(o.copy(lastMs = e.ms, n = o.n + 1))
+              case Some(o) =>
+                closed += ClosedRun(key, o.status, o.startMs, e.ms, o.n)
+                open = Some(OpenRun(e.status, e.ms, e.ms, 1))
+              case None =>
+                open = Some(OpenRun(e.status, e.ms, e.ms, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   def sessionizeStreaming(events: Dataset[SessionEvent], gapMs: Long)
       : Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

@@ -183,4 +183,30 @@ class EventTimeOpsSpec extends SparkSuite {
     // 4000000 session stays open in state
     assert(closed.toSeq == Seq(("u1", 1000L, 2000L, 2L)))
   }
+
+  test("streaming SCD2: runs close across batches, open run survives") {
+    import s.implicits._
+    val src = Files.createTempDirectory("graft-si-src").toString
+    val ckpt = Files.createTempDirectory("graft-si-ckpt").toString
+    // batch 1: a,a then b → run a closes at b's start; batch 2: a →
+    // run b (carried in STATE across the batch boundary) closes at 4000
+    events(("a", 0L, "u1", 1000L), ("a", 1L, "u1", 2000L),
+      ("b", 2L, "u1", 3000L)).coalesce(1).write.parquet(src + "/f1")
+    events(("a", 3L, "u1", 4000L)).coalesce(1).write.parquet(src + "/f2")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val runs = statusIntervalsStreaming(
+      stream.select(col("key"), unix_millis(col("timestamp")).as("ms"),
+        col("topic").as("status")).as[StatusEvent])
+    val q = runs.writeStream.outputMode("append")
+      .format("memory").queryName("si_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val closed = s.table("si_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._3)
+    assert(closed.toSeq == Seq(
+      ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
+  }
 }
