@@ -683,6 +683,19 @@ object Probe {
       timed("simhash hamming pairs CAPPED 64 (@100k dup-dense docs)")(
         Dedup.simhashPairs(big, "text", "doc_id", maxHamming = 2,
           maxBucketSize = 64).count())
+      // sketch scoring must stay a broadcast equality join on the target
+      // side — a shuffled join here would defeat the ship-the-sketch story
+      locally {
+        val ev2 = graft.sources.KafkaLike.events(spark, dir)
+          .select(col("event_id"),
+            floor(col("value") * 100).cast(
+              org.apache.spark.sql.types.LongType).as("cents"))
+        val scored = Stats.logHistPercentileScore(ev2, "cents", ev2, "cents")
+        val phys = scored.queryExecution.executedPlan.toString
+        require(phys.contains("BroadcastHashJoin"),
+          "logHistPercentileScore target join must broadcast the dense sketch")
+        timed("sketch percentile score (sf0.1 events)")(scored.count())
+      }
       val pr = Stats.percentileRank(
         big.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(8L))))
           .withColumn("n", length(col("text"))),
