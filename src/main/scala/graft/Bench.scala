@@ -164,7 +164,8 @@ object Bench {
       "q146_score_percentile", "q147_split_leakage", "q148_user_features",
       "q149_class_separation", "q150_mad_outliers",
       "q151_sketch_percentile", "q152_status_enrich",
-      "q153_cluster_examples")
+      "q153_cluster_examples", "q154_sketch_merge",
+      "q155_group_sketch_quantiles")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -2170,7 +2170,36 @@ object SparkEntry {
         Sampling.quotaByClass(multi.select("cluster_id", "doc_id", "csz"),
           "cluster_id", "doc_id", quota = 2)
           .orderBy("cluster_id", "doc_id")
-      })
+      }),
+
+    // the shard-merge proof as an oracled query: sketch(odd) + sketch(even)
+    // merged by count sum finalizes to the same quantiles as one pass
+    Q("q154_sketch_merge", Some(
+      """WITH v AS (SELECT event_id, CAST(floor(value*100) AS BIGINT) AS cents FROM events), sa AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM v WHERE event_id % 2 = 0 GROUP BY 1), sb AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM v WHERE event_id % 2 = 1 GROUP BY 1), m AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS c FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY 1), cum AS (SELECT bucket, CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM m), n AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum), p AS (SELECT unnest([50, 90, 99]) AS q_pct), sel AS (SELECT p.q_pct, MIN(cum.bucket) AS bucket FROM cum CROSS JOIN n JOIN p ON cum.cum*100 >= p.q_pct*n.n GROUP BY p.q_pct) SELECT CAST(sel.q_pct AS INT) AS q_pct, sel.bucket, CAST((CAST(1 AS BIGINT) << CAST(sel.bucket AS INT)) - 1 AS BIGINT) AS upper_bound, cum.cum AS n_le FROM sel JOIN cum USING (bucket) ORDER BY q_pct"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .select(col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents"))
+        val sa = Stats.logHistSketch(
+          ev.filter(col("event_id") % 2 === 0), "cents")
+        val sb = Stats.logHistSketch(
+          ev.filter(col("event_id") % 2 === 1), "cents")
+        Stats.logHistQuantilesFromSketch(Stats.logHistMerge(sa, sb),
+          Seq(50, 90, 99))
+          .orderBy("q_pct")
+      }),
+
+    // per-class sketch quantiles: the grouped rollup, everything keyed —
+    // nothing single-partition even on a billion classes
+    Q("q155_group_sketch_quantiles", Some(
+      """WITH v AS (SELECT event_type AS cls, CAST(floor(value*100) AS BIGINT) AS cents FROM events), b AS (SELECT cls, CAST(length(bin(cents)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2), cum AS (SELECT cls, bucket, CAST(SUM(c) OVER (PARTITION BY cls ORDER BY bucket) AS BIGINT) AS cum, CAST(SUM(c) OVER (PARTITION BY cls) AS BIGINT) AS n FROM b), p AS (SELECT unnest([50, 90, 99]) AS q_pct), sel AS (SELECT cum.cls, p.q_pct, MIN(cum.bucket) AS bucket FROM cum JOIN p ON cum.cum*100 >= p.q_pct*cum.n GROUP BY cum.cls, p.q_pct) SELECT sel.cls, CAST(sel.q_pct AS INT) AS q_pct, sel.bucket, CAST((CAST(1 AS BIGINT) << CAST(sel.bucket AS INT)) - 1 AS BIGINT) AS upper_bound, cum.cum AS n_le FROM sel JOIN cum ON sel.cls = cum.cls AND sel.bucket = cum.bucket ORDER BY 1, 2"""),
+      (s, dir) => Stats.groupLogHistQuantiles(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "cents", Seq(50, 90, 99))
+        .orderBy("cls", "q_pct")
+  )
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -448,17 +448,34 @@ object Stats {
    * (q_pct, bucket, upper_bound, n_le) per requested percent.
    */
   def logHistQuantiles(df: DataFrame, valueCol: String,
+      percents: Seq[Int]): DataFrame =
+    logHistQuantilesFromSketch(logHistSketch(df, valueCol), percents)
+
+  /** The raw mergeable sketch: (bucket, c) per occupied log₂ bucket —
+    * what a per-shard / per-day rollup stores. One partial-agg groupBy. */
+  def logHistSketch(df: DataFrame, valueCol: String): DataFrame =
+    df.select(length(bin(col(valueCol))).cast(LongType).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** Merge sketches by summing bucket counts — associative and
+    * commutative, so shards/days/partitions combine in any order. */
+  def logHistMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "pass at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("bucket").agg(sum(col("c")).as("c"))
+  }
+
+  /** Finalize quantiles from a (bucket, c) sketch — see
+    * [[logHistQuantiles]] for the estimator contract. */
+  def logHistQuantilesFromSketch(sketch: DataFrame,
       percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       "percents must be integer percents in [1,100]")
-    val spark = df.sparkSession
+    val spark = sketch.sparkSession
     import spark.implicits._
-    val counts = df
-      .select(length(bin(col(valueCol))).cast(LongType).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("c"))
     val wcum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("c")).over(wcum))
+    val cum = sketch.withColumn("cum", sum(col("c")).over(wcum))
     val total = cum.agg(max(col("cum")).as("n"))
     val pcts = percents.distinct.sorted.toDF("q_pct")
     cum.crossJoin(total).crossJoin(broadcast(pcts))
@@ -467,6 +484,40 @@ object Stats {
       .agg(min(col("bucket")).as("bucket"))
       .join(cum.select(col("bucket"), col("cum")), Seq("bucket"))
       .select(col("q_pct").cast(org.apache.spark.sql.types.IntegerType),
+        col("bucket"),
+        (expr("shiftleft(1L, cast(bucket as int))") - 1L).as("upper_bound"),
+        col("cum").as("n_le"))
+  }
+
+  /**
+   * Per-class log₂-histogram quantiles — the grouped rollup (per-source
+   * length distributions, per-tenant value profiles) at sketch cost:
+   * ≤ 64 rows PER CLASS, cumulative and pick windows keyed by class, so
+   * unlike the global [[logHistQuantiles]] nothing here is ever
+   * single-partition. Output: (class, q_pct, bucket, upper_bound, n_le).
+   */
+  def groupLogHistQuantiles(df: DataFrame, classCol: String,
+      valueCol: String, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be integer percents in [1,100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(classCol).as("cls"),
+        length(bin(col(valueCol))).cast(LongType).as("bucket"))
+      .groupBy("cls", "bucket").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("cls")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", max(col("cum")).over(Window.partitionBy(col("cls"))))
+    val pcts = percents.distinct.sorted.toDF("q_pct")
+    cum.crossJoin(broadcast(pcts))
+      .filter(col("cum") * 100 >= col("q_pct") * col("n"))
+      .groupBy(col("cls"), col("q_pct"))
+      .agg(min(col("bucket")).as("bucket"))
+      .join(cum.select(col("cls"), col("bucket"), col("cum")),
+        Seq("cls", "bucket"))
+      .select(col("cls"),
+        col("q_pct").cast(org.apache.spark.sql.types.IntegerType),
         col("bucket"),
         (expr("shiftleft(1L, cast(bucket as int))") - 1L).as("upper_bound"),
         col("cum").as("n_le"))

@@ -1630,6 +1630,32 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out("b") == ((3L, 2L, 1L, 0L)))
   }
 
+  test("sketch merge: split + merge finalizes to the one-pass quantiles") {
+    import s.implicits._
+    val v = (1L to 100L).toDF("v")
+    val whole = Stats.logHistQuantiles(v, "v", Seq(50, 90, 99))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val merged = Stats.logHistQuantilesFromSketch(
+        Stats.logHistMerge(
+          Stats.logHistSketch(v.filter(col("v") <= 37L), "v"),
+          Stats.logHistSketch(v.filter(col("v") > 37L), "v")),
+        Seq(50, 90, 99))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(merged == whole)
+  }
+
+  test("grouped sketch quantiles: per-class picks, keyed windows") {
+    import s.implicits._
+    val df = ((1L to 100L).map(v => ("a", v)) ++
+      Seq(("b", 1L), ("b", 1000L))).toDF("cls", "v")
+    val out = Stats.groupLogHistQuantiles(df, "cls", "v", Seq(50, 99))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    // class a mirrors the global spec: p50 → bucket 6, p99 → bucket 7;
+    // class b: p50 → bucket 1 (value 1), p99 → bucket 10 (1000)
+    assert(out == Map(("a", 50) -> 6L, ("a", 99) -> 7L,
+      ("b", 50) -> 1L, ("b", 99) -> 10L))
+  }
+
   test("sketch percentile score: dense lookup, below-all scores 0") {
     import s.implicits._
     val ref = (1L to 100L).toDF("v") // cum: b6=63, b7=100
