@@ -2199,7 +2199,68 @@ object SparkEntry {
             floor(col("value") * 100).cast(LongType).as("cents")),
         "event_type", "cents", Seq(50, 90, 99))
         .orderBy("cls", "q_pct")
-  )
+  ),
+
+    // exact one-vs-rest ROC-AUC per event type over the cents score —
+    // rank-sum form, all-integer, no global sort (two-stage bucketed scan)
+    Q("q156_auc", Some(
+      """WITH v AS (SELECT event_type AS label, CAST(floor(value*100) AS BIGINT) AS s FROM events), g AS (SELECT s, label, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2), t0 AS (SELECT s, CAST(SUM(c) AS BIGINT) AS ctot FROM g GROUP BY 1), t AS (SELECT s, ctot, CAST(SUM(ctot) OVER (ORDER BY s) - ctot AS BIGINT) AS cumt FROM t0), l AS (SELECT s, label, c, CAST(SUM(c) OVER (PARTITION BY label ORDER BY s) - c AS BIGINT) AS cuml FROM g), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v), w AS (SELECT l.label, l.c, t.ctot, t.cumt - l.cuml AS neg_below, t.ctot - l.c AS neg_at FROM l JOIN t USING (s)), a AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_pos, CAST(SUM(c*(2*neg_below + neg_at)) AS BIGINT) AS wins2 FROM w GROUP BY 1) SELECT label, n_pos, CAST(n.n - n_pos AS BIGINT) AS n_neg, CAST(wins2*1000000 // (2*n_pos*(n.n - n_pos)) AS BIGINT) AS auc_ppm FROM a CROSS JOIN n WHERE n_pos > 0 AND n_pos < n.n ORDER BY label"""),
+      (s, dir) => Stats.rocAucReport(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "cents")
+        .orderBy("label")),
+
+    // exact two-sample KS statistic between purchase and view spend
+    // distributions — the integer distribution-shift test
+    Q("q157_ks_stat", Some(
+      """WITH v AS (SELECT event_type AS label, CAST(floor(value*100) AS BIGINT) AS s FROM events WHERE event_type IN ('purchase', 'view')), g AS (SELECT s, CAST(SUM(CASE WHEN label = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca, CAST(SUM(CASE WHEN label = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM v GROUP BY 1), c AS (SELECT s, CAST(SUM(ca) OVER (ORDER BY s) AS BIGINT) AS cuma, CAST(SUM(cb) OVER (ORDER BY s) AS BIGINT) AS cumb FROM g), n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM g), d AS (SELECT s, abs(cuma*n.nb - cumb*n.na) AS diff FROM c CROSS JOIN n) SELECT n.na AS n_a, n.nb AS n_b, CAST(d.diff*1000000 // (n.na*n.nb) AS BIGINT) AS ks_ppm, d.s AS at_value FROM d CROSS JOIN n ORDER BY d.diff DESC, d.s ASC LIMIT 1"""),
+      (s, dir) => Stats.ksStatistic(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "cents", "purchase", "view")),
+
+    // distribution-drift report between the stream's first and second time
+    // halves over the ≤64-row mergeable log₂ histogram — per-bucket counts,
+    // fraction deltas, and 2×TVD, all integer
+    Q("q158_drift_report", Some(
+      """WITH v AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, CAST(floor(value*100) AS BIGINT) AS cents FROM events), m AS (SELECT CAST((MIN(ts_ms) + MAX(ts_ms)) // 2 AS BIGINT) AS mid FROM v), sa AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS c_a FROM v CROSS JOIN m WHERE ts_ms < mid GROUP BY 1), sb AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS c_b FROM v CROSS JOIN m WHERE ts_ms >= mid GROUP BY 1), j AS (SELECT COALESCE(sa.bucket, sb.bucket) AS bucket, COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket), n AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na, CAST(SUM(c_b) AS BIGINT) AS nb FROM j), f AS (SELECT bucket, c_a, c_b, CAST(c_a*1000000 // n.na AS BIGINT) AS frac_a_ppm, CAST(c_b*1000000 // n.nb AS BIGINT) AS frac_b_ppm, CAST(c_a*1000000 // n.na - c_b*1000000 // n.nb AS BIGINT) AS delta_ppm FROM j CROSS JOIN n), t AS (SELECT CAST(SUM(abs(delta_ppm)) AS BIGINT) AS tvd2_ppm FROM f) SELECT f.bucket, f.c_a, f.c_b, f.frac_a_ppm, f.frac_b_ppm, f.delta_ppm, t.tvd2_ppm FROM f CROSS JOIN t ORDER BY bucket"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .select(IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            floor(col("value") * 100).cast(LongType).as("cents"))
+        val mm = ev.agg(min("ts_ms"), max("ts_ms")).head()
+        val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+        Stats.histDriftReport(ev.filter(col("ts_ms") < mid),
+          ev.filter(col("ts_ms") >= mid), "cents")
+          .orderBy("bucket")
+      }),
+
+    // per-user CUSUM change-point report against the global mean spend —
+    // the integer Page-style drift detector, keyed windows only
+    Q("q159_cusum", Some(
+      """WITH v AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, CAST(floor(value*100) AS BIGINT) AS cents FROM events), m AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu FROM v), c AS (SELECT user_id, ts_ms, cents - m.mu AS dev, CAST(SUM(cents - m.mu) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS BIGINT) AS cusum FROM v CROSS JOIN m), p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(abs(cusum)) AS BIGINT) AS max_abs_cusum, CAST(SUM(dev) AS BIGINT) AS final_cusum FROM c GROUP BY 1) SELECT p.user_id AS key, p.n, p.max_abs_cusum, CAST(MIN(c.ts_ms) AS BIGINT) AS ts_at_max, p.final_cusum FROM p JOIN c ON p.user_id = c.user_id AND abs(c.cusum) = p.max_abs_cusum GROUP BY 1, 2, 3, 5 ORDER BY key"""),
+      (s, dir) => graft.streaming.EventTimeOps.cusumReport(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "user_id", "ts_ms", "event_id", "cents")
+        .orderBy("key")),
+
+    // matryoshka ablation: recall@5 of 32-of-64-dim retrieval against the
+    // full-dimension exact truth — the half-the-bytes first-tier question
+    Q("q160_dim_ablation", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), q AS (SELECT item_id AS query_id, qv AS qq FROM v WHERE item_id < 10), ex0 AS (SELECT query_id, item_id, CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*qq[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM v CROSS JOIN q WHERE item_id <> query_id), ex AS (SELECT query_id, item_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM ex0) WHERE rank <= 5), tr0 AS (SELECT query_id, item_id, CAST(list_sum(list_transform(range(32), i -> qv[CAST(i+1 AS INT)]*qq[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM v CROSS JOIN q WHERE item_id <> query_id), tr AS (SELECT query_id, item_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM tr0) WHERE rank <= 5), h AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM ex JOIN tr USING (query_id, item_id) GROUP BY 1), qs AS (SELECT DISTINCT query_id FROM ex) SELECT qs.query_id, COALESCE(h.n_hits, 0) AS n_hits, (COALESCE(h.n_hits, 0)*100)//5 AS recall_pct FROM qs LEFT JOIN h USING (query_id) ORDER BY query_id"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Similarity.dimAblationRecall(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, keepDims = 32)
+          .orderBy("query_id")
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -440,6 +440,26 @@ object Similarity {
   }
 
   /**
+   * Dimension-ablation recall: how much retrieval quality survives
+   * truncating every embedding to its first `keepDims` dimensions — the
+   * measurement behind storing matryoshka-style prefixes (half the bytes,
+   * half the dot-product cost) for the 100 TB first-pass retrieval tier.
+   * Both sides are exact brute-force top-k (the query set is small by
+   * contract, broadcast by [[bruteForceTopK]]); output is
+   * [[recallAtK]]'s (query_id, n_hits, recall_pct) of the truncated
+   * index against the full-dimension truth.
+   */
+  def dimAblationRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, keepDims: Int): DataFrame = {
+    require(keepDims >= 1, s"keepDims must be >= 1, got $keepDims")
+    def trunc(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, keepDims))
+    recallAtK(
+      bruteForceTopK(trunc(corpus), trunc(queries), idCol, vecCol, k),
+      bruteForceTopK(corpus, queries, idCol, vecCol, k), k)
+  }
+
+  /**
    * Candidate pairs sharing any (table, bucket), a < b, distinct across
    * tables. `maxBucketSize` is the hard fan-out bound: buckets larger than
    * the cap are skipped entirely (a bucket holding k docs would emit k²/2

@@ -612,4 +612,187 @@ object Stats {
         sum(when(col("__dev") > lit(k.toLong) * col("__mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /**
+   * Per-(score, class) counts with EXACT global strictly-below cumulatives —
+   * the shared engine under [[rocAucReport]] and [[ksStatistic]]. A global
+   * rank over raw scores is the textbook scale-killer; instead scores
+   * collapse to per-(score, class) counts, cross-bucket offsets come from a
+   * bounded ≤ nBuckets·|classes| collect (the [[globalQuantiles]] two-stage
+   * scan), and the within-bucket cumulative windows are KEYED on the bucket.
+   *
+   * Returns (s, label, c, ctot, cum_below_l, cum_below_t) plus the global
+   * row count: `c` rows of class `label` score exactly `s`, `ctot` rows of
+   * any class score `s`, `cum_below_l` rows of `label` score < s,
+   * `cum_below_t` rows of any class score < s.
+   */
+  private def scoredCumulatives(df: DataFrame, labelCol: String,
+      scoreCol: String, nBuckets: Int): (DataFrame, Long) = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val g = Staging.stage(df
+      .select(col(labelCol).cast(
+        org.apache.spark.sql.types.StringType).as("label"),
+        col(scoreCol).cast(LongType).as("s"))
+      .groupBy("s", "label").agg(count(lit(1)).as("c")))
+    val mm = g.agg(min(col("s")), max(col("s")), count(lit(1))).head()
+    require(!mm.isNullAt(2) && mm.getLong(2) > 0L,
+      "scoredCumulatives of an empty frame")
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / nBuckets + 1)
+    val b = g.withColumn("__bucket", IntMath.idiv(col("s") - lo, lit(width)))
+    // bounded collect: one row per occupied (bucket, label) — ≤
+    // nBuckets·|labels|; the guard catches a mistakenly-continuous label
+    val perBL = b.groupBy("__bucket", "label").agg(sum("c").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    require(perBL.length <= nBuckets * 1024,
+      s"scoredCumulatives: ${perBL.length} (bucket, label) cells — is the " +
+        "label column continuous? Expected a small categorical label set")
+    // exclusive prefix offsets: per label across buckets, and per bucket
+    // for the class-blind total
+    val labelOffs = perBL.groupBy(_._2).toSeq.flatMap { case (lbl, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (bk, _, c) =>
+        val o = acc; acc += c; (bk, lbl, o) }.toSeq
+    }
+    val totOffs = {
+      var acc = 0L
+      perBL.groupBy(_._1).toSeq.sortBy(_._1).map { case (bk, rows) =>
+        val o = acc; acc += rows.map(_._3).sum; (bk, o) }
+    }
+    val n = perBL.map(_._3).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offL = labelOffs.toDF("__bucket", "label", "__loff")
+    val offT = totOffs.toDF("__bucket", "__toff")
+    val wl = Window.partitionBy(col("__bucket"), col("label"))
+      .orderBy(col("s"))
+    val wt = Window.partitionBy(col("__bucket")).orderBy(col("s"))
+    val tot = b.groupBy("__bucket", "s").agg(sum("c").as("ctot"))
+      .withColumn("__cumt", sum(col("ctot")).over(wt) - col("ctot"))
+    val out = b
+      .withColumn("__cuml", sum(col("c")).over(wl) - col("c"))
+      .join(tot, Seq("__bucket", "s"))
+      .join(broadcast(offL), Seq("__bucket", "label"))
+      .join(broadcast(offT), Seq("__bucket"))
+      .select(col("s"), col("label"), col("c"), col("ctot"),
+        (col("__cuml") + col("__loff")).as("cum_below_l"),
+        (col("__cumt") + col("__toff")).as("cum_below_t"))
+    (out, n)
+  }
+
+  /**
+   * Exact ROC-AUC per label (one-vs-rest), rank-sum form, in ppm — the
+   * screening-classifier evaluation a quality-filter pipeline runs before
+   * trusting a score column to gate 100 TB of documents.
+   * AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻); in integers, with per-score class
+   * counts, wins2 = Σ_s pos_s·(2·neg_below(s) + neg_at(s)) and
+   * auc_ppm = wins2·10⁶ DIV (2·n_pos·n_neg). No FP, no global sort
+   * (see [[scoredCumulatives]] for the two-stage scan).
+   *
+   * Output: (label, n_pos, n_neg, auc_ppm), one row per label that has at
+   * least one positive and one negative.
+   */
+  def rocAucReport(df: DataFrame, labelCol: String, scoreCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val (cum, n) = scoredCumulatives(df, labelCol, scoreCol, nBuckets)
+    cum.groupBy("label")
+      .agg(sum(col("c")).as("n_pos"),
+        sum(col("c") * (lit(2L) * (col("cum_below_t") - col("cum_below_l"))
+          + (col("ctot") - col("c")))).as("__wins2"))
+      .filter(col("n_pos") > 0L && col("n_pos") < lit(n))
+      .select(col("label"), col("n_pos"),
+        (lit(n) - col("n_pos")).as("n_neg"),
+        IntMath.idiv(col("__wins2") * lit(1000000L),
+          lit(2L) * col("n_pos") * (lit(n) - col("n_pos"))).as("auc_ppm"))
+  }
+
+  /**
+   * Exact two-sample Kolmogorov–Smirnov statistic between the score
+   * distributions of two classes, in ppm — the distribution-shift test
+   * between two corpora/periods that stays integer-exact:
+   * KS = max_s |F_a(s) − F_b(s)| computed as
+   * max |cumA(s)·n_b − cumB(s)·n_a| ·10⁶ DIV (n_a·n_b) over inclusive
+   * cumulatives at each distinct score. Same two-stage scan as
+   * [[rocAucReport]]; the final argmax is a TakeOrdered(1), not a sort.
+   *
+   * Output: one row (n_a, n_b, ks_ppm, at_value) — `at_value` the smallest
+   * score achieving the max.
+   */
+  def ksStatistic(df: DataFrame, classCol: String, scoreCol: String,
+      classA: String, classB: String, nBuckets: Int = 1024): DataFrame = {
+    require(classA != classB, "classA and classB must differ")
+    val two = df.filter(col(classCol).cast(
+      org.apache.spark.sql.types.StringType).isin(classA, classB))
+    val (cum, _) = scoredCumulatives(two, classCol, scoreCol, nBuckets)
+    // per-class totals (2 rows)
+    val totals = cum.groupBy("label").agg(sum("c").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val na = totals.getOrElse(classA, 0L)
+    val nb = totals.getOrElse(classB, 0L)
+    require(na > 0L && nb > 0L,
+      s"ksStatistic needs rows in both classes (got $classA=$na, $classB=$nb)")
+    // inclusive per-class cumulative AT each distinct score: rows exist
+    // only for (s, label) pairs that occur, so pivot the two classes wide
+    // and forward the running cumulative via the class-blind rows
+    val wide = cum.groupBy("s", "ctot", "cum_below_t")
+      .agg(
+        sum(when(col("label") === classA, col("cum_below_l") + col("c")))
+          .as("__ca_raw"),
+        sum(when(col("label") === classB, col("cum_below_l") + col("c")))
+          .as("__cb_raw"),
+        sum(when(col("label") === classA, col("c"))).as("__ca_at"),
+        sum(when(col("label") === classB, col("c"))).as("__cb_at"))
+    // at a score where a class is absent its inclusive cumulative equals
+    // (rows of that class strictly below s) = cum_below_t minus the other
+    // class's strictly-below count — recover it from the present class
+    val filled = wide.select(col("s"),
+      coalesce(col("__ca_raw"),
+        col("cum_below_t") - (coalesce(col("__cb_raw"), lit(0L))
+          - coalesce(col("__cb_at"), lit(0L)))).as("cum_a"),
+      coalesce(col("__cb_raw"),
+        col("cum_below_t") - (coalesce(col("__ca_raw"), lit(0L))
+          - coalesce(col("__ca_at"), lit(0L)))).as("cum_b"))
+    val scored = filled.withColumn("__diff",
+      abs(col("cum_a") * lit(nb) - col("cum_b") * lit(na)))
+    scored.orderBy(col("__diff").desc, col("s").asc).limit(1)
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        IntMath.idiv(col("__diff") * lit(1000000L), lit(na) * lit(nb))
+          .as("ks_ppm"),
+        col("s").as("at_value"))
+  }
+
+  /**
+   * Distribution-drift report between two frames over the mergeable log₂
+   * histogram ([[logHistSketch]]): per bucket, both counts and the
+   * fraction delta in ppm. The 100 TB shift monitor — each side reduces to
+   * ≤ 64 sketch rows with one partial-agg groupBy, so the report costs two
+   * scans regardless of scale and the sketches can come from per-day
+   * rollups via [[logHistMerge]]. Integer-only (no log/PSI term — the
+   * per-bucket delta_ppm IS the evidence; summing |delta_ppm| gives 2×TVD
+   * in ppm, reported in the `tvd2_ppm` column repeated on every row).
+   *
+   * Output: (bucket, c_a, c_b, frac_a_ppm, frac_b_ppm, delta_ppm,
+   * tvd2_ppm) per occupied bucket of either side.
+   */
+  def histDriftReport(dfA: DataFrame, dfB: DataFrame,
+      valueCol: String): DataFrame = {
+    val sa = logHistSketch(dfA, valueCol).withColumnRenamed("c", "c_a")
+    val sb = logHistSketch(dfB, valueCol).withColumnRenamed("c", "c_b")
+    val j = sa.join(sb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = j.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    val withF = j.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_a"), col("c_b"),
+        IntMath.idiv(col("c_a") * lit(1000000L), col("n_a"))
+          .as("frac_a_ppm"),
+        IntMath.idiv(col("c_b") * lit(1000000L), col("n_b"))
+          .as("frac_b_ppm"))
+      .withColumn("delta_ppm", col("frac_a_ppm") - col("frac_b_ppm"))
+    // ≤ 64 rows: the unpartitioned total is bounded-by-construction (the
+    // logHistQuantiles exemption)
+    val tvd = withF.agg(sum(abs(col("delta_ppm"))).as("tvd2_ppm"))
+    withF.crossJoin(broadcast(tvd))
+  }
 }

@@ -277,6 +277,46 @@ object EventTimeOps {
   }
 
   /**
+   * Per-key CUSUM change-point report: cumulative sum of deviations from
+   * the GLOBAL mean along each key's ordered stream, reporting where the
+   * excursion peaks — the classic Page-style drift detector, integer-exact
+   * (mean is one truncating DIV of a 1-row aggregate; deviations and their
+   * running sums are pure int64). A key whose values match the global rate
+   * random-walks near zero; a key whose behavior shifts shows a max
+   * |CUSUM| excursion at the change point.
+   *
+   * Scale shape: one 1-row aggregate (broadcast as a literal), one KEYED
+   * window for the running sum, one partial-agg groupBy for the per-key
+   * report, and a semi-join-shaped self-join to recover the earliest
+   * peak timestamp — no global sort, no driver loop.
+   *
+   * Output: (key, n, max_abs_cusum, ts_at_max, final_cusum).
+   */
+  def cusumReport(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val mm = events.agg(sum(col(valueCol).cast(LongType)),
+      count(lit(1))).head()
+    require(mm.getLong(1) > 0L, "cusumReport of an empty frame")
+    val mu = mm.getLong(0) / mm.getLong(1)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("__ts"), col("__id"))
+    val c = events.select(col(keyCol).as("key"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"),
+        (col(valueCol).cast(LongType) - lit(mu)).as("__dev"))
+      .withColumn("__cusum", sum(col("__dev")).over(w))
+    val per = c.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        max(abs(col("__cusum"))).as("max_abs_cusum"),
+        sum(col("__dev")).as("final_cusum"))
+    c.join(per, "key")
+      .filter(abs(col("__cusum")) === col("max_abs_cusum"))
+      .groupBy(col("key"), col("n"), col("max_abs_cusum"),
+        col("final_cusum"))
+      .agg(min(col("__ts")).as("ts_at_max"))
+      .select("key", "n", "max_abs_cusum", "ts_at_max", "final_cusum")
+  }
+
+  /**
    * Regular-grid resample with forward fill: bucket each key's events to
    * `stepMs` buckets, keep the LAST observation per bucket (deterministic:
    * max (ts, id)), expand each key's [first, last] bucket range to a dense

@@ -1758,4 +1758,82 @@ class PipelineOpsSpec extends SparkSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(h12((1L, 2L)) == 0L)
   }
+
+  test("rocAucReport: perfect, inverted, and tied separation in ppm") {
+    val rows = new java.util.ArrayList[Row]()
+    Seq(("p", 10L), ("p", 20L), ("n", 1L), ("n", 2L))
+      .foreach { case (l, v) => rows.add(Row(l, v)) }
+    val df = s.createDataFrame(rows, StructType(Seq(
+      StructField("label", StringType), StructField("score", LongType))))
+    val out = Stats.rocAucReport(df, "label", "score")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("p") == (2L, 2L, 1000000L)) // every p outscores every n
+    assert(out("n") == (2L, 2L, 0L))       // and vice versa
+    // all-tied scores → AUC exactly ½
+    val tied = new java.util.ArrayList[Row]()
+    Seq(("p", 5L), ("n", 5L)).foreach { case (l, v) => tied.add(Row(l, v)) }
+    val t = Stats.rocAucReport(s.createDataFrame(tied, df.schema),
+      "label", "score").collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t("p") == 500000L && t("n") == 500000L)
+  }
+
+  test("ksStatistic: disjoint supports hit 1.0; identical hit 0") {
+    def df(rows: (String, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (c, v) => l.add(Row(c, v)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("cls", StringType), StructField("score", LongType))))
+    }
+    val disj = Stats.ksStatistic(
+      df(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)),
+      "cls", "score", "a", "b").head()
+    assert((disj.getLong(0), disj.getLong(1), disj.getLong(2),
+      disj.getLong(3)) == (2L, 2L, 1000000L, 2L)) // full gap closes at s=2
+    val same = Stats.ksStatistic(
+      df(("a", 1L), ("a", 7L), ("b", 1L), ("b", 7L)),
+      "cls", "score", "a", "b").head()
+    assert(same.getLong(2) == 0L)
+    assert(same.getLong(3) == 1L) // argmax tie → smallest score
+  }
+
+  test("histDriftReport: per-bucket fractions, delta, and 2×TVD") {
+    def df(vs: Long*) = {
+      val l = new java.util.ArrayList[Row]()
+      vs.foreach(v => l.add(Row(v)))
+      s.createDataFrame(l, StructType(Seq(StructField("v", LongType))))
+    }
+    // A: {1 → b1; 2, 3 → b2}; B: {1 → b1}
+    val out = Stats.histDriftReport(df(1L, 2L, 3L), df(1L), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out(1L) == (1L, 1L, 333333L, 1000000L, -666667L, 1333333L))
+    assert(out(2L) == (2L, 0L, 666666L, 0L, 666666L, 1333333L))
+  }
+
+  test("dimAblationRecall: truncation flips rankings the prefix can't see") {
+    def vecs(rows: (Long, Seq[Double])*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (id, v) => l.add(Row(id, v)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    }
+    // query 0 scores item 2 highest on FULL dims (via dim 3) but item 1
+    // highest on the 2-dim prefix → recall@1 = 0 for query 0;
+    // query 10's winner (item 1) survives truncation → recall@1 = 100
+    val corpus = vecs(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.5, 0.0)),
+      (3L, Seq(-1.0, 0.0, -1.0, 0.0)))
+    val queries = vecs(
+      (0L, Seq(1.0, 0.0, 1.0, 0.0)),
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)))
+    val out = Similarity.dimAblationRecall(corpus, queries,
+      "vec_id", "embedding", k = 1, keepDims = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) == 0L)
+    assert(out(10L) == 100L)
+  }
 }

@@ -209,4 +209,25 @@ class EventTimeOpsSpec extends SparkSuite {
     assert(closed.toSeq == Seq(
       ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
   }
+
+  test("cusumReport: excursion peak, its timestamp, and the zero return") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", LongType),
+      StructField("id", LongType), StructField("v", LongType)))
+    val l = new java.util.ArrayList[Row]()
+    // global mean = 2; k1 front-loads (+2 +2 −2 −2), k2 mirrors
+    Seq(("k1", 10L, 1L, 4L), ("k1", 20L, 2L, 4L),
+      ("k1", 30L, 3L, 0L), ("k1", 40L, 4L, 0L),
+      ("k2", 10L, 5L, 0L), ("k2", 20L, 6L, 0L),
+      ("k2", 30L, 7L, 4L), ("k2", 40L, 8L, 4L))
+      .foreach { case (k, t, i, v) => l.add(Row(k, t, i, v)) }
+    val out = EventTimeOps.cusumReport(s.createDataFrame(l, schema),
+      "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // peak |cusum| = 4 at the SECOND event (earliest ts achieving it),
+    // and the walk returns to 0 by the end
+    assert(out("k1") == (4L, 4L, 20L, 0L))
+    assert(out("k2") == (4L, 4L, 20L, 0L))
+  }
 }
