@@ -2260,6 +2260,65 @@ object SparkEntry {
         Similarity.dimAblationRecall(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, keepDims = 32)
           .orderBy("query_id")
+      }),
+
+    // join pre-flight audit: exact output size, per-side NDV/skew, and a
+    // plan recommendation — computed on per-key counts, never raw×raw
+    Q("q161_join_audit", Some(
+      """WITH lc AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM lineitem GROUP BY 1), rc AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM orders GROUP BY 1), j AS (SELECT COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr FROM lc FULL OUTER JOIN rc USING (k)), a AS (SELECT CAST(SUM(cl) AS BIGINT) AS n_left, CAST(SUM(cr) AS BIGINT) AS n_right, CAST(SUM(CASE WHEN cl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_left, CAST(SUM(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_right, CAST(SUM(CASE WHEN cl > 0 AND cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys, CAST(SUM(cl*cr) AS BIGINT) AS est_output_rows, CAST(MAX(cl) AS BIGINT) AS max_key_left, CAST(MAX(cr) AS BIGINT) AS max_key_right, CAST(MAX(cl*cr) AS BIGINT) AS max_key_output FROM j) SELECT a.*, CASE WHEN n_right <= 10000000 THEN 'broadcast_right' WHEN n_left <= 10000000 THEN 'broadcast_left' WHEN est_output_rows > 0 AND max_key_output*20 > est_output_rows THEN 'salt_skewed_keys' ELSE 'shuffle_hash' END AS recommendation FROM a"""),
+      (s, dir) => Stats.joinAudit(
+        lineitem(tune(s), dir).select(col("l_orderkey").as("k")),
+        orders(tune(s), dir).select(col("o_orderkey").as("k")), "k")),
+
+    // time-based split with an embargo horizon: train / embargo / test
+    // audit — the anti-leakage split for anything with a time axis
+    Q("q162_temporal_split", Some(
+      """WITH v AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), m AS (SELECT CAST((MIN(ts_ms) + MAX(ts_ms)) // 2 AS BIGINT) AS mid FROM v), s AS (SELECT ts_ms, CASE WHEN ts_ms < mid THEN 'train' WHEN ts_ms < mid + 86400000 THEN 'embargo' ELSE 'test' END AS split FROM v CROSS JOIN m) SELECT split, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(ts_ms) AS BIGINT) AS min_ts, CAST(MAX(ts_ms) AS BIGINT) AS max_ts FROM s GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .select(IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"))
+        val mm = ev.agg(min("ts_ms"), max("ts_ms")).head()
+        val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+        Sampling.temporalSplit(ev, "ts_ms", mid, embargoMs = 86400000L)
+          .groupBy("split").agg(count(lit(1)).as("n"),
+            min("ts_ms").as("min_ts"), max("ts_ms").as("max_ts"))
+          .orderBy("split")
+      }),
+
+    // group-aware k-fold: every row of a user lands in one fold (no
+    // per-group leakage across folds); per-fold row/group audit
+    Q("q163_group_kfold", Some(
+      """WITH v AS (SELECT user_id, ((user_id % 2147483647) * 2654435761) % 2147483647 % 5 AS fold FROM events) SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM v GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Sampling.groupKFold(
+        KafkaLike.events(tune(s), dir).select(col("user_id")),
+        "user_id", k = 5)
+        .groupBy("fold").agg(count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("fold")),
+
+    // Benford first-digit conformance over spend cents — the
+    // fabricated-numbers smell test, exact decimal-head digits
+    Q("q164_benford", Some(
+      """WITH v AS (SELECT CAST(floor(value*100) AS BIGINT) AS cents FROM events WHERE floor(value*100) > 0), c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1), e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)) t(digit, benford_ppm)), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c), f AS (SELECT e.digit, COALESCE(c.c, 0) AS n_d, CAST(COALESCE(c.c, 0)*1000000 // n.n AS BIGINT) AS obs_ppm, CAST(e.benford_ppm AS BIGINT) AS benford_ppm FROM e LEFT JOIN c ON e.digit = c.digit CROSS JOIN n), g AS (SELECT digit, n_d AS n, obs_ppm, benford_ppm, obs_ppm - benford_ppm AS delta_ppm FROM f), t2 AS (SELECT CAST(SUM(abs(delta_ppm)) AS BIGINT) AS tvd2_ppm FROM g) SELECT CAST(g.digit AS BIGINT) AS digit, g.n, g.obs_ppm, g.benford_ppm, g.delta_ppm, t2.tvd2_ppm FROM g CROSS JOIN t2 ORDER BY digit"""),
+      (s, dir) => Stats.benfordReport(
+        KafkaLike.events(tune(s), dir)
+          .select(floor(col("value") * 100).cast(LongType).as("cents")),
+        "cents")
+        .orderBy("digit")),
+
+    // HLL shard-merge proof: register max is associative, so per-half
+    // sketches merged then finalized equal the one-pass estimate exactly
+    Q("q165_hll_merge", Some(
+      s"""WITH toks AS (SELECT source, unnest($dToks) AS tok FROM documents), hh AS (SELECT source, ${dFold("tok")} AS h FROM toks), mx1 AS (SELECT source, h, (xor(h >> 16, h) * 73244475) & 2147483647 AS h1 FROM hh), mx2 AS (SELECT source, h, (xor(h1 >> 16, h1) * 73244475) & 2147483647 AS h2 FROM mx1), mx AS (SELECT source, h, xor(h2 >> 16, h2) AS hm FROM mx2), b AS (SELECT source, hm >> 23 AS bucket, CASE WHEN (hm & 8388607) = 0 THEN 24 ELSE 24 - length(bin(hm & 8388607)) END AS rho FROM mx), mj AS (SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS m_j FROM b GROUP BY source, bucket), a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS occupied_buckets, CAST(SUM(1073741824 >> CAST(m_j AS INT)) AS BIGINT) AS s_occ FROM mj GROUP BY source) SELECT a.source, occupied_buckets, CAST(s_occ + (256 - occupied_buckets) * 1073741824 AS BIGINT) AS sketch_sum, CAST(718273 * (70368744177664 // (s_occ + (256 - occupied_buckets) * 1073741824)) // 1000000 AS BIGINT) AS est_distinct FROM a ORDER BY source"""),
+      (s, dir) => {
+        val h = docs(tune(s), dir).select(col("doc_id"), col("source"),
+          explode(TextAnalysis.tokenHashes(col("text"))).as("h"))
+        val sa = Stats.hllSketch(h.filter(col("doc_id") % 2 === 0),
+          "source", "h")
+        val sb = Stats.hllSketch(h.filter(col("doc_id") % 2 === 1),
+          "source", "h")
+        Stats.hllFinalize(Stats.hllMerge(sa, sb), "source")
+          .orderBy("source")
       })
   )
 

@@ -155,6 +155,41 @@ object Sampling {
       .drop("__r", "__n")
   }
 
+  /**
+   * Time-based train/test split with an embargo horizon — the split a
+   * forecasting/ranking pipeline needs where a random split leaks the
+   * future: rows before `splitTs` train, rows inside
+   * [splitTs, splitTs + embargoMs) are EMBARGOED (dropped from both sides
+   * so boundary-window features can't straddle), the rest test. Map-only —
+   * one comparison chain per row, no shuffle, no state.
+   *
+   * Output: the input columns plus `split` ∈ {train, embargo, test}.
+   */
+  def temporalSplit(df: DataFrame, tsCol: String, splitTs: Long,
+      embargoMs: Long): DataFrame = {
+    require(embargoMs >= 0L, s"embargoMs must be >= 0, got $embargoMs")
+    df.withColumn("split",
+      when(col(tsCol) < splitTs, "train")
+        .when(col(tsCol) < splitTs + embargoMs, "embargo")
+        .otherwise("test"))
+  }
+
+  /**
+   * Group-aware k-fold assignment: every row of a group lands in the same
+   * fold (fold = quota-hash(group) mod k), so per-group signal never
+   * straddles a fold boundary — the grouped analogue of
+   * [[stratifiedSplit]]'s leakage contract, and the partner of the
+   * split-leakage audit. Map-only; fold balance is hash-uniform over
+   * GROUPS (a giant group still skews rows — that's inherent to the
+   * contract, audit with the per-fold report).
+   *
+   * Output: the input columns plus `fold` ∈ [0, k).
+   */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold", idHash(col(groupCol)) % k.toLong)
+  }
+
   def mixtureSample(df: DataFrame, classCol: String, idCol: String,
       weightsPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
     require((defaultPct +: weightsPct.values.toSeq).forall(_ >= 0),

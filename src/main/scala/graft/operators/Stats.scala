@@ -100,6 +100,13 @@ object Stats {
    * Output: (group, occupied_buckets, sketch_sum, est_distinct).
    */
   def hllDistinct(df: DataFrame, groupCol: String, hashCol: String)
+      : DataFrame =
+    hllFinalize(hllSketch(df, groupCol, hashCol), groupCol)
+
+  /** The raw mergeable HLL sketch: (grp, bucket, m_j) per occupied
+    * register — what a per-shard / per-day rollup stores (≤ 256 rows per
+    * group regardless of input size). One partial-agg groupBy. */
+  def hllSketch(df: DataFrame, groupCol: String, hashCol: String)
       : DataFrame = {
     def round(h: Column): Column =
       (IntMath.shr(h, lit(16)).bitwiseXOR(h) * 73244475L)
@@ -110,10 +117,24 @@ object Stats {
     val rem = mixed.bitwiseAND(lit(8388607L))
     val rho = when(rem === 0L, lit(24L))
       .otherwise(lit(24L) - length(bin(rem)).cast(LongType))
-    val mj = mixedOnce.select(col("grp"),
+    mixedOnce.select(col("grp"),
         IntMath.shr(mixed, lit(23)).as("bucket"), rho.as("rho"))
       .groupBy("grp", "bucket").agg(max("rho").as("m_j"))
-    val agg = mj.groupBy("grp").agg(
+  }
+
+  /** Merge HLL sketches by register max — associative and commutative, so
+    * shard/day rollups combine in any order to EXACTLY the registers a
+    * one-pass build produces (the q165 merge proof). */
+  def hllMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge of nothing")
+    sketches.reduce(_ unionByName _)
+      .groupBy("grp", "bucket").agg(max("m_j").as("m_j"))
+  }
+
+  /** Finalize a sketch to the [[hllDistinct]] report
+    * (group, occupied_buckets, sketch_sum, est_distinct). */
+  def hllFinalize(sketch: DataFrame, groupCol: String): DataFrame = {
+    val agg = sketch.groupBy("grp").agg(
       count(lit(1)).as("occupied_buckets"),
       sum(IntMath.shr(lit(1073741824L), col("m_j"))).as("s_occ"))
     val sketchSum =
@@ -794,5 +815,83 @@ object Stats {
     // logHistQuantiles exemption)
     val tvd = withF.agg(sum(abs(col("delta_ppm"))).as("tvd2_ppm"))
     withF.crossJoin(broadcast(tvd))
+  }
+
+  /**
+   * Join pre-flight audit — the report you run BEFORE committing a 100 TB
+   * shuffle join: per-side row and distinct-key counts, the EXACT join
+   * output size (Σ over keys of cl·cr — the blowup detector a row-count
+   * estimate can't give), per-side hottest key, the hottest key's share of
+   * the output, and a plan recommendation from fixed thresholds. Shape:
+   * two partial-agg groupBys collapse each side to per-key counts, one
+   * full-outer join on the (already reduced) key sets, one 1-row
+   * aggregate — the audit never shuffles the raw rows against each other.
+   *
+   * Output (1 row): n_left, n_right, ndv_left, ndv_right, matched_keys,
+   * est_output_rows, max_key_left, max_key_right, max_key_output,
+   * recommendation ∈ {broadcast_left, broadcast_right, salt_skewed_keys,
+   * shuffle_hash}.
+   */
+  def joinAudit(left: DataFrame, right: DataFrame, keyCol: String,
+      broadcastRows: Long = 10000000L): DataFrame = {
+    val lc = left.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cr"))
+    val j = lc.join(rc, Seq("k"), "full_outer")
+      .select(coalesce(col("cl"), lit(0L)).as("cl"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val agg = j.agg(
+      sum(col("cl")).as("n_left"), sum(col("cr")).as("n_right"),
+      sum(when(col("cl") > 0L, 1L).otherwise(0L)).as("ndv_left"),
+      sum(when(col("cr") > 0L, 1L).otherwise(0L)).as("ndv_right"),
+      sum(when(col("cl") > 0L && col("cr") > 0L, 1L).otherwise(0L))
+        .as("matched_keys"),
+      sum(col("cl") * col("cr")).as("est_output_rows"),
+      max(col("cl")).as("max_key_left"), max(col("cr")).as("max_key_right"),
+      max(col("cl") * col("cr")).as("max_key_output"))
+    agg.withColumn("recommendation",
+      when(col("n_right") <= broadcastRows, lit("broadcast_right"))
+        .when(col("n_left") <= broadcastRows, lit("broadcast_left"))
+        .when(col("est_output_rows") > 0L &&
+          col("max_key_output") * 20L > col("est_output_rows"),
+          lit("salt_skewed_keys"))
+        .otherwise(lit("shuffle_hash")))
+  }
+
+  /** Benford first-digit expectation, ppm (log10(1 + 1/d) · 10⁶). */
+  private val BenfordPpm = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+    4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,
+    9L -> 45757L)
+
+  /**
+   * Benford first-digit conformance report over a positive value column —
+   * the fabricated-numbers / synthetic-data smell test. Leading digit by
+   * decimal string head (exact, no float log), one partial-agg groupBy,
+   * expectations joined from a 9-row broadcast table. `delta_ppm` is the
+   * per-digit deviation; Σ|delta_ppm| (2×TVD, repeated per row like
+   * [[histDriftReport]]) is the headline conformance number.
+   *
+   * Output: (digit, n, obs_ppm, benford_ppm, delta_ppm, tvd2_ppm) for
+   * digits 1–9 (absent digits report n = 0).
+   */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expect = BenfordPpm.toDF("digit", "benford_ppm")
+    val counts = df.filter(col(valueCol) > 0L)
+      .select(substring(col(valueCol).cast(
+        org.apache.spark.sql.types.StringType), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum("c").as("n"))
+    val f = broadcast(expect).join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("c"), lit(0L)).as("c"),
+        col("benford_ppm"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("c").as("n"),
+        IntMath.idiv(col("c") * lit(1000000L), col("n")).as("obs_ppm"),
+        col("benford_ppm"))
+      .withColumn("delta_ppm", col("obs_ppm") - col("benford_ppm"))
+    val tvd = f.agg(sum(abs(col("delta_ppm"))).as("tvd2_ppm"))
+    f.crossJoin(broadcast(tvd)) // 9 rows: bounded-by-construction
   }
 }

@@ -1812,6 +1812,80 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(2L) == (2L, 0L, 666666L, 0L, 666666L, 1333333L))
   }
 
+  test("joinAudit: exact output size, skew, and each recommendation path") {
+    def keys(name: String, ks: Long*) = {
+      val l = new java.util.ArrayList[Row]()
+      ks.foreach(k => l.add(Row(k)))
+      s.createDataFrame(l, StructType(Seq(StructField("k", LongType))))
+    }
+    val left = keys("l", 1L, 1L, 2L)
+    val right = keys("r", 1L, 2L, 2L)
+    val r = Stats.joinAudit(left, right, "k").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (3L, 3L, 2L, 2L, 2L, 4L))
+    assert(r.getString(9) == "broadcast_right") // fits under default cap
+    // same frames, broadcast off: one key holds 2/4 of the output → salt
+    val salted = Stats.joinAudit(left, right, "k", broadcastRows = 0L).head()
+    assert(salted.getString(9) == "salt_skewed_keys")
+    // uniform 1:1 keys, broadcast off → plain shuffle
+    val u = keys("u", (1L to 100L): _*)
+    val uni = Stats.joinAudit(u, u, "k", broadcastRows = 0L).head()
+    assert(uni.getLong(5) == 100L && uni.getString(9) == "shuffle_hash")
+  }
+
+  test("temporalSplit: boundary rows split train/embargo/test exactly") {
+    val l = new java.util.ArrayList[Row]()
+    Seq(99L, 100L, 149L, 150L, 200L).foreach(t => l.add(Row(t)))
+    val df = s.createDataFrame(l, StructType(Seq(StructField("ts", LongType))))
+    val out = Sampling.temporalSplit(df, "ts", splitTs = 100L, embargoMs = 50L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(99L -> "train", 100L -> "embargo", 149L -> "embargo",
+      150L -> "test", 200L -> "test"))
+  }
+
+  test("groupKFold: a group's rows never straddle folds; folds in [0,k)") {
+    val l = new java.util.ArrayList[Row]()
+    (1L to 200L).foreach(g => (1 to 3).foreach(i => l.add(Row(g, g * 10 + i))))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("g", LongType), StructField("v", LongType))))
+    val out = Sampling.groupKFold(df, "g", k = 5)
+    val perGroup = out.groupBy("g")
+      .agg(countDistinct("fold").as("nf")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    val folds = out.select("fold").distinct().collect().map(_.getLong(0))
+    assert(folds.forall(f => f >= 0L && f < 5L) && folds.length == 5)
+    intercept[IllegalArgumentException] { Sampling.groupKFold(df, "g", 1) }
+  }
+
+  test("benfordReport: decimal-head digits, exclusions, absent digits") {
+    val l = new java.util.ArrayList[Row]()
+    Seq(1L, 10L, 199L, 2L, 3000L, 0L, -5L).foreach(v => l.add(Row(v)))
+    val df = s.createDataFrame(l, StructType(Seq(StructField("v", LongType))))
+    val out = Stats.benfordReport(df, "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(out.size == 9)                       // all digits reported
+    assert(out(1L) == (3L, 600000L, 600000L - 301030L))
+    assert(out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(9L) == (0L, 0L, -45757L))        // absent digit, full deficit
+  }
+
+  test("hll sketch lifecycle: shard merge finalizes to the one-pass report") {
+    val l = new java.util.ArrayList[Row]()
+    (1L to 500L).foreach(h => l.add(Row(if (h % 2 == 0) "a" else "b", h * 7919L)))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("grp", StringType), StructField("h", LongType))))
+    val onePass = Stats.hllDistinct(df, "grp", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val merged = Stats.hllFinalize(Stats.hllMerge(
+        Stats.hllSketch(df.filter(col("h") % 3 === 0), "grp", "h"),
+        Stats.hllSketch(df.filter(col("h") % 3 =!= 0), "grp", "h")), "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(merged.toSeq == onePass.toSeq) // register max is associative
+  }
+
   test("dimAblationRecall: truncation flips rankings the prefix can't see") {
     def vecs(rows: (Long, Seq[Double])*) = {
       val l = new java.util.ArrayList[Row]()
