@@ -165,7 +165,12 @@ object Bench {
       "q149_class_separation", "q150_mad_outliers",
       "q151_sketch_percentile", "q152_status_enrich",
       "q153_cluster_examples", "q154_sketch_merge",
-      "q155_group_sketch_quantiles")
+      "q155_group_sketch_quantiles", "q156_auc", "q157_ks_stat",
+      "q158_drift_report", "q159_cusum", "q160_dim_ablation",
+      "q161_join_audit", "q162_temporal_split", "q163_group_kfold",
+      "q164_benford", "q165_hll_merge", "q166_basket_pairs",
+      "q167_assoc_rules", "q168_temporal_profile", "q169_pq_error",
+      "q170_label_mrr")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

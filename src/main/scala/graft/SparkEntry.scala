@@ -2319,6 +2319,70 @@ object SparkEntry {
           "source", "h")
         Stats.hllFinalize(Stats.hllMerge(sa, sb), "source")
           .orderBy("source")
+      }),
+
+    // market-basket co-occurrence: part pairs ordered together, group-size
+    // capped so pair volume stays linear in orders at any corpus size
+    Q("q166_basket_pairs", Some(
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem), gs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sz FROM gi GROUP BY 1), ok AS (SELECT gi.g, gi.it FROM gi JOIN gs USING (g) WHERE sz <= 64), p AS (SELECT a.it AS item_a, b.it AS item_b FROM ok a JOIN ok b ON a.g = b.g AND a.it < b.it) SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS support FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY support DESC, item_a, item_b LIMIT 100"""),
+      (s, dir) => Graph.cooccurrencePairs(lineitem(tune(s), dir),
+        "l_orderkey", "l_partkey")
+        .orderBy(desc("support"), col("item_a"), col("item_b"))
+        .limit(100)),
+
+    // association rules over the capped basket universe: confidence ppm +
+    // lift ×1000, both directions, top 50 by lift
+    Q("q167_assoc_rules", Some(
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem), gs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sz FROM gi GROUP BY 1), okg AS (SELECT g FROM gs WHERE sz <= 64), ok AS (SELECT gi.g, gi.it FROM gi JOIN okg USING (g)), ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM okg), ic AS (SELECT it AS item, CAST(COUNT(*) AS BIGINT) AS cnt FROM ok GROUP BY 1), p AS (SELECT a.it AS item_a, b.it AS item_b, CAST(COUNT(*) AS BIGINT) AS support FROM ok a JOIN ok b ON a.g = b.g AND a.it < b.it GROUP BY 1, 2 HAVING COUNT(*) >= 2), dr AS (SELECT item_a AS antecedent, item_b AS consequent, support FROM p UNION ALL SELECT item_b, item_a, support FROM p), r AS (SELECT dr.antecedent, dr.consequent, dr.support, CAST(dr.support*1000000 // ia.cnt AS BIGINT) AS confidence_ppm, CAST(dr.support*ng.n*1000 // (ia.cnt*ic2.cnt) AS BIGINT) AS lift_x1000 FROM dr JOIN ic ia ON dr.antecedent = ia.item JOIN ic ic2 ON dr.consequent = ic2.item CROSS JOIN ng) SELECT * FROM r ORDER BY lift_x1000 DESC, antecedent, consequent LIMIT 50"""),
+      (s, dir) => {
+        val gi = lineitem(tune(s), dir)
+          .select(col("l_orderkey").as("g"), col("l_partkey").as("it"))
+          .distinct()
+        val okg = gi.groupBy("g").agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") <= 64).select("g")
+        val ok = gi.join(okg, "g")
+        val items = ok.groupBy(col("it").as("item"))
+          .agg(count(lit(1)).as("cnt"))
+        val nGroups = okg.count()
+        Graph.assocRules(
+          Graph.cooccurrencePairs(lineitem(tune(s), dir),
+            "l_orderkey", "l_partkey"),
+          items, nGroups)
+          .orderBy(desc("lift_x1000"), col("antecedent"), col("consequent"))
+          .limit(50)
+      }),
+
+    // temporal activity profile: per (type, dow, hour) counts + class
+    // share ppm — integer epoch arithmetic, no calendar dependency
+    Q("q168_temporal_profile", Some(
+      """WITH v AS (SELECT event_type AS cls, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), b AS (SELECT cls, (ts_ms // 86400000 + 4) % 7 AS dow, (ts_ms // 3600000) % 24 AS hour FROM v), c AS (SELECT cls, dow, hour, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2, 3), t AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY 1) SELECT c.cls, CAST(c.dow AS BIGINT) AS dow, CAST(c.hour AS BIGINT) AS hour, c.n, CAST(c.n*1000000 // t.nc AS BIGINT) AS share_ppm FROM c JOIN t USING (cls) ORDER BY cls, dow, hour"""),
+      (s, dir) => graft.streaming.EventTimeOps.temporalProfile(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms")),
+        "ts_ms", "event_type")
+        .orderBy("cls", "dow", "hour")),
+
+    // PQ reconstruction-error audit: per-vector squared error to the
+    // nearest sub-centroids — the compression-quality distribution
+    Q("q169_pq_error", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv FROM embeddings), cb AS (SELECT CAST(sub_id AS INT) AS sub_id, CAST(cell_id AS INT) AS cell_id, list_transform(cv, x -> CAST(x AS BIGINT)) AS cv FROM (VALUES $PqCodebooksPlaceholder) t(sub_id, cell_id, cv)), d AS (SELECT item_id, sub_id, cell_id, CAST(list_sum(list_transform(range(8), i -> (qv[CAST(sub_id*8 + i + 1 AS INT)] - cv[CAST(i+1 AS INT)]) * (qv[CAST(sub_id*8 + i + 1 AS INT)] - cv[CAST(i+1 AS INT)]))) AS BIGINT) AS dist2 FROM v CROSS JOIN cb), a AS (SELECT item_id, sub_id, CAST(MIN(dist2) AS BIGINT) AS best FROM d GROUP BY 1, 2) SELECT item_id, CAST(SUM(best) AS BIGINT) AS err2 FROM a GROUP BY 1 ORDER BY item_id"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Pq.reconstructionError(e, "vec_id", "embedding",
+          Pq.trainCodebooks(e, "vec_id", "embedding", 8, 16, 3), 8)
+          .orderBy("item_id")
+      }),
+
+    // label-match MRR: rank of the first same-label neighbor in the exact
+    // top-20 — retrieval eval with labels as relevance judgments
+    Q("q170_label_mrr", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv, label FROM embeddings), q AS (SELECT item_id AS query_id, qv AS qq, label AS ql FROM v WHERE item_id < 50), sc AS (SELECT query_id, item_id, ql, v.label AS il, CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*qq[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM v CROSS JOIN q WHERE item_id <> query_id), r AS (SELECT query_id, item_id, ql, il, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM sc), h AS (SELECT query_id, CAST(MIN(rank) AS BIGINT) AS first_rel_rank FROM r WHERE rank <= 20 AND il = ql GROUP BY 1) SELECT q.query_id, CAST(COALESCE(h.first_rel_rank, 0) AS BIGINT) AS first_rel_rank, CAST(CASE WHEN h.first_rel_rank IS NULL THEN 0 ELSE 1000000 // h.first_rel_rank END AS BIGINT) AS rr_ppm FROM q LEFT JOIN h USING (query_id) ORDER BY query_id"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Similarity.labelMrr(e, e.filter(col("vec_id") < 50),
+          "vec_id", "embedding", "label", k = 20)
+          .orderBy("query_id")
       })
   )
 

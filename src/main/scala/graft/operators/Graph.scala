@@ -193,4 +193,59 @@ object Graph {
     }
     survived
   }
+
+  /**
+   * Market-basket co-occurrence: support counts for item pairs appearing
+   * in the same group (order, session, document). Pair fan-out per group
+   * is s·(s−1)/2, so groups larger than `maxGroupSize` are DROPPED before
+   * the self-join — the bucket-cap contract the MinHash/LSH candidates
+   * use: an over-full group (a crawler session touching everything)
+   * carries no co-occurrence signal and would alone produce more pairs
+   * than the rest of the corpus. With the cap, pair volume is
+   * ≤ n_groups·cap²/2 — linear in groups at any corpus size.
+   *
+   * Output: (item_a, item_b, support) with item_a < item_b and
+   * support ≥ minSupport.
+   */
+  def cooccurrencePairs(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 64, minSupport: Long = 2L): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
+    val gi = Staging.stage(df.select(col(groupCol).as("g"),
+      col(itemCol).as("it")).distinct())
+    val sz = gi.groupBy("g").agg(count(lit(1)).as("__sz"))
+    val ok = gi.join(sz.filter(col("__sz") <= maxGroupSize), Seq("g"))
+    ok.alias("l").join(ok.alias("r"),
+        col("l.g") === col("r.g") && col("l.it") < col("r.it"))
+      .groupBy(col("l.it").as("item_a"), col("r.it").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /**
+   * Association rules from [[cooccurrencePairs]] output: both directions of
+   * each pair scored by confidence (ppm of the antecedent's groups that
+   * also contain the consequent) and lift ×1000 (>1000 = positively
+   * associated). `items` is (item, cnt) — per-item group counts under the
+   * SAME group cap; `nGroups` the total group count. Integer range:
+   * support·nGroups·1000 must fit int64 — holds to ~3·10⁹ groups at
+   * million-row supports, far past any single rule mining run.
+   *
+   * Output: (antecedent, consequent, support, confidence_ppm, lift_x1000).
+   */
+  def assocRules(pairs: DataFrame, items: DataFrame, nGroups: Long)
+      : DataFrame = {
+    require(nGroups > 0L, "nGroups must be positive")
+    val directed = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("support"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("support")))
+    val ia = items.select(col("item").as("antecedent"), col("cnt").as("__ca"))
+    val ic = items.select(col("item").as("consequent"), col("cnt").as("__cc"))
+    directed.join(ia, "antecedent").join(ic, "consequent")
+      .select(col("antecedent"), col("consequent"), col("support"),
+        IntMath.idiv(col("support") * lit(1000000L), col("__ca"))
+          .as("confidence_ppm"),
+        IntMath.idiv(col("support") * lit(nGroups) * lit(1000L),
+          col("__ca") * col("__cc")).as("lift_x1000"))
+  }
 }

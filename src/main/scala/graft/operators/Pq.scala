@@ -146,6 +146,33 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Per-vector PQ reconstruction error: Σ over subspaces of the squared
+   * L2 distance to the NEAREST sub-centroid — the compression-quality
+   * audit run before trusting ADC retrieval on a codebook (a drifted
+   * corpus shows its err2 distribution walking away from the training
+   * snapshot's). Same broadcast codebook join as [[encode]], but keeping
+   * the winning distance instead of the winning cell id; one partial-agg
+   * per (item, sub), one per item — map-side at any corpus size.
+   *
+   * Output: (item_id, err2).
+   */
+  def reconstructionError(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, numSubspaces: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("item_id"),
+      Similarity.quantize(col(vecCol)).as("qv"))
+    val d = dimsPerSub(v, numSubspaces)
+    val cb = broadcast(codebooks.select(col("sub_id"), col("cell_id"),
+      col("cv"), col("cn2")))
+    v.join(cb)
+      .select(col("item_id"), col("sub_id"),
+        subDist2(col("qv"), col("sub_id"), d, col("cv"), col("cn2")).as("dist2"))
+      .groupBy(col("item_id"), col("sub_id"))
+      .agg(min(col("dist2")).as("__best"))
+      .groupBy(col("item_id"))
+      .agg(sum(col("__best")).as("err2"))
+  }
+
   private def dimsPerSub(v: DataFrame, numSubspaces: Int): Int = {
     val dims = v.select(size(col("qv"))).head().getInt(0)
     require(dims % numSubspaces == 0,

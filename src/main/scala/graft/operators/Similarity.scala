@@ -440,6 +440,36 @@ object Similarity {
   }
 
   /**
+   * Label-match MRR: for each query, the rank of the FIRST same-label
+   * neighbor in the exact top-k — the standard retrieval-eval number when
+   * class labels stand in for relevance judgments. Reciprocal rank is
+   * integer ppm (10⁶ DIV rank); queries whose top-k holds no same-label
+   * item report rank 0 / rr 0 (not dropped — absence is the signal).
+   *
+   * Output: (query_id, first_rel_rank, rr_ppm).
+   */
+  def labelMrr(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).as("item_id"),
+      col(labelCol).as("__il"))
+    val qLabels = corpus.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    val hits = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .join(labels, "item_id").join(qLabels, "query_id")
+      .filter(col("__il") === col("__ql"))
+      .groupBy("query_id").agg(min(col("rank")).as("first_rel_rank"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rel_rank"), lit(0)).cast(
+          org.apache.spark.sql.types.LongType).as("first_rel_rank"),
+        when(col("first_rel_rank").isNull, lit(0L))
+          .otherwise(IntMath.idiv(lit(1000000L),
+            col("first_rel_rank").cast(
+              org.apache.spark.sql.types.LongType))).as("rr_ppm"))
+  }
+
+  /**
    * Dimension-ablation recall: how much retrieval quality survives
    * truncating every embedding to its first `keepDims` dimensions — the
    * measurement behind storing matryoshka-style prefixes (half the bytes,

@@ -277,6 +277,33 @@ object EventTimeOps {
   }
 
   /**
+   * Temporal activity profile: per (class, day-of-week, hour-of-day)
+   * counts with the class-relative share in ppm — the data-card view that
+   * catches a corpus whose "user activity" all fires at batch-job midnight.
+   * Pure integer epoch arithmetic (hour = ms DIV 3600000 mod 24, dow =
+   * (epoch-day + 4) mod 7 with 0 = Sunday — epoch day 0 was a Thursday),
+   * no timezone/calendar dependency, so any engine reproduces it exactly.
+   * One partial-agg groupBy plus a per-class totals join.
+   *
+   * Output: (cls, dow, hour, n, share_ppm).
+   */
+  def temporalProfile(events: DataFrame, tsMsCol: String, classCol: String)
+      : DataFrame = {
+    val base = events.select(col(classCol).as("cls"),
+      pmod(graft.operators.IntMath.idiv(col(tsMsCol), lit(86400000L)) + 4L,
+        lit(7L)).as("dow"),
+      pmod(graft.operators.IntMath.idiv(col(tsMsCol), lit(3600000L)),
+        lit(24L)).as("hour"))
+    val counts = base.groupBy("cls", "dow", "hour")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("cls").agg(sum("n").as("__nc"))
+    counts.join(totals, "cls")
+      .select(col("cls"), col("dow"), col("hour"), col("n"),
+        graft.operators.IntMath.idiv(col("n") * lit(1000000L), col("__nc"))
+          .as("share_ppm"))
+  }
+
+  /**
    * Per-key CUSUM change-point report: cumulative sum of deviations from
    * the GLOBAL mean along each key's ordered stream, reporting where the
    * excursion peaks — the classic Page-style drift detector, integer-exact

@@ -1886,6 +1886,87 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged.toSeq == onePass.toSeq) // register max is associative
   }
 
+  test("cooccurrencePairs: support counts, minSupport, and the group cap") {
+    val l = new java.util.ArrayList[Row]()
+    Seq(("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "a"), ("g2", "b"), ("g3", "a"), ("g3", "b"), ("g3", "b"))
+      .foreach { case (g, it) => l.add(Row(g, it)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("g", StringType), StructField("it", StringType))))
+    val pairs = Graph.cooccurrencePairs(df, "g", "it")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs == Map(("a", "b") -> 3L)) // (a,c)/(b,c) fall to minSupport
+    // cap 2 drops g1 entirely; duplicate (g3, b) rows count once
+    val capped = Graph.cooccurrencePairs(df, "g", "it", maxGroupSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(capped == Map(("a", "b") -> 2L))
+  }
+
+  test("assocRules: both directions with exact confidence and lift") {
+    val p = new java.util.ArrayList[Row]()
+    p.add(Row("a", "b", 2L))
+    val pairs = s.createDataFrame(p, StructType(Seq(
+      StructField("item_a", StringType), StructField("item_b", StringType),
+      StructField("support", LongType))))
+    val i = new java.util.ArrayList[Row]()
+    Seq(("a", 4L), ("b", 2L)).foreach { case (it, c) => i.add(Row(it, c)) }
+    val items = s.createDataFrame(i, StructType(Seq(
+      StructField("item", StringType), StructField("cnt", LongType))))
+    val out = Graph.assocRules(pairs, items, nGroups = 8L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // a→b: conf 2/4, lift 2·8/(4·2) = 2.0; b→a: conf 2/2, same lift
+    assert(out(("a", "b")) == (500000L, 2000L))
+    assert(out(("b", "a")) == (1000000L, 2000L))
+  }
+
+  test("pq reconstructionError: zero on centroids, exact off-centroid") {
+    val cb = new java.util.ArrayList[Row]()
+    cb.add(Row(0, 0, Seq(1000L, 0L), 1000000L))
+    cb.add(Row(0, 1, Seq(0L, 1000L), 1000000L))
+    val codebooks = s.createDataFrame(cb, StructType(Seq(
+      StructField("sub_id", IntegerType), StructField("cell_id", IntegerType),
+      StructField("cv", ArrayType(LongType)), StructField("cn2", LongType))))
+    val v = new java.util.ArrayList[Row]()
+    v.add(Row(1L, Seq(1.0, 0.0)))  // exactly cell 0 → err 0
+    v.add(Row(2L, Seq(2.0, 0.0)))  // 1000 off cell 0 → err 1000²
+    val vecs = s.createDataFrame(v, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)))))
+    val out = Pq.reconstructionError(vecs, "vec_id", "embedding",
+      codebooks, numSubspaces = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1000000L))
+  }
+
+  test("labelMrr: first same-label rank, and 0 when none in top-k") {
+    def vecs(rows: (Long, Seq[Double], Int)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (id, v, lb) => l.add(Row(id, v, lb)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)),
+        StructField("label", IntegerType))))
+    }
+    // query 0 (label 1): rank1 = item 2 (label 2), rank2 = item 1 (label 1)
+    val corpus = vecs(
+      (0L, Seq(1.0, 0.0), 1),
+      (1L, Seq(0.8, 0.0), 1),
+      (2L, Seq(0.9, 0.0), 2),
+      (3L, Seq(-1.0, 0.0), 3))
+    val out = Similarity.labelMrr(corpus, corpus.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(out == (2L, 500000L))
+    // k = 1 excludes the only same-label neighbor → 0 / 0
+    val none = Similarity.labelMrr(corpus, corpus.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "label", k = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(none == (0L, 0L))
+  }
+
   test("dimAblationRecall: truncation flips rankings the prefix can't see") {
     def vecs(rows: (Long, Seq[Double])*) = {
       val l = new java.util.ArrayList[Row]()

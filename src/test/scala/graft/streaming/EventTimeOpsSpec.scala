@@ -210,6 +210,23 @@ class EventTimeOpsSpec extends SparkSuite {
       ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
   }
 
+  test("temporalProfile: integer epoch dow/hour and class shares") {
+    val schema = StructType(Seq(
+      StructField("cls", StringType), StructField("ts_ms", LongType)))
+    val l = new java.util.ArrayList[Row]()
+    // epoch 0 = Thursday 00:00 UTC → dow 4, hour 0
+    Seq(("a", 0L), ("a", 3600000L), ("a", 3600000L + 1L),
+      ("b", 86400000L * 3L)) // +3 days → Sunday → dow 0
+      .foreach { case (c, t) => l.add(Row(c, t)) }
+    val out = EventTimeOps.temporalProfile(
+      s.createDataFrame(l, schema), "ts_ms", "cls")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out(("a", 4L, 0L)) == (1L, 333333L))
+    assert(out(("a", 4L, 1L)) == (2L, 666666L))
+    assert(out(("b", 0L, 0L)) == (1L, 1000000L))
+  }
+
   test("cusumReport: excursion peak, its timestamp, and the zero return") {
     val schema = StructType(Seq(
       StructField("k", StringType), StructField("ts", LongType),
