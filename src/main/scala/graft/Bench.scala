@@ -170,7 +170,8 @@ object Bench {
       "q161_join_audit", "q162_temporal_split", "q163_group_kfold",
       "q164_benford", "q165_hll_merge", "q166_basket_pairs",
       "q167_assoc_rules", "q168_temporal_profile", "q169_pq_error",
-      "q170_label_mrr")
+      "q170_label_mrr", "q171_dedup_savings", "q172_behavior_entropy",
+      "q173_asof_forward", "q174_target_rate_bins", "q175_window_distinct")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

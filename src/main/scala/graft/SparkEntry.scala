@@ -2383,6 +2383,68 @@ object SparkEntry {
         Similarity.labelMrr(e, e.filter(col("vec_id") < 50),
           "vec_id", "embedding", "label", k = 20)
           .orderBy("query_id")
+      }),
+
+    // dedup savings: how much of each source's token mass is exact-dup
+    // inflation — duplication is global, copies attribute to their source
+    Q("q171_dedup_savings", Some(
+      s"""WITH t AS (SELECT source AS cls, doc_id, md5(text) AS h, CAST(len($dToks) AS BIGINT) AS ntok FROM documents), f AS (SELECT h, MIN(doc_id) AS first FROM t GROUP BY 1), j AS (SELECT t.cls, t.ntok, CASE WHEN t.doc_id <> f.first THEN 1 ELSE 0 END AS dup FROM t JOIN f USING (h)) SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens, CAST(SUM(dup) AS BIGINT) AS dup_docs, CAST(SUM(dup*ntok) AS BIGINT) AS dup_tokens, CAST(CASE WHEN SUM(ntok) = 0 THEN 0 ELSE SUM(dup*ntok)*1000000 // SUM(ntok) END AS BIGINT) AS savings_ppm FROM j GROUP BY 1 ORDER BY cls"""),
+      (s, dir) => Dedup.savingsReport(docs(tune(s), dir), "text", "doc_id",
+        "source").orderBy("cls")),
+
+    // per-user behavioral entropy over event-type transitions — the
+    // bot/script detector signal, qlog2 fixed point
+    Q("q172_behavior_entropy", Some(
+      s"""WITH v AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, event_type AS t FROM events), m AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM v), tr AS (SELECT user_id, prev, t FROM m WHERE prev IS NOT NULL), c AS (SELECT user_id, prev, t, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2, 3), tt AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nd FROM c GROUP BY 1) SELECT c.user_id AS key, tt.n AS n_transitions, tt.nd AS n_distinct_transitions, CAST(SUM(c.c*(${dQlog2("tt.n")} - ${dQlog2("c.c")})) // tt.n AS BIGINT) AS entropy_q FROM c JOIN tt USING (user_id) GROUP BY 1, 2, 3 ORDER BY key"""),
+      (s, dir) => graft.streaming.EventTimeOps.behaviorEntropy(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_id"), col("event_type")),
+        "user_id", "ts_ms", "event_id", "event_type")
+        .orderBy("key")),
+
+    // FORWARD as-of join: the next view at-or-after each purchase — same
+    // time-sliced skew-safe plan as q74, via time negation
+    Q("q173_asof_forward", Some(
+      """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_type = 'purchase'), r AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, MAX(event_id) AS view_event FROM events WHERE event_type = 'view' GROUP BY 1, 2) SELECT l.event_id AS event_id, l.user_id AS user_id, l.ts_us AS ts_us, r.view_event AS asof_view_event FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.ts_us ORDER BY event_id"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .withColumn("ts_us", expr("ts DIV 1000"))
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val r = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as("view_event"))
+        AsofJoin.asofJoinForward(l, r, "user_id", "ts_us",
+          Seq("view_event"), sliceWidth = Some(12.0 * 3600 * 1e6))
+          .orderBy("event_id")
+      }),
+
+    // equi-depth target-rate bins: spend deciles × purchase rate — the
+    // score-column monotonicity read; map-only binning off broadcast
+    // quantile boundaries
+    Q("q174_target_rate_bins", Some(
+      """WITH v AS (SELECT CAST(floor(value*100) AS BIGINT) AS cents, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events), r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn, COUNT(*) OVER () AS n FROM v), p AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS q), bd AS (SELECT p.q, MAX(CASE WHEN r.rn = (r.n*p.q + 99)//100 THEN r.cents END) AS b FROM r CROSS JOIN p GROUP BY p.q), bl AS (SELECT list(b ORDER BY q) AS bs FROM bd), bins AS (SELECT v.cents, v.pos, CAST(len(list_filter(bl.bs, x -> v.cents > x)) AS BIGINT) AS bin FROM v CROSS JOIN bl) SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(pos)*1000000 // COUNT(*) AS BIGINT) AS rate_ppm, CAST(MIN(cents) AS BIGINT) AS min_v, CAST(MAX(cents) AS BIGINT) AS max_v FROM bins GROUP BY 1 ORDER BY bin"""),
+      (s, dir) => Stats.binTargetRates(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "cents", "event_type", "purchase", nBins = 10)
+        .orderBy("bin")),
+
+    // per-day distinct users: HLL estimate beside the exact count — the
+    // windowed rollup form (streaming variant spec-pinned, same registers)
+    Q("q175_window_distinct", Some(
+      """WITH v AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, user_id AS h FROM events), mx1 AS (SELECT day, h, (xor(h >> 16, h) * 73244475) & 2147483647 AS h1 FROM v), mx2 AS (SELECT day, h, (xor(h1 >> 16, h1) * 73244475) & 2147483647 AS h2 FROM mx1), mx AS (SELECT day, h, xor(h2 >> 16, h2) AS hm FROM mx2), b AS (SELECT day, hm >> 23 AS bucket, CASE WHEN (hm & 8388607) = 0 THEN 24 ELSE 24 - length(bin(hm & 8388607)) END AS rho FROM mx), mj AS (SELECT day, bucket, CAST(MAX(rho) AS BIGINT) AS m_j FROM b GROUP BY 1, 2), a AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS occupied_buckets, CAST(SUM(1073741824 >> CAST(m_j AS INT)) AS BIGINT) AS s_occ FROM mj GROUP BY 1), x AS (SELECT day, CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct FROM v GROUP BY 1) SELECT a.day, occupied_buckets, CAST(s_occ + (256 - occupied_buckets) * 1073741824 AS BIGINT) AS sketch_sum, CAST(718273 * (70368744177664 // (s_occ + (256 - occupied_buckets) * 1073741824)) // 1000000 AS BIGINT) AS est_distinct, x.exact_distinct FROM a JOIN x USING (day) ORDER BY a.day"""),
+      (s, dir) => {
+        val h = KafkaLike.events(tune(s), dir)
+          .select(IntMath.idiv(col("ts"), lit(86400000L) * 1000000L)
+            .as("day"), col("user_id").as("h"))
+        val est = Stats.hllDistinct(h, "day", "h")
+        val exact = h.distinct().groupBy("day")
+          .agg(count(lit(1)).as("exact_distinct"))
+        est.join(exact, "day").orderBy("day")
       })
   )
 

@@ -117,4 +117,28 @@ object AsofJoin {
       .select((leftCols.map(col) ++
         valueCols.map(v => col(s"__asof.$v").as(s"asof_$v"))).toIndexedSeq: _*)
   }
+
+  /**
+   * FORWARD as-of join: for every left row, the single right row with the
+   * SMALLEST `timeCol` ≥ the left row's time, per key — "the next state
+   * change after the event" (next maintenance window, next price revision,
+   * time-to-next-action labeling). Pure reuse: negate time on both sides,
+   * run the backward [[asofJoin]] (greatest −t ≤ −t_l ⇔ smallest t ≥ t_l,
+   * equal times still included), negate back — every scale property
+   * (time-sliced windows, skew spreading, O(|L|+|R|) shuffle) carries over
+   * verbatim. A `valueCols` entry equal to `timeCol` is re-negated in the
+   * output so joined times read correctly.
+   */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, valueCols: Seq[String], nSlices: Int = 64,
+      sliceWidth: Option[Double] = None): DataFrame = {
+    def neg(df: DataFrame): DataFrame =
+      df.withColumn(timeCol, -col(timeCol))
+    val joined = asofJoin(neg(left), neg(right), keyCol, timeCol,
+      valueCols, nSlices, sliceWidth)
+      .withColumn(timeCol, -col(timeCol))
+    if (valueCols.contains(timeCol))
+      joined.withColumn(s"asof_$timeCol", -col(s"asof_$timeCol"))
+    else joined
+  }
 }

@@ -37,6 +37,37 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * Dedup savings report: how much of each class's token mass is exact-dup
+   * inflation — the "what does dedup buy us" headline a curation run
+   * reports before committing the pass. A copy is any doc whose content
+   * hash has a lower-id first sighting ANYWHERE in the corpus (duplication
+   * is global; the report attributes each copy to its own class). Shape:
+   * one groupBy per content hash for the first-id pick, one broadcast-able
+   * join back, one partial-agg report — the [[exact]] plan plus a join.
+   *
+   * Output: (cls, n_docs, n_tokens, dup_docs, dup_tokens, savings_ppm).
+   */
+  def savingsReport(docs: DataFrame, textCol: String, idCol: String,
+      classCol: String): DataFrame = {
+    val t = docs.select(col(classCol).as("cls"), col(idCol).as("__id"),
+      md5(col(textCol)).as("__h"),
+      TextAnalysis.tokenCount(col(textCol)).as("__ntok"))
+    val first = t.groupBy("__h").agg(min(col("__id")).as("__first"))
+    t.join(first, "__h")
+      .withColumn("__dup", when(col("__id") =!= col("__first"), 1L)
+        .otherwise(0L))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__dup")).as("dup_docs"),
+        sum(col("__dup") * col("__ntok")).as("dup_tokens"))
+      .withColumn("savings_ppm",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(IntMath.idiv(col("dup_tokens") * lit(1000000L),
+            col("n_tokens"))))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /**

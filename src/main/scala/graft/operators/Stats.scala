@@ -103,24 +103,34 @@ object Stats {
       : DataFrame =
     hllFinalize(hllSketch(df, groupCol, hashCol), groupCol)
 
+  /** Map-only HLL register projection: adds `__hll_bucket` / `__hll_rho`
+    * to the frame (other columns untouched) — the streaming-compatible
+    * half of [[hllSketch]]: group the result however the caller needs
+    * (static group, event-time window, …) and `max(__hll_rho)`. */
+  def hllRegisters(df: DataFrame, hashCol: String): DataFrame = {
+    def round(h: Column): Column =
+      (IntMath.shr(h, lit(16)).bitwiseXOR(h) * 73244475L)
+        .bitwiseAND(lit(2147483647L))
+    val h2 = round(round(col(hashCol)))
+    val withMix = df.withColumn("__hm",
+      IntMath.shr(h2, lit(16)).bitwiseXOR(h2))
+    val rem = col("__hm").bitwiseAND(lit(8388607L))
+    withMix
+      .withColumn("__hll_bucket", IntMath.shr(col("__hm"), lit(23)))
+      .withColumn("__hll_rho", when(rem === 0L, lit(24L))
+        .otherwise(lit(24L) - length(bin(rem)).cast(LongType)))
+      .drop("__hm")
+  }
+
   /** The raw mergeable HLL sketch: (grp, bucket, m_j) per occupied
     * register — what a per-shard / per-day rollup stores (≤ 256 rows per
     * group regardless of input size). One partial-agg groupBy. */
   def hllSketch(df: DataFrame, groupCol: String, hashCol: String)
-      : DataFrame = {
-    def round(h: Column): Column =
-      (IntMath.shr(h, lit(16)).bitwiseXOR(h) * 73244475L)
-        .bitwiseAND(lit(2147483647L))
-    val mixedOnce = df.select(col(groupCol).as("grp"),
-      round(round(col(hashCol))).as("h2"))
-    val mixed = IntMath.shr(col("h2"), lit(16)).bitwiseXOR(col("h2"))
-    val rem = mixed.bitwiseAND(lit(8388607L))
-    val rho = when(rem === 0L, lit(24L))
-      .otherwise(lit(24L) - length(bin(rem)).cast(LongType))
-    mixedOnce.select(col("grp"),
-        IntMath.shr(mixed, lit(23)).as("bucket"), rho.as("rho"))
+      : DataFrame =
+    hllRegisters(df, hashCol)
+      .select(col(groupCol).as("grp"), col("__hll_bucket").as("bucket"),
+        col("__hll_rho").as("rho"))
       .groupBy("grp", "bucket").agg(max("rho").as("m_j"))
-  }
 
   /** Merge HLL sketches by register max — associative and commutative, so
     * shard/day rollups combine in any order to EXACTLY the registers a
@@ -855,6 +865,37 @@ object Stats {
           col("max_key_output") * 20L > col("est_output_rows"),
           lit("salt_skewed_keys"))
         .otherwise(lit("shuffle_hash")))
+  }
+
+  /**
+   * Quantile-binned target-rate report: cut the value column at its own
+   * global quantiles (equi-depth bins), then report each bin's size and
+   * positive-label rate — the monotonicity/WoE-style read a score column
+   * gets before it becomes a filter threshold. Boundaries come from
+   * [[globalQuantiles]] (two-stage scan, no global sort) and broadcast as
+   * a literal comparison chain, so binning is MAP-ONLY over the corpus.
+   * Heavy ties can merge adjacent bins (duplicate boundaries) — bins are
+   * by VALUE, deterministically, on any partitioning.
+   *
+   * Output: (bin, n, n_pos, rate_ppm, min_v, max_v) per non-empty bin.
+   */
+  def binTargetRates(df: DataFrame, valueCol: String, labelCol: String,
+      positive: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins in [2,1000], got $nBins")
+    val percents = (1 until nBins).map(i => i * 100 / nBins)
+      .filter(p => p >= 1 && p <= 99).distinct
+    val bounds = globalQuantiles(df, valueCol, percents)
+      .select("value").collect().map(_.getLong(0))
+    val binExpr = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(valueCol) > b, 1L).otherwise(0L) }
+    df.withColumn("bin", binExpr)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === positive, 1L).otherwise(0L)).as("n_pos"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        IntMath.idiv(col("n_pos") * lit(1000000L), col("n")).as("rate_ppm"),
+        col("min_v"), col("max_v"))
   }
 
   /** Benford first-digit expectation, ppm (log10(1 + 1/d) · 10⁶). */

@@ -277,6 +277,59 @@ object EventTimeOps {
   }
 
   /**
+   * Streaming windowed HLL sketch: per event-time tumbling window, the
+   * mergeable (bucket, m_j) registers of `Stats.hllSketch` — watermarked
+   * `groupBy(window, bucket).max(rho)`, append mode, so each window's ≤256
+   * sketch rows emit exactly once when the watermark passes. Finalize
+   * downstream (batch-read the sink, `Stats.hllFinalize`) — the estimate
+   * matches a batch build over the same rows REGISTER-EXACTLY (max is
+   * associative; the spec pins it). The streaming distinct-per-window
+   * story with bounded state: 256 registers per open window, any volume.
+   *
+   * Output stream: (window_start, bucket, m_j).
+   */
+  def windowedHllSketchStreaming(stream: DataFrame, tsCol: String,
+      hashCol: String, width: String, watermark: String): DataFrame =
+    graft.operators.Stats.hllRegisters(stream, hashCol)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("__hll_bucket"))
+      .agg(max(col("__hll_rho")).as("m_j"))
+      .select(col("window.start").as("window_start"),
+        col("__hll_bucket").as("bucket"), col("m_j"))
+
+  /**
+   * Per-key behavioral entropy: Shannon entropy of each key's observed
+   * event-type TRANSITIONS (bigrams of the ordered stream), in the fixed-
+   * point 1024-units-per-bit scale of `Retrieval.qlog2` — the bot/script
+   * detector's core signal (a scripted key cycles one transition, entropy
+   * ≈ 0; organic activity spreads). With transition counts c_i and total
+   * n: H_q = Σ c_i·(qlog2(n) − qlog2(c_i)) DIV n. All keyed windows and
+   * partial aggs; integer-exact.
+   *
+   * Output: (key, n_transitions, n_distinct_transitions, entropy_q).
+   */
+  def behaviorEntropy(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("__ts"), col("__id"))
+    val tr = events.select(col(keyCol).as("key"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(typeCol).as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val counts = tr.groupBy(col("key"), col("__prev"), col("__t"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("key").agg(sum("c").as("n"),
+      count(lit(1)).as("n_distinct"))
+    import graft.operators.{IntMath, Retrieval}
+    counts.join(totals, "key")
+      .groupBy(col("key"), col("n"), col("n_distinct"))
+      .agg(sum(col("c") * (Retrieval.qlog2(col("n"))
+        - Retrieval.qlog2(col("c")))).as("__hsum"))
+      .select(col("key"), col("n").as("n_transitions"),
+        col("n_distinct").as("n_distinct_transitions"),
+        IntMath.idiv(col("__hsum"), col("n")).as("entropy_q"))
+  }
+
+  /**
    * Temporal activity profile: per (class, day-of-week, hour-of-day)
    * counts with the class-relative share in ppm — the data-card view that
    * catches a corpus whose "user activity" all fires at batch-job midnight.

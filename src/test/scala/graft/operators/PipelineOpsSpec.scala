@@ -1886,6 +1886,56 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged.toSeq == onePass.toSeq) // register max is associative
   }
 
+  test("savingsReport: global dup attribution, per-class token math") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((1L, "a b", "s1"), (2L, "a b", "s2"), (3L, "c", "s2"))
+      .foreach { case (id, t, src) => l.add(Row(id, t, src)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType))))
+    val out = Dedup.savingsReport(df, "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("s1") == (1L, 2L, 0L, 0L, 0L))        // first sighting
+    assert(out("s2") == (2L, 3L, 1L, 2L, 666666L))   // cross-source copy
+  }
+
+  test("asofJoinForward: next-at-or-after semantics, null past the end") {
+    def f(rows: (Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, t) => l.add(Row(k, t)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("k", LongType), StructField("t", LongType))))
+    }
+    val left = f((1L, 5L), (1L, 12L), (1L, 13L))
+    val r = new java.util.ArrayList[Row]()
+    Seq((1L, 7L, 70L), (1L, 12L, 120L)).foreach { case (k, t, v) =>
+      r.add(Row(k, t, v)) }
+    val right = s.createDataFrame(r, StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("v", LongType))))
+    val out = AsofJoin.asofJoinForward(left, right, "k", "t", Seq("v"))
+      .collect().map(x => x.getLong(1) ->
+        (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    assert(out == Map(5L -> 70L, 12L -> 120L, 13L -> -1L))
+  }
+
+  test("binTargetRates: equi-depth boundaries and per-bin rates") {
+    val l = new java.util.ArrayList[Row]()
+    (1L to 10L).foreach(v =>
+      l.add(Row(v, if (v > 8L) "pos" else "neg")))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("v", LongType), StructField("lbl", StringType))))
+    val out = Stats.binTargetRates(df, "v", "lbl", "pos", nBins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // boundary = p50 value 5 → bin0 = 1..5 (no pos), bin1 = 6..10 (2 pos)
+    assert(out(0L) == (5L, 0L, 0L, 1L, 5L))
+    assert(out(1L) == (5L, 2L, 400000L, 6L, 10L))
+  }
+
   test("cooccurrencePairs: support counts, minSupport, and the group cap") {
     val l = new java.util.ArrayList[Row]()
     Seq(("g1", "a"), ("g1", "b"), ("g1", "c"),

@@ -210,6 +210,64 @@ class EventTimeOpsSpec extends SparkSuite {
       ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
   }
 
+  test("behaviorEntropy: qlog2-exact transition entropy; constant key = 0") {
+    val schema2 = StructType(Seq(
+      StructField("k", StringType), StructField("ts", LongType),
+      StructField("id", LongType), StructField("t", StringType)))
+    val l = new java.util.ArrayList[Row]()
+    // u1: a b a b → transitions ab, ba, ab (c={ab:2, ba:1}, n=3)
+    Seq(("u1", 1L, 1L, "a"), ("u1", 2L, 2L, "b"),
+      ("u1", 3L, 3L, "a"), ("u1", 4L, 4L, "b"),
+      // u2: a a a → one transition kind, entropy 0
+      ("u2", 1L, 5L, "a"), ("u2", 2L, 6L, "a"), ("u2", 3L, 7L, "a"))
+      .foreach { case (k, t, i, e) => l.add(Row(k, t, i, e)) }
+    val out = EventTimeOps.behaviorEntropy(s.createDataFrame(l, schema2),
+      "k", "ts", "id", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // qlog2(3)=1536, qlog2(2)=1024, qlog2(1)=0 →
+    // (2·512 + 1·1536) DIV 3 = 853
+    assert(out("u1") == (3L, 2L, 853L))
+    assert(out("u2") == (2L, 1L, 0L))
+  }
+
+  test("windowedHllSketchStreaming: registers equal the batch sketch") {
+    val src = Files.createTempDirectory("graft-hll-src").toString
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+    val schema2 = StructType(Seq(
+      StructField("ts", TimestampType), StructField("h", LongType)))
+    val l = new java.util.ArrayList[Row]()
+    (1L to 300L).foreach { i =>
+      val ms = if (i % 2 == 0) 1000L else 3600000L + 1000L // two windows
+      l.add(Row(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochMilli(ms)), i * 104729L))
+    }
+    val batch = s.createDataFrame(l, schema2)
+    batch.write.mode("overwrite").parquet(src)
+    val q = EventTimeOps.windowedHllSketchStreaming(
+      s.readStream.schema(schema2).parquet(src), "ts", "h",
+      width = "1 hour", watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hll_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = s.table("hll_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+      .toSet
+    val expected = graft.operators.Stats.hllSketch(
+      batch.withColumn("w", graft.operators.IntMath.idiv(
+        unix_millis(col("ts")), lit(3600000L)) * 3600000L),
+      "w", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // append mode emits a window only once the watermark passes its end:
+    // the final watermark (max event time) closes window 0 but leaves the
+    // second window open in state — exactly-once, never partial
+    assert(streamed == expected.filter(_._1 == 0L)) // register-exact
+    assert(streamed.nonEmpty)
+    assert(!streamed.exists(_._1 == 3600000L))
+  }
+
   test("temporalProfile: integer epoch dow/hour and class shares") {
     val schema = StructType(Seq(
       StructField("cls", StringType), StructField("ts_ms", LongType)))
