@@ -171,7 +171,9 @@ object Bench {
       "q164_benford", "q165_hll_merge", "q166_basket_pairs",
       "q167_assoc_rules", "q168_temporal_profile", "q169_pq_error",
       "q170_label_mrr", "q171_dedup_savings", "q172_behavior_entropy",
-      "q173_asof_forward", "q174_target_rate_bins", "q175_window_distinct")
+      "q173_asof_forward", "q174_target_rate_bins", "q175_window_distinct",
+      "q176_session_stats", "q177_feature_stats", "q178_label_noise",
+      "q179_class_balance", "q180_trailing_distinct")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -2445,6 +2445,60 @@ object SparkEntry {
         val exact = h.distinct().groupBy("day")
           .agg(count(lit(1)).as("exact_distinct"))
         est.join(exact, "day").orderBy("day")
+      }),
+
+    // per-user session-shape report over the gap sessionizer: counts,
+    // deepest session, mean duration — the engagement/bot heuristic
+    Q("q176_session_stats", Some(
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e), s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), sess AS (SELECT CAST(user_id AS BIGINT) AS key, CAST(session_id AS BIGINT) AS sid, CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms FROM s GROUP BY 1, 2) SELECT key, CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events, CAST(MAX(n_events) AS BIGINT) AS max_session_events, CAST(SUM(end_ms - start_ms) // COUNT(*) AS BIGINT) AS avg_session_ms FROM sess GROUP BY 1 ORDER BY key"""),
+      (s, dir) => graft.streaming.EventTimeOps.sessionStats(
+        KafkaLike.frame(tune(s), dir), 1800000L)
+        .select(col("key").cast(LongType).as("key"), col("n_sessions"),
+          col("n_events"), col("max_session_events"), col("avg_session_ms"))
+        .orderBy("key")),
+
+    // feature-store numeric profile: exact integer mean/variance per
+    // column via one unpivot + one partial-agg groupBy
+    Q("q177_feature_stats", Some(
+      """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(floor(l_extendedprice) AS BIGINT) AS price_usd, CAST(floor(l_discount*1000) AS BIGINT) AS disc_pmil FROM lineitem), u AS (SELECT 'qty' AS feature, qty AS v FROM f UNION ALL SELECT 'price_usd', price_usd FROM f UNION ALL SELECT 'disc_pmil', disc_pmil FROM f), m AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v, CAST(SUM(v) AS BIGINT) AS sum_v, CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean FROM u GROUP BY 1), d AS (SELECT u.feature, u.v - m.mean AS d FROM u JOIN m USING (feature)), s2 AS (SELECT feature, CAST(SUM(d) AS BIGINT) AS b, CAST(SUM(d*d) AS BIGINT) AS a FROM d GROUP BY 1) SELECT m.feature, m.n, m.min_v, m.max_v, m.sum_v, m.mean, CAST((s2.a - (s2.b*s2.b) // m.n) // m.n AS BIGINT) AS variance FROM m JOIN s2 USING (feature) ORDER BY feature"""),
+      (s, dir) => Stats.featureStats(
+        lineitem(tune(s), dir).select(
+          col("l_quantity").cast(LongType).as("qty"),
+          floor(col("l_extendedprice")).cast(LongType).as("price_usd"),
+          floor(col("l_discount") * 1000).cast(LongType).as("disc_pmil")),
+        Seq("qty", "price_usd", "disc_pmil"))
+        .orderBy("feature")),
+
+    // label-noise audit: per item, how many of its 5 nearest neighbors
+    // disagree with its label — the mislabel review queue
+    Q("q178_label_noise", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv, label FROM embeddings), sc AS (SELECT q.item_id AS query_id, c.item_id, q.label AS ql, c.label AS il, CAST(list_sum(list_transform(range(len(c.qv)), i -> c.qv[CAST(i+1 AS INT)]*q.qv[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM v q JOIN v c ON q.item_id <> c.item_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM sc), nn AS (SELECT * FROM r WHERE rank <= 5) SELECT query_id AS item_id, ql AS label, CAST(COUNT(*) AS BIGINT) AS n_neighbors, CAST(SUM(CASE WHEN il <> ql THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree, CAST(SUM(CASE WHEN il <> ql THEN 1 ELSE 0 END)*1000000 // COUNT(*) AS BIGINT) AS disagree_ppm FROM nn GROUP BY 1, 2 ORDER BY item_id"""),
+      (s, dir) => Similarity.labelNoiseReport(embeddings(tune(s), dir),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("item_id")),
+
+    // class balance + effective number of classes (inverse Simpson ×1000)
+    // — the imbalance line of the data card
+    Q("q179_class_balance", Some(
+      """WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS c FROM embeddings GROUP BY 1), t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c*c) AS BIGINT) AS ss FROM c) SELECT c.label, c.c, CAST(c.c*1000000 // t.n AS BIGINT) AS share_ppm, CAST(t.n*t.n*1000 // t.ss AS BIGINT) AS effective_classes_x1000 FROM c CROSS JOIN t ORDER BY label"""),
+      (s, dir) => Stats.classBalanceReport(embeddings(tune(s), dir), "label")
+        .orderBy("label")),
+
+    // trailing 7-day distinct users: daily HLL sketches merged per target
+    // day (sketch rows only — the mergeability payoff) beside the exact
+    Q("q180_trailing_distinct", Some(
+      """WITH v AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, user_id AS h FROM events), days AS (SELECT DISTINCT day FROM v), mx1 AS (SELECT day, h, (xor(h >> 16, h) * 73244475) & 2147483647 AS h1 FROM v), mx2 AS (SELECT day, h, (xor(h1 >> 16, h1) * 73244475) & 2147483647 AS h2 FROM mx1), mx AS (SELECT day, h, xor(h2 >> 16, h2) AS hm FROM mx2), b AS (SELECT day, hm >> 23 AS bucket, CASE WHEN (hm & 8388607) = 0 THEN 24 ELSE 24 - length(bin(hm & 8388607)) END AS rho FROM mx), mj AS (SELECT day, bucket, CAST(MAX(rho) AS BIGINT) AS m_j FROM b GROUP BY 1, 2), tm AS (SELECT d.day, mj.bucket, CAST(MAX(mj.m_j) AS BIGINT) AS m_j FROM days d JOIN mj ON mj.day <= d.day AND mj.day > d.day - 7 GROUP BY 1, 2), a AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS occupied_buckets, CAST(SUM(1073741824 >> CAST(m_j AS INT)) AS BIGINT) AS s_occ FROM tm GROUP BY 1), p AS (SELECT DISTINCT day, h FROM v), x AS (SELECT d.day, CAST(COUNT(DISTINCT p.h) AS BIGINT) AS exact_distinct FROM days d JOIN p ON p.day <= d.day AND p.day > d.day - 7 GROUP BY 1) SELECT a.day, a.occupied_buckets, CAST(s_occ + (256 - occupied_buckets) * 1073741824 AS BIGINT) AS sketch_sum, CAST(718273 * (70368744177664 // (s_occ + (256 - occupied_buckets) * 1073741824)) // 1000000 AS BIGINT) AS est_distinct, x.exact_distinct FROM a JOIN x USING (day) ORDER BY a.day"""),
+      (s, dir) => {
+        val h = KafkaLike.events(tune(s), dir)
+          .select(IntMath.idiv(col("ts"), lit(86400000L) * 1000000L)
+            .as("day"), col("user_id").as("h"))
+        val est = Stats.hllTrailingDistinct(h, "day", "h", windowDays = 7)
+        val pairs = h.distinct()
+        val days = pairs.select("day").distinct()
+        val exact = days.join(pairs.withColumnRenamed("day", "d2"),
+            col("d2") <= col("day") && col("d2") > col("day") - 7L)
+          .groupBy("day").agg(countDistinct("h").as("exact_distinct"))
+        est.join(exact, "day").orderBy("day")
       })
   )
 

@@ -440,6 +440,36 @@ object Similarity {
   }
 
   /**
+   * Label-noise report (confident-learning one-hop): for every labeled
+   * item, the fraction of its k nearest OTHER items whose label disagrees
+   * — high disagreement flags probable mislabels for human review before
+   * the labels train anything. Neighbor search is pluggable like
+   * [[knnClassify]]: pass (query_id, item_id, rank) from an ANN path for
+   * the 100 TB shape; the default exact self-kNN broadcasts the full item
+   * set as the query side — the audit-a-seed-set regime, not web scale.
+   *
+   * Output: (item_id, label, n_neighbors, n_disagree, disagree_ppm).
+   */
+  def labelNoiseReport(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int,
+      neighbors: Option[DataFrame] = None): DataFrame = {
+    val nn = neighbors.getOrElse(
+      bruteForceTopK(corpus, corpus, idCol, vecCol, k))
+      .select(col("query_id"), col("item_id"))
+    val itemLabels = corpus.select(col(idCol).as("item_id"),
+      col(labelCol).as("__nl"))
+    val ownLabels = corpus.select(col(idCol).as("query_id"),
+      col(labelCol).as("label"))
+    nn.join(itemLabels, "item_id").join(ownLabels, "query_id")
+      .groupBy(col("query_id").as("item_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nl") =!= col("label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .withColumn("disagree_ppm",
+        IntMath.idiv(col("n_disagree") * lit(1000000L), col("n_neighbors")))
+  }
+
+  /**
    * Label-match MRR: for each query, the rank of the FIRST same-label
    * neighbor in the exact top-k — the standard retrieval-eval number when
    * class labels stand in for relevance judgments. Reciprocal rank is

@@ -898,6 +898,91 @@ object Stats {
         col("min_v"), col("max_v"))
   }
 
+  /**
+   * Per-feature numeric profile over a set of columns: n, min, max, sum,
+   * truncating mean, and EXACT integer variance — the feature-store audit
+   * that reproduces bit-for-bit on any partitioning where FP
+   * Welford/`stddev` does not. Two passes, both single partial-agg
+   * groupBys over one generated unpivot array (map-side): the naive
+   * n·Σv² − (Σv)² overflows int64 as soon as values and rows are both
+   * large, so pass 2 CENTERS on the pass-1 truncating mean and uses
+   * var = (Σd² − (Σd)² DIV n) DIV n with d = v − mean — Σd ∈ [0, n)
+   * by the truncation direction, so every product stays small. Range:
+   * n·(max−min)² must fit int64 — e.g. spread 10⁶ out to ~9·10⁶ rows,
+   * spread 10³ out to ~9·10¹² rows; rescale wider features first
+   * (values are expected non-negative, matching the DuckDB `//` mirror).
+   *
+   * Output: (feature, n, min_v, max_v, sum_v, mean, variance).
+   */
+  def featureStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "pass at least one feature column")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("feature"), col(c).cast(LongType).as("v"))): _*))
+      .as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val first = pairs.groupBy("feature")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"),
+        sum("v").as("sum_v"))
+      .withColumn("mean", IntMath.idiv(col("sum_v"), col("n")))
+    val second = pairs
+      .join(broadcast(first.select(col("feature"), col("mean").as("__m"))),
+        "feature")
+      .withColumn("__d", col("v") - col("__m"))
+      .groupBy("feature")
+      .agg(sum(col("__d")).as("__b"), sum(col("__d") * col("__d")).as("__a"))
+    first.join(second, "feature")
+      .select(col("feature"), col("n"), col("min_v"), col("max_v"),
+        col("sum_v"), col("mean"),
+        IntMath.idiv(col("__a")
+          - IntMath.idiv(col("__b") * col("__b"), col("n")), col("n"))
+          .as("variance"))
+  }
+
+  /**
+   * Class-balance report: per-label counts, corpus share, and the
+   * effective number of classes (inverse Simpson index, ×1000 —
+   * `n²·1000 DIV Σc²`; equals classes·1000 when perfectly balanced, →1000
+   * as one class dominates) repeated on every row as the headline. One
+   * partial-agg groupBy + a ≤|labels|-row total — the data-card imbalance
+   * line that decides whether stratified sampling is needed.
+   *
+   * Output: (label, c, share_ppm, effective_classes_x1000).
+   */
+  def classBalanceReport(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("__n"),
+      sum(col("c") * col("c")).as("__ss"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("c"),
+        IntMath.idiv(col("c") * lit(1000000L), col("__n")).as("share_ppm"),
+        IntMath.idiv(col("__n") * col("__n") * lit(1000L), col("__ss"))
+          .as("effective_classes_x1000"))
+  }
+
+  /**
+   * Trailing-window distinct via HLL sketch merge: for each day present,
+   * the estimated distinct count over the trailing `windowDays` days —
+   * the rolling-MAU shape. THE mergeability payoff: the raw data reduces
+   * ONCE to ≤256-row daily sketches; the trailing merge joins only sketch
+   * rows (days × windowDays × 256 — tiny at any corpus size), where the
+   * exact equivalent re-scans or re-shuffles the raw pairs per window.
+   *
+   * Output: (day, occupied_buckets, sketch_sum, est_distinct) per day.
+   */
+  def hllTrailingDistinct(df: DataFrame, dayCol: String, hashCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daily = Staging.stage(hllSketch(df, dayCol, hashCol))
+    val days = daily.select(col("grp").as("day")).distinct()
+    val merged = days.join(daily,
+        col("grp") <= col("day") &&
+        col("grp") > col("day") - windowDays.toLong)
+      .groupBy(col("day"), col("bucket")).agg(max("m_j").as("m_j"))
+    hllFinalize(merged.withColumnRenamed("day", "grp"), "day")
+  }
+
   /** Benford first-digit expectation, ppm (log10(1 + 1/d) · 10⁶). */
   private val BenfordPpm = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
     4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,

@@ -109,6 +109,26 @@ object EventTimeOps {
    *
    * Output: (step, step_name, n_keys) — n_keys is monotone non-increasing.
    */
+  /**
+   * Per-key session statistics over [[sessionize]] output: session count,
+   * total events, the deepest session, and truncating mean session
+   * duration — the engagement-shape report (and, on a record stream, the
+   * bot heuristic: thousands of 1-event sessions). One extra partial-agg
+   * groupBy over the already-keyed session rows.
+   *
+   * Output: (key, n_sessions, n_events, max_session_events,
+   * avg_session_ms).
+   */
+  def sessionStats(records: DataFrame, gapMs: Long): DataFrame =
+    sessionize(records, gapMs)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        graft.operators.IntMath.idiv(
+          sum(col("end_ms") - col("start_ms")), count(lit(1)))
+          .as("avg_session_ms"))
+
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.size <= 16, "1..16 funnel steps")

@@ -1886,6 +1886,69 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged.toSeq == onePass.toSeq) // register max is associative
   }
 
+  test("featureStats: exact centered variance, null exclusion") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((2L, 7L), (4L, 7L), (6L, 7L)).foreach { case (a, b) =>
+      l.add(Row(a, b)) }
+    l.add(Row(null, 7L)) // null a excluded from a's stats only
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType))))
+    val out = Stats.featureStats(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(5), r.getLong(6))).toMap
+    assert(out("a") == (3L, 4L, 2L)) // mean 4, var ((−2)²+0+2²)/3 = 2
+    assert(out("b") == (4L, 7L, 0L)) // constant feature
+  }
+
+  test("classBalanceReport: shares and inverse-Simpson effective classes") {
+    val l = new java.util.ArrayList[Row]()
+    Seq("a", "a", "a", "b").foreach(x => l.add(Row(x)))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("lbl", StringType))))
+    val out = Stats.classBalanceReport(df, "lbl")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // n=4, Σc²=10 → 16·1000/10 = 1600 effective classes ×1000
+    assert(out("a") == (3L, 750000L, 1600L))
+    assert(out("b") == (1L, 250000L, 1600L))
+  }
+
+  test("hllTrailingDistinct: trailing merge equals the union-build sketch") {
+    val l = new java.util.ArrayList[Row]()
+    (1L to 200L).foreach(i => l.add(Row(1L, i * 104729L)))
+    (150L to 350L).foreach(i => l.add(Row(2L, i * 104729L)))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("day", LongType), StructField("h", LongType))))
+    val trailing = Stats.hllTrailingDistinct(df, "day", "h", windowDays = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // day 1 window = day 1 alone; day 2 window = both days
+    val d1 = Stats.hllDistinct(df.filter(col("day") === 1L)
+      .withColumn("g", lit(0L)), "g", "h").head()
+    val union = Stats.hllDistinct(df.withColumn("g", lit(0L)), "g", "h")
+      .head()
+    assert(trailing(1L) == (d1.getLong(1), d1.getLong(2), d1.getLong(3)))
+    assert(trailing(2L) ==
+      (union.getLong(1), union.getLong(2), union.getLong(3)))
+  }
+
+  test("labelNoiseReport: neighbor disagreement fraction per item") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((0L, Seq(1.0, 0.0), 1), (1L, Seq(0.9, 0.0), 2),
+      (2L, Seq(0.8, 0.0), 1), (3L, Seq(-1.0, 0.0), 3))
+      .foreach { case (id, v, lb) => l.add(Row(id, v, lb)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType))))
+    val out = Similarity.labelNoiseReport(df, "vec_id", "embedding",
+      "label", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // item 0's 2-NN = items 1 (label 2) and 2 (label 1) → 1 of 2 disagrees
+    assert(out(0L) == (2L, 1L, 500000L))
+  }
+
   test("savingsReport: global dup attribution, per-class token math") {
     val l = new java.util.ArrayList[Row]()
     Seq((1L, "a b", "s1"), (2L, "a b", "s2"), (3L, "c", "s2"))

@@ -210,6 +210,18 @@ class EventTimeOpsSpec extends SparkSuite {
       ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
   }
 
+  test("sessionStats: per-key session shape over the gap sessionizer") {
+    val df = events(
+      ("a", 0L, "u1", 1000L), ("a", 1L, "u1", 2000L),   // session 1 (1s span)
+      ("a", 2L, "u1", 4000000L),                         // session 2 (0 span)
+      ("a", 3L, "u2", 500L))
+    val out = EventTimeOps.sessionStats(df, 1800000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("u1") == (2L, 3L, 2L, 500L)) // (1000+0) DIV 2 sessions
+    assert(out("u2") == (1L, 1L, 1L, 0L))
+  }
+
   test("behaviorEntropy: qlog2-exact transition entropy; constant key = 0") {
     val schema2 = StructType(Seq(
       StructField("k", StringType), StructField("ts", LongType),
