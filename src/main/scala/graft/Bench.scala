@@ -173,7 +173,8 @@ object Bench {
       "q170_label_mrr", "q171_dedup_savings", "q172_behavior_entropy",
       "q173_asof_forward", "q174_target_rate_bins", "q175_window_distinct",
       "q176_session_stats", "q177_feature_stats", "q178_label_noise",
-      "q179_class_balance", "q180_trailing_distinct")
+      "q179_class_balance", "q180_trailing_distinct", "q181_attribution",
+      "q182_fingerprint", "q183_vocab_coverage", "q184_missingness")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

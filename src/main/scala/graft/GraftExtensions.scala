@@ -13,6 +13,8 @@ import graft.functions.{LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr
  *   graft_fold_hash(s)    the engine's portable string hash
  *   graft_qdot(a, b)      codegen'd int64 dot product over array<long>
  *   graft_qnorm2(a)       codegen'd int64 squared norm over array<long>
+ *   graft_qlog2(x)        fixed-point log2 (1024 units/bit), the scoring scale
+ *   graft_token_count(s)  the engine's whitespace token count
  *
  * Wire up with:
  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
@@ -40,5 +42,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LongArrayNorm2Expr].getName, "graft_qnorm2"),
       (args: Seq[Expression]) => LongArrayNorm2Expr(args.head)))
+    // composite builtins exposed as SQL names — built from catalyst nodes
+    // directly (a Column round-trip yields an un-codegen-able node inside
+    // injectFunction), expanding to builtin expressions only, so they stay
+    // inside whole-stage codegen. Arithmetic mirrors Retrieval.qlog2 /
+    // TextAnalysis.tokenCount exactly; GraftExtensionsSpec pins equality.
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qlog2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.Retrieval", "graft_qlog2"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        val x = Cast(args.head, LongType)
+        val ilog2 = Cast(Subtract(Length(Bin(x)), Literal(1)), LongType)
+        Subtract(
+          Add(Multiply(Literal(1024L), ilog2),
+            ShiftRight(Multiply(x, Literal(1024L)),
+              Cast(ilog2, IntegerType))),
+          Literal(1024L))
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.TextAnalysis", "graft_token_count"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.{LongType, StringType}
+        val t = UnresolvedNamedLambdaVariable(Seq("t"))
+        Cast(Size(ArrayFilter(
+          StringSplit(new StringTrim(Cast(args.head, StringType)),
+            Literal("\\s+"), Literal(-1)),
+          LambdaFunction(GreaterThan(Length(t), Literal(0)), Seq(t))),
+          legacySizeOfNull = false), LongType)
+      }))
   }
 }

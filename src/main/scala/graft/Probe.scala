@@ -722,6 +722,68 @@ object Probe {
             "doc_id", "split").count())
       }
     }
+
+    // ---- round-7 continuation operators: every window keyed, binning
+    // map-only, co-occurrence capped on a degenerate group ----
+    locally {
+      import graft.operators.{Dedup, Graph, Stats}
+      val ev = graft.sources.KafkaLike.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.operators.IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+          floor(col("value") * 100).cast(
+            org.apache.spark.sql.types.LongType).as("cents"))
+      val auc = Stats.rocAucReport(ev, "event_type", "cents")
+      assertKeyedWindows(auc, "rocAucReport") // windows keyed on __bucket
+      timed("roc auc (sf0.1 events)")(auc.count())
+      val ks = Stats.ksStatistic(ev, "event_type", "cents",
+        "purchase", "view")
+      assertKeyedWindows(ks, "ksStatistic")
+      timed("ks statistic (sf0.1 events)")(ks.count())
+      val cu = graft.streaming.EventTimeOps.cusumReport(ev,
+        "user_id", "ts_ms", "event_id", "cents")
+      assertKeyedWindows(cu, "cusumReport")
+      timed("cusum report (sf0.1 events)")(cu.count())
+      val be = graft.streaming.EventTimeOps.behaviorEntropy(ev,
+        "user_id", "ts_ms", "event_id", "event_type")
+      assertKeyedWindows(be, "behaviorEntropy")
+      timed("behavior entropy (sf0.1 events)")(be.count())
+      val bins = Stats.binTargetRates(ev, "cents", "event_type",
+        "purchase", nBins = 10)
+      // binning itself must be MAP-ONLY: boundary comparisons are literals,
+      // so the plan may contain NO window operator at all
+      require(bins.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "binTargetRates binning must not introduce a window")
+      timed("target-rate bins (sf0.1 events)")(bins.count())
+      timed("trailing 7d distinct (sf0.1 events)")(
+        Stats.hllTrailingDistinct(
+          ev.select(graft.operators.IntMath.idiv(col("ts_ms"),
+            lit(86400000L)).as("day"), col("user_id").as("h")),
+          "day", "h", windowDays = 7).count())
+      timed("feature stats (sf0.1 lineitem ×3 features)")(
+        Stats.featureStats(
+          spark.read.parquet(s"$dir/lineitem.parquet").select(
+            col("l_quantity").cast(
+              org.apache.spark.sql.types.LongType).as("qty"),
+            floor(col("l_extendedprice")).cast(
+              org.apache.spark.sql.types.LongType).as("price_usd"),
+            floor(col("l_discount") * 1000).cast(
+              org.apache.spark.sql.types.LongType).as("disc_pmil")),
+          Seq("qty", "price_usd", "disc_pmil")).count())
+      // degenerate co-occurrence: ONE group holding 10k items would emit
+      // ~50M pairs uncapped; the cap drops it entirely (no signal), so the
+      // pair count collapses to the healthy groups' volume
+      val degG = spark.range(0, 10000)
+        .select(lit(0L).as("g"), col("id").as("it"))
+        .unionByName(spark.range(0, 3000).select(
+          (col("id") % 1000L + 1L).as("g"), (col("id") % 7L).as("it")))
+      timed("co-occurrence w/ degenerate group (capped)")(
+        Graph.cooccurrencePairs(degG, "g", "it", maxGroupSize = 64,
+          minSupport = 1L).count())
+      timed("dedup savings (sf0.1 documents)")(
+        Dedup.savingsReport(spark.read.parquet(s"$dir/documents.parquet"),
+          "text", "doc_id", "source").count())
+    }
     spark.stop()
   }
 }

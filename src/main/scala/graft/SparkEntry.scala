@@ -2499,7 +2499,43 @@ object SparkEntry {
             col("d2") <= col("day") && col("d2") > col("day") - 7L)
           .groupBy("day").agg(countDistinct("h").as("exact_distinct"))
         est.join(exact, "day").orderBy("day")
-      })
+      }),
+
+    // conversion attribution: last view at-or-before each purchase plus
+    // the first view inside the trailing 7 days — asof + range-join core
+    Q("q181_attribution", Some(
+      """WITH c AS (SELECT event_id AS conv_id, user_id AS key, CAST(epoch_ms(ts) AS BIGINT) AS ts FROM events WHERE event_type = 'purchase'), t AS (SELECT user_id AS key, CAST(epoch_ms(ts) AS BIGINT) AS ts, MAX(event_id) AS touch_id FROM events WHERE event_type = 'view' GROUP BY 1, 2), lt AS (SELECT c.conv_id, c.key, c.ts, t.touch_id AS last_touch_id FROM c ASOF LEFT JOIN t ON c.key = t.key AND c.ts >= t.ts), tp AS (SELECT user_id AS key, CAST(epoch_ms(ts) AS BIGINT) AS ts, event_id AS touch_id FROM events WHERE event_type = 'view'), fw0 AS (SELECT c.conv_id, MIN(tp.ts) AS fts FROM c JOIN tp ON c.key = tp.key AND tp.ts >= c.ts - 604800000 AND tp.ts <= c.ts GROUP BY 1), fw AS (SELECT fw0.conv_id, CAST(MIN(tp.touch_id) AS BIGINT) AS first_touch_id FROM fw0 JOIN c ON fw0.conv_id = c.conv_id JOIN tp ON c.key = tp.key AND tp.ts = fw0.fts GROUP BY 1) SELECT lt.conv_id, lt.key, lt.ts, lt.last_touch_id, fw.first_touch_id FROM lt LEFT JOIN fw USING (conv_id) ORDER BY conv_id"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"))
+        graft.streaming.EventTimeOps.attribution(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts_ms", "event_id", windowMs = 604800000L)
+          .orderBy("conv_id")
+      }),
+
+    // order-independent dataset fingerprint: count + XOR/SUM of a portable
+    // row hash — the no-sort "are these copies identical" check
+    Q("q182_fingerprint", Some(
+      s"""WITH h AS (SELECT ${dFold("concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))")} AS h FROM lineitem) SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xor_hash, CAST(SUM(h) AS BIGINT) AS sum_hash FROM h"""),
+      (s, dir) => Stats.datasetFingerprint(lineitem(tune(s), dir),
+        Seq("l_orderkey", "l_partkey", "l_linenumber"))),
+
+    // vocabulary head coverage: token-mass share of the top-{10,100,1000}
+    // terms — the vocab-sizing / OOV-rate curve
+    Q("q183_vocab_coverage", Some(
+      s"""WITH tk AS (SELECT unnest($dToks) AS token FROM documents), tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1), tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab FROM tf), top AS (SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token ASC) AS rn FROM tf QUALIFY rn <= 1000), p AS (SELECT unnest([10, 100, 1000]) AS k) SELECT CAST(p.k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS terms_used, CAST(SUM(top.tf) AS BIGINT) AS covered_tokens, CAST(SUM(top.tf)*1000000 // tot.total AS BIGINT) AS coverage_ppm, tot.vocab AS vocab_size FROM p JOIN top ON top.rn <= p.k CROSS JOIN tot GROUP BY 1, tot.total, tot.vocab ORDER BY k"""),
+      (s, dir) => TextAnalysis.vocabCoverage(docs(tune(s), dir), "text",
+        Seq(10, 100, 1000)).orderBy("k")),
+
+    // missingness / cardinality profile: the schema-health data-card half
+    Q("q184_missingness", Some(
+      """WITH u AS (SELECT 'c_custkey' AS feature, CAST(c_custkey AS VARCHAR) AS v FROM customer UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer) SELECT feature, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)*1000000 // COUNT(*) AS BIGINT) AS null_ppm, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct FROM u GROUP BY 1 ORDER BY feature"""),
+      (s, dir) => Stats.missingnessReport(customer(tune(s), dir),
+        Seq("c_custkey", "c_mktsegment", "c_nationkey"))
+        .orderBy("feature"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -983,6 +983,62 @@ object Stats {
     hllFinalize(merged.withColumnRenamed("day", "grp"), "day")
   }
 
+  /**
+   * Order-independent dataset fingerprint: one row summarizing content —
+   * row count, XOR and SUM of a portable per-row hash (the engine's fold
+   * hash over a `|`-joined canonical string of the given columns).
+   * Both aggregates are commutative/associative, so ANY partitioning, row
+   * order, or engine reproduces the same fingerprint — the
+   * "are these two copies byte-identical" check that needs no sort and no
+   * shuffle beyond one 1-row aggregate. Columns should render identically
+   * across engines (integers/strings; avoid FP formatting). NULLs are
+   * skipped by concat_ws in both engines — a NULL and an absent column
+   * read the same, so include a sentinel if that distinction matters.
+   *
+   * Output: (n_rows, xor_hash, sum_hash).
+   */
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "pass at least one column")
+    val h = TextAnalysis.stringHash(concat_ws("|",
+      cols.map(c => col(c).cast(
+        org.apache.spark.sql.types.StringType)): _*))
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_hash"),
+        sum(col("__h")).as("sum_hash"))
+  }
+
+  /**
+   * Missingness / cardinality profile per column — the schema-health half
+   * of the data card ([[featureStats]] covers the numeric half): row
+   * count, null count and rate, and the EXACT distinct count of non-null
+   * values (canonicalized through string render — use on integer/string
+   * columns; FP formatting is engine-specific). One generated unpivot +
+   * two partial-agg groupBys; the distinct pass shuffles (feature, value)
+   * pairs — per-column NDV at full corpus scale is inherently a shuffle,
+   * swap in [[hllSketch]] per column when an estimate suffices.
+   *
+   * Output: (feature, n, n_null, null_ppm, n_distinct).
+   */
+  def missingnessReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "pass at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("feature"), col(c).cast(
+        org.apache.spark.sql.types.StringType).as("v"))): _*)).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"))
+    val base = pairs.groupBy("feature")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+    val nd = pairs.filter(col("v").isNotNull)
+      .select("feature", "v").distinct()
+      .groupBy("feature").agg(count(lit(1)).as("n_distinct"))
+    base.join(nd, Seq("feature"), "left")
+      .select(col("feature"), col("n"), col("n_null"),
+        IntMath.idiv(col("n_null") * lit(1000000L), col("n"))
+          .as("null_ppm"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+  }
+
   /** Benford first-digit expectation, ppm (log10(1 + 1/d) · 10⁶). */
   private val BenfordPpm = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
     4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,

@@ -424,6 +424,44 @@ object TextAnalysis {
    * second pass over text; the rank is a keyed window per doc_id (never a
    * global sort).
    */
+  /**
+   * Vocabulary head coverage: what fraction of the corpus's token MASS the
+   * top-k vocabulary terms cover, for each requested k — the
+   * tokenizer/vocab-sizing curve (and the OOV-rate read: 1 − coverage).
+   * Scale shape: term frequencies are one partial-agg groupBy; the head is
+   * a TakeOrdered(maxK) — bounded BEFORE the rank window, so the
+   * unpartitioned `row_number` runs over ≤ maxK rows (the zipf exemption),
+   * never the vocabulary.
+   *
+   * Output: (k, terms_used, covered_tokens, coverage_ppm, vocab_size).
+   */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      ks: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val maxK = ks.max
+    require(maxK <= 100000, s"head bounded at 100k terms, got $maxK")
+    val tf = Staging.stage(docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf")))
+    val total = tf.agg(sum("tf").as("total"), count(lit(1)).as("vocab_size"))
+    val top = tf.orderBy(col("tf").desc, col("token").asc).limit(maxK)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("token").asc)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ksDf = ks.distinct.sorted.map(_.toLong).toDF("k")
+    broadcast(ksDf).join(top, col("rn") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("terms_used"),
+        sum(col("tf")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("terms_used"), col("covered_tokens"),
+        IntMath.idiv(col("covered_tokens") * lit(1000000L), col("total"))
+          .as("coverage_ppm"),
+        col("vocab_size"))
+  }
+
   def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     // tf feeds both the df aggregate and the join below — stage it so the

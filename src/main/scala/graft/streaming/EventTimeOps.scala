@@ -297,6 +297,42 @@ object EventTimeOps {
   }
 
   /**
+   * Conversion attribution: for every conversion, the LAST touch at or
+   * before it (unwindowed — the classic last-touch model) and the FIRST
+   * touch inside the trailing `windowMs` (first-touch-in-window). Built
+   * from the two skew-safe join primitives: last = [[AsofJoin.asofJoin]]
+   * (touches compacted per (key, ts) by max id, q74's convention), first =
+   * [[graft.operators.RangeJoin.bucketed]] over the conversion's trailing
+   * interval + one lexicographic min — no per-key cross product anywhere.
+   *
+   * Output: (conv_id, key, ts, last_touch_id, first_touch_id); either
+   * side null when no qualifying touch exists.
+   */
+  def attribution(conversions: DataFrame, touches: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      windowMs: Long): DataFrame = {
+    require(windowMs > 0L, "windowMs must be positive")
+    val convs = conversions.select(col(keyCol).as("key"),
+      col(tsCol).as("ts"), col(idCol).as("conv_id"))
+    val tpts = touches.select(col(keyCol).as("key"), col(tsCol).as("ts"),
+      col(idCol).as("touch_id"))
+    val tcomp = tpts.groupBy("key", "ts")
+      .agg(max("touch_id").as("touch_id"))
+    val last = graft.operators.AsofJoin.asofJoin(convs, tcomp, "key", "ts",
+      Seq("touch_id"))
+    val iv = convs.select(col("key"), col("conv_id"),
+      (col("ts") - windowMs).as("__s"), (col("ts") + 1L).as("__e"))
+    val first = graft.operators.RangeJoin.bucketed(tpts, iv, "key", "ts",
+        "__s", "__e", bucketWidth = windowMs)
+      .groupBy("conv_id")
+      .agg(min(struct(col("ts"), col("touch_id"))).as("__f"))
+      .select(col("conv_id"), col("__f.touch_id").as("first_touch_id"))
+    last.join(first, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("key"), col("ts"),
+        col("asof_touch_id").as("last_touch_id"), col("first_touch_id"))
+  }
+
+  /**
    * Streaming windowed HLL sketch: per event-time tumbling window, the
    * mergeable (bucket, m_j) registers of `Stats.hllSketch` — watermarked
    * `groupBy(window, bucket).max(rho)`, append mode, so each window's ≤256

@@ -27,6 +27,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_qdot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
           "graft_qnorm2(array(3L, 4L)) AS n").collect().head
       assert(q.getLong(0) == 32L && q.getLong(1) == 25L)
+      val c = spark.sql(
+        "SELECT graft_qlog2(8L) AS l, graft_token_count('  a  b ') AS t")
+        .collect().head
+      assert(c.getLong(0) == 3072L) // exactly 3 bits × 1024 units
+      assert(c.getLong(1) == 2L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -1886,6 +1886,46 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged.toSeq == onePass.toSeq) // register max is associative
   }
 
+  test("datasetFingerprint: order-independent, content-sensitive") {
+    def f(rows: (Long, String)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (a, b) => l.add(Row(a, b)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType))))
+    }
+    val x = Stats.datasetFingerprint(
+      f((1L, "p"), (2L, "q"), (3L, "r")), Seq("a", "b")).head()
+    val y = Stats.datasetFingerprint(
+      f((3L, "r"), (1L, "p"), (2L, "q")), Seq("a", "b")).head()
+    val z = Stats.datasetFingerprint(
+      f((1L, "p"), (2L, "q"), (3L, "X")), Seq("a", "b")).head()
+    assert(x.getLong(0) == 3L)
+    assert((x.getLong(1), x.getLong(2)) == (y.getLong(1), y.getLong(2)))
+    assert((x.getLong(1), x.getLong(2)) != (z.getLong(1), z.getLong(2)))
+  }
+
+  test("vocabCoverage: head token-mass shares at each k") {
+    val d = docs((1L, "a a a b b c"))
+    val out = TextAnalysis.vocabCoverage(d, "text", Seq(1, 2))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (1L, 3L, 500000L, 3L))
+    assert(out(2L) == (2L, 5L, 833333L, 3L))
+  }
+
+  test("missingnessReport: null counting and exact NDV per column") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((1L, "x"), (2L, null), (2L, "x"))
+      .foreach { case (a, b) => l.add(Row(a, b)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    val out = Stats.missingnessReport(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == (3L, 0L, 0L, 2L))
+    assert(out("b") == (3L, 1L, 333333L, 1L))
+  }
+
   test("featureStats: exact centered variance, null exclusion") {
     val l = new java.util.ArrayList[Row]()
     Seq((2L, 7L), (4L, 7L), (6L, 7L)).foreach { case (a, b) =>

@@ -210,6 +210,28 @@ class EventTimeOpsSpec extends SparkSuite {
       ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
   }
 
+  test("attribution: last-touch asof + first-touch-in-window, nulls kept") {
+    val schema2 = StructType(Seq(
+      StructField("k", StringType), StructField("ts", LongType),
+      StructField("id", LongType)))
+    def f(rows: (String, Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, t, i) => l.add(Row(k, t, i)) }
+      s.createDataFrame(l, schema2)
+    }
+    val convs = f(("u", 50L, 1L), ("u", 9L, 2L))
+    val touches = f(("u", 10L, 100L), ("u", 50L, 101L))
+    val out = EventTimeOps.attribution(convs, touches, "k", "ts", "id",
+      windowMs = 30L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // conv 1 @50: last = touch 101 (tie at 50 inclusive); window [20, 50]
+    // holds only ts 50 → first = 101. conv 2 @9: nothing at or before.
+    assert(out(1L) == (101L, 101L))
+    assert(out(2L) == (-1L, -1L))
+  }
+
   test("sessionStats: per-key session shape over the gap sessionizer") {
     val df = events(
       ("a", 0L, "u1", 1000L), ("a", 1L, "u1", 2000L),   // session 1 (1s span)
