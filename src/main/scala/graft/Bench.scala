@@ -174,7 +174,9 @@ object Bench {
       "q173_asof_forward", "q174_target_rate_bins", "q175_window_distinct",
       "q176_session_stats", "q177_feature_stats", "q178_label_noise",
       "q179_class_balance", "q180_trailing_distinct", "q181_attribution",
-      "q182_fingerprint", "q183_vocab_coverage", "q184_missingness")
+      "q182_fingerprint", "q183_vocab_coverage", "q184_missingness",
+      "q185_global_rank", "q186_bloom_join", "q187_temperature_mix",
+      "q188_churn_labels")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

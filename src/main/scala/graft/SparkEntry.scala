@@ -2535,7 +2535,49 @@ object SparkEntry {
       """WITH u AS (SELECT 'c_custkey' AS feature, CAST(c_custkey AS VARCHAR) AS v FROM customer UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer) SELECT feature, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)*1000000 // COUNT(*) AS BIGINT) AS null_ppm, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct FROM u GROUP BY 1 ORDER BY feature"""),
       (s, dir) => Stats.missingnessReport(customer(tune(s), dir),
         Seq("c_custkey", "c_mktsegment", "c_nationkey"))
-        .orderBy("feature"))
+        .orderBy("feature")),
+
+    // contiguous global rank without a global sort: two-stage bucketed
+    // scan + bucket-keyed windows — exactly row_number() over (v, id)
+    Q("q185_global_rank", Some(
+      """WITH v AS (SELECT event_id, CAST(floor(value*100) AS BIGINT) AS cents FROM events) SELECT event_id, cents, CAST(row_number() OVER (ORDER BY cents, event_id) AS BIGINT) AS rank FROM v ORDER BY event_id"""),
+      (s, dir) => Stats.globalRank(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "cents", "event_id")
+        .orderBy("event_id")),
+
+    // bloom-pruned equi-join: broadcast runtime filter drops unmatchable
+    // left rows pre-shuffle; result hash-equals the plain inner join
+    Q("q186_bloom_join", Some(
+      """SELECT o.o_custkey AS custkey, o.o_orderkey, c.c_nationkey FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING' ORDER BY o_orderkey"""),
+      (s, dir) => Stats.bloomPrunedJoin(
+        orders(tune(s), dir).select(col("o_orderkey"),
+          col("o_custkey").as("custkey")),
+        customer(tune(s), dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"), col("c_nationkey")),
+        "custkey")
+        .select("custkey", "o_orderkey", "c_nationkey")
+        .orderBy("o_orderkey")),
+
+    // temperature-scaled mixture weights (n^0.5 via the qlog2/qexp2 pair)
+    // — the mT5 small-source upsampling rule, bit-deterministic
+    Q("q187_temperature_mix", Some(
+      s"""WITH c AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1), sx AS (SELECT cls, n, (${dQlog2("n")}) * 500 // 1000 AS s FROM c), wq AS (SELECT cls, n, ((1024 + (s % 1024)) << CAST(s // 1024 AS INT)) // 1024 AS w FROM sx), t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wq) SELECT cls, n, CAST(w*1000000 // t.tw AS BIGINT) AS weight_ppm FROM wq CROSS JOIN t ORDER BY cls"""),
+      (s, dir) => Sampling.temperatureWeights(docs(tune(s), dir), "source",
+        alphaPermille = 500).orderBy("cls")),
+
+    // churn labels: last activity before the trailing-horizon cutoff —
+    // deterministic supervised-label derivation
+    Q("q188_churn_labels", Some(
+      """WITH v AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events), m AS (SELECT CAST(MAX(ts_ms) AS BIGINT) - 604800000 AS cutoff FROM v) SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(MAX(ts_ms) AS BIGINT) AS last_ts, MAX(ts_ms) < m.cutoff AS churned FROM v CROSS JOIN m GROUP BY 1, m.cutoff ORDER BY key"""),
+      (s, dir) => graft.streaming.EventTimeOps.churnLabels(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms")),
+        "user_id", "ts_ms", horizonMs = 604800000L)
+        .orderBy("key"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

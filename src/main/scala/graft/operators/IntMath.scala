@@ -23,4 +23,11 @@ object IntMath {
     GraftBridge.column(ShiftRight(
       GraftBridge.expression(a),
       GraftBridge.expression(bits.cast(org.apache.spark.sql.types.IntegerType))))
+
+  /** `a << bits` with a COLUMN bit count — multiplication by 2^bits for
+    * the small non-negative operands used here (caller bounds the shift). */
+  def shl(a: Column, bits: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      GraftBridge.expression(a),
+      GraftBridge.expression(bits.cast(org.apache.spark.sql.types.IntegerType))))
 }

@@ -190,6 +190,38 @@ object Sampling {
     df.withColumn("fold", idHash(col(groupCol)) % k.toLong)
   }
 
+  /**
+   * Temperature-scaled mixture weights (the mT5/data-mixing rule):
+   * weight(class) ∝ n^α with α = `alphaPermille`/1000 — α < 1 upsamples
+   * small sources, α = 1 is proportional, α = 0 uniform. All fixed-point
+   * integer: n^α = qexp2(α·qlog2(n)) with the engine's piecewise-linear
+   * 1024-units-per-bit log/exp pair, so every engine reproduces the
+   * weights bit-for-bit (the pair is a monotone approximation — this is
+   * a mixing policy, not an exact power). One groupBy + a ≤|classes|-row
+   * total join.
+   *
+   * Output: (cls, n, weight_ppm) with Σ weight_ppm ≤ 10⁶ (floor).
+   */
+  def temperatureWeights(df: DataFrame, classCol: String,
+      alphaPermille: Int): DataFrame = {
+    require(alphaPermille >= 0 && alphaPermille <= 2000,
+      s"alphaPermille in [0, 2000], got $alphaPermille")
+    val counts = df.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n"))
+    // qexp2(x) = ((1024 + x mod 1024) << (x DIV 1024)) DIV 1024
+    val s = IntMath.idiv(
+      Retrieval.qlog2(col("n")) * alphaPermille.toLong, lit(1000L))
+    val w = IntMath.idiv(
+      IntMath.shl(lit(1024L) + pmod(s, lit(1024L)),
+        IntMath.idiv(s, lit(1024L))), lit(1024L))
+    val weighted = counts.withColumn("__w", w)
+    val tot = weighted.agg(sum("__w").as("__tw"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("cls"), col("n"),
+        IntMath.idiv(col("__w") * lit(1000000L), col("__tw"))
+          .as("weight_ppm"))
+  }
+
   def mixtureSample(df: DataFrame, classCol: String, idCol: String,
       weightsPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
     require((defaultPct +: weightsPct.values.toSeq).forall(_ >= 0),

@@ -156,6 +156,67 @@ object Stats {
         lit(1000000L)).as("est_distinct"))
   }
 
+  /**
+   * Contiguous GLOBAL rank by (value, id) without a global sort — the
+   * stable-row-numbering primitive (shard-stable example ids, resumable
+   * cursors). Same two-stage shape as [[globalQuantiles]]: bucket by value
+   * range, collect the ≤ nBuckets per-bucket counts as exclusive offsets,
+   * rank inside each bucket with a window KEYED on the bucket, add the
+   * offset. Exactly `row_number() OVER (ORDER BY value, id)` — the id
+   * tie-break makes it total, so any partitioning reproduces it.
+   *
+   * Output: the input columns plus `rank` (1-based).
+   */
+  def globalRank(df: DataFrame, valueCol: String, idCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val vals = df.withColumn("__v", col(valueCol).cast(LongType))
+    val mm = vals.agg(min(col("__v")), max(col("__v")), count(lit(1))).head()
+    require(mm.getLong(2) > 0L, "globalRank of an empty frame")
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / nBuckets + 1)
+    val b = vals.withColumn("__bucket",
+      IntMath.idiv(col("__v") - lo, lit(width)))
+    val counts = b.groupBy("__bucket").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (bk, c) => val o = acc; acc += c; (bk, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offs.toSeq.toDF("__bucket", "__off")
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col(valueCol), col(idCol))
+    b.join(broadcast(offDf), "__bucket")
+      .withColumn("rank",
+        row_number().over(w).cast(LongType) + col("__off"))
+      .drop("__bucket", "__off", "__v")
+  }
+
+  /**
+   * Bloom-pruned equi-join: build a Bloom filter over the RIGHT side's
+   * keys ([[bloomBuild]] — a few KB of bit blocks), broadcast it, and
+   * drop left rows that cannot match BEFORE the shuffle join. No false
+   * negatives, so the result EXACTLY equals the plain inner join (the
+   * oracle checks that); the payoff is shuffle volume — a selective right
+   * side prunes most of the left map-side. The classic runtime-filter
+   * pattern, explicit and engine-portable. Left rows must be distinct
+   * ([[bloomContains]] re-groups by the probe columns — byte-identical
+   * duplicates would collapse); dedup or add a row id first.
+   */
+  def bloomPrunedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      mBits: Int = 65536, k: Int = 4): DataFrame = {
+    def keyHash(c: Column): Column =
+      pmod(pmod(c.cast(LongType), lit(2147483647L)) * 2654435761L,
+        lit(2147483647L))
+    val bloom = bloomBuild(
+      right.select(keyHash(col(keyCol)).as("__h")), "__h", mBits, k)
+    val probed = bloomContains(bloom,
+      left.withColumn("__h", keyHash(col(keyCol))), "__h", mBits, k)
+    probed.filter(col("might_contain"))
+      .drop("might_contain", "__h")
+      .join(right, keyCol)
+  }
+
   /** Count-min row/bucket assignment shared by [[countMinSketch]] and
     * [[cmsEstimate]]: bucket_i(h) = ((aᵢ·h + bᵢ) mod (2³¹−1)) mod width,
     * seeds from the minhash family (pairwise-independent enough, and

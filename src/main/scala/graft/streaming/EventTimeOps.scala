@@ -297,6 +297,50 @@ object EventTimeOps {
   }
 
   /**
+   * Churn labeling: a key is churned when its LAST activity predates the
+   * observation horizon (corpus max ts − `horizonMs`) — the standard
+   * supervised-churn label derivation, deterministic from the data alone.
+   * One 1-row aggregate for the cutoff + one partial-agg groupBy.
+   *
+   * Output: (key, n_events, last_ts, churned).
+   */
+  def churnLabels(events: DataFrame, keyCol: String, tsCol: String,
+      horizonMs: Long): DataFrame = {
+    require(horizonMs > 0L, "horizonMs must be positive")
+    val mm = events.agg(max(col(tsCol))).head()
+    require(!mm.isNullAt(0), "churnLabels of an empty frame")
+    val cutoff = mm.getLong(0) - horizonMs
+    events.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("last_ts"))
+      .withColumn("churned", col("last_ts") < cutoff)
+  }
+
+  /**
+   * Streaming stream-stream interval join: each left event joined to the
+   * right events of the same key whose time falls in the left's trailing
+   * `lookbackMs` — the watermarked two-stream form of
+   * [[graft.operators.RangeJoin.bucketed]]'s q75 semantics. Both sides
+   * carry watermarks, and the time-bound condition lets Spark expire
+   * right-side state once the watermark passes `leftTs − lookbackMs` —
+   * bounded state on two unbounded streams. Append mode.
+   *
+   * Columns: left keeps its names; the right side's key/ts arrive renamed
+   * `__rkey`/`rightTs` so the join condition is unambiguous.
+   */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, lookbackMs: Long,
+      watermark: String): DataFrame = {
+    require(lookbackMs > 0L, "lookbackMs must be positive")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withColumnRenamed(keyCol, "__rkey")
+      .withWatermark(rightTsCol, watermark)
+    l.join(r, expr(
+      s"$keyCol = __rkey AND $rightTsCol >= $leftTsCol - INTERVAL " +
+        s"$lookbackMs MILLISECONDS AND $rightTsCol <= $leftTsCol"))
+      .drop("__rkey")
+  }
+
+  /**
    * Conversion attribution: for every conversion, the LAST touch at or
    * before it (unwindowed — the classic last-touch model) and the FIRST
    * touch inside the trailing `windowMs` (first-touch-in-window). Built

@@ -1886,6 +1886,49 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged.toSeq == onePass.toSeq) // register max is associative
   }
 
+  test("globalRank: bucket-keyed windows reproduce the global row_number") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((1L, 5L), (2L, 3L), (3L, 3L), (4L, 9L))
+      .foreach { case (id, v) => l.add(Row(id, v)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    val out = Stats.globalRank(df, "v", "id", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(2L -> 1L, 3L -> 2L, 1L -> 3L, 4L -> 4L))
+  }
+
+  test("bloomPrunedJoin: result equals the plain inner join") {
+    def keyed(name: String, rows: (Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, v) => l.add(Row(k, v)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("k", LongType), StructField(name, LongType))))
+    }
+    val left = keyed("lv", (1L to 50L).map(i => i -> i * 10L): _*)
+    val right = keyed("rv", (1L, 100L), (7L, 700L), (999L, 1L))
+    val pruned = Stats.bloomPrunedJoin(left, right, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = left.join(right, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pruned == plain) // no false negatives → identical result
+    assert(pruned.map(_._1) == Set(1L, 7L))
+  }
+
+  test("temperatureWeights: uniform at α=0, proportional at α=1") {
+    val l = new java.util.ArrayList[Row]()
+    (1 to 2).foreach(_ => l.add(Row("a")))
+    (1 to 8).foreach(_ => l.add(Row("b")))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("cls", StringType))))
+    val uni = Sampling.temperatureWeights(df, "cls", alphaPermille = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(uni == Map("a" -> 500000L, "b" -> 500000L))
+    // powers of two are exact through the qlog2/qexp2 pair
+    val prop = Sampling.temperatureWeights(df, "cls", alphaPermille = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prop == Map("a" -> 200000L, "b" -> 800000L))
+  }
+
   test("datasetFingerprint: order-independent, content-sensitive") {
     def f(rows: (Long, String)*) = {
       val l = new java.util.ArrayList[Row]()

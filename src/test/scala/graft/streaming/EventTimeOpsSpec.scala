@@ -210,6 +210,55 @@ class EventTimeOpsSpec extends SparkSuite {
       ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
   }
 
+  test("churnLabels: horizon cutoff from the corpus max") {
+    val schema2 = StructType(Seq(
+      StructField("k", StringType), StructField("ts", LongType)))
+    val l = new java.util.ArrayList[Row]()
+    Seq(("a", 10L), ("a", 60L), ("b", 80L), ("b", 100L))
+      .foreach { case (k, t) => l.add(Row(k, t)) }
+    val out = EventTimeOps.churnLabels(
+      s.createDataFrame(l, schema2), "k", "ts", horizonMs = 30L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // cutoff = 100 − 30 = 70: a's last activity 60 < 70 → churned
+    assert(out("a") == (2L, 60L, true))
+    assert(out("b") == (2L, 100L, false))
+  }
+
+  test("streamIntervalJoin: watermarked lookback join matches the batch") {
+    val srcL = Files.createTempDirectory("graft-ssj-l").toString
+    val srcR = Files.createTempDirectory("graft-ssj-r").toString
+    val ckpt = Files.createTempDirectory("graft-ssj-ckpt").toString
+    val ls = StructType(Seq(StructField("k", StringType),
+      StructField("lid", LongType), StructField("lts", TimestampType)))
+    val rs = StructType(Seq(StructField("k", StringType),
+      StructField("rid", LongType), StructField("rts", TimestampType)))
+    def ts(ms: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms))
+    val ll = new java.util.ArrayList[Row]()
+    ll.add(Row("u", 1L, ts(5000L))); ll.add(Row("u", 2L, ts(20000L)))
+    val rl = new java.util.ArrayList[Row]()
+    Seq(Row("u", 10L, ts(1000L)), Row("u", 11L, ts(5000L)),
+      Row("u", 12L, ts(19000L)), Row("v", 13L, ts(5000L)))
+      .foreach(rl.add)
+    s.createDataFrame(ll, ls).write.mode("overwrite").parquet(srcL)
+    s.createDataFrame(rl, rs).write.mode("overwrite").parquet(srcR)
+    val q = EventTimeOps.streamIntervalJoin(
+      s.readStream.schema(ls).parquet(srcL),
+      s.readStream.schema(rs).parquet(srcR),
+      "k", "lts", "rts", lookbackMs = 4000L, watermark = "0 seconds")
+      .select("lid", "rid")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = s.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // left 1 @5s looks back to 1s: rts 1000 (exactly at bound) + 5000
+    // (tie) match, key v does not; left 2 @20s catches only 19000
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 12L)))
+  }
+
   test("attribution: last-touch asof + first-touch-in-window, nulls kept") {
     val schema2 = StructType(Seq(
       StructField("k", StringType), StructField("ts", LongType),
