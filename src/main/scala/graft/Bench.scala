@@ -176,7 +176,8 @@ object Bench {
       "q179_class_balance", "q180_trailing_distinct", "q181_attribution",
       "q182_fingerprint", "q183_vocab_coverage", "q184_missingness",
       "q185_global_rank", "q186_bloom_join", "q187_temperature_mix",
-      "q188_churn_labels")
+      "q188_churn_labels", "q189_blocklist", "q190_bootstrap",
+      "q191_split_parity", "q192_cluster_hist")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

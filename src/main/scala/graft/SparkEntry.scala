@@ -2577,7 +2577,45 @@ object SparkEntry {
           .select(col("user_id"),
             IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms")),
         "user_id", "ts_ms", horizonMs = 604800000L)
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // blocklist screen: per-doc phrase bitmask + hit count — the map-only
+    // safety/keyword filter with a broadcast literal phrase chain
+    Q("q189_blocklist", Some(
+      """WITH m AS (SELECT doc_id AS id, CAST((CASE WHEN contains(text, 'window') THEN 1 ELSE 0 END) + (CASE WHEN contains(text, 'customer') THEN 2 ELSE 0 END) + (CASE WHEN contains(text, 'hash') THEN 4 ELSE 0 END) AS BIGINT) AS hit_mask FROM documents) SELECT id, hit_mask, CAST(bit_count(hit_mask) AS BIGINT) AS n_hits FROM m ORDER BY id"""),
+      (s, dir) => TextAnalysis.blocklistScreen(docs(tune(s), dir), "text",
+        "doc_id", Seq("window", "customer", "hash"))
+        .orderBy("id")),
+
+    // deterministic bootstrap stability: 16 hash-selected replicates of
+    // the spend metric — spread with zero randomness
+    Q("q190_bootstrap", Some(
+      """WITH v AS (SELECT event_id, CAST(floor(value*100) AS BIGINT) AS cents FROM events), r AS (SELECT unnest(range(16)) AS replicate), j AS (SELECT r.replicate, v.cents FROM v CROSS JOIN r WHERE ((((v.event_id*1009 + r.replicate) % 2147483647) * 2654435761) % 2147483647) % 100 < 63) SELECT CAST(replicate AS BIGINT) AS replicate, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_v FROM j GROUP BY 1 ORDER BY replicate"""),
+      (s, dir) => Sampling.bootstrapStability(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "event_id", "cents", nReplicates = 16, ratePct = 63)
+        .orderBy("replicate")),
+
+    // split-parity audit: does the stratified split preserve the size
+    // metric across train/val/test — the bias check after any split
+    Q("q191_split_parity", Some(
+      """WITH r AS (SELECT doc_id, source, n_chars, CAST(row_number() OVER (PARTITION BY source ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS BIGINT) AS r, CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM documents), sp AS (SELECT doc_id, n_chars, CASE WHEN r*100 <= n*80 THEN 'train' WHEN r*100 <= n*90 THEN 'val' ELSE 'test' END AS split FROM r) SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars, CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars FROM sp GROUP BY 1 ORDER BY split"""),
+      (s, dir) => Sampling.stratifiedSplit(
+        docs(tune(s), dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+          IntMath.idiv(sum("n_chars"), count(lit(1))).as("mean_chars"))
+        .orderBy("split")),
+
+    // dup-cluster size histogram: the one-page duplication-shape summary
+    Q("q192_cluster_hist", Some(
+      """WITH e AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1) SELECT n_copies AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, CAST(n_copies*COUNT(*) AS BIGINT) AS n_docs FROM e GROUP BY 1 ORDER BY cluster_size"""),
+      (s, dir) => Dedup.clusterSizeHistogram(docs(tune(s), dir), "text",
+        "doc_id").orderBy("cluster_size"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

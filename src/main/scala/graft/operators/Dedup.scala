@@ -68,6 +68,22 @@ object Dedup {
             col("n_tokens"))))
   }
 
+  /**
+   * Dup-cluster size histogram over [[exact]]: how many content clusters
+   * exist at each copy count, with the total document mass each size
+   * class holds — the one-page duplication-shape summary (a long tail of
+   * size-2 clusters needs different handling than a few 10k-copy
+   * boilerplate blobs). Two partial-agg groupBys.
+   *
+   * Output: (cluster_size, n_clusters, n_docs).
+   */
+  def clusterSizeHistogram(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    exact(docs, textCol, idCol)
+      .groupBy(col("n_copies").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   // ---------------------------------------------------------------- minhash
 
   /**

@@ -191,6 +191,30 @@ object Sampling {
   }
 
   /**
+   * Deterministic bootstrap stability: `nReplicates` hash-selected
+   * subsamples (row r joins replicate b iff quota-hash(r·1009 + b) mod 100
+   * < ratePct), each reporting its row count and value sum — the spread
+   * across replicates is the stability read on any corpus-level metric,
+   * with zero randomness: any engine, any partitioning, the same
+   * replicates. Map-side explode (×nReplicates rows) + one partial-agg
+   * groupBy; keep nReplicates modest (16–64), it multiplies the scan.
+   *
+   * Output: (replicate, n, sum_v), one row per replicate.
+   */
+  def bootstrapStability(df: DataFrame, idCol: String, valueCol: String,
+      nReplicates: Int = 16, ratePct: Int = 63): DataFrame = {
+    require(nReplicates >= 2 && nReplicates <= 256,
+      s"nReplicates in [2,256], got $nReplicates")
+    require(ratePct >= 1 && ratePct <= 100, s"ratePct in [1,100]")
+    df.select(col(idCol).as("__id"), col(valueCol).as("__v"),
+        explode(sequence(lit(0L), lit(nReplicates.toLong - 1L))).as("replicate"))
+      .filter(idHash(col("__id") * 1009L + col("replicate")) % 100L
+        < ratePct.toLong)
+      .groupBy("replicate")
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("sum_v"))
+  }
+
+  /**
    * Temperature-scaled mixture weights (the mT5/data-mixing rule):
    * weight(class) ∝ n^α with α = `alphaPermille`/1000 — α < 1 upsamples
    * small sources, α = 1 is proportional, α = 0 uniform. All fixed-point

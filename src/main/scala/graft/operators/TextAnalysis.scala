@@ -425,6 +425,29 @@ object TextAnalysis {
    * global sort).
    */
   /**
+   * Blocklist screen: per document, a bitmask of which blocked phrases
+   * occur (substring match) and the hit count — the safety-filter /
+   * keyword-screen pass. The phrase list broadcasts as a LITERAL
+   * comparison chain (≤ 63 phrases so the mask fits a clean int64), so
+   * the screen is map-only, codegen'd `contains` per phrase, at any
+   * corpus size; swap in a real multi-pattern automaton only past a few
+   * hundred phrases.
+   *
+   * Output: (id, hit_mask, n_hits) — phrase i sets bit i.
+   */
+  def blocklistScreen(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, phrases: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty && phrases.size <= 63,
+      s"1..63 phrases (bitmask), got ${phrases.size}")
+    val mask = phrases.zipWithIndex.map { case (p, i) =>
+      when(col(textCol).contains(p), lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    docs.select(col(idCol).as("id"), mask.as("hit_mask"))
+      .withColumn("n_hits", expr("bit_count(hit_mask)").cast(LongType))
+  }
+
+  /**
    * Vocabulary head coverage: what fraction of the corpus's token MASS the
    * top-k vocabulary terms cover, for each requested k — the
    * tokenizer/vocab-sizing curve (and the OOV-rate read: 1 − coverage).

@@ -1886,6 +1886,42 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged.toSeq == onePass.toSeq) // register max is associative
   }
 
+  test("blocklistScreen: per-phrase bits and hit counts") {
+    val d = docs((1L, "clean text here"), (2L, "has windowpane glass"),
+      (3L, "hash and window both"))
+    val out = TextAnalysis.blocklistScreen(d, "text", "doc_id",
+      Seq("window", "hash"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L) == (1L, 1L)) // substring match: windowpane hits
+    assert(out(3L) == (3L, 2L))
+  }
+
+  test("bootstrapStability: deterministic replicates at the given rate") {
+    val l = new java.util.ArrayList[Row]()
+    (1L to 500L).foreach(i => l.add(Row(i, i)))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    def run() = Sampling.bootstrapStability(df, "id", "v",
+      nReplicates = 8, ratePct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val a = run(); val b = run()
+    assert(a == b)                       // zero randomness
+    assert(a.map(_._1) == (0L to 7L))    // every replicate reports
+    // each replicate holds roughly ratePct of the rows
+    assert(a.forall(r => r._2 > 200L && r._2 < 400L))
+  }
+
+  test("clusterSizeHistogram: dup shape summary") {
+    val d = docs((1L, "same"), (2L, "same"), (3L, "unique"))
+    val out = Dedup.clusterSizeHistogram(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> (1L, 1L), 2L -> (1L, 2L)))
+  }
+
   test("globalRank: bucket-keyed windows reproduce the global row_number") {
     val l = new java.util.ArrayList[Row]()
     Seq((1L, 5L), (2L, 3L), (3L, 3L), (4L, 9L))
