@@ -177,7 +177,8 @@ object Bench {
       "q182_fingerprint", "q183_vocab_coverage", "q184_missingness",
       "q185_global_rank", "q186_bloom_join", "q187_temperature_mix",
       "q188_churn_labels", "q189_blocklist", "q190_bootstrap",
-      "q191_split_parity", "q192_cluster_hist")
+      "q191_split_parity", "q192_cluster_hist", "q193_qq_compare",
+      "q194_range_plan", "q195_fd_audit", "q196_rate_change")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

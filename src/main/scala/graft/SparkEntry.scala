@@ -2615,7 +2615,48 @@ object SparkEntry {
     Q("q192_cluster_hist", Some(
       """WITH e AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1) SELECT n_copies AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, CAST(n_copies*COUNT(*) AS BIGINT) AS n_docs FROM e GROUP BY 1 ORDER BY cluster_size"""),
       (s, dir) => Dedup.clusterSizeHistogram(docs(tune(s), dir), "text",
-        "doc_id").orderBy("cluster_size"))
+        "doc_id").orderBy("cluster_size")),
+
+    // QQ comparison of purchase vs view spend distributions — the
+    // value-scaled calibration read beside q157's rank-scaled KS
+    Q("q193_qq_compare", Some(
+      """WITH a AS (SELECT CAST(floor(value*100) AS BIGINT) AS v FROM events WHERE event_type = 'purchase'), b AS (SELECT CAST(floor(value*100) AS BIGINT) AS v FROM events WHERE event_type = 'view'), p AS (SELECT unnest([10, 25, 50, 75, 90]) AS q_pct), ra AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM a), qa AS (SELECT p.q_pct, MAX(CASE WHEN ra.rn = (ra.n*p.q_pct + 99)//100 THEN ra.v END) AS value_a FROM ra CROSS JOIN p GROUP BY 1), rb AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM b), qb AS (SELECT p.q_pct, MAX(CASE WHEN rb.rn = (rb.n*p.q_pct + 99)//100 THEN rb.v END) AS value_b FROM rb CROSS JOIN p GROUP BY 1) SELECT CAST(qa.q_pct AS INT) AS q_pct, qa.value_a, qb.value_b, CAST(CASE WHEN qb.value_b = 0 THEN 0 ELSE qa.value_a*1000 // qb.value_b END AS BIGINT) AS ratio_x1000 FROM qa JOIN qb USING (q_pct) ORDER BY q_pct"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents"))
+        Stats.qqCompare(ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"), "cents",
+          Seq(10, 25, 50, 75, 90))
+          .orderBy("q_pct")
+      }),
+
+    // range-partition write plan: proposed equi-depth ranges + the exact
+    // balance audit before a repartitionByRange commit
+    Q("q194_range_plan", Some(
+      """WITH v AS (SELECT CAST(floor(value*100) AS BIGINT) AS v FROM events), r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM v), p AS (SELECT unnest([12, 25, 37, 50, 62, 75, 87]) AS q), bd AS (SELECT p.q, MAX(CASE WHEN r.rn = (r.n*p.q + 99)//100 THEN r.v END) AS b FROM r CROSS JOIN p GROUP BY 1), bl AS (SELECT list(b ORDER BY q) AS bs FROM bd), pt AS (SELECT v.v, CAST(len(list_filter(bl.bs, x -> v.v > x)) AS BIGINT) AS partition FROM v CROSS JOIN bl), c AS (SELECT partition, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v FROM pt GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c) SELECT c.partition, c.n, c.min_v, c.max_v, CAST(c.n*8*1000 // t.t AS BIGINT) AS vs_even_x1000 FROM c CROSS JOIN t ORDER BY partition"""),
+      (s, dir) => Stats.rangePartitionPlan(
+        KafkaLike.events(tune(s), dir)
+          .select(floor(col("value") * 100).cast(LongType).as("cents")),
+        "cents", nPartitions = 8)
+        .orderBy("partition")),
+
+    // functional-dependency audit: does l_orderkey determine l_suppkey?
+    // (it should NOT — the violation mass is the evidence)
+    Q("q195_fd_audit", Some(
+      """WITH p AS (SELECT l_orderkey AS a, l_suppkey AS b, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), g AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ndv, CAST(SUM(c) AS BIGINT) AS rws FROM p GROUP BY 1) SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, CAST(SUM(CASE WHEN ndv > 1 THEN rws ELSE 0 END) AS BIGINT) AS violating_rows, CAST(SUM(CASE WHEN ndv > 1 THEN rws ELSE 0 END)*1000000 // SUM(rws) AS BIGINT) AS violate_ppm FROM g"""),
+      (s, dir) => Stats.fdAudit(lineitem(tune(s), dir),
+        "l_orderkey", "l_suppkey")),
+
+    // day-over-day rate change per user: the spike/collapse detector
+    Q("q196_rate_change", Some(
+      """WITH d AS (SELECT user_id AS key, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), w AS (SELECT key, day, n, lag(n) OVER (PARTITION BY key ORDER BY day) AS prev_n FROM d) SELECT key, day, n, CAST(COALESCE(prev_n, 0) AS BIGINT) AS prev_n, CAST(CASE WHEN prev_n IS NULL THEN 0 ELSE n*1000 // prev_n END AS BIGINT) AS change_x1000 FROM w ORDER BY key, day"""),
+      (s, dir) => graft.streaming.EventTimeOps.rateChangeReport(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms")),
+        "user_id", "ts_ms")
+        .orderBy("key", "day"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -217,6 +217,86 @@ object Stats {
       .join(right, keyCol)
   }
 
+  /**
+   * Quantile–quantile comparison of two value frames: at each requested
+   * percent, both sides' exact quantile values and their integer ratio
+   * ×1000 — the distribution-calibration read between two scorers or two
+   * corpus snapshots that stays value-scaled (where [[ksStatistic]] is
+   * rank-scaled). Two [[globalQuantiles]] two-stage scans + a ≤|percents|
+   * join.
+   *
+   * Output: (q_pct, value_a, value_b, ratio_x1000 — b==0 → 0).
+   */
+  def qqCompare(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    val qa = globalQuantiles(dfA, valueCol, percents)
+      .select(col("q_pct"), col("value").as("value_a"))
+    val qb = globalQuantiles(dfB, valueCol, percents)
+      .select(col("q_pct"), col("value").as("value_b"))
+    qa.join(qb, "q_pct")
+      .withColumn("ratio_x1000",
+        when(col("value_b") === 0L, 0L)
+          .otherwise(IntMath.idiv(col("value_a") * lit(1000L),
+            col("value_b"))))
+  }
+
+  /**
+   * Range-partition write plan: boundaries at the value column's own
+   * equi-depth quantiles plus the EXACT per-partition row counts — the
+   * audit you run before committing a repartitionByRange / partitioned
+   * write, showing how balanced the proposed ranges actually are (heavy
+   * ties merge ranges and the imbalance shows in `vs_even_x1000`).
+   * Boundaries via [[globalQuantiles]], assignment map-only (same literal
+   * chain as [[binTargetRates]]).
+   *
+   * Output: (partition, n, min_v, max_v, vs_even_x1000 — 1000 = even).
+   */
+  def rangePartitionPlan(df: DataFrame, valueCol: String,
+      nPartitions: Int): DataFrame = {
+    require(nPartitions >= 2 && nPartitions <= 10000,
+      s"nPartitions in [2,10000], got $nPartitions")
+    val percents = (1 until nPartitions).map(i => i * 100 / nPartitions)
+      .filter(p => p >= 1 && p <= 99).distinct
+    val bounds = globalQuantiles(df, valueCol, percents)
+      .select("value").collect().map(_.getLong(0))
+    val part = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(valueCol) > b, 1L).otherwise(0L) }
+    val counts = df.withColumn("partition", part)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n"), min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+    val tot = counts.agg(sum("n").as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("partition"), col("n"), col("min_v"), col("max_v"),
+        IntMath.idiv(col("n") * lit(nPartitions.toLong) * lit(1000L),
+          col("__t")).as("vs_even_x1000"))
+  }
+
+  /**
+   * Functional-dependency audit: does column A determine column B?
+   * Reports the number of A-groups, the groups holding >1 distinct B,
+   * and the row mass inside violating groups — the schema-inference /
+   * join-key-sanity check (a "determines" claim that fails on 2% of
+   * groups is a bug or a slowly-changing dimension). Two partial-agg
+   * groupBys over (A, B) pairs.
+   *
+   * Output: 1 row (n_groups, n_violating, violating_rows, violate_ppm).
+   */
+  def fdAudit(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
+    val pairs = df.groupBy(col(lhsCol).as("__a"), col(rhsCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val groups = pairs.groupBy("__a")
+      .agg(count(lit(1)).as("__ndv"), sum("__c").as("__rows"))
+    groups.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__ndv") > 1L, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("__ndv") > 1L, col("__rows")).otherwise(0L))
+          .as("violating_rows"),
+        sum(col("__rows")).as("__total"))
+      .select(col("n_groups"), col("n_violating"), col("violating_rows"),
+        IntMath.idiv(col("violating_rows") * lit(1000000L), col("__total"))
+          .as("violate_ppm"))
+  }
+
   /** Count-min row/bucket assignment shared by [[countMinSketch]] and
     * [[cmsEstimate]]: bucket_i(h) = ((aᵢ·h + bᵢ) mod (2³¹−1)) mod width,
     * seeds from the minhash family (pairwise-independent enough, and

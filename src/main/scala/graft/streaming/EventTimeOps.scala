@@ -297,6 +297,31 @@ object EventTimeOps {
   }
 
   /**
+   * Day-over-day rate-change report: per (key, day) event counts with the
+   * previous active day's count and the change ratio ×1000 — the sudden
+   * spike/collapse detector over any keyed stream (a crawler waking up, a
+   * source going dark). Ratio compares against the previous ACTIVE day
+   * (gaps carry the last observation, like a trading calendar); the first
+   * observation reports ratio 0. One groupBy + one keyed lag window.
+   *
+   * Output: (key, day, n, prev_n, change_x1000).
+   */
+  def rateChangeReport(events: DataFrame, keyCol: String,
+      tsMsCol: String): DataFrame = {
+    val daily = events.select(col(keyCol).as("key"),
+        graft.operators.IntMath.idiv(col(tsMsCol), lit(86400000L))
+          .as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    daily.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("key"), col("day"), col("n"),
+        coalesce(col("prev_n"), lit(0L)).as("prev_n"),
+        when(col("prev_n").isNull, 0L)
+          .otherwise(graft.operators.IntMath.idiv(col("n") * lit(1000L),
+            col("prev_n"))).as("change_x1000"))
+  }
+
+  /**
    * Churn labeling: a key is churned when its LAST activity predates the
    * observation horizon (corpus max ts − `horizonMs`) — the standard
    * supervised-churn label derivation, deterministic from the data alone.

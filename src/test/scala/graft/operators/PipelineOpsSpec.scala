@@ -1886,6 +1886,42 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged.toSeq == onePass.toSeq) // register max is associative
   }
 
+  test("qqCompare: matched quantile values and ratio") {
+    def vs(xs: Long*) = {
+      val l = new java.util.ArrayList[Row]()
+      xs.foreach(x => l.add(Row(x)))
+      s.createDataFrame(l, StructType(Seq(StructField("v", LongType))))
+    }
+    val out = Stats.qqCompare(vs(1L to 10L: _*),
+      vs((1L to 10L).map(_ * 2L): _*), "v", Seq(50, 90))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(50) == (5L, 10L, 500L))
+    assert(out(90) == (9L, 18L, 500L))
+  }
+
+  test("rangePartitionPlan: balanced ranges report vs_even 1000") {
+    val l = new java.util.ArrayList[Row]()
+    (1L to 8L).foreach(v => l.add(Row(v)))
+    val df = s.createDataFrame(l, StructType(Seq(StructField("v", LongType))))
+    val out = Stats.rangePartitionPlan(df, "v", nPartitions = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == (4L, 1L, 4L, 1000L))
+    assert(out(1L) == (4L, 5L, 8L, 1000L))
+  }
+
+  test("fdAudit: violating groups and their row mass") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((1L, "x"), (1L, "y"), (1L, "x"), (2L, "x"))
+      .foreach { case (a, b) => l.add(Row(a, b)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    val r = Stats.fdAudit(df, "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 1L, 3L, 750000L))
+  }
+
   test("blocklistScreen: per-phrase bits and hit counts") {
     val d = docs((1L, "clean text here"), (2L, "has windowpane glass"),
       (3L, "hash and window both"))

@@ -210,6 +210,24 @@ class EventTimeOpsSpec extends SparkSuite {
       ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
   }
 
+  test("rateChangeReport: day-over-day ratios with gap carry") {
+    val schema2 = StructType(Seq(
+      StructField("k", StringType), StructField("ts_ms", LongType)))
+    val l = new java.util.ArrayList[Row]()
+    val day = 86400000L
+    // day 1: 2 events, day 2: 4, day 4: 2 (day 3 silent)
+    Seq(day + 1, day + 2, 2 * day + 1, 2 * day + 2, 2 * day + 3,
+      2 * day + 4, 4 * day + 1, 4 * day + 2)
+      .foreach(t => l.add(Row("u", t)))
+    val out = EventTimeOps.rateChangeReport(
+      s.createDataFrame(l, schema2), "k", "ts_ms")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (2L, 0L, 0L))       // first observation
+    assert(out(2L) == (4L, 2L, 2000L))    // doubled
+    assert(out(4L) == (2L, 4L, 500L))     // vs previous ACTIVE day
+  }
+
   test("churnLabels: horizon cutoff from the corpus max") {
     val schema2 = StructType(Seq(
       StructField("k", StringType), StructField("ts", LongType)))
