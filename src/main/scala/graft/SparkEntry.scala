@@ -2656,7 +2656,43 @@ object SparkEntry {
           .select(col("user_id"),
             IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms")),
         "user_id", "ts_ms")
-        .orderBy("key", "day"))
+        .orderBy("key", "day")),
+
+    // time-bounded funnel: each step within 1h of the previous step's
+    // earliest completion — conversion-within-SLA, not just ordering
+    Q("q197_windowed_funnel", Some(
+      """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS ts, event_type AS et FROM events), s1 AS (SELECT k, MIN(ts) AS t FROM e WHERE et = 'view' GROUP BY 1), s2 AS (SELECT e.k, MIN(e.ts) AS t FROM e JOIN s1 ON e.k = s1.k WHERE e.et = 'click' AND e.ts > s1.t AND e.ts <= s1.t + 3600000 GROUP BY 1), s3 AS (SELECT e.k, MIN(e.ts) AS t FROM e JOIN s2 ON e.k = s2.k WHERE e.et = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + 3600000 GROUP BY 1) SELECT CAST(1 AS INT) AS step, 'view' AS step_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_keys UNION ALL SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) UNION ALL SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) ORDER BY step"""),
+      (s, dir) => graft.streaming.EventTimeOps.funnelWindowed(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+            col("event_type")),
+        "user_id", "ts_ms", "event_type",
+        Seq("view", "click", "purchase"), maxGapMs = 3600000L)
+        .orderBy("step")),
+
+    // A/B lift readout: per-variant conversion in ppm + lift vs control
+    Q("q198_ab_lift", Some(
+      """WITH v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant, event_type = 'purchase' AS conv FROM events), p AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conv FROM v GROUP BY 1), r AS (SELECT *, CAST(n_conv*1000000 // n AS BIGINT) AS rate_ppm FROM p), c AS (SELECT rate_ppm AS ctl FROM r WHERE variant = 'a') SELECT r.variant, r.n, r.n_conv, r.rate_ppm, CAST(CASE WHEN c.ctl = 0 THEN 0 ELSE r.rate_ppm*1000 // c.ctl END AS BIGINT) AS lift_x1000 FROM r CROSS JOIN c ORDER BY variant"""),
+      (s, dir) => Stats.abLift(
+        KafkaLike.events(tune(s), dir)
+          .select(when(col("user_id") % 2 === 0, "a").otherwise("b")
+            .as("variant"),
+            (col("event_type") === "purchase").as("conv")),
+        "variant", "conv", control = "a")
+        .orderBy("variant")),
+
+    // cumulative gain table: positives captured by score decile vs the
+    // random baseline — ranking via the no-global-sort globalRank
+    Q("q199_gain_table", Some(
+      """WITH v AS (SELECT event_id, CAST(floor(value*100) AS BIGINT) AS cents, event_type = 'purchase' AS conv FROM events), r AS (SELECT *, CAST(row_number() OVER (ORDER BY -cents, event_id) AS BIGINT) AS rank, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM v), b AS (SELECT LEAST((rank - 1)*10 // n + 1, 10) AS bin, conv FROM r), p AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_pos FROM b GROUP BY 1), t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp, CAST(SUM(n) AS BIGINT) AS tn FROM p), c AS (SELECT bin, n, n_pos, CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n FROM p) SELECT CAST(c.bin AS BIGINT) AS bin, c.n, c.n_pos, c.cum_pos, CAST(CASE WHEN t.tp = 0 THEN 0 ELSE c.cum_pos*1000000 // t.tp END AS BIGINT) AS cum_pos_ppm_of_all, CAST(CASE WHEN t.tp = 0 OR c.cum_n = 0 THEN 0 ELSE (c.cum_pos*1000000 // t.tp) * t.tn // (c.cum_n*1000) END AS BIGINT) AS gain_x1000 FROM c CROSS JOIN t ORDER BY bin"""),
+      (s, dir) => Stats.gainTable(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_id"),
+            floor(col("value") * 100).cast(LongType).as("cents"),
+            (col("event_type") === "purchase").as("conv")),
+        "cents", "event_id", "conv", nBins = 10)
+        .orderBy("bin"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

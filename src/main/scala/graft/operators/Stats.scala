@@ -297,6 +297,74 @@ object Stats {
           .as("violate_ppm"))
   }
 
+  /**
+   * A/B lift report: per variant, exposure and conversion counts with
+   * the conversion rate in ppm and the relative lift ×1000 against the
+   * named control variant — the experiment readout in pure integers
+   * (significance is a separate question; the exact counts feed any
+   * test). One partial-agg groupBy + a broadcast 1-row control join.
+   *
+   * Output: (variant, n, n_conv, rate_ppm, lift_x1000 — control = 1000).
+   */
+  def abLift(df: DataFrame, variantCol: String, convertedCol: String,
+      control: String): DataFrame = {
+    val per = df.groupBy(col(variantCol).cast(
+        org.apache.spark.sql.types.StringType).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(convertedCol), 1L).otherwise(0L)).as("n_conv"))
+      .withColumn("rate_ppm",
+        IntMath.idiv(col("n_conv") * lit(1000000L), col("n")))
+    val ctl = per.filter(col("variant") === control)
+      .select(col("rate_ppm").as("__ctl"))
+    per.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("n"), col("n_conv"), col("rate_ppm"),
+        when(col("__ctl") === 0L, 0L)
+          .otherwise(IntMath.idiv(col("rate_ppm") * lit(1000L),
+            col("__ctl"))).as("lift_x1000"))
+  }
+
+  /**
+   * Cumulative gain table over score deciles: rank the population by
+   * score (via [[globalRank]] — no single-task sort), cut into `nBins`
+   * equal-count bins best-first, and report per bin the positives
+   * captured cumulatively vs the random baseline — the lift/gain chart
+   * behind "the top 20% of the score finds 60% of the positives".
+   *
+   * Output: (bin, n, n_pos, cum_pos, cum_pos_ppm_of_all, gain_x1000 vs
+   * random), bin 1 = highest scores. The cumulative window runs over
+   * ≤ nBins aggregate rows (bounded-by-construction exemption).
+   */
+  def gainTable(df: DataFrame, scoreCol: String, idCol: String,
+      convertedCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100, s"nBins in [2,100], got $nBins")
+    val n = df.count()
+    require(n > 0L, "gainTable of an empty frame")
+    // rank 1 = highest score: rank descending via negated score
+    val ranked = globalRank(
+      df.withColumn("__neg", -col(scoreCol)), "__neg", idCol)
+    val binned = ranked.withColumn("bin",
+      least(IntMath.idiv((col("rank") - 1L) * nBins.toLong, lit(n)) + 1L,
+        lit(nBins.toLong)))
+    val per = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(convertedCol), 1L).otherwise(0L)).as("n_pos"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum("n_pos").as("__tp"), sum("n").as("__tn"))
+    per.withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("__cum_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_pos"),
+        when(col("__tp") === 0L, 0L)
+          .otherwise(IntMath.idiv(col("cum_pos") * lit(1000000L),
+            col("__tp"))).as("cum_pos_ppm_of_all"),
+        when(col("__tp") === 0L || col("__cum_n") === 0L, 0L)
+          .otherwise(IntMath.idiv(
+            IntMath.idiv(col("cum_pos") * lit(1000000L), col("__tp"))
+              * col("__tn"),
+            col("__cum_n") * lit(1000L))).as("gain_x1000"))
+  }
+
   /** Count-min row/bucket assignment shared by [[countMinSketch]] and
     * [[cmsEstimate]]: bucket_i(h) = ((aᵢ·h + bᵢ) mod (2³¹−1)) mod width,
     * seeds from the minhash family (pairwise-independent enough, and

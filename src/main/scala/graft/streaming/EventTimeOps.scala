@@ -151,6 +151,39 @@ object EventTimeOps {
   }
 
   /**
+   * Time-bounded funnel: like [[funnel]], but each step must land within
+   * `maxGapMs` of the PREVIOUS step's earliest completion — the
+   * conversion-within-SLA form ("click within an hour of the view"),
+   * which plain step ordering overstates on long-lived keys. Same
+   * greedy-earliest semantics, same per-step semi-join shape.
+   *
+   * Output: (step, step_name, n_keys) per step, counts monotone
+   * non-increasing.
+   */
+  def funnelWindowed(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGapMs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 16, "1..16 funnel steps")
+    require(maxGapMs > 0L, "maxGapMs must be positive")
+    val base = events.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(typeCol).as("et"))
+    def stepRow(i: Int, name: String, reached: DataFrame): DataFrame =
+      reached.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i).as("step"), lit(name).as("step_name"), col("n_keys"))
+    var reached = base.filter(col("et") === steps.head)
+      .groupBy("k").agg(min(col("ts")).as("t"))
+    var out = stepRow(1, steps.head, reached)
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      reached = base.filter(col("et") === s)
+        .join(reached.select(col("k"), col("t").as("t_prev")), "k")
+        .filter(col("ts") > col("t_prev") &&
+          col("ts") <= col("t_prev") + maxGapMs)
+        .groupBy("k").agg(min(col("ts")).as("t"))
+      out = out.unionByName(stepRow(i + 1, s, reached))
+    }
+    out
+  }
+
+  /**
    * Rolling event-time aggregates per key — the feature every time-series
    * pipeline wants ("events and volume in the trailing hour"): a key-KEYED
    * window with a RANGE frame of `windowMs` preceding milliseconds. RANGE

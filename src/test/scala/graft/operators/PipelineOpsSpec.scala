@@ -1886,6 +1886,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(merged.toSeq == onePass.toSeq) // register max is associative
   }
 
+  test("abLift: per-variant rates and relative lift vs control") {
+    val l = new java.util.ArrayList[Row]()
+    Seq(("a", true), ("a", false), ("a", false), ("a", false),
+      ("b", true), ("b", true), ("b", false), ("b", false))
+      .foreach { case (v, c) => l.add(Row(v, c)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("variant", StringType), StructField("conv", BooleanType))))
+    val out = Stats.abLift(df, "variant", "conv", control = "a")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == (4L, 1L, 250000L, 1000L))
+    assert(out("b") == (4L, 2L, 500000L, 2000L))
+  }
+
+  test("gainTable: a perfect score ranks all positives into bin 1") {
+    val l = new java.util.ArrayList[Row]()
+    // 10 rows, scores 10..1, the two positives hold the top scores
+    (1L to 10L).foreach(i => l.add(Row(i, 11L - i, i <= 2L)))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("id", LongType), StructField("score", LongType),
+      StructField("conv", BooleanType))))
+    val out = Stats.gainTable(df, "score", "id", "conv", nBins = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // bin 1 (top 20%) captures 100% of positives → gain 5×
+    assert(out(1L) == (2L, 2L, 2L, 1000000L, 5000L))
+    assert(out(5L) == (2L, 0L, 2L, 1000000L, 1000L)) // full population
+  }
+
   test("qqCompare: matched quantile values and ratio") {
     def vs(xs: Long*) = {
       val l = new java.util.ArrayList[Row]()

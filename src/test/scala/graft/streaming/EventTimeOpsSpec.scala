@@ -210,6 +210,19 @@ class EventTimeOpsSpec extends SparkSuite {
       ("u1", "a", 1000L, 3000L, 2L), ("u1", "b", 3000L, 4000L, 1L)))
   }
 
+  test("funnelWindowed: the gap bound drops late conversions") {
+    import s.implicits._
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"),      // in-window chain
+      (2L, 10L, "view"), (2L, 5000L, "click"),    // click too late
+      (3L, 10L, "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventTimeOps.funnelWindowed(ev, "user_id", "ts",
+      "event_type", Seq("view", "click"), maxGapMs = 100L)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1, 3L), (2, 1L))) // plain funnel would say 2
+  }
+
   test("rateChangeReport: day-over-day ratios with gap carry") {
     val schema2 = StructType(Seq(
       StructField("k", StringType), StructField("ts_ms", LongType)))
