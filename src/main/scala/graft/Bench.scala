@@ -179,7 +179,8 @@ object Bench {
       "q188_churn_labels", "q189_blocklist", "q190_bootstrap",
       "q191_split_parity", "q192_cluster_hist", "q193_qq_compare",
       "q194_range_plan", "q195_fd_audit", "q196_rate_change",
-      "q197_windowed_funnel", "q198_ab_lift", "q199_gain_table")
+      "q197_windowed_funnel", "q198_ab_lift", "q199_gain_table",
+      "q200_curation_manifest")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

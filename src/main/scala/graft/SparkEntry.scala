@@ -2692,7 +2692,32 @@ object SparkEntry {
             floor(col("value") * 100).cast(LongType).as("cents"),
             (col("event_type") === "purchase").as("conv")),
         "cents", "event_id", "conv", nBins = 10)
-        .orderBy("bin"))
+        .orderBy("bin")),
+
+    // q200 — the end-to-end curation manifest: quality ∧ language ∧
+    // near-dup removal (q41's survivor set) ranked by stopword density
+    // and budget-selected to a 10k-token corpus with exact offsets —
+    // every stage an already-oracled operator, composed in ONE plan
+    Q("q200_curation_manifest", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), q AS (SELECT doc_id, text, $dToks AS tk FROM documents), sc0 AS (SELECT doc_id, text, tk, CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de, CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','is','that'))) AS BIGINT) AS s_en, CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','los','es'))) AS BIGINT) AS s_es, CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','est'))) AS BIGINT) AS s_fr FROM q), lg AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS m FROM sc0), surv AS (SELECT doc_id, tk FROM lg WHERE length(text) >= 100 AND (length(text) - length(translate(text, '.,;:!?', ''))) * 10 <= length(text) AND len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) >= 1 AND (CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' ELSE 'und' END) = 'en' AND doc_id NOT IN (SELECT doc_b FROM cand)), b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS BIGINT) AS sw FROM surv), sc AS (SELECT doc_id, n_tokens, CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE sw * 100 // n_tokens END AS BIGINT) AS score FROM b), c AS (SELECT doc_id, score, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM sc) SELECT doc_id, score, n_tokens, start_off FROM c WHERE start_off < 10000 ORDER BY score DESC, doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val filtered = d.filter(TextAnalysis.qualityOk(col("text")) &&
+          TextAnalysis.langId(col("text")) === "en")
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val surv = Dedup.applyNearDedup(filtered, cands, "doc_id")
+        val base = surv.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.stopwordCount(col("text")).as("sw"))
+          .withColumn("score", when(col("n_tokens") === 0, 0L)
+            .otherwise(expr("sw * 100 DIV n_tokens")))
+          .drop("sw")
+        Packing.budgetSelect(base, "score", "doc_id", "n_tokens", 10000L)
+          .select(col("doc_id"), col("score"), col("n_tokens"),
+            col("start_off"))
+          .orderBy(col("score").desc, col("doc_id"))
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
