@@ -322,6 +322,23 @@ object Bench {
           (() => force(SparkEntry.queries("q93_pq_encode")(spark, sf1Dir))),
         "q94_pq_adc_topk" ->
           (() => force(SparkEntry.queries("q94_pq_adc_topk")(spark, sf1Dir))),
+        // basket mining grows with ORDERS (groups are ≤7 lineitems), so
+        // 10× data should probe ~linear — the q167 plan end to end
+        "q167_assoc_rules" ->
+          (() => force(SparkEntry.queries("q167_assoc_rules")(spark, sf1Dir))),
+        // label-noise audit's 100 TB shape is PLUGGABLE neighbors — the
+        // default brute-force self-kNN is the documented seed-set regime
+        // (quadratic by contract), so the probe feeds the IVF path the
+        // scaladoc prescribes at scale
+        "q178_label_noise_ivf" -> (() => {
+          val e = spark.read.parquet(s"$sf1Dir/embeddings.parquet")
+          val nn = graft.operators.Similarity.ivfTopKTrained(
+            e, e, "vec_id", "embedding", k = 5, nCells = 32, nProbe = 2,
+            iters = 3)
+          force(graft.operators.Similarity.labelNoiseReport(
+            e, "vec_id", "embedding", "label", k = 5,
+            neighbors = Some(nn)))
+        }),
         "sink_dedup_batch" -> (() => sinkDedupBatchOnce(sf1Dir)))
       probes.foreach { case (name, fn) =>
         // two runs, min headline: JIT is warm from the sf0.1 pass; the check

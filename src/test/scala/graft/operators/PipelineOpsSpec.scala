@@ -2134,6 +2134,28 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(0L) == (2L, 1L, 500000L))
   }
 
+  test("labelNoiseReport: pluggable neighbors drive the same report") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((0L, Seq(1.0, 0.0), 1), (1L, Seq(0.9, 0.0), 2),
+      (2L, Seq(0.8, 0.0), 1))
+      .foreach { case (id, v, lb) => l.add(Row(id, v, lb)) }
+    val corpus = s.createDataFrame(l, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType))))
+    val nn = new java.util.ArrayList[Row]()
+    Seq((0L, 1L, 1), (0L, 2L, 2)).foreach { case (q, i, r) =>
+      nn.add(Row(q, i, r)) }
+    val neighbors = s.createDataFrame(nn, StructType(Seq(
+      StructField("query_id", LongType), StructField("item_id", LongType),
+      StructField("rank", IntegerType))))
+    val out = Similarity.labelNoiseReport(corpus, "vec_id", "embedding",
+      "label", k = 2, neighbors = Some(neighbors))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(0L -> (2L, 1L))) // only the supplied query reported
+  }
+
   test("savingsReport: global dup attribution, per-class token math") {
     val l = new java.util.ArrayList[Row]()
     Seq((1L, "a b", "s1"), (2L, "a b", "s2"), (3L, "c", "s2"))
