@@ -329,11 +329,15 @@ object Bench {
         // label-noise audit's 100 TB shape is PLUGGABLE neighbors — the
         // default brute-force self-kNN is the documented seed-set regime
         // (quadratic by contract), so the probe feeds the IVF path the
-        // scaladoc prescribes at scale
+        // scaladoc prescribes at scale. Like the semantic-dedup probe,
+        // cells scale WITH the corpus (fixed occupancy ≈ 200/cell):
+        // per-query candidates stay constant, total work linear — a
+        // fixed cell count would just re-measure the known quadratic
+        // (first cut at nCells=32: 37.8 s; nCells=256: see artifact)
         "q178_label_noise_ivf" -> (() => {
           val e = spark.read.parquet(s"$sf1Dir/embeddings.parquet")
           val nn = graft.operators.Similarity.ivfTopKTrained(
-            e, e, "vec_id", "embedding", k = 5, nCells = 32, nProbe = 2,
+            e, e, "vec_id", "embedding", k = 5, nCells = 256, nProbe = 2,
             iters = 3)
           force(graft.operators.Similarity.labelNoiseReport(
             e, "vec_id", "embedding", "label", k = 5,

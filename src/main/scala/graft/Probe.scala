@@ -783,6 +783,37 @@ object Probe {
       timed("dedup savings (sf0.1 documents)")(
         Dedup.savingsReport(spark.read.parquet(s"$dir/documents.parquet"),
           "text", "doc_id", "source").count())
+      // globalRank / qqCompare ride the two-stage bucketed scan — their
+      // windows must be keyed on the bucket, never global
+      val gr = Stats.globalRank(ev.select(col("event_id"), col("cents")),
+        "cents", "event_id")
+      assertKeyedWindows(gr, "globalRank")
+      timed("global rank (sf0.1 events)")(gr.count())
+      val qq = Stats.qqCompare(ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"), "cents",
+        Seq(10, 25, 50, 75, 90))
+      assertKeyedWindows(qq, "qqCompare")
+      timed("qq compare (sf0.1 events)")(qq.count())
+      // bloom-pruned join: identical result to the plain join, and the
+      // broadcast filter actually prunes on a selective right side
+      locally {
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+        val c = spark.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        val pruned = Stats.bloomPrunedJoin(o, c, "custkey")
+        val plain = o.join(c, "custkey")
+        val (np, npl) = (pruned.count(), plain.count())
+        require(np == npl,
+          s"bloomPrunedJoin result differs from plain join: $np vs $npl")
+        println(s"bloom-pruned join (sf0.1 orders⋈BUILDING): $np rows, " +
+          "result identical to plain join")
+      }
+      timed("gain table (sf0.1 events)")(
+        Stats.gainTable(ev.select(col("event_id"), col("cents"),
+          (col("event_type") === "purchase").as("conv")),
+          "cents", "event_id", "conv").count())
     }
     spark.stop()
   }
