@@ -1023,11 +1023,15 @@ object Stats {
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
     val tot = j.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    // an EMPTY side (no events that day) must report zero fractions, not
+    // divide by its zero total
     val withF = j.crossJoin(broadcast(tot))
       .select(col("bucket"), col("c_a"), col("c_b"),
-        IntMath.idiv(col("c_a") * lit(1000000L), col("n_a"))
+        when(coalesce(col("n_a"), lit(0L)) === 0L, 0L)
+          .otherwise(IntMath.idiv(col("c_a") * lit(1000000L), col("n_a")))
           .as("frac_a_ppm"),
-        IntMath.idiv(col("c_b") * lit(1000000L), col("n_b"))
+        when(coalesce(col("n_b"), lit(0L)) === 0L, 0L)
+          .otherwise(IntMath.idiv(col("c_b") * lit(1000000L), col("n_b")))
           .as("frac_b_ppm"))
       .withColumn("delta_ppm", col("frac_a_ppm") - col("frac_b_ppm"))
     // ≤ 64 rows: the unpartitioned total is bounded-by-construction (the
@@ -1274,12 +1278,16 @@ object Stats {
         .cast(LongType).as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("c"))
     val n = counts.agg(sum("c").as("n"))
+    // a frame with no positive values still reports all 9 digits with
+    // zero observations (n is null from the empty aggregate — treat as 0)
     val f = broadcast(expect).join(counts, Seq("digit"), "left")
       .select(col("digit"), coalesce(col("c"), lit(0L)).as("c"),
         col("benford_ppm"))
       .crossJoin(broadcast(n))
       .select(col("digit"), col("c").as("n"),
-        IntMath.idiv(col("c") * lit(1000000L), col("n")).as("obs_ppm"),
+        when(coalesce(col("n"), lit(0L)) === 0L, 0L)
+          .otherwise(IntMath.idiv(col("c") * lit(1000000L), col("n")))
+          .as("obs_ppm"),
         col("benford_ppm"))
       .withColumn("delta_ppm", col("obs_ppm") - col("benford_ppm"))
     val tvd = f.agg(sum(abs(col("delta_ppm"))).as("tvd2_ppm"))
