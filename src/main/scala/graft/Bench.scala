@@ -180,7 +180,9 @@ object Bench {
       "q191_split_parity", "q192_cluster_hist", "q193_qq_compare",
       "q194_range_plan", "q195_fd_audit", "q196_rate_change",
       "q197_windowed_funnel", "q198_ab_lift", "q199_gain_table",
-      "q200_curation_manifest")
+      "q200_curation_manifest", "q201_all_pairs_cosine",
+      "q202_target_encode_oof", "q203_rank_sum_test",
+      "q204_gini_concentration")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))
@@ -326,6 +328,10 @@ object Bench {
         // 10× data should probe ~linear — the q167 plan end to end
         "q167_assoc_rules" ->
           (() => force(SparkEntry.queries("q167_assoc_rules")(spark, sf1Dir))),
+        // APSS grows with rare-token co-occurrence (prefix join) + dup
+        // density (verify) — the lossless-recall counterpart to q32's gate
+        "q201_all_pairs_cosine" ->
+          (() => force(SparkEntry.queries("q201_all_pairs_cosine")(spark, sf1Dir))),
         // label-noise audit's 100 TB shape is PLUGGABLE neighbors — the
         // default brute-force self-kNN is the documented seed-set regime
         // (quadratic by contract), so the probe feeds the IVF path the

@@ -2717,7 +2717,48 @@ object SparkEntry {
           .select(col("doc_id"), col("score"), col("n_tokens"),
             col("start_off"))
           .orderBy(col("score").desc, col("doc_id"))
-      })
+      }),
+
+    // EXACT all-pairs token-set cosine (APSS, Bayardo WWW'07 prefix
+    // filter): the prefix filter is lossless, so the oracle is plain
+    // brute force over the DF-capped sets — identical output by theorem
+    Q("q201_all_pairs_cosine", Some(
+      s"""WITH toks0 AS (SELECT doc_id, unnest(list_distinct(list_transform($dToks, t -> ${dFold("t")}))) AS h FROM documents), dfc AS (SELECT h FROM toks0 GROUP BY h HAVING COUNT(*) <= 100), toks AS (SELECT t.doc_id, t.h FROM toks0 t JOIN dfc USING (h)), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS overlap FROM toks a JOIN toks b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, overlap, sa.n AS n_a, sb.n AS n_b FROM ov JOIN sz sa ON ov.doc_a = sa.doc_id JOIN sz sb ON ov.doc_b = sb.doc_id WHERE overlap*overlap*1000000 >= 490000*sa.n*sb.n ORDER BY doc_a, doc_b"""),
+      (s, dir) => Dedup.allPairsCosine(docs(tune(s), dir), "text", "doc_id",
+        minCosinePermille = 700, maxTokenDF = 100)
+        .orderBy("doc_a", "doc_b")),
+
+    // leakage-safe target encoding: every cell's mean target EXCLUDES its
+    // own fold; empty out-of-fold cells fall back to the global OOF prior
+    Q("q202_target_encode_oof", Some(
+      """WITH r AS (SELECT o_orderpriority AS category, CAST(o_orderkey % 5 AS BIGINT) AS fold, CAST(floor(o_totalprice) AS BIGINT) AS t FROM orders), cf AS (SELECT category, fold, CAST(SUM(t) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n_in FROM r GROUP BY 1, 2), ct AS (SELECT category, CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n_in) AS BIGINT) AS ctot FROM cf GROUP BY 1), fd AS (SELECT fold, CAST(SUM(s) AS BIGINT) AS gs, CAST(SUM(n_in) AS BIGINT) AS gc FROM cf GROUP BY 1), g AS (SELECT CAST(SUM(s) AS BIGINT) AS ts, CAST(SUM(n_in) AS BIGINT) AS tc FROM cf) SELECT category, fold, n_in, ctot - n_in AS n_out, CAST(CASE WHEN ctot > n_in THEN (st - s)*10000 // (ctot - n_in) ELSE CASE WHEN tc > gc THEN (ts - gs)*10000 // (tc - gc) ELSE 0 END END AS BIGINT) AS enc_scaled FROM cf JOIN ct USING (category) JOIN fd USING (fold) CROSS JOIN g ORDER BY category, fold"""),
+      (s, dir) => Stats.targetEncodeOof(
+        orders(tune(s), dir).select(col("o_orderpriority").as("category"),
+          pmod(col("o_orderkey"), lit(5L)).as("fold"),
+          floor(col("o_totalprice")).cast(LongType).as("t")),
+        "category", "t", "fold")
+        .orderBy("category", "fold")),
+
+    // tie-aware Wilcoxon rank-sum per event type over pooled value cents
+    // (doubled midranks keep the statistic integer-exact)
+    Q("q203_rank_sum_test", Some(
+      """WITH v AS (SELECT event_type AS grp, CAST(floor(value*100) AS BIGINT) AS x FROM events), m AS (SELECT grp, CAST(2*rank() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS mr2 FROM v) SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(mr2) AS BIGINT) AS rank_sum_x2, CAST(SUM(mr2) - COUNT(*)*(COUNT(*)+1) AS BIGINT) AS u_x2 FROM m GROUP BY grp ORDER BY grp"""),
+      (s, dir) => Stats.rankSumTest(
+        KafkaLike.events(tune(s), dir).select(col("event_type"),
+          floor(col("value") * 100).cast(LongType).as("x")),
+        "event_type", "x")
+        .orderBy("grp")),
+
+    // exact per-class Gini concentration of order value (integer fraction
+    // gini_num/gini_den; row-rank formula in the oracle, cell formula in
+    // the operator — tie blocks make them provably equal)
+    Q("q204_gini_concentration", Some(
+      """WITH v AS (SELECT o_orderpriority AS cls, CAST(floor(o_totalprice) AS BIGINT) AS x FROM orders), r AS (SELECT cls, x, CAST(row_number() OVER (PARTITION BY cls ORDER BY x) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY cls) AS BIGINT) AS n FROM v) SELECT cls, CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sum_value, CAST(SUM((2*rn - n - 1)*x) AS BIGINT) AS gini_num, CAST(MAX(n)*SUM(x) AS BIGINT) AS gini_den FROM r GROUP BY cls ORDER BY cls"""),
+      (s, dir) => Stats.giniReport(
+        orders(tune(s), dir).select(col("o_orderpriority").as("cls"),
+          floor(col("o_totalprice")).cast(LongType).as("x")),
+        "cls", "x")
+        .orderBy("cls"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

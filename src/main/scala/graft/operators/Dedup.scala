@@ -923,4 +923,97 @@ object Dedup {
         col(splitCol).as("split_b")), "doc_b")
       .filter(col("split_a") =!= col("split_b"))
       .select("doc_a", "doc_b", "split_a", "split_b")
+
+  /**
+   * EXACT all-pairs set-cosine search with prefix filtering — every doc
+   * pair whose token-set cosine |A∩B|/√(|A|·|B|) meets the threshold,
+   * with NO recall loss (unlike the banded LSH gate of
+   * [[ngramJaccardPairs]], whose candidate stage is probabilistic). This
+   * is the classic APSS primitive (prefix filtering: Chaudhuri et al.,
+   * ICDE 2006; Bayardo et al., WWW 2007; the MapReduce formulation is
+   * Vernica et al., SIGMOD 2010) — the right tool when the dedup report
+   * must be COMPLETE at the threshold, e.g. a contractual "no pair above
+   * t survives" guarantee that a banded gate cannot sign.
+   *
+   * Losslessness: order all token hashes by (document frequency ASC,
+   * hash) — one global total order. For a doc with n tokens the required
+   * overlap with ANY admissible partner is at least α = ⌈t²·n⌉ (since
+   * cos ≥ t forces |B| ≥ t²·|A| and o ≥ t·√(n_a·n_b)); the SMALLEST
+   * common token (in the global order) of a qualifying pair must then sit
+   * within the first n − α + 1 tokens of BOTH docs (at least o−1 common
+   * tokens order after it in each), so joining prefixes only misses
+   * nothing. Rarest-first ordering makes those prefixes meet as rarely as
+   * possible — candidate volume tracks rare-token co-occurrence, not
+   * corpus².
+   *
+   * Integer-exact end to end: the verify is o²·10⁶ ≥ t‰²·n_a·n_b — no FP
+   * anywhere, so the DuckDB brute-force oracle matches bit-for-bit (the
+   * prefix filter changes WORK, never the answer).
+   *
+   * `maxTokenDF` drops tokens above the document-frequency cap from the
+   * SETS (both overlap and sizes — the operator is defined over the
+   * DF-capped sets, same contract as [[ngramJaccardPairs]]'s shingle
+   * cap): stopwords and boilerplate carry no similarity signal, and the
+   * cap bounds both the hottest inverted-index bucket (≤ cap² pairs) and
+   * the oracle's brute-force join.
+   *
+   * Scale shape: one DF count (partial-agg), one per-doc sort of its own
+   * ≤`maxTokenDF`-filtered token list (map-side, bounded by doc length),
+   * an inverted-index self-join over PREFIX rows only, then the exact
+   * overlap count on candidate pairs — |cand| × mean doc size, the same
+   * verify shape that keeps q32 linear-ish in dup density.
+   *
+   * Output: (doc_a, doc_b, overlap, n_a, n_b), doc_a < doc_b.
+   */
+  def allPairsCosine(docs: DataFrame, textCol: String, idCol: String,
+      minCosinePermille: Int = 700, maxTokenDF: Int = 100): DataFrame = {
+    require(minCosinePermille >= 1 && minCosinePermille <= 1000,
+      s"minCosinePermille in [1, 1000], got $minCosinePermille")
+    require(maxTokenDF >= 1, s"maxTokenDF must be >= 1, got $maxTokenDF")
+    val t2 = minCosinePermille.toLong * minCosinePermille // ≤ 10⁶
+    val rows0 = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.tokenHashes(col(textCol))))
+        .as("h"))
+    val dfreq = rows0.groupBy("h").agg(count(lit(1)).as("df"))
+    // cap filter mirrors ngramJaccardPairs: the OVER-cap token set is tiny
+    // by construction (≤ rows/cap members) — broadcast anti-join
+    val overCap = dfreq.filter(col("df") > maxTokenDF).select(col("h"))
+    val toks = Staging.stage(
+      rows0.join(broadcast(overCap), Seq("h"), "left_anti"))
+    // per-doc token list in the global (df, h) order + the prefix length
+    // n − ⌈t²·n⌉ + 1 (≥ 1 whenever n ≥ 1, since ⌈t²·n⌉ ≤ n for t ≤ 1)
+    val ordered = toks.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("df"), col("h")))).as("terms"))
+      .withColumn("p",
+        (col("n") - IntMath.idiv(lit(t2) * col("n") + lit(999999L),
+          lit(1000000L)) + lit(1L)).cast(org.apache.spark.sql.types.IntegerType))
+    val pref = ordered
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("terms"), lit(1), col("p"))).as("e"))
+      .select(col("doc_id"), col("n"), col("e.h").as("h"))
+    // candidates: prefix × prefix on the token hash, plus the two-sided
+    // size band t²·n_a ≤ 10⁶·n_b (and symmetric) every qualifying pair
+    // must satisfy
+    val cand = pref.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("h"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("h")), "h")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_b") * 1000000L >= lit(t2) * col("n_a") &&
+        col("n_a") * 1000000L >= lit(t2) * col("n_b"))
+      .select("doc_a", "doc_b", "n_a", "n_b").distinct()
+    // verify: exact DF-capped overlap, candidate pairs only
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") * col("overlap") * 1000000L >=
+        lit(t2) * col("n_a") * col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"),
+        col("n_b"))
+  }
 }

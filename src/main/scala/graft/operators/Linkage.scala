@@ -95,6 +95,10 @@ object Linkage {
             (col("l.__ci") =!= col("l.__cj") || col("l.id") < col("r.id")) &&
             col("l.id") =!= col("r.id") && lenBand)
       }
+    // Thresholded Levenshtein: the 3-arg overload runs the banded DP
+    // (O(maxDist·len) instead of O(len²)) and returns −1 past the bound —
+    // the distance it does return is exact, so kept rows are identical to
+    // the unbounded form filtered to ≤ maxDist (spec-pinned).
     candidates
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"),
@@ -102,8 +106,8 @@ object Linkage {
           .otherwise(col("r.name")).as("name_a"),
         when(col("l.id") < col("r.id"), col("r.name"))
           .otherwise(col("l.name")).as("name_b"),
-        levenshtein(col("l.name"), col("r.name")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("l.name"), col("r.name"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Blocks larger than `maxBlockSize`: (blk, n_rows) — the audit row for

@@ -1293,4 +1293,148 @@ object Stats {
     val tvd = f.agg(sum(abs(col("delta_ppm"))).as("tvd2_ppm"))
     f.crossJoin(broadcast(tvd)) // 9 rows: bounded-by-construction
   }
+
+  /**
+   * Leakage-safe (out-of-fold) target encoding — the standard categorical
+   * feature for tabular models, computed so no row's own fold contributes
+   * to its encoding: for category c seen from fold f, the mean target over
+   * c's rows in ALL OTHER folds, as a truncating integer at ×`scale`.
+   * Encoding with the full-data category mean leaks the label into the
+   * feature (each row sees its own target in its mean); holding out the
+   * row's fold is the fix every gradient-boosting pipeline ships.
+   *
+   * A (category, fold) cell whose category has no rows OUTSIDE the fold
+   * falls back to the GLOBAL out-of-fold prior (mean target over all other
+   * folds, all categories) — the same leave-my-fold-out discipline at the
+   * corpus level; a single-fold input therefore encodes every cell as 0
+   * (no out-of-fold evidence at all).
+   *
+   * Scale shape: one partial-agg groupBy to (category, fold) cells — at
+   * most |C|·|F| rows regardless of input size — then cell-local
+   * arithmetic off two broadcast-sized rollups. The row-level feature is a
+   * broadcast join of this table back onto the input.
+   *
+   * Output: (category, fold, n_in, n_out, enc_x[scale]) — n_in = the
+   * cell's own rows, n_out = the category's rows outside the fold.
+   */
+  def targetEncodeOof(df: DataFrame, catCol: String, targetCol: String,
+      foldCol: String, scale: Long = 10000L): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val cells = df.groupBy(col(catCol).as("category"),
+        col(foldCol).cast(LongType).as("fold"))
+      .agg(sum(col(targetCol).cast(LongType)).as("s"),
+        count(lit(1)).as("n_in"))
+    val cat = cells.groupBy("category")
+      .agg(sum("s").as("st"), sum("n_in").as("ct"))
+    val fold = cells.groupBy("fold")
+      .agg(sum("s").as("gs"), sum("n_in").as("gc"))
+    val g = cells.agg(sum("s").as("ts"), sum("n_in").as("tc"))
+    cells.join(cat, "category").join(fold, "fold")
+      .crossJoin(broadcast(g))
+      .select(col("category"), col("fold"), col("n_in"),
+        (col("ct") - col("n_in")).as("n_out"),
+        when(col("ct") > col("n_in"),
+          IntMath.idiv((col("st") - col("s")) * scale,
+            col("ct") - col("n_in")))
+          .otherwise(when(col("tc") > col("gc"),
+            IntMath.idiv((col("ts") - col("gs")) * scale,
+              col("tc") - col("gc"))).otherwise(0L))
+          .as("enc_scaled"))
+  }
+
+  /**
+   * Wilcoxon rank-sum statistics per group (Mann–Whitney U for the
+   * two-group case): each group's pooled-sample midrank sum, tie-aware and
+   * integer-exact by carrying DOUBLED midranks (a tie block of c values
+   * after S predecessors has midrank (2S + c + 1)/2 — doubled it is the
+   * integer 2S + c + 1). `u_x2 = rank_sum_x2 − n(n+1)` is twice the
+   * Mann–Whitney U of the group against the rest. The standard
+   * distribution-shift test between two scored cohorts when only ranks can
+   * be trusted (heavy tails, arbitrary monotone score transforms).
+   *
+   * Scale shape: no global sort and no unpartitioned window — per-value
+   * counts partial-agg first (|distinct values| rows), then the global
+   * cumulative "values before" count uses the [[globalRank]] two-stage
+   * trick: range-bucket the values, collect the ≤ nBuckets per-bucket
+   * totals as exclusive offsets, cumulate INSIDE each bucket with a
+   * bucket-keyed window.
+   *
+   * Output: (group, n, rank_sum_x2, u_x2) ordered by group.
+   */
+  def rankSumTest(df: DataFrame, groupCol: String, valueCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val v = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast(LongType).as("x"))
+      .filter(col("x").isNotNull)
+    val byVal = v.groupBy("x").agg(count(lit(1)).as("c"))
+    val mm = byVal.agg(min("x"), max("x"), count(lit(1))).head()
+    if (mm.getLong(2) == 0L) {
+      // empty input: empty report, schema intact
+      return v.groupBy("grp").agg(count(lit(1)).as("n"),
+        lit(0L).as("rank_sum_x2"), lit(0L).as("u_x2"))
+    }
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / nBuckets + 1)
+    val b = byVal.withColumn("__bucket",
+      IntMath.idiv(col("x") - lo, lit(width)))
+    val offs = b.groupBy("__bucket").agg(sum("c").as("bc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offRows = offs.map { case (bk, c) => val o = acc; acc += c; (bk, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offRows.toSeq.toDF("__bucket", "__off")
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("x"))
+    // sBefore = values strictly below x, pooled over all groups
+    val cum = b.join(broadcast(offDf), "__bucket")
+      .withColumn("sBefore",
+        col("__off") + sum(col("c")).over(w) - col("c"))
+      .select(col("x"), col("c"), col("sBefore"))
+    v.groupBy("grp", "x").agg(count(lit(1)).as("cg"))
+      .join(cum, "x")
+      .groupBy("grp")
+      .agg(sum(col("cg")).as("n"),
+        sum(col("cg") * (lit(2L) * col("sBefore") + col("c") + lit(1L)))
+          .as("rank_sum_x2"))
+      .withColumn("u_x2",
+        col("rank_sum_x2") - col("n") * (col("n") + lit(1L)))
+  }
+
+  /**
+   * Per-class Gini concentration of an integer value (who holds the
+   * mass — tokens per source, spend per segment): the exact discrete Gini
+   * as an integer fraction, G = num/den with
+   * num = Σᵢ (2·rankᵢ − n − 1)·xᵢ over the class's values ascending and
+   * den = n·Σx. Ties are harmless (equal x across a tie block makes the
+   * rank permutation cancel), so any stable ordering reproduces the sum.
+   *
+   * Scale shape: rows partial-agg to (class, value) cells first, then ONE
+   * class-keyed window over cells (|class|·|distinct value| rows, not
+   * input rows) computes the cumulative predecessor count S; the cell
+   * contribution is x·c·(2S + c − n). Values must be non-negative for G
+   * to carry its concentration meaning (the arithmetic itself is exact
+   * either way). num fits int64 while n·max(x) stays under ~4.6e18 —
+   * dollar-scale integers at billions of rows; rescale the value first
+   * past that.
+   *
+   * Output: (class, n, sum_value, gini_num, gini_den) ordered by class.
+   */
+  def giniReport(df: DataFrame, classCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df.select(col(classCol).as("cls"),
+        col(valueCol).cast(LongType).as("x"))
+      .groupBy("cls", "x").agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy("cls")
+      .agg(sum("c").as("n"), sum(col("x") * col("c")).as("sum_value"))
+    val w = Window.partitionBy(col("cls")).orderBy(col("x"))
+    cells
+      .withColumn("sBefore", sum(col("c")).over(w) - col("c"))
+      .join(totals, "cls")
+      .groupBy(col("cls"), col("n"), col("sum_value"))
+      .agg(sum(col("x") * col("c") *
+        (lit(2L) * col("sBefore") + col("c") - col("n"))).as("gini_num"))
+      .select(col("cls"), col("n"), col("sum_value"), col("gini_num"),
+        (col("n") * col("sum_value")).as("gini_den"))
+  }
 }

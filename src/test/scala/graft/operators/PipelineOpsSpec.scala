@@ -2311,4 +2311,99 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(0L) == 0L)
     assert(out(10L) == 100L)
   }
+
+  test("allPairsCosine: prefix filter is lossless vs brute force") {
+    val d = docs(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"), // overlap 7 of 8 with doc 1
+      (3L, "a b c d"), // cos(1,3) = 4/√32 ≈ 0.7071 — the boundary case
+      (4L, "p q r s t u v w"),
+      (5L, "p q r s t u v w"), // exact duplicate of doc 4
+      (6L, "z1 z2 z3"))
+    val toks = d.select(col("doc_id"), explode(array_distinct(
+      TextAnalysis.tokenHashes(col("text")))).as("h"))
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = toks.select(col("doc_id").as("doc_a"), col("h"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        "doc_b")
+      .filter(col("overlap") * col("overlap") * 1000000L >=
+        lit(490000L) * col("n_a") * col("n_b"))
+      .select("doc_a", "doc_b", "overlap", "n_a", "n_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = Dedup.allPairsCosine(d, "text", "doc_id",
+        minCosinePermille = 700)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == brute)
+    // the boundary pair (cos exactly ~0.7071 ≥ 0.7) is IN
+    assert(got.exists { case (a, b, _, _, _) => a == 1L && b == 3L })
+    assert(got.exists { case (a, b, _, _, _) => a == 4L && b == 5L })
+    // at t = 1000 only identical sets survive (o² ≥ n_a·n_b)
+    val exact = Dedup.allPairsCosine(d, "text", "doc_id",
+        minCosinePermille = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((4L, 5L)))
+    // DF cap defines the operator over capped sets: cap 1 removes every
+    // shared token, so no pairs remain at all
+    assert(Dedup.allPairsCosine(d, "text", "doc_id", 700,
+      maxTokenDF = 1).count() == 0L)
+  }
+
+  test("targetEncodeOof: own fold excluded; single-fold category → prior") {
+    val l = new java.util.ArrayList[Row]()
+    Seq(("A", 0L, 10L), ("A", 0L, 20L), ("A", 1L, 40L), ("B", 0L, 100L))
+      .foreach { case (c, f, t) => l.add(Row(c, f, t)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("category", StringType), StructField("fold", LongType),
+      StructField("t", LongType))))
+    val out = Stats.targetEncodeOof(df, "category", "t", "fold")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (A,0): other-fold mean = 40/1 → 400000; (A,1): 30/2 → 150000
+    assert(out(("A", 0L)) == ((2L, 1L, 400000L)))
+    assert(out(("A", 1L)) == ((1L, 2L, 150000L)))
+    // (B,0): B has no rows outside fold 0 → global OOF prior for fold 0:
+    // (170−130)·10⁴ / (4−3) = 400000; n_out = 0
+    assert(out(("B", 0L)) == ((1L, 0L, 400000L)))
+  }
+
+  test("rankSumTest: doubled midranks are tie-exact; sums close") {
+    val l = new java.util.ArrayList[Row]()
+    Seq(("A", 1L), ("A", 2L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .foreach { case (g, x) => l.add(Row(g, x)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("grp", StringType), StructField("x", LongType))))
+    val out = Stats.rankSumTest(df, "grp", "x", nBuckets = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // pooled: 1→rank 1; 2,2,2→midrank 3; 3→rank 5
+    // A: 1+3+3 = 7 (×2 = 14), U×2 = 14 − 3·4 = 2
+    // B: 3+5 = 8 (×2 = 16), U×2 = 16 − 2·3 = 10
+    assert(out("A") == ((3L, 14L, 2L)))
+    assert(out("B") == ((2L, 16L, 10L)))
+    // rank sums over all groups must total n(n+1) doubled
+    assert(out.values.map(_._2).sum == 5L * 6L)
+  }
+
+  test("giniReport: cell formula equals the row-rank Gini; ties cancel") {
+    val l = new java.util.ArrayList[Row]()
+    Seq(("X", 1L), ("X", 1L), ("X", 2L), ("Y", 5L))
+      .foreach { case (c, x) => l.add(Row(c, x)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("cls", StringType), StructField("x", LongType))))
+    val out = Stats.giniReport(df, "cls", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // X sorted [1,1,2]: Σ(2r−n−1)x = −2 + 0 + 4 = 2; den = 3·4 = 12
+    assert(out("X") == ((3L, 4L, 2L, 12L)))
+    // a single row has zero spread: num 0
+    assert(out("Y") == ((1L, 5L, 0L, 5L)))
+  }
 }
