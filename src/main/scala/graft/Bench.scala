@@ -182,7 +182,8 @@ object Bench {
       "q197_windowed_funnel", "q198_ab_lift", "q199_gain_table",
       "q200_curation_manifest", "q201_all_pairs_cosine",
       "q202_target_encode_oof", "q203_rank_sum_test",
-      "q204_gini_concentration")
+      "q204_gini_concentration", "q205_ndcg", "q206_seasonal_error",
+      "q207_novelty_score")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -2758,7 +2758,48 @@ object SparkEntry {
         orders(tune(s), dir).select(col("o_orderpriority").as("cls"),
           floor(col("o_totalprice")).cast(LongType).as("x")),
         "cls", "x")
-        .orderBy("cls"))
+        .orderBy("cls")),
+
+    // nDCG@10 of label-relevance retrieval: exact top-k list (q33/q170
+    // machinery), qlog2 fixed-point discounts, ideal = same list re-ranked
+    Q("q205_ndcg", Some(
+      s"""WITH v AS (SELECT vec_id AS item_id, $dQuant AS qv, label FROM embeddings), q AS (SELECT item_id AS query_id, qv AS qq, label AS ql FROM v WHERE item_id < 50), sc AS (SELECT query_id, item_id, CASE WHEN v.label = ql THEN 1 ELSE 0 END AS rel, CAST(list_sum(list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)]*qq[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM v CROSS JOIN q WHERE item_id <> query_id), r0 AS (SELECT query_id, rel, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC) AS rank FROM sc), r AS (SELECT query_id, CAST(rel AS BIGINT) AS rel, CAST(rank AS BIGINT) AS rank FROM r0 WHERE rank <= 10), d AS (SELECT query_id, CAST(SUM(rel*1048576 // ${dQlog2("rank+1")}) AS BIGINT) AS dcg_q FROM r GROUP BY 1), ir AS (SELECT query_id, rel, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rank ASC) AS BIGINT) AS irank FROM r), i AS (SELECT query_id, CAST(SUM(rel*1048576 // ${dQlog2("irank+1")}) AS BIGINT) AS idcg_q FROM ir WHERE irank <= 10 GROUP BY 1) SELECT q.query_id, CAST(COALESCE(d.dcg_q, 0) AS BIGINT) AS dcg_q, CAST(COALESCE(i.idcg_q, 0) AS BIGINT) AS idcg_q, CAST(CASE WHEN COALESCE(i.idcg_q, 0) = 0 THEN 0 ELSE COALESCE(d.dcg_q, 0)*1000000 // i.idcg_q END AS BIGINT) AS ndcg_ppm FROM q LEFT JOIN d USING (query_id) LEFT JOIN i USING (query_id) ORDER BY query_id"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        val ranked = Similarity.bruteForceTopK(e,
+            e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+          .join(e.select(col("vec_id").as("item_id"),
+            col("label").as("__il")), "item_id")
+          .join(e.select(col("vec_id").as("query_id"),
+            col("label").as("__ql")), "query_id")
+          .select(col("query_id"), col("rank"),
+            when(col("__il") === col("__ql"), 1L).otherwise(0L).as("rel"))
+        Stats.ndcgReport(ranked, "query_id", "rank", "rel", k = 10)
+          .orderBy("query_id")
+      }),
+
+    // seasonal-naive arrival-rate drift: predict each day's count with
+    // day−7's, score only days whose partner exists (join, not lag)
+    Q("q206_seasonal_error", Some(
+      """WITH e AS (SELECT event_type AS grp, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day FROM events), daily AS (SELECT grp, day, CAST(COUNT(*) AS BIGINT) AS actual FROM e GROUP BY 1, 2), nd AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1), sc AS (SELECT d.grp, CAST(COUNT(*) AS BIGINT) AS n_scored, CAST(SUM(abs(d.actual - f.actual)) AS BIGINT) AS sum_abs_err, CAST(SUM(d.actual) AS BIGINT) AS sum_actual, CAST(SUM(abs(d.actual - f.actual)*2000000 // (d.actual + f.actual)) AS BIGINT) AS t FROM daily d JOIN daily f ON d.grp = f.grp AND d.day = f.day + 7 GROUP BY 1) SELECT nd.grp, nd.n_days, CAST(COALESCE(sc.n_scored, 0) AS BIGINT) AS n_scored, CAST(COALESCE(sc.sum_abs_err, 0) AS BIGINT) AS sum_abs_err, CAST(COALESCE(sc.sum_actual, 0) AS BIGINT) AS sum_actual, CAST(CASE WHEN COALESCE(sc.n_scored, 0) = 0 THEN 0 ELSE sc.t // sc.n_scored END AS BIGINT) AS smape2_ppm FROM nd LEFT JOIN sc USING (grp) ORDER BY grp"""),
+      (s, dir) => graft.streaming.EventTimeOps.seasonalNaiveError(
+        KafkaLike.events(tune(s), dir).select(col("event_type"),
+          IntMath.idiv(col("ts"), lit(86400000000000L)).as("day")),
+        "event_type", "day", period = 7)
+        .orderBy("grp")),
+
+    // corpus novelty: per odd-id doc, the fraction of its shingles never
+    // seen in the even-id reference half — the new-information-rate rank
+    Q("q207_novelty_score", Some(
+      s"""$dShingles, newsh AS (SELECT doc_id, h FROM shex WHERE doc_id % 2 = 1), refsh AS (SELECT DISTINCT h FROM shex WHERE doc_id % 2 = 0) SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, CAST(SUM(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, CAST(SUM(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END)*1000000 // COUNT(*) AS BIGINT) AS novelty_ppm FROM newsh n LEFT JOIN refsh r ON n.h = r.h GROUP BY 1 ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        Dedup.noveltyScore(
+          d.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          d.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+          "text", "doc_id")
+          .orderBy("doc_id")
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -925,6 +925,41 @@ object Dedup {
       .select("doc_a", "doc_b", "split_a", "split_b")
 
   /**
+   * Corpus-level novelty score: per NEW doc, the fraction of its distinct
+   * n-gram shingles never seen in the REFERENCE corpus — the "new
+   * information rate" a curation pipeline uses to rank an ingest batch
+   * against everything already collected (near-zero novelty = rehash;
+   * [[containmentPairs]] answers the PAIRWISE version, this is the
+   * corpus-aggregate one, one number per doc with no pair enumeration
+   * at all).
+   *
+   * Scale shape: both sides reduce to (doc, shingle-hash) longs
+   * ([[graft.operators.TextAnalysis.shingleHashRows]]); the reference
+   * collapses to its DISTINCT hash set once (reusable across ingest
+   * batches, like [[refCorpusBands]]); then one hash-keyed left join +
+   * partial-agg count per doc. Text never joins.
+   *
+   * Docs with < shingleN tokens have no shingles and emit no row (same
+   * contract as every shingle-based operator here).
+   *
+   * Output: (doc_id, n_shingles, n_novel, novelty_ppm).
+   */
+  def noveltyScore(newDocs: DataFrame, refDocs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 3): DataFrame = {
+    val newSh = TextAnalysis.shingleHashRows(newDocs, textCol, idCol,
+      shingleN)
+    val refSh = TextAnalysis.shingleHashRows(refDocs, textCol, idCol,
+      shingleN).select(col("h")).distinct()
+    newSh.join(refSh.withColumn("__seen", lit(1L)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        IntMath.idiv(col("n_novel") * 1000000L, col("n_shingles"))
+          .as("novelty_ppm"))
+  }
+
+  /**
    * EXACT all-pairs set-cosine search with prefix filtering — every doc
    * pair whose token-set cosine |A∩B|/√(|A|·|B|) meets the threshold,
    * with NO recall loss (unlike the banded LSH gate of

@@ -1295,6 +1295,55 @@ object Stats {
   }
 
   /**
+   * Per-query nDCG@k over an already-ranked candidate list with graded
+   * relevance — the standard ranking-quality read for a retrieval stage.
+   * Integer fixed point end to end: the position discount is
+   * [[Retrieval.qlog2]] (1024 units/bit, exact on the powers of two that
+   * anchor it), each kept item contributes rel·2²⁰ DIV qlog2(rank+1)
+   * "milli-ish" units, and the ideal ordering re-ranks the SAME list by
+   * (rel DESC, rank ASC) — nDCG of the retrieved list, the
+   * deterministic-by-construction convention. A query whose list holds no
+   * relevant item reports idcg_q = 0 and ndcg_ppm = 0 (absence is the
+   * signal, as in [[graft.operators.Similarity.labelMrr]]).
+   *
+   * Scale shape: one filter + partial-agg sum for DCG and one
+   * query-KEYED window (the list is ≤ k rows per query by construction)
+   * for the ideal ranking — no global sort, no unkeyed window.
+   *
+   * Output: (query_id, dcg_q, idcg_q, ndcg_ppm).
+   */
+  def ndcgReport(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = ranked.select(col(queryCol).as("query_id"),
+      col(rankCol).cast(LongType).as("rank"),
+      col(relCol).cast(LongType).as("rel"))
+      .filter(col("rank") <= k)
+    def term(rankC: Column): Column =
+      IntMath.idiv(col("rel") * lit(1048576L),
+        graft.operators.Retrieval.qlog2(rankC + lit(1L)))
+    val dcg = r.select(col("query_id"), term(col("rank")).as("t"))
+      .groupBy("query_id").agg(sum("t").as("dcg_q"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("rank").asc)
+    val idcg = r
+      .withColumn("irank", row_number().over(wIdeal).cast(LongType))
+      .filter(col("irank") <= k)
+      .select(col("query_id"), term(col("irank")).as("t"))
+      .groupBy("query_id").agg(sum("t").as("idcg_q"))
+    r.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_q"), lit(0L)).as("dcg_q"),
+        coalesce(col("idcg_q"), lit(0L)).as("idcg_q"),
+        when(coalesce(col("idcg_q"), lit(0L)) === 0L, lit(0L))
+          .otherwise(IntMath.idiv(
+            coalesce(col("dcg_q"), lit(0L)) * lit(1000000L),
+            col("idcg_q"))).as("ndcg_ppm"))
+  }
+
+  /**
    * Leakage-safe (out-of-fold) target encoding — the standard categorical
    * feature for tabular models, computed so no row's own fold contributes
    * to its encoding: for category c seen from fold f, the mean target over

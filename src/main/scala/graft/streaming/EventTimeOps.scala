@@ -129,6 +129,50 @@ object EventTimeOps {
           sum(col("end_ms") - col("start_ms")), count(lit(1)))
           .as("avg_session_ms"))
 
+  /**
+   * Seasonal-naive forecast error per group: predict each day's event
+   * count with the count `period` days earlier, and report the per-group
+   * error mass — the drift alarm every ingestion pipeline runs on its
+   * arrival-rate telemetry (a cheap forecast whose failure IS the signal:
+   * the day a source doubles or dies, sMAPE jumps). Only days whose
+   * day−period partner EXISTS are scored (a join, not a lag — sparse
+   * day grids must not misalign), and the symmetric error term
+   * 2·10⁶·|a−f| DIV (a+f) is integer-exact (both sides are counts ≥ 1).
+   *
+   * Scale shape: rows partial-agg to (group, day) cells first; the
+   * forecast is a self-join of that daily frame shifted by `period` —
+   * everything after the first groupBy is cell-sized, not row-sized.
+   *
+   * Output: (grp, n_days, n_scored, sum_abs_err, sum_actual,
+   * smape2_ppm — the truncating mean of the per-day symmetric term).
+   */
+  def seasonalNaiveError(df: DataFrame, groupCol: String, dayCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val daily = df.groupBy(col(groupCol).as("grp"),
+        col(dayCol).cast(LongType).as("day"))
+      .agg(count(lit(1)).as("actual"))
+    val fc = daily.select(col("grp"), (col("day") + period).as("day"),
+      col("actual").as("forecast"))
+    val nDays = daily.groupBy("grp").agg(count(lit(1)).as("n_days"))
+    val scored = daily.join(fc, Seq("grp", "day"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("actual") - col("forecast"))).as("sum_abs_err"),
+        sum(col("actual")).as("sum_actual"),
+        sum(graft.operators.IntMath.idiv(
+          abs(col("actual") - col("forecast")) * lit(2000000L),
+          col("actual") + col("forecast"))).as("t"))
+    nDays.join(scored, Seq("grp"), "left")
+      .select(col("grp"), col("n_days"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("sum_abs_err"), lit(0L)).as("sum_abs_err"),
+        coalesce(col("sum_actual"), lit(0L)).as("sum_actual"),
+        when(coalesce(col("n_scored"), lit(0L)) === 0L, lit(0L))
+          .otherwise(graft.operators.IntMath.idiv(col("t"),
+            col("n_scored"))).as("smape2_ppm"))
+  }
+
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.size <= 16, "1..16 funnel steps")

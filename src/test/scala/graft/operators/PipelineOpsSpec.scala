@@ -2392,6 +2392,57 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out.values.map(_._2).sum == 5L * 6L)
   }
 
+  test("ndcgReport: fixed-point discounts, ideal re-rank, no-relevant → 0") {
+    val l = new java.util.ArrayList[Row]()
+    // q1: rel at ranks 2,3 (imperfect); q2: nothing relevant; q3: perfect
+    Seq((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 1L, 0L), (2L, 2L, 0L),
+      (3L, 1L, 1L), (3L, 2L, 1L), (3L, 3L, 0L))
+      .foreach { case (q, r, rel) => l.add(Row(q, r, rel)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("query_id", LongType), StructField("rank", LongType),
+      StructField("rel", LongType))))
+    val out = Stats.ndcgReport(df, "query_id", "rank", "rel", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // qlog2: 2→1024, 3→1536, 4→2048; term = rel·2²⁰ DIV qlog2(rank+1)
+    // q1 dcg = 682 + 512 = 1194; ideal ranks 1,2 → idcg = 1024 + 682
+    assert(out(1L) == ((1194L, 1706L, 699882L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+    assert(out(3L) == ((1706L, 1706L, 1000000L)))
+  }
+
+  test("seasonalNaiveError: join-aligned scoring, unscored groups zeroed") {
+    val l = new java.util.ArrayList[Row]()
+    // A: day 1 ×2 events, day 8 ×4 (8 = 1+7 → scored); B: one day only
+    (Seq.fill(2)(("A", 1L)) ++ Seq.fill(4)(("A", 8L)) ++ Seq(("B", 1L)))
+      .foreach { case (g, d) => l.add(Row(g, d)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("grp", StringType), StructField("day", LongType))))
+    val out = graft.streaming.EventTimeOps
+      .seasonalNaiveError(df, "grp", "day", period = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // |4−2|·2·10⁶/(4+2) = 666666 (truncating)
+    assert(out("A") == ((2L, 1L, 2L, 4L, 666666L)))
+    assert(out("B") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("noveltyScore: shingles unseen in the reference half, ppm-exact") {
+    val ref = docs((10L, "a b c d e")) // shingles abc, bcd, cde
+    val nw = docs(
+      (1L, "a b c x y z"), // abc bcx cxy xyz → 3 of 4 novel
+      (3L, "p q r s"), // pqr qrs → all novel
+      (5L, "t u")) // < 3 tokens → no shingles → no row
+    val out = Dedup.noveltyScore(nw, ref, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 3L, 750000L)))
+    assert(out(3L) == ((2L, 2L, 1000000L)))
+    assert(!out.contains(5L))
+  }
+
   test("giniReport: cell formula equals the row-rank Gini; ties cancel") {
     val l = new java.util.ArrayList[Row]()
     Seq(("X", 1L), ("X", 1L), ("X", 2L), ("Y", 5L))
