@@ -183,7 +183,8 @@ object Bench {
       "q200_curation_manifest", "q201_all_pairs_cosine",
       "q202_target_encode_oof", "q203_rank_sum_test",
       "q204_gini_concentration", "q205_ndcg", "q206_seasonal_error",
-      "q207_novelty_score")
+      "q207_novelty_score", "q208_weighted_quantiles",
+      "q209_categorical_mi", "q210_psi")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -2799,6 +2799,40 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(2L)) === 0L),
           "text", "doc_id")
           .orderBy("doc_id")
+      }),
+
+    // token-mass-weighted length quantiles: the doc length below which
+    // q% of the TOKEN MASS sits (two-stage, no global sort)
+    Q("q208_weighted_quantiles", Some(
+      s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v, CAST(len($dToks) AS BIGINT) AS w FROM documents WHERE len($dToks) > 0), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d), c AS (SELECT v, CAST(SUM(w) AS BIGINT) AS vw FROM d GROUP BY v), cum AS (SELECT v, CAST(SUM(vw) OVER (ORDER BY v) AS BIGINT) AS cw FROM c), p AS (SELECT unnest([50, 90, 99]) AS q_pct) SELECT CAST(p.q_pct AS INT) AS q_pct, CAST((tot.tw*p.q_pct + 99) // 100 AS BIGINT) AS rank, CAST(MIN(cum.v) AS BIGINT) AS value FROM cum CROSS JOIN tot JOIN p ON cum.cw >= (tot.tw*p.q_pct + 99) // 100 GROUP BY 1, 2 ORDER BY q_pct"""),
+      (s, dir) => Stats.weightedGlobalQuantiles(
+        docs(tune(s), dir).select(col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("w"))
+          .filter(col("w") > 0),
+        "n_chars", "w", Seq(50, 90, 99))
+        .orderBy("q_pct")),
+
+    // exact MI between event type and user bucket, per-cell q-units
+    Q("q209_categorical_mi", Some(
+      s"""WITH e AS (SELECT event_type AS a, CAST(user_id % 8 AS BIGINT) AS b FROM events), cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM e GROUP BY 1, 2), ma AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1), mb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1), t AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cells), r AS (SELECT a, b, n_ab, n_a, n_b, GREATEST(1, (n_ab*n << 20) // (n_a*n_b)) AS ratio FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t) SELECT a, b, n_ab, n_a, n_b, CAST(n_ab*(${dQlog2("ratio")} - 20480) AS BIGINT) AS mi_q FROM r ORDER BY a, b"""),
+      (s, dir) => Stats.categoricalMI(
+        KafkaLike.events(tune(s), dir).select(
+          col("event_type").as("a"),
+          pmod(col("user_id"), lit(8L)).as("b")),
+        "a", "b")
+        .orderBy("a", "b")),
+
+    // PSI drift between user-parity halves over log₂ value buckets,
+    // add-1 smoothed, qlog2 fixed-point log-ratios
+    Q("q210_psi", Some(
+      s"""WITH v AS (SELECT CAST(user_id % 2 AS BIGINT) AS side, CAST(floor(value*100) AS BIGINT) AS cents FROM events), sa AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS c_a FROM v WHERE side = 0 GROUP BY 1), sb AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS c_b FROM v WHERE side = 1 GROUP BY 1), j AS (SELECT COALESCE(sa.bucket, sb.bucket) AS bucket, CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a, CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket), n AS (SELECT CAST(SUM(c_a + 1) AS BIGINT) AS na1, CAST(SUM(c_b + 1) AS BIGINT) AS nb1 FROM j), f AS (SELECT bucket, c_a, c_b, CAST((c_a + 1)*1000000 // n.na1 AS BIGINT) AS pa_ppm, CAST((c_b + 1)*1000000 // n.nb1 AS BIGINT) AS pb_ppm, GREATEST(1, ((c_a + 1)*n.nb1 << 20) // ((c_b + 1)*n.na1)) AS ratio FROM j CROSS JOIN n), g AS (SELECT bucket, c_a, c_b, pa_ppm, pb_ppm, CAST((pa_ppm - pb_ppm)*(${dQlog2("ratio")} - 20480) AS BIGINT) AS psi_q FROM f), t AS (SELECT CAST(SUM(psi_q) AS BIGINT) AS psi_total_q FROM g) SELECT g.bucket, g.c_a, g.c_b, g.pa_ppm, g.pb_ppm, g.psi_q, t.psi_total_q FROM g CROSS JOIN t ORDER BY bucket"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir).select(
+          pmod(col("user_id"), lit(2L)).as("side"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        Stats.psiReport(ev.filter(col("side") === 0L),
+          ev.filter(col("side") === 1L), "cents")
+          .orderBy("bucket")
       })
   )
 

@@ -670,6 +670,145 @@ object Stats {
   }
 
   /**
+   * WEIGHTED exact global quantiles — percentile_disc over a value where
+   * each row carries an integer mass (tokens, bytes, spend): quantile q =
+   * the smallest value whose cumulative weight reaches ⌈W·q/100⌉. The
+   * question a token-budgeted pipeline actually asks ("the doc length
+   * below which half the TOKEN MASS sits") that the unweighted
+   * [[globalQuantiles]] cannot answer.
+   *
+   * Same two-stage, no-global-sort shape as [[globalQuantiles]]: range-
+   * bucket the values, collect the ≤ nBuckets per-bucket WEIGHT sums as
+   * exclusive offsets, then resolve each target inside its one bucket
+   * with a bucket-keyed cumulative-weight window (RANGE frame, so ties on
+   * the value aggregate together and the pick is tie-invariant).
+   * Non-positive weights are rejected (a zero-mass row cannot move a
+   * weighted rank; filter first if the input has them).
+   *
+   * Output: (q_pct, rank, value) — rank is the weighted target ⌈W·q/100⌉.
+   */
+  def weightedGlobalQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String, percents: Seq[Int],
+      nBuckets: Int = 1024): DataFrame = {
+    require(percents.nonEmpty && percents.forall(q => q >= 1 && q <= 100),
+      "percents must be integers in [1, 100]")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val vals = df.select(col(valueCol).cast(LongType).as("v"),
+      col(weightCol).cast(LongType).as("w"))
+    // one pass collects range, total AND the weight-validity check
+    val mm = vals.agg(min(col("v")), max(col("v")), sum(col("w")),
+      min(col("w")), count(lit(1)), count(col("w"))).head()
+    require(mm.getLong(4) > 0L,
+      "weightedGlobalQuantiles of an empty frame")
+    require(mm.getLong(5) == mm.getLong(4) && mm.getLong(3) > 0L,
+      "weights must be non-null positive integers")
+    val (lo, totalW) = (mm.getLong(0), mm.getLong(2))
+    val width = math.max(1L, (mm.getLong(1) - lo) / nBuckets + 1)
+    val bucketed = vals.withColumn("__bucket",
+      IntMath.idiv(col("v") - lo, lit(width)))
+    val weights = bucketed.groupBy("__bucket").agg(sum("w").as("bw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = weights.map { case (b, c) =>
+      val o = acc; acc += c; (b, o, c) }
+    val targets = percents.distinct.sorted
+      .map(q => (q, (totalW * q + 99) / 100))
+    val lookup = targets.map { case (q, r) =>
+      val (b, off, _) = offsets.find { case (_, off, c) =>
+        r > off && r <= off + c }.get
+      (b, r - off, q, r)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lookupDf = lookup.map { case (b, t, q, r) => (b, t, q, r) }
+      .toDF("__bucket", "__t", "q_pct", "rank")
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("v"))
+    bucketed.filter(col("__bucket").isin(lookup.map(_._1).distinct: _*))
+      .withColumn("__cw", sum(col("w")).over(w)) // RANGE: peers aggregate
+      .join(broadcast(lookupDf), Seq("__bucket"))
+      .filter(col("__cw") >= col("__t"))
+      .groupBy(col("q_pct"), col("rank"))
+      .agg(min(col("v")).as("value"))
+      .select(col("q_pct").cast(org.apache.spark.sql.types.IntegerType),
+        col("rank").cast(LongType), col("value"))
+  }
+
+  /**
+   * Exact mutual information between two categorical columns, in integer
+   * q-units — the feature-redundancy read before shipping two columns
+   * that say the same thing ([[chiSquare]] tests independence; this
+   * QUANTIFIES the shared information). Per cell (a, b):
+   * `mi_q = n_ab · (qlog2(ratio) − 20480)` where ratio carries
+   * `p(a,b)/(p(a)p(b)) = n_ab·N / (n_a·n_b)` at 2²⁰ fixed point (the
+   * [[graft.operators.TextAnalysis.vocabDrift]] convention — positive
+   * cells are over-represented vs independence; Σ mi_q / (N·1024) is MI
+   * in bits). The ratio is floored at 1 fixed-point unit so a
+   * vanishingly-rare cell stays finite — mirror-exactly in any oracle.
+   *
+   * Shape: one partial-agg groupBy to |A|·|B| cells, two cell-level
+   * marginal rollups, one broadcast total.
+   *
+   * Output: (a, b, n_ab, n_a, n_b, mi_q).
+   */
+  def categoricalMI(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = cells.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val mb = cells.groupBy("b").agg(sum("n_ab").as("n_b"))
+    val tot = cells.agg(sum("n_ab").as("n"))
+    val ratio = greatest(lit(1L), IntMath.idiv(
+      shiftleft(col("n_ab") * col("n"), 20), col("n_a") * col("n_b")))
+    cells.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab") * (graft.operators.Retrieval.qlog2(ratio) - 20480L))
+          .as("mi_q"))
+  }
+
+  /**
+   * Population Stability Index between two value frames over the shared
+   * log₂-bucket support — the industry-standard drift score
+   * ([[histDriftReport]] reports 2×TVD; PSI weights each bucket's share
+   * shift by the log-ratio, so a mass move between FAR-apart shares
+   * scores higher than the same mass between close ones). Add-1
+   * smoothing on the union support keeps every log finite; fractions are
+   * ppm of the SMOOTHED totals and the log-ratio is qlog2 fixed point,
+   * so the whole report is integer-exact. psi_q units: ppm·qlog2 —
+   * `psi_total_q / (10⁶·1024)` is PSI in bits (×ln 2 for the nat-based
+   * convention the 0.1/0.25 rules of thumb quote).
+   *
+   * Shape: two ≤64-row sketches, a full-outer join on the bucket, one
+   * bounded 1-row total — the [[logHistQuantiles]] exemption.
+   *
+   * Output: (bucket, c_a, c_b, pa_ppm, pb_ppm, psi_q, psi_total_q).
+   */
+  def psiReport(dfA: DataFrame, dfB: DataFrame,
+      valueCol: String): DataFrame = {
+    val sa = logHistSketch(dfA, valueCol).withColumnRenamed("c", "c_a")
+    val sb = logHistSketch(dfB, valueCol).withColumnRenamed("c", "c_b")
+    val j = sa.join(sb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = j.agg((sum(col("c_a") + 1L)).as("na1"),
+      (sum(col("c_b") + 1L)).as("nb1"))
+    val withP = j.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_a"), col("c_b"),
+        IntMath.idiv((col("c_a") + 1L) * lit(1000000L), col("na1"))
+          .as("pa_ppm"),
+        IntMath.idiv((col("c_b") + 1L) * lit(1000000L), col("nb1"))
+          .as("pb_ppm"),
+        greatest(lit(1L), IntMath.idiv(
+          shiftleft((col("c_a") + 1L) * col("nb1"), 20),
+          (col("c_b") + 1L) * col("na1"))).as("__ratio"))
+      .withColumn("psi_q",
+        (col("pa_ppm") - col("pb_ppm")) *
+          (graft.operators.Retrieval.qlog2(col("__ratio")) - 20480L))
+      .drop("__ratio")
+    val total = withP.agg(sum(col("psi_q")).as("psi_total_q"))
+    withP.crossJoin(broadcast(total))
+  }
+
+  /**
    * Mergeable log₂-histogram quantile sketch: bucket = bit-width of the
    * value (`length(bin(v))` — exact integer, no float log), one partial-agg
    * groupBy to per-bucket counts, then quantile q = the smallest bucket

@@ -2443,6 +2443,70 @@ class PipelineOpsSpec extends SparkSuite {
     assert(!out.contains(5L))
   }
 
+  test("weightedGlobalQuantiles: cumulative-mass pick, tie-invariant") {
+    val l = new java.util.ArrayList[Row]()
+    // values 10(w3), 20(w1+w1 split across rows), 30(w5): W = 10
+    Seq((10L, 3L), (20L, 1L), (20L, 1L), (30L, 5L))
+      .foreach { case (v, w) => l.add(Row(v, w)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("v", LongType), StructField("w", LongType))))
+    val out = Stats.weightedGlobalQuantiles(df, "v", "w",
+      Seq(30, 50, 100), nBuckets = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // targets: 30% → ⌈3⌉ = 3 → v=10; 50% → 5 → v=20; 100% → 10 → v=30
+    assert(out(30) == ((3L, 10L)))
+    assert(out(50) == ((5L, 20L)))
+    assert(out(100) == ((10L, 30L)))
+    // weighted median equals unweighted median of the expanded multiset
+    val expanded = Seq.fill(3)(10L) ++ Seq.fill(2)(20L) ++ Seq.fill(5)(30L)
+    assert(out(50)._2 == expanded.sorted.apply((expanded.size + 1) / 2 - 1))
+    intercept[IllegalArgumentException] {
+      val bad = new java.util.ArrayList[Row](); bad.add(Row(1L, 0L))
+      Stats.weightedGlobalQuantiles(s.createDataFrame(bad, df.schema),
+        "v", "w", Seq(50))
+    }
+  }
+
+  test("categoricalMI: independent columns score 0; copies score log|A|") {
+    val l = new java.util.ArrayList[Row]()
+    // perfectly dependent: b == a, two symbols, 2 rows each
+    Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .foreach { case (a, b) => l.add(Row(a, b)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType))))
+    val out = Stats.categoricalMI(df, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(5))
+      .toMap
+    // each cell: ratio = n_ab·N/(n_a·n_b) = 2·4/(2·2) = 2 → qlog2 = 1 bit
+    // → mi_q = n_ab·1024 = 2048; total 4096 = N·1024·log2(2) = 1 bit
+    assert(out(("x", "x")) == 2048L && out(("y", "y")) == 2048L)
+    // independent uniform: every ratio = 1 → every contribution 0
+    val li = new java.util.ArrayList[Row]()
+    for (a <- Seq("x", "y"); b <- Seq("p", "q")) li.add(Row(a, b))
+    val ind = Stats.categoricalMI(
+      s.createDataFrame(li, df.schema), "a", "b")
+      .collect().map(_.getLong(5))
+    assert(ind.forall(_ == 0L))
+  }
+
+  test("psiReport: identical sides → 0 everywhere; shift scores positive") {
+    def vals(xs: Long*): org.apache.spark.sql.DataFrame = {
+      val l = new java.util.ArrayList[Row]()
+      xs.foreach(x => l.add(Row(x)))
+      s.createDataFrame(l, StructType(Seq(StructField("x", LongType))))
+    }
+    val same = Stats.psiReport(vals(1L, 2L, 100L), vals(1L, 2L, 100L), "x")
+      .collect()
+    assert(same.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L))
+    // mass moved from small buckets to a large one: total must be > 0
+    // (PSI is a sum of (pa−pb)·log(pa/pb) terms, each ≥ 0 up to
+    // fixed-point truncation on the DOMINANT terms)
+    val shifted = Stats.psiReport(
+      vals(1L, 1L, 1L, 1L), vals(1000L, 1000L, 1000L, 1000L), "x")
+      .collect()
+    assert(shifted.head.getLong(6) > 0L)
+  }
+
   test("giniReport: cell formula equals the row-rank Gini; ties cancel") {
     val l = new java.util.ArrayList[Row]()
     Seq(("X", 1L), ("X", 1L), ("X", 2L), ("Y", 5L))
