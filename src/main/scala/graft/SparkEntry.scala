@@ -2833,7 +2833,40 @@ object SparkEntry {
         Stats.psiReport(ev.filter(col("side") === 0L),
           ev.filter(col("side") === 1L), "cents")
           .orderBy("bucket")
-      })
+      }),
+
+    // average precision (step-interpolated PR area) per label — the
+    // imbalance-honest companion to q156's AUC, same two-stage engine
+    Q("q211_avg_precision", Some(
+      """WITH v AS (SELECT event_type AS label, CAST(floor(value*100) AS BIGINT) AS s FROM events), g AS (SELECT s, label, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2), t0 AS (SELECT s, CAST(SUM(c) AS BIGINT) AS ctot FROM g GROUP BY 1), t AS (SELECT s, ctot, CAST(SUM(ctot) OVER (ORDER BY s) - ctot AS BIGINT) AS cumt FROM t0), l AS (SELECT s, label, c, CAST(SUM(c) OVER (PARTITION BY label ORDER BY s) - c AS BIGINT) AS cuml FROM g), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v), np AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_pos FROM g GROUP BY 1), w AS (SELECT l.label, l.c, np.n_pos, np.n_pos - l.cuml AS tp_ge, n.n - t.cumt AS tot_ge FROM l JOIN t USING (s) JOIN np USING (label) CROSS JOIN n), a AS (SELECT label, CAST(MAX(n_pos) AS BIGINT) AS n_pos, CAST(SUM(c*tp_ge*1000000 // (n_pos*tot_ge)) AS BIGINT) AS ap_ppm FROM w GROUP BY 1) SELECT label, n_pos, CAST(n.n - n_pos AS BIGINT) AS n_neg, ap_ppm FROM a CROSS JOIN n WHERE n_pos > 0 AND n_pos < n.n ORDER BY label"""),
+      (s, dir) => Stats.averagePrecisionReport(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "cents")
+        .orderBy("label")),
+
+    // Spearman rank correlation (value vs time) as exact centered midrank
+    // moments — ρ = num/√(den_x·den_y) is the caller's last step
+    Q("q212_spearman", Some(
+      """WITH v AS (SELECT CAST(floor(value*100) AS BIGINT) AS x, CAST(epoch_ms(ts) AS BIGINT) AS y FROM events), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v), m AS (SELECT 2*rank() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS mrx, 2*rank() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS mry FROM v), c AS (SELECT CAST(mrx - (n.n + 1) AS BIGINT) AS cx, CAST(mry - (n.n + 1) AS BIGINT) AS cy FROM m CROSS JOIN n) SELECT n.n, CAST(SUM(cx*cy) AS BIGINT) AS num, CAST(SUM(cx*cx) AS BIGINT) AS den_x, CAST(SUM(cy*cy) AS BIGINT) AS den_y FROM c CROSS JOIN n GROUP BY n.n"""),
+      (s, dir) => Stats.spearmanReport(
+        KafkaLike.events(tune(s), dir).select(
+          floor(col("value") * 100).cast(LongType).as("x"),
+          IntMath.idiv(col("ts"), lit(1000000L)).as("y")),
+        "x", "y")),
+
+    // native rollup surface: CUBE over (event type, user bucket) with
+    // sentinel-coalesced subtotal rows — Catalyst's Expand operator
+    Q("q213_cube_counts", Some(
+      """SELECT COALESCE(event_type, 'ALL') AS etype, CAST(COALESCE(ub, -1) AS BIGINT) AS ub, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT event_type, CAST(user_id % 4 AS BIGINT) AS ub FROM events) GROUP BY CUBE(event_type, ub) ORDER BY etype, ub"""),
+      (s, dir) => KafkaLike.events(tune(s), dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(4L)).as("ub"))
+        .cube(col("event_type"), col("ub"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("ub"), lit(-1L)).as("ub"), col("n"))
+        .orderBy("etype", "ub"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1086,6 +1086,81 @@ object Stats {
   }
 
   /**
+   * Exact average precision per label (one-vs-rest) in ppm — area under
+   * the precision-recall curve with step interpolation, the metric that
+   * (unlike [[rocAucReport]]'s AUC) stays honest under heavy class
+   * imbalance, which is the regime every quality-filter threshold lives
+   * in. Sweeping thresholds down the distinct scores: each score s adds
+   * `Δrecall·precision = (pos_at(s)/n_pos)·(tp≥s / tot≥s)`; in integers
+   * each term is `pos_at·tp_ge·10⁶ DIV (n_pos·tot_ge)` (per-term
+   * truncating division — deterministic, mirrored by the oracle). A
+   * whole tie block contributes one term at its pooled precision, the
+   * standard tie convention. Same [[scoredCumulatives]] engine — no
+   * global sort.
+   *
+   * Output: (label, n_pos, n_neg, ap_ppm), one row per label with at
+   * least one positive and one negative.
+   */
+  def averagePrecisionReport(df: DataFrame, labelCol: String,
+      scoreCol: String, nBuckets: Int = 1024): DataFrame = {
+    val (cum, n) = scoredCumulatives(df, labelCol, scoreCol, nBuckets)
+    val npos = cum.groupBy("label").agg(sum("c").as("n_pos"))
+    cum.join(broadcast(npos), "label")
+      .withColumn("__term", IntMath.idiv(
+        col("c") * (col("n_pos") - col("cum_below_l")) * lit(1000000L),
+        col("n_pos") * (lit(n) - col("cum_below_t"))))
+      .groupBy("label", "n_pos").agg(sum(col("__term")).as("ap_ppm"))
+      .filter(col("n_pos") > 0L && col("n_pos") < lit(n))
+      .select(col("label"), col("n_pos"),
+        (lit(n) - col("n_pos")).as("n_neg"), col("ap_ppm"))
+  }
+
+  /**
+   * Spearman rank correlation between two integer columns, as EXACT
+   * integer moments over doubled midranks — the monotone-association
+   * check (feature vs target, score vs human rating) that is immune to
+   * monotone transforms and outliers where Pearson is not. Ties get
+   * midranks (doubled to stay integer, the [[rankSumTest]] convention),
+   * then each row's midranks are centered by −(n+1) (so both sums are
+   * exactly 0 and no n³-scale raw moment is ever formed) and the three
+   * second moments are reported:
+   * ρ = num / √(den_x·den_y) — the division and square root are the
+   * CALLER's (presentation-layer) step; everything here is exact.
+   * int64 envelope: |centered| < 2n, so moments stay under n·4n² — safe
+   * to n ≈ 1.3M rows; rescale or widen to DECIMAL beyond.
+   *
+   * Shape: two [[valueCumBefore]] two-stage scans (one per column), two
+   * value-keyed joins back to the rows, one 1-row aggregate.
+   *
+   * Output (1 row): (n, num, den_x, den_y).
+   */
+  def spearmanReport(df: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val v = df.select(col(xCol).cast(LongType).as("x"),
+        col(yCol).cast(LongType).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def mr2(c: DataFrame): DataFrame = // (x, mr2): doubled midrank per value
+      c.select(col("x"), (lit(2L) * col("sBefore") + col("c") + lit(1L))
+        .as("mr2"))
+    val mx = mr2(valueCumBefore(v.select("x"), "x", nBuckets))
+    val my = mr2(valueCumBefore(v.select(col("y").as("x")), "x", nBuckets))
+      .withColumnRenamed("x", "y").withColumnRenamed("mr2", "mr2y")
+    val tot = v.agg(count(lit(1)).as("n")).head().getLong(0)
+    val joined = v.join(mx, "x").join(my, "y")
+      // centered doubled midranks: Σ over rows of each is exactly 0
+      .select((col("mr2") - lit(tot + 1L)).as("cx"),
+        (col("mr2y") - lit(tot + 1L)).as("cy"))
+    joined.agg(lit(tot).as("n"),
+      sum(col("cx") * col("cy")).as("num"),
+      sum(col("cx") * col("cx")).as("den_x"),
+      sum(col("cy") * col("cy")).as("den_y"))
+      .select(col("n"),
+        coalesce(col("num"), lit(0L)).as("num"),
+        coalesce(col("den_x"), lit(0L)).as("den_x"),
+        coalesce(col("den_y"), lit(0L)).as("den_y"))
+  }
+
+  /**
    * Exact two-sample Kolmogorov–Smirnov statistic between the score
    * distributions of two classes, in ppm — the distribution-shift test
    * between two corpora/periods that stays integer-exact:
@@ -1549,19 +1624,18 @@ object Stats {
    *
    * Output: (group, n, rank_sum_x2, u_x2) ordered by group.
    */
-  def rankSumTest(df: DataFrame, groupCol: String, valueCol: String,
-      nBuckets: Int = 1024): DataFrame = {
+  /** Per distinct value of `valueCol`: (x, c, sBefore) — the count at the
+    * value and the EXACT pooled count strictly below it, via the
+    * [[globalRank]] two-stage scan (range buckets, bounded offset collect,
+    * bucket-keyed cumulative window). Empty input → empty frame. */
+  private def valueCumBefore(v: DataFrame, valueCol: String,
+      nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val v = df.select(col(groupCol).as("grp"),
-      col(valueCol).cast(LongType).as("x"))
-      .filter(col("x").isNotNull)
-    val byVal = v.groupBy("x").agg(count(lit(1)).as("c"))
+    val byVal = v.groupBy(col(valueCol).as("x")).agg(count(lit(1)).as("c"))
     val mm = byVal.agg(min("x"), max("x"), count(lit(1))).head()
-    if (mm.getLong(2) == 0L) {
-      // empty input: empty report, schema intact
-      return v.groupBy("grp").agg(count(lit(1)).as("n"),
-        lit(0L).as("rank_sum_x2"), lit(0L).as("u_x2"))
-    }
+    if (mm.getLong(2) == 0L)
+      return byVal.withColumn("sBefore", lit(0L))
+        .select(col("x"), col("c"), col("sBefore"))
     val lo = mm.getLong(0)
     val width = math.max(1L, (mm.getLong(1) - lo) / nBuckets + 1)
     val b = byVal.withColumn("__bucket",
@@ -1570,15 +1644,23 @@ object Stats {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offRows = offs.map { case (bk, c) => val o = acc; acc += c; (bk, o) }
-    val spark = df.sparkSession
+    val spark = v.sparkSession
     import spark.implicits._
     val offDf = offRows.toSeq.toDF("__bucket", "__off")
     val w = Window.partitionBy(col("__bucket")).orderBy(col("x"))
-    // sBefore = values strictly below x, pooled over all groups
-    val cum = b.join(broadcast(offDf), "__bucket")
+    b.join(broadcast(offDf), "__bucket")
       .withColumn("sBefore",
         col("__off") + sum(col("c")).over(w) - col("c"))
       .select(col("x"), col("c"), col("sBefore"))
+  }
+
+  def rankSumTest(df: DataFrame, groupCol: String, valueCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val v = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast(LongType).as("x"))
+      .filter(col("x").isNotNull)
+    // (x, c, sBefore): pooled per-value counts + strictly-below cumulative
+    val cum = valueCumBefore(v.select("x"), "x", nBuckets)
     v.groupBy("grp", "x").agg(count(lit(1)).as("cg"))
       .join(cum, "x")
       .groupBy("grp")

@@ -2507,6 +2507,41 @@ class PipelineOpsSpec extends SparkSuite {
     assert(shifted.head.getLong(6) > 0L)
   }
 
+  test("averagePrecisionReport: step-interpolated PR area, one-vs-rest") {
+    val l = new java.util.ArrayList[Row]()
+    // descending scores: P(3), N(2), P(1)
+    Seq(("P", 3L), ("N", 2L), ("P", 1L))
+      .foreach { case (lbl, s0) => l.add(Row(lbl, s0)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("label", StringType), StructField("s", LongType))))
+    val out = Stats.averagePrecisionReport(df, "label", "s")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // AP(P) = (1/1 + 2/3)/2 → 500000 + 333333; AP(N) = 1/2
+    assert(out("P") == ((2L, 1L, 833333L)))
+    assert(out("N") == ((1L, 2L, 500000L)))
+  }
+
+  test("spearmanReport: centered midrank moments; ±1 at perfect monotone") {
+    def xy(rows: (Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (x, y) => l.add(Row(x, y)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("x", LongType), StructField("y", LongType))))
+    }
+    val up = Stats.spearmanReport(xy((1L, 10L), (2L, 20L), (3L, 30L)),
+      "x", "y").head()
+    assert((up.getLong(0), up.getLong(1), up.getLong(2), up.getLong(3))
+      == ((3L, 8L, 8L, 8L))) // ρ = 8/√64 = 1
+    val down = Stats.spearmanReport(xy((1L, 30L), (2L, 20L), (3L, 10L)),
+      "x", "y").head()
+    assert(down.getLong(1) == -8L) // ρ = −1
+    // a tie block gets one shared midrank; centered sums still close to 0
+    val tied = Stats.spearmanReport(xy((1L, 5L), (1L, 5L), (2L, 9L)),
+      "x", "y").head()
+    assert(tied.getLong(1) == tied.getLong(2)) // x and y rank identically
+  }
+
   test("giniReport: cell formula equals the row-rank Gini; ties cancel") {
     val l = new java.util.ArrayList[Row]()
     Seq(("X", 1L), ("X", 1L), ("X", 2L), ("Y", 5L))
