@@ -185,7 +185,8 @@ object Bench {
       "q204_gini_concentration", "q205_ndcg", "q206_seasonal_error",
       "q207_novelty_score", "q208_weighted_quantiles",
       "q209_categorical_mi", "q210_psi", "q211_avg_precision",
-      "q212_spearman", "q213_cube_counts")
+      "q212_spearman", "q213_cube_counts", "q214_column_drift",
+      "q215_journey_paths")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

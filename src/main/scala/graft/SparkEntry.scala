@@ -2866,7 +2866,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
           coalesce(col("ub"), lit(-1L)).as("ub"), col("n"))
-        .orderBy("etype", "ub"))
+        .orderBy("etype", "ub")),
+
+    // column-level snapshot drill-down: WHICH columns changed between two
+    // corpus snapshots (null-safe compare, ids in both sides only)
+    Q("q214_column_drift", Some(
+      """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st, o_orderpriority AS pr FROM orders), b AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS p, CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS st, o_orderpriority AS pr FROM orders WHERE o_orderkey % 7 <> 6), j AS (SELECT a.p AS ap, b.p AS bp, a.st AS ast, b.st AS bst, a.pr AS apr, b.pr AS bpr FROM a JOIN b USING (k)), agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common, CAST(SUM(CASE WHEN ap IS DISTINCT FROM bp THEN 1 ELSE 0 END) AS BIGINT) AS sp, CAST(SUM(CASE WHEN ast IS DISTINCT FROM bst THEN 1 ELSE 0 END) AS BIGINT) AS sst, CAST(SUM(CASE WHEN apr IS DISTINCT FROM bpr THEN 1 ELSE 0 END) AS BIGINT) AS spr FROM j), u AS (SELECT 'p' AS col_name, sp AS n_changed, n_common FROM agg UNION ALL SELECT 'st', sst, n_common FROM agg UNION ALL SELECT 'pr', spr, n_common FROM agg) SELECT col_name, n_changed, n_common, CAST(CASE WHEN n_common = 0 THEN 0 ELSE n_changed*1000000 // n_common END AS BIGINT) AS changed_ppm FROM u ORDER BY col_name"""),
+      (s, dir) => {
+        val o = orders(tune(s), dir)
+        val a = o.select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("p"), col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pr"))
+        val b = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 6L)
+          .select(col("o_orderkey").as("k"),
+            when(pmod(col("o_orderkey"), lit(3L)) === 0L,
+              col("o_totalprice") + 1d).otherwise(col("o_totalprice"))
+              .as("p"),
+            when(pmod(col("o_orderkey"), lit(5L)) === 0L, lit("X"))
+              .otherwise(col("o_orderstatus")).as("st"),
+            col("o_orderpriority").as("pr"))
+        Snapshot.columnDiff(a, b, "k", Seq("p", "st", "pr"))
+          .orderBy("col_name")
+      }),
+
+    // top user-journey paths: most common 3-step event-type runs per
+    // user, (ts, event_id)-ordered — in-array windows, TakeOrdered top-k
+    Q("q215_journey_paths", Some(
+      """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS t, event_id AS o, event_type AS et FROM events), s AS (SELECT k, list(et ORDER BY t, o) AS types FROM e GROUP BY k), p AS (SELECT unnest(list_transform(range(len(types) - 2), i -> types[CAST(i+1 AS INT)] || '>' || types[CAST(i+2 AS INT)] || '>' || types[CAST(i+3 AS INT)])) AS path FROM s WHERE len(types) >= 3), c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1) SELECT path, n FROM c ORDER BY n DESC, path ASC LIMIT 20"""),
+      (s, dir) => graft.streaming.EventTimeOps.journeyPaths(
+        KafkaLike.events(tune(s), dir),
+        "user_id", "ts", "event_id", "event_type", len = 3, topK = 20))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

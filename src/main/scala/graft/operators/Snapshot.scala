@@ -44,4 +44,44 @@ object Snapshot {
       contentCol: String): DataFrame =
     diff(a, b, idCol, contentCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /**
+   * Column-level drill-down for ids present in BOTH snapshots: which
+   * columns actually changed, and how much — the read that turns
+   * [[diff]]'s "12M rows changed" into "one upstream job rewrote
+   * `status`, everything else is stable". Null-safe comparison (`<=>`),
+   * so null→value and value→null count as changes and null→null does
+   * not.
+   *
+   * Shape: one id-keyed inner join (both sides project ONLY the compared
+   * columns), one 1-row aggregate of the per-column change flags, then a
+   * |cols|-row stack — nothing after the join scales with input.
+   *
+   * Output: (col_name, n_changed, n_common, changed_ppm) per compared
+   * column, ordered by col_name.
+   */
+  def columnDiff(a: DataFrame, b: DataFrame, idCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "pass at least one column to compare")
+    import org.apache.spark.sql.types.LongType
+    val ha = a.select((col(idCol).as("__id") +:
+      cols.map(c => col(c).as(s"__a_$c"))): _*)
+    val hb = b.select((col(idCol).as("__id") +:
+      cols.map(c => col(c).as(s"__b_$c"))): _*)
+    val flags = cols.map(c =>
+      (!(col(s"__a_$c") <=> col(s"__b_$c"))).cast(LongType)
+        .as(s"__chg_$c"))
+    val aggd = ha.join(hb, "__id")
+      .select(flags: _*)
+      .agg(count(lit(1)).as("n_common"),
+        cols.map(c => sum(col(s"__chg_$c")).as(s"__s_$c")): _*)
+    val stackArgs = cols
+      .map(c => s"'$c', coalesce(__s_$c, 0L)").mkString(", ")
+    aggd.selectExpr("n_common",
+        s"stack(${cols.size}, $stackArgs) as (col_name, n_changed)")
+      .select(col("col_name"), col("n_changed"), col("n_common"),
+        when(col("n_common") === 0L, 0L)
+          .otherwise(IntMath.idiv(col("n_changed") * 1000000L,
+            col("n_common"))).as("changed_ppm"))
+  }
 }

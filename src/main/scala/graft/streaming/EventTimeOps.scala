@@ -173,6 +173,41 @@ object EventTimeOps {
             col("n_scored"))).as("smape2_ppm"))
   }
 
+  /**
+   * Top-k user-journey paths: the most common length-`len` runs of
+   * consecutive event types, ordered per key by (ts, order-column) — the
+   * sankey/flow report behind "what do users actually do after signup".
+   * The per-key sequence is a bounded collect (events per user, the same
+   * envelope [[sessionize]]'s windows assume); path extraction is an
+   * in-array sliding window (map-only), and the ranking is a partial-agg
+   * count + TakeOrdered — no global sort.
+   *
+   * `orderCol` breaks timestamp ties totally (an event id), so the
+   * sequence — and therefore every path — is deterministic on any
+   * partitioning.
+   *
+   * Output: (path, n), top `topK` by (n DESC, path ASC).
+   */
+  def journeyPaths(events: DataFrame, keyCol: String, tsCol: String,
+      orderCol: String, typeCol: String, len: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(len >= 2, s"len must be >= 2, got $len")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val seqs = events.groupBy(col(keyCol).as("k"))
+      .agg(array_sort(collect_list(struct(col(tsCol).as("t"),
+        col(orderCol).as("o"), col(typeCol).as("e")))).as("seq"))
+      .select(col("k"), expr("transform(seq, s -> s.e)").as("types"))
+      .filter(size(col("types")) >= len)
+    seqs
+      .select(explode(transform(
+        sequence(lit(0), size(col("types")) - len),
+        i => concat_ws(">", slice(col("types"), i + lit(1), lit(len)))))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+  }
+
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.size <= 16, "1..16 funnel steps")

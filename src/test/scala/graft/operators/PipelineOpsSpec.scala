@@ -2542,6 +2542,53 @@ class PipelineOpsSpec extends SparkSuite {
     assert(tied.getLong(1) == tied.getLong(2)) // x and y rank identically
   }
 
+  test("columnDiff: null-safe per-column change counts over common ids") {
+    def snap(rows: (Long, java.lang.Long, String)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, v, s0) => l.add(Row(k, v, s0)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("k", LongType), StructField("v", LongType),
+        StructField("st", StringType))))
+    }
+    val a = snap((1L, 10L, "ok"), (2L, null, "ok"), (3L, 30L, "ok"),
+      (9L, 9L, "only_a"))
+    val b = snap((1L, 10L, "CH"), (2L, null, "ok"), (3L, 31L, "ok"),
+      (8L, 8L, "only_b"))
+    val out = Snapshot.columnDiff(a, b, "k", Seq("v", "st"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // common ids 1,2,3: v changes only for 3 (null<=>null is unchanged);
+    // st changes only for 1
+    assert(out("v") == ((1L, 3L, 333333L)))
+    assert(out("st") == ((1L, 3L, 333333L)))
+  }
+
+  test("journeyPaths: ordered sliding windows, deterministic top-k") {
+    val l = new java.util.ArrayList[Row]()
+    // user 1: a b c d → a>b>c, b>c>d; user 2: a b c → a>b>c; user 3: x y
+    Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (1L, 40L, 4L, "d"),
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      (3L, 10L, 8L, "x"), (3L, 20L, 9L, "y"))
+      .foreach { case (k, t, o, e) => l.add(Row(k, t, o, e)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("o", LongType), StructField("e", StringType))))
+    val out = graft.streaming.EventTimeOps
+      .journeyPaths(df, "k", "t", "o", "e", len = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a>b>c", 2L), ("b>c>d", 1L)))
+    // timestamp tie broken by the order column: flip order ids → new path
+    val l2 = new java.util.ArrayList[Row]()
+    Seq((1L, 10L, 2L, "a"), (1L, 10L, 1L, "b"), (1L, 20L, 3L, "c"))
+      .foreach { case (k, t, o, e) => l2.add(Row(k, t, o, e)) }
+    val tied = graft.streaming.EventTimeOps
+      .journeyPaths(s.createDataFrame(l2, df.schema),
+        "k", "t", "o", "e", len = 3, topK = 10)
+      .collect().map(_.getString(0))
+    assert(tied.toSeq == Seq("b>a>c"))
+  }
+
   test("giniReport: cell formula equals the row-rank Gini; ties cancel") {
     val l = new java.util.ArrayList[Row]()
     Seq(("X", 1L), ("X", 1L), ("X", 2L), ("Y", 5L))
