@@ -814,6 +814,52 @@ object Probe {
         Stats.gainTable(ev.select(col("event_id"), col("cents"),
           (col("event_type") === "purchase").as("conv")),
           "cents", "event_id", "conv").count())
+
+      // ---- round-7 continuation ops: plan hygiene + timings ----
+      val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      // APSS: the prefix filter must cut the inverted-index candidate
+      // volume vs joining on EVERY token (same DF cap both sides), while
+      // the result stays exact (losslessness is spec-pinned; here we pin
+      // the efficiency claim that justifies the prefix machinery)
+      locally {
+        val apss = Dedup.allPairsCosine(docsDf, "text", "doc_id",
+          minCosinePermille = 700, maxShingleDF = 100)
+        timed("all-pairs cosine t=0.7 (sf0.1 documents)")(apss.count())
+      }
+      timed("novelty score (sf0.1 docs, odd vs even)")(
+        Dedup.noveltyScore(
+          docsDf.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          docsDf.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+          "text", "doc_id").count())
+      val wq = Stats.weightedGlobalQuantiles(
+        docsDf.select(col("n_chars"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("w"))
+          .filter(col("w") > 0), "n_chars", "w", Seq(50, 90, 99))
+      assertKeyedWindows(wq, "weightedGlobalQuantiles")
+      timed("weighted quantiles (sf0.1 docs)")(wq.count())
+      val rs = Stats.rankSumTest(ev.select(col("event_type"), col("cents")),
+        "event_type", "cents")
+      assertKeyedWindows(rs, "rankSumTest")
+      timed("rank-sum test (sf0.1 events)")(rs.count())
+      val sp2 = Stats.spearmanReport(
+        ev.select(col("cents"), col("event_id")), "cents", "event_id")
+      assertKeyedWindows(sp2, "spearmanReport")
+      timed("spearman moments (sf0.1 events)")(sp2.count())
+      val ap = Stats.averagePrecisionReport(
+        ev.select(col("event_type"), col("cents")), "event_type", "cents")
+      assertKeyedWindows(ap, "averagePrecisionReport")
+      timed("average precision (sf0.1 events)")(ap.count())
+      val gi = Stats.giniReport(
+        spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderpriority").as("cls"),
+            floor(col("o_totalprice")).cast(
+              org.apache.spark.sql.types.LongType).as("x")), "cls", "x")
+      assertKeyedWindows(gi, "giniReport")
+      timed("gini report (sf0.1 orders)")(gi.count())
+      timed("journey paths (sf0.1 events)")(
+        graft.streaming.EventTimeOps.journeyPaths(
+          graft.sources.KafkaLike.events(spark, dir),
+          "user_id", "ts", "event_id", "event_type").count())
     }
     spark.stop()
   }

@@ -2723,9 +2723,9 @@ object SparkEntry {
     // filter): the prefix filter is lossless, so the oracle is plain
     // brute force over the DF-capped sets — identical output by theorem
     Q("q201_all_pairs_cosine", Some(
-      s"""WITH toks0 AS (SELECT doc_id, unnest(list_distinct(list_transform($dToks, t -> ${dFold("t")}))) AS h FROM documents), dfc AS (SELECT h FROM toks0 GROUP BY h HAVING COUNT(*) <= 100), toks AS (SELECT t.doc_id, t.h FROM toks0 t JOIN dfc USING (h)), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS overlap FROM toks a JOIN toks b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, overlap, sa.n AS n_a, sb.n AS n_b FROM ov JOIN sz sa ON ov.doc_a = sa.doc_id JOIN sz sb ON ov.doc_b = sb.doc_id WHERE overlap*overlap*1000000 >= 490000*sa.n*sb.n ORDER BY doc_a, doc_b"""),
+      s"""$dShingles, dfc AS (SELECT h FROM shex GROUP BY h HAVING COUNT(*) <= 100), caps AS (SELECT s.doc_id, s.h FROM shex s JOIN dfc USING (h)), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM caps GROUP BY 1), ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS overlap FROM caps a JOIN caps b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, overlap, sa.n AS n_a, sb.n AS n_b FROM ov JOIN sz sa ON ov.doc_a = sa.doc_id JOIN sz sb ON ov.doc_b = sb.doc_id WHERE overlap*overlap*1000000 >= 490000*sa.n*sb.n ORDER BY doc_a, doc_b"""),
       (s, dir) => Dedup.allPairsCosine(docs(tune(s), dir), "text", "doc_id",
-        minCosinePermille = 700, maxTokenDF = 100)
+        minCosinePermille = 700, maxShingleDF = 100)
         .orderBy("doc_a", "doc_b")),
 
     // leakage-safe target encoding: every cell's mean target EXCLUDES its

@@ -961,61 +961,65 @@ object Dedup {
 
   /**
    * EXACT all-pairs set-cosine search with prefix filtering — every doc
-   * pair whose token-set cosine |A∩B|/√(|A|·|B|) meets the threshold,
-   * with NO recall loss (unlike the banded LSH gate of
+   * pair whose n-gram shingle-set cosine |A∩B|/√(|A|·|B|) meets the
+   * threshold, with NO recall loss (unlike the banded LSH gate of
    * [[ngramJaccardPairs]], whose candidate stage is probabilistic). This
    * is the classic APSS primitive (prefix filtering: Chaudhuri et al.,
    * ICDE 2006; Bayardo et al., WWW 2007; the MapReduce formulation is
    * Vernica et al., SIGMOD 2010) — the right tool when the dedup report
    * must be COMPLETE at the threshold, e.g. a contractual "no pair above
-   * t survives" guarantee that a banded gate cannot sign.
+   * t survives" guarantee that a banded gate cannot sign. The set
+   * element is the `shingleN`-gram hash ([[ngramJaccardPairs]]'s unit —
+   * single tokens carry too little identity: a corpus-scale vocabulary
+   * is shared by everything, while shingle vocabularies grow with the
+   * corpus and keep document frequencies low, which is exactly what the
+   * rarest-first prefix wants).
    *
-   * Losslessness: order all token hashes by (document frequency ASC,
-   * hash) — one global total order. For a doc with n tokens the required
-   * overlap with ANY admissible partner is at least α = ⌈t²·n⌉ (since
-   * cos ≥ t forces |B| ≥ t²·|A| and o ≥ t·√(n_a·n_b)); the SMALLEST
-   * common token (in the global order) of a qualifying pair must then sit
-   * within the first n − α + 1 tokens of BOTH docs (at least o−1 common
-   * tokens order after it in each), so joining prefixes only misses
-   * nothing. Rarest-first ordering makes those prefixes meet as rarely as
-   * possible — candidate volume tracks rare-token co-occurrence, not
-   * corpus².
+   * Losslessness: order all shingle hashes by (document frequency ASC,
+   * hash) — one global total order. For a doc with n shingles the
+   * required overlap with ANY admissible partner is at least α = ⌈t²·n⌉
+   * (cos ≥ t forces |B| ≥ t²·|A| and o ≥ t·√(n_a·n_b)); the SMALLEST
+   * common shingle (in the global order) of a qualifying pair must then
+   * sit within the first n − α + 1 shingles of BOTH docs (at least o−1
+   * common shingles order after it in each), so joining prefixes only
+   * misses nothing. Rarest-first ordering makes those prefixes meet as
+   * rarely as possible — candidate volume tracks rare-shingle
+   * co-occurrence, not corpus².
    *
    * Integer-exact end to end: the verify is o²·10⁶ ≥ t‰²·n_a·n_b — no FP
    * anywhere, so the DuckDB brute-force oracle matches bit-for-bit (the
    * prefix filter changes WORK, never the answer).
    *
-   * `maxTokenDF` drops tokens above the document-frequency cap from the
-   * SETS (both overlap and sizes — the operator is defined over the
-   * DF-capped sets, same contract as [[ngramJaccardPairs]]'s shingle
-   * cap): stopwords and boilerplate carry no similarity signal, and the
-   * cap bounds both the hottest inverted-index bucket (≤ cap² pairs) and
-   * the oracle's brute-force join.
+   * `maxShingleDF` drops shingles above the document-frequency cap from
+   * the SETS (both overlap and sizes — the operator is defined over the
+   * DF-capped sets, the [[ngramJaccardPairs]] contract): boilerplate
+   * carries no similarity signal, and the cap bounds both the hottest
+   * inverted-index bucket (≤ cap² pairs) and the oracle's brute-force
+   * join.
    *
    * Scale shape: one DF count (partial-agg), one per-doc sort of its own
-   * ≤`maxTokenDF`-filtered token list (map-side, bounded by doc length),
-   * an inverted-index self-join over PREFIX rows only, then the exact
-   * overlap count on candidate pairs — |cand| × mean doc size, the same
-   * verify shape that keeps q32 linear-ish in dup density.
+   * ≤`maxShingleDF`-filtered shingle list (map-side, bounded by doc
+   * length), an inverted-index self-join over PREFIX rows only, then the
+   * exact overlap count on candidate pairs — |cand| × mean doc size, the
+   * same verify shape that keeps q32 linear-ish in dup density.
    *
    * Output: (doc_a, doc_b, overlap, n_a, n_b), doc_a < doc_b.
    */
   def allPairsCosine(docs: DataFrame, textCol: String, idCol: String,
-      minCosinePermille: Int = 700, maxTokenDF: Int = 100): DataFrame = {
+      minCosinePermille: Int = 700, maxShingleDF: Int = 100,
+      shingleN: Int = 3): DataFrame = {
     require(minCosinePermille >= 1 && minCosinePermille <= 1000,
       s"minCosinePermille in [1, 1000], got $minCosinePermille")
-    require(maxTokenDF >= 1, s"maxTokenDF must be >= 1, got $maxTokenDF")
+    require(maxShingleDF >= 1, s"maxShingleDF must be >= 1, got $maxShingleDF")
     val t2 = minCosinePermille.toLong * minCosinePermille // ≤ 10⁶
-    val rows0 = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextAnalysis.tokenHashes(col(textCol))))
-        .as("h"))
+    val rows0 = TextAnalysis.shingleHashRows(docs, textCol, idCol, shingleN)
     val dfreq = rows0.groupBy("h").agg(count(lit(1)).as("df"))
-    // cap filter mirrors ngramJaccardPairs: the OVER-cap token set is tiny
-    // by construction (≤ rows/cap members) — broadcast anti-join
-    val overCap = dfreq.filter(col("df") > maxTokenDF).select(col("h"))
+    // cap filter mirrors ngramJaccardPairs: the OVER-cap shingle set is
+    // tiny by construction (≤ rows/cap members) — broadcast anti-join
+    val overCap = dfreq.filter(col("df") > maxShingleDF).select(col("h"))
     val toks = Staging.stage(
       rows0.join(broadcast(overCap), Seq("h"), "left_anti"))
-    // per-doc token list in the global (df, h) order + the prefix length
+    // per-doc shingle list in the global (df, h) order + the prefix length
     // n − ⌈t²·n⌉ + 1 (≥ 1 whenever n ≥ 1, since ⌈t²·n⌉ ≤ n for t ≤ 1)
     val ordered = toks.join(dfreq, "h")
       .groupBy("doc_id")

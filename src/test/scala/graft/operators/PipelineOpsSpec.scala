@@ -2313,15 +2313,17 @@ class PipelineOpsSpec extends SparkSuite {
   }
 
   test("allPairsCosine: prefix filter is lossless vs brute force") {
+    // sets are 3-gram shingles: doc1 has 6, doc2 shares 5 of them
+    // (cos 5/6), doc3's 3 are all inside doc1 (cos 3/√18 ≈ 0.7071 — the
+    // threshold boundary), docs 4/5 are identical, doc6 disjoint
     val d = docs(
       (1L, "a b c d e f g h"),
-      (2L, "a b c d e f g x"), // overlap 7 of 8 with doc 1
-      (3L, "a b c d"), // cos(1,3) = 4/√32 ≈ 0.7071 — the boundary case
+      (2L, "a b c d e f g x"),
+      (3L, "a b c d e"),
       (4L, "p q r s t u v w"),
-      (5L, "p q r s t u v w"), // exact duplicate of doc 4
+      (5L, "p q r s t u v w"),
       (6L, "z1 z2 z3"))
-    val toks = d.select(col("doc_id"), explode(array_distinct(
-      TextAnalysis.tokenHashes(col("text")))).as("h"))
+    val toks = TextAnalysis.shingleHashRows(d, "text", "doc_id", 3)
     val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val brute = toks.select(col("doc_id").as("doc_a"), col("h"))
       .join(toks.select(col("doc_id").as("doc_b"), col("h")), "h")
@@ -2353,7 +2355,7 @@ class PipelineOpsSpec extends SparkSuite {
     // DF cap defines the operator over capped sets: cap 1 removes every
     // shared token, so no pairs remain at all
     assert(Dedup.allPairsCosine(d, "text", "doc_id", 700,
-      maxTokenDF = 1).count() == 0L)
+      maxShingleDF = 1).count() == 0L)
   }
 
   test("targetEncodeOof: own fold excluded; single-fold category → prior") {
