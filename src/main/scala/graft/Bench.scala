@@ -186,7 +186,8 @@ object Bench {
       "q207_novelty_score", "q208_weighted_quantiles",
       "q209_categorical_mi", "q210_psi", "q211_avg_precision",
       "q212_spearman", "q213_cube_counts", "q214_column_drift",
-      "q215_journey_paths")
+      "q215_journey_paths", "q216_ri_audit",
+      "q217_session_conversion")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

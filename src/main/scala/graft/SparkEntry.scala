@@ -2895,7 +2895,23 @@ object SparkEntry {
       """WITH e AS (SELECT user_id AS k, CAST(epoch_ms(ts) AS BIGINT) AS t, event_id AS o, event_type AS et FROM events), s AS (SELECT k, list(et ORDER BY t, o) AS types FROM e GROUP BY k), p AS (SELECT unnest(list_transform(range(len(types) - 2), i -> types[CAST(i+1 AS INT)] || '>' || types[CAST(i+2 AS INT)] || '>' || types[CAST(i+3 AS INT)])) AS path FROM s WHERE len(types) >= 3), c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1) SELECT path, n FROM c ORDER BY n DESC, path ASC LIMIT 20"""),
       (s, dir) => graft.streaming.EventTimeOps.journeyPaths(
         KafkaLike.events(tune(s), dir),
-        "user_id", "ts", "event_id", "event_type", len = 3, topK = 20))
+        "user_id", "ts", "event_id", "event_type", len = 3, topK = 20)),
+
+    // referential-integrity audit: orphan lineitems against a parent
+    // snapshot with a hole punched in it (keys ≡ 3 mod 10 removed)
+    Q("q216_ri_audit", Some(
+      """WITH ck AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS nc FROM lineitem GROUP BY 1), pk AS (SELECT DISTINCT o_orderkey AS k, 1 AS p FROM orders WHERE o_orderkey % 10 <> 3), j AS (SELECT COALESCE(ck.k, pk.k) AS k, nc, p FROM ck FULL OUTER JOIN pk ON ck.k = pk.k) SELECT CAST(SUM(COALESCE(nc, 0)) AS BIGINT) AS n_child_rows, CAST(SUM(CASE WHEN nc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_child_keys, CAST(SUM(CASE WHEN p IS NULL THEN COALESCE(nc, 0) ELSE 0 END) AS BIGINT) AS orphan_rows, CAST(SUM(CASE WHEN p IS NULL AND nc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys, CAST(SUM(CASE WHEN k IS NULL THEN COALESCE(nc, 0) ELSE 0 END) AS BIGINT) AS null_key_rows, CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parent_keys, CAST(SUM(CASE WHEN nc IS NULL AND p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless_parent_keys, CAST(SUM(CASE WHEN p IS NULL THEN COALESCE(nc, 0) ELSE 0 END)*1000000 // GREATEST(SUM(COALESCE(nc, 0)), 1) AS BIGINT) AS orphan_ppm FROM j"""),
+      (s, dir) => Stats.refIntegrityAudit(
+        lineitem(tune(s), dir),
+        orders(tune(s), dir).filter(pmod(col("o_orderkey"), lit(10L)) =!= 3L),
+        "l_orderkey", "o_orderkey")),
+
+    // session-level conversion: gaps-and-islands sessions (q39's islands),
+    // a session converts iff it contains a purchase event
+    Q("q217_session_conversion", Some(
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit FROM events), g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e), s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), ses AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(MAX(hit) AS BIGINT) AS converted FROM s GROUP BY 1, 2) SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(SUM(converted) AS BIGINT) AS n_converted, CAST(SUM(CASE WHEN converted = 1 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_converted, CAST(SUM(CASE WHEN converted = 0 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_other, CAST(SUM(converted)*1000000 // GREATEST(COUNT(*), 1) AS BIGINT) AS conversion_ppm FROM ses"""),
+      (s, dir) => graft.streaming.EventTimeOps.sessionConversion(
+        KafkaLike.frame(tune(s), dir), 1800000L, "purchase"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

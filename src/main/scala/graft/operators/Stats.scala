@@ -809,6 +809,48 @@ object Stats {
   }
 
   /**
+   * Referential-integrity audit between a child and a parent table — the
+   * orphan-rate pre-flight before any FK-assuming join or enrichment at
+   * scale ([[joinAudit]] sizes the join; this one checks the CONTRACT).
+   * Child rows whose key matches no parent key are orphans; parent keys
+   * with no child are childless (often fine, reported anyway). A NULL
+   * child key can never match and counts as orphaned (reported
+   * separately so the fix — null-filter vs upstream repair — is
+   * obvious).
+   *
+   * Shape: the child collapses to per-key counts, the parent to its
+   * distinct key set, then one key-keyed full-outer join of two already
+   * key-sized frames and a 1-row aggregate.
+   *
+   * Output (1 row): (n_child_rows, n_child_keys, orphan_rows,
+   * orphan_keys, null_key_rows, n_parent_keys, childless_parent_keys,
+   * orphan_ppm).
+   */
+  def refIntegrityAudit(child: DataFrame, parent: DataFrame,
+      childKeyCol: String, parentKeyCol: String): DataFrame = {
+    val ck = child.select(col(childKeyCol).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("nc"))
+    val pk = parent.select(col(parentKeyCol).as("k"))
+      .filter(col("k").isNotNull).distinct().withColumn("__p", lit(1L))
+    ck.join(pk, Seq("k"), "full_outer")
+      .agg(sum(coalesce(col("nc"), lit(0L))).as("n_child_rows"),
+        sum(when(col("nc").isNotNull, 1L).otherwise(0L)).as("n_child_keys"),
+        sum(when(col("__p").isNull, coalesce(col("nc"), lit(0L)))
+          .otherwise(0L)).as("orphan_rows"),
+        sum(when(col("__p").isNull && col("nc").isNotNull, 1L)
+          .otherwise(0L)).as("orphan_keys"),
+        sum(when(col("k").isNull, coalesce(col("nc"), lit(0L)))
+          .otherwise(0L)).as("null_key_rows"),
+        sum(when(col("__p").isNotNull, 1L).otherwise(0L))
+          .as("n_parent_keys"),
+        sum(when(col("nc").isNull && col("__p").isNotNull, 1L)
+          .otherwise(0L)).as("childless_parent_keys"))
+      .withColumn("orphan_ppm",
+        IntMath.idiv(col("orphan_rows") * lit(1000000L),
+          greatest(col("n_child_rows"), lit(1L))))
+  }
+
+  /**
    * Mergeable log₂-histogram quantile sketch: bucket = bit-width of the
    * value (`length(bin(v))` — exact integer, no float log), one partial-agg
    * groupBy to per-bucket counts, then quantile q = the smallest bucket

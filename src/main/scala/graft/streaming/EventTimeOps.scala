@@ -97,6 +97,46 @@ object EventTimeOps {
   }
 
   /**
+   * Session-level conversion report: sessionize the record stream
+   * ([[sessionize]]'s gaps-and-islands, same key/offset/timestamp
+   * contract) and report how many sessions contain at least one
+   * `target`-topic event — the "did the visit convert" read, which the
+   * event-level rate (conversions / events) systematically understates
+   * for long sessions. One keyed window pass + two partial-agg groupBys.
+   *
+   * Output (1 row): (n_sessions, n_converted, events_in_converted,
+   * events_in_other, conversion_ppm).
+   */
+  def sessionConversion(records: DataFrame, gapMs: Long,
+      target: String): DataFrame = {
+    val byKey = Window.partitionBy(col("key"))
+      .orderBy(col("ms"), col("offset"))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val sessions = records
+      .select(col("key"), col("offset"),
+        unix_millis(col("timestamp")).as("ms"),
+        (col("topic") === target).cast(LongType).as("hit"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("key"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("hit")).as("converted"))
+    sessions
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        sum(when(col("converted") === 1L, col("n_events")).otherwise(0L))
+          .as("events_in_converted"),
+        sum(when(col("converted") === 0L, col("n_events")).otherwise(0L))
+          .as("events_in_other"))
+      .withColumn("conversion_ppm",
+        graft.operators.IntMath.idiv(col("n_converted") * lit(1000000L),
+          greatest(col("n_sessions"), lit(1L))))
+  }
+
+  /**
    * Funnel analysis over an event log: how many keys (users) reach step 1,
    * then step 2 strictly after their earliest step-1 time, and so on — the
    * standard conversion funnel. Semantics are pure min-aggregations ("the

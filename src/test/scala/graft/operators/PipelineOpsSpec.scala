@@ -2591,6 +2591,45 @@ class PipelineOpsSpec extends SparkSuite {
     assert(tied.toSeq == Seq("b>a>c"))
   }
 
+  test("refIntegrityAudit: orphans, null keys, childless parents") {
+    def keys(name: String, ks: java.lang.Long*) = {
+      val l = new java.util.ArrayList[Row]()
+      ks.foreach(k => l.add(Row(k)))
+      s.createDataFrame(l, StructType(Seq(StructField(name, LongType))))
+    }
+    // child: 1,1,2,7,null — parent: 1,2,3 (3 childless; 7+null orphaned)
+    val r = Stats.refIntegrityAudit(
+      keys("ck", 1L, 1L, 2L, 7L, null),
+      keys("pk", 1L, 2L, 3L), "ck", "pk").head()
+    assert(r.getLong(0) == 5L) // n_child_rows
+    assert(r.getLong(1) == 4L) // n_child_keys (incl. the null group)
+    assert(r.getLong(2) == 2L) // orphan_rows: key 7 and the null row
+    assert(r.getLong(3) == 2L) // orphan_keys
+    assert(r.getLong(4) == 1L) // null_key_rows
+    assert(r.getLong(5) == 3L) // n_parent_keys
+    assert(r.getLong(6) == 1L) // childless: key 3
+    assert(r.getLong(7) == 400000L) // 2/5 orphaned
+  }
+
+  test("sessionConversion: per-session hit flag, not per-event rate") {
+    val l = new java.util.ArrayList[Row]()
+    // user A: one 3-event session with ONE purchase (converts once);
+    // user B: two sessions (gap > 30 min), neither converts
+    Seq(("A", 1L, 0L, "view"), ("A", 2L, 60000L, "purchase"),
+      ("A", 3L, 120000L, "view"),
+      ("B", 4L, 0L, "view"), ("B", 5L, 10000000L, "view"))
+      .foreach { case (k, o, ms, t) =>
+        l.add(Row(k, o, new java.sql.Timestamp(ms), t)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("key", StringType), StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("topic", StringType))))
+    val r = graft.streaming.EventTimeOps
+      .sessionConversion(df, 1800000L, "purchase").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 1L, 3L, 2L, 333333L)))
+  }
+
   test("giniReport: cell formula equals the row-rank Gini; ties cancel") {
     val l = new java.util.ArrayList[Row]()
     Seq(("X", 1L), ("X", 1L), ("X", 2L), ("Y", 5L))
