@@ -1012,13 +1012,16 @@ object Dedup {
       s"minCosinePermille in [1, 1000], got $minCosinePermille")
     require(maxShingleDF >= 1, s"maxShingleDF must be >= 1, got $maxShingleDF")
     val t2 = minCosinePermille.toLong * minCosinePermille // ≤ 10⁶
-    val rows0 = TextAnalysis.shingleHashRows(docs, textCol, idCol, shingleN)
+    // the explode+window shingle scan dominates cost and feeds the DF
+    // count, the cap filter AND both verify sides — materialize it once
+    // (mechanism per `spark.graft.staging`, the ngramJaccardPairs shape)
+    val rows0 = Staging.stage(
+      TextAnalysis.shingleHashRows(docs, textCol, idCol, shingleN))
     val dfreq = rows0.groupBy("h").agg(count(lit(1)).as("df"))
     // cap filter mirrors ngramJaccardPairs: the OVER-cap shingle set is
     // tiny by construction (≤ rows/cap members) — broadcast anti-join
     val overCap = dfreq.filter(col("df") > maxShingleDF).select(col("h"))
-    val toks = Staging.stage(
-      rows0.join(broadcast(overCap), Seq("h"), "left_anti"))
+    val toks = rows0.join(broadcast(overCap), Seq("h"), "left_anti")
     // per-doc shingle list in the global (df, h) order + the prefix length
     // n − ⌈t²·n⌉ + 1 (≥ 1 whenever n ≥ 1, since ⌈t²·n⌉ ≤ n for t ≤ 1)
     val ordered = toks.join(dfreq, "h")

@@ -64,24 +64,32 @@ object Snapshot {
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "pass at least one column to compare")
     import org.apache.spark.sql.types.LongType
-    val ha = a.select((col(idCol).as("__id") +:
-      cols.map(c => col(c).as(s"__a_$c"))): _*)
-    val hb = b.select((col(idCol).as("__id") +:
-      cols.map(c => col(c).as(s"__b_$c"))): _*)
-    val flags = cols.map(c =>
-      (!(col(s"__a_$c") <=> col(s"__b_$c"))).cast(LongType)
-        .as(s"__chg_$c"))
+    // positional aliases throughout: a user column name is DATA here
+    // (it may contain dots, spaces, quotes) and must never round-trip
+    // through a parsed identifier or SQL string; input references are
+    // backtick-escaped so a dotted name resolves as one column
+    def raw(df: DataFrame, c: String) =
+      df.col("`" + c.replace("`", "``") + "`")
+    val idx = cols.zipWithIndex
+    val ha = a.select((raw(a, idCol).as("__id") +:
+      idx.map { case (c, i) => raw(a, c).as(s"__a_$i") }): _*)
+    val hb = b.select((raw(b, idCol).as("__id") +:
+      idx.map { case (c, i) => raw(b, c).as(s"__b_$i") }): _*)
+    val flags = idx.map { case (_, i) =>
+      (!(col(s"__a_$i") <=> col(s"__b_$i"))).cast(LongType).as(s"__chg_$i")
+    }
     val aggd = ha.join(hb, "__id")
       .select(flags: _*)
       .agg(count(lit(1)).as("n_common"),
-        cols.map(c => sum(col(s"__chg_$c")).as(s"__s_$c")): _*)
-    val stackArgs = cols
-      .map(c => s"'$c', coalesce(__s_$c, 0L)").mkString(", ")
-    aggd.selectExpr("n_common",
-        s"stack(${cols.size}, $stackArgs) as (col_name, n_changed)")
-      .select(col("col_name"), col("n_changed"), col("n_common"),
+        idx.map { case (_, i) =>
+          coalesce(sum(col(s"__chg_$i")), lit(0L)).as(s"__s_$i") }: _*)
+    val pairs = array(idx.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__s_$i").as("n_changed")) }: _*)
+    aggd.select(col("n_common"), explode(pairs).as("kv"))
+      .select(col("kv.col_name").as("col_name"),
+        col("kv.n_changed").as("n_changed"), col("n_common"),
         when(col("n_common") === 0L, 0L)
-          .otherwise(IntMath.idiv(col("n_changed") * 1000000L,
+          .otherwise(IntMath.idiv(col("kv.n_changed") * 1000000L,
             col("n_common"))).as("changed_ppm"))
   }
 }

@@ -745,13 +745,27 @@ object Stats {
    * in bits). The ratio is floored at 1 fixed-point unit so a
    * vanishingly-rare cell stays finite — mirror-exactly in any oracle.
    *
+   * Rows with a NULL in either column are EXCLUDED up front (N, the
+   * marginals and the cells all agree on the non-null support — a null
+   * category silently vanishing from join keys while inflating N would
+   * bias every surviving ratio; filter-or-impute is the caller's
+   * explicit decision).
+   *
+   * int64 envelope: the dominant cell's `n_ab·N·2²⁰` must stay under
+   * 2⁶³ — for strongly dependent columns that means N ≲ 3M rows
+   * (`n_ab ≈ N/|A|`). Beyond that, pre-aggregate per key shard or widen
+   * the ratio carrier to DECIMAL — the same envelope note as
+   * [[spearmanReport]] and the collocations PMI.
+   *
    * Shape: one partial-agg groupBy to |A|·|B| cells, two cell-level
    * marginal rollups, one broadcast total.
    *
    * Output: (a, b, n_ab, n_a, n_b, mi_q).
    */
   def categoricalMI(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
       .agg(count(lit(1)).as("n_ab"))
     val ma = cells.groupBy("a").agg(sum("n_ab").as("n_a"))
     val mb = cells.groupBy("b").agg(sum("n_ab").as("n_b"))
@@ -778,6 +792,13 @@ object Stats {
    *
    * Shape: two ≤64-row sketches, a full-outer join on the bucket, one
    * bounded 1-row total — the [[logHistQuantiles]] exemption.
+   *
+   * int64 envelope: the log-ratio carrier `(c_a+1)·nb1·2²⁰` must stay
+   * under 2⁶³ — both sides ≲ 3M rows when the mass concentrates in one
+   * bucket. PSI is scale-invariant, so past that either downsample both
+   * sides by the same factor or divide both sketches' counts before
+   * calling (the smoothing then applies to the scaled counts); widening
+   * to DECIMAL is the exact alternative.
    *
    * Output: (bucket, c_a, c_b, pa_ppm, pb_ppm, psi_q, psi_total_q).
    */
@@ -1587,15 +1608,13 @@ object Stats {
       .filter(col("irank") <= k)
       .select(col("query_id"), term(col("irank")).as("t"))
       .groupBy("query_id").agg(sum("t").as("idcg_q"))
-    r.select("query_id").distinct()
-      .join(dcg, Seq("query_id"), "left")
-      .join(idcg, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("dcg_q"), lit(0L)).as("dcg_q"),
-        coalesce(col("idcg_q"), lit(0L)).as("idcg_q"),
-        when(coalesce(col("idcg_q"), lit(0L)) === 0L, lit(0L))
-          .otherwise(IntMath.idiv(
-            coalesce(col("dcg_q"), lit(0L)) * lit(1000000L),
+    // every query in r has a row in BOTH aggregates (rel=0 rows
+    // contribute zero-valued terms, and irank starts at 1), so the join
+    // is total — no distinct scan or null-coalescing needed
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("dcg_q"), col("idcg_q"),
+        when(col("idcg_q") === 0L, lit(0L))
+          .otherwise(IntMath.idiv(col("dcg_q") * lit(1000000L),
             col("idcg_q"))).as("ndcg_ppm"))
   }
 

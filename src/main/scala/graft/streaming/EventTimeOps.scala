@@ -80,20 +80,31 @@ object EventTimeOps {
    * the running count of session starts per key — deterministic given the
    * (ms, offset) sort. One shuffle on the key; both window functions share it.
    */
-  def sessionize(records: DataFrame, gapMs: Long): DataFrame = {
+  def sessionize(records: DataFrame, gapMs: Long): DataFrame =
+    assignSessions(
+      records.select(col("key"), col("offset"),
+        unix_millis(col("timestamp")).as("ms")), gapMs)
+      .groupBy(col("key"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+
+  /** The single definition of the session-boundary rule: append
+    * `session_id` (running count of gap-starts per key, (ms, offset)
+    * sort) to a frame that carries `key`, `offset`, `ms` plus any
+    * payload columns — shared by [[sessionize]] and
+    * [[sessionConversion]] so the two can never disagree on where a
+    * session starts. */
+  private def assignSessions(rows: DataFrame, gapMs: Long): DataFrame = {
     val byKey = Window.partitionBy(col("key"))
       .orderBy(col("ms"), col("offset"))
     val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    records
-      .select(col("key"), col("offset"), unix_millis(col("timestamp")).as("ms"))
+    rows
       .withColumn("prev_ms", lag(col("ms"), 1).over(byKey))
       .withColumn("new_session",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(cum))
-      .groupBy(col("key"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+      .drop("prev_ms", "new_session")
   }
 
   /**
@@ -109,19 +120,10 @@ object EventTimeOps {
    */
   def sessionConversion(records: DataFrame, gapMs: Long,
       target: String): DataFrame = {
-    val byKey = Window.partitionBy(col("key"))
-      .orderBy(col("ms"), col("offset"))
-    val cum = byKey.rowsBetween(Window.unboundedPreceding,
-      Window.currentRow)
-    val sessions = records
-      .select(col("key"), col("offset"),
+    val sessions = assignSessions(
+      records.select(col("key"), col("offset"),
         unix_millis(col("timestamp")).as("ms"),
-        (col("topic") === target).cast(LongType).as("hit"))
-      .withColumn("prev_ms", lag(col("ms"), 1).over(byKey))
-      .withColumn("new_session",
-        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs,
-          1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(cum))
+        (col("topic") === target).cast(LongType).as("hit")), gapMs)
       .groupBy(col("key"), col("session_id"))
       .agg(count(lit(1)).as("n_events"), max(col("hit")).as("converted"))
     sessions

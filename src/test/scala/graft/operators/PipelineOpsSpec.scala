@@ -2489,6 +2489,17 @@ class PipelineOpsSpec extends SparkSuite {
       s.createDataFrame(li, df.schema), "a", "b")
       .collect().map(_.getLong(5))
     assert(ind.forall(_ == 0L))
+    // null rows are excluded from cells AND totals — adding null-b rows
+    // must not change any surviving cell's numbers
+    val ln = new java.util.ArrayList[Row]()
+    Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"),
+      ("x", null), ("y", null)).foreach { case (a, b) => ln.add(Row(a, b)) }
+    val withNulls = Stats.categoricalMI(
+      s.createDataFrame(ln, df.schema), "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(withNulls(("x", "x")) == ((2L, 2L, 2048L)))
+    assert(withNulls.size == 2)
   }
 
   test("psiReport: identical sides → 0 everywhere; shift scores positive") {
@@ -2563,6 +2574,13 @@ class PipelineOpsSpec extends SparkSuite {
     // st changes only for 1
     assert(out("v") == ((1L, 3L, 333333L)))
     assert(out("st") == ((1L, 3L, 333333L)))
+    // a column name that would break any parsed-identifier path must
+    // survive verbatim (names are data in the report)
+    val odd = Snapshot.columnDiff(
+      a.withColumnRenamed("v", "user value.x"),
+      b.withColumnRenamed("v", "user value.x"), "k", Seq("user value.x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(odd("user value.x") == 1L)
   }
 
   test("journeyPaths: ordered sliding windows, deterministic top-k") {
