@@ -2912,6 +2912,129 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit FROM events), g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e), s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), ses AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(MAX(hit) AS BIGINT) AS converted FROM s GROUP BY 1, 2) SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(SUM(converted) AS BIGINT) AS n_converted, CAST(SUM(CASE WHEN converted = 1 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_converted, CAST(SUM(CASE WHEN converted = 0 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_other, CAST(SUM(converted)*1000000 // GREATEST(COUNT(*), 1) AS BIGINT) AS conversion_ppm FROM ses"""),
       (s, dir) => graft.streaming.EventTimeOps.sessionConversion(
         KafkaLike.frame(tune(s), dir), 1800000L, "purchase"))
+  ) ++ r7LayoutAndStats
+
+  /** DuckDB mirror of [[Layout.mortonValue]] over `bits`-bit operands:
+    * the same Σ shift/mask terms, generated once so both engines share
+    * the formula. */
+  private def dMorton(xs: String, ys: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($xs >> $i) & 1) * ${1L << (2 * i)} + (($ys >> $i) & 1) * ${2L << (2 * i)})"
+    }.mkString(" + ")
+
+  /** Truncating (toward-zero) integer division for DuckDB, whose `//` is
+    * FLOOR division — Spark's IntegralDivide truncates, so any
+    * possibly-negative quotient must go through this. */
+  private def dTruncDiv(num: String, den: String): String =
+    s"(CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) * ((abs($num)) // ($den))"
+
+  private lazy val r7LayoutAndStats: Seq[Q] = Seq(
+
+    // k-anonymity / l-diversity audit: nation × market-segment as the
+    // quasi-identifier, account balance (cents) as the sensitive value
+    Q("q218_k_anonymity", Some(
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS gsz, CAST(COUNT(DISTINCT CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS ldiv FROM customer GROUP BY 1, 2) SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(gsz) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN gsz < k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below, CAST(SUM(CASE WHEN gsz < k THEN gsz ELSE 0 END) AS BIGINT) AS rows_below, CAST(SUM(CASE WHEN gsz < k THEN gsz ELSE 0 END)*1000000 // GREATEST(SUM(gsz), 1) AS BIGINT) AS suppress_ppm, CAST(MIN(gsz) AS BIGINT) AS min_group, CAST(MIN(ldiv) AS BIGINT) AS min_l, CAST(SUM(CASE WHEN ldiv < k THEN gsz ELSE 0 END) AS BIGINT) AS rows_low_diversity FROM g CROSS JOIN (VALUES (2), (5), (10), (25)) t(k) GROUP BY k ORDER BY k"""),
+      (s, dir) => Stats.kAnonymityAudit(
+        customer(tune(s), dir)
+          .withColumn("acct_c", floor(col("c_acctbal") * 100).cast(LongType)),
+        Seq("c_nationkey", "c_mktsegment"), "acct_c", Seq(2, 5, 10, 25))),
+
+    // WOE / information value of spend deciles against the purchase
+    // label — q174's equi-depth bins, add-1-smoothed log-odds on top
+    Q("q219_woe_iv", Some(
+      s"""WITH v AS (SELECT CAST(floor(value*100) AS BIGINT) AS cents, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events), r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn, COUNT(*) OVER () AS n FROM v), p AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS q), bd AS (SELECT p.q, MAX(CASE WHEN r.rn = (r.n*p.q + 99)//100 THEN r.cents END) AS b FROM r CROSS JOIN p GROUP BY p.q), bl AS (SELECT list(b ORDER BY q) AS bs FROM bd), bins AS (SELECT v.cents, v.pos, CAST(len(list_filter(bl.bs, x -> v.cents > x)) AS BIGINT) AS bin FROM v CROSS JOIN bl), cells AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg FROM bins GROUP BY 1), tot AS (SELECT CAST(SUM(n_pos + 1) AS BIGINT) AS tp1, CAST(SUM(n_neg + 1) AS BIGINT) AS tn1 FROM cells), ww AS (SELECT bin, n, n_pos, n_neg, CAST((n_pos + 1)*1000000 // tp1 AS BIGINT) AS pos_ppm, CAST((n_neg + 1)*1000000 // tn1 AS BIGINT) AS neg_ppm, CAST(GREATEST(1, ((n_pos + 1)*tn1*1048576) // ((n_neg + 1)*tp1)) AS BIGINT) AS ratio FROM cells, tot), w2 AS (SELECT bin, n, n_pos, n_neg, pos_ppm, neg_ppm, CAST(${dQlog2("ratio")} - 20480 AS BIGINT) AS woe_q FROM ww), w3 AS (SELECT bin, n, n_pos, n_neg, pos_ppm, neg_ppm, woe_q, CAST((pos_ppm - neg_ppm)*woe_q AS BIGINT) AS iv_q FROM w2) SELECT bin, n, n_pos, n_neg, pos_ppm, neg_ppm, woe_q, iv_q, CAST(SUM(iv_q) OVER () AS BIGINT) AS iv_total_q FROM w3 ORDER BY bin"""),
+      (s, dir) => Stats.woeIvReport(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "cents", "event_type", "purchase", nBins = 10)),
+
+    // per-supplier OLS shipment-volume trend: exact integer moments,
+    // slope in ppm-quantity-per-day
+    Q("q220_group_trend", Some(
+      s"""WITH v AS (SELECT l_suppkey AS grp, CAST(epoch_ms(l_shipdate) AS BIGINT) // 86400000 AS x, CAST(l_quantity AS BIGINT) AS y FROM lineitem), m AS (SELECT grp, MIN(x) AS x0 FROM v GROUP BY 1), c AS (SELECT v.grp, v.x - m.x0 AS xc, v.y FROM v JOIN m ON v.grp = m.grp), a AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(xc*xc) AS BIGINT) AS sxx, CAST(SUM(xc*y) AS BIGINT) AS sxy FROM c GROUP BY 1) SELECT grp, n, sx, sy, CAST(n*sxy - sx*sy AS BIGINT) AS num, CAST(n*sxx - sx*sx AS BIGINT) AS den, CAST(CASE WHEN n*sxx - sx*sx = 0 THEN 0 ELSE ${dTruncDiv("(n*sxy - sx*sy)*1000000", "n*sxx - sx*sx")} END AS BIGINT) AS slope_ppm FROM a ORDER BY grp"""),
+      (s, dir) => Stats.groupedTrend(
+        lineitem(tune(s), dir).select(col("l_suppkey"),
+          IntMath.idiv(unix_millis(col("l_shipdate").cast(TimestampType)),
+            lit(86400000L)).as("day"),
+          col("l_quantity")),
+        "l_suppkey", "day", "l_quantity")),
+
+    // weekly-seasonality scan: lag-1..7 autocorrelation of the
+    // zero-filled daily arrival series
+    Q("q221_autocorr", Some(
+      s"""WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day FROM events), bd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1), mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM bd), days AS (SELECT CAST(unnest(range(mm.lo, mm.hi + 1)) AS BIGINT) AS day FROM mm), s AS (SELECT d.day, COALESCE(bd.c, 0) AS y FROM days d LEFT JOIN bd ON d.day = bd.day), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(y) AS BIGINT) AS sm FROM s), cent AS (SELECT s.day, CAST(tot.nd*s.y - tot.sm AS BIGINT) AS cy FROM s CROSS JOIN tot), dn AS (SELECT CAST(SUM(cy*cy) AS BIGINT) AS den, (SELECT nd FROM tot) AS n_days FROM cent), lagt AS (SELECT CAST(t.i + 1 AS BIGINT) AS lag FROM range(7) t(i)), nm AS (SELECT lagt.lag, CAST(SUM(a.cy*b.cy) AS BIGINT) AS num FROM cent a CROSS JOIN lagt JOIN cent b ON b.day = a.day + lagt.lag GROUP BY 1) SELECT nm.lag, dn.n_days, nm.num, dn.den, CAST(CASE WHEN dn.den = 0 THEN 0 ELSE ${dTruncDiv("nm.num*1000000", "dn.den")} END AS BIGINT) AS r_ppm FROM nm CROSS JOIN dn ORDER BY nm.lag"""),
+      (s, dir) => Stats.lagAutocorr(
+        KafkaLike.events(tune(s), dir)
+          .select(IntMath.idiv(col("ts"), lit(1000000L)).as("ms")),
+        "ms", maxLag = 7)),
+
+    // activity/spend Pareto frontier over users: the non-dominated
+    // (event-count, total-spend-cents) set with multiplicities
+    Q("q222_pareto_front", Some(
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x, CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1), gx AS (SELECT x, MAX(y) AS my FROM u GROUP BY x), sfx AS (SELECT x, my, MAX(my) OVER (ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smax FROM gx), f AS (SELECT x, my FROM sfx WHERE smax IS NULL OR my > smax) SELECT u.x, u.y, CAST(COUNT(*) AS BIGINT) AS n_points FROM u JOIN f ON u.x = f.x AND u.y = f.my GROUP BY 1, 2 ORDER BY u.x"""),
+      (s, dir) => Stats.paretoFrontier(
+        KafkaLike.events(tune(s), dir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_ev"),
+            sum(floor(col("value") * 100).cast(LongType)).as("spend_c")),
+        "n_ev", "spend_c")),
+
+    // Z-order layout plan for (partkey, suppkey): 16 would-be files with
+    // per-dimension min/max — the two-predicate scan-pruning readout
+    Q("q223_zorder_layout", Some({
+      val scaleX = "CAST((x - mm.lox)*255 // GREATEST(mm.hix - mm.lox, 1) AS BIGINT)"
+      val scaleY = "CAST((y - mm.loy)*255 // GREATEST(mm.hiy - mm.loy, 1) AS BIGINT)"
+      s"""WITH v AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem), mm AS (SELECT MIN(x) AS lox, MAX(x) AS hix, MIN(y) AS loy, MAX(y) AS hiy FROM v), sc AS (SELECT v.x, v.y, $scaleX AS xs, $scaleY AS ys FROM v CROSS JOIN mm), z AS (SELECT x, y, CAST(${dMorton("xs", "ys", 8)} AS BIGINT) AS zval FROM sc) SELECT CAST(zval >> 12 AS BIGINT) AS zfile, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x, CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y FROM z GROUP BY 1 ORDER BY zfile"""}),
+      (s, dir) => Layout.zOrderLayout(
+        lineitem(tune(s), dir), "l_partkey", "l_suppkey",
+        bits = 8, nFiles = 16)),
+
+    // watermark-delay audit under a deterministic delivery-jitter replay
+    // (the natural log is fully ordered, so the query simulates skewed
+    // arrival with a unique jittered arrival key)
+    Q("q224_lateness_audit", Some(
+      """WITH e AS (SELECT user_id, (event_id + (event_id % 10)*5)*100000 + event_id AS arrival, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), l AS (SELECT MAX(ms) OVER (PARTITION BY user_id ORDER BY arrival ROWS UNBOUNDED PRECEDING) - ms AS late FROM e) SELECT delay_ms, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late, CAST(SUM(CASE WHEN late > delay_ms THEN 1 ELSE 0 END) AS BIGINT) AS dropped, CAST(SUM(CASE WHEN late > delay_ms THEN 1 ELSE 0 END)*1000000 // GREATEST(COUNT(*), 1) AS BIGINT) AS dropped_ppm, CAST(MAX(late) AS BIGINT) AS max_lateness_ms FROM l CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (60000), (3600000), (86400000)) t(delay_ms) GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.streaming.EventTimeOps.latenessAudit(
+        KafkaLike.events(tune(s), dir)
+          .select(col("user_id"),
+            ((col("event_id") + (col("event_id") % 10L) * 5L) * 100000L +
+              col("event_id")).as("arrival"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ms")),
+        "user_id", "arrival", "ms",
+        Seq(0L, 60000L, 3600000L, 86400000L))),
+
+    // quantile-normalize account balances onto the order-price
+    // distribution: the distinct-value mapping table
+    Q("q225_quantile_normalize", Some(
+      """WITH t AS (SELECT CAST(floor(c_acctbal*100) AS BIGINT) AS x FROM customer), r AS (SELECT CAST(floor(o_totalprice*100) AS BIGINT) AS x FROM orders), tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t), rn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r), tc AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1), tcc AS (SELECT x, c, CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tc), tq AS (SELECT x, c, CAST(cum*1000000 // tn.n AS BIGINT) AS p_ppm FROM tcc CROSS JOIN tn), tq2 AS (SELECT x, c, p_ppm, GREATEST(1, (rn.n*p_ppm + 999999) // 1000000) AS rank_needed FROM tq CROSS JOIN rn), rc AS (SELECT x AS xr, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1), rcc AS (SELECT xr, CAST(SUM(c) OVER (ORDER BY xr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM rc) SELECT t2.x, t2.c, t2.p_ppm, CAST(MIN(rcc.xr) AS BIGINT) AS x_norm FROM tq2 t2 JOIN rcc ON rcc.cum >= t2.rank_needed GROUP BY 1, 2, 3 ORDER BY t2.x"""),
+      (s, dir) => Stats.quantileNormalize(
+        customer(tune(s), dir)
+          .select(floor(col("c_acctbal") * 100).cast(LongType).as("v")),
+        orders(tune(s), dir)
+          .select(floor(col("o_totalprice") * 100).cast(LongType).as("v")),
+        "v")),
+
+    // pairwise Pearson moments over quantized lineitem measures — the
+    // feature-redundancy screen as exact integer moments
+    Q("q226_pearson_moments", Some({
+      val cols = Seq("qty", "disc", "tax", "price_k") // the QUERY's order
+      val rows = (for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield {
+          val (cx, cy) = (cols(i), cols(j))
+          s"SELECT '$cx' AS col_x, '$cy' AS col_y, n, CAST(n*ss_${cx}_${cy} - s_${cx}*s_${cy} AS BIGINT) AS num, CAST(n*ss_${cx}_${cx} - s_${cx}*s_${cx} AS BIGINT) AS den_x, CAST(n*ss_${cy}_${cy} - s_${cy}*s_${cy} AS BIGINT) AS den_y FROM a"
+        }).mkString(" UNION ALL ")
+      val ss = (for { i <- cols.indices; j <- i until cols.size }
+        yield s"CAST(SUM(${cols(i)}*${cols(j)}) AS BIGINT) AS ss_${cols(i)}_${cols(j)}")
+        .mkString(", ")
+      s"""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(floor(l_discount*100) AS BIGINT) AS disc, CAST(floor(l_tax*100) AS BIGINT) AS tax, CAST(floor(l_extendedprice/1000) AS BIGINT) AS price_k FROM lineitem), a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qty) AS BIGINT) AS s_qty, CAST(SUM(disc) AS BIGINT) AS s_disc, CAST(SUM(tax) AS BIGINT) AS s_tax, CAST(SUM(price_k) AS BIGINT) AS s_price_k, $ss FROM v) $rows ORDER BY col_x, col_y"""}),
+      (s, dir) => Stats.pearsonMatrix(
+        lineitem(tune(s), dir).select(
+          col("l_quantity").cast(LongType).as("qty"),
+          floor(col("l_discount") * 100).cast(LongType).as("disc"),
+          floor(col("l_tax") * 100).cast(LongType).as("tax"),
+          floor(col("l_extendedprice") / 1000).cast(LongType).as("price_k")),
+        Seq("qty", "disc", "tax", "price_k")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1768,4 +1768,358 @@ object Stats {
       .select(col("cls"), col("n"), col("sum_value"), col("gini_num"),
         (col("n") * col("sum_value")).as("gini_den"))
   }
+
+  /**
+   * k-anonymity / l-diversity audit over a set of quasi-identifier
+   * columns — the re-identification-risk pre-flight before a corpus with
+   * user attributes ships as training data. A row is k-anonymous when its
+   * QI combination is shared by ≥ k rows; a QI group is l-diverse when it
+   * spans ≥ l distinct sensitive values (here l = the same threshold k,
+   * one row per requested threshold). `suppress_ppm` is the row fraction
+   * that would need suppression/generalization to reach each k.
+   *
+   * Shape at 100 TB: one partial-agg groupBy on the QI tuple (plus the
+   * count-distinct expand for l-diversity — a second QI-keyed pass), then
+   * the per-group frame explodes only against the ≤ |ks| threshold list
+   * and collapses to |ks| rows. No row-level data survives stage one.
+   *
+   * Output per k (ordered): (k, n_groups, n_rows, groups_below, rows_below,
+   * suppress_ppm, min_group, min_l, rows_low_diversity).
+   */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, ks: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && ks.nonEmpty, "need QI columns and thresholds")
+    val groups = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("gsz"),
+        countDistinct(col(sensitiveCol)).as("ldiv"))
+    groups
+      .select(col("gsz"), col("ldiv"),
+        explode(lit(ks.toArray)).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("gsz").as("n_rows"),
+        sum(when(col("gsz") < col("k"), 1L).otherwise(0L)).as("groups_below"),
+        sum(when(col("gsz") < col("k"), col("gsz")).otherwise(0L))
+          .as("rows_below"),
+        min("gsz").as("min_group"),
+        min("ldiv").as("min_l"),
+        sum(when(col("ldiv") < col("k"), col("gsz")).otherwise(0L))
+          .as("rows_low_diversity"))
+      .select(col("k"), col("n_groups"), col("n_rows"), col("groups_below"),
+        col("rows_below"),
+        IntMath.idiv(col("rows_below") * lit(1000000L),
+          greatest(col("n_rows"), lit(1L))).as("suppress_ppm"),
+        col("min_group"), col("min_l"), col("rows_low_diversity"))
+      .orderBy("k")
+  }
+
+  /**
+   * Weight-of-evidence / information-value report — the classical
+   * feature-screening readout for a binary label over an equi-depth
+   * binning of a numeric column (credit-scoring lineage, fully public).
+   * Per bin: WOE = log(P(bin|pos) / P(bin|neg)) with add-1 smoothing so
+   * empty cells stay finite; IV contribution = (p_pos − p_neg)·WOE. Both
+   * in the engine's integer fixed point: distributions in ppm of the
+   * smoothed totals, the log as [[Retrieval.qlog2]] 1024ths-of-a-bit on a
+   * 2²⁰ ratio carrier (the [[psiReport]] idiom — `iv_q / (10⁶·1024)` is
+   * IV in bits, ×ln 2 for the nat convention the 0.02/0.1/0.3 rules
+   * quote).
+   *
+   * Shape: bin bounds come from the exact no-global-sort quantile pass
+   * ([[globalQuantiles]]), then ONE partial-agg groupBy on the bin and a
+   * broadcast 1-row total. int64 envelope: the carrier
+   * `(n_pos+1)·totNeg·2²⁰` needs both sides ≲ 3M rows in the worst
+   * single-bin concentration — downscale both classes by the same factor
+   * past that (WOE is ratio-scale-invariant).
+   *
+   * Output per bin (ordered): (bin, n, n_pos, n_neg, pos_ppm, neg_ppm,
+   * woe_q, iv_q, iv_total_q).
+   */
+  def woeIvReport(df: DataFrame, valueCol: String, labelCol: String,
+      positive: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins in [2,1000], got $nBins")
+    val percents = (1 until nBins).map(i => i * 100 / nBins)
+      .filter(p => p >= 1 && p <= 99).distinct
+    val bounds = globalQuantiles(df, valueCol, percents)
+      .select("value").collect().map(_.getLong(0))
+    val binExpr = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(valueCol) > b, 1L).otherwise(0L) }
+    val cells = df.withColumn("bin", binExpr)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === positive, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = cells.agg(sum(col("n_pos") + 1L).as("tp1"),
+      sum(col("n_neg") + 1L).as("tn1"))
+    val withW = cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        IntMath.idiv((col("n_pos") + 1L) * lit(1000000L), col("tp1"))
+          .as("pos_ppm"),
+        IntMath.idiv((col("n_neg") + 1L) * lit(1000000L), col("tn1"))
+          .as("neg_ppm"),
+        greatest(lit(1L), IntMath.idiv(
+          shiftleft((col("n_pos") + 1L) * col("tn1"), 20),
+          (col("n_neg") + 1L) * col("tp1"))).as("__ratio"))
+      .withColumn("woe_q",
+        graft.operators.Retrieval.qlog2(col("__ratio")) - lit(20480L))
+      .withColumn("iv_q", (col("pos_ppm") - col("neg_ppm")) * col("woe_q"))
+      .drop("__ratio")
+    val total = withW.agg(sum(col("iv_q")).as("iv_total_q"))
+    withW.crossJoin(broadcast(total)).orderBy("bin")
+  }
+
+  /**
+   * Per-group exact OLS trend of an integer value over an integer axis
+   * (drift per source, volume trend per key): slope in ppm from the
+   * closed form num/den with num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²
+   * (n²·cov and n²·var — shift-invariant, so x is centered on the GROUP
+   * MIN first purely to keep every product small; results are identical).
+   *
+   * Shape at 100 TB: two group-keyed partial aggs (min pass + moment
+   * pass) and a group-sized join — no windows, no row-level shuffle
+   * beyond the group key. int64 envelope after centering: with per-group
+   * spread X = max(x)−min(x) and |y| ≤ B, need n·X·B·10⁶ < 2⁶³ — e.g.
+   * X = 2,500 days and B = 50 carries ~7·10⁷ rows per group; rescale y
+   * first past that.
+   *
+   * Output per group (ordered): (grp, n, sx, sy, num, den, slope_ppm) —
+   * `slope_ppm` = 10⁶·num DIV den, 0 when den = 0 (a single distinct x).
+   */
+  def groupedTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("grp"),
+        col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val mins = v.groupBy("grp").agg(min("x").as("x0"))
+    v.join(mins, "grp")
+      .select(col("grp"), (col("x") - col("x0")).as("xc"), col("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("xc").as("sx"), sum("y").as("sy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("xc") * col("y")).as("sxy"))
+      .select(col("grp"), col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope_ppm",
+        when(col("den") === 0L, 0L).otherwise(
+          IntMath.idiv(col("num") * lit(1000000L), col("den"))))
+      .orderBy("grp")
+  }
+
+  /**
+   * Exact lag-k autocorrelation of a daily count series derived from an
+   * event stream — the seasonality detector behind arrival-drift checks
+   * ([[EventTimeOps.seasonalNaiveError]] scores ONE assumed period; the
+   * ACF finds the period). Days are zero-filled over [min, max] so gaps
+   * read as genuine zeros, and the estimator is the standard
+   * variance-normalized one: r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²,
+   * made integer-exact by the n-scaled centering (n·y − S) — the n²
+   * factors cancel in the ratio.
+   *
+   * Shape: the heavy stage is one partial-agg groupBy collapsing events
+   * to calendar days; everything after runs on a series bounded by the
+   * CALENDAR (≤ ~4k rows for a decade of days, whatever the corpus size),
+   * so the self-join on (day + lag) is a broadcast of a tiny frame.
+   * int64 envelope: (n_days·y_max)²·n_days < 2⁶³ — y_max ≲ 10⁶/day at a
+   * decade of days; pre-divide counts past that.
+   *
+   * Output per lag (ordered): (lag, n_days, num, den, r_ppm).
+   */
+  def lagAutocorr(df: DataFrame, tsMsCol: String,
+      maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val spark = df.sparkSession
+    val byDay = df.select(
+        IntMath.idiv(col(tsMsCol).cast(LongType), lit(86400000L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val mm = byDay.agg(min("day"), max("day"), count(lit(1))).head()
+    if (mm.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(Int, Long, Long, Long, Long)]
+        .toDF("lag", "n_days", "num", "den", "r_ppm")
+    }
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    import spark.implicits._
+    val days = spark.range(lo, hi + 1).toDF("day")
+    val series = days.join(byDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("y"))
+    val tot = series.agg(count(lit(1)).as("nd"), sum("y").as("s"))
+    val cent = series.crossJoin(broadcast(tot))
+      .select(col("day"), (col("nd") * col("y") - col("s")).as("cy"),
+        col("nd"))
+    val den = cent.agg(sum(col("cy") * col("cy")).as("den"),
+      first("nd").as("n_days"))
+    val lags = spark.range(1, maxLag + 1).toDF("lag")
+    val shifted = cent.select(col("day").as("day2"), col("cy").as("cy2"))
+    cent.crossJoin(broadcast(lags))
+      .join(shifted, col("day2") === col("day") + col("lag"))
+      .groupBy("lag").agg(sum(col("cy") * col("cy2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast(LongType).as("lag"), col("n_days"),
+        col("num"), col("den"),
+        when(col("den") === 0L, 0L).otherwise(
+          IntMath.idiv(col("num") * lit(1000000L), col("den"))).as("r_ppm"))
+      .orderBy("lag")
+  }
+
+  /**
+   * 2-D Pareto frontier (skyline) under maximize-both semantics: keep a
+   * point iff no other point is ≥ in both coordinates and > in at least
+   * one — the non-dominated set behind quality-vs-cost curation choices
+   * (which documents are on the length/quality frontier, which
+   * configurations dominate). Duplicate frontier points all survive
+   * (neither strictly dominates the other) and are reported with their
+   * multiplicity.
+   *
+   * Shape at 100 TB — NO global-order window over the input: (1) collapse
+   * to per-distinct-x max-y (partial agg); (2) grid-prune with a
+   * ~`nBuckets`-row bucket sketch (per-bucket max y + a collected suffix
+   * max): any x whose max-y falls below the strictly-higher-bucket
+   * envelope is dominated and dropped BEFORE any sort; (3) the exact
+   * suffix-max pass runs as a window PARTITIONED BY BUCKET (the
+   * cross-bucket term is the broadcast suffix envelope), so no stage ever
+   * sees a single global partition; (4) survivors semi-join back for
+   * multiplicities. Worst case (a pure anti-chain: the whole input IS the
+   * frontier) the survivor set is the answer itself — no algorithm beats
+   * that.
+   *
+   * Output (ordered by x): (x, y, n_points).
+   */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val pts = df.select(col(xCol).cast(LongType).as("x"),
+        col(yCol).cast(LongType).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val gx = pts.groupBy("x").agg(max("y").as("my"))
+    val mm = gx.agg(min("x"), max("x"), count(lit(1))).head()
+    if (mm.isNullAt(0))
+      return pts.groupBy("x", "y").agg(count(lit(1)).as("n_points"))
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / nBuckets + 1)
+    val b = gx.withColumn("__bucket", IntMath.idiv(col("x") - lo, lit(width)))
+    // bucket sketch: per-bucket max my, then the STRICTLY-HIGHER-bucket
+    // suffix max, collected (≤ nBuckets rows) and broadcast back
+    val bmax = b.groupBy("__bucket").agg(max("my").as("bm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    var run = Long.MinValue
+    val sufRows = bmax.map { case (bk, m) =>
+      val s = run; run = math.max(run, m); (bk, s) } // s = max over buckets > bk
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sufDf = sufRows.toSeq.toDF("__bucket", "__suf")
+    // prune: dominated for sure if some strictly-higher bucket reaches my
+    val survivors = b.join(broadcast(sufDf), "__bucket")
+      .filter(col("__suf").isNull || col("my") > col("__suf"))
+    // exact within-bucket pass: suffix max over x DESC inside the bucket,
+    // floored by the cross-bucket envelope
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = survivors
+      .withColumn("__smax", greatest(
+        coalesce(max(col("my")).over(w), lit(Long.MinValue)),
+        coalesce(col("__suf"), lit(Long.MinValue))))
+      .filter(col("my") > col("__smax"))
+      .select(col("x").as("fx"), col("my"))
+    pts.join(frontier,
+        col("x") === col("fx") && col("y") === col("my"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_points"))
+      .orderBy("x")
+  }
+
+  /**
+   * Quantile normalization of an integer column onto a REFERENCE
+   * distribution: each target value maps to the reference's
+   * percentile_disc at the target value's inclusive cumulative rank —
+   * the distribution-matching transform (batch-effect removal, score
+   * recalibration across sources) kept integer-exact. Mapping per
+   * DISTINCT target value: p_ppm = ⌊cum·10⁶/n_t⌋, then the smallest
+   * reference value whose cumulative count ≥ max(1, ⌈n_r·p_ppm/10⁶⌉).
+   *
+   * Shape at 100 TB — no single-partition as-of: both sides collapse to
+   * distinct-value cumulative tables (the [[globalQuantiles]] machinery);
+   * the reference table then EXPLODES each value across the rank-bucket
+   * range it answers (total expanded rows ≤ n_ref_distinct + n_t/W —
+   * ranges partition the rank space), and the match is an equi-join on
+   * the rank bucket plus a range filter. Every stage is keyed.
+   *
+   * Output (ordered by x): (x, c, p_ppm, x_norm) — the distinct-value
+   * mapping table; join it back on x to materialize normalized rows.
+   */
+  def quantileNormalize(target: DataFrame, reference: DataFrame,
+      valueCol: String, nBuckets: Int = 1024): DataFrame = {
+    val t = target.select(col(valueCol).cast(LongType).as("x"))
+      .filter(col("x").isNotNull)
+    val r = reference.select(col(valueCol).cast(LongType).as("x"))
+      .filter(col("x").isNotNull)
+    val tc = valueCumBefore(t, "x", nBuckets) // (x, c, sBefore)
+    val rc = valueCumBefore(r, "x", nBuckets)
+    val nT = t.count()
+    val nR = r.count()
+    if (nT == 0L || nR == 0L)
+      return tc.select(col("x"), col("c"), lit(0L).as("p_ppm"),
+        lit(null).cast(LongType).as("x_norm")).limit(0)
+    val bucketW = math.max(1L, nR / nBuckets + 1)
+    // target side: inclusive-cum ppm → needed reference rank → rank bucket
+    val tq = tc.select(col("x"), col("c"),
+        IntMath.idiv((col("sBefore") + col("c")) * lit(1000000L), lit(nT))
+          .as("p_ppm"))
+      .withColumn("rank_needed", greatest(lit(1L),
+        IntMath.idiv(lit(nR) * col("p_ppm") + lit(999999L), lit(1000000L))))
+      .withColumn("__rb", IntMath.idiv(col("rank_needed") - 1L, lit(bucketW)))
+    // reference side: row (x_r, sBefore, cum] answers ranks sBefore+1..cum —
+    // explode across the rank buckets that range touches
+    val rq = rc.select(col("x").as("x_norm"), col("sBefore"),
+        (col("sBefore") + col("c")).as("cum"))
+      .withColumn("__rb", explode(sequence(
+        IntMath.idiv(col("sBefore"), lit(bucketW)),
+        IntMath.idiv(col("cum") - 1L, lit(bucketW)))))
+    tq.join(rq, Seq("__rb"))
+      .filter(col("rank_needed") > col("sBefore") &&
+        col("rank_needed") <= col("cum"))
+      .select(col("x"), col("c"), col("p_ppm"), col("x_norm"))
+      .orderBy("x")
+  }
+
+  /**
+   * Pairwise Pearson moments over a set of pre-quantized integer
+   * columns — the correlation screen behind feature redundancy pruning
+   * and sort-key selection, emitted as EXACT integer moments (the
+   * [[spearmanReport]] contract: no square root leaves the engine, so
+   * the result reproduces bit-for-bit; r² = num²/(den_x·den_y), sign of
+   * r = sign of num). Listwise null handling: rows with any null drop.
+   *
+   * Shape: ONE partial-agg pass computes every Σxᵢ and Σxᵢxⱼ (i ≤ j) in
+   * a single 1-row aggregate; the pair table then unfolds driver-side
+   * from that row — no second scan, no shuffle beyond the agg. int64
+   * envelope: n·Σxᵢxⱼ needs n²·Bᵢ·Bⱼ < 2⁶³ with |x| ≤ B — quantize to
+   * B ≈ 100 and 10⁷ rows fits; center/rescale wider columns first (the
+   * [[featureStats]] trick).
+   *
+   * Output per pair i<j (ordered): (col_x, col_y, n, num, den_x, den_y)
+   * with num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)².
+   */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val v = df.select(cols.map(c => col(c).cast(LongType).as(c)): _*)
+      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(c)).as(s"s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.size }
+        yield sum(col(cols(i)) * col(cols(j)))
+          .as(s"ss_${cols(i)}__${cols(j)}"))
+    val agg1 = v.agg(sums.head, sums.tail: _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val (a, bC) = (cols(i), cols(j))
+      struct(lit(a).as("col_x"), lit(bC).as("col_y"), col("n").as("n"),
+        (col("n") * col(s"ss_${a}__$bC") - col(s"s_$a") * col(s"s_$bC"))
+          .as("num"),
+        (col("n") * col(s"ss_${a}__$a") - col(s"s_$a") * col(s"s_$a"))
+          .as("den_x"),
+        (col("n") * col(s"ss_${bC}__$bC") - col(s"s_$bC") * col(s"s_$bC"))
+          .as("den_y"))
+    }
+    agg1.select(explode(array(pairs: _*)).as("p")).select("p.*")
+      .orderBy("col_x", "col_y")
+  }
 }

@@ -815,4 +815,46 @@ object EventTimeOps {
           closed.result().iterator
       }
   }
+
+  /**
+   * Watermark-lateness audit — the batch measurement that PICKS a
+   * streaming watermark delay instead of guessing one. Per key, events
+   * replay in ARRIVAL order (the log offset); an event's lateness is how
+   * far event time runs behind the key's running event-time maximum
+   * (`running_max(ts) − ts`, 0 for in-order arrivals). For each candidate
+   * delay the report counts the rows a `withWatermark(delay)` pipeline
+   * would drop — choosing the delay becomes reading the row where
+   * `dropped_ppm` crosses the loss budget.
+   *
+   * Shape at 100 TB: ONE key-partitioned window (the same (key, arrival)
+   * sort every per-key replay shares) feeds a partial-agg groupBy against
+   * the ≤ |delays| exploded candidate list; no global ordering anywhere.
+   * Lateness against the GLOBAL max would need a single-partition scan —
+   * per-key is also the semantics Spark's watermark approximates per
+   * partition, and the honest per-key upper bound on drops.
+   *
+   * Output per delay (ordered): (delay_ms, n_events, n_late, dropped,
+   * dropped_ppm, max_lateness_ms).
+   */
+  def latenessAudit(events: DataFrame, keyCol: String, arrivalCol: String,
+      tsMsCol: String, delaysMs: Seq[Long]): DataFrame = {
+    require(delaysMs.nonEmpty, "need at least one candidate delay")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = events.select(col(keyCol), col(arrivalCol),
+        col(tsMsCol).cast(LongType).as("__ts"))
+      .withColumn("__late", max(col("__ts")).over(w) - col("__ts"))
+    late.select(col("__late"), explode(lit(delaysMs.toArray)).as("delay_ms"))
+      .groupBy("delay_ms")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > 0L, 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("__late") > col("delay_ms"), 1L).otherwise(0L))
+          .as("dropped"),
+        max(col("__late")).as("max_lateness_ms"))
+      .select(col("delay_ms"), col("n_events"), col("n_late"), col("dropped"),
+        graft.operators.IntMath.idiv(col("dropped") * lit(1000000L),
+          greatest(col("n_events"), lit(1L))).as("dropped_ppm"),
+        col("max_lateness_ms"))
+      .orderBy("delay_ms")
+  }
 }

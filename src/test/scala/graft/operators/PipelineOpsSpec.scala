@@ -2662,4 +2662,192 @@ class PipelineOpsSpec extends SparkSuite {
     // a single row has zero spread: num 0
     assert(out("Y") == ((1L, 5L, 0L, 5L)))
   }
+
+  private def kv2(rows: Seq[(String, String, Long)]) = {
+    val l = new java.util.ArrayList[Row]()
+    rows.foreach { case (a, b, v) => l.add(Row(a, b, v)) }
+    s.createDataFrame(l, StructType(Seq(
+      StructField("qa", StringType), StructField("qb", StringType),
+      StructField("sv", LongType))))
+  }
+
+  test("kAnonymityAudit: group sizes vs k, l-diversity on the sensitive col") {
+    // groups: (A,1)×3 two distinct sv, (A,2)×1, (B,1)×2 one distinct sv
+    val df = kv2(Seq(("A", "1", 10L), ("A", "1", 10L), ("A", "1", 20L),
+      ("A", "2", 30L), ("B", "1", 40L), ("B", "1", 40L)))
+    val out = Stats.kAnonymityAudit(df, Seq("qa", "qb"), "sv", Seq(2, 3))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    // k=2: only (A,2) is below (1 row); min group 1; min l-div 1 ((A,2)
+    // and (B,1) both have 1 distinct) → rows in l<2 groups: 1 + 2 = 3
+    assert(out(2) == ((3L, 6L, 1L, 1L, 166666L, 1L, 1L, 3L)))
+    // k=3: (A,2) and (B,1) below (3 rows); l<3 → all three groups (A,1)
+    // has 2 distinct → 6 rows
+    assert(out(3) == ((3L, 6L, 2L, 3L, 500000L, 1L, 1L, 6L)))
+  }
+
+  test("woeIvReport: label independent of the bin → woe 0 everywhere") {
+    val l = new java.util.ArrayList[Row]()
+    // two value clusters, each 2 pos + 2 neg → identical smoothed odds
+    Seq((1L, "p"), (1L, "p"), (2L, "n"), (2L, "n"),
+      (100L, "p"), (100L, "p"), (101L, "n"), (101L, "n"))
+      .foreach { case (v, lab) => l.add(Row(v, lab)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("v", LongType), StructField("lab", StringType))))
+    val out = Stats.woeIvReport(df, "v", "lab", "p", nBins = 2)
+      .collect()
+    assert(out.forall(_.getAs[Long]("woe_q") == 0L))
+    assert(out.forall(_.getAs[Long]("iv_total_q") == 0L))
+  }
+
+  test("woeIvReport: separated label concentrates IV") {
+    val l = new java.util.ArrayList[Row]()
+    // low bin all-neg, high bin all-pos → strongly nonzero WOE both sides
+    ((1 to 8).map(i => (i.toLong, "n")) ++
+      (101 to 108).map(i => (i.toLong, "p")))
+      .foreach { case (v, lab) => l.add(Row(v, lab)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("v", LongType), StructField("lab", StringType))))
+    val rows = Stats.woeIvReport(df, "v", "lab", "p", nBins = 2).collect()
+    val byBin = rows.map(r => r.getAs[Long]("bin") ->
+      r.getAs[Long]("woe_q")).toMap
+    assert(byBin(0L) < -2000L && byBin(1L) > 2000L) // ±>2 bits of odds
+    assert(rows.head.getAs[Long]("iv_total_q") > 0L)
+  }
+
+  test("groupedTrend: exact slope on a line; flat x → slope 0") {
+    val l = new java.util.ArrayList[Row]()
+    // g1: y = 2x (+1 offset), g2: constant x
+    Seq(("g1", 10L, 21L), ("g1", 11L, 23L), ("g1", 12L, 25L),
+      ("g2", 5L, 1L), ("g2", 5L, 9L))
+      .foreach { case (g, x, y) => l.add(Row(g, x, y)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("g", StringType), StructField("x", LongType),
+      StructField("y", LongType))))
+    val out = Stats.groupedTrend(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(6))).toMap
+    assert(out("g1") == ((3L, 2000000L)))
+    assert(out("g2") == ((2L, 0L)))
+  }
+
+  test("lagAutocorr: alternating series → r1 ≈ −1, r2 ≈ +1; days zero-fill") {
+    // 10 consecutive days alternating 0 and 2 events; day 0 has 0 events
+    // only implicitly when absent — use explicit 2-event days at odd days
+    val l = new java.util.ArrayList[Row]()
+    val day0 = 86400000L * 19000
+    (0 until 10).foreach { d =>
+      if (d % 2 == 1) { // odd days: 2 events; even days absent → zero-fill
+        l.add(Row(day0 + d * 86400000L + 1L))
+        l.add(Row(day0 + d * 86400000L + 2L))
+      }
+    }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("ms", LongType))))
+    val out = Stats.lagAutocorr(df, "ms", maxLag = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4))).toMap
+    // span = [day1, day9] → y = 2,0,2,0,2,0,2,0,2 (n=9, S=10, cy ∈ {8,−10}):
+    // den = 5·64+4·100 = 720; num1 = 8·(−80) = −640 → −888888 (trunc);
+    // num2 = 4·64+3·100 = 556 → 772222
+    assert(out(1L) == ((9L, -888888L)))
+    assert(out(2L) == ((9L, 772222L)))
+  }
+
+  test("paretoFrontier: dominated points drop, duplicates counted, " +
+      "grid width does not change the answer") {
+    val l = new java.util.ArrayList[Row]()
+    // frontier: (1,9), (5,5)×2, (9,1); dominated: (4,4), (1,8), (5,4)
+    Seq((1L, 9L), (5L, 5L), (5L, 5L), (9L, 1L), (4L, 4L), (1L, 8L),
+      (5L, 4L)).foreach { case (x, y) => l.add(Row(x, y)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType))))
+    for (buckets <- Seq(1, 2, 1024)) {
+      val out = Stats.paretoFrontier(df, "x", "y", nBuckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq == Seq((1L, 9L, 1L), (5L, 5L, 2L), (9L, 1L, 1L)),
+        s"nBuckets=$buckets")
+    }
+  }
+
+  test("mortonValue interleaves bits; zOrderLayout keeps both dims narrow") {
+    val l = new java.util.ArrayList[Row]()
+    for (x <- 0L until 16L; y <- 0L until 16L) l.add(Row(x, y))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType))))
+    val m = df.select(Layout.mortonValue(col("x"), col("y"), 4).as("z"))
+      .agg(min("z"), max("z"), countDistinct("z")).head()
+    assert(m.getLong(0) == 0L && m.getLong(1) == 255L && m.getLong(2) == 256L)
+    // morton(3, 1, 2 bits) = (1·1 + 1·2) + (1·4 + 0·8) = 7
+    val one = df.filter(col("x") === 3L && col("y") === 1L)
+      .select(Layout.mortonValue(col("x"), col("y"), 2)).head().getLong(0)
+    assert(one == 7L)
+    // 16×16 grid into 4 files: each file is one half-plane of each dim? —
+    // no: each file covers a contiguous z range = a 16×4-ish region; both
+    // dim ranges must be ≤ half the domain (the lexicographic sort would
+    // leave one dim full-width in every file)
+    val files = Layout.zOrderLayout(df, "x", "y", bits = 4, nFiles = 4)
+      .collect()
+    assert(files.length == 4 && files.map(_.getLong(1)).sum == 256L)
+    files.foreach { f =>
+      assert(f.getLong(3) - f.getLong(2) <= 15L)
+      assert(f.getLong(5) - f.getLong(4) <= 7L,
+        s"file ${f.getLong(0)} y-range too wide")
+    }
+  }
+
+  test("latenessAudit: per-key running-max lateness vs candidate delays") {
+    val l = new java.util.ArrayList[Row]()
+    // key A, arrival order 1..4, event times 10,5,20,15 (ms)
+    Seq((1L, 10L), (2L, 5L), (3L, 20L), (4L, 15L))
+      .foreach { case (a, ts) => l.add(Row("A", a, ts)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("k", StringType), StructField("arr", LongType),
+      StructField("ms", LongType))))
+    val out = graft.streaming.EventTimeOps
+      .latenessAudit(df, "k", "arr", "ms", Seq(0L, 5L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(out(0L) == ((4L, 2L, 2L, 5L))) // two 5ms-late arrivals drop at 0
+    assert(out(5L) == ((4L, 2L, 0L, 5L))) // a 5ms watermark keeps them
+  }
+
+  test("quantileNormalize: maps onto the reference's percentile_disc") {
+    val l = new java.util.ArrayList[Row]()
+    Seq(1L, 2L, 3L, 4L).foreach(v => l.add(Row(v)))
+    val t = s.createDataFrame(l, StructType(Seq(StructField("v", LongType))))
+    val r = new java.util.ArrayList[Row]()
+    Seq(10L, 20L, 30L, 40L).foreach(v => r.add(Row(v)))
+    val ref = s.createDataFrame(r, StructType(Seq(StructField("v", LongType))))
+    val out = Stats.quantileNormalize(t, ref, "v")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    // skewed reference: every rank ≤ 3 hits the duplicated low value
+    val r2 = new java.util.ArrayList[Row]()
+    Seq(10L, 10L, 10L, 99L).foreach(v => r2.add(Row(v)))
+    val ref2 = s.createDataFrame(r2, StructType(Seq(StructField("v", LongType))))
+    val out2 = Stats.quantileNormalize(t, ref2, "v")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(out2 == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 99L))
+  }
+
+  test("pearsonMatrix: ±1 on exact lines, 0 on balanced independence") {
+    val l = new java.util.ArrayList[Row]()
+    // a = 1..4, b = 2a (r=1), c = −a (r=−1), d = 0,1,1,0 (Σad = n·ā·d̄)
+    Seq((1L, 2L, -1L, 0L), (2L, 4L, -2L, 1L), (3L, 6L, -3L, 1L),
+      (4L, 8L, -4L, 0L)).foreach { case (a, b, c, d) => l.add(Row(a, b, c, d)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType), StructField("d", LongType))))
+    val out = Stats.pearsonMatrix(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (nab, numAb, dxAb, dyAb) = out(("a", "b"))
+    assert(nab == 4L && numAb * numAb == dxAb * dyAb && numAb > 0L) // r = 1
+    val (_, numAc, dxAc, dyAc) = out(("a", "c"))
+    assert(numAc * numAc == dxAc * dyAc && numAc < 0L) // r = −1
+    assert(out(("a", "d"))._2 == 0L) // balanced independence
+    assert(out.size == 6)
+  }
 }
