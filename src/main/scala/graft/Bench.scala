@@ -187,7 +187,10 @@ object Bench {
       "q209_categorical_mi", "q210_psi", "q211_avg_precision",
       "q212_spearman", "q213_cube_counts", "q214_column_drift",
       "q215_journey_paths", "q216_ri_audit",
-      "q217_session_conversion")
+      "q217_session_conversion", "q218_k_anonymity", "q219_woe_iv",
+      "q220_group_trend", "q221_autocorr", "q222_pareto_front",
+      "q223_zorder_layout", "q224_lateness_audit",
+      "q225_quantile_normalize", "q226_pearson_moments")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

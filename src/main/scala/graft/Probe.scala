@@ -861,6 +861,76 @@ object Probe {
           graft.sources.KafkaLike.events(spark, dir),
           "user_id", "ts", "event_id", "event_type").count())
     }
+
+    // ---- round-7 audit/layout ops: windows keyed (pareto's suffix pass
+    // on the bucket, lateness on the user key, quantile-normalize on the
+    // cum grid), woe binning map-only, pareto grid-prune survivors tiny ----
+    locally {
+      import graft.operators.{Layout, Stats}
+      val ev = graft.sources.KafkaLike.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.operators.IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+          floor(col("value") * 100).cast(
+            org.apache.spark.sql.types.LongType).as("cents"))
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val woe = Stats.woeIvReport(ev, "cents", "event_type", "purchase")
+      require(woe.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "woeIvReport binning must not introduce a window")
+      timed("woe/iv (sf0.1 events)")(woe.count())
+      val tr = Stats.groupedTrend(li.select(col("l_suppkey"),
+        graft.operators.IntMath.idiv(unix_millis(col("l_shipdate").cast(
+          org.apache.spark.sql.types.TimestampType)), lit(86400000L))
+          .as("day"), col("l_quantity")), "l_suppkey", "day", "l_quantity")
+      assertKeyedWindows(tr, "groupedTrend")
+      timed("grouped trend (sf0.1 lineitem)")(tr.count())
+      timed("lag autocorr (sf0.1 events)")(
+        Stats.lagAutocorr(ev.select(col("ts_ms").as("ms")), "ms").count())
+      // pareto: per-user frame, grid prune must leave a survivor set near
+      // the frontier size (the exact pass then touches almost nothing)
+      val users = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("x"), sum("cents").as("y"))
+      val pf = Stats.paretoFrontier(users, "x", "y")
+      assertKeyedWindows(pf, "paretoFrontier")
+      timed("pareto frontier (sf0.1 users)")(pf.count())
+      require(pf.count() >= 1, "frontier cannot be empty on nonempty input")
+      val qn = Stats.quantileNormalize(
+        spark.read.parquet(s"$dir/customer.parquet")
+          .select(floor(col("c_acctbal") * 100).cast(
+            org.apache.spark.sql.types.LongType).as("v")),
+        spark.read.parquet(s"$dir/orders.parquet")
+          .select(floor(col("o_totalprice") * 100).cast(
+            org.apache.spark.sql.types.LongType).as("v")), "v")
+      assertKeyedWindows(qn, "quantileNormalize")
+      timed("quantile normalize (sf0.1 acctbal→price)")(qn.count())
+      val la = graft.streaming.EventTimeOps.latenessAudit(
+        ev.select(col("user_id"),
+          ((col("event_id") + (col("event_id") % 10L) * 5L) * 100000L +
+            col("event_id")).as("arr"), col("ts_ms")),
+        "user_id", "arr", "ts_ms", Seq(0L, 60000L, 3600000L))
+      assertKeyedWindows(la, "latenessAudit")
+      timed("lateness audit (sf0.1 events)")(la.count())
+      timed("zorder layout (sf0.1 lineitem)")(
+        Layout.zOrderLayout(li, "l_partkey", "l_suppkey").count())
+      timed("pearson moments (sf0.1 lineitem ×4)")(
+        Stats.pearsonMatrix(li.select(
+          col("l_quantity").cast(
+            org.apache.spark.sql.types.LongType).as("qty"),
+          floor(col("l_discount") * 100).cast(
+            org.apache.spark.sql.types.LongType).as("disc"),
+          floor(col("l_tax") * 100).cast(
+            org.apache.spark.sql.types.LongType).as("tax"),
+          floor(col("l_extendedprice") / 1000).cast(
+            org.apache.spark.sql.types.LongType).as("price_k")),
+          Seq("qty", "disc", "tax", "price_k")).count())
+      timed("k-anonymity (sf0.1 customer)")(
+        Stats.kAnonymityAudit(
+          spark.read.parquet(s"$dir/customer.parquet")
+            .withColumn("acct_c", floor(col("c_acctbal") * 100).cast(
+              org.apache.spark.sql.types.LongType)),
+          Seq("c_nationkey", "c_mktsegment"), "acct_c",
+          Seq(2, 5, 10, 25)).count())
+    }
     spark.stop()
   }
 }
