@@ -190,7 +190,9 @@ object Bench {
       "q217_session_conversion", "q218_k_anonymity", "q219_woe_iv",
       "q220_group_trend", "q221_autocorr", "q222_pareto_front",
       "q223_zorder_layout", "q224_lateness_audit",
-      "q225_quantile_normalize", "q226_pearson_moments")
+      "q225_quantile_normalize", "q226_pearson_moments",
+      "q227_rule_audit", "q228_rate_limit", "q229_agg_state",
+      "q230_consensus", "q231_bitmap_and", "q232_sort_key_advisor")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

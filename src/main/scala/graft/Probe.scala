@@ -930,6 +930,46 @@ object Probe {
               org.apache.spark.sql.types.LongType)),
           Seq("c_nationkey", "c_mktsegment"), "acct_c",
           Seq(2, 5, 10, 25)).count())
+      // quality/layout batch 2: rule audit is one agg pass (no window, no
+      // join), rate-limit ranking keyed, bitmap AND equals the row truth
+      import graft.operators.Quality
+      val ra = Quality.ruleAudit(li, Seq(
+        "qty_le_25" -> (col("l_quantity") <= 25),
+        "price_pos" -> (col("l_extendedprice") > 0)))
+      require(ra.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "ruleAudit must stay a single aggregate pass")
+      timed("rule audit ×2 (sf0.1 lineitem)")(ra.count())
+      val rl = graft.streaming.EventTimeOps.rateLimitAudit(
+        ev.select(col("event_type"), col("event_id"), col("ts_ms")),
+        "event_type", "ts_ms", "event_id", limit = 10,
+        windowMs = 86400000L)
+      assertKeyedWindows(rl, "rateLimitAudit")
+      timed("rate-limit audit (sf0.1 events)")(rl.count())
+      timed("agg-state build+merge+finalize (sf0.1 events)")(
+        Quality.aggStateFinalize(Quality.aggStateMerge(
+          Quality.aggStateBuild(ev.filter(col("event_id") % 2 === 0),
+            "user_id", "cents"),
+          Quality.aggStateBuild(ev.filter(col("event_id") % 2 === 1),
+            "user_id", "cents"))).count())
+      timed("consensus report (sf0.1 lineitem)")(
+        Quality.consensusReport(li, "l_orderkey", "l_linenumber",
+          "l_returnflag").count())
+      val bmEv = ev.select(col("event_id"), col("event_type"),
+        graft.operators.IntMath.idiv(col("cents"), lit(10000L)).as("vb"))
+      val bmCounts = Layout.bitmapAndCounts(
+        Layout.bitmapIndex(bmEv, "event_id", "event_type"),
+        Layout.bitmapIndex(bmEv, "event_id", "vb"))
+      timed("bitmap AND counts (sf0.1 events)")(bmCounts.count())
+      locally {
+        val viaRows = bmEv.groupBy("event_type", "vb").count().count()
+        require(bmCounts.count() == viaRows,
+          "bitmap AND combos must equal direct group-by combos")
+      }
+      timed("sort-key advisor ×2 (sf0.1 lineitem)")(
+        Layout.sortKeyAdvisor(li, Seq("l_partkey", "l_suppkey"),
+          "l_suppkey").count())
     }
     spark.stop()
   }

@@ -3034,7 +3034,105 @@ object SparkEntry {
           floor(col("l_discount") * 100).cast(LongType).as("disc"),
           floor(col("l_tax") * 100).cast(LongType).as("tax"),
           floor(col("l_extendedprice") / 1000).cast(LongType).as("price_k")),
-        Seq("qty", "disc", "tax", "price_k")))
+        Seq("qty", "disc", "tax", "price_k"))),
+
+    // Deequ-style declarative rule audit in one aggregate pass; two rules
+    // are deliberately tight so the violation path is exercised
+    Q("q227_rule_audit", Some({
+      val rules = Seq(
+        "disc_le_5pct" -> "l_discount <= 0.05",
+        "price_pos" -> "l_extendedprice > 0",
+        "qty_le_25" -> "l_quantity <= 25",
+        "qty_range" -> "l_quantity BETWEEN 1 AND 50",
+        "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+        "shipdate_no_null" -> "l_shipdate IS NOT NULL")
+      val rows = rules.map { case (name, pred) =>
+        s"SELECT '$name' AS rule, n AS n_rows, n - v_$name AS violations, CAST((n - v_$name)*1000000 // GREATEST(n, 1) AS BIGINT) AS violation_ppm FROM a"
+      }.mkString(" UNION ALL ")
+      val sums = rules.map { case (name, pred) =>
+        s"CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS v_$name"
+      }.mkString(", ")
+      s"WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $sums FROM lineitem) $rows ORDER BY rule"}),
+      (s, dir) => Quality.ruleAudit(lineitem(tune(s), dir), Seq(
+        "disc_le_5pct" -> (col("l_discount") <= 0.05),
+        "price_pos" -> (col("l_extendedprice") > 0),
+        "qty_le_25" -> (col("l_quantity") <= 25),
+        "qty_range" -> (col("l_quantity").between(1, 50)),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_no_null" -> col("l_shipdate").isNotNull))),
+
+    // rate-limit replay: 10 events per type per day — what a quota-
+    // enforcing ingest would have admitted
+    Q("q228_rate_limit", Some(
+      """WITH e AS (SELECT event_type AS k, CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id FROM events), b AS (SELECT k, ms, event_id, ms // 86400000 AS w FROM e), r AS (SELECT k, w, row_number() OVER (PARTITION BY k, w ORDER BY ms, event_id) AS rn FROM b), pk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS kn, CAST(SUM(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT) AS krej, CAST(MAX(rn) AS BIGINT) AS kmaxw FROM r GROUP BY 1) SELECT CAST(SUM(kn) AS BIGINT) AS n_events, CAST(SUM(kn) - SUM(krej) AS BIGINT) AS admitted, CAST(SUM(krej) AS BIGINT) AS rejected, CAST(SUM(krej)*1000000 // GREATEST(SUM(kn), 1) AS BIGINT) AS rejected_ppm, CAST(SUM(CASE WHEN krej > 0 THEN 1 ELSE 0 END) AS BIGINT) AS keys_throttled, CAST(MAX(kmaxw) AS BIGINT) AS max_window_count FROM pk"""),
+      (s, dir) => graft.streaming.EventTimeOps.rateLimitAudit(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"), col("event_id"),
+            IntMath.idiv(col("ts"), lit(1000000L)).as("ms")),
+        "event_type", "ms", "event_id", limit = 10,
+        windowMs = 86400000L)),
+
+    // mergeable aggregate state: build per day-parity half, merge,
+    // finalize — must equal the direct aggregation exactly
+    Q("q229_agg_state", Some(
+      s"""WITH e AS (SELECT user_id % 100 AS key, CAST(floor(value*100) AS BIGINT) AS v FROM events) SELECT key, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sum_v, CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v, CAST(${dTruncDiv("SUM(v)", "GREATEST(COUNT(*), 1)")} AS BIGINT) AS mean_v FROM e GROUP BY key ORDER BY key"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir).select(
+          (col("user_id") % 100L).as("g"),
+          floor(col("value") * 100).cast(LongType).as("cents"),
+          IntMath.idiv(IntMath.idiv(col("ts"), lit(1000000L)),
+            lit(86400000L)).as("day"))
+        val even = Quality.aggStateBuild(
+          ev.filter(pmod(col("day"), lit(2L)) === 0L), "g", "cents")
+        val odd = Quality.aggStateBuild(
+          ev.filter(pmod(col("day"), lit(2L)) === 1L), "g", "cents")
+        Quality.aggStateFinalize(Quality.aggStateMerge(even, odd))
+      }),
+
+    // multi-rater reconciliation: line numbers "rate" their order's
+    // return flag; consensus by majority (ties → smallest label)
+    Q("q230_consensus", Some(
+      """WITH votes AS (SELECT DISTINCT l_orderkey AS item, l_linenumber AS rater, l_returnflag AS label FROM lineitem WHERE l_returnflag IS NOT NULL), cells AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS c FROM votes GROUP BY 1, 2), cons AS (SELECT item, label AS consensus FROM (SELECT item, label, row_number() OVER (PARTITION BY item ORDER BY c DESC, label) AS rk FROM cells) WHERE rk = 1) SELECT v.rater, CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(CASE WHEN v.label = c.consensus THEN 1 ELSE 0 END) AS BIGINT) AS agree, CAST(SUM(CASE WHEN v.label = c.consensus THEN 1 ELSE 0 END)*1000000 // GREATEST(COUNT(*), 1) AS BIGINT) AS agree_ppm FROM votes v JOIN cons c USING (item) GROUP BY 1 ORDER BY rater"""),
+      (s, dir) => Quality.consensusReport(lineitem(tune(s), dir),
+        "l_orderkey", "l_linenumber", "l_returnflag")),
+
+    // bitmap-index conjunction counts: type × spend-bucket cardinality via
+    // word-aligned AND+popcount; the oracle states the SEMANTICS (a plain
+    // GROUP BY), so the bitmap machinery must reproduce it exactly
+    Q("q231_bitmap_and", Some(
+      """WITH e AS (SELECT event_type AS value_a, CAST(floor(value*100) AS BIGINT) // 10000 AS value_b FROM events) SELECT value_a, value_b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir).select(col("event_id"),
+          col("event_type"),
+          IntMath.idiv(floor(col("value") * 100).cast(LongType),
+            lit(10000L)).as("vb"))
+        Layout.bitmapAndCounts(
+          Layout.bitmapIndex(ev, "event_id", "event_type"),
+          Layout.bitmapIndex(ev, "event_id", "vb"))
+      }),
+
+    // sort-key advisor: lexicographic partkey vs suppkey vs their Z-code
+    // against suppkey-range pruning — the data-layout decision, measured
+    Q("q232_sort_key_advisor", Some({
+      def candSql(name: String, base: String) =
+        s"SELECT '$name' AS candidate, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(fhi - flo)*1000000 // GREATEST((MAX(fhi) - MIN(flo)) * COUNT(*), 1) AS BIGINT) AS span_ppm FROM (SELECT file, MIN(tv) AS flo, MAX(tv) AS fhi FROM (SELECT b.tv, fm.file FROM $base b JOIN (SELECT cv, CAST(sb*16 // (SELECT COUNT(*) FROM $base) AS BIGINT) AS file FROM (SELECT cv, CAST(SUM(c) OVER (ORDER BY cv ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS sb FROM (SELECT cv, COUNT(*) AS c FROM $base GROUP BY 1))) fm ON b.cv = fm.cv) GROUP BY file)"
+      val scaleX = "CAST((x - mm.lox)*255 // GREATEST(mm.hix - mm.lox, 1) AS BIGINT)"
+      val scaleY = "CAST((y - mm.loy)*255 // GREATEST(mm.hiy - mm.loy, 1) AS BIGINT)"
+      s"""WITH v AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem), mm AS (SELECT MIN(x) AS lox, MAX(x) AS hix, MIN(y) AS loy, MAX(y) AS hiy FROM v), sc AS (SELECT v.x, v.y, $scaleX AS xs, $scaleY AS ys FROM v CROSS JOIN mm), base_pk AS (SELECT x AS cv, y AS tv FROM v), base_sk AS (SELECT y AS cv, y AS tv FROM v), base_z AS (SELECT CAST(${dMorton("xs", "ys", 8)} AS BIGINT) AS cv, y AS tv FROM sc) ${candSql("l_partkey", "base_pk")} UNION ALL ${candSql("l_suppkey", "base_sk")} UNION ALL ${candSql("z", "base_z")} ORDER BY candidate"""}),
+      (s, dir) => {
+        val li = lineitem(tune(s), dir)
+          .select(col("l_partkey"), col("l_suppkey"))
+        val mm = li.agg(min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).head()
+        def scale(c: Column, lo: Long, hi: Long): Column =
+          if (hi == lo) lit(0L)
+          else IntMath.idiv((c - lit(lo)) * lit(255L), lit(hi - lo))
+        val withZ = li.withColumn("z", Layout.mortonValue(
+          scale(col("l_partkey"), mm.getLong(0), mm.getLong(1)),
+          scale(col("l_suppkey"), mm.getLong(2), mm.getLong(3)), 8))
+        Layout.sortKeyAdvisor(withZ, Seq("l_partkey", "l_suppkey", "z"),
+          "l_suppkey", nFiles = 16)
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

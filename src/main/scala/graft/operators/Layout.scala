@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -75,5 +76,120 @@ object Layout {
         min("x").as("min_x"), max("x").as("max_x"),
         min("y").as("min_y"), max("y").as("max_y"))
       .orderBy("zfile")
+  }
+
+  /** Bits per bitmap word: 63, not 64 — the sign bit stays clear so
+    * `1 << bit` never overflows in EITHER engine (DuckDB's BIGINT shift
+    * at 63 is engine-defined; staying under it keeps the oracle exact). */
+  val BitmapWordBits = 63
+
+  /**
+   * Value-keyed bitmap index over a dense integer row-id column — the
+   * low-cardinality-predicate acceleration structure (roaring-bitmap
+   * lineage, public): per distinct value, row ids pack into 63-bit words,
+   * and a multi-predicate count becomes a word-aligned AND + popcount
+   * instead of a row scan. Ids need not be contiguous, only non-negative.
+   *
+   * Shape at 100 TB: ONE partial-agg groupBy on (value, word) — output
+   * size is |values| · |id-range|/63 words worst case, and each
+   * conjunction query then touches words, not rows.
+   *
+   * Output: (value, word, bits).
+   */
+  def bitmapIndex(df: DataFrame, idCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(valueCol).as("value"),
+        IntMath.idiv(col(idCol).cast(LongType), lit(BitmapWordBits.toLong))
+          .as("word"),
+        IntMath.shl(lit(1L),
+          col(idCol).cast(LongType) % lit(BitmapWordBits.toLong)).as("b"))
+      .groupBy("value", "word")
+      .agg(expr("bit_or(b)").as("bits"))
+
+  /** AND-cardinality of two bitmap sides: for every (value_a, value_b)
+    * pair present in both indexes, the count of shared row ids —
+    * Σ popcount(bits_a & bits_b) over the word-aligned join. The join
+    * keys on the WORD, so only co-occupied words ever meet. */
+  def bitmapAndCounts(bmA: DataFrame, bmB: DataFrame): DataFrame =
+    bmA.select(col("value").as("value_a"), col("word"),
+        col("bits").as("ba"))
+      .join(bmB.select(col("value").as("value_b"), col("word"),
+        col("bits").as("bb")), Seq("word"))
+      .groupBy("value_a", "value_b")
+      .agg(sum(bit_count(col("ba").bitwiseAND(col("bb"))).cast(LongType))
+        .as("n"))
+      .filter(col("n") > 0L)
+      .orderBy("value_a", "value_b")
+
+  /**
+   * Sort-key advisor: score each candidate sort column by how well an
+   * equi-count split on it CLUSTERS a target column — the empirical
+   * answer to "which key should this table be written sorted by so that
+   * range predicates on `targetCol` prune files". Rows split into
+   * `nFiles` equal-count files in candidate order (tie blocks land on
+   * their first rank's file); the score is the mean per-file target
+   * range as ppm of the global target range — 10⁶ ≈ every file spans
+   * everything (no pruning), → 0 ≈ perfect clustering. Compose with
+   * [[mortonValue]] by passing a precomputed Z-code column as a
+   * candidate to compare interleaved against lexicographic layouts.
+   *
+   * Shape: per candidate, the cumulative-count machinery is value-keyed
+   * (a [[Stats.globalQuantiles]]-style two-stage scan — no global sort),
+   * the file map joins back on the candidate VALUE, and one groupBy per
+   * candidate sizes the report. Candidates evaluate independently and
+   * union — |candidates| bounded passes.
+   *
+   * Output per candidate (ordered): (candidate, n_files, span_ppm).
+   */
+  def sortKeyAdvisor(df: DataFrame, candidateCols: Seq[String],
+      targetCol: String, nFiles: Int = 16): DataFrame = {
+    require(candidateCols.nonEmpty, "need at least one candidate")
+    require(nFiles >= 2, s"nFiles must be >= 2, got $nFiles")
+    val reports = candidateCols.map { cand =>
+      val v = df.select(col(cand).cast(LongType).as("cv"),
+          col(targetCol).cast(LongType).as("tv"))
+        .filter(col("cv").isNotNull && col("tv").isNotNull)
+      val byVal = v.groupBy("cv").agg(count(lit(1)).as("c"))
+      // two-stage cumulative: bucket offsets collected (bounded), then a
+      // bucket-keyed window — the sBefore of each distinct candidate value
+      val mm = byVal.agg(min("cv"), max("cv"), sum("c")).head()
+      val n = if (mm.isNullAt(2)) 0L else mm.getLong(2)
+      if (n == 0L) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        Seq.empty[(String, Long, Long)].toDF("candidate", "n_files", "span_ppm")
+      } else {
+        val lo = mm.getLong(0)
+        val width = math.max(1L, (mm.getLong(1) - lo) / 1024 + 1)
+        val b = byVal.withColumn("__bucket",
+          IntMath.idiv(col("cv") - lo, lit(width)))
+        val offs = b.groupBy("__bucket").agg(sum("c").as("bc"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        var acc = 0L
+        val offRows = offs.map { case (bk, c) =>
+          val o = acc; acc += c; (bk, o) }
+        val spark = df.sparkSession
+        import spark.implicits._
+        val offDf = offRows.toSeq.toDF("__bucket", "__off")
+        val w = Window.partitionBy(col("__bucket")).orderBy(col("cv"))
+        val fileMap = b.join(broadcast(offDf), "__bucket")
+          .withColumn("sBefore",
+            col("__off") + sum(col("c")).over(w) - col("c"))
+          .select(col("cv"),
+            IntMath.idiv(col("sBefore") * nFiles, lit(n)).as("file"))
+        val perFile = v.join(fileMap, "cv")
+          .groupBy("file")
+          .agg(min("tv").as("flo"), max("tv").as("fhi"))
+        perFile.agg(
+            count(lit(1)).as("n_files"),
+            sum(col("fhi") - col("flo")).as("span_sum"),
+            min("flo").as("glo"), max("fhi").as("ghi"))
+          .select(lit(cand).as("candidate"), col("n_files"),
+            IntMath.idiv(col("span_sum") * lit(1000000L),
+              greatest((col("ghi") - col("glo")) * col("n_files"), lit(1L)))
+              .as("span_ppm"))
+      }
+    }
+    reports.reduce(_ unionByName _).orderBy("candidate")
   }
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Declarative data-quality checks over a batch — the contract gate a
+ * training-data pipeline runs before a corpus ships (the public Deequ /
+ * dbt-test shape: a named rule set, evaluated in ONE pass, reported as
+ * violation counts). All integer arithmetic, so every report is
+ * oracle-exact.
+ */
+object Quality {
+
+  /**
+   * Evaluate a set of named row-level rules in a single aggregate pass:
+   * each rule is a boolean Column expected TRUE; a row violates the rule
+   * when the predicate is FALSE **or NULL** (the completeness convention —
+   * an unevaluable constraint is a violation, so `col.isNotNull` rules
+   * behave as NOT-NULL checks).
+   *
+   * Shape at 100 TB: one map-side projection computes every rule's 0/1
+   * per row, ONE partial-agg aggregate sums them — the rule-table then
+   * unfolds from that single row. Adding rules adds columns, not passes.
+   *
+   * Output per rule (ordered): (rule, n_rows, violations, violation_ppm).
+   */
+  def ruleAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val sums = Seq(count(lit(1)).as("__n")) ++
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(pred, 0L).otherwise(1L)).as(s"__v$i") }
+    val agg1 = df.agg(sums.head, sums.tail: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v$i").as("violations"),
+        IntMath.idiv(col(s"__v$i") * lit(1000000L),
+          greatest(col("__n"), lit(1L))).as("violation_ppm"))
+    }
+    agg1.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("rule")
+  }
+
+  /**
+   * Mergeable numeric aggregate state — the materialized-view maintenance
+   * primitive: build per-key (n, sum, min, max) summaries per ingest
+   * batch, MERGE summaries instead of reprocessing rows, finalize into
+   * the readout (mean by truncating division). The same
+   * build/merge/finalize contract as the HLL sketch lifecycle
+   * ([[Stats.hllSketch]]/`hllMerge`/`hllFinalize`), for plain numeric
+   * rollups: merge(build(A), build(B)) ≡ build(A ∪ B) exactly, because
+   * every component is associative-commutative integer arithmetic.
+   *
+   * Shape: build is one partial-agg groupBy per batch; merge is a groupBy
+   * over key-sized state frames — row volume never re-enters.
+   */
+  def aggStateBuild(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(keyCol).as("key"), col(valueCol).cast(LongType).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+
+  /** Combine any number of [[aggStateBuild]] states (same key domain). */
+  def aggStateMerge(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy("key")
+      .agg(sum("n").as("n"), sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+  }
+
+  /** Readout: state + truncating mean, ordered by key. */
+  def aggStateFinalize(state: DataFrame): DataFrame =
+    state.select(col("key"), col("n"), col("sum_v"), col("min_v"),
+      col("max_v"),
+      IntMath.idiv(col("sum_v"), greatest(col("n"), lit(1L))).as("mean_v"))
+      .orderBy("key")
+
+  /**
+   * Multi-rater label reconciliation: majority-vote consensus per item
+   * (ties break on the LEXICOGRAPHICALLY SMALLEST label — deterministic),
+   * then each rater scored by agreement with the consensus — the
+   * annotation-quality readout (which labeling source to trust, which to
+   * re-queue) that a crowd/multi-model labeling pipeline runs at corpus
+   * scale. One vote per (item, rater): duplicate submissions collapse to
+   * one row first.
+   *
+   * Shape at 100 TB: votes partial-agg to (item, label) cells; consensus
+   * is ONE item-keyed window over cells; rater scoring is a cell-sized
+   * join back plus a rater-keyed aggregate. No row-level shuffle past the
+   * first groupBy.
+   *
+   * Output per rater (ordered): (rater, n_items, agree, agree_ppm).
+   */
+  def consensusReport(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val votes = df.select(col(itemCol).as("item"), col(raterCol).as("rater"),
+        col(labelCol).as("label"))
+      .filter(col("label").isNotNull)
+      .distinct()
+    val cells = votes.groupBy("item", "label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("c").desc, col("label"))
+    val consensus = cells
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("item"), col("label").as("consensus"))
+    votes.join(consensus, "item")
+      .groupBy("rater")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("label") === col("consensus"), 1L).otherwise(0L))
+          .as("agree"))
+      .select(col("rater"), col("n_items"), col("agree"),
+        IntMath.idiv(col("agree") * lit(1000000L),
+          greatest(col("n_items"), lit(1L))).as("agree_ppm"))
+      .orderBy("rater")
+  }
+}

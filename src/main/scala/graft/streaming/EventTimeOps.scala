@@ -836,6 +836,45 @@ object EventTimeOps {
    * Output per delay (ordered): (delay_ms, n_events, n_late, dropped,
    * dropped_ppm, max_lateness_ms).
    */
+  /**
+   * Rate-limit replay audit: replay the log against a per-key quota of
+   * `limit` events per `windowMs` tumbling window and report what a
+   * throttling ingest would have admitted vs rejected — the capacity
+   * pre-check before enforcing quotas in the live pipeline. Admission is
+   * deterministic: within a (key, window) the first `limit` events by
+   * (timestamp, tiebreaker) pass.
+   *
+   * Shape at 100 TB: windows are integer buckets (map-side), ranking is
+   * ONE (key, bucket)-keyed window, and the report is a 1-row aggregate.
+   *
+   * Output (1 row): (n_events, admitted, rejected, rejected_ppm,
+   * keys_throttled, max_window_count).
+   */
+  def rateLimitAudit(events: DataFrame, keyCol: String, tsMsCol: String,
+      orderCol: String, limit: Int, windowMs: Long): DataFrame = {
+    require(limit >= 1 && windowMs >= 1, "limit and windowMs must be >= 1")
+    val b = events.select(col(keyCol).as("__k"),
+        col(tsMsCol).cast(LongType).as("__ts"), col(orderCol).as("__o"))
+      .withColumn("__w", graft.operators.IntMath.idiv(col("__ts"),
+        lit(windowMs)))
+    val w = Window.partitionBy(col("__k"), col("__w"))
+      .orderBy(col("__ts"), col("__o"))
+    val ranked = b.withColumn("__rn", row_number().over(w).cast(LongType))
+    val perKey = ranked.groupBy("__k")
+      .agg(count(lit(1)).as("kn"),
+        sum(when(col("__rn") > limit, 1L).otherwise(0L)).as("krej"),
+        max("__rn").as("kmaxw"))
+    perKey.agg(sum("kn").as("n_events"),
+        (sum("kn") - sum("krej")).as("admitted"),
+        sum("krej").as("rejected"),
+        sum(when(col("krej") > 0L, 1L).otherwise(0L)).as("keys_throttled"),
+        max("kmaxw").as("max_window_count"))
+      .select(col("n_events"), col("admitted"), col("rejected"),
+        graft.operators.IntMath.idiv(col("rejected") * lit(1000000L),
+          greatest(col("n_events"), lit(1L))).as("rejected_ppm"),
+        col("keys_throttled"), col("max_window_count"))
+  }
+
   def latenessAudit(events: DataFrame, keyCol: String, arrivalCol: String,
       tsMsCol: String, delaysMs: Seq[Long]): DataFrame = {
     require(delaysMs.nonEmpty, "need at least one candidate delay")

@@ -2850,4 +2850,117 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(("a", "d"))._2 == 0L) // balanced independence
     assert(out.size == 6)
   }
+
+  test("ruleAudit: false AND null both count as violations, one pass") {
+    val l = new java.util.ArrayList[Row]()
+    Seq((1L, "ok"), (2L, null), (-1L, "ok"), (5L, "bad"))
+      .foreach { case (v, st) => l.add(Row(v, st)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("v", LongType), StructField("st", StringType))))
+    val out = Quality.ruleAudit(df, Seq(
+      "v_pos" -> (col("v") > 0L),
+      "st_not_null" -> col("st").isNotNull,
+      "st_domain" -> col("st").isin("ok")))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("v_pos") == ((1L, 250000L)))
+    assert(out("st_not_null") == ((1L, 250000L)))
+    assert(out("st_domain") == ((2L, 500000L))) // null AND 'bad' violate
+  }
+
+  test("aggState: merge(build(A), build(B)) equals build(A ∪ B)") {
+    def mk(rows: Seq[(String, Long)]) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, v) => l.add(Row(k, v)) }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("k", StringType), StructField("v", LongType))))
+    }
+    val a = Seq(("x", 1L), ("x", 5L), ("y", 10L))
+    val b = Seq(("x", 3L), ("z", -2L))
+    val merged = Quality.aggStateFinalize(Quality.aggStateMerge(
+      Quality.aggStateBuild(mk(a), "k", "v"),
+      Quality.aggStateBuild(mk(b), "k", "v")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val direct = Quality.aggStateFinalize(
+      Quality.aggStateBuild(mk(a ++ b), "k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(merged == direct)
+    assert(merged("x") == ((3L, 9L, 1L, 5L, 3L)))
+    assert(merged("z") == ((1L, -2L, -2L, -2L, -2L)))
+  }
+
+  test("consensusReport: majority wins, ties break to smallest label, " +
+      "duplicate votes collapse") {
+    val l = new java.util.ArrayList[Row]()
+    // item 1: A,A,B → consensus A; item 2: A,B tie → A; item 3: rater 1
+    // votes twice (collapses to one vote) → consensus C
+    Seq((1L, 1, "A"), (1L, 2, "A"), (1L, 3, "B"),
+      (2L, 1, "B"), (2L, 2, "A"),
+      (3L, 1, "C"), (3L, 1, "C"), (3L, 2, "D"))
+      .foreach { case (i, r, lb) => l.add(Row(i, r, lb)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("item", LongType), StructField("rater", IntegerType),
+      StructField("lab", StringType))))
+    val out = Quality.consensusReport(df, "item", "rater", "lab")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // item 3 ties C/D → C. rater 1: items 1(A=A ✓), 2(B≠A ✗), 3(C=C ✓)
+    assert(out(1) == ((3L, 2L)))
+    // rater 2: 1(A ✓), 2(A=A ✓), 3(D≠C ✗)
+    assert(out(2) == ((3L, 2L)))
+    assert(out(3) == ((1L, 0L))) // rater 3: item 1 B≠A
+  }
+
+  test("rateLimitAudit: per-(key, window) quota, deterministic order") {
+    val l = new java.util.ArrayList[Row]()
+    // key A: 3 events in window 0, 1 in window 1; key B: 1 event
+    Seq(("A", 10L, 1L), ("A", 20L, 2L), ("A", 30L, 3L), ("A", 110L, 4L),
+      ("B", 15L, 5L)).foreach { case (k, ts, o) => l.add(Row(k, ts, o)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("k", StringType), StructField("ms", LongType),
+      StructField("o", LongType))))
+    val r = graft.streaming.EventTimeOps
+      .rateLimitAudit(df, "k", "ms", "o", limit = 2, windowMs = 100L)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+      r.getLong(5)) == ((5L, 4L, 1L, 1L, 3L)))
+  }
+
+  test("bitmap index: AND counts equal the direct group-by, ids sparse") {
+    val l = new java.util.ArrayList[Row]()
+    // sparse ids crossing word boundaries (63-bit words)
+    Seq((0L, "a", 0L), (62L, "a", 1L), (63L, "b", 0L), (200L, "a", 0L),
+      (201L, "b", 1L), (10000L, "a", 1L))
+      .foreach { case (id, t, g) => l.add(Row(id, t, g)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType),
+      StructField("g", LongType))))
+    val viaBm = Layout.bitmapAndCounts(
+      Layout.bitmapIndex(df, "id", "t"), Layout.bitmapIndex(df, "id", "g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val direct = df.groupBy("t", "g").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(viaBm == direct)
+  }
+
+  test("sortKeyAdvisor: sorting by the target scores 0, a shuffled key " +
+      "scores near 10⁶, and candidates report independently") {
+    val l = new java.util.ArrayList[Row]()
+    // tgt = 0..63; good = tgt; bad = tgt reversed bit pattern-ish (id*37%64
+    // scatters targets across the whole range in every file)
+    (0L until 64L).foreach { i => l.add(Row(i, (i * 37L) % 64L, i)) }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("good", LongType), StructField("bad", LongType),
+      StructField("tgt", LongType))))
+    val out = Layout.sortKeyAdvisor(df, Seq("good", "bad"), "tgt",
+      nFiles = 8).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("good") < 120000L, s"good=${out("good")}") // ~7/63 per file
+    assert(out("bad") > 700000L, s"bad=${out("bad")}")
+  }
 }
