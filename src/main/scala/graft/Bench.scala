@@ -192,7 +192,9 @@ object Bench {
       "q223_zorder_layout", "q224_lateness_audit",
       "q225_quantile_normalize", "q226_pearson_moments",
       "q227_rule_audit", "q228_rate_limit", "q229_agg_state",
-      "q230_consensus", "q231_bitmap_and", "q232_sort_key_advisor")
+      "q230_consensus", "q231_bitmap_and", "q232_sort_key_advisor",
+      "q233_tpch_q3", "q234_tpch_q5", "q235_cms_join_size",
+      "q236_noisy_counts")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -76,5 +76,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           LambdaFunction(GreaterThan(Length(t), Literal(0)), Seq(t))),
           legacySizeOfNull = false), LongType)
       }))
+    // graft_morton(x, y[, bits=8]): Z-order bit interleave of two
+    // non-negative ints — Layout.mortonValue as a SQL name, expanded to
+    // builtin shift/mask arithmetic so it codegens. `bits` must be an
+    // integer LITERAL (the expansion is per-bit).
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_morton"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.Layout", "graft_morton"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        val bits = args.lift(2) match {
+          case None => 8
+          case Some(Literal(v: Int, IntegerType)) if v >= 1 && v <= 31 => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft_morton bits must be an int literal in [1,31], got $other")
+        }
+        val x = Cast(args.head, LongType)
+        val y = Cast(args(1), LongType)
+        (0 until bits).foldLeft[Expression](Literal(0L)) { (acc, i) =>
+          Add(acc, Add(
+            Multiply(Remainder(ShiftRight(x, Literal(i)), Literal(2L)),
+              Literal(1L << (2 * i))),
+            Multiply(Remainder(ShiftRight(y, Literal(i)), Literal(2L)),
+              Literal(2L << (2 * i)))))
+        }
+      }))
   }
 }

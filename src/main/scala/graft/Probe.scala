@@ -970,6 +970,26 @@ object Probe {
       timed("sort-key advisor ×2 (sf0.1 lineitem)")(
         Layout.sortKeyAdvisor(li, Seq("l_partkey", "l_suppkey"),
           "l_suppkey").count())
+      // the TPC-H join shapes must actually broadcast their dims — a
+      // shuffled sort-merge join against a 25-row nation table at 100 TB
+      // is the classic planning failure this pins against
+      def countBroadcasts(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString
+          .split("BroadcastHashJoin").length - 1
+      val q3 = graft.SparkEntry.queries("q233_tpch_q3")(spark, dir)
+      require(countBroadcasts(q3) >= 1,
+        "q233 must broadcast the filtered customer side")
+      timed("tpch q3 shape (sf0.1)")(q3.count())
+      val q5 = graft.SparkEntry.queries("q234_tpch_q5")(spark, dir)
+      require(countBroadcasts(q5) >= 3,
+        "q234 must broadcast supplier/nation/region")
+      timed("tpch q5 shape (sf0.1)")(q5.count())
+      timed("cms join-size estimate (sf0.1 events⋈orders)")(
+        Stats.cmsJoinSizeEstimate(ev.select(col("user_id").as("h")),
+          spark.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_custkey").as("h")), "h").count())
+      timed("noisy counts (sf0.1 events)")(
+        graft.operators.Quality.noisyCounts(ev, "event_type").count())
     }
     spark.stop()
   }

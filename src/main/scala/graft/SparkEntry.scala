@@ -3132,7 +3132,79 @@ object SparkEntry {
           scale(col("l_suppkey"), mm.getLong(2), mm.getLong(3)), 8))
         Layout.sortKeyAdvisor(withZ, Seq("l_partkey", "l_suppkey", "z"),
           "l_suppkey", nFiles = 16)
-      })
+      }),
+
+    // TPC-H Q3 shape (shipping priority): 3-way join, small side
+    // broadcast, revenue exact in cent·pct units, top-10 stable-tied
+    Q("q233_tpch_q3", Some(
+      """SELECT o.o_orderkey, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_u, CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS odate_ms, o.o_orderpriority FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01' AND l.l_shipdate > TIMESTAMP '1998-01-01' GROUP BY 1, 3, 4 ORDER BY revenue_u DESC, o.o_orderkey LIMIT 10"""),
+      (s, dir) => {
+        val cut = to_timestamp(lit("1998-01-01 00:00:00"))
+        val c = customer(tune(s), dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = orders(tune(s), dir)
+          .filter(col("o_orderdate").cast(TimestampType) < cut)
+        val l = lineitem(tune(s), dir)
+          .filter(col("l_shipdate").cast(TimestampType) > cut)
+          .select(col("l_orderkey"),
+            (floor(col("l_extendedprice") * 100).cast(LongType) *
+              (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+              .as("rev_u"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(sum("rev_u").as("revenue_u"))
+          .select(col("o_orderkey"), col("revenue_u"),
+            unix_millis(col("o_orderdate").cast(TimestampType))
+              .as("odate_ms"), col("o_orderpriority"))
+          .orderBy(col("revenue_u").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+    // TPC-H Q5 shape (local supplier volume): 6-way star join, every dim
+    // broadcast, the local-supplier co-nation predicate
+    Q("q234_tpch_q5", Some(
+      """SELECT n.n_name, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_u, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey JOIN nation n ON s2.s_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA' AND c.c_nationkey = s2.s_nationkey GROUP BY 1 ORDER BY n.n_name"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val sup = sp.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = sp.read.parquet(s"$dir/nation.parquet")
+        val reg = sp.read.parquet(s"$dir/region.parquet")
+          .filter(col("r_name") === "ASIA")
+        val c = customer(sp, dir).select("c_custkey", "c_nationkey")
+        val l = lineitem(sp, dir).select(col("l_orderkey"), col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100).cast(LongType) *
+            (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+            .as("rev_u"))
+        l.join(orders(sp, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum("rev_u").as("revenue_u"), count(lit(1)).as("n_rows"))
+          .orderBy("n_name")
+      }),
+
+    // CM-sketch join-size estimate beside the exact size: the inner
+    // product never underestimates; calibration in one row
+    Q("q235_cms_join_size", Some(
+      """WITH ea AS (SELECT user_id AS h FROM events), ob AS (SELECT o_custkey AS h FROM orders), sa AS (SELECT i AS row_id, ((h*(1000003 + 2*i*4391) + ((7919*(i+1)) % 2147483647)) % 2147483647) % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS na FROM ea CROSS JOIN range(4) t(i) GROUP BY 1, 2), sb AS (SELECT i AS row_id, ((h*(1000003 + 2*i*4391) + ((7919*(i+1)) % 2147483647)) % 2147483647) % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS nb FROM ob CROSS JOIN range(4) t(i) GROUP BY 1, 2), ip AS (SELECT sa.row_id, CAST(SUM(na*nb) AS BIGINT) AS ip FROM sa JOIN sb USING (row_id, bucket) GROUP BY 1), es AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip), ca AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS ca FROM ea GROUP BY 1), cb AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cb FROM ob GROUP BY 1), ex AS (SELECT CAST(COALESCE(SUM(ca*cb), 0) AS BIGINT) AS exact FROM ca JOIN cb USING (h)) SELECT COALESCE(es.est, 0) AS est, ex.exact, CAST((COALESCE(es.est, 0) - ex.exact)*1000000 // GREATEST(ex.exact, 1) AS BIGINT) AS over_ppm FROM es CROSS JOIN ex"""),
+      (s, dir) => Stats.cmsJoinSizeEstimate(
+        KafkaLike.events(tune(s), dir).select(col("user_id").as("h")),
+        orders(tune(s), dir).select(col("o_custkey").as("h")), "h")),
+
+    // seeded geometric-noise counts: the integer DP mechanism plumbing,
+    // deterministic draw per key so the release is replay-testable
+    Q("q236_noisy_counts", Some(
+      s"""WITH g AS (SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), z AS (SELECT key, n, ${dFold("key")} AS hv FROM g) SELECT key, CAST(n + (CASE WHEN ((hv >> 15) & 1) = 1 THEN 1 ELSE -1 END) * (bit_count(xor(hv, hv + 1)) - 1) AS BIGINT) AS noisy_n FROM z ORDER BY key"""),
+      (s, dir) => Quality.noisyCounts(
+        KafkaLike.events(tune(s), dir), "event_type"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -119,4 +119,31 @@ object Quality {
           greatest(col("n_items"), lit(1L))).as("agree_ppm"))
       .orderBy("rater")
   }
+
+  /**
+   * Seeded two-sided-geometric noisy counts — the integer
+   * differential-privacy MECHANISM shape (Ghosh–Roughgarden–Sundararajan's
+   * geometric mechanism, public) with the randomness replaced by a
+   * deterministic per-key hash draw so the pipeline is replayable and
+   * oracle-testable: magnitude = trailing-one-bits of the key's fold hash
+   * (geometric, p = ½ per unit), sign = hash bit 15. A PRODUCTION DP
+   * deployment must draw fresh randomness per release — this operator
+   * ships the exact integer plumbing (group, perturb, suppress the true
+   * count) with the draw swappable, which is the honest testable slice.
+   *
+   * Shape: one partial-agg groupBy; the perturbation is map-side bit
+   * arithmetic on the key-sized result. Output: (key, noisy_n) — the true
+   * count never leaves the operator.
+   */
+  def noisyCounts(df: DataFrame, keyCol: String): DataFrame = {
+    val g = df.select(col(keyCol).cast(
+        org.apache.spark.sql.types.StringType).as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val h = TextAnalysis.stringHash(col("key"))
+    val mag = (bit_count(h.bitwiseXOR(h + 1L)) - 1).cast(LongType)
+    val sgn = when(IntMath.shr(h, lit(15)) % 2L === 1L, 1L).otherwise(-1L)
+    g.select(col("key"), (col("n") + sgn * mag).as("noisy_n"))
+      .orderBy("key")
+  }
 }

@@ -419,6 +419,40 @@ object Stats {
   }
 
   /**
+   * Join-size ESTIMATE from count-min sketches — the shuffle-free
+   * pre-flight when even [[joinAudit]]'s key-sized pass is too much (two
+   * streams meeting for the first time, sketches shipped from different
+   * clusters): |A ⋈ B| ≈ min over hash rows of Σ_b sketchA[row][b] ·
+   * sketchB[row][b] (the CM inner-product estimator — Cormode &
+   * Muthukrishnan 2005 §4.2, public). Always ≥ the true size (every
+   * collision only adds), with the standard ε·|A|·|B| overestimate bound.
+   * The exact size rides along for calibration, computed the
+   * [[joinAudit]] way (per-key counts, key-sized join).
+   *
+   * Shape at 100 TB: both sketches are ≤ depth·width cells whatever the
+   * input volume — the estimate itself joins two ≤4k-row frames. Output
+   * (1 row): (est, exact, over_ppm).
+   */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame, hashCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val sa = countMinSketch(a, hashCol, depth, width)
+      .withColumnRenamed("n", "na")
+    val sb = countMinSketch(b, hashCol, depth, width)
+      .withColumnRenamed("n", "nb")
+    val est = sa.join(sb, Seq("row_id", "bucket"))
+      .groupBy("row_id").agg(sum(col("na") * col("nb")).as("ip"))
+      .agg(min("ip").as("est"))
+    val ca = a.groupBy(col(hashCol).as("h")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col(hashCol).as("h")).agg(count(lit(1)).as("cb"))
+    val exact = ca.join(cb, "h")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact"))
+    est.crossJoin(exact)
+      .select(coalesce(col("est"), lit(0L)).as("est"), col("exact"),
+        IntMath.idiv((coalesce(col("est"), lit(0L)) - col("exact")) *
+          lit(1000000L), greatest(col("exact"), lit(1L))).as("over_ppm"))
+  }
+
+  /**
    * Zipf rank-frequency fit over a (rank-ordered) term-frequency table —
    * the corpus-health one-liner: natural language fits log f ≈ c − s·log r
    * with slope s ≈ 1; template spam and synthetic junk bend the curve. The

@@ -816,6 +816,57 @@ object EventTimeOps {
       }
   }
 
+  case class RateEvent(key: String, ms: Long)
+  case class RateDecision(key: String, ms: Long, window: Long,
+    admitted: Boolean)
+  case class RateWindowState(window: Long, count: Long)
+
+  /**
+   * Streaming per-key rate limiter — the live form of [[rateLimitAudit]]:
+   * at most `limit` events per key per `windowMs` tumbling window, decided
+   * as events arrive. State per key is ONE (window, count) pair; a new
+   * window resets the budget. Within a micro-batch events decide in
+   * timestamp order (deterministic replay); an event from a window OLDER
+   * than the key's current one is rejected — that window's budget already
+   * closed, and admitting late arrivals would overshoot the quota the
+   * batch audit certifies.
+   *
+   * Bounded state on unbounded streams: one fixed-size record per key,
+   * overwritten in place — no timeout needed for correctness (stale keys
+   * cost one record until their next event; add an ops-level TTL cleanup
+   * if key churn is unbounded).
+   */
+  def rateLimitStreaming(events: Dataset[RateEvent], limit: Int,
+      windowMs: Long): Dataset[RateDecision] = {
+    require(limit >= 1 && windowMs >= 1, "limit and windowMs must be >= 1")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[RateEvent],
+            state: GroupState[RateWindowState]) =>
+          val sorted = it.map(_.ms).toArray.sorted
+          var cur = state.getOption
+          val out = Seq.newBuilder[RateDecision]
+          sorted.foreach { ms =>
+            val w = math.floorDiv(ms, windowMs)
+            cur match {
+              case Some(st) if st.window == w =>
+                val c = st.count + 1
+                cur = Some(st.copy(count = c))
+                out += RateDecision(key, ms, w, c <= limit)
+              case Some(st) if st.window > w => // late: closed window
+                out += RateDecision(key, ms, w, admitted = false)
+              case _ => // first event of a new window
+                cur = Some(RateWindowState(w, 1L))
+                out += RateDecision(key, ms, w, admitted = true)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /**
    * Watermark-lateness audit — the batch measurement that PICKS a
    * streaming watermark delay instead of guessing one. Per key, events

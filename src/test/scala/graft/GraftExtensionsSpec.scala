@@ -32,6 +32,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().head
       assert(c.getLong(0) == 3072L) // exactly 3 bits × 1024 units
       assert(c.getLong(1) == 2L)
+      // morton: (3,1) 2 bits → x bits at even positions (1+4), y bit 0 at
+      // position 1 (2) → 7; default 8 bits matches Layout.mortonValue
+      val m = spark.sql(
+        "SELECT graft_morton(3, 1, 2) AS m2, graft_morton(255, 0) AS mx")
+        .collect().head
+      assert(m.getLong(0) == 7L)
+      import org.apache.spark.sql.functions.{col, lit}
+      val viaCol = spark.range(1).select(graft.operators.Layout
+        .mortonValue(lit(255L), lit(0L), 8)).collect().head.getLong(0)
+      assert(m.getLong(1) == viaCol)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

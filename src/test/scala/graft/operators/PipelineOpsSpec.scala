@@ -2963,4 +2963,35 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out("good") < 120000L, s"good=${out("good")}") // ~7/63 per file
     assert(out("bad") > 700000L, s"bad=${out("bad")}")
   }
+
+  test("cmsJoinSizeEstimate: never under, exact on collision-free keys") {
+    import s.implicits._
+    // A: key 1 ×3, key 2 ×2; B: key 1 ×2, key 3 ×5 → exact = 3·2 = 6
+    val a = Seq(1L, 1L, 1L, 2L, 2L).toDF("h")
+    val b = Seq(1L, 1L, 3L, 3L, 3L, 3L, 3L).toDF("h")
+    val r = Stats.cmsJoinSizeEstimate(a, b, "h").head()
+    assert(r.getLong(1) == 6L)
+    assert(r.getLong(0) >= 6L) // CM inner product never underestimates
+    assert(r.getLong(2) >= 0L)
+    // tiny distinct sets in a 1024-wide sketch: no collisions → exact
+    assert(r.getLong(0) == 6L)
+    // disjoint sides → exact 0, est can only be ≥
+    val d = Stats.cmsJoinSizeEstimate(
+      Seq(10L).toDF("h"), Seq(20L).toDF("h"), "h").head()
+    assert(d.getLong(1) == 0L && d.getLong(0) >= 0L)
+  }
+
+  test("noisyCounts: deterministic per key, bounded noise, no raw count") {
+    import s.implicits._
+    val df = (1 to 100).map(i => s"k${i % 3}").toDF("key")
+    val r1 = Quality.noisyCounts(df, "key").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = Quality.noisyCounts(df, "key").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r2) // seeded: same release twice
+    val truth = Map("k0" -> 33L, "k1" -> 34L, "k2" -> 33L)
+    truth.foreach { case (k, n) =>
+      assert(math.abs(r1(k) - n) <= 31L, s"$k noise out of range") }
+    assert(r1.keySet == truth.keySet)
+  }
 }

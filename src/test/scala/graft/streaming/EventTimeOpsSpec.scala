@@ -419,4 +419,37 @@ class EventTimeOpsSpec extends SparkSuite {
     assert(out("k1") == (4L, 4L, 20L, 0L))
     assert(out("k2") == (4L, 4L, 20L, 0L))
   }
+
+  test("streaming rate limiter: quota per window, budget survives the " +
+      "batch boundary, late closed-window events reject") {
+    import s.implicits._
+    val src = Files.createTempDirectory("graft-rl-src").toString
+    val ckpt = Files.createTempDirectory("graft-rl-ckpt").toString
+    // window = 100ms, limit 2. batch 1: ms 0,10,20 in window 0 →
+    // admit, admit, reject. batch 2: ms 30 (window 0 again, STATE carries
+    // the exhausted budget → reject), ms 110 (window 1 → admit), then
+    // ms 50 arrives after the key moved to window 1 → late, reject.
+    events(("a", 0L, "u1", 0L), ("a", 1L, "u1", 10L), ("a", 2L, "u1", 20L))
+      .coalesce(1).write.parquet(src + "/f1")
+    events(("a", 3L, "u1", 30L), ("a", 4L, "u1", 110L))
+      .coalesce(1).write.parquet(src + "/f2")
+    events(("a", 5L, "u1", 50L))
+      .coalesce(1).write.parquet(src + "/f3")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val out = rateLimitStreaming(
+      stream.select(col("key"), unix_millis(col("timestamp")).as("ms"))
+        .as[RateEvent], limit = 2, windowMs = 100L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rl_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = s.table("rl_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, true), (10L, 0L, true),
+      (20L, 0L, false), (30L, 0L, false), (50L, 0L, false),
+      (110L, 1L, true)))
+  }
 }
