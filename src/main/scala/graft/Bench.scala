@@ -194,7 +194,8 @@ object Bench {
       "q227_rule_audit", "q228_rate_limit", "q229_agg_state",
       "q230_consensus", "q231_bitmap_and", "q232_sort_key_advisor",
       "q233_tpch_q3", "q234_tpch_q5", "q235_cms_join_size",
-      "q236_noisy_counts")
+      "q236_noisy_counts", "q237_kmv_overlap", "q238_percolate",
+      "q239_encoding_advisor", "q240_dedup_agreement")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -990,6 +990,28 @@ object Probe {
             .select(col("o_custkey").as("h")), "h").count())
       timed("noisy counts (sf0.1 events)")(
         graft.operators.Quality.noisyCounts(ev, "event_type").count())
+      // KMV at sf0.1: estimate within 15% of the exact distinct — the
+      // mix31 uniformizer is what makes the k-th minimum honest
+      locally {
+        val viewers = ev.filter(col("event_type") === "view")
+          .select(Stats.mix31r(col("user_id"), rounds = 3).as("h"))
+        val est = Stats.kmvOverlapReport(
+          Stats.kmvSketch(viewers, "h", 128),
+          Stats.kmvSketch(viewers, "h", 128), 128).head().getLong(0)
+        val exact = ev.filter(col("event_type") === "view")
+          .select("user_id").distinct().count()
+        require(math.abs(est - exact) * 100 <= exact * 15,
+          s"KMV estimate $est vs exact $exact drifted past 15%")
+        println(s"kmv estimate (sf0.1 viewers): est $est vs exact $exact")
+      }
+      val dDf = spark.read.parquet(s"$dir/documents.parquet")
+      timed("percolate ×4 queries (sf0.1 documents)")(
+        graft.operators.Retrieval.percolate(dDf, "text", "doc_id",
+          Seq(1 -> Seq("join", "hash"), 2 -> Seq("vector", "scan", "table"),
+            3 -> Seq("zzz_nomatch"), 4 -> Seq("merge"))).count())
+      timed("encoding advisor (sf0.1 documents)")(
+        Layout.encodingAdvisor(dDf,
+          Seq("doc_id", "lang", "source", "text")).count())
     }
     spark.stop()
   }

@@ -3204,7 +3204,53 @@ object SparkEntry {
     Q("q236_noisy_counts", Some(
       s"""WITH g AS (SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), z AS (SELECT key, n, ${dFold("key")} AS hv FROM g) SELECT key, CAST(n + (CASE WHEN ((hv >> 15) & 1) = 1 THEN 1 ELSE -1 END) * (bit_count(xor(hv, hv + 1)) - 1) AS BIGINT) AS noisy_n FROM z ORDER BY key"""),
       (s, dir) => Quality.noisyCounts(
-        KafkaLike.events(tune(s), dir), "event_type"))
+        KafkaLike.events(tune(s), dir), "event_type")),
+
+    // KMV bottom-k sketch overlap: viewer vs purchaser user sets —
+    // distinct + UNION + INTERSECTION estimates from two 128-hash sketches
+    Q("q237_kmv_overlap", Some({
+      def mixed(t: String) =
+        s"(SELECT DISTINCT xor(h3 >> 16, h3) AS h FROM (SELECT (xor(h2 >> 16, h2) * 73244475) & 2147483647 AS h3 FROM (SELECT (xor(h1 >> 16, h1) * 73244475) & 2147483647 AS h2 FROM (SELECT (xor(user_id >> 16, user_id) * 73244475) & 2147483647 AS h1 FROM events WHERE event_type = '$t'))))"
+      s"""WITH va AS ${mixed("view")}, pa AS ${mixed("purchase")}, ka AS (SELECT h FROM va ORDER BY h LIMIT 128), kb AS (SELECT h FROM pa ORDER BY h LIMIT 128), ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 128), ea AS (SELECT CAST(CASE WHEN COUNT(*) < 128 THEN COUNT(*) ELSE (CAST(127 AS BIGINT)*2147483647) // GREATEST(MAX(h), 1) END AS BIGINT) AS est_a FROM ka), eb AS (SELECT CAST(CASE WHEN COUNT(*) < 128 THEN COUNT(*) ELSE (CAST(127 AS BIGINT)*2147483647) // GREATEST(MAX(h), 1) END AS BIGINT) AS est_b FROM kb), eu AS (SELECT CAST(CASE WHEN COUNT(*) < 128 THEN COUNT(*) ELSE (CAST(127 AS BIGINT)*2147483647) // GREATEST(MAX(h), 1) END AS BIGINT) AS est_union FROM ku), cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS common_in_k FROM ku WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)), uk AS (SELECT CAST(COUNT(*) AS BIGINT) AS union_k FROM ku) SELECT ea.est_a, eb.est_b, eu.est_union, cm.common_in_k, uk.union_k, CAST(cm.common_in_k*1000000 // GREATEST(uk.union_k, 1) AS BIGINT) AS jaccard_ppm, CAST(cm.common_in_k*eu.est_union // GREATEST(uk.union_k, 1) AS BIGINT) AS est_intersection FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN cm CROSS JOIN uk"""}),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+        def side(t: String) = Stats.kmvSketch(
+          ev.filter(col("event_type") === t)
+            .select(Stats.mix31r(col("user_id"), rounds = 3).as("h")),
+          "h", k = 128)
+        Stats.kmvOverlapReport(side("view"), side("purchase"), k = 128)
+      }),
+
+    // percolation: stored conjunctive term queries matched against every
+    // document — reverse search for alerting/routing
+    Q("q238_percolate", Some(
+      s"""WITH dt AS (SELECT doc_id, list_distinct($dToks) AS tks FROM documents), q AS (SELECT * FROM (VALUES (1, ['join', 'hash']), (2, ['vector', 'scan', 'table']), (3, ['zzz_nomatch']), (4, ['merge'])) t(query_id, terms)) SELECT q.query_id, d.doc_id FROM dt d CROSS JOIN q WHERE list_has_all(d.tks, q.terms) ORDER BY query_id, doc_id"""),
+      (s, dir) => Retrieval.percolate(docs(tune(s), dir), "text", "doc_id",
+        Seq(1 -> Seq("join", "hash"), 2 -> Seq("vector", "scan", "table"),
+          3 -> Seq("zzz_nomatch"), 4 -> Seq("merge")))),
+
+    // encoding advisor: measured plain-vs-dictionary sizes per column —
+    // the parquet layout decision from data, not defaults
+    Q("q239_encoding_advisor", Some(
+      """WITH p AS (SELECT 'doc_id' AS c, CAST(doc_id AS VARCHAR) AS v, CAST(8 AS BIGINT) AS len FROM documents WHERE doc_id IS NOT NULL UNION ALL SELECT 'lang', lang, CAST(length(lang) AS BIGINT) FROM documents WHERE lang IS NOT NULL UNION ALL SELECT 'source', source, CAST(length(source) AS BIGINT) FROM documents WHERE source IS NOT NULL UNION ALL SELECT 'text', text, CAST(length(text) AS BIGINT) FROM documents WHERE text IS NOT NULL), bv AS (SELECT c, v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(len) AS BIGINT) AS len FROM p GROUP BY 1, 2), r AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS ndv, CAST(SUM(cnt*len) AS BIGINT) AS plain_units, CAST(SUM(len) AS BIGINT) AS payload FROM bv GROUP BY 1), r2 AS (SELECT c AS "column", n, ndv, plain_units, CAST(payload + (n*(CASE WHEN ndv <= 1 THEN 1 ELSE length(bin(ndv - 1)) END) + 7) // 8 AS BIGINT) AS dict_units FROM r) SELECT "column", n, ndv, plain_units, dict_units, CASE WHEN dict_units < plain_units THEN 'dict' ELSE 'plain' END AS recommend FROM r2 ORDER BY "column""""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        Layout.encodingAdvisor(
+          d.select(col("doc_id"), col("lang"), col("source"), col("text")),
+          Seq("doc_id", "lang", "source", "text"))
+      }),
+
+    // near-dup method agreement: minhash band candidates vs simhash
+    // hamming≤2 pairs over the same corpus — the detector-choice readout
+    Q("q240_dedup_agreement", Some(
+      s"""$dMinhashSig, mbands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), mh AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM mbands l JOIN mbands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), th2 AS (SELECT doc_id, unnest(list_transform(tk, t -> ${dFold("t")})) AS h FROM toks), bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bal FROM th2 CROSS JOIN range(32) t(j) GROUP BY doc_id, j), sh AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id), sbands AS (SELECT doc_id, simhash, j AS band_id, CASE WHEN j = 0 THEN simhash & 1023 WHEN j = 1 THEN (simhash >> 10) & 1023 ELSE (simhash >> 20) & 4095 END AS band_val FROM sh CROSS JOIN range(3) t(j)), sp AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM sbands l JOIN sbands r ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id WHERE bit_count(xor(l.simhash, r.simhash)) <= 2), j AS (SELECT (mh.a IS NOT NULL) AS ina, (sp.a IS NOT NULL) AS inb FROM mh FULL OUTER JOIN sp ON mh.a = sp.a AND mh.b = sp.b) SELECT CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_b, CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS n_both, CAST(SUM(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT) AS only_a, CAST(SUM(CASE WHEN inb AND NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS only_b, CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END)*1000000 // GREATEST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) + SUM(CASE WHEN inb THEN 1 ELSE 0 END) - SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 1) AS BIGINT) AS jaccard_ppm FROM j"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        Dedup.pairSetAgreement(
+          Dedup.minhashCandidates(Dedup.minhashBands(
+            Dedup.minhashSignatures(d, "text", "doc_id"))),
+          Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 2))
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

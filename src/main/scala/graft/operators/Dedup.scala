@@ -1058,4 +1058,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"),
         col("n_b"))
   }
+
+  /**
+   * Agreement report between two near-dup METHODS' pair sets — the
+   * evaluation readout when choosing between detectors (minhash vs
+   * simhash vs embedding buckets): how many pairs each flags, how many
+   * both flag, and the Jaccard of the two sets. Pairs normalize to
+   * (min, max) and dedupe first, so orientation and multiplicity never
+   * skew the comparison.
+   *
+   * Shape at 100 TB: pair frames are already the REDUCED output of their
+   * methods; one pair-keyed full-outer join + a 1-row aggregate.
+   *
+   * Output (1 row): (n_a, n_b, n_both, only_a, only_b, jaccard_ppm).
+   */
+  def pairSetAgreement(pairsA: DataFrame, pairsB: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    def norm(df: DataFrame, tag: String): DataFrame =
+      df.select(least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .distinct()
+        .withColumn(s"__$tag", lit(1L))
+    norm(pairsA, "ina").join(norm(pairsB, "inb"), Seq("a", "b"),
+        "full_outer")
+      .agg(
+        sum(coalesce(col("__ina"), lit(0L))).as("n_a"),
+        sum(coalesce(col("__inb"), lit(0L))).as("n_b"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("__inb").isNull, 1L).otherwise(0L)).as("only_a"),
+        sum(when(col("__ina").isNull, 1L).otherwise(0L)).as("only_b"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        coalesce(col("only_a"), lit(0L)).as("only_a"),
+        coalesce(col("only_b"), lit(0L)).as("only_b"),
+        IntMath.idiv(coalesce(col("n_both"), lit(0L)) * lit(1000000L),
+          greatest(coalesce(col("n_a"), lit(0L)) +
+            coalesce(col("n_b"), lit(0L)) - coalesce(col("n_both"), lit(0L)),
+            lit(1L))).as("jaccard_ppm"))
+  }
 }

@@ -122,6 +122,50 @@ object Layout {
       .orderBy("value_a", "value_b")
 
   /**
+   * Column-encoding advisor: for each column, the measured plain-vs-
+   * dictionary size trade — dictionary encoding pays when
+   * `ndv·avg_len + n·⌈log₂ ndv⌉/8` undercuts storing every value, the
+   * standard parquet/ORC dictionary heuristic made explicit so a 100 TB
+   * table layout is chosen from MEASURED numbers. Sizes are in value
+   * units (string length for text, 8 per integral) — relative, which is
+   * what the plain/dict decision needs; both are exact integers.
+   *
+   * Shape: one generated unpivot (map-side), one (column, value)-keyed
+   * partial agg, one column-keyed rollup. Output per column (ordered):
+   * (column, n, ndv, plain_units, dict_units, recommend).
+   */
+  def encodingAdvisor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pairs = df.select(cols.map { c =>
+      struct(lit(c).as("column"),
+        col(c).cast(org.apache.spark.sql.types.StringType).as("v"),
+        (df.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType => length(col(c))
+          case _ => lit(8)
+        }).cast(LongType).as("len")).as(c)
+    }: _*)
+      .select(explode(array(cols.map(col): _*)).as("p"))
+      .select("p.*")
+      .filter(col("v").isNotNull)
+    val byVal = pairs.groupBy("column", "v")
+      .agg(count(lit(1)).as("c"), first("len").as("len"))
+    byVal.groupBy("column")
+      .agg(sum("c").as("n"), count(lit(1)).as("ndv"),
+        sum(col("c") * col("len")).as("plain_units"),
+        sum("len").as("dict_payload"))
+      .select(col("column"), col("n"), col("ndv"), col("plain_units"),
+        // dict = one copy of each value + n refs of ⌈log₂ ndv⌉ bits
+        (col("dict_payload") + IntMath.idiv(
+          col("n") * when(col("ndv") <= 1L, 1L)
+            .otherwise(length(bin(col("ndv") - 1L)).cast(LongType)) + 7L,
+          lit(8L))).as("dict_units"))
+      .withColumn("recommend",
+        when(col("dict_units") < col("plain_units"), "dict")
+          .otherwise("plain"))
+      .orderBy("column")
+  }
+
+  /**
    * Sort-key advisor: score each candidate sort column by how well an
    * equi-count split on it CLUSTERS a target column — the empirical
    * answer to "which key should this table be written sorted by so that

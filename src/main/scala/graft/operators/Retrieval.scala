@@ -244,4 +244,39 @@ object Retrieval {
       .select(col("mmr_rank").cast(IntegerType), col("id"), col("rel"),
         col("score_q"))
   }
+
+  /**
+   * Percolation / reverse search: match every document against a STORED
+   * set of conjunctive term queries (the alerting/routing primitive —
+   * Elasticsearch's percolator shape, public) — a doc matches a query iff
+   * it contains EVERY query term. Queries are the small side; documents
+   * stream through once.
+   *
+   * Shape at 100 TB: docs explode to DISTINCT (doc, token) rows once; the
+   * term table (Σ query lengths rows) broadcasts; a matched-term count
+   * per (doc, query) equal to the query's term count is a match. The join
+   * keys on the raw token (Spark hashes internally — no false positives
+   * from an explicit hash truncation).
+   *
+   * Output (ordered): (query_id, doc_id).
+   */
+  def percolate(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need non-empty stored queries")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t, ts.distinct.size.toLong)) }
+      .toDF("query_id", "tok", "n_terms")
+    val docToks = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .distinct()
+    docToks.join(broadcast(terms), "tok")
+      .groupBy("query_id", "doc_id", "n_terms")
+      .agg(count(lit(1)).as("hit"))
+      .filter(col("hit") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+      .orderBy("query_id", "doc_id")
+  }
 }

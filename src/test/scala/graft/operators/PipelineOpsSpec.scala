@@ -2981,6 +2981,64 @@ class PipelineOpsSpec extends SparkSuite {
     assert(d.getLong(1) == 0L && d.getLong(0) >= 0L)
   }
 
+  test("kmv sketch: small sets exact, union = bottom-k of merge, " +
+      "overlap report reads known sets") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = s
+    import sp.implicits._
+    // A = {10,20,30,40}, B = {30,40,50} as already-uniform "hashes"
+    val a = Stats.kmvSketch(Seq(10L, 20L, 30L, 40L, 30L).toDF("h"), "h", 8)
+    val b = Stats.kmvSketch(Seq(30L, 40L, 50L).toDF("h"), "h", 8)
+    val r = Stats.kmvOverlapReport(a, b, 8).head()
+    // both under-full → exact counts; union {10..50} = 5; common {30,40}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 3L, 5L, 2L, 5L)))
+    assert(r.getLong(5) == 400000L) // 2/5
+    assert(r.getLong(6) == 2L)      // J · |A∪B| = 2
+    // full sketch: k=2 over {10,20,30} → kth min 20 → est (k−1)·S/20
+    val f = Stats.kmvSketch(Seq(10L, 20L, 30L).toDF("h"), "h", 2)
+    assert(f.collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
+  }
+
+  test("percolate: conjunction must match ALL terms; repeats don't " +
+      "double-count") {
+    val d = docs((1L, "alpha beta gamma"), (2L, "alpha alpha beta"),
+      (3L, "gamma delta"))
+    val out = Retrieval.percolate(d, "text", "doc_id", Seq(
+      1 -> Seq("alpha", "beta"), 2 -> Seq("gamma"),
+      3 -> Seq("alpha", "delta"), 4 -> Seq("alpha", "alpha", "beta")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1, 1L), (1, 2L), (2, 1L), (2, 3L),
+      (4, 1L), (4, 2L))) // q3 needs alpha AND delta in one doc: none
+  }
+
+  test("encodingAdvisor: low-NDV string → dict, unique ints → plain") {
+    val l = new java.util.ArrayList[Row]()
+    (0L until 100L).foreach(i => l.add(Row(i, if (i % 2 == 0) "aa" else "bb")))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType))))
+    val out = Layout.encodingAdvisor(df, Seq("id", "cat"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    // cat: plain 200 units; dict = 4 + ceil(100·1/8) = 17 → dict
+    assert(out("cat") == ((100L, 2L, 200L, 17L, "dict")))
+    // id: plain 800; dict = 800 + refs → plain
+    assert(out("id")._5 == "plain")
+  }
+
+  test("pairSetAgreement: orientation and duplicates normalize away") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = s
+    import sp.implicits._
+    val a = Seq((1L, 2L), (2L, 1L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val b = Seq((2L, 1L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val r = Dedup.pairSetAgreement(a, b).head()
+    // A = {12, 34}, B = {12, 56}: both=1, only_a=1, only_b=1, J=1/3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 2L, 1L, 1L, 1L, 333333L)))
+  }
+
   test("noisyCounts: deterministic per key, bounded noise, no raw count") {
     import s.implicits._
     val df = (1 to 100).map(i => s"k${i % 3}").toDF("key")
