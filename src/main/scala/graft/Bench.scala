@@ -195,7 +195,9 @@ object Bench {
       "q230_consensus", "q231_bitmap_and", "q232_sort_key_advisor",
       "q233_tpch_q3", "q234_tpch_q5", "q235_cms_join_size",
       "q236_noisy_counts", "q237_kmv_overlap", "q238_percolate",
-      "q239_encoding_advisor", "q240_dedup_agreement")
+      "q239_encoding_advisor", "q240_dedup_agreement",
+      "q241_ensemble_clusters", "q242_feature_hash", "q243_theil_sen",
+      "q244_trimmed_mean", "q245_range_diff")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))
@@ -342,7 +344,12 @@ object Bench {
         "q167_assoc_rules" ->
           (() => force(SparkEntry.queries("q167_assoc_rules")(spark, sf1Dir))),
         // APSS grows with rare-token co-occurrence (prefix join) + dup
-        // density (verify) — the lossless-recall counterpart to q32's gate
+        // density (verify) — the lossless-recall counterpart to q32's gate.
+        // NOTE on the ratio: the sf1 replica corpus repeats each text ~10×
+        // under distinct ids, so the ANSWER (pairs ≥ threshold) grows
+        // ~quadratically across replicas — wall-clock tracking ~16× at 10×
+        // data is output volume, not plan drift (q32's gated variant stays
+        // ~4× because its verify caps candidates, trading recall)
         "q201_all_pairs_cosine" ->
           (() => force(SparkEntry.queries("q201_all_pairs_cosine")(spark, sf1Dir))),
         // label-noise audit's 100 TB shape is PLUGGABLE neighbors — the

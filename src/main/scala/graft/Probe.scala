@@ -1005,6 +1005,20 @@ object Probe {
         println(s"kmv estimate (sf0.1 viewers): est $est vs exact $exact")
       }
       val dDf = spark.read.parquet(s"$dir/documents.parquet")
+      timed("theil-sen trend ×5 groups (sf0.1 events daily)")(
+        Stats.theilSenTrend(
+          ev.groupBy(col("event_type").as("grp"),
+            graft.operators.IntMath.idiv(col("ts_ms"), lit(86400000L))
+              .as("day")).agg(count(lit(1)).as("y")),
+          "grp", "day", "y").count())
+      timed("trimmed means (sf0.1 events)")(
+        Stats.trimmedMeanReport(ev, "event_type", "cents").count())
+      timed("feature-hash report (sf0.1 lineitem ×4 cols)")(
+        Stats.featureHashReport(li,
+          Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey"))
+          .count())
+      timed("range checksums (sf0.1 orders vs mutated)")(
+        graft.SparkEntry.queries("q245_range_diff")(spark, dir).count())
       timed("percolate ×4 queries (sf0.1 documents)")(
         graft.operators.Retrieval.percolate(dDf, "text", "doc_id",
           Seq(1 -> Seq("join", "hash"), 2 -> Seq("vector", "scan", "table"),

@@ -3250,6 +3250,71 @@ object SparkEntry {
           Dedup.minhashCandidates(Dedup.minhashBands(
             Dedup.minhashSignatures(d, "text", "doc_id"))),
           Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 2))
+      }),
+
+    // ensemble dedup: cluster only where minhash AND simhash agree — the
+    // high-precision near-dup partition from two independent detectors
+    Q("q241_ensemble_clusters", Some(
+      s"""${dMinhashSig.replaceFirst("^WITH ", "WITH RECURSIVE ")}, mbands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), mh AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM mbands l JOIN mbands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), th2 AS (SELECT doc_id, unnest(list_transform(tk, t -> ${dFold("t")})) AS h FROM toks), bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bal FROM th2 CROSS JOIN range(32) t(j) GROUP BY doc_id, j), sh AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id), sbands AS (SELECT doc_id, simhash, j AS band_id, CASE WHEN j = 0 THEN simhash & 1023 WHEN j = 1 THEN (simhash >> 10) & 1023 ELSE (simhash >> 20) & 4095 END AS band_val FROM sh CROSS JOIN range(3) t(j)), sp AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM sbands l JOIN sbands r ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id WHERE bit_count(xor(l.simhash, r.simhash)) <= 2), bo AS (SELECT mh.a AS doc_a, mh.b AS doc_b FROM mh JOIN sp ON mh.a = sp.a AND mh.b = sp.b), e AS (SELECT doc_a AS s, doc_b AS t FROM bo UNION ALL SELECT doc_b AS s, doc_a AS t FROM bo), reach(s, t) AS (SELECT s, t FROM e UNION SELECT reach.s, e2.t FROM reach JOIN e e2 ON reach.t = e2.s) SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(reach.t), d.doc_id)) AS BIGINT) AS cluster_id FROM documents d LEFT JOIN reach ON d.doc_id = reach.s GROUP BY d.doc_id ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val mh = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val sp = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 2)
+          .select("doc_a", "doc_b")
+        val both = mh.join(sp, Seq("doc_a", "doc_b"), "left_semi")
+        Dedup.nearDupClusters(d, both, "doc_id").orderBy("doc_id")
+      }),
+
+    // feature-hashing collision report: what squeezing the categorical
+    // feature space into 1024 buckets costs, measured
+    Q("q242_feature_hash", Some({
+      def f(c: String, expr: String) =
+        s"SELECT DISTINCT '$c=' || $expr AS f FROM lineitem WHERE $expr IS NOT NULL"
+      s"""WITH f AS (${f("l_returnflag", "l_returnflag")} UNION ${f("l_linestatus", "l_linestatus")} UNION ${f("l_suppkey", "CAST(l_suppkey AS VARCHAR)")} UNION ${f("l_partkey", "CAST(l_partkey AS VARCHAR)")}), b AS (SELECT ${dFold("f")} % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS load FROM f GROUP BY 1) SELECT CAST(SUM(load) AS BIGINT) AS n_features, CAST(1024 AS BIGINT) AS n_buckets, CAST(COUNT(*) AS BIGINT) AS buckets_used, CAST(MAX(load) AS BIGINT) AS max_load, CAST(SUM(CASE WHEN load > 1 THEN load ELSE 0 END) AS BIGINT) AS collided_features, CAST(SUM(CASE WHEN load > 1 THEN load ELSE 0 END)*1000000 // GREATEST(SUM(load), 1) AS BIGINT) AS collision_ppm FROM b"""}),
+      (s, dir) => Stats.featureHashReport(lineitem(tune(s), dir),
+        Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey"))),
+
+    // Theil–Sen robust arrival trend per event type: median pairwise
+    // slope over the daily series — one outlier day can't drag it
+    Q("q243_theil_sen", Some(
+      s"""WITH sd AS (SELECT event_type AS grp, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS x, CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), sz AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM sd GROUP BY 1), sm AS (SELECT sd.grp, sd.x, sd.y FROM sd JOIN sz ON sd.grp = sz.grp AND sz.n <= 1000), p AS (SELECT a.grp, CAST(${dTruncDiv("(b.y - a.y)*1000000", "b.x - a.x")} AS BIGINT) AS slope FROM sm a JOIN sm b ON a.grp = b.grp AND a.x < b.x), np AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1), md AS (SELECT grp, CAST(slope AS BIGINT) AS slope_ppm FROM (SELECT grp, slope, row_number() OVER (PARTITION BY grp ORDER BY slope) AS rn, COUNT(*) OVER (PARTITION BY grp) AS n FROM p) r WHERE r.rn = (r.n*50 + 99)//100) SELECT sz.grp, sz.n, COALESCE(np.n_pairs, 0) AS n_pairs, COALESCE(md.slope_ppm, 0) AS slope_ppm, CAST(CASE WHEN sz.n <= 1000 AND np.n_pairs IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS computed FROM sz LEFT JOIN np USING (grp) LEFT JOIN md USING (grp) ORDER BY sz.grp"""),
+      (s, dir) => Stats.theilSenTrend(
+        KafkaLike.events(tune(s), dir)
+          .groupBy(col("event_type").as("grp"),
+            IntMath.idiv(IntMath.idiv(col("ts"), lit(1000000L)),
+              lit(86400000L)).as("day"))
+          .agg(count(lit(1)).as("y")),
+        "grp", "day", "y")),
+
+    // trimmed + winsorized spend means per event type — the robust
+    // central-tendency card next to the raw mean
+    Q("q244_trimmed_mean", Some(
+      """WITH v AS (SELECT event_type AS cls, CAST(floor(value*100) AS BIGINT) AS x FROM events), r AS (SELECT cls, x, row_number() OVER (PARTITION BY cls ORDER BY x) AS rn, COUNT(*) OVER (PARTITION BY cls) AS n FROM v), bo AS (SELECT cls, MAX(CASE WHEN rn = (n*10 + 99)//100 THEN x END) AS lo, MAX(CASE WHEN rn = (n*90 + 99)//100 THEN x END) AS hi FROM r GROUP BY 1) SELECT v.cls, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) // GREATEST(COUNT(*), 1) AS BIGINT) AS mean_v, CAST(MIN(bo.lo) AS BIGINT) AS lo_bound, CAST(MAX(bo.hi) AS BIGINT) AS hi_bound, CAST(SUM(CASE WHEN x BETWEEN bo.lo AND bo.hi THEN 0 ELSE 1 END) AS BIGINT) AS n_trimmed, CAST(SUM(CASE WHEN x BETWEEN bo.lo AND bo.hi THEN x ELSE 0 END) // GREATEST(SUM(CASE WHEN x BETWEEN bo.lo AND bo.hi THEN 1 ELSE 0 END), 1) AS BIGINT) AS trimmed_mean, CAST(SUM(GREATEST(bo.lo, LEAST(bo.hi, x))) // GREATEST(COUNT(*), 1) AS BIGINT) AS winsorized_mean FROM v JOIN bo ON v.cls = bo.cls GROUP BY v.cls ORDER BY v.cls"""),
+      (s, dir) => Stats.trimmedMeanReport(
+        KafkaLike.events(tune(s), dir)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "cents", trimPct = 10)),
+
+    // rsync-style range-checksum diff: 32 key ranges LOCALIZE a snapshot
+    // mutation confined to four contiguous 1000-key blocks ((k DIV 1000)
+    // ≡ 5 mod 16: edits, plus deletions of ≡3-mod-10 keys inside them) —
+    // most ranges must verify clean, only the touched ones flag
+    Q("q245_range_diff", Some(
+      s"""WITH oa AS (SELECT o_orderkey AS k, o_orderstatus || ',' || CAST(CAST(floor(o_totalprice*100) AS BIGINT) AS VARCHAR) AS content FROM orders), ob AS (SELECT k, CASE WHEN (k // 1000) % 16 = 5 THEN content || '*' ELSE content END AS content FROM oa WHERE NOT ((k // 1000) % 16 = 5 AND k % 10 = 3)), mm AS (SELECT MIN(k) AS lo, MAX(k) AS hi FROM (SELECT k FROM oa UNION ALL SELECT k FROM ob)), w AS (SELECT lo, (hi - lo) // 32 + 1 AS width FROM mm), ca AS (SELECT (k - w.lo) // w.width AS range_id, CAST(COUNT(*) AS BIGINT) AS n_a, CAST(bit_xor(${dFold("CAST(k AS VARCHAR) || '|' || content")}) AS BIGINT) AS checksum_a FROM oa CROSS JOIN w GROUP BY 1), cb AS (SELECT (k - w.lo) // w.width AS range_id, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(bit_xor(${dFold("CAST(k AS VARCHAR) || '|' || content")}) AS BIGINT) AS checksum_b FROM ob CROSS JOIN w GROUP BY 1) SELECT CAST(COALESCE(ca.range_id, cb.range_id) AS BIGINT) AS range_id, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, COALESCE(checksum_a, 0) AS checksum_a, COALESCE(checksum_b, 0) AS checksum_b, (COALESCE(n_a, 0) <> COALESCE(n_b, 0) OR COALESCE(checksum_a, 0) <> COALESCE(checksum_b, 0)) AS differs FROM ca FULL OUTER JOIN cb ON ca.range_id = cb.range_id ORDER BY range_id"""),
+      (s, dir) => {
+        val oa = orders(tune(s), dir).select(col("o_orderkey"),
+          concat_ws(",", col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast(LongType)
+              .cast(StringType)).as("content"))
+        val inBand = IntMath.idiv(col("o_orderkey"), lit(1000L)) % 16L === 5L
+        val ob = oa.filter(!(inBand && col("o_orderkey") % 10L === 3L))
+          .select(col("o_orderkey"),
+            when(inBand, concat(col("content"), lit("*")))
+              .otherwise(col("content")).as("content"))
+        Snapshot.rangeChecksums(oa, ob, "o_orderkey", "content",
+          nRanges = 32)
       })
   )
 

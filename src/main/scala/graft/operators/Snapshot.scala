@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /**
  * Snapshot diff for incremental corpus maintenance: a 100 TB training
@@ -91,5 +92,59 @@ object Snapshot {
         when(col("n_common") === 0L, 0L)
           .otherwise(IntMath.idiv(col("kv.n_changed") * 1000000L,
             col("n_common"))).as("changed_ppm"))
+  }
+
+  /**
+   * rsync-style range-checksum diff: split the key space into `nRanges`
+   * equal-width key ranges, reduce each side to an order-invariant
+   * per-range checksum (XOR of row content hashes + a row count), and
+   * report which ranges differ — the 100 TB sync verifier that moves
+   * range-sized summaries instead of rows, narrowing a re-transfer to the
+   * ranges that actually changed. XOR is commutative/associative with no
+   * overflow, so the checksum is identical on any partitioning and in the
+   * DuckDB mirror.
+   *
+   * Caveat (inherent to XOR folding): a range differing by an EVEN number
+   * of copies of the same row hash XORs out — the row COUNT beside it
+   * catches the common cases (pure adds/removes); treat equality as
+   * high-probability, not proof.
+   *
+   * Output per range (ordered): (range_id, n_a, n_b, checksum_a,
+   * checksum_b, differs).
+   */
+  def rangeChecksums(a: DataFrame, b: DataFrame, idCol: String,
+      contentCol: String, nRanges: Int = 64): DataFrame = {
+    require(nRanges >= 1, s"nRanges must be >= 1, got $nRanges")
+    val mm = a.select(col(idCol).cast(LongType).as("k"))
+      .unionByName(b.select(col(idCol).cast(LongType).as("k")))
+      .agg(min("k"), max("k")).head()
+    if (mm.isNullAt(0))
+      return a.sparkSession.emptyDataFrame
+        .select(lit(0L).as("range_id"), lit(0L).as("n_a"), lit(0L).as("n_b"),
+          lit(0L).as("checksum_a"), lit(0L).as("checksum_b"),
+          lit(false).as("differs")).limit(0)
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / nRanges + 1)
+    def side(df: DataFrame, nm: String): DataFrame =
+      df.select(IntMath.idiv(col(idCol).cast(LongType) - lo, lit(width))
+          .as("range_id"),
+        TextAnalysis.stringHash(
+          concat_ws("|", col(idCol).cast(
+            org.apache.spark.sql.types.StringType),
+            col(contentCol).cast(
+              org.apache.spark.sql.types.StringType))).as("h"))
+        .groupBy("range_id")
+        .agg(count(lit(1)).as(s"n_$nm"),
+          expr("bit_xor(h)").as(s"checksum_$nm"))
+    side(a, "a").join(side(b, "b"), Seq("range_id"), "full_outer")
+      .select(col("range_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("checksum_a"), lit(0L)).as("checksum_a"),
+        coalesce(col("checksum_b"), lit(0L)).as("checksum_b"))
+      .withColumn("differs",
+        col("n_a") =!= col("n_b") ||
+          col("checksum_a") =!= col("checksum_b"))
+      .orderBy("range_id")
   }
 }

@@ -466,6 +466,122 @@ object Stats {
           lit(1000000L), greatest(col("exact"), lit(1L))).as("over_ppm"))
   }
 
+  /**
+   * Feature-hashing ("hashing trick") collision report: map every distinct
+   * (column=value) feature onto `nBuckets` hash buckets and measure what
+   * the dimensionality squeeze costs — how many features share a bucket,
+   * the worst load, and the collided fraction. The pre-flight before
+   * committing a model to hashed features (Weinberger et al. 2009,
+   * public).
+   *
+   * Shape: distinct features are a partial agg; everything after runs on
+   * ≤ nBuckets rows. Output (1 row): (n_features, n_buckets, buckets_used,
+   * max_load, collided_features, collision_ppm).
+   */
+  def featureHashReport(df: DataFrame, cols: Seq[String],
+      nBuckets: Int = 1024): DataFrame = {
+    require(cols.nonEmpty && nBuckets >= 2, "need columns and >= 2 buckets")
+    val feats = df.select(explode(array(cols.map { c =>
+        concat_ws("=", lit(c), col(c).cast(
+          org.apache.spark.sql.types.StringType)).as(c) }: _*)).as("f"))
+      .filter(col("f").isNotNull).distinct()
+    val buckets = feats
+      .select(pmod(TextAnalysis.stringHash(col("f")), lit(nBuckets.toLong))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("load"))
+    buckets.agg(sum("load").as("n_features"),
+        count(lit(1)).as("buckets_used"),
+        max("load").as("max_load"),
+        sum(when(col("load") > 1L, col("load")).otherwise(0L))
+          .as("collided_features"))
+      .select(col("n_features"), lit(nBuckets.toLong).as("n_buckets"),
+        col("buckets_used"), col("max_load"), col("collided_features"),
+        IntMath.idiv(col("collided_features") * lit(1000000L),
+          greatest(col("n_features"), lit(1L))).as("collision_ppm"))
+  }
+
+  /**
+   * Theil–Sen robust trend per group — the median of all pairwise slopes
+   * (Theil 1950 / Sen 1968, public), which one wild outlier cannot drag
+   * the way [[groupedTrend]]'s least squares can. Exact: every pair with
+   * distinct x contributes slope = Δy·10⁶ DIV Δx (truncation toward
+   * zero), and the group's estimate is percentile_disc(50) of those
+   * integer slopes.
+   *
+   * Scale contract: all-pairs is quadratic PER GROUP, so groups larger
+   * than `maxN` are EXCLUDED and reported with `computed = 0` rather than
+   * silently degraded — the honest boundary (a subsampled Theil–Sen is a
+   * different estimator; run it deliberately, not implicitly). Groups are
+   * independent; the pair join is group-keyed.
+   *
+   * Output per group (ordered): (grp, n, n_pairs, slope_ppm, computed).
+   */
+  def theilSenTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxN: Int = 1000): DataFrame = {
+    val v = df.select(col(groupCol).as("grp"),
+        col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val sizes = v.groupBy("grp").agg(count(lit(1)).as("n"))
+    val small = v.join(sizes.filter(col("n") <= maxN), "grp")
+    val pairs = small.as("a").join(small.as("b"),
+        col("a.grp") === col("b.grp") && col("a.x") < col("b.x"))
+      .select(col("a.grp").as("grp"),
+        // Δx > 0 by construction; Δy may be negative → truncating idiv
+        IntMath.idiv((col("b.y") - col("a.y")) * lit(1000000L),
+          col("b.x") - col("a.x")).as("slope"))
+    val medians = groupQuantiles(pairs, "grp", "slope", Seq(50))
+      .select(col("grp"), col("p50").as("slope_ppm"))
+    val nPairs = pairs.groupBy("grp").agg(count(lit(1)).as("n_pairs"))
+    sizes.join(nPairs, Seq("grp"), "left")
+      .join(medians, Seq("grp"), "left")
+      .select(col("grp"), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("slope_ppm"), lit(0L)).as("slope_ppm"),
+        when(col("n") <= maxN && col("n_pairs").isNotNull, 1L).otherwise(0L)
+          .as("computed"))
+      .orderBy("grp")
+  }
+
+  /**
+   * Trimmed and winsorized means per class — the outlier-robust central
+   * tendencies beside the raw mean: trim drops everything outside the
+   * [p, 100−p] percentile_disc bounds; winsorize CLAMPS to them. Both
+   * bounds come from the exact keyed-window quantile pass, so the report
+   * is deterministic on any partitioning.
+   *
+   * Output per class (ordered): (cls, n, mean_v, lo_bound, hi_bound,
+   * n_trimmed, trimmed_mean, winsorized_mean) — means truncating int64.
+   */
+  def trimmedMeanReport(df: DataFrame, classCol: String, valueCol: String,
+      trimPct: Int = 10): DataFrame = {
+    require(trimPct >= 1 && trimPct <= 49, s"trimPct in [1,49], got $trimPct")
+    val v = df.select(col(classCol).as("cls"),
+        col(valueCol).cast(LongType).as("x"))
+      .filter(col("x").isNotNull)
+    val bounds = groupQuantiles(v, "cls", "x", Seq(trimPct, 100 - trimPct))
+      .select(col("cls"), col(s"p$trimPct").as("lo"),
+        col(s"p${100 - trimPct}").as("hi"))
+    v.join(bounds, "cls")
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_v"),
+        first("lo").as("lo_bound"), first("hi").as("hi_bound"),
+        sum(when(col("x").between(col("lo"), col("hi")), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("x").between(col("lo"), col("hi")), col("x"))
+          .otherwise(0L)).as("sum_kept"),
+        sum(greatest(col("lo"), least(col("hi"), col("x")))).as("sum_wins"))
+      .select(col("cls"), col("n"),
+        IntMath.idiv(col("sum_v"), greatest(col("n"), lit(1L)))
+          .as("mean_v"),
+        col("lo_bound"), col("hi_bound"),
+        (col("n") - col("n_kept")).as("n_trimmed"),
+        IntMath.idiv(col("sum_kept"), greatest(col("n_kept"), lit(1L)))
+          .as("trimmed_mean"),
+        IntMath.idiv(col("sum_wins"), greatest(col("n"), lit(1L)))
+          .as("winsorized_mean"))
+      .orderBy("cls")
+  }
+
   /** Hash space of the engine's fold hash — the KMV estimator's scale. */
   private val KmvSpace = 2147483647L
 

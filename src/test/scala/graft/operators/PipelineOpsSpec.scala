@@ -3039,6 +3039,80 @@ class PipelineOpsSpec extends SparkSuite {
       r.getLong(4), r.getLong(5)) == ((2L, 2L, 1L, 1L, 1L, 333333L)))
   }
 
+  test("featureHashReport: distinct features, bucket loads, collisions") {
+    val l = new java.util.ArrayList[Row]()
+    // 3 distinct categories ×2 columns; duplicate rows must not inflate
+    (1 to 10).foreach(i => l.add(Row(s"c${i % 3}", (i % 2).toLong)))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("cat", StringType), StructField("bit", LongType))))
+    val r = Stats.featureHashReport(df, Seq("cat", "bit"), nBuckets = 4)
+      .head()
+    assert(r.getLong(0) == 5L) // 3 cat= + 2 bit= features
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) <= 4L && r.getLong(2) >= 2L)
+    // collided + uncollided = total
+    assert(r.getLong(4) <= r.getLong(0))
+  }
+
+  test("theilSenTrend: outlier-immune median slope; oversize group " +
+      "excluded, not degraded") {
+    val l = new java.util.ArrayList[Row]()
+    // g: y = 3x except one wild outlier at x=9 → median slope stays 3
+    (0L to 8L).foreach(x => l.add(Row("g", x, 3 * x)))
+    l.add(Row("g", 9L, 1000L))
+    // h: 5 points, but we'll cap maxN below it
+    (0L until 5L).foreach(x => l.add(Row("h", x, x)))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("k", StringType), StructField("x", LongType),
+      StructField("y", LongType))))
+    val out = Stats.theilSenTrend(df, "k", "x", "y", maxN = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out("g") == ((3000000L, 1L)))
+    assert(out("h") == ((1000000L, 1L)))
+    val capped = Stats.theilSenTrend(df, "k", "x", "y", maxN = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(capped("g") == ((0L, 0L))) // 10 > 6: excluded, flagged
+    assert(capped("h")._2 == 1L)
+  }
+
+  test("trimmedMeanReport: outliers leave the trimmed mean, clamp into " +
+      "the winsorized one") {
+    val l = new java.util.ArrayList[Row]()
+    // 1..9 plus an outlier 1000; p10 bound = rank 1 → 1, p90 → rank 9 → 9
+    ((1L to 9L) :+ 1000L).foreach(v => l.add(Row("c", v)))
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    val r = Stats.trimmedMeanReport(df, "k", "v", trimPct = 10).head()
+    assert(r.getLong(1) == 10L)
+    assert(r.getLong(2) == 104L)       // raw mean (1045/10)
+    assert((r.getLong(3), r.getLong(4)) == ((1L, 9L)))
+    assert(r.getLong(5) == 1L)         // one row trimmed (1000)
+    assert(r.getLong(6) == 5L)         // mean of 1..9
+    assert(r.getLong(7) == 5L)         // (45 + 9)/10 = 5 (outlier → 9)
+  }
+
+  test("rangeChecksums: clean ranges verify, touched ranges flag, " +
+      "order-invariant") {
+    val l = new java.util.ArrayList[Row]()
+    (0L until 100L).foreach(i => l.add(Row(i, s"v$i")))
+    val a = s.createDataFrame(l, StructType(Seq(
+      StructField("id", LongType), StructField("c", StringType))))
+    // b: edit id 7, delete id 55, leave everything else — and REVERSE the
+    // row order so only content, not ordering, drives the checksum
+    val l2 = new java.util.ArrayList[Row]()
+    (0L until 100L).reverse.foreach { i =>
+      if (i != 55L) l2.add(Row(i, if (i == 7L) "EDIT" else s"v$i")) }
+    val b = s.createDataFrame(l2, StructType(Seq(
+      StructField("id", LongType), StructField("c", StringType))))
+    val out = Snapshot.rangeChecksums(a, b, "id", "c", nRanges = 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out.size == 10)
+    assert(out(0L) && out(5L)) // ranges holding ids 7 and 55
+    assert(out.count(_._2) == 2, s"flagged=${out.filter(_._2)}")
+  }
+
   test("noisyCounts: deterministic per key, bounded noise, no raw count") {
     import s.implicits._
     val df = (1 to 100).map(i => s"k${i % 3}").toDF("key")
