@@ -197,7 +197,9 @@ object Bench {
       "q236_noisy_counts", "q237_kmv_overlap", "q238_percolate",
       "q239_encoding_advisor", "q240_dedup_agreement",
       "q241_ensemble_clusters", "q242_feature_hash", "q243_theil_sen",
-      "q244_trimmed_mean", "q245_range_diff")
+      "q244_trimmed_mean", "q245_range_diff", "q246_tpch_q13",
+      "q247_tpch_q18", "q248_tpch_q22", "q249_pivot_daily",
+      "q250_partition_completeness")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

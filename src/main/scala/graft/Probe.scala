@@ -1026,6 +1026,22 @@ object Probe {
       timed("encoding advisor (sf0.1 documents)")(
         Layout.encodingAdvisor(dDf,
           Seq("doc_id", "lang", "source", "text")).count())
+      // TPC-H Q13/Q18/Q22 shapes: outer-join aggregation must stay
+      // left-outer (zero-order customers appear), Q18/Q22 broadcast
+      val q13 = graft.SparkEntry.queries("q246_tpch_q13")(spark, dir)
+      require(q13.filter(col("n_orders") === 0L).count() >= 0L, "q13 runs")
+      timed("tpch q13 shape (sf0.1)")(q13.count())
+      val q18 = graft.SparkEntry.queries("q247_tpch_q18")(spark, dir)
+      require(countBroadcasts(q18) >= 1, "q247 must broadcast customers")
+      timed("tpch q18 shape (sf0.1)")(q18.count())
+      val q22 = graft.SparkEntry.queries("q248_tpch_q22")(spark, dir)
+      require(countBroadcasts(q22) >= 1, "q248 must broadcast the average")
+      timed("tpch q22 shape (sf0.1)")(q22.count())
+      timed("pivot daily (sf0.1)")(
+        graft.SparkEntry.queries("q249_pivot_daily")(spark, dir).count())
+      timed("partition completeness (sf0.1)")(
+        graft.SparkEntry.queries("q250_partition_completeness")(spark, dir)
+          .count())
     }
     spark.stop()
   }

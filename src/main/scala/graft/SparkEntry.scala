@@ -3315,7 +3315,88 @@ object SparkEntry {
               .otherwise(col("content")).as("content"))
         Snapshot.rangeChecksums(oa, ob, "o_orderkey", "content",
           nRanges = 32)
-      })
+      }),
+
+    // TPC-H Q13 shape: order-count distribution per customer INCLUDING
+    // zero-order customers — the left-outer-join aggregation the planner
+    // must not turn inner
+    Q("q246_tpch_q13", Some(
+      """WITH co AS (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY 1) SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers FROM co GROUP BY 1 ORDER BY n_orders"""),
+      (s, dir) => customer(tune(s), dir).select("c_custkey")
+        .join(orders(tune(s), dir).select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")),
+
+    // TPC-H Q18 shape: large-volume orders via a HAVING'd aggregate
+    // feeding a join chain; top-20 stable-tied
+    Q("q247_tpch_q18", Some(
+      """WITH oq AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) SELECT c.c_custkey, c.c_name, o.o_orderkey, CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS odate_ms, oq.sum_qty FROM oq JOIN orders o ON oq.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY oq.sum_qty DESC, o.o_orderkey LIMIT 20"""),
+      (s, dir) => {
+        val oq = lineitem(tune(s), dir)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .filter(col("sum_qty") > 300L)
+        oq.join(orders(tune(s), dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(tune(s), dir)
+            .select("c_custkey", "c_name")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            unix_millis(col("o_orderdate").cast(TimestampType))
+              .as("odate_ms"), col("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))
+          .limit(20)
+      }),
+
+    // TPC-H Q22 shape: above-average-balance customers with NO orders —
+    // integer-exact average, anti-join, per-segment rollup (the order
+    // snapshot has custkeys ≡7 mod 10 punched out so the anti-join side
+    // is non-empty, the q216 fixture convention)
+    Q("q248_tpch_q22", Some(
+      """WITH bal AS (SELECT c_custkey, c_mktsegment, CAST(floor(c_acctbal*100) AS BIGINT) AS bal_c FROM customer), ab AS (SELECT CAST(SUM(bal_c) // COUNT(*) AS BIGINT) AS avg_c FROM bal WHERE bal_c > 0), el AS (SELECT b.* FROM bal b CROSS JOIN ab WHERE b.bal_c > ab.avg_c), no_ord AS (SELECT el.* FROM el WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = el.c_custkey AND o.o_custkey % 10 <> 7)) SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs, CAST(SUM(bal_c) AS BIGINT) AS total_bal_c FROM no_ord GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val bal = customer(tune(s), dir).select(col("c_custkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") * 100).cast(LongType).as("bal_c"))
+        val ab = bal.filter(col("bal_c") > 0L)
+          .agg(IntMath.idiv(sum("bal_c"), count(lit(1))).as("avg_c"))
+        bal.crossJoin(broadcast(ab))
+          .filter(col("bal_c") > col("avg_c"))
+          .join(orders(tune(s), dir).select("o_custkey")
+            .filter(col("o_custkey") % 10L =!= 7L),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_custs"), sum("bal_c").as("total_bal_c"))
+          .orderBy("c_mktsegment")
+      }),
+
+    // native pivot: daily arrivals × event type — the Catalyst Expand
+    // surface with explicit value list (no dictionary scan)
+    Q("q249_pivot_daily", Some(
+      """WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, event_type FROM events) SELECT day, CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view FROM e GROUP BY day ORDER BY day"""),
+      (s, dir) => KafkaLike.events(tune(s), dir)
+        .select(IntMath.idiv(IntMath.idiv(col("ts"), lit(1000000L)),
+          lit(86400000L)).as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")),
+
+    // partition-completeness audit: per-day volume vs trailing-7-day
+    // median — the backfill list; a synthetic hole (2 dropped days) must
+    // flag while intact days pass
+    Q("q250_partition_completeness", Some(
+      """WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day FROM events WHERE CAST(epoch_ms(ts) AS BIGINT) // 86400000 % 13 <> 4), bd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1), mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM bd), days AS (SELECT CAST(unnest(range(mm.lo, mm.hi + 1)) AS BIGINT) AS day FROM mm), s AS (SELECT d.day, COALESCE(bd.c, 0) AS n FROM days d LEFT JOIN bd ON d.day = bd.day), t AS (SELECT day, n, list_sort(list(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS tr FROM s), m AS (SELECT day, n, CASE WHEN len(tr) = 0 THEN NULL ELSE CAST(tr[CAST((len(tr) + 1) // 2 AS INT)] AS BIGINT) END AS trailing_median FROM t) SELECT day, n, trailing_median, CAST(CASE WHEN trailing_median IS NULL OR trailing_median = 0 THEN 1000000 ELSE n*1000000 // trailing_median END AS BIGINT) AS ratio_ppm, (CASE WHEN trailing_median IS NULL OR trailing_median = 0 THEN 1000000 ELSE n*1000000 // trailing_median END) >= 500000 AS ok FROM m ORDER BY day"""),
+      (s, dir) => graft.streaming.EventTimeOps.partitionCompleteness(
+        KafkaLike.events(tune(s), dir)
+          .select(IntMath.idiv(col("ts"), lit(1000000L)).as("ms"))
+          .filter(IntMath.idiv(col("ms"), lit(86400000L)) % 13L =!= 4L),
+        "ms", lookbackDays = 7, minRatioPpm = 500000L))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

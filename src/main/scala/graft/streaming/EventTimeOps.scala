@@ -888,6 +888,60 @@ object EventTimeOps {
    * dropped_ppm, max_lateness_ms).
    */
   /**
+   * Partition-completeness / backfill audit: per-day row counts
+   * zero-filled over the calendar span, each day compared against the
+   * exact median of its trailing `lookbackDays` days' counts — a day
+   * whose volume falls below `minRatioPpm` of that trailing median is a
+   * missing/partial partition → the backfill list an ingestion pipeline
+   * acts on.
+   *
+   * Shape at 100 TB: the only row-volume stage is the per-day partial
+   * agg; everything after runs on the CALENDAR-sized series (≤ ~4k rows
+   * a decade), where the single-partition trailing window is a constant,
+   * not a scale term (the [[graft.operators.Stats.lagAutocorr]]
+   * argument). Days with no trailing history (the first day) pass.
+   *
+   * Output per day (ordered): (day, n, trailing_median, ratio_ppm, ok).
+   */
+  def partitionCompleteness(events: DataFrame, tsMsCol: String,
+      lookbackDays: Int = 7, minRatioPpm: Long = 500000L): DataFrame = {
+    require(lookbackDays >= 1, "lookbackDays must be >= 1")
+    val spark = events.sparkSession
+    val byDay = events.select(graft.operators.IntMath.idiv(
+        col(tsMsCol).cast(LongType), lit(86400000L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val mm = byDay.agg(min("day"), max("day"), count(lit(1))).head()
+    if (mm.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Boolean)]
+        .toDF("day", "n", "trailing_median", "ratio_ppm", "ok")
+    }
+    import spark.implicits._
+    val days = spark.range(mm.getLong(0), mm.getLong(1) + 1).toDF("day")
+    val series = days.join(byDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("n"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(-lookbackDays, -1)
+    // exact trailing percentile_disc(50): value at rank ⌈k/2⌉ of the
+    // sorted trailing window (k = trailing days available)
+    val trail = sort_array(collect_list(col("n")).over(w))
+    series
+      .withColumn("__trail", trail)
+      .withColumn("trailing_median",
+        when(size(col("__trail")) === 0, lit(null).cast(LongType))
+          .otherwise(expr(
+            "element_at(__trail, CAST((size(__trail) + 1) / 2 AS INT))")))
+      .withColumn("ratio_ppm",
+        when(col("trailing_median").isNull ||
+            col("trailing_median") === 0L, lit(1000000L))
+          .otherwise(graft.operators.IntMath.idiv(col("n") * lit(1000000L),
+            col("trailing_median"))))
+      .withColumn("ok", col("ratio_ppm") >= minRatioPpm)
+      .select("day", "n", "trailing_median", "ratio_ppm", "ok")
+      .orderBy("day")
+  }
+
+  /**
    * Rate-limit replay audit: replay the log against a per-key quota of
    * `limit` events per `windowMs` tumbling window and report what a
    * throttling ingest would have admitted vs rejected — the capacity

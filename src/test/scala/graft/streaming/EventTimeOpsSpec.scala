@@ -420,6 +420,30 @@ class EventTimeOpsSpec extends SparkSuite {
     assert(out("k2") == (4L, 4L, 20L, 0L))
   }
 
+  test("partitionCompleteness: zero-filled hole flags, intact days pass, " +
+      "first day has no trailing history") {
+    val l = new java.util.ArrayList[Row]()
+    val day0 = 19000L * 86400000L
+    // days 0..9, 100 events each — except day 5 absent and day 7 partial
+    (0 to 9).foreach { d =>
+      val per = d match { case 5 => 0; case 7 => 10; case _ => 100 }
+      (0 until per).foreach(i =>
+        l.add(Row(day0 + d * 86400000L + i)))
+    }
+    val df = s.createDataFrame(l, StructType(Seq(
+      StructField("ms", LongType))))
+    val out = partitionCompleteness(df, "ms", lookbackDays = 3,
+      minRatioPpm = 500000L)
+      .collect().map(r => (r.getLong(0) - 19000L).toInt ->
+        ((r.getLong(1), r.isNullAt(2), r.getBoolean(4)))).toMap
+    assert(out(0) == ((100L, true, true)))  // no history → passes
+    assert(out(5) == ((0L, false, false)))  // the hole flags
+    assert(out(7) == ((10L, false, false))) // partial day flags
+    assert(out(9) == ((100L, false, true))) // recovered day passes
+    // day 8's trailing window is [0, 10, 100] → median 10; 100 ≥ 50% of 10
+    assert(out(8)._3)
+  }
+
   test("streaming rate limiter: quota per window, budget survives the " +
       "batch boundary, late closed-window events reject") {
     import s.implicits._
