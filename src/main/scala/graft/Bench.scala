@@ -199,7 +199,8 @@ object Bench {
       "q241_ensemble_clusters", "q242_feature_hash", "q243_theil_sen",
       "q244_trimmed_mean", "q245_range_diff", "q246_tpch_q13",
       "q247_tpch_q18", "q248_tpch_q22", "q249_pivot_daily",
-      "q250_partition_completeness")
+      "q250_partition_completeness", "q251_pruning_report",
+      "q252_share_of_total")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

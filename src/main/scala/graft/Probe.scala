@@ -1042,6 +1042,26 @@ object Probe {
       timed("partition completeness (sf0.1)")(
         graft.SparkEntry.queries("q250_partition_completeness")(spark, dir)
           .count())
+      // pruning report must show the textbook trade at sf0.1 too: each
+      // lexicographic layout full-scans the other dim's band predicate,
+      // z-order touches a strict subset on BOTH band predicates
+      locally {
+        val pr = graft.SparkEntry.queries("q251_pruning_report")(spark, dir)
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            r.getLong(3)).toMap
+        val total = 16L
+        require(pr(("sort_x", "p_supp_band")) == total &&
+          pr(("sort_y", "p_part_band")) == total,
+          "lexicographic layouts must full-scan the other dimension")
+        require(pr(("zorder", "p_part_band")) < total &&
+          pr(("zorder", "p_supp_band")) < total,
+          "z-order must prune on BOTH single-dim band predicates")
+        println(s"pruning report (sf0.1): zorder touches " +
+          s"${pr(("zorder", "p_part_band"))}/$total and " +
+          s"${pr(("zorder", "p_supp_band"))}/$total vs 16/16 lex cross-dim")
+      }
+      timed("share of total (sf0.1)")(
+        graft.SparkEntry.queries("q252_share_of_total")(spark, dir).count())
     }
     spark.stop()
   }

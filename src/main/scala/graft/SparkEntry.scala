@@ -3396,7 +3396,57 @@ object SparkEntry {
         KafkaLike.events(tune(s), dir)
           .select(IntMath.idiv(col("ts"), lit(1000000L)).as("ms"))
           .filter(IntMath.idiv(col("ms"), lit(86400000L)) % 13L =!= 4L),
-        "ms", lookbackDays = 7, minRatioPpm = 500000L))
+        "ms", lookbackDays = 7, minRatioPpm = 500000L)),
+
+    // workload pruning report: files touched per predicate under sort-x /
+    // sort-y / z-order layouts with zone-map pruning — the measured
+    // storage-scan payoff of the layout decision
+    Q("q251_pruning_report", Some({
+      val OPEN_LO = "-9223372036854775807"
+      val OPEN_HI = "9223372036854775807"
+      def sortLayout(tag: String, o: String) =
+        s"g_$tag AS (SELECT $o AS cv, COUNT(*) AS c FROM v GROUP BY 1), f_$tag AS (SELECT cv, CAST((SUM(c) OVER (ORDER BY cv ROWS UNBOUNDED PRECEDING) - c) * 16 // (SELECT COUNT(*) FROM v) AS BIGINT) AS file FROM g_$tag), a_$tag AS (SELECT v.x, v.y, f_$tag.file FROM v JOIN f_$tag ON v.$o = f_$tag.cv), s_$tag AS (SELECT file, MIN(x) AS fxl, MAX(x) AS fxh, MIN(y) AS fyl, MAX(y) AS fyh FROM a_$tag GROUP BY 1), r_$tag AS (SELECT 'sort_$o' AS layout, p.predicate, CAST(COUNT(*) AS BIGINT) AS files_total, CAST(SUM(CASE WHEN fxh >= p.xlo AND fxl <= p.xhi AND fyh >= p.ylo AND fyl <= p.yhi THEN 1 ELSE 0 END) AS BIGINT) AS files_touched FROM s_$tag CROSS JOIN preds p GROUP BY 1, 2)"
+      val scaleX = "CAST((x - mm.lox)*255 // GREATEST(mm.hix - mm.lox, 1) AS BIGINT)"
+      val scaleY = "CAST((y - mm.loy)*255 // GREATEST(mm.hiy - mm.loy, 1) AS BIGINT)"
+      s"""WITH v AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem), preds AS (SELECT * FROM (VALUES ('p_part_band', 500, 1000, $OPEN_LO, $OPEN_HI), ('p_point_both', 500, 1000, 10, 30), ('p_supp_band', $OPEN_LO, $OPEN_HI, 10, 30)) t(predicate, xlo, xhi, ylo, yhi)), ${sortLayout("x", "x")}, ${sortLayout("y", "y")}, mm AS (SELECT MIN(x) AS lox, MAX(x) AS hix, MIN(y) AS loy, MAX(y) AS hiy FROM v), az AS (SELECT v.x, v.y, CAST((${dMorton("xs", "ys", 8)}) >> 12 AS BIGINT) AS file FROM (SELECT v.x, v.y, $scaleX AS xs, $scaleY AS ys FROM v CROSS JOIN mm) v), s_z AS (SELECT file, MIN(x) AS fxl, MAX(x) AS fxh, MIN(y) AS fyl, MAX(y) AS fyh FROM az GROUP BY 1), r_z AS (SELECT 'zorder' AS layout, p.predicate, CAST(COUNT(*) AS BIGINT) AS files_total, CAST(SUM(CASE WHEN fxh >= p.xlo AND fxl <= p.xhi AND fyh >= p.ylo AND fyl <= p.yhi THEN 1 ELSE 0 END) AS BIGINT) AS files_touched FROM s_z CROSS JOIN preds p GROUP BY 1, 2), u AS (SELECT * FROM r_x UNION ALL SELECT * FROM r_y UNION ALL SELECT * FROM r_z) SELECT layout, predicate, files_total, files_touched, CAST(files_touched*1000000 // GREATEST(files_total, 1) AS BIGINT) AS touched_ppm FROM u ORDER BY layout, predicate"""}),
+      (s, dir) => Layout.pruningReport(
+        lineitem(tune(s), dir), "l_partkey", "l_suppkey",
+        Seq(
+          Layout.ScanPredicate("p_part_band", 500L, 1000L,
+            -9223372036854775807L, 9223372036854775807L),
+          Layout.ScanPredicate("p_point_both", 500L, 1000L, 10L, 30L),
+          Layout.ScanPredicate("p_supp_band",
+            -9223372036854775807L, 9223372036854775807L, 10L, 30L)),
+        nFiles = 16, bits = 8)),
+
+    // share-of-total OLAP: each nation's revenue share within its region
+    // (keyed window over a broadcast-joined star)
+    Q("q252_share_of_total", Some(
+      """WITH rev AS (SELECT n.n_regionkey, n.n_name, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS rev_u FROM lineitem l JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey JOIN nation n ON s2.s_nationkey = n.n_nationkey GROUP BY 1, 2) SELECT r.r_name, rev.n_name, rev.rev_u, CAST(rev.rev_u*1000000 // SUM(rev.rev_u) OVER (PARTITION BY rev.n_regionkey) AS BIGINT) AS share_ppm FROM rev JOIN region r ON rev.n_regionkey = r.r_regionkey ORDER BY r.r_name, rev.n_name"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val l = lineitem(sp, dir).select(col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100).cast(LongType) *
+            (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+            .as("rev_u"))
+        val rev = l
+          .join(broadcast(sp.read.parquet(s"$dir/supplier.parquet")
+            .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sp.read.parquet(s"$dir/nation.parquet")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_regionkey", "n_name")
+          .agg(sum("rev_u").as("rev_u"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("n_regionkey"))
+        rev
+          .join(broadcast(sp.read.parquet(s"$dir/region.parquet")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), col("rev_u"),
+            IntMath.idiv(col("rev_u") * lit(1000000L),
+              sum(col("rev_u")).over(w)).as("share_ppm"))
+          .orderBy("r_name", "n_name")
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

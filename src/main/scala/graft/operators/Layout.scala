@@ -165,6 +165,100 @@ object Layout {
       .orderBy("column")
   }
 
+  /** A rectangular scan predicate for [[pruningReport]]: closed ranges on
+    * both dimensions (use Long.MinValue/MaxValue for an open side). */
+  case class ScanPredicate(name: String, xLo: Long, xHi: Long,
+    yLo: Long, yHi: Long)
+
+  /**
+   * Workload-aware pruning report — the MEASURED payoff of a layout
+   * choice: under each of three layouts (sorted by x, sorted by y,
+   * Z-ordered on both), how many of the `nFiles` would-be files does each
+   * predicate of the workload have to touch, given per-file min/max
+   * zone maps (the parquet/Iceberg pruning model). This turns
+   * "[[zOrderLayout]] keeps both dims narrow" into files-touched numbers
+   * a storage bill understands.
+   *
+   * Shape: each layout assignment is the [[sortKeyAdvisor]] machinery
+   * (value-keyed cumulative two-stage, no global sort) or the
+   * [[zOrderLayout]] top-bits bucket; per-file stats are nFiles rows and
+   * the predicate evaluation is a broadcast cross of two tiny frames.
+   *
+   * Output (ordered): (layout, predicate, files_total, files_touched,
+   * touched_ppm).
+   */
+  def pruningReport(df: DataFrame, xCol: String, yCol: String,
+      predicates: Seq[ScanPredicate], nFiles: Int = 16,
+      bits: Int = 8): DataFrame = {
+    require(predicates.nonEmpty, "need at least one predicate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(xCol).cast(LongType).as("x"),
+        col(yCol).cast(LongType).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val n = v.count()
+    if (n == 0L)
+      return Seq.empty[(String, String, Long, Long, Long)]
+        .toDF("layout", "predicate", "files_total", "files_touched",
+          "touched_ppm")
+    // equi-count file id along `order`, by the cumulative-count two-stage
+    def sortFiles(order: String): DataFrame = {
+      val byVal = v.groupBy(col(order).as("cv")).agg(count(lit(1)).as("c"))
+      val mm = byVal.agg(min("cv"), max("cv")).head()
+      val lo = mm.getLong(0)
+      val width = math.max(1L, (mm.getLong(1) - lo) / 1024 + 1)
+      val b = byVal.withColumn("__bucket",
+        IntMath.idiv(col("cv") - lo, lit(width)))
+      val offs = b.groupBy("__bucket").agg(sum("c").as("bc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val offDf = offs.map { case (bk, c) =>
+        val o = acc; acc += c; (bk, o) }.toSeq.toDF("__bucket", "__off")
+      val w = Window.partitionBy(col("__bucket")).orderBy(col("cv"))
+      val fm = b.join(broadcast(offDf), "__bucket")
+        .withColumn("sBefore",
+          col("__off") + sum(col("c")).over(w) - col("c"))
+        .select(col("cv"),
+          IntMath.idiv(col("sBefore") * nFiles, lit(n)).as("file"))
+      v.join(fm, v(order) === fm("cv")).select(col("x"), col("y"),
+        col("file"))
+    }
+    def zFiles: DataFrame = {
+      val mm = v.agg(min("x"), max("x"), min("y"), max("y")).head()
+      val top = (1L << bits) - 1L
+      def scale(c: Column, lo: Long, hi: Long): Column =
+        if (hi == lo) lit(0L)
+        else IntMath.idiv((c - lit(lo)) * lit(top), lit(hi - lo))
+      val fileBits = 31 - Integer.numberOfLeadingZeros(nFiles)
+      v.select(col("x"), col("y"),
+        shiftright(mortonValue(
+          scale(col("x"), mm.getLong(0), mm.getLong(1)),
+          scale(col("y"), mm.getLong(2), mm.getLong(3)), bits),
+          2 * bits - fileBits).cast(LongType).as("file"))
+    }
+    val preds = predicates.map(p => (p.name, p.xLo, p.xHi, p.yLo, p.yHi))
+      .toDF("predicate", "xlo", "xhi", "ylo", "yhi")
+    def report(name: String, assigned: DataFrame): DataFrame = {
+      val stats = assigned.groupBy("file")
+        .agg(min("x").as("fxl"), max("x").as("fxh"),
+          min("y").as("fyl"), max("y").as("fyh"))
+      stats.crossJoin(broadcast(preds))
+        .groupBy("predicate")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(col("fxh") >= col("xlo") && col("fxl") <= col("xhi") &&
+            col("fyh") >= col("ylo") && col("fyl") <= col("yhi"), 1L)
+            .otherwise(0L)).as("files_touched"))
+        .select(lit(name).as("layout"), col("predicate"),
+          col("files_total"), col("files_touched"),
+          IntMath.idiv(col("files_touched") * lit(1000000L),
+            greatest(col("files_total"), lit(1L))).as("touched_ppm"))
+    }
+    report("sort_x", sortFiles("x"))
+      .unionByName(report("sort_y", sortFiles("y")))
+      .unionByName(report("zorder", zFiles))
+      .orderBy("layout", "predicate")
+  }
+
   /**
    * Sort-key advisor: score each candidate sort column by how well an
    * equi-count split on it CLUSTERS a target column — the empirical

@@ -867,6 +867,59 @@ object EventTimeOps {
       }
   }
 
+  case class HHEvent(key: String, item: String)
+  case class HHState(counts: Map[String, (Long, Long)], nSeen: Long)
+  case class HHSnapshot(key: String, n_seen: Long, rank: Int, item: String,
+    count: Long, err: Long)
+
+  /**
+   * Streaming heavy hitters per key — SpaceSaving (Metwally, Agrawal &
+   * El Abbadi 2005, public) over `flatMapGroupsWithState`: a fixed
+   * `capacity`-entry count table per key; a full table evicts the
+   * minimum-count entry (ties → lexicographically smallest item, so the
+   * stream is replay-deterministic) and the newcomer inherits its count
+   * as the over-estimate bound `err`. After every trigger the key emits
+   * its current top-`k` snapshot stamped with `n_seen` (monotone per
+   * key — the snapshot id an append sink can filter to latest on).
+   *
+   * Guarantees (standard SpaceSaving): any item with true frequency
+   * > n_seen/capacity is IN the table; reported `count` overestimates by
+   * ≤ `err`. State is O(capacity) per key — bounded on unbounded streams.
+   */
+  def heavyHittersStreaming(events: Dataset[HHEvent], capacity: Int,
+      k: Int): Dataset[HHSnapshot] = {
+    require(capacity >= 1 && k >= 1 && k <= capacity,
+      "need 1 <= k <= capacity")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[HHEvent], state: GroupState[HHState]) =>
+          var st = state.getOption.getOrElse(HHState(Map.empty, 0L))
+          // items process in a deterministic order within the batch
+          it.map(_.item).toArray.sorted.foreach { item =>
+            val counts = st.counts
+            val next = counts.get(item) match {
+              case Some((c, e)) => counts.updated(item, (c + 1, e))
+              case None if counts.size < capacity =>
+                counts.updated(item, (1L, 0L))
+              case None =>
+                val (evItem, (evC, _)) = counts.minBy { case (i, (c, _)) =>
+                  (c, i) }
+                (counts - evItem).updated(item, (evC + 1, evC))
+            }
+            st = HHState(next, st.nSeen + 1)
+          }
+          state.update(st)
+          st.counts.toSeq
+            .sortBy { case (i, (c, _)) => (-c, i) }
+            .take(k).zipWithIndex
+            .map { case ((i, (c, e)), r) =>
+              HHSnapshot(key, st.nSeen, r + 1, i, c, e) }
+            .iterator
+      }
+  }
+
   /**
    * Watermark-lateness audit — the batch measurement that PICKS a
    * streaming watermark delay instead of guessing one. Per key, events

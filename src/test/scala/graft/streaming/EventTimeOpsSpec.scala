@@ -444,6 +444,39 @@ class EventTimeOpsSpec extends SparkSuite {
     assert(out(8)._3)
   }
 
+  test("streaming heavy hitters: SpaceSaving eviction with deterministic " +
+      "ties, error bounds carried, state survives batches") {
+    import s.implicits._
+    val src = Files.createTempDirectory("graft-hh-src").toString
+    val ckpt = Files.createTempDirectory("graft-hh-ckpt").toString
+    // capacity 2: batch 1 = a,a,b,c → c evicts b (min count, lex-smallest)
+    // and inherits err 1; batch 2 = c,c → c overtakes a
+    events(("a", 0L, "u1", 0L), ("a", 1L, "u1", 1L), ("b", 2L, "u1", 2L),
+      ("c", 3L, "u1", 3L)).coalesce(1).write.parquet(src + "/f1")
+    events(("c", 4L, "u1", 4L), ("c", 5L, "u1", 5L))
+      .coalesce(1).write.parquet(src + "/f2")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val out = heavyHittersStreaming(
+      stream.select(col("key"), col("topic").as("item")).as[HHEvent],
+      capacity = 2, k = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hh_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val finalSnap = s.table("hh_out").collect()
+      .filter(_.getLong(1) == 6L)
+      .map(r => (r.getInt(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(finalSnap.toSeq == Seq((1, "c", 4L, 1L), (2, "a", 2L, 0L)))
+    // intermediate snapshot after batch 1: a leads, c carries err 1
+    val mid = s.table("hh_out").collect().filter(_.getLong(1) == 4L)
+      .map(r => (r.getInt(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(mid.toSeq == Seq((1, "a", 2L, 0L), (2, "c", 2L, 1L)))
+  }
+
   test("streaming rate limiter: quota per window, budget survives the " +
       "batch boundary, late closed-window events reject") {
     import s.implicits._
