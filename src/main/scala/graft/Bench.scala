@@ -200,7 +200,10 @@ object Bench {
       "q244_trimmed_mean", "q245_range_diff", "q246_tpch_q13",
       "q247_tpch_q18", "q248_tpch_q22", "q249_pivot_daily",
       "q250_partition_completeness", "q251_pruning_report",
-      "q252_share_of_total")
+      "q252_share_of_total", "q253_tpch_q4", "q254_tpch_q6",
+      "q255_tpch_q7", "q256_tpch_q8", "q257_tpch_q9", "q258_tpch_q10",
+      "q259_tpch_q12", "q260_tpch_q14", "q261_tpch_q15", "q262_tpch_q17",
+      "q263_tpch_q19", "q264_tpch_q21")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -1062,6 +1062,43 @@ object Probe {
       }
       timed("share of total (sf0.1)")(
         graft.SparkEntry.queries("q252_share_of_total")(spark, dir).count())
+      // TPC-H batch 2 plan contracts: Q4 stays a semi join (no row
+      // multiplication), Q6's predicates reach the parquet scan, Q19's
+      // disjunction keeps one broadcast join, Q21 ends in two keyed aggs
+      locally {
+        val q4 = graft.SparkEntry.queries("q253_tpch_q4")(spark, dir)
+        require(q4.queryExecution.executedPlan.toString.contains("LeftSemi"),
+          "q253 must plan a left-semi join for EXISTS")
+        timed("tpch q4 shape (sf0.1)")(q4.count())
+        val q6 = graft.SparkEntry.queries("q254_tpch_q6")(spark, dir)
+        val q6scan = q6.queryExecution.executedPlan.toString
+        require(q6scan.contains("PushedFilters:") &&
+          q6scan.contains("IsNotNull(l_shipdate)"),
+          "q254 predicates must reach the parquet scan")
+        timed("tpch q6 shape (sf0.1)")(q6.count())
+        timed("tpch q7 shape (sf0.1)")(
+          graft.SparkEntry.queries("q255_tpch_q7")(spark, dir).count())
+        timed("tpch q8 shape (sf0.1)")(
+          graft.SparkEntry.queries("q256_tpch_q8")(spark, dir).count())
+        timed("tpch q9 shape (sf0.1)")(
+          graft.SparkEntry.queries("q257_tpch_q9")(spark, dir).count())
+        timed("tpch q10 shape (sf0.1)")(
+          graft.SparkEntry.queries("q258_tpch_q10")(spark, dir).count())
+        timed("tpch q12 shape (sf0.1)")(
+          graft.SparkEntry.queries("q259_tpch_q12")(spark, dir).count())
+        timed("tpch q14 shape (sf0.1)")(
+          graft.SparkEntry.queries("q260_tpch_q14")(spark, dir).count())
+        timed("tpch q15 shape (sf0.1)")(
+          graft.SparkEntry.queries("q261_tpch_q15")(spark, dir).count())
+        timed("tpch q17 shape (sf0.1)")(
+          graft.SparkEntry.queries("q262_tpch_q17")(spark, dir).count())
+        val q19 = graft.SparkEntry.queries("q263_tpch_q19")(spark, dir)
+        require(countBroadcasts(q19) >= 1,
+          "q263 must broadcast the 3-brand part dim")
+        timed("tpch q19 shape (sf0.1)")(q19.count())
+        timed("tpch q21 shape (sf0.1)")(
+          graft.SparkEntry.queries("q264_tpch_q21")(spark, dir).count())
+      }
     }
     spark.stop()
   }

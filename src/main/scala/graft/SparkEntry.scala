@@ -3446,6 +3446,351 @@ object SparkEntry {
             IntMath.idiv(col("rev_u") * lit(1000000L),
               sum(col("rev_u")).over(w)).as("share_ppm"))
           .orderBy("r_name", "n_name")
+      }),
+
+    // TPC-H Q4 shape: EXISTS with a cross-table predicate — the semi-join
+    // the planner must keep a semi-join (no row multiplication from
+    // multi-line orders); "late line" = shipped ≥90 days after orderdate
+    Q("q253_tpch_q4", Some(
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders o WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01' AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND CAST(epoch_ms(l.l_shipdate) AS BIGINT) >= CAST(epoch_ms(o.o_orderdate) AS BIGINT) + 7776000000) GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val o = orders(sp, dir)
+          .filter(col("o_orderdate").cast(TimestampType) >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("o_orderdate").cast(TimestampType) <
+              to_timestamp(lit("1998-01-01 00:00:00")))
+          .withColumn("o_ms", unix_millis(col("o_orderdate").cast(TimestampType)))
+        val l = lineitem(sp, dir).select(col("l_orderkey"),
+          unix_millis(col("l_shipdate").cast(TimestampType)).as("ship_ms"))
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            l("ship_ms") >= o("o_ms") + lit(7776000000L), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // TPC-H Q6 shape: scan-only filtered aggregate — every predicate must
+    // reach the parquet scan (PushedFilters), no join, no shuffle beyond
+    // the final 1-row partial-agg combine
+    Q("q254_tpch_q6", Some(
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice*100) AS BIGINT)*CAST(floor(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_u, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' AND CAST(floor(l_discount*100) AS BIGINT) BETWEEN 5 AND 7 AND CAST(l_quantity AS BIGINT) < 24"""),
+      (s, dir) => {
+        val disc = floor(col("l_discount") * 100).cast(LongType)
+        lineitem(tune(s), dir)
+          .filter(col("l_shipdate").cast(TimestampType) >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_shipdate").cast(TimestampType) <
+              to_timestamp(lit("1998-01-01 00:00:00")) &&
+            disc.between(5L, 7L) &&
+            col("l_quantity").cast(LongType) < 24L)
+          .agg((sum(floor(col("l_extendedprice") * 100).cast(LongType) * disc))
+            .cast(LongType).as("revenue_u"),
+            count(lit(1)).as("n_rows"))
+      }),
+
+    // TPC-H Q7 shape: volume shipping between two nations, both directions
+    // by ship year — two broadcast nation lookups under distinct aliases
+    Q("q255_tpch_q7", Some(
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_u FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN supplier s ON l.l_suppkey = s.s_suppkey JOIN nation ns ON s.s_nationkey = ns.n_nationkey JOIN nation nc ON c.c_nationkey = nc.n_nationkey WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7') OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3') GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val nat = sp.read.parquet(s"$dir/nation.parquet")
+          .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        val sup = sp.read.parquet(s"$dir/supplier.parquet")
+          .select("s_suppkey", "s_nationkey")
+          .join(broadcast(nat.select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cust = customer(sp, dir).select("c_custkey", "c_nationkey")
+          .join(broadcast(nat.select(col("n_nationkey").as("nk2"),
+            col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("nk2"))
+          .select("c_custkey", "cust_nation")
+        lineitem(sp, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate").cast(TimestampType)).cast(LongType)
+              .as("l_year"),
+            (floor(col("l_extendedprice") * 100).cast(LongType) *
+              (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+              .as("rev_u"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(orders(sp, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" &&
+              col("cust_nation") === "NATION_3"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum("rev_u").as("revenue_u"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+    // TPC-H Q8 shape: market share — one supplier nation's ppm of the
+    // region's customer-market revenue per order year (conditional agg
+    // over the full star, no second pass)
+    Q("q256_tpch_q8", Some(
+      """WITH allrev AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT)) AS rev_u, ns.n_name AS supp_nation FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation nc ON c.c_nationkey = nc.n_nationkey JOIN region r ON nc.n_regionkey = r.r_regionkey JOIN supplier s ON l.l_suppkey = s.s_suppkey JOIN nation ns ON s.s_nationkey = ns.n_nationkey WHERE r.r_name = 'ASIA') SELECT o_year, CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_u ELSE 0 END) AS BIGINT) AS nation_rev_u, CAST(SUM(rev_u) AS BIGINT) AS total_rev_u, CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_u ELSE 0 END)*1000000 // GREATEST(SUM(rev_u), 1) AS BIGINT) AS share_ppm FROM allrev GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val asiaCust = customer(sp, dir).select("c_custkey", "c_nationkey")
+          .join(broadcast(sp.read.parquet(s"$dir/nation.parquet")
+            .join(broadcast(sp.read.parquet(s"$dir/region.parquet")
+              .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+        val sup = sp.read.parquet(s"$dir/supplier.parquet")
+          .select("s_suppkey", "s_nationkey")
+          .join(broadcast(sp.read.parquet(s"$dir/nation.parquet")
+            .select(col("n_nationkey").as("snk"),
+              col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("snk"))
+          .select("s_suppkey", "supp_nation")
+        lineitem(sp, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (floor(col("l_extendedprice") * 100).cast(LongType) *
+              (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+              .as("rev_u"))
+          .join(orders(sp, dir).select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate").cast(TimestampType)).cast(LongType)
+              .as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"),
+            "left_semi")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("o_year")
+          .agg(sum(when(col("supp_nation") === "NATION_3", col("rev_u"))
+            .otherwise(0L)).as("nation_rev_u"),
+            sum("rev_u").as("total_rev_u"))
+          .select(col("o_year"), col("nation_rev_u"), col("total_rev_u"),
+            IntMath.idiv(col("nation_rev_u") * lit(1000000L),
+              greatest(col("total_rev_u"), lit(1L))).as("share_ppm"))
+          .orderBy("o_year")
+      }),
+
+    // TPC-H Q9 shape: profit by supplier nation × order year — profit
+    // proxy = revenue − qty·retail (no partsupp supplycost in this
+    // schema); part dim broadcast, one wide-fact aggregation
+    Q("q257_tpch_q9", Some(
+      """SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT)) - CAST(l.l_quantity AS BIGINT)*CAST(floor(p.p_retailprice*100) AS BIGINT)*100) AS BIGINT) AS profit_u FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN part p ON l.l_partkey = p.p_partkey JOIN supplier s ON l.l_suppkey = s.s_suppkey JOIN nation ns ON s.s_nationkey = ns.n_nationkey WHERE p.p_type = 'PROMO' GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val promo = sp.read.parquet(s"$dir/part.parquet")
+          .filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"),
+            floor(col("p_retailprice") * 100).cast(LongType).as("retail_c"))
+        val sup = sp.read.parquet(s"$dir/supplier.parquet")
+          .select("s_suppkey", "s_nationkey")
+          .join(broadcast(sp.read.parquet(s"$dir/nation.parquet")
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "nation")
+        lineitem(sp, dir)
+          .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (floor(col("l_extendedprice") * 100).cast(LongType) *
+              (lit(100L) - floor(col("l_discount") * 100).cast(LongType)) -
+              col("l_quantity").cast(LongType) * col("retail_c") * lit(100L))
+              .as("profit_u"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(orders(sp, dir).select(col("o_orderkey"),
+            year(col("o_orderdate").cast(TimestampType)).cast(LongType)
+              .as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("nation", "o_year")
+          .agg(sum("profit_u").as("profit_u"))
+          .orderBy("nation", "o_year")
+      }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer over a
+    // half-year — big fact join, top-20 by revenue with key tiebreak
+    Q("q258_tpch_q10", Some(
+      """SELECT c.c_custkey, c.c_name, n.n_name, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_u FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01' AND l.l_returnflag = 'R' GROUP BY 1, 2, 3 ORDER BY revenue_u DESC, c.c_custkey LIMIT 20"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val o = orders(sp, dir)
+          .filter(col("o_orderdate").cast(TimestampType) >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("o_orderdate").cast(TimestampType) <
+              to_timestamp(lit("1997-07-01 00:00:00")))
+          .select("o_orderkey", "o_custkey")
+        val cust = customer(sp, dir)
+          .join(broadcast(sp.read.parquet(s"$dir/nation.parquet")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_name", "n_name")
+        lineitem(sp, dir).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (floor(col("l_extendedprice") * 100).cast(LongType) *
+              (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+              .as("rev_u"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum("rev_u").as("revenue_u"))
+          .orderBy(col("revenue_u").desc, col("c_custkey"))
+          .limit(20)
+      }),
+
+    // TPC-H Q12 shape: priority-class conditional aggregation over a
+    // date-windowed fact join (this schema has no shipmode; the class
+    // dimension is the return flag)
+    Q("q259_tpch_q12", Some(
+      """SELECT l.l_returnflag, CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        lineitem(sp, dir)
+          .filter(col("l_shipdate").cast(TimestampType) >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_shipdate").cast(TimestampType) <
+              to_timestamp(lit("1998-01-01 00:00:00")))
+          .select("l_orderkey", "l_returnflag")
+          .join(orders(sp, dir).select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      }),
+
+    // TPC-H Q14 shape: promo revenue share over one month — broadcast
+    // part dim, single conditional aggregate, ppm-exact share
+    Q("q260_tpch_q14", Some(
+      """SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_rev_u, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS total_rev_u, CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT)) ELSE 0 END)*1000000 // GREATEST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))), 1) AS BIGINT) AS promo_ppm FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val revU = (floor(col("l_extendedprice") * 100).cast(LongType) *
+          (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+        lineitem(sp, dir)
+          .filter(col("l_shipdate").cast(TimestampType) >=
+            to_timestamp(lit("1997-03-01 00:00:00")) &&
+            col("l_shipdate").cast(TimestampType) <
+              to_timestamp(lit("1997-04-01 00:00:00")))
+          .select(col("l_partkey"), revU.as("rev_u"))
+          .join(broadcast(sp.read.parquet(s"$dir/part.parquet")
+            .select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(sum(when(col("p_type") === "PROMO", col("rev_u"))
+            .otherwise(0L)).as("promo_rev_u"),
+            sum("rev_u").as("total_rev_u"))
+          .select(col("promo_rev_u"), col("total_rev_u"),
+            IntMath.idiv(col("promo_rev_u") * lit(1000000L),
+              greatest(col("total_rev_u"), lit(1L))).as("promo_ppm"))
+      }),
+
+    // TPC-H Q15 shape: top supplier by half-year revenue — the scalar-max
+    // subquery as a 1-row broadcast equi-filter (handles ties correctly,
+    // unlike a LIMIT 1)
+    Q("q261_tpch_q15", Some(
+      """WITH sr AS (SELECT l_suppkey, CAST(SUM(CAST(floor(l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l_discount*100) AS BIGINT))) AS BIGINT) AS total_rev_u FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01' GROUP BY 1), mx AS (SELECT CAST(MAX(total_rev_u) AS BIGINT) AS m FROM sr) SELECT s.s_suppkey, s.s_name, sr.total_rev_u FROM sr JOIN mx ON sr.total_rev_u = mx.m JOIN supplier s ON sr.l_suppkey = s.s_suppkey ORDER BY s.s_suppkey"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val sr = lineitem(sp, dir)
+          .filter(col("l_shipdate").cast(TimestampType) >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_shipdate").cast(TimestampType) <
+              to_timestamp(lit("1997-07-01 00:00:00")))
+          .groupBy("l_suppkey")
+          .agg(sum(floor(col("l_extendedprice") * 100).cast(LongType) *
+            (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+            .cast(LongType).as("total_rev_u"))
+        val mx = sr.agg(max("total_rev_u").as("m"))
+        sr.join(broadcast(mx), col("total_rev_u") === col("m"))
+          .join(broadcast(sp.read.parquet(s"$dir/supplier.parquet")
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_rev_u")
+          .orderBy("s_suppkey")
+      }),
+
+    // TPC-H Q17 shape: small-quantity lines vs the per-part average —
+    // integer-exact threshold 5·qty·cnt < sum_qty (≡ qty < avg/5), the
+    // agg-then-rejoin the planner must NOT collapse into a window over
+    // the unfiltered fact
+    Q("q262_tpch_q17", Some(
+      """WITH pa AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY 1) SELECT CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_eprice_u, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_brand = 'Brand#1' AND 5*CAST(l.l_quantity AS BIGINT)*pa.cnt < pa.sum_qty"""),
+      (s, dir) => {
+        val sp = tune(s)
+        // brand filter first: per-part stats only over the brand's parts
+        // (identical values — the stats are keyed by part either way)
+        val lb = lineitem(sp, dir)
+          .join(broadcast(sp.read.parquet(s"$dir/part.parquet")
+            .filter(col("p_brand") === "Brand#1").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            col("l_quantity").cast(LongType).as("qty"),
+            floor(col("l_extendedprice") * 100).cast(LongType).as("ep_c"))
+        val pa = lb.groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+        lb.join(pa, col("l_partkey") === col("pk"))
+          .filter(lit(5L) * col("qty") * col("cnt") < col("sum_qty"))
+          .agg(sum("ep_c").as("total_eprice_u"),
+            count(lit(1)).as("n_lines"))
+      }),
+
+    // TPC-H Q19 shape: OR-of-ANDs across fact and dim columns — the
+    // disjunction must still prune (each disjunct narrows brand+size,
+    // the join stays one broadcast hash join, no cartesian)
+    Q("q263_tpch_q19", Some(
+      """SELECT CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_u, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5 AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11) OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20) OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 30 AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val qty = col("l_quantity").cast(LongType)
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            qty.between(1L, 11L)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            qty.between(10L, 20L)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 30) &&
+            qty.between(20L, 30L))
+        lineitem(sp, dir)
+          .join(broadcast(sp.read.parquet(s"$dir/part.parquet")
+            .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+            .select("p_partkey", "p_brand", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .agg(sum(floor(col("l_extendedprice") * 100).cast(LongType) *
+            (lit(100L) - floor(col("l_discount") * 100).cast(LongType)))
+            .cast(LongType).as("revenue_u"),
+            count(lit(1)).as("n_rows"))
+      }),
+
+    // TPC-H Q21 shape: sole-blame supplier — on finished multi-supplier
+    // orders, the unique last shipper (the exists/not-exists pair
+    // expressed as one keyed aggregate + semi filter, no self-join per
+    // predicate)
+    Q("q264_tpch_q21", Some(
+      """WITH fo AS (SELECT l.l_orderkey, l.l_suppkey, CAST(epoch_ms(l.l_shipdate) AS BIGINT) AS ship_ms FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderstatus = 'F'), om AS (SELECT l_orderkey, CAST(MAX(ship_ms) AS BIGINT) AS max_ms, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp FROM fo GROUP BY 1), lastw AS (SELECT DISTINCT fo.l_orderkey, fo.l_suppkey FROM fo JOIN om ON fo.l_orderkey = om.l_orderkey AND fo.ship_ms = om.max_ms WHERE om.n_supp >= 2), sole AS (SELECT l_orderkey FROM lastw GROUP BY 1 HAVING COUNT(*) = 1) SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM lastw JOIN sole ON lastw.l_orderkey = sole.l_orderkey JOIN supplier s ON lastw.l_suppkey = s.s_suppkey GROUP BY 1 ORDER BY numwait DESC, s.s_name LIMIT 20"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val fo = lineitem(sp, dir)
+          .join(orders(sp, dir).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            unix_millis(col("l_shipdate").cast(TimestampType)).as("ship_ms"))
+        val om = fo.groupBy(col("l_orderkey").as("ok"))
+          .agg(max("ship_ms").as("max_ms"),
+            countDistinct("l_suppkey").as("n_supp"))
+          .filter(col("n_supp") >= 2L)
+        val lastw = fo.join(om, col("l_orderkey") === col("ok") &&
+            col("ship_ms") === col("max_ms"))
+          .select("l_orderkey", "l_suppkey").distinct()
+        val sole = lastw.groupBy(col("l_orderkey").as("sk"))
+          .agg(count(lit(1)).as("nw")).filter(col("nw") === 1L)
+          .select("sk")
+        lastw.join(sole, col("l_orderkey") === col("sk"), "left_semi")
+          .join(broadcast(sp.read.parquet(s"$dir/supplier.parquet")
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
       })
   )
 
