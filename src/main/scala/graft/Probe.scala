@@ -1098,6 +1098,13 @@ object Probe {
         timed("tpch q19 shape (sf0.1)")(q19.count())
         timed("tpch q21 shape (sf0.1)")(
           graft.SparkEntry.queries("q264_tpch_q21")(spark, dir).count())
+        timed("salted join (sf0.1)")(
+          graft.SparkEntry.queries("q265_salted_join")(spark, dir).count())
+        timed("compaction plan (sf0.1)")(
+          graft.SparkEntry.queries("q266_compaction_plan")(spark, dir)
+            .count())
+        timed("join advisor (sf0.1)")(
+          graft.SparkEntry.queries("q267_join_advisor")(spark, dir).count())
       }
     }
     spark.stop()

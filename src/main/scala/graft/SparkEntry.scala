@@ -3791,6 +3791,58 @@ object SparkEntry {
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(20)
+      }),
+
+    // salted skew join: the hot-key fact–dim join through SkewJoin
+    // (dim replicated ×8, fact scattered) must be row-identical to the
+    // plain join — the oracle IS the plain join
+    Q("q265_salted_join", Some(
+      """SELECT CAST(s.s_nationkey AS BIGINT) AS s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_lines, CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val sp = tune(s)
+        SkewJoin.saltedJoin(
+            lineitem(sp, dir).select(col("l_suppkey"),
+              col("l_quantity").cast(LongType).as("qty")),
+            sp.read.parquet(s"$dir/supplier.parquet")
+              .select(col("s_suppkey"),
+                col("s_nationkey").cast(LongType).as("s_nationkey")),
+            "l_suppkey", "s_suppkey", salts = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_lines"), sum("qty").as("sum_qty"))
+          .orderBy("s_nationkey")
+      }),
+
+    // small-file compaction plan: per-partition file inventory → planned
+    // post-compaction file counts and the rewrite bill (inventory is
+    // metadata-sized; the monthly file fan-out alternates 40 tiny / 2
+    // healthy so both branches of the decision appear)
+    Q("q266_compaction_plan", Some(
+      """WITH inv AS (SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS part_id, o_orderkey % (CASE WHEN month(o_orderdate) % 2 = 0 THEN 40 ELSE 2 END) AS file, CAST(COUNT(*)*100 AS BIGINT) AS bytes FROM orders GROUP BY 1, 2), a AS (SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(CASE WHEN bytes < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS small_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes FROM inv GROUP BY 1), p AS (SELECT *, CAST(LEAST(n_files, (total_bytes + 19999) // 20000) AS BIGINT) AS planned_files FROM a) SELECT part_id AS "partition", n_files, small_files, total_bytes, planned_files, CAST(n_files - planned_files AS BIGINT) AS files_saved, (n_files - planned_files >= 1 AND small_files >= 2) AS compact, CAST(CASE WHEN n_files - planned_files >= 1 AND small_files >= 2 THEN total_bytes ELSE 0 END AS BIGINT) AS rewrite_bytes FROM p ORDER BY 1"""),
+      (s, dir) => {
+        val sp = tune(s)
+        val od = col("o_orderdate").cast(TimestampType)
+        val inv = orders(sp, dir)
+          .groupBy((year(od) * 100 + month(od)).cast(LongType).as("part_id"),
+            (col("o_orderkey") %
+              when(month(od) % 2 === 0, 40L).otherwise(2L)).as("file"))
+          .agg((count(lit(1)) * 100L).as("bytes"))
+        Layout.compactionReport(inv, "part_id", "bytes",
+          smallBytes = 1000L, targetBytes = 20000L)
+      }),
+
+    // join-strategy advisor: measured dim size + fact hot-key share →
+    // broadcast / salted / shuffle, thresholds explicit
+    Q("q267_join_advisor", Some(
+      """WITH ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS fact_keys, CAST(MAX(n)*1000000 // GREATEST(SUM(n), 1) AS BIGINT) AS top_key_share_ppm FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1)), ds AS (SELECT 'customer' AS dim_name, CAST(COUNT(*) AS BIGINT) AS dim_rows, CAST(SUM(8 + COALESCE(length(c_name), 0) + 8 + 8 + COALESCE(length(c_mktsegment), 0)) AS BIGINT) AS dim_bytes_est FROM customer UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(SUM(8 + 8 + COALESCE(length(o_orderstatus), 0) + 8 + 8 + COALESCE(length(o_orderpriority), 0)) AS BIGINT) FROM orders UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT), CAST(SUM(8 + COALESCE(length(s_name), 0) + 8 + 8) AS BIGINT) FROM supplier) SELECT ds.dim_name, ds.dim_rows, ds.dim_bytes_est, ks.fact_keys, ks.top_key_share_ppm, CASE WHEN ds.dim_bytes_est <= 10000 THEN 'broadcast' WHEN ks.top_key_share_ppm >= 2000 THEN 'salted' ELSE 'shuffle' END AS recommend FROM ds CROSS JOIN ks ORDER BY 1"""),
+      (s, dir) => {
+        val sp = tune(s)
+        Layout.joinPlanAdvisor(
+          KafkaLike.events(sp, dir), "user_id",
+          Seq(
+            "customer" -> customer(sp, dir),
+            "orders" -> orders(sp, dir),
+            "supplier" -> sp.read.parquet(s"$dir/supplier.parquet")),
+          broadcastBytes = 10000L, skewSharePpm = 2000L)
       })
   )
 

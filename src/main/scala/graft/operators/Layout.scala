@@ -330,4 +330,95 @@ object Layout {
     }
     reports.reduce(_ unionByName _).orderBy("candidate")
   }
+
+  /**
+   * Small-file compaction plan over a (partition, file, bytes) inventory —
+   * the table-maintenance decision every lake table needs at 100 TB: many
+   * tiny files make every scan pay per-file open/footer costs and bloat
+   * the metadata; compaction rewrites a partition's files into
+   * ceil(bytes/targetBytes) outputs.
+   *
+   * Per partition: file/byte totals, how many files are "small"
+   * (< smallBytes), the planned post-compaction file count (never more
+   * than today's), files saved, and whether the rewrite is worth it
+   * (`compact` = saves at least one file AND at least two smalls exist —
+   * rewriting one lone small file buys nothing). `rewrite_bytes` totals
+   * the I/O bill of the plan. One aggregation over the inventory — the
+   * inventory itself is metadata-sized (one row per file), never data-
+   * sized, so this runs on a 100 TB table's listing in milliseconds.
+   *
+   * Output (ordered): (partition, n_files, small_files, total_bytes,
+   * planned_files, files_saved, compact, rewrite_bytes).
+   */
+  def compactionReport(inventory: DataFrame, partCol: String,
+      bytesCol: String, smallBytes: Long, targetBytes: Long): DataFrame = {
+    require(smallBytes >= 1 && targetBytes >= 1,
+      "smallBytes/targetBytes must be positive")
+    val agg = inventory
+      .groupBy(col(partCol).as("partition"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col(bytesCol) < smallBytes, 1L).otherwise(0L))
+          .as("small_files"),
+        sum(col(bytesCol)).cast(LongType).as("total_bytes"))
+    val planned = least(col("n_files"),
+      IntMath.idiv(col("total_bytes") + lit(targetBytes - 1),
+        lit(targetBytes)))
+    agg
+      .withColumn("planned_files", planned)
+      .withColumn("files_saved", col("n_files") - col("planned_files"))
+      .withColumn("compact",
+        col("files_saved") >= 1L && col("small_files") >= 2L)
+      .withColumn("rewrite_bytes",
+        when(col("compact"), col("total_bytes")).otherwise(0L))
+      .orderBy("partition")
+  }
+
+  /**
+   * Join-strategy advisor: for each candidate dimension against one fact,
+   * measure what the planner cannot know without stats — dim row count,
+   * a byte estimate, and the fact side's hot-key concentration — and
+   * recommend `broadcast` (dim fits the driver/executor budget),
+   * `salted` (dim too big AND the fact key is skew-heavy), or `shuffle`.
+   *
+   * The skew signal is the top fact key's ppm share: a perfectly uniform
+   * key has share ≈ 1e6/n_keys; a hot key dominating a reducer shows up
+   * as orders of magnitude above that. Thresholds are explicit arguments
+   * so the policy is testable, not folklore.
+   *
+   * Output (ordered): (dim_name, dim_rows, dim_bytes_est, fact_keys,
+   * top_key_share_ppm, recommend).
+   */
+  def joinPlanAdvisor(fact: DataFrame, factKey: String,
+      dims: Seq[(String, DataFrame)],
+      broadcastBytes: Long = 10L * 1024 * 1024,
+      skewSharePpm: Long = 50000L): DataFrame = {
+    require(dims.nonEmpty, "need at least one candidate dim")
+    val keyStats = fact.groupBy(col(factKey).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("fact_keys"), max("n").as("top_n"),
+        sum("n").as("fact_rows"))
+      .select(col("fact_keys"),
+        IntMath.idiv(col("top_n") * lit(1000000L),
+          greatest(col("fact_rows"), lit(1L))).as("top_key_share_ppm"))
+    val reports = dims.map { case (name, dim) =>
+      // byte estimate: per-row sum of column widths (8 per numeric, string
+      // lengths measured) — the same arithmetic a catalog's stats carry
+      val widths = dim.schema.fields.map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            coalesce(length(col(f.name)).cast(LongType), lit(0L))
+          case _ => lit(8L)
+        }
+      }.reduce(_ + _)
+      dim.agg(count(lit(1)).as("dim_rows"),
+          sum(widths).cast(LongType).as("dim_bytes_est"))
+        .crossJoin(broadcast(keyStats))
+        .select(lit(name).as("dim_name"), col("dim_rows"),
+          col("dim_bytes_est"), col("fact_keys"), col("top_key_share_ppm"),
+          when(col("dim_bytes_est") <= broadcastBytes, "broadcast")
+            .when(col("top_key_share_ppm") >= skewSharePpm, "salted")
+            .otherwise("shuffle").as("recommend"))
+    }
+    reports.reduce(_ unionByName _).orderBy("dim_name")
+  }
 }

@@ -100,6 +100,31 @@ object StreamingDedup {
       .as[HashedDoc], horizonMs)
   }
 
+  /**
+   * EVENT-TIME-bounded exact dedup via Spark's native
+   * `dropDuplicatesWithinWatermark`: two copies of the same content are
+   * collapsed whenever their event times fall within the watermark delay
+   * of each other; state for a hash is dropped once the watermark passes
+   * it. Complements [[firstSeenTtl]]: that one bounds state by
+   * PROCESSING-time quiet horizons (wall-clock retention no matter how
+   * the stream replays); this one is replay-deterministic — the same
+   * events with the same timestamps dedup identically regardless of
+   * trigger cadence, because the horizon is carried by the data.
+   *
+   * Keeps every input column; `tsCol` must be a TimestampType column the
+   * watermark can ride on. One caveat (spec-pinned): Spark evicts expired
+   * dedup state at the END of a micro-batch, so a copy arriving in the
+   * same batch whose watermark first crosses the original's expiry is
+   * still dropped; re-admission starts one batch later.
+   */
+  def dedupWithinWatermark(docs: DataFrame, textCol: String,
+      tsCol: String, delay: String): DataFrame =
+    docs
+      .withColumn("__h", contentHash(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   // ------------------------------------------------------- streaming near-dup
 
   case class BandedDoc(docId: Long, bandId: Int, bandHash: Long)

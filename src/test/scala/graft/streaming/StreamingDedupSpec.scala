@@ -350,4 +350,42 @@ class StreamingDedupSpec extends SparkSuite {
     assert(streamKept.toSeq == batchKept.toSeq)
     assert(batchKept.toSeq == Seq(2L, 5L, 8L))
   }
+
+  test("event-time dedup within watermark: in-delay duplicate drops, " +
+      "post-watermark copy re-admits") {
+    val tsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def writeTs(dir: String, rows: (Long, String, Long)*): Unit = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (id, t, sec) =>
+        l.add(Row(id, t, new java.sql.Timestamp(sec * 1000L))) }
+      s.createDataFrame(l, tsSchema).coalesce(1).write.parquet(dir)
+    }
+    val src = Files.createTempDirectory("graft-wmd-src").toString
+    val ckpt = Files.createTempDirectory("graft-wmd-ckpt").toString
+    writeTs(src + "/f1", (1L, "aaa", 10L))
+    // within the 5s delay of doc 1 → dropped; "bbb" is new
+    writeTs(src + "/f2", (2L, "aaa", 12L), (3L, "bbb", 12L))
+    // far future event pushes the watermark past doc 1's expiry
+    writeTs(src + "/f3", (4L, "zzz", 100L))
+    // Spark evicts expired dedup state at the END of a batch: the first
+    // copy arriving in the same batch the watermark crosses the expiry is
+    // still deduped against the stale entry (one-batch eviction lag)…
+    writeTs(src + "/f4", (5L, "aaa", 101L))
+    // …and the next batch's copy re-admits
+    writeTs(src + "/f5", (6L, "aaa", 102L))
+    val stream = s.readStream.schema(tsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val q = StreamingDedup.dedupWithinWatermark(stream, "text", "ts",
+        "5 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wmd_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = s.table("wmd_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 6L))
+  }
 }
