@@ -1105,6 +1105,8 @@ object Probe {
             .count())
         timed("join advisor (sf0.1)")(
           graft.SparkEntry.queries("q267_join_advisor")(spark, dir).count())
+        timed("margin mine (sf0.1 embeddings)")(
+          graft.SparkEntry.queries("q268_margin_mine")(spark, dir).count())
       }
     }
     spark.stop()

@@ -3843,6 +3843,21 @@ object SparkEntry {
             "orders" -> orders(sp, dir),
             "supplier" -> sp.read.parquet(s"$dir/supplier.parquet")),
           broadcastBytes = 10000L, skewSharePpm = 2000L)
+      }),
+
+    // margin-based cross-corpus pair mining (bitext-mining scoring): the
+    // hubness-normalized top-1 over even/odd embedding halves; exact
+    // brute-force neighborhoods here (the oracle baseline), IVF-pluggable
+    // at scale
+    Q("q268_margin_mine", Some({
+      val tdivScore = "(CASE WHEN (fa.dot*1000000*8) < 0 THEN -1 ELSE 1 END) * ((abs(fa.dot*1000000*8)) // (fa.sum_k_a + COALESCE(ba.sum_k_b, 0)))"
+      s"""WITH av AS (SELECT vec_id AS a_id, $dQuant AS aq FROM embeddings WHERE vec_id % 2 = 0), bv AS (SELECT vec_id AS b_id, $dQuant AS bq FROM embeddings WHERE vec_id % 2 = 1), fd AS (SELECT a_id, b_id, CAST(list_sum(list_transform(range(len(aq)), i -> aq[CAST(i+1 AS INT)]*bq[CAST(i+1 AS INT)])) AS BIGINT) AS dot FROM av CROSS JOIN bv), fr AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id ASC) AS rk FROM fd), fa AS (SELECT a_id, CAST(MIN(CASE WHEN rk = 1 THEN b_id END) AS BIGINT) AS b_id, CAST(MAX(CASE WHEN rk = 1 THEN dot END) AS BIGINT) AS dot, CAST(SUM(dot) AS BIGINT) AS sum_k_a FROM fr WHERE rk <= 4 GROUP BY 1), br AS (SELECT b_id, a_id, dot, row_number() OVER (PARTITION BY b_id ORDER BY dot DESC, a_id ASC) AS rk FROM fd), ba AS (SELECT b_id AS bb, CAST(MIN(CASE WHEN rk = 1 THEN a_id END) AS BIGINT) AS b_top1_a, CAST(SUM(dot) AS BIGINT) AS sum_k_b FROM br WHERE rk <= 4 GROUP BY 1) SELECT fa.a_id, fa.b_id, fa.dot, CAST(CASE WHEN fa.sum_k_a + COALESCE(ba.sum_k_b, 0) <= 0 THEN 0 ELSE $tdivScore END AS BIGINT) AS score_ppm, COALESCE(ba.b_top1_a = fa.a_id, false) AS mutual FROM fa LEFT JOIN ba ON fa.b_id = ba.bb ORDER BY fa.a_id"""}),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Similarity.marginMine(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4)
       })
   )
 

@@ -561,4 +561,54 @@ object Similarity {
         (col("l.cn2") + col("r.cn2") -
           lit(2L) * dotQ(col("l.cv"), col("r.cv"))).as("dist2"))
   }
+
+  /**
+   * Margin-based cross-corpus pair mining (the bitext-mining scoring of
+   * Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining", public):
+   * for every vector in `a`, its best match in `b` scored not by raw
+   * similarity but by the MARGIN over both sides' k-NN neighborhoods —
+   * score = dot(x,y) · 2k / (Σ top-k dots of x over b + Σ top-k dots of y
+   * over a), in ppm. Raw-cosine thresholds mine hubs (vectors close to
+   * everything); the margin denominator normalizes hubness away, which is
+   * why it is the standard mined-pair filter.
+   *
+   * `mutual` flags pairs where y's best match in `a` is x back — the
+   * high-precision subset. `score_ppm` is 0 when a neighborhood sum is
+   * non-positive (degenerate anti-correlated neighborhoods; no honest
+   * margin exists).
+   *
+   * Scale: the default neighbor source is [[bruteForceTopK]] both ways —
+   * exact, quadratic, the oracle baseline. At corpus scale pass `forward`/
+   * `backward` from [[ivfTopKTrained]] (same output shape) and the mining
+   * itself stays two keyed aggregations + one join — the same pluggable-
+   * neighbors contract as [[labelNoiseReport]].
+   *
+   * Output: (a_id, b_id, dot, score_ppm, mutual), one row per `a` vector
+   * that has at least one neighbor, ordered by a_id.
+   */
+  def marginMine(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+      k: Int, forward: Option[DataFrame] = None,
+      backward: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val fwd = forward.getOrElse(bruteForceTopK(b, a, idCol, vecCol, k))
+    val bwd = backward.getOrElse(bruteForceTopK(a, b, idCol, vecCol, k))
+    // per a-vector: its top-1 b, that dot, and the k-NN dot sum
+    val fa = fwd.groupBy(col("query_id").as("a_id"))
+      .agg(min(when(col("rank") === 1, col("item_id"))).as("b_id"),
+        max(when(col("rank") === 1, col("dot"))).as("dot"),
+        sum("dot").as("sum_k_a"))
+    // per b-vector: its top-1 a (for mutuality) and k-NN dot sum
+    val ba = bwd.groupBy(col("query_id").as("__b"))
+      .agg(min(when(col("rank") === 1, col("item_id"))).as("b_top1_a"),
+        sum("dot").as("sum_k_b"))
+    fa.join(ba, col("b_id") === col("__b"), "left")
+      .select(col("a_id"), col("b_id"), col("dot"),
+        when(col("sum_k_a") + coalesce(col("sum_k_b"), lit(0L)) <= 0L, 0L)
+          .otherwise(IntMath.idiv(
+            col("dot") * lit(1000000L) * lit(2L * k),
+            col("sum_k_a") + coalesce(col("sum_k_b"), lit(0L))))
+          .as("score_ppm"),
+        coalesce(col("b_top1_a") === col("a_id"), lit(false)).as("mutual"))
+      .orderBy("a_id")
+  }
 }

@@ -505,17 +505,24 @@ object EventTimeOps {
    *
    * Columns: left keeps its names; the right side's key/ts arrive renamed
    * `__rkey`/`rightTs` so the join condition is unambiguous.
+   *
+   * `joinType = "leftOuter"` keeps unmatched left rows (null right side);
+   * Spark emits them only once the watermark passes the row's join window
+   * — the null result is provably final, never retracted (spec-pinned).
    */
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, lookbackMs: Long,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     require(lookbackMs > 0L, "lookbackMs must be positive")
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"stream-stream interval join supports inner/leftOuter, got $joinType")
     val l = left.withWatermark(leftTsCol, watermark)
     val r = right.withColumnRenamed(keyCol, "__rkey")
       .withWatermark(rightTsCol, watermark)
     l.join(r, expr(
       s"$keyCol = __rkey AND $rightTsCol >= $leftTsCol - INTERVAL " +
-        s"$lookbackMs MILLISECONDS AND $rightTsCol <= $leftTsCol"))
+        s"$lookbackMs MILLISECONDS AND $rightTsCol <= $leftTsCol"),
+      joinType)
       .drop("__rkey")
   }
 

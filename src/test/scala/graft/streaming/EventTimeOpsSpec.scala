@@ -290,6 +290,56 @@ class EventTimeOpsSpec extends SparkSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 12L)))
   }
 
+  test("streamIntervalJoin leftOuter: unmatched left rows emit final nulls") {
+    val srcL = Files.createTempDirectory("graft-ssjo-l").toString
+    val srcR = Files.createTempDirectory("graft-ssjo-r").toString
+    val ckpt = Files.createTempDirectory("graft-ssjo-ckpt").toString
+    val ls = StructType(Seq(StructField("k", StringType),
+      StructField("lid", LongType), StructField("lts", TimestampType)))
+    val rs = StructType(Seq(StructField("k", StringType),
+      StructField("rid", LongType), StructField("rts", TimestampType)))
+    def ts(ms: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms))
+    def writeL(dir: String, rows: Row*): Unit = {
+      val l = new java.util.ArrayList[Row](); rows.foreach(l.add)
+      s.createDataFrame(l, ls).coalesce(1).write.parquet(dir)
+    }
+    def writeR(dir: String, rows: Row*): Unit = {
+      val l = new java.util.ArrayList[Row](); rows.foreach(l.add)
+      s.createDataFrame(l, rs).coalesce(1).write.parquet(dir)
+    }
+    // batch 1: lid 1 matches rid 11; lid 2's window [16s, 20s] has no
+    // right rows. Watermark after b1 = min(20s, 5s) = 5s.
+    writeL(srcL + "/f1", Row("u", 1L, ts(5000L)), Row("u", 2L, ts(20000L)))
+    writeR(srcR + "/f1", Row("u", 11L, ts(5000L)))
+    // batch 2: far-future rows on BOTH sides (global watermark is the MIN
+    // across inputs) push the watermark past lid 2's window
+    writeL(srcL + "/f2", Row("u", 3L, ts(500000L)))
+    writeR(srcR + "/f2", Row("x", 99L, ts(500000L)))
+    // batch 3: one more left row so a batch runs UNDER the advanced
+    // watermark — that is when closed-window unmatched state flushes
+    writeL(srcL + "/f3", Row("u", 4L, ts(501000L)))
+    val q = EventTimeOps.streamIntervalJoin(
+      s.readStream.schema(ls).option("maxFilesPerTrigger", "1")
+        .parquet(srcL + "/*"),
+      s.readStream.schema(rs).option("maxFilesPerTrigger", "1")
+        .parquet(srcR + "/*"),
+      "k", "lts", "rts", lookbackMs = 4000L, watermark = "0 seconds",
+      joinType = "leftOuter")
+      .select("lid", "rid")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjo_out").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = s.table("ssjo_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // lid 2 emits exactly once, with a FINAL null right side (its window
+    // closed under the watermark, so the null cannot be retracted)
+    assert(got.contains((1L, Some(11L))))
+    assert(got.contains((2L, None)))
+    assert(got.count(_._1 == 2L) == 1)
+  }
+
   test("attribution: last-touch asof + first-touch-in-window, nulls kept") {
     val schema2 = StructType(Seq(
       StructField("k", StringType), StructField("ts", LongType),
