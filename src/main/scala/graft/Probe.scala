@@ -1108,6 +1108,80 @@ object Probe {
         timed("margin mine (sf0.1 embeddings)")(
           graft.SparkEntry.queries("q268_margin_mine")(spark, dir).count())
       }
+      // bucketed co-located join: two tables bucketed 32-way on the join
+      // key must join with NO shuffle exchange on either side — the
+      // write-once/join-free-forever layout contract (AQE off for a
+      // deterministic plan string; broadcast off so the join is the SMJ
+      // the bucketing serves)
+      locally {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          Layout.bucketedMirror(spark.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_orderkey", "l_quantity"),
+            "probe_li_b32", "l_orderkey", 32)
+          Layout.bucketedMirror(spark.read.parquet(s"$dir/orders.parquet")
+            .select("o_orderkey", "o_totalprice"),
+            "probe_ord_b32", "o_orderkey", 32)
+          val j = spark.table("probe_li_b32")
+            .join(spark.table("probe_ord_b32"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderkey").count()
+          val plan = j.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"bucketed join must not shuffle:\n$plan")
+          timed("bucketed co-located join (sf0.1, no exchange)")(j.count())
+        } finally {
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.sql("DROP TABLE IF EXISTS probe_li_b32")
+          spark.sql("DROP TABLE IF EXISTS probe_ord_b32")
+        }
+      }
+      // AQE skew-join split: a hot-key SMJ under low skew thresholds must
+      // show skew=true in the adaptive plan — the engine-native
+      // counterpart to SkewJoin.saltedJoin (which works where AQE cannot
+      // see, e.g. non-SMJ shapes or pre-planned exchanges)
+      locally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "64KB")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        // the keyed aggregate above the join requires the join's hash
+        // distribution, which makes AQE skip the split by default (it
+        // would re-shuffle for the parent); force documents the trade
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        try {
+          import spark.implicits._
+          val fact = spark.range(2000000)
+            .select(when(col("id") % 10L < 8L, 7L).otherwise(col("id"))
+              .as("fk"), col("id").as("v"))
+          val dim = spark.range(200000)
+            .select(col("id").as("dk"), (col("id") * 3L).as("attr"))
+          val j = fact.join(dim, col("fk") === col("dk"))
+            .groupBy("fk").agg(count(lit(1)).as("n"))
+          // drive j's OWN QueryExecution (count() would plan a separate
+          // query and leave j's adaptive plan unfinalized, skew unmarked)
+          timed("AQE skew-join split (2M hot-key rows)")(
+            j.collect().length.toLong)
+          val plan = j.queryExecution.executedPlan.toString
+          require(plan.contains("skew=true"),
+            "AQE must split the skewed partition (skew=true missing):\n" +
+              plan.take(2000))
+        } finally {
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+          spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+        }
+      }
     }
     spark.stop()
   }

@@ -332,6 +332,23 @@ object Layout {
   }
 
   /**
+   * Materialize `df` as a BUCKETED catalog table: hash-partitioned into
+   * `buckets` files by `key` and sorted by it within each bucket. Two
+   * tables bucketed the same way equi-join WITHOUT a shuffle (and without
+   * a sort, with sortBy) — at 100 TB this converts every recurring
+   * fact-fact join on the bucket key from the cluster's biggest exchange
+   * into a map-side zip, paid once at write time. Probe asserts the
+   * no-Exchange plan on real testdata.
+   */
+  def bucketedMirror(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /**
    * Small-file compaction plan over a (partition, file, bytes) inventory —
    * the table-maintenance decision every lake table needs at 100 TB: many
    * tiny files make every scan pay per-file open/footer costs and bloat

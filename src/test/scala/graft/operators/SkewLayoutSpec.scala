@@ -68,6 +68,30 @@ class SkewLayoutSpec extends SparkSuite {
     assert(k == Map("small" -> "broadcast", "big" -> "salted"))
   }
 
+  test("bucketed mirrors equi-join without a shuffle exchange") {
+    import s.implicits._
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.bucketedMirror(
+        s.range(1000).select(col("id").as("k"), (col("id") * 2).as("a")),
+        "t_bleft", "k", 4)
+      Layout.bucketedMirror(
+        s.range(500).select(col("id").as("j"), (col("id") * 3).as("b")),
+        "t_bright", "j", 4)
+      val joined = s.table("t_bleft")
+        .join(s.table("t_bright"), col("k") === col("j"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == 500L)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS t_bleft")
+      s.sql("DROP TABLE IF EXISTS t_bright")
+    }
+  }
+
   test("compaction plan: lone small file and already-compact partition " +
       "don't rewrite") {
     import s.implicits._
