@@ -204,7 +204,8 @@ object Bench {
       "q255_tpch_q7", "q256_tpch_q8", "q257_tpch_q9", "q258_tpch_q10",
       "q259_tpch_q12", "q260_tpch_q14", "q261_tpch_q15", "q262_tpch_q17",
       "q263_tpch_q19", "q264_tpch_q21", "q265_salted_join",
-      "q266_compaction_plan", "q267_join_advisor", "q268_margin_mine")
+      "q266_compaction_plan", "q267_join_advisor", "q268_margin_mine",
+      "q269_wav_roundtrip")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -1107,6 +1107,8 @@ object Probe {
           graft.SparkEntry.queries("q267_join_advisor")(spark, dir).count())
         timed("margin mine (sf0.1 embeddings)")(
           graft.SparkEntry.queries("q268_margin_mine")(spark, dir).count())
+        timed("wav pcm roundtrip (sf0.1 events)")(
+          graft.SparkEntry.queries("q269_wav_roundtrip")(spark, dir).count())
       }
       // bucketed co-located join: two tables bucketed 32-way on the join
       // key must join with NO shuffle exchange on either side — the

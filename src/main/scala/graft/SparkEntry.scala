@@ -3858,6 +3858,33 @@ object SparkEntry {
           e.filter(col("vec_id") % 2 === 0),
           e.filter(col("vec_id") % 2 === 1),
           "vec_id", "embedding", k = 4)
+      }),
+
+    // REAL audio round trip: per-event synthetic int16 tones → RIFF/WAVE
+    // PCM16 bytes (codegen'd encode) → validated decode + exact integer
+    // stats. The oracle computes the same stats from the sample formula
+    // alone — hash equality proves the byte layout round-trips exactly
+    Q("q269_wav_roundtrip", Some(
+      """WITH e AS (SELECT event_id FROM events), p AS (SELECT event_id, 50 + event_id % 50 AS n, 8000 + (event_id % 3)*4000 AS rate FROM e), sm AS (SELECT event_id, n, rate, list_transform(range(n), i -> (event_id*7 + i*31) % 2001 - 1000) AS s FROM p) SELECT event_id, CAST(44 + 2*n AS BIGINT) AS byte_len, CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples, CAST(n*1000 // rate AS BIGINT) AS duration_ms, CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak, CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS sum_sq, CAST(list_sum(list_transform(s, x -> abs(x))) // n AS BIGINT) AS mean_abs FROM sm ORDER BY event_id"""),
+      (s, dir) => {
+        val n = lit(50L) + col("event_id") % 50L
+        val rate = lit(8000L) + (col("event_id") % 3L) * 4000L
+        val samples = transform(sequence(lit(0L), n - 1L),
+          i => (col("event_id") * 7L + i * 31L) % 2001L - 1000L)
+        val withWav = KafkaLike.events(tune(s), dir).select(col("event_id"))
+          .withColumn("payload", Multimodal.wavEncode(rate, samples))
+          .withColumn("meta", Multimodal.wavMeta(col("payload")))
+        withWav.select(col("event_id"),
+            length(col("payload")).cast(LongType).as("byte_len"),
+            col("meta.sample_rate").cast(LongType).as("sample_rate"),
+            col("meta.n_samples").as("n_samples"),
+            col("meta.duration_ms").as("duration_ms"),
+            col("meta.peak").as("peak"),
+            col("meta.sum_abs").as("sum_abs"),
+            col("meta.sum_sq").as("sum_sq"),
+            IntMath.idiv(col("meta.sum_abs"), col("meta.n_samples"))
+              .as("mean_abs"))
+          .orderBy("event_id")
       })
   )
 

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,14 +9,35 @@ import org.apache.spark.sql.types._
  * plus typed metadata, with decode / feature-extract staged as partition-wise
  * batch transforms.
  *
- * The decode step is a STUB (no image/audio libraries in this container): a
- * deterministic fake that derives "dimensions" and "features" from payload
- * bytes. Everything Spark-side — schema, binary column handling, partition
- * batching, the mapPartitions transform shape, metadata projection — is real
- * and is exactly what a production decode (libjpeg/ffmpeg behind the same
- * signature) would ride on.
+ * AUDIO is decoded FOR REAL: [[wavEncode]]/[[wavMeta]] are a complete
+ * RIFF/WAVE PCM16 codec as codegen'd Catalyst expressions
+ * ([[graft.functions.WavPcm]]) — WAV is a pure byte-layout format, no
+ * media library required, and q-oracle'd end to end (q269). The
+ * image/video decode step remains a STUB (no libjpeg/ffmpeg in this
+ * container): a deterministic fake that derives "dimensions" and
+ * "features" from payload bytes. Everything Spark-side — schema, binary
+ * column handling, partition batching, the mapPartitions transform shape,
+ * metadata projection — is real and is exactly what a production decode
+ * would ride on.
  */
 object Multimodal {
+
+  /** Encode int16 samples (array<long>, values in [-32768, 32767]) at
+    * `sampleRate` into a RIFF/WAVE PCM16LE-mono blob — codegen'd. */
+  def wavEncode(sampleRate: Column, samples: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.WavPcmEncodeExpr(
+      GraftBridge.expression(sampleRate.cast(IntegerType)),
+      GraftBridge.expression(samples)))
+  }
+
+  /** Validated WAV metadata + exact integer sample stats; NULL for any
+    * blob that is not a well-formed PCM16-mono WAV (route, don't throw). */
+  def wavMeta(bytes: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.WavPcmDecodeExpr(
+      GraftBridge.expression(bytes)))
+  }
 
   /** Typed media row: payload + envelope metadata. */
   case class MediaRecord(
