@@ -1109,6 +1109,8 @@ object Probe {
           graft.SparkEntry.queries("q268_margin_mine")(spark, dir).count())
         timed("wav pcm roundtrip (sf0.1 events)")(
           graft.SparkEntry.queries("q269_wav_roundtrip")(spark, dir).count())
+        timed("bmp roundtrip (sf0.1 events)")(
+          graft.SparkEntry.queries("q270_bmp_roundtrip")(spark, dir).count())
       }
       // bucketed co-located join: two tables bucketed 32-way on the join
       // key must join with NO shuffle exchange on either side — the

@@ -3885,6 +3885,33 @@ object SparkEntry {
             IntMath.idiv(col("meta.sum_abs"), col("meta.n_samples"))
               .as("mean_abs"))
           .orderBy("event_id")
+      }),
+
+    // REAL image round trip: per-event synthetic 0xRRGGBB pixels → 24bpp
+    // BMP bytes (bottom-up rows, BGR, 4-byte padding — codegen'd) →
+    // validated decode. `pos_checksum` is order-sensitive over top-left
+    // row-major pixels, so any layout mistake hash-mismatches
+    Q("q270_bmp_roundtrip", Some(
+      """WITH e AS (SELECT event_id FROM events), p AS (SELECT event_id, 4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM e), px AS (SELECT event_id, w, h, list_transform(range(w*h), i -> (event_id*13 + i*17) % 16777216) AS ps FROM p) SELECT event_id, CAST(54 + ((w*3 + 3) // 4 * 4) * h AS BIGINT) AS byte_len, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(w*h AS BIGINT) AS n_pixels, CAST(list_sum(list_transform(ps, x -> (x >> 16) & 255)) AS BIGINT) AS sum_r, CAST(list_sum(list_transform(ps, x -> (x >> 8) & 255)) AS BIGINT) AS sum_g, CAST(list_sum(list_transform(ps, x -> x & 255)) AS BIGINT) AS sum_b, CAST(ps[1] AS BIGINT) AS first_pixel, CAST(list_sum(list_transform(range(len(ps)), i -> (i+1) * ps[CAST(i+1 AS INT)])) AS BIGINT) AS pos_checksum FROM px ORDER BY event_id"""),
+      (s, dir) => {
+        val w = lit(4L) + col("event_id") % 5L
+        val h = lit(3L) + col("event_id") % 4L
+        val pixels = transform(sequence(lit(0L), w * h - 1L),
+          i => (col("event_id") * 13L + i * 17L) % 16777216L)
+        KafkaLike.events(tune(s), dir).select(col("event_id"))
+          .withColumn("payload", Multimodal.bmpEncode(w, pixels))
+          .withColumn("meta", Multimodal.bmpMeta(col("payload")))
+          .select(col("event_id"),
+            length(col("payload")).cast(LongType).as("byte_len"),
+            col("meta.width").cast(LongType).as("width"),
+            col("meta.height").cast(LongType).as("height"),
+            col("meta.n_pixels").as("n_pixels"),
+            col("meta.sum_r").as("sum_r"),
+            col("meta.sum_g").as("sum_g"),
+            col("meta.sum_b").as("sum_b"),
+            col("meta.first_pixel").as("first_pixel"),
+            col("meta.pos_checksum").as("pos_checksum"))
+          .orderBy("event_id")
       })
   )
 

@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Real (not stubbed) image codec for the multimodal path: 24-bit
+ * uncompressed BMP (Windows DIB, public byte-layout format) encode +
+ * header-validating decode as codegen'd Catalyst expressions — the image
+ * counterpart of [[WavPcm]]. A faithful BMP writer has three classic
+ * layout traps, all implemented and all PROVEN by the oracle round trip:
+ * rows are stored BOTTOM-UP, pixels are BGR (not RGB), and every row pads
+ * to a 4-byte boundary. The decode's `pos_checksum`
+ * (Σ (i+1)·pixel_i over TOP-LEFT row-major order) is order-sensitive, so
+ * a wrong row direction or a missed pad byte hash-mismatches immediately
+ * rather than hiding inside an order-invariant sum.
+ *
+ * Malformed blobs (wrong magic, bpp ≠ 24, compression, truncation,
+ * inconsistent sizes) decode to null — route, don't throw.
+ */
+object Bmp {
+
+  val HeaderBytes = 54 // 14 (file header) + 40 (BITMAPINFOHEADER)
+
+  @inline private def stride(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** 24bpp BMP from row-major top-left packed 0xRRGGBB pixels. Null
+    * (rejected by the wrapper) when n % width != 0. */
+  def encode(width: Int, pixels: ArrayData): Array[Byte] = {
+    val n = pixels.numElements()
+    if (width <= 0 || n == 0 || n % width != 0) return null
+    val height = n / width
+    val rowBytes = stride(width)
+    val imgBytes = rowBytes * height
+    val out = new Array[Byte](HeaderBytes + imgBytes)
+    @inline def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    @inline def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, HeaderBytes + imgBytes)
+    le32(10, HeaderBytes)
+    le32(14, 40) // BITMAPINFOHEADER size
+    le32(18, width)
+    le32(22, height) // positive → bottom-up storage
+    le16(26, 1) // planes
+    le16(28, 24) // bits per pixel
+    le32(30, 0) // BI_RGB, uncompressed
+    le32(34, imgBytes)
+    var y = 0
+    while (y < height) {
+      val fileRow = height - 1 - y // top-left logical row y stored at bottom
+      var x = 0
+      while (x < width) {
+        val p = pixels.getLong((y.toLong * width + x).toInt)
+        val off = HeaderBytes + fileRow * rowBytes + x * 3
+        out(off) = (p & 0xff).toByte // B
+        out(off + 1) = ((p >> 8) & 0xff).toByte // G
+        out(off + 2) = ((p >> 16) & 0xff).toByte // R
+        x += 1
+      }
+      y += 1 // pad bytes stay zero
+    }
+    out
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bpp", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("first_pixel", LongType, nullable = false),
+    StructField("pos_checksum", LongType, nullable = false)))
+
+  @inline private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  @inline private def rdLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Parse + integer-stat a 24bpp uncompressed BMP; null on any
+    * malformation. Stats iterate TOP-LEFT row-major (undoing the
+    * bottom-up file order), so `pos_checksum` pins the full layout. */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < HeaderBytes) return null
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return null
+    if (rdLe32(bytes, 10) != HeaderBytes) return null
+    if (rdLe32(bytes, 14) != 40) return null
+    val width = rdLe32(bytes, 18)
+    val height = rdLe32(bytes, 22)
+    if (width <= 0 || height <= 0) return null
+    if (rdLe16(bytes, 26) != 1 || rdLe16(bytes, 28) != 24) return null
+    if (rdLe32(bytes, 30) != 0) return null
+    val rowBytes = stride(width)
+    if (bytes.length != HeaderBytes + rowBytes.toLong * height) return null
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var checksum = 0L
+    var first = 0L
+    var y = 0
+    while (y < height) {
+      val fileRow = height - 1 - y
+      var x = 0
+      while (x < width) {
+        val off = HeaderBytes + fileRow * rowBytes + x * 3
+        val b = bytes(off) & 0xffL
+        val g = bytes(off + 1) & 0xffL
+        val r = bytes(off + 2) & 0xffL
+        val p = (r << 16) | (g << 8) | b
+        if (y == 0 && x == 0) first = p
+        sumR += r; sumG += g; sumB += b
+        checksum += (y.toLong * width + x + 1L) * p
+        x += 1
+      }
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](
+      width, height, 24, width.toLong * height, sumR, sumG, sumB, first,
+      checksum))
+  }
+}
+
+/** `graft_bmp_encode(width, pixels)` → binary BMP blob (null when the
+  * pixel count is not a multiple of the width). */
+case class BmpEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_encode"
+
+  override protected def nullSafeEval(width: Any, pixels: Any): Any =
+    Bmp.encode(width.asInstanceOf[Int], pixels.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, p) => {
+      s"""
+         |byte[] ${ev.value}Tmp = graft.functions.Bmp.encode($w, $p);
+         |if (${ev.value}Tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BmpEncodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bmp_meta(bytes)` → struct metadata, null when not a valid
+  * 24bpp uncompressed BMP. */
+case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Bmp.metaSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_meta"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    Bmp.decode(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |InternalRow ${ev.value}Tmp = graft.functions.Bmp.decode($c);
+         |if (${ev.value}Tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BmpDecodeExpr =
+    copy(child = newChild)
+}

@@ -39,6 +39,24 @@ object Multimodal {
       GraftBridge.expression(bytes)))
   }
 
+  /** Encode row-major top-left 0xRRGGBB pixels (array<long>) at `width`
+    * into a 24bpp uncompressed BMP blob (bottom-up rows, BGR, padded) —
+    * codegen'd; null when the pixel count is not a multiple of width. */
+  def bmpEncode(width: Column, pixels: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.BmpEncodeExpr(
+      GraftBridge.expression(width.cast(IntegerType)),
+      GraftBridge.expression(pixels)))
+  }
+
+  /** Validated BMP metadata + exact per-channel sums and an
+    * order-sensitive positional checksum; NULL for malformed blobs. */
+  def bmpMeta(bytes: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.BmpDecodeExpr(
+      GraftBridge.expression(bytes)))
+  }
+
   /** Typed media row: payload + envelope metadata. */
   case class MediaRecord(
       media_id: Long,
