@@ -1111,6 +1111,8 @@ object Probe {
           graft.SparkEntry.queries("q269_wav_roundtrip")(spark, dir).count())
         timed("bmp roundtrip (sf0.1 events)")(
           graft.SparkEntry.queries("q270_bmp_roundtrip")(spark, dir).count())
+        timed("bmp resize 2x (sf0.1 events)")(
+          graft.SparkEntry.queries("q271_bmp_resize")(spark, dir).count())
       }
       // bucketed co-located join: two tables bucketed 32-way on the join
       // key must join with NO shuffle exchange on either side — the

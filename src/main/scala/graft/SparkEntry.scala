@@ -3912,6 +3912,38 @@ object SparkEntry {
             col("meta.first_pixel").as("first_pixel"),
             col("meta.pos_checksum").as("pos_checksum"))
           .orderBy("event_id")
+      }),
+
+    // REAL image resize: encode → 2× box-downsample (truncating integer
+    // block means over the REAL byte layout) → decode; the oracle computes
+    // the same block means from the pixel formula — hash equality proves
+    // block addressing through bottom-up rows and padding
+    Q("q271_bmp_resize", Some({
+      def blk(shift: Int) = {
+        val idx = "CAST((2*(o // ow) + d // 2)*w + 2*(o % ow) + (d % 2) + 1 AS INT)"
+        val inner = if (shift > 0) s"(ps[$idx] >> $shift)" else s"ps[$idx]"
+        s"(list_sum(list_transform(range(4), d -> $inner & 255)) // 4)"
+      }
+      s"""WITH e AS (SELECT event_id FROM events), p AS (SELECT event_id, 8 + event_id % 5 AS w, 6 + event_id % 4 AS h FROM e), px AS (SELECT event_id, w, h, w//2 AS ow, h//2 AS oh, list_transform(range(w*h), i -> (event_id*13 + i*17) % 16777216) AS ps FROM p), op AS (SELECT event_id, ow, oh, list_transform(range(ow*oh), o -> ${blk(16)}*65536 + ${blk(8)}*256 + ${blk(0)}) AS rp FROM px) SELECT event_id, CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height, CAST(ow*oh AS BIGINT) AS n_pixels, CAST(list_sum(list_transform(rp, x -> (x >> 16) & 255)) AS BIGINT) AS sum_r, CAST(list_sum(list_transform(rp, x -> (x >> 8) & 255)) AS BIGINT) AS sum_g, CAST(list_sum(list_transform(rp, x -> x & 255)) AS BIGINT) AS sum_b, CAST(rp[1] AS BIGINT) AS first_pixel, CAST(list_sum(list_transform(range(len(rp)), i -> (i+1)*rp[CAST(i+1 AS INT)])) AS BIGINT) AS pos_checksum FROM op ORDER BY event_id"""}),
+      (s, dir) => {
+        val w = lit(8L) + col("event_id") % 5L
+        val h = lit(6L) + col("event_id") % 4L
+        val pixels = transform(sequence(lit(0L), w * h - 1L),
+          i => (col("event_id") * 13L + i * 17L) % 16777216L)
+        KafkaLike.events(tune(s), dir).select(col("event_id"))
+          .withColumn("payload", Multimodal.bmpEncode(w, pixels))
+          .withColumn("small", Multimodal.bmpResize(col("payload"), lit(2)))
+          .withColumn("meta", Multimodal.bmpMeta(col("small")))
+          .select(col("event_id"),
+            col("meta.width").cast(LongType).as("width"),
+            col("meta.height").cast(LongType).as("height"),
+            col("meta.n_pixels").as("n_pixels"),
+            col("meta.sum_r").as("sum_r"),
+            col("meta.sum_g").as("sum_g"),
+            col("meta.sum_b").as("sum_b"),
+            col("meta.first_pixel").as("first_pixel"),
+            col("meta.pos_checksum").as("pos_checksum"))
+          .orderBy("event_id")
       })
   )
 

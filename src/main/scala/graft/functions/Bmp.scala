@@ -131,6 +131,60 @@ object Bmp {
       width, height, 24, width.toLong * height, sumR, sumG, sumB, first,
       checksum))
   }
+
+  /** Box-downsample a 24bpp BMP by integer `factor`: output pixel (Y,X)
+    * is the TRUNCATING per-channel mean of the factor×factor input block
+    * at (Y·k, X·k); trailing rows/columns that don't fill a block are
+    * dropped (floor semantics). Null for malformed input, factor < 1, or
+    * an output dimension of zero. Returns a well-formed BMP — resize
+    * composes with [[decode]] and the checksum proves block addressing. */
+  def resize(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    if (bytes == null || factor < 1) return null
+    if (bytes.length < HeaderBytes) return null
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return null
+    if (rdLe32(bytes, 10) != HeaderBytes || rdLe32(bytes, 14) != 40)
+      return null
+    val width = rdLe32(bytes, 18)
+    val height = rdLe32(bytes, 22)
+    if (width <= 0 || height <= 0) return null
+    if (rdLe16(bytes, 26) != 1 || rdLe16(bytes, 28) != 24) return null
+    if (rdLe32(bytes, 30) != 0) return null
+    val rowBytes = stride(width)
+    if (bytes.length != HeaderBytes + rowBytes.toLong * height) return null
+    val ow = width / factor
+    val oh = height / factor
+    if (ow <= 0 || oh <= 0) return null
+    val k2 = factor * factor
+    val out = new Array[Long](ow * oh)
+    var yy = 0
+    while (yy < oh) {
+      var xx = 0
+      while (xx < ow) {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var dy = 0
+        while (dy < factor) {
+          val y = yy * factor + dy
+          val fileRow = height - 1 - y
+          var dx = 0
+          while (dx < factor) {
+            val off = HeaderBytes + fileRow * rowBytes +
+              (xx * factor + dx) * 3
+            sb += bytes(off) & 0xffL
+            sg += bytes(off + 1) & 0xffL
+            sr += bytes(off + 2) & 0xffL
+            dx += 1
+          }
+          dy += 1
+        }
+        out(yy * ow + xx) =
+          ((sr / k2) << 16) | ((sg / k2) << 8) | (sb / k2)
+        xx += 1
+      }
+      yy += 1
+    }
+    encode(ow, org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(out))
+  }
 }
 
 /** `graft_bmp_encode(width, pixels)` → binary BMP blob (null when the
@@ -185,4 +239,32 @@ case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): BmpDecodeExpr =
     copy(child = newChild)
+}
+
+/** `graft_bmp_resize(bytes, factor)` → box-downsampled BMP blob, null for
+  * malformed input or an empty output. */
+case class BmpResizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_resize"
+
+  override protected def nullSafeEval(bytes: Any, factor: Any): Any =
+    Bmp.resize(bytes.asInstanceOf[Array[Byte]], factor.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, f) => {
+      s"""
+         |byte[] ${ev.value}Tmp = graft.functions.Bmp.resize($b, $f);
+         |if (${ev.value}Tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BmpResizeExpr =
+    copy(left = newLeft, right = newRight)
 }

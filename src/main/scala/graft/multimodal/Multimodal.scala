@@ -57,6 +57,16 @@ object Multimodal {
       GraftBridge.expression(bytes)))
   }
 
+  /** Integer box-downsample of a BMP blob by `factor` (truncating
+    * per-channel block means, floor output dims) — a REAL resize, output
+    * decodable by [[bmpMeta]]; NULL for malformed input or empty output. */
+  def bmpResize(bytes: Column, factor: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.BmpResizeExpr(
+      GraftBridge.expression(bytes),
+      GraftBridge.expression(factor.cast(IntegerType))))
+  }
+
   /** Typed media row: payload + envelope metadata. */
   case class MediaRecord(
       media_id: Long,

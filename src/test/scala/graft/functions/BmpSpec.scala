@@ -40,6 +40,27 @@ class BmpSpec extends SparkSuite {
       ((0, 0, 255))) // red as B=0 G=0 R=255 in the second stored row
   }
 
+  test("resize 2x: exact truncating block means, output re-decodable") {
+    import s.implicits._
+    // 2×2 block → 1×1: means are truncating per channel
+    val pixels = Seq(0x0a141eL, 0x0b151fL, 0x0c1620L, 0x0d1721L)
+    val r = Seq((2L, pixels)).toDF("w", "ps")
+      .withColumn("payload", Multimodal.bmpEncode(col("w"), col("ps")))
+      .withColumn("small", Multimodal.bmpResize(col("payload"), lit(2)))
+      .withColumn("meta", Multimodal.bmpMeta(col("small")))
+      .select(col("meta.width"), col("meta.height"),
+        col("meta.first_pixel")).head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1)
+    // R mean = (10+11+12+13)/4 = 11; G = (20..23)/4 = 21; B = 31
+    assert(r.getLong(2) == ((11L << 16) | (21L << 8) | 31L))
+    // factor larger than the image → null, not an exception
+    val tooSmall = Seq((2L, pixels)).toDF("w", "ps")
+      .select(Multimodal.bmpResize(
+        Multimodal.bmpEncode(col("w"), col("ps")), lit(4)).isNull)
+      .head().getBoolean(0)
+    assert(tooSmall)
+  }
+
   test("encode rejects ragged pixel counts; decode nulls malformed blobs") {
     import s.implicits._
     val ragged = Seq((3L, Seq(1L, 2L, 3L, 4L))).toDF("w", "ps")
