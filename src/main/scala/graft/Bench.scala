@@ -205,7 +205,8 @@ object Bench {
       "q259_tpch_q12", "q260_tpch_q14", "q261_tpch_q15", "q262_tpch_q17",
       "q263_tpch_q19", "q264_tpch_q21", "q265_salted_join",
       "q266_compaction_plan", "q267_join_advisor", "q268_margin_mine",
-      "q269_wav_roundtrip", "q270_bmp_roundtrip", "q271_bmp_resize")
+      "q269_wav_roundtrip", "q270_bmp_roundtrip", "q271_bmp_resize",
+      "q272_wav_frames", "q273_grouping_sets")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr, TimeUuidExpression}
+import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpResizeExpr, LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr, TimeUuidExpression, WavPcmDecodeExpr, WavPcmEncodeExpr}
 
 /**
  * SparkSessionExtensions hook: registers graft's custom expressions as SQL
@@ -15,6 +15,11 @@ import graft.functions.{LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr
  *   graft_qnorm2(a)       codegen'd int64 squared norm over array<long>
  *   graft_qlog2(x)        fixed-point log2 (1024 units/bit), the scoring scale
  *   graft_token_count(s)  the engine's whitespace token count
+ *   graft_wav_encode(rate, samples)   RIFF/WAVE PCM16 bytes
+ *   graft_wav_meta(bytes)             validated WAV metadata struct (null-routing)
+ *   graft_bmp_encode(width, pixels)   24bpp BMP bytes
+ *   graft_bmp_meta(bytes)             validated BMP metadata struct (null-routing)
+ *   graft_bmp_resize(bytes, k)        integer box-downsample, re-decodable
  *
  * Wire up with:
  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
@@ -76,6 +81,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           LambdaFunction(GreaterThan(Length(t), Literal(0)), Seq(t))),
           legacySizeOfNull = false), LongType)
       }))
+    // the REAL media codecs as SQL names: encode/decode/resize for
+    // RIFF/WAVE PCM16 and 24bpp BMP (WavPcm/Bmp expressions; null-routing
+    // decode contract carries over to SQL)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wav_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WavPcmEncodeExpr].getName, "graft_wav_encode"),
+      (args: Seq[Expression]) => WavPcmEncodeExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.IntegerType), args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wav_meta"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WavPcmDecodeExpr].getName, "graft_wav_meta"),
+      (args: Seq[Expression]) => WavPcmDecodeExpr(args.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bmp_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BmpEncodeExpr].getName, "graft_bmp_encode"),
+      (args: Seq[Expression]) => BmpEncodeExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.IntegerType), args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bmp_meta"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BmpDecodeExpr].getName, "graft_bmp_meta"),
+      (args: Seq[Expression]) => BmpDecodeExpr(args.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bmp_resize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BmpResizeExpr].getName, "graft_bmp_resize"),
+      (args: Seq[Expression]) => BmpResizeExpr(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType))))
     // graft_morton(x, y[, bits=8]): Z-order bit interleave of two
     // non-negative ints — Layout.mortonValue as a SQL name, expanded to
     // builtin shift/mask arithmetic so it codegens. `bits` must be an

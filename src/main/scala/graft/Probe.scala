@@ -1113,6 +1113,10 @@ object Probe {
           graft.SparkEntry.queries("q270_bmp_roundtrip")(spark, dir).count())
         timed("bmp resize 2x (sf0.1 events)")(
           graft.SparkEntry.queries("q271_bmp_resize")(spark, dir).count())
+        timed("wav frame energy (sf0.1 events)")(
+          graft.SparkEntry.queries("q272_wav_frames")(spark, dir).count())
+        timed("grouping sets (sf0.1 events)")(
+          graft.SparkEntry.queries("q273_grouping_sets")(spark, dir).count())
       }
       // bucketed co-located join: two tables bucketed 32-way on the join
       // key must join with NO shuffle exchange on either side — the

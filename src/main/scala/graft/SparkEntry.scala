@@ -3944,6 +3944,46 @@ object SparkEntry {
             col("meta.first_pixel").as("first_pixel"),
             col("meta.pos_checksum").as("pos_checksum"))
           .orderBy("event_id")
+      }),
+
+    // REAL audio feature extraction: per-frame Σs² over 16-sample windows
+    // of the encoded WAV bytes (the VAD/loudness segmentation primitive),
+    // exploded to rows; oracle recomputes frames from the sample formula
+    Q("q272_wav_frames", Some(
+      """WITH e AS (SELECT event_id FROM events), p AS (SELECT event_id, 50 + event_id % 50 AS n FROM e), sm AS (SELECT event_id, n, list_transform(range(n), i -> (event_id*7 + i*31) % 2001 - 1000) AS s FROM p), fr AS (SELECT event_id, n, s, unnest(range((n + 15) // 16)) AS frame_id FROM sm) SELECT event_id, CAST(frame_id AS BIGINT) AS frame_id, CAST(list_sum(list_transform(range(frame_id*16, LEAST(frame_id*16 + 16, n)), i -> s[CAST(i+1 AS INT)]*s[CAST(i+1 AS INT)])) AS BIGINT) AS energy FROM fr ORDER BY event_id, frame_id"""),
+      (s, dir) => {
+        val n = lit(50L) + col("event_id") % 50L
+        val samples = transform(sequence(lit(0L), n - 1L),
+          i => (col("event_id") * 7L + i * 31L) % 2001L - 1000L)
+        KafkaLike.events(tune(s), dir).select(col("event_id"))
+          .withColumn("payload", Multimodal.wavEncode(lit(8000L), samples))
+          .select(col("event_id"),
+            posexplode(Multimodal.wavFrameEnergy(col("payload"), lit(16)))
+              .as(Seq("frame_id", "energy")))
+          .select(col("event_id"), col("frame_id").cast(LongType)
+            .as("frame_id"), col("energy"))
+          .orderBy("event_id", "frame_id")
+      }),
+
+    // GROUPING SETS with grouping flags — the multi-granularity rollup
+    // surface beside cube (q213) and rollup (q43), per-column grouping
+    // markers so both engines agree without grouping_id bit-order pitfalls
+    Q("q273_grouping_sets", Some(
+      """WITH e AS (SELECT event_type, CAST(epoch_ms(ts) AS BIGINT) // 86400000 % 7 AS dow FROM events) SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(GROUPING(event_type) AS BIGINT) AS g_type, CAST(GROUPING(dow) AS BIGINT) AS g_dow, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY GROUPING SETS ((event_type), (dow), (event_type, dow), ()) ORDER BY g_type, g_dow, event_type, dow"""),
+      (s, dir) => {
+        val sp = tune(s)
+        KafkaLike.events(sp, dir)
+          .select(col("event_type"),
+            (IntMath.idiv(IntMath.idiv(col("ts"), lit(1000000L)),
+              lit(86400000L)) % 7L).as("dow"))
+          .createOrReplaceTempView("ge_events")
+        sp.sql("""SELECT event_type, CAST(dow AS BIGINT) AS dow,
+          CAST(grouping(event_type) AS BIGINT) AS g_type,
+          CAST(grouping(dow) AS BIGINT) AS g_dow,
+          CAST(COUNT(*) AS BIGINT) AS n
+          FROM ge_events
+          GROUP BY GROUPING SETS ((event_type), (dow), (event_type, dow), ())
+          ORDER BY g_type, g_dow, event_type, dow""")
       })
   )
 

@@ -121,6 +121,32 @@ object WavPcm {
       sampleRate, channels, bits, n.toLong,
       n.toLong * 1000L / sampleRate, peak, sumAbs, sumSq))
   }
+
+  /** Per-frame energy (Σ s² over consecutive `frameLen`-sample windows,
+    * last frame partial) of a PCM16-mono WAV — the frame-level feature
+    * extraction a VAD / loudness-segmentation pipeline runs. Null on
+    * malformed input (same validation as [[decode]]). */
+  def frameEnergy(bytes: Array[Byte], frameLen: Int): ArrayData = {
+    if (frameLen < 1) return null
+    if (bytes == null || bytes.length < HeaderBytes) return null
+    if (!hasTag(bytes, 0, "RIFF") || !hasTag(bytes, 8, "WAVE") ||
+        !hasTag(bytes, 12, "fmt ") || !hasTag(bytes, 36, "data")) return null
+    if (rdLe32(bytes, 16) != 16 || rdLe16(bytes, 20) != 1 ||
+        rdLe16(bytes, 22) != 1 || rdLe16(bytes, 34) != 16) return null
+    val dataBytes = rdLe32(bytes, 40)
+    if (dataBytes < 0 || dataBytes % 2 != 0 ||
+        HeaderBytes + dataBytes != bytes.length) return null
+    val n = dataBytes / 2
+    val nFrames = (n + frameLen - 1) / frameLen
+    val out = new Array[Long](nFrames)
+    var i = 0
+    while (i < n) {
+      val s = rdLe16(bytes, HeaderBytes + 2 * i).toShort.toLong
+      out(i / frameLen) += s * s
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** `graft_wav_encode(sample_rate, samples)` → binary WAV blob. */
@@ -165,4 +191,33 @@ case class WavPcmDecodeExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WavPcmDecodeExpr =
     copy(child = newChild)
+}
+
+/** `graft_wav_frame_energy(bytes, frameLen)` → array<long> of per-frame
+  * Σ s² (last frame partial); null for malformed WAVs. */
+case class WavFrameEnergyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_frame_energy"
+
+  override protected def nullSafeEval(bytes: Any, frameLen: Any): Any =
+    WavPcm.frameEnergy(bytes.asInstanceOf[Array[Byte]],
+      frameLen.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, f) => {
+      s"""
+         |ArrayData ${ev.value}Tmp = graft.functions.WavPcm.frameEnergy($b, $f);
+         |if (${ev.value}Tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WavFrameEnergyExpr =
+    copy(left = newLeft, right = newRight)
 }

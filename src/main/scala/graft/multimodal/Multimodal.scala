@@ -9,16 +9,16 @@ import org.apache.spark.sql.types._
  * plus typed metadata, with decode / feature-extract staged as partition-wise
  * batch transforms.
  *
- * AUDIO is decoded FOR REAL: [[wavEncode]]/[[wavMeta]] are a complete
- * RIFF/WAVE PCM16 codec as codegen'd Catalyst expressions
- * ([[graft.functions.WavPcm]]) — WAV is a pure byte-layout format, no
- * media library required, and q-oracle'd end to end (q269). The
- * image/video decode step remains a STUB (no libjpeg/ffmpeg in this
- * container): a deterministic fake that derives "dimensions" and
- * "features" from payload bytes. Everything Spark-side — schema, binary
- * column handling, partition batching, the mapPartitions transform shape,
- * metadata projection — is real and is exactly what a production decode
- * would ride on.
+ * AUDIO and uncompressed IMAGES are decoded FOR REAL:
+ * [[wavEncode]]/[[wavMeta]] are a complete RIFF/WAVE PCM16 codec and
+ * [[bmpEncode]]/[[bmpMeta]]/[[bmpResize]] a complete 24bpp BMP codec with
+ * an integer box-downsample, all as codegen'd Catalyst expressions
+ * ([[graft.functions.WavPcm]], [[graft.functions.Bmp]]) — both are pure
+ * byte-layout formats needing no media library, and both are
+ * DuckDB-oracled end to end (q269–q271). Only COMPRESSED-codec decode
+ * (JPEG/ffmpeg-class) remains a STUB: a deterministic fake that derives
+ * "dimensions" and "features" from payload bytes, behind the same
+ * partition-wise signature a real libjpeg/ffmpeg decode would ride on.
  */
 object Multimodal {
 
@@ -65,6 +65,16 @@ object Multimodal {
     GraftBridge.column(graft.functions.BmpResizeExpr(
       GraftBridge.expression(bytes),
       GraftBridge.expression(factor.cast(IntegerType))))
+  }
+
+  /** Per-frame Σ s² over `frameLen`-sample windows of a WAV blob (last
+    * frame partial) — real frame-level audio feature extraction; NULL for
+    * malformed blobs. */
+  def wavFrameEnergy(bytes: Column, frameLen: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.WavFrameEnergyExpr(
+      GraftBridge.expression(bytes),
+      GraftBridge.expression(frameLen.cast(IntegerType))))
   }
 
   /** Typed media row: payload + envelope metadata. */

@@ -42,6 +42,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val viaCol = spark.range(1).select(graft.operators.Layout
         .mortonValue(lit(255L), lit(0L), 8)).collect().head.getLong(0)
       assert(m.getLong(1) == viaCol)
+      // media codecs in SQL: encode→decode round trip + null-routing
+      val w = spark.sql(
+        "SELECT graft_wav_meta(graft_wav_encode(8000, array(1L, -1L))).n_samples AS n, " +
+          "graft_wav_meta(CAST('junk' AS BINARY)) IS NULL AS bad, " +
+          "graft_bmp_meta(graft_bmp_resize(graft_bmp_encode(2, " +
+          "array(0L, 0L, 4L, 4L)), 2)).first_pixel AS fp").collect().head
+      assert(w.getLong(0) == 2L)
+      assert(w.getBoolean(1))
+      assert(w.getLong(2) == 2L) // mean of (0,0,4,4) per channel = 2
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
