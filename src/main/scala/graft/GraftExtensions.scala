@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpResizeExpr, LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr, TimeUuidExpression, WavPcmDecodeExpr, WavPcmEncodeExpr}
+import graft.functions.{AviDecodeExpr, AviEncodeExpr, AviFrameExpr, BmpDecodeExpr, BmpEncodeExpr, BmpResizeExpr, LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr, TimeUuidExpression, WavPcmDecodeExpr, WavPcmEncodeExpr}
 
 /**
  * SparkSessionExtensions hook: registers graft's custom expressions as SQL
@@ -113,6 +113,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BmpResizeExpr].getName, "graft_bmp_resize"),
       (args: Seq[Expression]) => BmpResizeExpr(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_avi_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[AviEncodeExpr].getName, "graft_avi_encode"),
+      (args: Seq[Expression]) => AviEncodeExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.IntegerType), args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_avi_meta"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[AviDecodeExpr].getName, "graft_avi_meta"),
+      (args: Seq[Expression]) => AviDecodeExpr(args.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_avi_frame"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[AviFrameExpr].getName, "graft_avi_frame"),
+      (args: Seq[Expression]) => AviFrameExpr(args.head,
         org.apache.spark.sql.catalyst.expressions.Cast(args(1),
           org.apache.spark.sql.types.IntegerType))))
     // graft_morton(x, y[, bits=8]): Z-order bit interleave of two

@@ -3984,6 +3984,42 @@ object SparkEntry {
           FROM ge_events
           GROUP BY GROUPING SETS ((event_type), (dow), (event_type, dow), ())
           ORDER BY g_type, g_dow, event_type, dow""")
+      }),
+
+    // REAL video round trip: per-event BMP frames → RIFF/AVI mux →
+    // container metadata + demux of frame (event_id % n_frames) → BMP
+    // decode; oracle recomputes everything from the frame-pixel formula —
+    // hash equality proves the mux→demux→decode chain byte-exactly
+    Q("q274_avi_roundtrip", Some(
+      """WITH e AS (SELECT event_id FROM events), p AS (SELECT event_id, 4 + event_id % 4 AS w, 3 + event_id % 3 AS h, 2 + event_id % 3 AS nf FROM e), sel AS (SELECT event_id, w, h, nf, event_id % nf AS fs FROM p), px AS (SELECT event_id, w, h, nf, fs, list_transform(range(w*h), i -> (event_id*13 + fs*29 + i*17) % 16777216) AS ps FROM sel) SELECT event_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames, CAST(nf*40 AS BIGINT) AS duration_ms, CAST(nf*(8 + ((w*3 + 3) // 4 * 4)*h) AS BIGINT) AS movi_bytes, CAST(fs AS BIGINT) AS frame_idx, CAST(list_sum(list_transform(ps, x -> (x >> 16) & 255)) AS BIGINT) AS sum_r, CAST(list_sum(list_transform(ps, x -> x & 255)) AS BIGINT) AS sum_b, CAST(ps[1] AS BIGINT) AS first_pixel, CAST(list_sum(list_transform(range(len(ps)), i -> (i+1)*ps[CAST(i+1 AS INT)])) AS BIGINT) AS pos_checksum FROM px ORDER BY event_id"""),
+      (s, dir) => {
+        val w = lit(4L) + col("event_id") % 4L
+        val h = lit(3L) + col("event_id") % 3L
+        val nf = lit(2L) + col("event_id") % 3L
+        val frames = transform(sequence(lit(0L), nf - 1L), f =>
+          Multimodal.bmpEncode(w,
+            transform(sequence(lit(0L), w * h - 1L),
+              i => (col("event_id") * 13L + f * 29L + i * 17L)
+                % 16777216L)))
+        KafkaLike.events(tune(s), dir).select(col("event_id"))
+          .withColumn("avi", Multimodal.aviEncode(lit(40000L), frames))
+          .withColumn("vmeta", Multimodal.aviMeta(col("avi")))
+          .withColumn("fs", (col("event_id") % (lit(2L) +
+            col("event_id") % 3L)))
+          .withColumn("fmeta",
+            Multimodal.bmpMeta(Multimodal.aviFrame(col("avi"), col("fs"))))
+          .select(col("event_id"),
+            col("vmeta.width").cast(LongType).as("width"),
+            col("vmeta.height").cast(LongType).as("height"),
+            col("vmeta.n_frames").as("n_frames"),
+            col("vmeta.duration_ms").as("duration_ms"),
+            col("vmeta.movi_bytes").as("movi_bytes"),
+            col("fs").as("frame_idx"),
+            col("fmeta.sum_r").as("sum_r"),
+            col("fmeta.sum_b").as("sum_b"),
+            col("fmeta.first_pixel").as("first_pixel"),
+            col("fmeta.pos_checksum").as("pos_checksum"))
+          .orderBy("event_id")
       })
   )
 

@@ -9,16 +9,18 @@ import org.apache.spark.sql.types._
  * plus typed metadata, with decode / feature-extract staged as partition-wise
  * batch transforms.
  *
- * AUDIO and uncompressed IMAGES are decoded FOR REAL:
- * [[wavEncode]]/[[wavMeta]] are a complete RIFF/WAVE PCM16 codec and
- * [[bmpEncode]]/[[bmpMeta]]/[[bmpResize]] a complete 24bpp BMP codec with
- * an integer box-downsample, all as codegen'd Catalyst expressions
- * ([[graft.functions.WavPcm]], [[graft.functions.Bmp]]) — both are pure
- * byte-layout formats needing no media library, and both are
- * DuckDB-oracled end to end (q269–q271). Only COMPRESSED-codec decode
- * (JPEG/ffmpeg-class) remains a STUB: a deterministic fake that derives
- * "dimensions" and "features" from payload bytes, behind the same
- * partition-wise signature a real libjpeg/ffmpeg decode would ride on.
+ * ALL THREE MODALITIES have a REAL byte-layout codec:
+ * [[wavEncode]]/[[wavMeta]]/[[wavFrameEnergy]] are a complete RIFF/WAVE
+ * PCM16 codec with frame-level features, [[bmpEncode]]/[[bmpMeta]]/
+ * [[bmpResize]] a complete 24bpp BMP codec with integer box-downsample,
+ * and [[aviEncode]]/[[aviMeta]]/[[aviFrame]] a RIFF/AVI video container
+ * muxer with frame-accurate demux — all codegen'd Catalyst expressions
+ * ([[graft.functions.WavPcm]], [[graft.functions.Bmp]],
+ * [[graft.functions.Avi]]), all pure byte-layout formats needing no media
+ * library, all DuckDB-oracled end to end (q269–q272, q274). Only
+ * COMPRESSED-codec decode (JPEG/H.26x-class) remains a STUB: a
+ * deterministic fake behind the same partition-wise signature a real
+ * libjpeg/ffmpeg decode would ride on.
  */
 object Multimodal {
 
@@ -75,6 +77,34 @@ object Multimodal {
     GraftBridge.column(graft.functions.WavFrameEnergyExpr(
       GraftBridge.expression(bytes),
       GraftBridge.expression(frameLen.cast(IntegerType))))
+  }
+
+  /** Mux an array of same-dimension BMP blobs into a RIFF/AVI container
+    * at `usecPerFrame` — a REAL video muxer; NULL on malformed or
+    * dimension-mismatched frames. */
+  def aviEncode(usecPerFrame: Column, frames: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.AviEncodeExpr(
+      GraftBridge.expression(usecPerFrame.cast(IntegerType)),
+      GraftBridge.expression(frames)))
+  }
+
+  /** Validated AVI container metadata (dims, frame count, frame interval,
+    * duration, walked movi payload); NULL for malformed containers. */
+  def aviMeta(bytes: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.AviDecodeExpr(
+      GraftBridge.expression(bytes)))
+  }
+
+  /** Demux frame `idx` of an AVI as a standalone BMP blob — REAL
+    * frame-sample extraction, composing with [[bmpMeta]]/[[bmpResize]];
+    * NULL for malformed input or out-of-range index. */
+  def aviFrame(bytes: Column, idx: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.AviFrameExpr(
+      GraftBridge.expression(bytes),
+      GraftBridge.expression(idx.cast(IntegerType))))
   }
 
   /** Typed media row: payload + envelope metadata. */
