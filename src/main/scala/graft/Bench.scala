@@ -206,7 +206,8 @@ object Bench {
       "q263_tpch_q19", "q264_tpch_q21", "q265_salted_join",
       "q266_compaction_plan", "q267_join_advisor", "q268_margin_mine",
       "q269_wav_roundtrip", "q270_bmp_roundtrip", "q271_bmp_resize",
-      "q272_wav_frames", "q273_grouping_sets", "q274_avi_roundtrip")
+      "q272_wav_frames", "q273_grouping_sets", "q274_avi_roundtrip",
+      "q275_media_curation")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -1119,6 +1119,9 @@ object Probe {
           graft.SparkEntry.queries("q273_grouping_sets")(spark, dir).count())
         timed("avi mux/demux roundtrip (sf0.1 events)")(
           graft.SparkEntry.queries("q274_avi_roundtrip")(spark, dir).count())
+        timed("media curation report (sf0.1 events)")(
+          graft.SparkEntry.queries("q275_media_curation")(spark, dir)
+            .count())
       }
       // bucketed co-located join: two tables bucketed 32-way on the join
       // key must join with NO shuffle exchange on either side — the

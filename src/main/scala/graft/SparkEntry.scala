@@ -4020,6 +4020,47 @@ object SparkEntry {
             col("fmeta.first_pixel").as("first_pixel"),
             col("fmeta.pos_checksum").as("pos_checksum"))
           .orderBy("event_id")
+      }),
+
+    // mixed-modality curation report: build a 3-modality binary corpus
+    // (WAV/BMP/AVI by event), corrupt a deterministic slice by truncation,
+    // and report per-kind valid/corrupt/byte totals — validity is judged
+    // by the REAL decoders' null-routing, byte math by the oracle formula
+    Q("q275_media_curation", Some(
+      """WITH e AS (SELECT event_id, event_id % 3 AS m, event_id % 17 = 3 AS corrupt, 20 + event_id % 10 AS n FROM events) SELECT CASE m WHEN 0 THEN 'audio' WHEN 1 THEN 'image' ELSE 'video' END AS kind, CAST(COUNT(*) AS BIGINT) AS n_media, CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_valid, CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt, CAST(SUM((CASE m WHEN 0 THEN 44 + 2*n WHEN 1 THEN 90 ELSE 312 END) - CASE WHEN corrupt THEN 5 ELSE 0 END) AS BIGINT) AS total_bytes FROM e GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val id = col("event_id")
+        val m = id % 3L
+        val n = lit(20L) + id % 10L
+        val wavSamples = transform(sequence(lit(0L), n - 1L),
+          i => (id * 7L + i * 31L) % 2001L - 1000L)
+        val bmpPixels = transform(sequence(lit(0L), lit(11L)),
+          i => (id * 13L + i * 17L) % 16777216L)
+        val aviFrames = transform(sequence(lit(0L), lit(1L)), f =>
+          Multimodal.bmpEncode(lit(4L),
+            transform(sequence(lit(0L), lit(11L)),
+              i => (id * 13L + f * 29L + i * 17L) % 16777216L)))
+        val intact = when(m === 0L, Multimodal.wavEncode(lit(8000L), wavSamples))
+          .when(m === 1L, Multimodal.bmpEncode(lit(4L), bmpPixels))
+          .otherwise(Multimodal.aviEncode(lit(40000L), aviFrames))
+        KafkaLike.events(tune(s), dir).select(id)
+          .withColumn("kind", when(m === 0L, "audio")
+            .when(m === 1L, "image").otherwise("video"))
+          .withColumn("payload0", intact)
+          .withColumn("payload", when(id % 17L === 3L,
+            expr("substring(payload0, 1, length(payload0) - 5)"))
+            .otherwise(col("payload0")))
+          .withColumn("valid", when(col("kind") === "audio",
+              Multimodal.wavMeta(col("payload")).isNotNull)
+            .when(col("kind") === "image",
+              Multimodal.bmpMeta(col("payload")).isNotNull)
+            .otherwise(Multimodal.aviMeta(col("payload")).isNotNull))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_media"),
+            sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+            sum(when(col("valid"), 0L).otherwise(1L)).as("n_corrupt"),
+            sum(length(col("payload")).cast(LongType)).as("total_bytes"))
+          .orderBy("kind")
       })
   )
 
