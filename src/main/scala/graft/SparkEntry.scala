@@ -3422,7 +3422,7 @@ object SparkEntry {
     // share-of-total OLAP: each nation's revenue share within its region
     // (keyed window over a broadcast-joined star)
     Q("q252_share_of_total", Some(
-      """WITH rev AS (SELECT n.n_regionkey, n.n_name, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS rev_u FROM lineitem l JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey JOIN nation n ON s2.s_nationkey = n.n_nationkey GROUP BY 1, 2) SELECT r.r_name, rev.n_name, rev.rev_u, CAST(rev.rev_u*1000000 // SUM(rev.rev_u) OVER (PARTITION BY rev.n_regionkey) AS BIGINT) AS share_ppm FROM rev JOIN region r ON rev.n_regionkey = r.r_regionkey ORDER BY r.r_name, rev.n_name"""),
+      """WITH rev AS (SELECT n.n_regionkey, n.n_name, CAST(SUM(CAST(floor(l.l_extendedprice*100) AS BIGINT)*(100 - CAST(floor(l.l_discount*100) AS BIGINT))) AS BIGINT) AS rev_u FROM lineitem l JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey JOIN nation n ON s2.s_nationkey = n.n_nationkey GROUP BY 1, 2) SELECT r.r_name, rev.n_name, rev.rev_u, CAST(CAST(rev.rev_u AS HUGEINT)*1000000 // SUM(CAST(rev.rev_u AS HUGEINT)) OVER (PARTITION BY rev.n_regionkey) AS BIGINT) AS share_ppm FROM rev JOIN region r ON rev.n_regionkey = r.r_regionkey ORDER BY r.r_name, rev.n_name"""),
       (s, dir) => {
         val sp = tune(s)
         val l = lineitem(sp, dir).select(col("l_suppkey"),
@@ -3443,8 +3443,14 @@ object SparkEntry {
           .join(broadcast(sp.read.parquet(s"$dir/region.parquet")),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("r_name"), col("n_name"), col("rev_u"),
-            IntMath.idiv(col("rev_u") * lit(1000000L),
-              sum(col("rev_u")).over(w)).as("share_ppm"))
+            // rev_u*1e6 overflows int64 from sf0.1 up (per-nation sums reach
+            // ~2.4e13) — widen the ppm ratio to DECIMAL(38,0); div on
+            // decimals returns the truncated quotient as BIGINT, matching
+            // the oracle's HUGEINT floor-div on non-negative operands
+            IntMath.idiv(
+              col("rev_u").cast(DecimalType(38, 0)) * lit(1000000L),
+              sum(col("rev_u")).over(w).cast(DecimalType(38, 0)))
+              .cast(LongType).as("share_ppm"))
           .orderBy("r_name", "n_name")
       }),
 
