@@ -207,7 +207,8 @@ object Bench {
       "q266_compaction_plan", "q267_join_advisor", "q268_margin_mine",
       "q269_wav_roundtrip", "q270_bmp_roundtrip", "q271_bmp_resize",
       "q272_wav_frames", "q273_grouping_sets", "q274_avi_roundtrip",
-      "q275_media_curation")
+      "q275_media_curation", "q276_image_phash", "q277_phash_band_pairs",
+      "q278_audio_fingerprint", "q279_scd2_dimension")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{BigEndian, Codecs, TimeUuid}
 import graft.mapping.SinkConfig
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaDedup, Multimodal}
 import graft.operators._
 import graft.sink.SinkTable
 import graft.sources.KafkaLike
@@ -2912,7 +2912,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit FROM events), g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e), s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), ses AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(MAX(hit) AS BIGINT) AS converted FROM s GROUP BY 1, 2) SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(SUM(converted) AS BIGINT) AS n_converted, CAST(SUM(CASE WHEN converted = 1 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_converted, CAST(SUM(CASE WHEN converted = 0 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_other, CAST(SUM(converted)*1000000 // GREATEST(COUNT(*), 1) AS BIGINT) AS conversion_ppm FROM ses"""),
       (s, dir) => graft.streaming.EventTimeOps.sessionConversion(
         KafkaLike.frame(tune(s), dir), 1800000L, "purchase"))
-  ) ++ r7LayoutAndStats
+  ) ++ r7LayoutAndStats ++ r7MediaDedupAndScd
 
   /** DuckDB mirror of [[Layout.mortonValue]] over `bits`-bit operands:
     * the same Σ shift/mask terms, generated once so both engines share
@@ -4067,6 +4067,118 @@ object SparkEntry {
             sum(when(col("valid"), 0L).otherwise(1L)).as("n_corrupt"),
             sum(length(col("payload")).cast(LongType)).as("total_bytes"))
           .orderBy("kind")
+      })
+  )
+
+  /** DuckDB mirror of the aHash pipeline over the q276/q277 synthetic
+    * 16×16 grayscale corpus (base = event_id % 97 picks the underlying
+    * image, a ±1 jitter varies each copy): source pixels → 2× box
+    * downsample (the q271 block formula) → grid mean → threshold bits
+    * packed into two 32-bit halves. Shared by both phash oracles so the
+    * clustering and banding queries check the IDENTICAL hash. */
+  private def dPhashCtes(where: String): String = {
+    val blk = (d1: String, d2: String, d3: String, d4: String) =>
+      s"(v[CAST($d1 AS INT)] + v[CAST($d2 AS INT)] + v[CAST($d3 AS INT)] + v[CAST($d4 AS INT)]) // 4"
+    val b = blk("(2*(o//8))*16 + 2*(o%8) + 1", "(2*(o//8))*16 + 2*(o%8) + 2",
+      "(2*(o//8)+1)*16 + 2*(o%8) + 1", "(2*(o//8)+1)*16 + 2*(o%8) + 2")
+    s"""e AS (SELECT event_id, event_id % 97 AS base FROM events $where), px AS (SELECT event_id, base, list_transform(range(256), i -> 8 + (base*37 + i*11) % 240 + (event_id*3 + i) % 2) AS v FROM e), bm AS (SELECT event_id, base, list_transform(range(64), o -> $b) AS b FROM px), hm AS (SELECT event_id, base, b, list_sum(b) // 64 AS m FROM bm), ph AS (SELECT event_id, base, CAST(list_sum(list_transform(range(32,64), o -> CASE WHEN b[CAST(o+1 AS INT)] > m THEN (1::BIGINT << CAST(o-32 AS INT)) ELSE 0 END)) AS BIGINT) AS phash_hi, CAST(list_sum(list_transform(range(32), o -> CASE WHEN b[CAST(o+1 AS INT)] > m THEN (1::BIGINT << CAST(o AS INT)) ELSE 0 END)) AS BIGINT) AS phash_lo FROM hm)"""
+  }
+
+  /** Spark side of the same synthetic image: 16×16 grayscale pixels
+    * (r=g=b=v ⇒ packed = v·65793) through the REAL BMP encoder. */
+  private def phashTestImages(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val base = id % 97L
+    val pixels = transform(sequence(lit(0L), lit(255L)),
+      i => (lit(8L) + (base * 37L + i * 11L) % 240L +
+        (id * 3L + i) % 2L) * 65793L)
+    KafkaLike.events(tune(s), dir).select(id)
+      .withColumn("payload", Multimodal.bmpEncode(lit(16L), pixels))
+  }
+
+  private lazy val r7MediaDedupAndScd: Seq[Q] = Seq(
+
+    // image NEAR-DUP clustering on content, not bytes: synthetic 16×16
+    // grayscale images where base = event_id % 97 picks the picture and a
+    // ±1 jitter varies each copy (so byte hashes differ per copy) →
+    // REAL encode → REAL 2× box resize → aHash64 → cluster. The hash
+    // rides the full codec chain; the oracle recomputes it from the
+    // pixel formula alone — equality proves resize+grayscale+threshold
+    Q("q276_image_phash", Some(
+      s"""WITH ${dPhashCtes("")} SELECT phash_hi, phash_lo, CAST(COUNT(*) AS BIGINT) AS n_images, CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases, CAST(MIN(event_id) AS BIGINT) AS canonical FROM ph GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        phashTestImages(s, dir)
+          .withColumn("h", MediaDedup.aHash64(col("payload"), lit(2)))
+          .select(col("h.phash_hi").as("phash_hi"),
+            col("h.phash_lo").as("phash_lo"), col("event_id"),
+            (col("event_id") % 97L).as("base"))
+          .groupBy("phash_hi", "phash_lo")
+          .agg(count(lit(1)).as("n_images"),
+            countDistinct("base").as("n_bases"),
+            min("event_id").as("canonical"))
+          .orderBy("phash_hi", "phash_lo")
+      }),
+
+    // image near-dup CANDIDATE pairs by 4×16-bit hamming bands (the LSH
+    // gate: hamming ≤3 ⇒ some band matches exactly) over a 1/19 slice,
+    // reported as a hamming histogram with same-base purity — the
+    // banding recall surface for perceptual hashes
+    Q("q277_phash_band_pairs", Some(
+      s"""WITH ${dPhashCtes("WHERE event_id % 19 = 0")}, bands AS (SELECT event_id, base, phash_hi AS hi, phash_lo AS lo, bid, CASE bid WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536 WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS bv FROM ph, (SELECT unnest(range(4)) AS bid)), cand AS (SELECT DISTINCT a.event_id AS aid, b.event_id AS bid2, a.hi AS ah, a.lo AS al, b.hi AS bh, b.lo AS bl FROM bands a JOIN bands b ON a.bid = b.bid AND a.bv = b.bv AND a.event_id < b.event_id) SELECT CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS BIGINT) AS hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN aid % 97 = bid2 % 97 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_base FROM cand GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val images = phashTestImages(s, dir)
+          .filter(col("event_id") % 19L === 0L)
+        MediaDedup.phashCandidatePairs(images, "event_id", "payload",
+            lit(2))
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("a_id") % 97L === col("b_id") % 97L, 1L)
+              .otherwise(0L)).as("n_same_base"))
+          .orderBy("hamming")
+      }),
+
+    // audio near-dup on content: 64-sample clips where base =
+    // event_id % 61 picks the tone pattern and a ±1 amplitude jitter
+    // varies each copy → REAL WAV encode → frame energies (frameLen 4 →
+    // 16 frames) → 15-bit energy-descent fingerprint → cluster; zero
+    // cross-base collisions at this corpus (n_bases pins it)
+    Q("q278_audio_fingerprint", Some(
+      """WITH e AS (SELECT event_id, event_id % 61 AS base FROM events), sm AS (SELECT event_id, base, list_transform(range(64), i -> ((base*97 + (i+3)*(base+7)*11 + i*i*29) % 2001 - 1000) + (event_id + i) % 3 - 1) AS s FROM e), fe AS (SELECT event_id, base, list_transform(range(16), f -> s[CAST(4*f+1 AS INT)]*s[CAST(4*f+1 AS INT)] + s[CAST(4*f+2 AS INT)]*s[CAST(4*f+2 AS INT)] + s[CAST(4*f+3 AS INT)]*s[CAST(4*f+3 AS INT)] + s[CAST(4*f+4 AS INT)]*s[CAST(4*f+4 AS INT)]) AS en FROM sm), fp AS (SELECT event_id, base, CAST(list_sum(list_transform(range(15), f -> CASE WHEN en[CAST(f+1 AS INT)] > en[CAST(f+2 AS INT)] THEN (1::BIGINT << CAST(f AS INT)) ELSE 0 END)) AS BIGINT) AS fingerprint FROM fe) SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_clips, CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases, CAST(MIN(event_id) AS BIGINT) AS canonical FROM fp GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val id = col("event_id")
+        val base = id % 61L
+        val samples = transform(sequence(lit(0L), lit(63L)),
+          i => (base * 97L + (i + 3L) * (base + 7L) * 11L +
+            i * i * 29L) % 2001L - 1000L + (id + i) % 3L - 1L)
+        KafkaLike.events(tune(s), dir).select(id)
+          .withColumn("payload", Multimodal.wavEncode(lit(8000L), samples))
+          .select(
+            MediaDedup.audioFingerprint(col("payload"), lit(4))
+              .as("fingerprint"),
+            id, base.as("base"))
+          .groupBy("fingerprint")
+          .agg(count(lit(1)).as("n_clips"),
+            countDistinct("base").as("n_bases"),
+            min("event_id").as("canonical"))
+          .orderBy("fingerprint")
+      }),
+
+    // SCD2 dimension build from the event log: collapse each user's
+    // event-type stream into validity intervals (consecutive same-state
+    // events extend the run; a change opens a new version); the
+    // warehouse-side complement of the LWW merge — two keyed windows +
+    // one partial agg, one shuffle by user
+    Q("q279_scd2_dimension", Some(
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id FROM events), o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e), c AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS version FROM o), g AS (SELECT user_id, version, MIN(event_type) AS status, MIN(ts_ms) AS valid_from_ms, CAST(COUNT(*) AS BIGINT) AS n_events FROM c GROUP BY 1, 2), f AS (SELECT *, lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_ms FROM g) SELECT user_id, CAST(version AS BIGINT) AS version, status, valid_from_ms, valid_to_ms, valid_to_ms IS NULL AS is_current, n_events FROM f ORDER BY user_id, version"""),
+      (s, dir) => {
+        val e = KafkaLike.events(tune(s), dir).select(col("user_id"),
+          col("event_type"),
+          IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+          col("event_id"))
+        Snapshot.scd2(e, "user_id", "event_type", "ts_ms", "event_id")
+          .withColumnRenamed("valid_from", "valid_from_ms")
+          .withColumnRenamed("valid_to", "valid_to_ms")
+          .orderBy("user_id", "version")
       })
   )
 

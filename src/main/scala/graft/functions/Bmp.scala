@@ -132,6 +132,39 @@ object Bmp {
       checksum))
   }
 
+  /** Decode a 24bpp BMP to its packed 0xRRGGBB pixels in TOP-LEFT
+    * row-major order (undoing the bottom-up file layout) — the "decode to
+    * tensor" step of the multimodal pipeline, feeding per-pixel transforms
+    * (grayscale, perceptual hash, thresholding) as plain `array<long>`
+    * column logic. Null for any malformed blob, like [[decode]]. */
+  def pixels(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < HeaderBytes) return null
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return null
+    if (rdLe32(bytes, 10) != HeaderBytes || rdLe32(bytes, 14) != 40)
+      return null
+    val width = rdLe32(bytes, 18)
+    val height = rdLe32(bytes, 22)
+    if (width <= 0 || height <= 0) return null
+    if (rdLe16(bytes, 26) != 1 || rdLe16(bytes, 28) != 24) return null
+    if (rdLe32(bytes, 30) != 0) return null
+    val rowBytes = stride(width)
+    if (bytes.length != HeaderBytes + rowBytes.toLong * height) return null
+    val out = new Array[Long](width * height)
+    var y = 0
+    while (y < height) {
+      val fileRow = height - 1 - y
+      var x = 0
+      while (x < width) {
+        val off = HeaderBytes + fileRow * rowBytes + x * 3
+        out(y * width + x) = ((bytes(off + 2) & 0xffL) << 16) |
+          ((bytes(off + 1) & 0xffL) << 8) | (bytes(off) & 0xffL)
+        x += 1
+      }
+      y += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Box-downsample a 24bpp BMP by integer `factor`: output pixel (Y,X)
     * is the TRUNCATING per-channel mean of the factor×factor input block
     * at (Y·k, X·k); trailing rows/columns that don't fill a block are
@@ -238,6 +271,32 @@ case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): BmpDecodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_bmp_pixels(bytes)` → array<long> of packed 0xRRGGBB pixels in
+  * top-left row-major order; null when not a valid 24bpp BMP. */
+case class BmpPixelsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_pixels"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    Bmp.pixels(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |ArrayData ${ev.value}Tmp = graft.functions.Bmp.pixels($c);
+         |if (${ev.value}Tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BmpPixelsExpr =
     copy(child = newChild)
 }
 

@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.IntMath
+
+/**
+ * Near-duplicate detection over DECODED media bytes — the image/audio
+ * counterpart of the text MinHash/SimHash family in
+ * [[graft.operators.Dedup]]. A crawl-scale multimodal corpus carries the
+ * same dup structure as text (mirrors, re-encodes, slight crops/jitters),
+ * and the curation pipeline needs content-level signatures, not byte
+ * hashes: one flipped pixel changes the blob's SHA but not its perceptual
+ * hash.
+ *
+ * Signatures compose the REAL codecs ([[Multimodal.bmpResize]] /
+ * [[Multimodal.bmpPixels]] / [[Multimodal.wavFrameEnergy]]) as pure
+ * codegen'd column logic:
+ *
+ *  - [[aHash64]] — classic average-hash: box-downsample to 8×8, grayscale,
+ *    threshold against the grid mean → 64 bits. Robust to small pixel
+ *    jitter (a ±1 channel wiggle moves a block mean by ≤1, flipping a bit
+ *    only when the block sits exactly at the corpus mean).
+ *  - [[audioFingerprint]] — FFT-free energy-descent fingerprint: frame the
+ *    PCM stream, bit f = energy(f) > energy(f+1). The descent PATTERN
+ *    survives amplitude jitter; no media library needed.
+ *
+ * Scale shape: signatures are map-only (one pass over the blob bytes,
+ * whole-stage codegen); clustering is one partial-agg groupBy on the
+ * 64-bit signature; near-match candidates use the same 4×16-bit banding
+ * as the text LSH path (a hamming-≤k pair shares ≥1 exact band for k≤3 by
+ * pigeonhole) so candidate volume tracks dup density, not corpus².
+ * Like batch `minhashCandidates`, band buckets are uncapped here —
+ * Dedup.cappedCandidates documents the cap contract for dup-dense
+ * corpora.
+ */
+object MediaDedup {
+
+  /** Truncating-mean grayscale of a packed 0xRRGGBB pixel column. */
+  private def gray(p: Column): Column = IntMath.idiv(
+    shiftright(p, 16).bitwiseAND(lit(255L)) +
+      shiftright(p, 8).bitwiseAND(lit(255L)) + p.bitwiseAND(lit(255L)),
+    lit(3L))
+
+  /** Integer-exact bit pack: bits `hiBit..loBit` of the threshold mask
+    * (gray(i) > mean), accumulated most-significant-first so the result is
+    * Σ bit_o << (o - loBit) without needing a column-shift primitive. */
+  private def packBits(grays: Column, mean: Column, hiBit: Int,
+      loBit: Int): Column =
+    aggregate(sequence(lit(hiBit), lit(loBit), lit(-1)), lit(0L),
+      (acc, o) => acc * lit(2L) +
+        when(element_at(grays, o + 1) > mean, 1L).otherwise(0L))
+
+  /**
+   * 64-bit average-hash of a 24bpp BMP blob as
+   * `struct(phash_hi, phash_lo)` — two non-negative 32-bit halves (a
+   * single LongType hash would fight sign semantics in both engines'
+   * integer ops). `factor` must box-downsample the image to exactly 8×8
+   * (factor = width/8 = height/8); anything else — including malformed
+   * blobs — is null (route, don't throw).
+   */
+  def aHash64(bytes: Column, factor: Column): Column = {
+    val px = Multimodal.bmpPixels(Multimodal.bmpResize(bytes, factor))
+    val gs = transform(px, gray(_))
+    val mean = IntMath.idiv(aggregate(gs, lit(0L), _ + _), lit(64L))
+    when(size(px) === 64, struct(
+      packBits(gs, mean, 63, 32).as("phash_hi"),
+      packBits(gs, mean, 31, 0).as("phash_lo")))
+  }
+
+  /**
+   * Energy-descent audio fingerprint of a PCM16 WAV blob: frame into
+   * `frameLen`-sample windows, bit f = energy(f) > energy(f+1), packed
+   * LSB-first into a long. Null for malformed blobs or frame counts
+   * outside [2, 64] (more than 64 frames would overflow the long).
+   */
+  def audioFingerprint(bytes: Column, frameLen: Column): Column = {
+    val en = Multimodal.wavFrameEnergy(bytes, frameLen)
+    val n = size(en)
+    when(n >= 2 && n <= 64,
+      aggregate(sequence(n - 2, lit(0), lit(-1)), lit(0L),
+        (acc, f) => acc * lit(2L) +
+          when(element_at(en, f + 1) > element_at(en, f + 2), 1L)
+            .otherwise(0L)))
+  }
+
+  /** Explode an aHash into its 4×16-bit LSH bands as
+    * (band_id, band_val) — a hamming-≤3 pair of hashes agrees exactly on
+    * at least one band (pigeonhole), so an equi-join on (band_id,
+    * band_val) is a lossless candidate gate at that radius. */
+  private def bandCols(hi: Column, lo: Column): Column = array(
+    lo.bitwiseAND(lit(65535L)), IntMath.idiv(lo, lit(65536L)),
+    hi.bitwiseAND(lit(65535L)), IntMath.idiv(hi, lit(65536L)))
+
+  /**
+   * Banded near-duplicate candidate pairs over an image table:
+   * (a_id, b_id, hamming) for every pair sharing ≥1 of the 4 16-bit
+   * bands, each pair exactly once (`distinct` collapses multi-band
+   * agreement). Exact at hamming ≤3; higher-distance pairs appear only
+   * when they happen to share a band. Shuffle carries (id, hi, lo,
+   * band) longs only — image bytes never move past the signature scan.
+   */
+  def phashCandidatePairs(images: DataFrame, idCol: String,
+      bytesCol: String, factor: Column): DataFrame = {
+    val h = images
+      .select(col(idCol).as("img_id"),
+        aHash64(col(bytesCol), factor).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("img_id"), col("h.phash_hi").as("hi"),
+        col("h.phash_lo").as("lo"))
+    val bands = h.select(col("img_id"), col("hi"), col("lo"),
+      posexplode(bandCols(col("hi"), col("lo")))
+        .as(Seq("band_id", "band_val")))
+    val a = bands.select(col("img_id").as("a_id"), col("hi").as("a_hi"),
+      col("lo").as("a_lo"), col("band_id"), col("band_val"))
+    val b = bands.select(col("img_id").as("b_id"), col("hi").as("b_hi"),
+      col("lo").as("b_lo"), col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast(LongType).as("hamming"))
+  }
+}

@@ -59,6 +59,15 @@ object Multimodal {
       GraftBridge.expression(bytes)))
   }
 
+  /** Decode a BMP blob to packed 0xRRGGBB pixels, top-left row-major
+    * `array<long>` — the decode-to-tensor step feeding per-pixel column
+    * transforms (grayscale, perceptual hash); NULL for malformed blobs. */
+  def bmpPixels(bytes: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.BmpPixelsExpr(
+      GraftBridge.expression(bytes)))
+  }
+
   /** Integer box-downsample of a BMP blob by `factor` (truncating
     * per-channel block means, floor output dims) — a REAL resize, output
     * decodable by [[bmpMeta]]; NULL for malformed input or empty output. */

@@ -147,4 +147,44 @@ object Snapshot {
           col("checksum_a") =!= col("checksum_b"))
       .orderBy("range_id")
   }
+
+  /**
+   * Slowly-changing-dimension (type 2) build from an event log: collapse
+   * each key's state stream into validity intervals. Consecutive events
+   * with the SAME state extend the current interval (no spurious
+   * versions); a state change opens a new one. Output per (key, version):
+   * the state, `valid_from` (first event of the run), `valid_to` (start
+   * of the next run — null on the live interval), `is_current`, and
+   * `n_events` collapsed into the run.
+   *
+   * Events are ordered by (`tsCol`, `tieCol`) within a key; `tieCol` must
+   * break ties deterministically (an event id). Scale shape: two keyed
+   * window passes plus one partial-agg groupBy, all partitioned by the
+   * key — one shuffle, reused across the window and the groupBy, no
+   * unpartitioned window anywhere (the 100 TB event log sorts per key,
+   * never globally).
+   */
+  def scd2(events: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val versioned = events
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .withColumn("version",
+        sum(when(col("__prev").isNull ||
+          col("__prev") =!= col(stateCol), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    val runs = versioned.groupBy(col(keyCol), col("version"))
+      .agg(min(col(stateCol)).as("status"),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(keyCol).orderBy("version")
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("version"), col("status"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("n_events"))
+  }
 }

@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.operators.Snapshot
+
+class MediaDedupSpec extends SparkSuite {
+
+  private lazy val s = sqlc
+
+  test("bmpPixels: decode-to-tensor round trip in top-left order, " +
+      "null-routing for malformed blobs") {
+    import s.implicits._
+    val pixels = Seq(0xff0000L, 0x00ff00L, 0x0000ffL,
+      0xffffffL, 0x000000L, 0x808080L)
+    val r = Seq((3L, pixels)).toDF("w", "ps")
+      .select(Multimodal.bmpPixels(
+        Multimodal.bmpEncode(col("w"), col("ps"))).as("px"))
+      .head().getSeq[Long](0)
+    assert(r == pixels) // encode∘pixels is the identity, order preserved
+    val bad = Seq(("x".getBytes("UTF-8"))).toDF("payload")
+      .select(Multimodal.bmpPixels(col("payload")).isNull)
+      .head().getBoolean(0)
+    assert(bad)
+  }
+
+  test("aHash64: threshold bits against the 8x8 grid mean, " +
+      "stable under ±1 pixel jitter") {
+    import s.implicits._
+    // 16×16 grayscale, top half 200, bottom half 10 → after 2× resize the
+    // top 32 cells (bit positions 0..31) sit above the mean (105):
+    // lo = 0xFFFFFFFF, hi = 0
+    def img(jitter: Int): Seq[Long] = (0 until 256).map { i =>
+      val v = (if (i < 128) 200L else 10L) +
+        (if (jitter != 0 && i % 2 == 0) jitter else 0)
+      v * 65793L
+    }
+    val rows = Seq((16L, img(0), img(1))).toDF("w", "a", "b")
+      .select(
+        MediaDedup.aHash64(Multimodal.bmpEncode(col("w"), col("a")),
+          lit(2)).as("ha"),
+        MediaDedup.aHash64(Multimodal.bmpEncode(col("w"), col("b")),
+          lit(2)).as("hb"))
+      .select(col("ha.phash_hi"), col("ha.phash_lo"),
+        col("hb.phash_hi"), col("hb.phash_lo"))
+      .head()
+    assert(rows.getLong(0) == 0L)
+    assert(rows.getLong(1) == 0xffffffffL)
+    // jittered copy hashes identically (different bytes, same content)
+    assert(rows.getLong(2) == rows.getLong(0))
+    assert(rows.getLong(3) == rows.getLong(1))
+  }
+
+  test("aHash64 nulls when the resize is not 8x8 and for malformed bytes") {
+    import s.implicits._
+    val px = (0 until 256).map(i => (i % 256).toLong * 65793L)
+    val r = Seq((16L, px)).toDF("w", "ps")
+      .select(
+        // factor 1 leaves 16×16 = 256 pixels ≠ 64 → null
+        MediaDedup.aHash64(Multimodal.bmpEncode(col("w"), col("ps")),
+          lit(1)).isNull.as("wrongGrid"),
+        MediaDedup.aHash64(lit("nope".getBytes("UTF-8")), lit(2))
+          .isNull.as("malformed"))
+      .head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("audioFingerprint: energy-descent bits LSB-first, bounds enforced") {
+    import s.implicits._
+    // frames of 2: energies [200, 50, 18, 2] strictly descending →
+    // bits 0..2 all set → fingerprint 7
+    val desc = Seq(10L, 10L, 5L, 5L, 3L, 3L, 1L, 1L)
+    // ascending energies → no descents → 0
+    val asc = desc.reverse
+    val tooManyFrames = (0 until 200).map(_.toLong) // 200 frames of 1 > 64
+    val r = Seq((desc, asc, tooManyFrames)).toDF("d", "a", "t")
+      .select(
+        MediaDedup.audioFingerprint(
+          Multimodal.wavEncode(lit(8000L), col("d")), lit(2)).as("fd"),
+        MediaDedup.audioFingerprint(
+          Multimodal.wavEncode(lit(8000L), col("a")), lit(2)).as("fa"),
+        MediaDedup.audioFingerprint(
+          Multimodal.wavEncode(lit(8000L), col("t")), lit(1))
+          .isNull.as("overflow"),
+        MediaDedup.audioFingerprint(lit("x".getBytes("UTF-8")), lit(2))
+          .isNull.as("malformed"))
+      .head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  test("phashCandidatePairs: exact dup pairs at hamming 0, " +
+      "unrelated images unpaired") {
+    import s.implicits._
+    def grad(off: Long): Seq[Long] =
+      (0 until 256).map(i => ((i.toLong + off) % 256) * 65793L)
+    def flat(v: Long): Seq[Long] = Seq.fill(256)(v * 65793L)
+    // a/b: same gradient ±ε (near-dups); c: flat image — its hash is all
+    // zeros (no cell above the mean), far from the gradient's. Its zero
+    // bands can still collide with the gradient's zero lo-half (the
+    // documented band-accident), but any such pair carries a LARGE
+    // hamming and a radius filter drops it.
+    val imgs = Seq((1L, grad(0)), (2L, grad(1)), (3L, flat(128)))
+      .toDF("img_id", "ps")
+      .withColumn("payload", Multimodal.bmpEncode(lit(16L), col("ps")))
+    val pairs = MediaDedup
+      .phashCandidatePairs(imgs, "img_id", "payload", lit(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h <= 3 })
+    assert(pairs.filter { case (a, b, _) => b == 3L || a == 3L }
+      .forall { case (_, _, h) => h >= 30 })
+  }
+
+  test("scd2: state runs collapse, versions split on change, " +
+      "open interval is current") {
+    import s.implicits._
+    val events = Seq(
+      (7L, "A", 10L, 1L), (7L, "A", 20L, 2L), (7L, "B", 30L, 3L),
+      (7L, "A", 40L, 4L), (9L, "Z", 5L, 5L))
+      .toDF("user_id", "state", "ts", "event_id")
+    val out = Snapshot.scd2(events, "user_id", "state", "ts", "event_id")
+      .orderBy("user_id", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5),
+        r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (7L, 1L, "A", 10L, 30L, false, 2L), // run of two A events
+      (7L, 2L, "B", 30L, 40L, false, 1L),
+      (7L, 3L, "A", 40L, -1L, true, 1L), // re-entered state = new version
+      (9L, 1L, "Z", 5L, -1L, true, 1L)))
+  }
+}
