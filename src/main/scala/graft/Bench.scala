@@ -208,7 +208,9 @@ object Bench {
       "q269_wav_roundtrip", "q270_bmp_roundtrip", "q271_bmp_resize",
       "q272_wav_frames", "q273_grouping_sets", "q274_avi_roundtrip",
       "q275_media_curation", "q276_image_phash", "q277_phash_band_pairs",
-      "q278_audio_fingerprint", "q279_scd2_dimension")
+      "q278_audio_fingerprint", "q279_scd2_dimension",
+      "q280_video_signature", "q281_rare_bigram_filter",
+      "q282_asof_nearest")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

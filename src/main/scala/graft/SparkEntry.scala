@@ -4179,6 +4179,65 @@ object SparkEntry {
           .withColumnRenamed("valid_from", "valid_from_ms")
           .withColumnRenamed("valid_to", "valid_to_ms")
           .orderBy("user_id", "version")
+      }),
+
+    // VIDEO-level near-dup: 3-frame 16×16 AVIs where base = event_id % 41
+    // picks the clip and per-frame pixel jitter varies each copy → mux →
+    // per-frame demux → aHash64 → order-sensitive fold into a 31-bit
+    // signature → cluster. The signature rides the full
+    // mux→demux→resize→hash chain; the oracle refolds it from the pixel
+    // formula alone
+    Q("q280_video_signature", Some({
+      val blk = "(v[CAST((2*(o//8))*16 + 2*(o%8) + 1 AS INT)] + v[CAST((2*(o//8))*16 + 2*(o%8) + 2 AS INT)] + v[CAST((2*(o//8)+1)*16 + 2*(o%8) + 1 AS INT)] + v[CAST((2*(o//8)+1)*16 + 2*(o%8) + 2 AS INT)]) // 4"
+      s"""WITH e AS (SELECT event_id, event_id % 41 AS base FROM events), fr AS (SELECT event_id, base, unnest(range(3)) AS f FROM e), px AS (SELECT event_id, base, f, list_transform(range(256), i -> 8 + (base*37 + f*53 + i*11) % 240 + (event_id*3 + f*7 + i) % 2) AS v FROM fr), bm AS (SELECT event_id, base, f, list_transform(range(64), o -> $blk) AS b FROM px), hm AS (SELECT event_id, base, f, b, list_sum(b) // 64 AS m FROM bm), ph AS (SELECT event_id, base, f, CAST(list_sum(list_transform(range(32,64), o -> CASE WHEN b[CAST(o+1 AS INT)] > m THEN (1::BIGINT << CAST(o-32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi, CAST(list_sum(list_transform(range(32), o -> CASE WHEN b[CAST(o+1 AS INT)] > m THEN (1::BIGINT << CAST(o AS INT)) ELSE 0 END)) AS BIGINT) AS lo FROM hm), sg AS (SELECT event_id, base, MAX(CASE WHEN f=0 THEN hi END) AS h0, MAX(CASE WHEN f=0 THEN lo END) AS l0, MAX(CASE WHEN f=1 THEN hi END) AS h1, MAX(CASE WHEN f=1 THEN lo END) AS l1, MAX(CASE WHEN f=2 THEN hi END) AS h2, MAX(CASE WHEN f=2 THEN lo END) AS l2 FROM ph GROUP BY 1, 2), sq AS (SELECT event_id, base, ((((((h0*31 + l0) % 2147483647) * 131 + h1*31 + l1) % 2147483647) * 131 + h2*31 + l2) % 2147483647) AS sig FROM sg) SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_videos, CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases, CAST(MIN(event_id) AS BIGINT) AS canonical FROM sq GROUP BY 1 ORDER BY 1"""}),
+      (s, dir) => {
+        val id = col("event_id")
+        val base = id % 41L
+        val frames = transform(sequence(lit(0L), lit(2L)), f =>
+          Multimodal.bmpEncode(lit(16L),
+            transform(sequence(lit(0L), lit(255L)),
+              i => (lit(8L) + (base * 37L + f * 53L + i * 11L) % 240L +
+                (id * 3L + f * 7L + i) % 2L) * 65793L)))
+        KafkaLike.events(tune(s), dir).select(id)
+          .withColumn("avi", Multimodal.aviEncode(lit(40000L), frames))
+          .select(MediaDedup.videoSignature(col("avi"), lit(2)).as("sig"),
+            id, base.as("base"))
+          .groupBy("sig")
+          .agg(count(lit(1)).as("n_videos"),
+            countDistinct("base").as("n_bases"),
+            min("event_id").as("canonical"))
+          .orderBy("sig")
+      }),
+
+    // rare-bigram quality filter (CCNet-style count screen beside q99's
+    // LM perplexity): per-doc share of bigram occurrences whose corpus
+    // frequency is under 1100 ppm, keep at ≤500‰ — frequency-relative so
+    // the cut survives corpus growth
+    Q("q281_rare_bigram_filter", Some(
+      s"""WITH tk AS (SELECT doc_id, $dToks AS tk FROM documents), pb AS (SELECT doc_id, unnest(list_transform(range(len(tk)-1), i -> tk[CAST(i+1 AS INT)] || chr(31) || tk[CAST(i+2 AS INT)])) AS bg FROM tk WHERE len(tk) >= 2), pd AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS n FROM pb GROUP BY 1, 2), cc AS (SELECT bg, CAST(SUM(n) AS BIGINT) AS cnt FROM pd GROUP BY 1), tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cc), ag AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, CAST(SUM(CASE WHEN cnt*1000000 < total*1100 THEN n ELSE 0 END) AS BIGINT) AS n_rare FROM pd JOIN cc USING (bg) CROSS JOIN tt GROUP BY 1) SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams, COALESCE(ag.n_rare, 0) AS n_rare, CASE WHEN COALESCE(ag.n_bigrams, 0) > 0 THEN (ag.n_rare*1000) // ag.n_bigrams ELSE 0 END AS rare_pml, CASE WHEN COALESCE(ag.n_bigrams, 0) > 0 THEN (ag.n_rare*1000) // ag.n_bigrams ELSE 0 END <= 500 AS keep FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"""),
+      (s, dir) => TextAnalysis
+        .rareBigramRate(docs(tune(s), dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // NEAREST as-of join (third direction beside q74 backward and q173
+    // forward): closest reading to each event, ties to the earlier side;
+    // composed from both directional passes, stitched on the unique left
+    // id — the quadratic per-key oracle pins the minimizer exactly
+    Q("q282_asof_nearest", Some(
+      """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events WHERE event_id % 2 = 1), r AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS r_ts, MAX(event_id) AS r_id FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2), j AS (SELECT l.event_id, l.user_id, l.ts_us, r.r_id, r.r_ts, row_number() OVER (PARTITION BY l.event_id ORDER BY abs(r.r_ts - l.ts_us), r.r_ts) AS rn FROM l JOIN r ON l.user_id = r.user_id) SELECT l.event_id, l.user_id, l.ts_us, j.r_id AS asof_r_id, j.r_ts AS asof_ts_us, j.r_ts - l.ts_us AS asof_dt FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON l.event_id = j.event_id ORDER BY l.event_id"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir)
+          .withColumn("ts_us", expr("ts DIV 1000"))
+        val l = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val r = ev.filter(col("event_id") % 2 === 0)
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as("r_id"))
+        AsofJoin.asofJoinNearest(l, r, "user_id", "ts_us", "event_id",
+            Seq("r_id"), sliceWidth = Some(12.0 * 3600 * 1e6))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("asof_r_id"), col("asof_ts_us"), col("asof_dt"))
+          .orderBy("event_id")
       })
   )
 

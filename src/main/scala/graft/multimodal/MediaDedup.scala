@@ -86,6 +86,27 @@ object MediaDedup {
             .otherwise(0L)))
   }
 
+  /**
+   * Video-level perceptual signature: demux every frame of a RIFF/AVI
+   * container ([[Multimodal.aviFrame]]), aHash each ([[aHash64]]), and
+   * fold the ORDERED hash sequence into one 31-bit signature
+   * (acc = (acc·131 + hi·31 + lo) mod 2^31−1 per frame — order-sensitive,
+   * so a re-cut with the same frames in a different order signs
+   * differently). Same-content videos with per-frame pixel jitter sign
+   * identically; null for malformed containers, frames the aHash rejects,
+   * or zero frames. One pass over the container bytes per frame,
+   * all codegen'd column logic.
+   */
+  def videoSignature(bytes: Column, factor: Column): Column = {
+    val n = Multimodal.aviMeta(bytes).getField("n_frames")
+    val hs = transform(sequence(lit(0L), n - 1L),
+      f => aHash64(Multimodal.aviFrame(bytes, f), factor))
+    when(n >= 1L && !exists(hs, _.isNull),
+      aggregate(hs, lit(0L), (acc, h) => pmod(
+        acc * lit(131L) + h.getField("phash_hi") * lit(31L) +
+          h.getField("phash_lo"), lit(2147483647L))))
+  }
+
   /** Explode an aHash into its 4×16-bit LSH bands as
     * (band_id, band_val) — a hamming-≤3 pair of hashes agrees exactly on
     * at least one band (pigeonhole), so an equi-join on (band_id,

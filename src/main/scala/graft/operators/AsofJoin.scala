@@ -141,4 +141,42 @@ object AsofJoin {
       joined.withColumn(s"asof_$timeCol", -col(s"asof_$timeCol"))
     else joined
   }
+
+  /**
+   * NEAREST as-of join: for every left row, the right row minimizing
+   * |t_r − t_l| per key, ties resolved BACKWARD (the earlier right row) —
+   * sensor alignment, "closest reading to the event", nearest-snapshot
+   * enrichment. Composed from one backward and one forward pass (both
+   * inherit the time-sliced O(|L|+|R|) scale shape) stitched by
+   * `idCol`, a unique left-row id; right rows must be unique per
+   * (key, time) — pre-aggregate duplicates like q74 does, or the winner
+   * among equal-time rows is undefined.
+   *
+   * Output: every left column, `asof_<v>` for each requested value
+   * column (null when the key has no right rows at all), and `asof_dt` =
+   * chosen t_r − t_l (≤ 0 when the backward match won).
+   */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, idCol: String, valueCols: Seq[String],
+      nSlices: Int = 64, sliceWidth: Option[Double] = None): DataFrame = {
+    val vcs = (valueCols :+ timeCol).distinct
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol) +:
+        vcs.map(v => col(s"asof_$v").as(s"__${tag}_$v")): _*)
+    val b = side(asofJoin(left, right, keyCol, timeCol, vcs,
+      nSlices, sliceWidth), "b")
+    val f = side(asofJoinForward(left, right, keyCol, timeCol, vcs,
+      nSlices, sliceWidth), "f")
+    val db = col(timeCol) - col(s"__b_$timeCol") // ≥ 0, null if no match
+    val df_ = col(s"__f_$timeCol") - col(timeCol)
+    val useB = col(s"__f_$timeCol").isNull ||
+      (col(s"__b_$timeCol").isNotNull && db <= df_)
+    val leftCols = left.columns.toSeq
+    left.join(b, Seq(idCol), "left").join(f, Seq(idCol), "left")
+      .select(leftCols.map(col) ++
+        vcs.map(v =>
+          when(useB, col(s"__b_$v")).otherwise(col(s"__f_$v"))
+            .as(s"asof_$v")) :+
+        when(useB, -db).otherwise(df_).as("asof_dt"): _*)
+  }
 }

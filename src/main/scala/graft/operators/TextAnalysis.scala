@@ -1090,4 +1090,53 @@ object TextAnalysis {
           col("n") * Retrieval.qlog2(col("n")) - col("s"), col("n")),
           lit(0L)).as("entropy_q"))
   }
+
+  /**
+   * Rare-n-gram quality filter (the count-threshold sibling of the
+   * perplexity filter in [[bigramLmScore]], CCNet-style): a document whose
+   * bigrams are mostly RARE in its own corpus is boilerplate noise, OCR
+   * garbage, or mojibake. "Rare" is frequency-relative — corpus frequency
+   * below `rareFreqPpm` parts-per-million of all bigram occurrences — so
+   * the cut means the same thing at sf0.01 and at 100 TB (an absolute
+   * min-count would saturate as the corpus grows).
+   *
+   * Output per doc: n_bigrams, n_rare, rare_pml (per-mille of occurrences
+   * that are rare; 0 for docs under 2 tokens), keep (rare_pml ≤
+   * `keepThresholdPml`). Scale shape: per-doc bigram counts partial-agg
+   * FIRST, the corpus table aggregates from those already-reduced rows,
+   * the grand total is a 1-row broadcast, and the doc join runs on the
+   * pre-reduced (doc, bigram) pairs — text tokenizes exactly once and raw
+   * strings never shuffle twice.
+   */
+  def rareBigramRate(docsDf: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, rareFreqPpm: Long = 1100L,
+      keepThresholdPml: Long = 500L): org.apache.spark.sql.DataFrame = {
+    val pairs = docsDf
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws("\u001f", element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2)))).as("bg"))
+    val perDoc = Staging.stage(pairs
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n")))
+    val corpus = perDoc.groupBy(col("bg")).agg(sum(col("n")).as("cnt"))
+    val total = corpus.agg(sum(col("cnt")).as("total"))
+    val ag = perDoc.join(corpus, Seq("bg"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(when(col("cnt") * lit(1000000L) <
+          col("total") * lit(rareFreqPpm), col("n")).otherwise(0L))
+          .as("n_rare"))
+    val pml = coalesce(IntMath.idiv(col("n_rare") * lit(1000L),
+      col("n_bigrams")), lit(0L))
+    docsDf.select(col(idCol).as("doc_id"))
+      .join(ag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        pml.as("rare_pml"),
+        (pml <= keepThresholdPml).as("keep"))
+  }
 }

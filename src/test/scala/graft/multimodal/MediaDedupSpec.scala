@@ -113,6 +113,29 @@ class MediaDedupSpec extends SparkSuite {
       .forall { case (_, _, h) => h >= 30 })
   }
 
+  test("videoSignature: order-sensitive over frames, jitter-stable, " +
+      "null-routing") {
+    import s.implicits._
+    // two 16×16 frames: bright-top and bright-bottom — distinct aHashes
+    def f(brightTop: Boolean): Seq[Long] = (0 until 256).map { i =>
+      val top = i < 128
+      (if (top == brightTop) 200L else 10L) * 65793L
+    }
+    val r = Seq((f(true), f(false))).toDF("fa", "fb")
+      .select(
+        MediaDedup.videoSignature(Multimodal.aviEncode(lit(40000L),
+          array(Multimodal.bmpEncode(lit(16L), col("fa")),
+            Multimodal.bmpEncode(lit(16L), col("fb")))), lit(2)).as("ab"),
+        MediaDedup.videoSignature(Multimodal.aviEncode(lit(40000L),
+          array(Multimodal.bmpEncode(lit(16L), col("fb")),
+            Multimodal.bmpEncode(lit(16L), col("fa")))), lit(2)).as("ba"),
+        MediaDedup.videoSignature(lit("zzz".getBytes("UTF-8")), lit(2))
+          .isNull.as("malformed"))
+      .head()
+    assert(r.getLong(0) != r.getLong(1)) // same frames, reversed order
+    assert(r.getBoolean(2))
+  }
+
   test("scd2: state runs collapse, versions split on change, " +
       "open interval is current") {
     import s.implicits._

@@ -545,6 +545,52 @@ class PipelineOpsSpec extends SparkSuite {
     assert(single.nonEmpty && single == run(5) && single == run(64))
   }
 
+  test("asof nearest: minimizes |dt|, ties go backward, no-match stays null") {
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("id", LongType)))
+    def frame(rows: (String, Long, Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (k, t, id) => l.add(Row(k, t, id)) }
+      s.createDataFrame(l, sch)
+    }
+    val left = frame(("a", 10L, 1L), ("a", 14L, 2L), ("a", 30L, 3L),
+      ("b", 5L, 4L))
+    val right = frame(("a", 8L, 100L), ("a", 20L, 101L), ("c", 1L, 102L))
+      .withColumnRenamed("id", "rid")
+    val out = AsofJoin
+      .asofJoinNearest(left, right, "k", "t", "id", Seq("rid"))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 100L, -2L),  // 8 at dt -2 beats 20 at dt +10
+      (2L, 100L, -6L),  // tie |14-8| = |20-14| = 6 → BACKWARD wins
+      (3L, 101L, -10L), // nothing after 30 → backward only
+      (4L, -1L, Long.MinValue))) // key b has no right rows at all
+  }
+
+  test("rare-bigram filter: relative rarity splits docs, short docs kept at 0") {
+    import s.implicits._
+    // 'x y' repeats corpus-wide (common); doc 3's bigrams appear once each
+    val docs = Seq(
+      (1L, "x y x y x y x y"), (2L, "x y x y"),
+      (3L, "q r s t"), (4L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .rareBigramRate(docs, "text", "doc_id", rareFreqPpm = 200000L,
+        keepThresholdPml = 500L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // corpus: 'x y'×6 + 'y x'×4 + 3 singletons = 13 occurrences; the 20%
+    // cut = count < 2.6 → only doc 3's singleton bigrams are rare
+    assert(out.toSeq == Seq(
+      (1L, 7L, 0L, 0L, true),
+      (2L, 3L, 0L, 0L, true),
+      (3L, 3L, 3L, 1000L, false),
+      (4L, 0L, 0L, 0L, true))) // <2 tokens: no bigrams, kept
+  }
+
   test("range join: bucket-crossing intervals, boundary in/exclusivity, no dup pairs") {
     val sch = StructType(Seq(StructField("k", StringType),
       StructField("t", LongType)))
