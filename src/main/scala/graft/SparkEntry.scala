@@ -4238,6 +4238,28 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts_us"),
             col("asof_r_id"), col("asof_ts_us"), col("asof_dt"))
           .orderBy("event_id")
+      }),
+
+    // INCREMENTAL SCD2: build the dimension from the first half-month,
+    // fold the second half in with scd2Merge (affected keys' open
+    // intervals only; closed history passes through untouched) — the
+    // oracle is the FULL rebuild, so hash equality proves the
+    // incremental path bit-identical to recomputing from scratch
+    Q("q283_scd2_incremental", Some(
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id FROM events), o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e), c AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS version FROM o), g AS (SELECT user_id, version, MIN(event_type) AS status, MIN(ts_ms) AS valid_from_ms, CAST(COUNT(*) AS BIGINT) AS n_events FROM c GROUP BY 1, 2), f AS (SELECT *, lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_ms FROM g) SELECT user_id, CAST(version AS BIGINT) AS version, status, valid_from_ms, valid_to_ms, valid_to_ms IS NULL AS is_current, n_events FROM f ORDER BY user_id, version"""),
+      (s, dir) => {
+        val e = KafkaLike.events(tune(s), dir).select(col("user_id"),
+          col("event_type"),
+          IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+          col("event_id"))
+        val t0 = lit(1705363200000L) // 2024-01-16T00:00Z, mid-window
+        val dim = Snapshot.scd2(e.filter(col("ts_ms") < t0),
+          "user_id", "event_type", "ts_ms", "event_id")
+        Snapshot.scd2Merge(dim, e.filter(col("ts_ms") >= t0),
+            "user_id", "event_type", "ts_ms", "event_id")
+          .withColumnRenamed("valid_from", "valid_from_ms")
+          .withColumnRenamed("valid_to", "valid_to_ms")
+          .orderBy("user_id", "version")
       })
   )
 

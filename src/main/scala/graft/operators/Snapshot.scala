@@ -187,4 +187,64 @@ object Snapshot {
         col("valid_from"), col("valid_to"), col("is_current"),
         col("n_events"))
   }
+
+  /**
+   * INCREMENTAL [[scd2]]: fold a batch of new events into an existing
+   * dimension without touching closed history. Contract (spec-pinned and
+   * oracled end to end): `scd2Merge(scd2(events < T), events ≥ T) ==
+   * scd2(all events)` — provided every new event is at or after its key's
+   * current `valid_from` (no late data behind the open interval; route
+   * late events to a backfill rebuild instead).
+   *
+   * Only AFFECTED keys (those with new events) recompute, and only their
+   * OPEN interval: the current row re-enters the run-builder as a seed
+   * pseudo-event carrying its `n_events` weight (so an unchanged state
+   * extends the run and the counts add up), closed rows and untouched
+   * keys pass through by anti-/semi-join. At 100 TB that is the
+   * difference between a micro-batch touching this hour's active keys
+   * and re-sorting years of event log.
+   */
+  def scd2Merge(dim: DataFrame, newEvents: DataFrame, keyCol: String,
+      stateCol: String, tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = newEvents.select(col(keyCol)).distinct()
+    val untouched = dim.join(keys, Seq(keyCol), "left_anti")
+    val affected = dim.join(keys, Seq(keyCol), "left_semi")
+    val closed = affected.filter(!col("is_current"))
+    val cur = affected.filter(col("is_current"))
+      .select(col(keyCol), col("version").as("__v0"), col("status"),
+        col("valid_from"), col("n_events"))
+    val tieType = newEvents.schema(tieCol).dataType
+    // seed sorts before any same-timestamp new event (__ord 0, null tie)
+    val seed = cur.select(col(keyCol), col("status").as(stateCol),
+      col("valid_from").as(tsCol), lit(null).cast(tieType).as(tieCol),
+      col("n_events").as("__w"), lit(0).as("__ord"))
+    val incoming = newEvents.select(col(keyCol), col(stateCol),
+      col(tsCol), col(tieCol), lit(1L).as("__w"), lit(1).as("__ord"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__ord"), col(tieCol))
+    val versioned = seed.unionByName(incoming)
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .withColumn("__local",
+        sum(when(col("__prev").isNull ||
+          col("__prev") =!= col(stateCol), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    val runs = versioned.groupBy(col(keyCol), col("__local"))
+      .agg(min(col(stateCol)).as("status"),
+        min(col(tsCol)).as("valid_from"),
+        sum(col("__w")).as("n_events"))
+    // the seed run's local version 1 IS the existing current version
+    val base = cur.select(col(keyCol), (col("__v0") - 1L).as("__base"))
+    val wv = Window.partitionBy(keyCol).orderBy("version")
+    val rebuilt = runs.join(base, Seq(keyCol), "left")
+      .withColumn("version",
+        col("__local") + coalesce(col("__base"), lit(0L)))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("version"), col("status"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("n_events"))
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
 }

@@ -155,4 +155,36 @@ class MediaDedupSpec extends SparkSuite {
       (7L, 3L, "A", 40L, -1L, true, 1L), // re-entered state = new version
       (9L, 1L, "Z", 5L, -1L, true, 1L)))
   }
+
+  test("scd2Merge: incremental fold equals the full rebuild; " +
+      "closed history passes through") {
+    import s.implicits._
+    // synthetic log: 40 users, states cycle with user-dependent period
+    val all = s.range(2000L).select(
+      (col("id") % 40L).as("user_id"),
+      concat(lit("s"), ((col("id") * 7L + expr("id DIV 40")) % 3L)
+        .cast("string")).as("state"),
+      (expr("id DIV 40") * 10L + col("id") % 4L).as("ts"),
+      col("id").as("event_id"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5),
+        r.getLong(6))).toSeq
+    val full = Snapshot.scd2(all, "user_id", "state", "ts", "event_id")
+    val dim = Snapshot.scd2(all.filter(col("ts") < 250L),
+      "user_id", "state", "ts", "event_id")
+    val merged = Snapshot.scd2Merge(dim, all.filter(col("ts") >= 250L),
+      "user_id", "state", "ts", "event_id")
+    assert(canon(merged) == canon(full))
+    // brand-new key in the batch only: versions start at 1
+    val novel = Snapshot.scd2Merge(dim,
+      Seq((999L, "x", 300L, 5000L), (999L, "y", 310L, 5001L))
+        .toDF("user_id", "state", "ts", "event_id"),
+      "user_id", "state", "ts", "event_id")
+      .filter(col("user_id") === 999L)
+    assert(canon(novel) == Seq(
+      (999L, 1L, "x", 300L, 310L, false, 1L),
+      (999L, 2L, "y", 310L, -1L, true, 1L)))
+  }
 }
