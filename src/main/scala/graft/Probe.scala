@@ -1198,6 +1198,40 @@ object Probe {
         }
       }
     }
+
+    // ---- round-7 media dedup + dimension ops: plan shape at scale ----
+    {
+      val ev = graft.sources.KafkaLike.events(spark, dir)
+      val e = ev.select(col("user_id"), col("event_type"),
+        graft.operators.IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+        col("event_id"))
+      val dim = graft.operators.Snapshot.scd2(e.filter(col("ts_ms") <
+        1705363200000L), "user_id", "event_type", "ts_ms", "event_id")
+      val merged = graft.operators.Snapshot.scd2Merge(dim,
+        e.filter(col("ts_ms") >= 1705363200000L),
+        "user_id", "event_type", "ts_ms", "event_id")
+      assertKeyedWindows(dim, "scd2")
+      assertKeyedWindows(merged, "scd2Merge")
+      timed("scd2 incremental merge (sf0.1 events)")(merged.count())
+
+      // the phash band join must stay an equi-join on (band_id, band_val)
+      // — a BNLJ/cartesian here would be corpus² regardless of banding
+      val id = col("event_id")
+      val base = id % 97L
+      val imgs = ev.filter(id % 53L === 0L).select(id)
+        .withColumn("payload", graft.multimodal.Multimodal.bmpEncode(
+          lit(16L), transform(sequence(lit(0L), lit(255L)),
+            i => (lit(8L) + (base * 37L + i * 11L) % 240L +
+              (id * 3L + i) % 2L) * 65793L)))
+      val pairs = graft.multimodal.MediaDedup.phashCandidatePairs(
+        imgs, "event_id", "payload", lit(2))
+      val pplan = pairs.queryExecution.executedPlan.toString
+      require(!pplan.contains("BroadcastNestedLoopJoin") &&
+        !pplan.contains("CartesianProduct"),
+        "phash band join degenerated to a non-equi join:\n" +
+          pplan.take(2000))
+      timed("phash band candidate pairs (sf0.1/53 images)")(pairs.count())
+    }
     spark.stop()
   }
 }

@@ -4120,14 +4120,14 @@ object SparkEntry {
       }),
 
     // image near-dup CANDIDATE pairs by 4×16-bit hamming bands (the LSH
-    // gate: hamming ≤3 ⇒ some band matches exactly) over a 1/19 slice,
+    // gate: hamming ≤3 ⇒ some band matches exactly) over a 1/53 slice,
     // reported as a hamming histogram with same-base purity — the
     // banding recall surface for perceptual hashes
     Q("q277_phash_band_pairs", Some(
-      s"""WITH ${dPhashCtes("WHERE event_id % 19 = 0")}, bands AS (SELECT event_id, base, phash_hi AS hi, phash_lo AS lo, bid, CASE bid WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536 WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS bv FROM ph, (SELECT unnest(range(4)) AS bid)), cand AS (SELECT DISTINCT a.event_id AS aid, b.event_id AS bid2, a.hi AS ah, a.lo AS al, b.hi AS bh, b.lo AS bl FROM bands a JOIN bands b ON a.bid = b.bid AND a.bv = b.bv AND a.event_id < b.event_id) SELECT CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS BIGINT) AS hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN aid % 97 = bid2 % 97 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_base FROM cand GROUP BY 1 ORDER BY 1"""),
+      s"""WITH ${dPhashCtes("WHERE event_id % 53 = 0")}, bands AS (SELECT event_id, base, phash_hi AS hi, phash_lo AS lo, bid, CASE bid WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536 WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS bv FROM ph, (SELECT unnest(range(4)) AS bid)), cand AS (SELECT DISTINCT a.event_id AS aid, b.event_id AS bid2, a.hi AS ah, a.lo AS al, b.hi AS bh, b.lo AS bl FROM bands a JOIN bands b ON a.bid = b.bid AND a.bv = b.bv AND a.event_id < b.event_id) SELECT CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS BIGINT) AS hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN aid % 97 = bid2 % 97 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_base FROM cand GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
         val images = phashTestImages(s, dir)
-          .filter(col("event_id") % 19L === 0L)
+          .filter(col("event_id") % 53L === 0L)
         MediaDedup.phashCandidatePairs(images, "event_id", "payload",
             lit(2))
           .groupBy(col("hamming"))
