@@ -210,7 +210,8 @@ object Bench {
       "q275_media_curation", "q276_image_phash", "q277_phash_band_pairs",
       "q278_audio_fingerprint", "q279_scd2_dimension",
       "q280_video_signature", "q281_rare_bigram_filter",
-      "q282_asof_nearest", "q283_scd2_incremental")
+      "q282_asof_nearest", "q283_scd2_incremental",
+      "q284_image_dedup_manifest")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -4260,6 +4260,30 @@ object SparkEntry {
           .withColumnRenamed("valid_from", "valid_from_ms")
           .withColumnRenamed("valid_to", "valid_to_ms")
           .orderBy("user_id", "version")
+      }),
+
+    // image-corpus curation END TO END: phash band candidates at hamming
+    // ≤3 → connected components (the same min-label fixpoint as the text
+    // q54) → per-cluster manifest with bytes reclaimed by keeping one
+    // canonical copy (each 16×16 24bpp BMP is 822 bytes). The oracle
+    // recomputes true reachability with a recursive CTE over the SAME
+    // gated pair graph
+    Q("q284_image_dedup_manifest", Some(
+      s"""WITH RECURSIVE ${dPhashCtes("WHERE event_id % 53 = 0")}, bands AS (SELECT event_id, base, phash_hi AS hi, phash_lo AS lo, bid, CASE bid WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536 WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS bv FROM ph, (SELECT unnest(range(4)) AS bid)), cand AS (SELECT DISTINCT a.event_id AS doc_a, b.event_id AS doc_b FROM bands a JOIN bands b ON a.bid = b.bid AND a.bv = b.bv AND a.event_id < b.event_id AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3), ed AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), reach(s, t) AS (SELECT s, t FROM ed UNION SELECT reach.s, e2.t FROM reach JOIN ed e2 ON reach.t = e2.s), cl AS (SELECT p.event_id, p.base, LEAST(p.event_id, COALESCE(MIN(reach.t), p.event_id)) AS cluster_id FROM ph p LEFT JOIN reach ON p.event_id = reach.s GROUP BY p.event_id, p.base) SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_images, CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases, CAST(822*(COUNT(*) - 1) AS BIGINT) AS bytes_saved FROM cl GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val images = phashTestImages(s, dir)
+          .filter(col("event_id") % 53L === 0L)
+        val pairs = MediaDedup.phashCandidatePairs(images, "event_id",
+            "payload", lit(2))
+          .filter(col("hamming") <= 3L)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+        Dedup.nearDupClusters(images, pairs, "event_id")
+          .withColumn("base", col("doc_id") % 97L)
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_images"),
+            countDistinct("base").as("n_bases"),
+            (lit(822L) * (count(lit(1)) - 1L)).as("bytes_saved"))
+          .orderBy("cluster_id")
       })
   )
 
