@@ -211,7 +211,8 @@ object Bench {
       "q278_audio_fingerprint", "q279_scd2_dimension",
       "q280_video_signature", "q281_rare_bigram_filter",
       "q282_asof_nearest", "q283_scd2_incremental",
-      "q284_image_dedup_manifest")
+      "q284_image_dedup_manifest", "q285_cross_source_dups",
+      "q286_mixture_schedule")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

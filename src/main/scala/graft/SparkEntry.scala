@@ -4284,7 +4284,41 @@ object SparkEntry {
             countDistinct("base").as("n_bases"),
             (lit(822L) * (count(lit(1)) - 1L)).as("bytes_saved"))
           .orderBy("cluster_id")
-      })
+      }),
+
+    // cross-source duplication matrix: which sources copy from which —
+    // the governance view over the SAME minhash-LSH candidate graph the
+    // dedup pipeline uses (q41/q54); pairs attribute to an unordered
+    // source pair, so licensing/contamination review reads one triangle
+    Q("q285_cross_source_dups", Some(
+      s"""$dMinhashSig, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id) SELECT LEAST(da.source, db.source) AS source_a, GREATEST(da.source, db.source) AS source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(MIN(c.doc_a) AS BIGINT) AS example_doc FROM cand c JOIN documents da ON c.doc_a = da.doc_id JOIN documents db ON c.doc_b = db.doc_id GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        val src = d.select(col("doc_id"), col("source"))
+        cands
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("sa")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("sb")), Seq("doc_b"))
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("doc_a")).as("example_doc"))
+          .orderBy("source_a", "source_b")
+      }),
+
+    // deterministic proportional mixture schedule: the loader's read
+    // order at fixed source weights (Bresenham interleave, no RNG) —
+    // the ordering complement of q66's mixture sampling; weight = source
+    // suffix % 4 + 1 so the oracle derives the same weights
+    Q("q286_mixture_schedule", Some(
+      """WITH d AS (SELECT doc_id, source, CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w FROM documents), k AS (SELECT doc_id, source, w, row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS k FROM d) SELECT doc_id, source, CAST(k AS BIGINT) AS k, CAST(((2*k+1) * 1000000) // w AS BIGINT) AS slot FROM k ORDER BY slot, source, doc_id"""),
+      (s, dir) => Packing.mixtureSchedule(docs(tune(s), dir), "doc_id",
+          "source",
+          substring(col("source"), 4, 10).cast(LongType) % 4L + 1L)
+        .orderBy("slot", "source", "doc_id"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -180,4 +180,28 @@ object Packing {
           - greatest(col("start_off"), col("pack_id") * seqLen))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("tok_in_pack").as("n_filled"))
+  /**
+   * Deterministic proportional mixture SCHEDULE — the materialized read
+   * order a training loader follows when interleaving sources at fixed
+   * weights (the complement of q66's mixture SAMPLING, which picks a
+   * subset; this orders everything). Item k of a weight-w source lands at
+   * rational slot (2k+1)/2w — Bresenham interleaving: a weight-4 source
+   * appears 4× as often, evenly spread, no RNG. Integerized as
+   * slot = (2k+1)·10⁶ DIV w; the schedule is the output sorted by
+   * (slot, source, id).
+   *
+   * Scale shape: one keyed window (row_number per source) and a final
+   * range-partitioned sort — no global window, no driver state. Ties at
+   * equal slot resolve by (source, id) so any cluster layout produces
+   * the same order.
+   */
+  def mixtureSchedule(df: DataFrame, idCol: String, sourceCol: String,
+      weightCol: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+    df.select(col(idCol), col(sourceCol), weightCol.as("__w"))
+      .withColumn("k", row_number().over(w).cast(LongType) - 1L)
+      .select(col(idCol), col(sourceCol), col("k"),
+        IntMath.idiv((col("k") * 2L + 1L) * 1000000L, col("__w"))
+          .as("slot"))
+  }
 }
