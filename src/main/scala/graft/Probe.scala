@@ -1232,6 +1232,37 @@ object Probe {
           pplan.take(2000))
       timed("phash band candidate pairs (sf0.1/53 images)")(pairs.count())
     }
+
+    // ---- whole-inventory unpartitioned-window audit: every query whose
+    // optimized plan contains a partition-less Window must be on the
+    // KNOWN-BOUNDED list (windows over ≤nBins/≤topK aggregate rows —
+    // q199's "bounded-by-construction exemption" class). A new name here
+    // means a full-data single-task sort slipped into the inventory.
+    {
+      val boundedGlobalWindows = Set(
+        "q121_zipf_fit", // top-k vocab ranks (≤ topK rows)
+        "q136_log_hist_quantiles", // ≤64 log-histogram buckets
+        "q151_sketch_percentile", // sketch buckets
+        "q154_sketch_merge", // merged sketch buckets
+        "q183_vocab_coverage", // cumulative share over top-k vocab
+        "q199_gain_table", // ≤ nBins decile rows
+        "q250_partition_completeness") // ≤ #days partition rows
+      val tiny = "/root/testdata/sf0.001"
+      val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .flatMap { case (name, fn) =>
+          val bad = try fn(spark, tiny).queryExecution.optimizedPlan
+            .collect {
+              case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                  if w.partitionSpec.isEmpty => w
+            }
+          catch { case _: Throwable => Nil } // plan-only audit
+          if (bad.nonEmpty) Seq(name) else Nil
+        }.toSet
+      val unexpected = offenders -- boundedGlobalWindows
+      require(unexpected.isEmpty,
+        s"UNPARTITIONED windows outside the bounded allowlist: $unexpected")
+      println(s"unpartitioned-window audit: ${offenders.size} known-bounded, 0 unexpected")
+    }
     spark.stop()
   }
 }

@@ -125,12 +125,15 @@ object MediaDedup {
    */
   def phashCandidatePairs(images: DataFrame, idCol: String,
       bytesCol: String, factor: Column): DataFrame = {
-    val h = images
+    // stage the signatures: the full codec-chain hash (encode→resize→
+    // pixels→threshold fold) feeds BOTH join sides — without staging each
+    // side re-evaluates it per image (measured 2× the probe wall-clock)
+    val h = graft.operators.Staging.stage(images
       .select(col(idCol).as("img_id"),
         aHash64(col(bytesCol), factor).as("h"))
       .filter(col("h").isNotNull)
       .select(col("img_id"), col("h.phash_hi").as("hi"),
-        col("h.phash_lo").as("lo"))
+        col("h.phash_lo").as("lo")))
     val bands = h.select(col("img_id"), col("hi"), col("lo"),
       posexplode(bandCols(col("hi"), col("lo")))
         .as(Seq("band_id", "band_val")))
