@@ -212,7 +212,7 @@ object Bench {
       "q280_video_signature", "q281_rare_bigram_filter",
       "q282_asof_nearest", "q283_scd2_incremental",
       "q284_image_dedup_manifest", "q285_cross_source_dups",
-      "q286_mixture_schedule")
+      "q286_mixture_schedule", "q287_retract_agg", "q288_scd2_enrich")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -4318,7 +4318,62 @@ object SparkEntry {
       (s, dir) => Packing.mixtureSchedule(docs(tune(s), dir), "doc_id",
           "source",
           substring(col("source"), 4, 10).cast(LongType) % 4L + 1L)
-        .orderBy("slot", "source", "doc_id"))
+        .orderBy("slot", "source", "doc_id")),
+
+    // retract-stream aggregation (Flink changelog semantics in batch):
+    // a synthetic CDC log over events — inserts, deletes, and updates
+    // split into pre/post rows — folds to net per-user aggregates by
+    // signed weights; corrections commute, so late deletes/updates are
+    // just more rows under the same partial-agg shuffle
+    Q("q287_retract_agg", Some(
+      """WITH base AS (SELECT event_id, user_id, CAST(floor(value*100) AS BIGINT) AS cents FROM events), log AS (SELECT user_id, 'insert' AS op, cents, 1 AS w FROM base WHERE event_id % 5 <> 4 AND event_id % 7 <> 6 UNION ALL SELECT user_id, 'delete', cents, -1 FROM base WHERE event_id % 7 = 6 AND event_id % 5 <> 4 UNION ALL SELECT user_id, 'update_pre', cents, -1 FROM base WHERE event_id % 5 = 4 UNION ALL SELECT user_id, 'update_post', cents + 1000, 1 FROM base WHERE event_id % 5 = 4) SELECT user_id, CAST(SUM(w) AS BIGINT) AS net_count, CAST(SUM(w*cents) AS BIGINT) AS net_sum, SUM(w) >= 0 AS consistent FROM log GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val base = KafkaLike.events(tune(s), dir).select(col("event_id"),
+          col("user_id"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        val ins = base
+          .filter(col("event_id") % 5 =!= 4 && col("event_id") % 7 =!= 6)
+          .select(col("user_id"), lit("insert").as("op"), col("cents"))
+        val del = base
+          .filter(col("event_id") % 7 === 6 && col("event_id") % 5 =!= 4)
+          .select(col("user_id"), lit("delete").as("op"), col("cents"))
+        val pre = base.filter(col("event_id") % 5 === 4)
+          .select(col("user_id"), lit("update_pre").as("op"), col("cents"))
+        val post = base.filter(col("event_id") % 5 === 4)
+          .select(col("user_id"), lit("update_post").as("op"),
+            (col("cents") + 1000L).as("cents"))
+        Upserts.retractAggregate(
+            ins.unionByName(del).unionByName(pre).unionByName(post),
+            "user_id", "cents", "op")
+          .orderBy("user_id")
+      }),
+
+    // SCD2 interval enrichment — the standard CONSUMPTION of q279's
+    // dimension: each odd event joins the version active at its
+    // timestamp (containment in [valid_from, valid_to)), via the
+    // interval-bucketed range join (no per-key cross product); the open
+    // interval caps at a horizon past the data window
+    Q("q288_scd2_enrich", Some(
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id FROM events WHERE event_id % 2 = 0), o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e), c AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS version FROM o), g AS (SELECT user_id, version, MIN(event_type) AS status, MIN(ts_ms) AS valid_from FROM c GROUP BY 1, 2), f AS (SELECT *, COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version), 1706745600000) AS valid_to FROM g), l AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events WHERE event_id % 2 = 1) SELECT l.event_id, l.user_id, l.ts_ms, f.status, CAST(f.version AS BIGINT) AS version FROM l JOIN f ON l.user_id = f.user_id AND l.ts_ms >= f.valid_from AND l.ts_ms < f.valid_to ORDER BY l.event_id"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir).select(col("user_id"),
+          col("event_type"),
+          IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+          col("event_id"))
+        val dim = Snapshot.scd2(ev.filter(col("event_id") % 2 === 0),
+            "user_id", "event_type", "ts_ms", "event_id")
+          // cap the open interval just past the data window so the
+          // bucketed explode stays bounded (~31 day-buckets max)
+          .withColumn("valid_to",
+            coalesce(col("valid_to"), lit(1706745600000L)))
+        val l = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        RangeJoin.bucketed(l, dim, "user_id", "ts_ms",
+            "valid_from", "valid_to", bucketWidth = 86400000L)
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("status"), col("version"))
+          .orderBy("event_id")
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -279,4 +279,39 @@ object Upserts {
       .withColumn("num_batches",
         ceil(col("rows_in_partition").cast(DoubleType) / lit(cap)).cast(LongType))
   }
+
+  /** Changelog op names accepted by [[retractAggregate]]. */
+  val RetractOps: Set[String] =
+    Set("insert", "delete", "update_pre", "update_post")
+
+  /**
+   * Retract-stream aggregation (Flink-style changelog semantics in
+   * batch): net COUNT/SUM per key over a CDC changelog where each row is
+   * an `insert` (+1), `delete` (−1), or an update split into
+   * `update_pre` (−1, old value) / `update_post` (+1, new value). The
+   * signed fold makes corrections COMMUTATIVE — a late delete or a
+   * re-stated update lands as two more rows, no read-modify-write, so
+   * the aggregate maintains incrementally under exactly the partial-agg
+   * shuffle a plain groupBy uses.
+   *
+   * Output per key: net_count, net_sum, and `consistent` (net_count ≥ 0
+   * — a negative count means deletes without matching inserts reached
+   * this slice, the changelog-integrity signal a pipeline alerts on).
+   * Unknown op strings fail analysis-loud rather than silently skewing
+   * the fold.
+   */
+  def retractAggregate(changelog: DataFrame, keyCol: String,
+      valueCol: String, opCol: String): DataFrame = {
+    val w = when(col(opCol).isin("insert", "update_post"), 1L)
+      .when(col(opCol).isin("delete", "update_pre"), -1L)
+      .otherwise(raise_error(concat(
+        lit(s"retractAggregate: unknown op '"), col(opCol),
+        lit(s"' — expected one of ${RetractOps.mkString(", ")}"))))
+    changelog
+      .select(col(keyCol), col(valueCol).as("__v"), w.as("__w"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__w")).as("net_count"),
+        sum(col("__w") * col("__v")).as("net_sum"))
+      .withColumn("consistent", col("net_count") >= 0L)
+  }
 }

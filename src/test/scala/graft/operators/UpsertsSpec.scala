@@ -217,4 +217,28 @@ class UpsertsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, 70L, 3L), (2L, 1L, 1L)))
   }
+
+  test("retract aggregate: update nets to the delta, orphan delete flags " +
+      "inconsistent, unknown op fails loud") {
+    val s = sqlc
+    import s.implicits._
+    val log = Seq(
+      // key 1: insert 10, then update 10 → 25: net one row worth 25
+      (1L, "insert", 10L), (1L, "update_pre", 10L), (1L, "update_post", 25L),
+      // key 2: delete with no matching insert in this slice
+      (2L, "delete", 7L))
+      .toDF("k", "op", "v")
+    val out = Upserts.retractAggregate(log, "k", "v", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 25L, true),
+      (2L, -1L, -7L, false)))
+    val bad = Seq((1L, "upsert", 1L)).toDF("k", "op", "v")
+    val e = intercept[Exception] {
+      Upserts.retractAggregate(bad, "k", "v", "op").collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")))
+  }
 }
