@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{AviDecodeExpr, AviEncodeExpr, AviFrameExpr, BmpDecodeExpr, BmpEncodeExpr, BmpPixelsExpr, BmpResizeExpr, LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr, TimeUuidExpression, WavPcmDecodeExpr, WavPcmEncodeExpr}
+import graft.functions.{AviDecodeExpr, AviEncodeExpr, AviFrameExpr, BmpAHashExpr, BmpDecodeExpr, BmpEncodeExpr, BmpPixelsExpr, BmpResizeExpr, LongArrayDotExpr, LongArrayNorm2Expr, StringFoldHashExpr, TimeUuidExpression, WavPcmDecodeExpr, WavPcmEncodeExpr}
 
 /**
  * SparkSessionExtensions hook: registers graft's custom expressions as SQL
@@ -21,6 +21,7 @@ import graft.functions.{AviDecodeExpr, AviEncodeExpr, AviFrameExpr, BmpDecodeExp
  *   graft_bmp_meta(bytes)             validated BMP metadata struct (null-routing)
  *   graft_bmp_resize(bytes, k)        integer box-downsample, re-decodable
  *   graft_bmp_pixels(bytes)           decode to packed 0xRRGGBB array<long>
+ *   graft_bmp_ahash(bytes, k)         64-bit average-hash struct(hi, lo)
  *
  * Wire up with:
  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
@@ -121,6 +122,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BmpPixelsExpr].getName, "graft_bmp_pixels"),
       (args: Seq[Expression]) => BmpPixelsExpr(args.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bmp_ahash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BmpAHashExpr].getName, "graft_bmp_ahash"),
+      (args: Seq[Expression]) => BmpAHashExpr(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType))))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_avi_encode"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

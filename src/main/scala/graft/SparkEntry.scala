@@ -4105,9 +4105,10 @@ object SparkEntry {
     // rides the full codec chain; the oracle recomputes it from the
     // pixel formula alone — equality proves resize+grayscale+threshold
     Q("q276_image_phash", Some(
-      s"""WITH ${dPhashCtes("")} SELECT phash_hi, phash_lo, CAST(COUNT(*) AS BIGINT) AS n_images, CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases, CAST(MIN(event_id) AS BIGINT) AS canonical FROM ph GROUP BY 1, 2 ORDER BY 1, 2"""),
+      s"""WITH ${dPhashCtes("WHERE event_id % 2 = 0")} SELECT phash_hi, phash_lo, CAST(COUNT(*) AS BIGINT) AS n_images, CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases, CAST(MIN(event_id) AS BIGINT) AS canonical FROM ph GROUP BY 1, 2 ORDER BY 1, 2"""),
       (s, dir) => {
         phashTestImages(s, dir)
+          .filter(col("event_id") % 2L === 0L)
           .withColumn("h", MediaDedup.aHash64(col("payload"), lit(2)))
           .select(col("h.phash_hi").as("phash_hi"),
             col("h.phash_lo").as("phash_lo"), col("event_id"),
@@ -4189,7 +4190,7 @@ object SparkEntry {
     // formula alone
     Q("q280_video_signature", Some({
       val blk = "(v[CAST((2*(o//8))*16 + 2*(o%8) + 1 AS INT)] + v[CAST((2*(o//8))*16 + 2*(o%8) + 2 AS INT)] + v[CAST((2*(o//8)+1)*16 + 2*(o%8) + 1 AS INT)] + v[CAST((2*(o//8)+1)*16 + 2*(o%8) + 2 AS INT)]) // 4"
-      s"""WITH e AS (SELECT event_id, event_id % 41 AS base FROM events), fr AS (SELECT event_id, base, unnest(range(3)) AS f FROM e), px AS (SELECT event_id, base, f, list_transform(range(256), i -> 8 + (base*37 + f*53 + i*11) % 240 + (event_id*3 + f*7 + i) % 2) AS v FROM fr), bm AS (SELECT event_id, base, f, list_transform(range(64), o -> $blk) AS b FROM px), hm AS (SELECT event_id, base, f, b, list_sum(b) // 64 AS m FROM bm), ph AS (SELECT event_id, base, f, CAST(list_sum(list_transform(range(32,64), o -> CASE WHEN b[CAST(o+1 AS INT)] > m THEN (1::BIGINT << CAST(o-32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi, CAST(list_sum(list_transform(range(32), o -> CASE WHEN b[CAST(o+1 AS INT)] > m THEN (1::BIGINT << CAST(o AS INT)) ELSE 0 END)) AS BIGINT) AS lo FROM hm), sg AS (SELECT event_id, base, MAX(CASE WHEN f=0 THEN hi END) AS h0, MAX(CASE WHEN f=0 THEN lo END) AS l0, MAX(CASE WHEN f=1 THEN hi END) AS h1, MAX(CASE WHEN f=1 THEN lo END) AS l1, MAX(CASE WHEN f=2 THEN hi END) AS h2, MAX(CASE WHEN f=2 THEN lo END) AS l2 FROM ph GROUP BY 1, 2), sq AS (SELECT event_id, base, ((((((h0*31 + l0) % 2147483647) * 131 + h1*31 + l1) % 2147483647) * 131 + h2*31 + l2) % 2147483647) AS sig FROM sg) SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_videos, CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases, CAST(MIN(event_id) AS BIGINT) AS canonical FROM sq GROUP BY 1 ORDER BY 1"""}),
+      s"""WITH e AS (SELECT event_id, event_id % 41 AS base FROM events WHERE event_id % 3 = 0), fr AS (SELECT event_id, base, unnest(range(3)) AS f FROM e), px AS (SELECT event_id, base, f, list_transform(range(256), i -> 8 + (base*37 + f*53 + i*11) % 240 + (event_id*3 + f*7 + i) % 2) AS v FROM fr), bm AS (SELECT event_id, base, f, list_transform(range(64), o -> $blk) AS b FROM px), hm AS (SELECT event_id, base, f, b, list_sum(b) // 64 AS m FROM bm), ph AS (SELECT event_id, base, f, CAST(list_sum(list_transform(range(32,64), o -> CASE WHEN b[CAST(o+1 AS INT)] > m THEN (1::BIGINT << CAST(o-32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi, CAST(list_sum(list_transform(range(32), o -> CASE WHEN b[CAST(o+1 AS INT)] > m THEN (1::BIGINT << CAST(o AS INT)) ELSE 0 END)) AS BIGINT) AS lo FROM hm), sg AS (SELECT event_id, base, MAX(CASE WHEN f=0 THEN hi END) AS h0, MAX(CASE WHEN f=0 THEN lo END) AS l0, MAX(CASE WHEN f=1 THEN hi END) AS h1, MAX(CASE WHEN f=1 THEN lo END) AS l1, MAX(CASE WHEN f=2 THEN hi END) AS h2, MAX(CASE WHEN f=2 THEN lo END) AS l2 FROM ph GROUP BY 1, 2), sq AS (SELECT event_id, base, ((((((h0*31 + l0) % 2147483647) * 131 + h1*31 + l1) % 2147483647) * 131 + h2*31 + l2) % 2147483647) AS sig FROM sg) SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_videos, CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases, CAST(MIN(event_id) AS BIGINT) AS canonical FROM sq GROUP BY 1 ORDER BY 1"""}),
       (s, dir) => {
         val id = col("event_id")
         val base = id % 41L
@@ -4199,6 +4200,7 @@ object SparkEntry {
               i => (lit(8L) + (base * 37L + f * 53L + i * 11L) % 240L +
                 (id * 3L + f * 7L + i) % 2L) * 65793L)))
         KafkaLike.events(tune(s), dir).select(id)
+          .filter(id % 3L === 0L)
           .withColumn("avi", Multimodal.aviEncode(lit(40000L), frames))
           .select(MediaDedup.videoSignature(col("avi"), lit(2)).as("sig"),
             id, base.as("base"))

@@ -52,6 +52,34 @@ class MediaDedupSpec extends SparkSuite {
     assert(rows.getLong(3) == rows.getLong(1))
   }
 
+  test("aHash64 native expression equals its composed column form") {
+    import s.implicits._
+    // varied real blobs: gradient, blocky, near-flat — native one-pass
+    // hash must agree with resize→pixels→gray→threshold composition
+    def img(seed: Long): Seq[Long] = (0 until 256).map { i =>
+      val v = (seed * 37 + i * 11) % 240 + 8
+      (v << 16) | (((v * 7) % 256) << 8) | ((v * 3) % 256)
+    }
+    val rows = Seq((img(1L), img(2L), img(3L)))
+      .toDF("a", "b", "c")
+    Seq("a", "b", "c").foreach { c =>
+      val r = rows.select(
+        MediaDedup.aHash64(
+          Multimodal.bmpEncode(lit(16L), col(c)), lit(2)).as("n"),
+        MediaDedup.aHash64Composed(
+          Multimodal.bmpEncode(lit(16L), col(c)), lit(2)).as("m"))
+        .select(col("n.phash_hi"), col("n.phash_lo"),
+          col("m.phash_hi"), col("m.phash_lo")).head()
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3))
+    }
+    // both null-route a malformed blob the same way
+    val nulls = rows.select(
+      MediaDedup.aHash64(lit("x".getBytes("UTF-8")), lit(2)).isNull,
+      MediaDedup.aHash64Composed(lit("x".getBytes("UTF-8")), lit(2)).isNull)
+      .head()
+    assert(nulls.getBoolean(0) && nulls.getBoolean(1))
+  }
+
   test("aHash64 nulls when the resize is not 8x8 and for malformed bytes") {
     import s.implicits._
     val px = (0 until 256).map(i => (i % 256).toLong * 65793L)
