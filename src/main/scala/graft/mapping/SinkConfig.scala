@@ -19,7 +19,7 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.deletesEnabled     (default true)
  *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
  *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell, default row)
- *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | near[:<k>x<r>|:strict95|:broad40[:<ttlMs>]], default none)
+ *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | phash[:<factor>[:<ttlMs>]] | near[:<k>x<r>|:strict95|:broad40[:<ttlMs>]], default none)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *   dedupVacuumEvery                                    (batches between automatic dedup-state sweeps, default 100, 0 = off)
  *
@@ -121,25 +121,33 @@ object SinkConfig {
     require(Set("row", "cell").contains(mergeMode),
       s"mergeMode must be row or cell (got '$mergeMode')")
     require(dedup == "none" || dedup == "exact" ||
+      (dedup.startsWith("phash") &&
+        SinkConfig.phashParams(dedup).isDefined) ||
       (dedup.startsWith("exactTtl:") &&
         scala.util.Try(dedup.stripPrefix("exactTtl:").toLong).toOption
           .exists(_ > 0)) ||
       (dedup.startsWith("near") && SinkConfig.nearParams(dedup).isDefined),
-      s"dedup must be none, exact, exactTtl:<positive ms>, or " +
+      s"dedup must be none, exact, exactTtl:<positive ms>, " +
+        s"phash[:<factor>[:<positive ttl ms>]], or " +
         s"near[:<numHashes>x<rowsPerBand>[:<positive ttl ms>]] (with " +
         s"rowsPerBand dividing numHashes) or " +
         s"near:strict95|broad40[:<positive ttl ms>] (got '$dedup')")
     def qualifiedTable: String = s"$keyspace.$table"
     def dedupEnabled: Boolean = dedup != "none"
-    /** The sliding horizon for `exactTtl:<ms>` and `near:<k>x<r>:<ms>`;
-      * None for the unbounded modes. */
+    /** The sliding horizon for `exactTtl:<ms>`, `near:<k>x<r>:<ms>`, and
+      * `phash:<k>:<ms>`; None for the unbounded modes. */
     def dedupTtlMs: Option[Long] =
       if (dedup.startsWith("exactTtl:"))
         Some(dedup.stripPrefix("exactTtl:").toLong)
       else SinkConfig.nearParams(dedup).flatMap(_._3)
+        .orElse(SinkConfig.phashParams(dedup).flatMap(_._2))
     /** (numHashes, rowsPerBand) for the `near` modes; None otherwise. */
     def dedupNearParams: Option[(Int, Int)] =
       SinkConfig.nearParams(dedup).map(p => (p._1, p._2))
+    /** Downsample factor for the `phash` modes (binary image payloads
+      * dedup on perceptual content, not bytes); None otherwise. */
+    def dedupPhashFactor: Option[Int] =
+      SinkConfig.phashParams(dedup).map(_._1)
   }
 
   /** Named band geometries for `dedup=near:<preset>`: `strict95` = 8 bands
@@ -181,6 +189,24 @@ object SinkConfig {
         }
       }
       for { g <- geometry; t <- ttl } yield (g._1, g._2, t)
+    } else None
+
+  /** `phash` → (2, None); `phash:<factor>[:<ttlMs>]` → validated pair.
+    * The record's binary `value` must be a 24bpp BMP whose grid
+    * downsamples to 64 cells under `factor`; undecodable payloads pass
+    * the dedup stage unfiltered (content that can't be perceptually
+    * compared is routed, not dropped). */
+  private[graft] def phashParams(dedup: String): Option[(Int, Option[Long])] =
+    if (dedup == "phash") Some((2, None))
+    else if (dedup.startsWith("phash:")) {
+      dedup.stripPrefix("phash:").split(":", -1) match {
+        case Array(f) => f.toIntOption.filter(_ >= 1).map(k => (k, None))
+        case Array(f, t) => for {
+          k <- f.toIntOption if k >= 1
+          ms <- t.toLongOption if ms > 0
+        } yield (k, Some(ms))
+        case _ => None
+      }
     } else None
 
   case class Config(bindings: Seq[TableBinding],

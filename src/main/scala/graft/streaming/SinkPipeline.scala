@@ -93,9 +93,13 @@ class SinkPipeline(
             StructField("last_seen", LongType))), Seq("band_id", "band_hash"),
             s"bands${k}x$r")
         case None =>
+          // phash shares the exact mode's (h, last_seen) schema but gets
+          // its OWN layout name: a factor change (or exact↔phash flip)
+          // must re-seed, not revive the other parameterization's hashes
           (StructType(Seq(
             StructField("h", LongType),
-            StructField("last_seen", LongType))), Seq("h"), "hashes")
+            StructField("last_seen", LongType))), Seq("h"),
+            b.dedupPhashFactor.map(f => s"phash$f").getOrElse("hashes"))
       }
       val bindingRoot = java.nio.file.Paths.get(
         storeRoot, "_dedup", s"${b.topic}.${b.qualifiedTable}")
@@ -145,10 +149,34 @@ class SinkPipeline(
       val ds = dedupStore(spark, b)
       val nowMs = System.currentTimeMillis()
       val hcol = "__content_hash"
-      val hashed = slice.withColumn(hcol, xxhash64(col("value")))
-      // tombstones never dedup: all-null values would collapse every delete
-      val dedupable = hashed.filter(col("value").isNotNull)
-      val tombstones = slice.filter(col("value").isNull)
+      // exact: byte identity; phash: perceptual identity — the 64-bit
+      // average-hash of the BMP payload packed into one long (a jittered
+      // re-encode of the same picture hashes equal; bytes don't)
+      val contentKey = b.dedupPhashFactor match {
+        case Some(f) =>
+          // a string-typed value decodes via its UTF-8 bytes (never a
+          // valid BMP → null → passes unfiltered, same routing as any
+          // other undecodable payload)
+          val bytes = slice.schema("value").dataType match {
+            case org.apache.spark.sql.types.BinaryType => col("value")
+            case _ => col("value").cast(
+              org.apache.spark.sql.types.BinaryType)
+          }
+          val h = graft.multimodal.MediaDedup.aHash64(bytes, lit(f))
+          shiftleft(h.getField("phash_hi"), 32)
+            .bitwiseOR(h.getField("phash_lo"))
+        case None => xxhash64(col("value"))
+      }
+      val hashed = slice.withColumn(hcol, contentKey)
+      // tombstones never dedup: all-null values would collapse every
+      // delete. Under phash, an UNDECODABLE payload has no perceptual
+      // identity — it passes unfiltered (route, don't drop) and records
+      // no sighting.
+      val dedupable = hashed
+        .filter(col("value").isNotNull && col(hcol).isNotNull)
+      val tombstones = hashed
+        .filter(col("value").isNull || col(hcol).isNull)
+        .select(slice.columns.toIndexedSeq.map(col): _*)
       val recordCols = slice.columns
       // in-batch first copy per hash: min (partition, offset) — a
       // map-side-combined min_by, not a window (a hot value's copies would

@@ -356,6 +356,55 @@ class SinkPipelineSpec extends SparkSuite {
     assert(st.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("dedup=phash: jittered re-encodes dedup on perceptual identity, " +
+      "undecodable payloads pass unfiltered") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val binSchema = StructType(kafkaSchema.map(f =>
+      if (f.name == "value") f.copy(dataType = BinaryType) else f))
+    def bbatch(rows: (Long, String, Array[Byte])*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (off, key, value) =>
+        l.add(Row("imgs", 0, off, key, value, Seq.empty[Row],
+          java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(off * 1000))))
+      }
+      s.createDataFrame(l, binSchema)
+    }
+    // 16×16 grayscale picture `seed`, per-copy ±1 jitter: same perceptual
+    // content, different bytes
+    def bmp(seed: Long, jitter: Int): Array[Byte] =
+      graft.functions.Bmp.encode(16, ArrayData.toArrayData(
+        (0 until 256).map(i => (8L + (seed * 37 + i * 11) % 240 +
+          (if (i % 2 == 0) jitter else 0)) * 65793L).toArray))
+    assert(!java.util.Arrays.equals(bmp(1, 0), bmp(1, 1))) // bytes differ
+    val timg = SinkTable("ks", "timg", StructType(Seq(
+      StructField("my_pk", LongType), StructField("my_img", BinaryType))),
+      Seq("my_pk"))
+    val config = SinkConfig.parse(Map(
+      "topic.imgs.ks.timg.mapping" -> "my_pk=key, my_img=value",
+      "topic.imgs.ks.timg.dedup" -> "phash:2"))
+    val pipe = new SinkPipeline(config,
+      Map("ks.timg" -> timg),
+      Files.createTempDirectory("graft-phash").toString)
+    // batch 0: picture A twice (different jitter → different bytes), one
+    // distinct picture B, one non-BMP payload
+    pipe.processBatch(bbatch(
+      (0L, "1", bmp(1, 0)), (1L, "2", bmp(1, 1)),
+      (2L, "3", bmp(2, 0)), (3L, "4", "not a bmp".getBytes("UTF-8"))), 0L)
+    val st1 = pipe.store(s, config.bindings.head).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted
+    assert(st1.toSeq == Seq(1L, 3L, 4L)) // first A copy, B, undecodable
+    // batch 1: yet another jittered A → dropped; new picture C → lands;
+    // another undecodable payload → passes again (no sighting recorded)
+    pipe.processBatch(bbatch(
+      (4L, "5", bmp(1, 1)), (5L, "6", bmp(3, 0)),
+      (6L, "7", "still not a bmp".getBytes("UTF-8"))), 1L)
+    val st2 = pipe.store(s, config.bindings.head).state()
+      .select("my_pk").collect().map(_.getLong(0)).sorted
+    assert(st2.toSeq == Seq(1L, 3L, 4L, 6L, 7L))
+    // the seen store carries one perceptual hash per distinct picture
+    assert(pipe.dedupStore(s, config.bindings.head).state().count() == 3)
+  }
+
   test("dedup config round-trips and rejects malformed values") {
     def conf(v: String) = Map(
       "topic.o.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
@@ -383,6 +432,16 @@ class SinkPipelineSpec extends SparkSuite {
       nearTtl.dedupTtlMs.contains(60000L))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:5x2")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:0x0")))
+    // phash: bare form defaults to factor 2; factor and ttl validate
+    val ph = SinkConfig.parse(conf("phash")).bindings.head
+    assert(ph.dedupEnabled && ph.dedupPhashFactor.contains(2) &&
+      ph.dedupTtlMs.isEmpty && ph.dedupNearParams.isEmpty)
+    val ph4 = SinkConfig.parse(conf("phash:4:60000")).bindings.head
+    assert(ph4.dedupPhashFactor.contains(4) &&
+      ph4.dedupTtlMs.contains(60000L))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("phash:0")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("phash:2:")))
+    intercept[IllegalArgumentException](SinkConfig.parse(conf("phash:2:-5")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:axb")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:16")))
     intercept[IllegalArgumentException](SinkConfig.parse(conf("near:8x2:-5")))
