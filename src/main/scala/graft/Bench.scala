@@ -367,6 +367,10 @@ object Bench {
         // ~4× because its verify caps candidates, trading recall)
         "q201_all_pairs_cosine" ->
           (() => force(SparkEntry.queries("q201_all_pairs_cosine")(spark, sf1Dir))),
+        // incremental SCD2: affected-keys-only rebuild should track the
+        // batch, not the history — keyed windows + semi/anti joins
+        "q283_scd2_incremental" ->
+          (() => force(SparkEntry.queries("q283_scd2_incremental")(spark, sf1Dir))),
         // label-noise audit's 100 TB shape is PLUGGABLE neighbors — the
         // default brute-force self-kNN is the documented seed-set regime
         // (quadratic by contract), so the probe feeds the IVF path the

@@ -2912,7 +2912,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit FROM events), g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e), s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), ses AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(MAX(hit) AS BIGINT) AS converted FROM s GROUP BY 1, 2) SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(SUM(converted) AS BIGINT) AS n_converted, CAST(SUM(CASE WHEN converted = 1 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_converted, CAST(SUM(CASE WHEN converted = 0 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_other, CAST(SUM(converted)*1000000 // GREATEST(COUNT(*), 1) AS BIGINT) AS conversion_ppm FROM ses"""),
       (s, dir) => graft.streaming.EventTimeOps.sessionConversion(
         KafkaLike.frame(tune(s), dir), 1800000L, "purchase"))
-  ) ++ r7LayoutAndStats ++ r7MediaDedupAndScd
+  ) ++ r7LayoutAndStats ++ r7MediaDedupAndScd ++ r7LinalgSpatial
 
   /** DuckDB mirror of [[Layout.mortonValue]] over `bits`-bit operands:
     * the same Σ shift/mask terms, generated once so both engines share
@@ -4376,6 +4376,103 @@ object SparkEntry {
             col("status"), col("version"))
           .orderBy("event_id")
       })
+  )
+
+  /** DuckDB mirror of the integer power iteration (q290): the co-moment
+    * CTE chain plus `iters` unrolled multiply-and-rescale steps in HUGEINT
+    * with truncating division. */
+  private def dPowerIterSql(iters: Int): String = {
+    def trunc(num: String, den: String) =
+      s"(CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) * ((abs($num)) // ($den))"
+    val base =
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings),
+         |u AS (SELECT vec_id, CAST(i AS INT) AS i, qv[CAST(i AS INT)] AS x FROM v, UNNEST(range(1,65)) t(i)),
+         |n AS (SELECT count(*) AS n FROM v),
+         |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM u GROUP BY i),
+         |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x*b.x) AS BIGINT) AS sxy FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+         |cm AS (SELECT p.i, p.j, CAST(n.n*p.sxy - sa.sx*sb.sx AS HUGEINT) AS c FROM p, n JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j),
+         |v0 AS (SELECT CAST(i AS INT) AS i, CAST(1000000 AS HUGEINT) AS x FROM UNNEST(range(1,65)) t(i))""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s""",
+         |w$t AS (SELECT cm.i, CAST(sum(cm.c * $prev.x) AS HUGEINT) AS w FROM cm JOIN $prev ON $prev.i = cm.j GROUP BY cm.i),
+         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS (SELECT w$t.i, CAST(${trunc(s"w$t.w*1000000", s"m$t.m")} AS HUGEINT) AS x FROM w$t, m$t)""".stripMargin
+    }.mkString
+    (base + steps +
+      s"\nSELECT i, CAST(x AS BIGINT) AS comp FROM v$iters ORDER BY i")
+      .replace("\n", " ")
+  }
+
+  private lazy val r7LinalgSpatial: Seq[Q] = Seq(
+
+    // co-moment (scaled covariance) matrix — the Gramian shape: map-side
+    // outer products, partial hash agg, a ≤dim²-row shuffle, no join of
+    // vectors against vectors
+    Q("q289_comoment_matrix", Some(
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings), u AS (SELECT vec_id, CAST(i AS INT) AS i, qv[CAST(i AS INT)] AS x FROM v, UNNEST(range(1,65)) t(i)), n AS (SELECT count(*) AS n FROM v), s AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM u GROUP BY i), p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x*b.x) AS BIGINT) AS sxy FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i) SELECT p.i, p.j, CAST(n.n*p.sxy - sa.sx*sb.sx AS BIGINT) AS comoment FROM p, n JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j ORDER BY p.i, p.j"""),
+      (s, dir) => Linalg.comomentMatrix(embeddings(tune(s), dir),
+        "embedding", dim = 64)),
+
+    // top eigenvector by integer power iteration: distributed matrix
+    // build, bounded (dim²) driver collect, exact BigInt steps
+    Q("q290_power_iteration", Some(dPowerIterSql(iters = 4)),
+      (s, dir) => Linalg.powerIterationTop(embeddings(tune(s), dir),
+        "embedding", dim = 64, iters = 4)),
+
+    // JL ±1 projection 64→16 as literal-plane codegen'd dot products;
+    // distortion audited over the bounded id<50 pair set
+    Q("q291_jl_distortion", Some(
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings WHERE vec_id < 50), sgn AS (SELECT CAST(a.a AS INT) AS a, CAST(j.j AS INT) AS j, CASE WHEN ((a.a*1000003 + j.j) * 2654435761) % 2147483647 % 2 = 0 THEN 1 ELSE -1 END AS sg FROM UNNEST(range(1,17)) a(a), UNNEST(range(1,65)) j(j)), u AS (SELECT vec_id, CAST(j AS INT) AS j, qv[CAST(j AS INT)] AS x FROM v, UNNEST(range(1,65)) t(j)), proj AS (SELECT u.vec_id, sgn.a, CAST(sum(sgn.sg * u.x) AS BIGINT) AS y FROM u JOIN sgn ON sgn.j = u.j GROUP BY u.vec_id, sgn.a), pairs AS (SELECT a.vec_id AS u_id, b.vec_id AS v_id FROM v a JOIN v b ON a.vec_id < b.vec_id), d_orig AS (SELECT p.u_id, p.v_id, CAST(sum((ua.x - ub.x)*(ua.x - ub.x)) AS BIGINT) AS d2_orig FROM pairs p JOIN u ua ON ua.vec_id = p.u_id JOIN u ub ON ub.vec_id = p.v_id AND ub.j = ua.j GROUP BY 1,2), d_proj AS (SELECT p.u_id, p.v_id, CAST(sum((pa.y - pb.y)*(pa.y - pb.y)) AS BIGINT) AS d2_proj FROM pairs p JOIN proj pa ON pa.vec_id = p.u_id JOIN proj pb ON pb.vec_id = p.v_id AND pb.a = pa.a GROUP BY 1,2) SELECT o.u_id, o.v_id, o.d2_orig, pr.d2_proj, CAST(CASE WHEN o.d2_orig = 0 THEN 0 ELSE ${dTruncDiv("pr.d2_proj*1000000", "o.d2_orig*16")} END AS BIGINT) AS ratio_ppm FROM d_orig o JOIN d_proj pr ON pr.u_id = o.u_id AND pr.v_id = o.v_id ORDER BY o.u_id, o.v_id"""),
+      (s, dir) => Linalg.jlDistortion(embeddings(tune(s), dir), "vec_id",
+        "embedding", dim = 64, k = 16, sampleIds = 50L)),
+
+    // ColBERT-style late interaction: 8 token slices × 8 dims, query-token
+    // broadcast, per-(q,doc,token) MAX partial-aggregates pre-shuffle
+    Q("q292_late_interaction", Some(
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings), tok AS (SELECT vec_id, CAST(t AS INT) AS t, CAST(j AS INT) AS j, qv[CAST(t*8 + j + 1 AS INT)] AS x FROM v, UNNEST(range(0,8)) tt(t), UNNEST(range(0,8)) jj(j)), q AS (SELECT vec_id AS query_id, t, j, x FROM tok WHERE vec_id < 8), d AS (SELECT vec_id AS item_id, t AS s, j, x FROM tok), dots AS (SELECT q.query_id, d.item_id, q.t, d.s, CAST(sum(q.x*d.x) AS BIGINT) AS dot FROM q JOIN d ON d.j = q.j WHERE q.query_id <> d.item_id GROUP BY 1,2,3,4), mx AS (SELECT query_id, item_id, t, max(dot) AS mdot FROM dots GROUP BY 1,2,3), sc AS (SELECT query_id, item_id, CAST(sum(mdot) AS BIGINT) AS score FROM mx GROUP BY 1,2), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS rank FROM sc) SELECT query_id, item_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val e = embeddings(tune(s), dir)
+        Similarity.lateInteractionTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", tokens = 8, subDim = 8, k = 5)
+      }),
+
+    // grid-cell-gated proximity self-join; the oracle is the QUADRATIC
+    // all-pairs semantics — the cell gate is provably lossless (δ = r)
+    Q("q293_spatial_join", Some(
+      """WITH p AS (SELECT event_id, (user_id * 37) % 1000 AS x, (event_id * 53) % 1000 AS y FROM events) SELECT a.event_id AS id_a, b.event_id AS id_b, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb, CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2 FROM p a JOIN p b ON a.event_id < b.event_id WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val pts = KafkaLike.events(tune(s), dir).select(col("event_id"),
+          ((col("user_id") * 37L) % 1000L).as("x"),
+          ((col("event_id") * 53L) % 1000L).as("y"))
+        Spatial.proximityJoin(pts, "event_id", "x", "y", radius = 5L)
+      }),
+
+    // LTOB downsampling: per-type series, 50-point buckets, exact int64
+    // doubled-triangle area, endpoints kept
+    Q("q294_ltob_downsample", Some(
+      """WITH s AS (SELECT event_type AS grp, CAST(epoch_ms(ts) AS BIGINT) AS x, CAST(floor(value*1000) AS BIGINT) AS y, event_id, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), a AS (SELECT *, lag(x) OVER w AS px, lag(y) OVER w AS py, lead(x) OVER w AS nx, lead(y) OVER w AS ny FROM s WINDOW w AS (PARTITION BY grp ORDER BY rn)), ar AS (SELECT grp, x, y, event_id, rn, n, (rn - 1) // 50 AS bucket, CASE WHEN px IS NULL OR nx IS NULL THEN -1 ELSE abs((px - x)*(ny - y) - (nx - x)*(py - y)) END AS area2 FROM a), pick AS (SELECT *, row_number() OVER (PARTITION BY grp, bucket ORDER BY area2 DESC, event_id ASC) AS pr FROM ar) SELECT grp, CAST(bucket AS BIGINT) AS bucket, event_id, x AS ts_ms, y AS v_milli, CAST(area2 AS BIGINT) AS area2 FROM pick WHERE pr = 1 OR rn = 1 OR rn = n ORDER BY grp, bucket, event_id"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir).select(
+          col("event_type"), IntMath.idiv(col("ts"), lit(1000000L)).as("ts_ms"),
+          floor(col("value") * 1000d).cast(LongType).as("v"), col("event_id"))
+        Downsample.ltob(ev, "event_type", "ts_ms", "v", "event_id", bucket = 50)
+          .withColumnRenamed("rid", "event_id")
+      }),
+
+    // rendezvous-hash rebalance 8→9 nodes: the report shows the HRW
+    // property (all movement lands on the added node)
+    Q("q295_rendezvous_rebalance", Some(
+      """WITH k AS (SELECT DISTINCT event_id AS id FROM events), n9 AS (SELECT CAST(n.n AS INT) AS node, ((n.n + 7) * 2654435761) % 1000000007 AS c FROM UNNEST(range(0,9)) n(n)), h AS (SELECT k.id, n9.node, ((k.id + 1) * n9.c) % 1000000007 AS h FROM k, n9), a8 AS (SELECT id, node FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY h DESC, node ASC) AS rn FROM h WHERE node < 8) WHERE rn = 1), a9 AS (SELECT id, node FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY h DESC, node ASC) AS rn FROM h) WHERE rn = 1) SELECT CAST(a8.node AS INT) AS node_from, CAST(a9.node AS INT) AS node_to, CAST(count(*) AS BIGINT) AS cnt FROM a8 JOIN a9 USING (id) GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => Sharding.rebalanceReport(KafkaLike.events(tune(s), dir),
+        "event_id", nFrom = 8, nTo = 9)),
+
+    // per-vector SQ8 quantization summary (codes, polynomial fold,
+    // reconstruction error) — map-only int8 compression audit
+    Q("q296_sq8_quantize", Some(
+      s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings), u AS (SELECT vec_id, CAST(j AS INT) AS j, qv[CAST(j AS INT)] AS x FROM v, UNNEST(range(1,65)) t(j)), mm AS (SELECT vec_id, min(x) AS mn, max(x) AS mx FROM u GROUP BY 1), c AS (SELECT u.vec_id, u.j, u.x, mm.mn, mm.mx, CASE WHEN mm.mx = mm.mn THEN 0 ELSE ((u.x - mm.mn)*255) // (mm.mx - mm.mn) END AS code FROM u JOIN mm USING (vec_id)), rec AS (SELECT *, mn + (code*(mx - mn)) // 255 AS recon FROM c) SELECT vec_id, CAST(min(mn) AS BIGINT) AS mn, CAST(max(mx) AS BIGINT) AS mx, CAST(sum(code) AS BIGINT) AS code_sum, CAST(sum(code*j) AS BIGINT) AS code_poly, CAST(sum(abs(x - recon)) AS BIGINT) AS abs_err FROM rec GROUP BY vec_id ORDER BY vec_id"""),
+      (s, dir) => Linalg.sq8Quantize(embeddings(tune(s), dir), "vec_id",
+        "embedding", dim = 64))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

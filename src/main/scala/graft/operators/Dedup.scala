@@ -587,7 +587,7 @@ object Dedup {
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       spanTokens: Int = 8, minCount: Int = 2): DataFrame = {
     // the span frame feeds the count, the anti-join, and the per-doc totals
-    // — materialize the tokenize+tile stage once (lazily: see [[Staging]])
+    // — materialize the tokenize+tile stage once (see [[Staging]])
     val spanRows = Staging.stage(tileSpans(docs, textCol, idCol, spanTokens))
     val common = spanRows.groupBy(col("span"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select(col("span"))

@@ -611,4 +611,40 @@ object Similarity {
         coalesce(col("b_top1_a") === col("a_id"), lit(false)).as("mutual"))
       .orderBy("a_id")
   }
+
+  /**
+   * Late-interaction (ColBERT-style) max-sim retrieval: each vector is
+   * treated as `tokens` sub-vectors of `subDim` dims (contiguous slices);
+   * score(q, d) = Σ over query tokens of the MAX dot product against any
+   * doc token. Top-k docs per query, ties on item id.
+   *
+   * Shape at scale: doc tokens explode map-side (×tokens), the query token
+   * set is broadcast (queries are small by construction), and the per-(q,
+   * doc, qtoken) MAX partial-aggregates before the shuffle — the shuffle
+   * carries ≤ |docs|·tokens·|qtokens| pre-reduced rows, never vectors×
+   * vectors. Scoring is the quantized-int64 contract of [[bruteForceTopK]].
+   */
+  def lateInteractionTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, tokens: Int, subDim: Int,
+      k: Int): DataFrame = {
+    def toTokens(df: DataFrame, idAs: String, tokAs: String, vecAs: String) = {
+      val slices = array((0 until tokens).map(t =>
+        slice(quantize(col(vecCol)), t * subDim + 1, subDim)): _*)
+      df.select(col(idCol).as(idAs), posexplode(slices).as(Seq(tokAs, vecAs)))
+    }
+    val d = toTokens(corpus, "item_id", "s", "dv")
+    val q = toTokens(queries, "query_id", "t", "qv")
+    val perQTok = d.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("item_id"), col("t"))
+      .agg(max(dotQ(col("dv"), col("qv"))).as("mdot"))
+    val scored = perQTok.groupBy(col("query_id"), col("item_id"))
+      .agg(sum(col("mdot")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("score"),
+        col("rank").cast(IntegerType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

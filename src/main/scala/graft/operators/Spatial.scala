@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Grid-cell-gated proximity self-join over integer point coordinates:
+ * all pairs within L2 radius `r`, found without a cartesian product.
+ *
+ * Each point hashes to its `⌊x/δ⌋,⌊y/δ⌋` home cell with δ = r; the left
+ * side additionally emits its 3×3 cell neighborhood, so every qualifying
+ * pair (dist ≤ r ≤ δ) meets in EXACTLY one cell — the right point's home
+ * cell, which always lies in the left point's neighborhood — and the join
+ * is a plain equi-join on the cell key: shuffle O(9·n) cell-tagged points,
+ * compare only within a cell, no dedup pass needed. The exact `dist²≤r²`
+ * predicate then keeps the gate invisible in the output: the result equals
+ * the quadratic all-pairs answer, which is what the oracle checks
+ * (a SEMANTIC oracle, not an implementation mirror).
+ *
+ * Same blocking idea as [[Dedup]]'s LSH bands, but the gate here is
+ * lossless. Skew bound: a cell holds points from a δ×δ square, so worst
+ * case is data-dependent co-location — at 100 TB pick δ to keep expected
+ * cell occupancy O(1..100) and let AQE split stragglers.
+ */
+object Spatial {
+
+  /** All unordered pairs (id_a < id_b) with squared L2 distance ≤ r². */
+  def proximityJoin(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long): DataFrame = {
+    require(radius >= 1, "radius must be >= 1")
+    val r2 = radius * radius
+    val cellX = (c: Column) => IntMath.idiv(c, lit(radius))
+    val base = points.select(col(idCol).as("id"),
+      col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val left = base
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        explode(offsets).as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (cellX(col("xa")) + col("o.dx")).as("cx"),
+        (cellX(col("ya")) + col("o.dy")).as("cy"))
+    val right = base.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), cellX(col("x")).as("cx"), cellX(col("y")).as("cy"))
+    left.join(right, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= r2)
+      .select(col("id_a"), col("id_b"), col("xa"), col("ya"),
+        col("xb"), col("yb"), col("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -12,28 +12,28 @@ import org.apache.spark.storage.StorageLevel
  * The MECHANISM is a deployment decision, so it is a session config rather
  * than a call-site choice (`spark.graft.staging`):
  *
- *  - `local` (default): `localCheckpoint(eager = false)` — blocks cached on
+ *  - `local` (default): `localCheckpoint(eager = true)` — blocks cached on
  *    executors with TRUNCATED lineage. Fastest, and the right call on
  *    local[32] where an "executor loss" is a process death anyway. NOT
  *    fault-tolerant on a real cluster: losing an executor loses blocks that
- *    have no lineage to recompute from, failing the job.
+ *    have no lineage to recompute from, failing the job. EAGER by
+ *    necessity, not preference: the lazy variant (tried for the round-6
+ *    "no construction job" advice) DEADLOCKS when its first materialization
+ *    happens on a broadcast-exchange thread concurrently with DAG-scheduler
+ *    stage submission — `RDD.doCheckpoint` locks `RDDCheckpointData$` while
+ *    the scheduler holds the RDD lock in `getCacheLocs` and each waits on
+ *    the other (jstack-confirmed Java-level deadlock in the test suite,
+ *    `Dedup.semanticDedup` under a broadcast join). Eager materialization
+ *    runs the checkpoint job synchronously on the caller's thread BEFORE
+ *    any consumer can race it, which is why rounds 1–6 never hit this.
  *  - `persist`: `persist(MEMORY_AND_DISK)` — keeps lineage, so a lost
- *    executor recomputes the lost partitions instead of failing the job.
- *    The 100-TB setting. Costs keeping the upstream lineage alive (deeper
- *    plans) and a possible recompute on failure.
+ *    executor recomputes the lost partitions instead of failing the job,
+ *    and FULLY LAZY (CacheManager materialization is thread-safe, no
+ *    checkpoint locks). The 100-TB setting, and the setting for "building
+ *    an operator must not run jobs". Costs keeping the upstream lineage
+ *    alive (deeper plans) and a possible recompute on failure.
  *  - `none`: pass-through — every consumer recomputes the stage. For plan
  *    debugging and for single-consumer call shapes.
- *
- * All modes are LAZY: building an operator does not run the staged
- * computation (round-6 advice — `spanDedup` used the eager default and
- * materialized at DataFrame-construction time). One caveat, measured and
- * Probe-pinned: under AQE, `local` staging of a SHUFFLE-BEARING frame
- * materializes that frame's exchange stages when a consumer plan is built
- * (`localCheckpoint` resolves the plan to an RDD, and
- * `AdaptiveSparkPlanExec.execute` runs its shuffle stages to pick the
- * final plan) — map-only staged frames (the spanDedup tiling, the shingle
- * rows) build with ZERO jobs, and `persist` staging is fully lazy for any
- * plan shape (it only marks a storage level).
  */
 object Staging {
 
@@ -41,7 +41,7 @@ object Staging {
 
   def stage(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "local") match {
-      case "local"   => df.localCheckpoint(eager = false)
+      case "local"   => df.localCheckpoint(eager = true)
       case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK)
       case "none"    => df
       case other => throw new IllegalArgumentException(
