@@ -212,7 +212,10 @@ object Bench {
       "q280_video_signature", "q281_rare_bigram_filter",
       "q282_asof_nearest", "q283_scd2_incremental",
       "q284_image_dedup_manifest", "q285_cross_source_dups",
-      "q286_mixture_schedule", "q287_retract_agg", "q288_scd2_enrich")
+      "q286_mixture_schedule", "q287_retract_agg", "q288_scd2_enrich",
+      "q289_comoment_matrix", "q290_power_iteration", "q291_jl_distortion",
+      "q292_late_interaction", "q293_spatial_join", "q294_ltob_downsample",
+      "q295_rendezvous_rebalance", "q296_sq8_quantize")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))
