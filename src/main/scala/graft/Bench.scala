@@ -215,7 +215,11 @@ object Bench {
       "q286_mixture_schedule", "q287_retract_agg", "q288_scd2_enrich",
       "q289_comoment_matrix", "q290_power_iteration", "q291_jl_distortion",
       "q292_late_interaction", "q293_spatial_join", "q294_ltob_downsample",
-      "q295_rendezvous_rebalance", "q296_sq8_quantize")
+      "q295_rendezvous_rebalance", "q296_sq8_quantize",
+      "q297_edit_distance_pairs", "q298_interval_coalesce",
+      "q299_rag_chunks", "q300_l_diversity", "q301_lag_features",
+      "q302_corpus_datasheet", "q303_split_leakage",
+      "q304_boilerplate_suffix")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -2912,7 +2912,8 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit FROM events), g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e), s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), ses AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(MAX(hit) AS BIGINT) AS converted FROM s GROUP BY 1, 2) SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(SUM(converted) AS BIGINT) AS n_converted, CAST(SUM(CASE WHEN converted = 1 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_converted, CAST(SUM(CASE WHEN converted = 0 THEN n_events ELSE 0 END) AS BIGINT) AS events_in_other, CAST(SUM(converted)*1000000 // GREATEST(COUNT(*), 1) AS BIGINT) AS conversion_ppm FROM ses"""),
       (s, dir) => graft.streaming.EventTimeOps.sessionConversion(
         KafkaLike.frame(tune(s), dir), 1800000L, "purchase"))
-  ) ++ r7LayoutAndStats ++ r7MediaDedupAndScd ++ r7LinalgSpatial
+  ) ++ r7LayoutAndStats ++ r7MediaDedupAndScd ++ r7LinalgSpatial ++
+    r7CurationAndSeries
 
   /** DuckDB mirror of [[Layout.mortonValue]] over `bits`-bit operands:
     * the same Σ shift/mask terms, generated once so both engines share
@@ -4473,6 +4474,84 @@ object SparkEntry {
       s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings), u AS (SELECT vec_id, CAST(j AS INT) AS j, qv[CAST(j AS INT)] AS x FROM v, UNNEST(range(1,65)) t(j)), mm AS (SELECT vec_id, min(x) AS mn, max(x) AS mx FROM u GROUP BY 1), c AS (SELECT u.vec_id, u.j, u.x, mm.mn, mm.mx, CASE WHEN mm.mx = mm.mn THEN 0 ELSE ((u.x - mm.mn)*255) // (mm.mx - mm.mn) END AS code FROM u JOIN mm USING (vec_id)), rec AS (SELECT *, mn + (code*(mx - mn)) // 255 AS recon FROM c) SELECT vec_id, CAST(min(mn) AS BIGINT) AS mn, CAST(max(mx) AS BIGINT) AS mx, CAST(sum(code) AS BIGINT) AS code_sum, CAST(sum(code*j) AS BIGINT) AS code_poly, CAST(sum(abs(x - recon)) AS BIGINT) AS abs_err FROM rec GROUP BY vec_id ORDER BY vec_id"""),
       (s, dir) => Linalg.sq8Quantize(embeddings(tune(s), dir), "vec_id",
         "embedding", dim = 64))
+  )
+
+  private lazy val r7CurationAndSeries: Seq[Q] = Seq(
+
+    // edit-distance near-pairs: first-token + length-band blocking, exact
+    // bounded levenshtein verify on 32-char prefixes
+    Q("q297_edit_distance_pairs", Some(
+      s"""WITH d AS (SELECT doc_id, left(text, 32) AS pfx, ($dToks)[1] AS tok0, length(text) AS n FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist FROM d a JOIN d b ON a.tok0 = b.tok0 AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 8 WHERE levenshtein(a.pfx, b.pfx) <= 10 ORDER BY id_a, id_b"""),
+      (s, dir) => Linkage.editDistancePairs(docs(tune(s), dir),
+        "doc_id", "text", prefixLen = 32, maxDist = 10, lenBand = 8)),
+
+    // interval coalescing (gaps-and-islands over [ts, ts+10min) windows):
+    // merged coverage islands per user
+    Q("q298_interval_coalesce", Some(
+      """WITH iv AS (SELECT user_id AS key, CAST(epoch_ms(ts) AS BIGINT) AS s, CAST(epoch_ms(ts) AS BIGINT) + 600000 AS e FROM events), o AS (SELECT *, max(e) OVER (PARTITION BY key ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), f AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk FROM o), g AS (SELECT *, SUM(brk) OVER (PARTITION BY key ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM f) SELECT key, CAST(island AS BIGINT) AS island, CAST(min(s) AS BIGINT) AS start_ms, CAST(max(e) AS BIGINT) AS end_ms, CAST(count(*) AS BIGINT) AS n_intervals FROM g GROUP BY key, island ORDER BY key, island"""),
+      (s, dir) => {
+        val ms = IntMath.idiv(col("ts"), lit(1000000L))
+        val iv = KafkaLike.events(tune(s), dir).select(
+          col("user_id"), ms.as("s"), (ms + 600000L).as("e"))
+        graft.streaming.EventTimeOps.coalesceIntervals(iv, "user_id", "s", "e")
+      }),
+
+    // RAG chunking: 32-token chunks, stride 24, md5 chunk payload hash
+    Q("q299_rag_chunks", Some(
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), n AS (SELECT doc_id, tk, len(tk) AS n FROM t), c AS (SELECT doc_id, tk, n, CAST(unnest(range(CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS BIGINT) AS chunk_id FROM n), s AS (SELECT doc_id, chunk_id, tk[CAST(chunk_id*24 + 1 AS INT):CAST(LEAST(chunk_id*24 + 32, n) AS INT)] AS ck FROM c) SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens, md5(array_to_string(ck, ' ')) AS chunk_hash FROM s ORDER BY doc_id, chunk_id"""),
+      (s, dir) => TextAnalysis.ragChunks(docs(tune(s), dir),
+        "text", "doc_id", chunkTokens = 32, stride = 24)),
+
+    // l-diversity privacy audit: (day, event_type) quasi-groups, distinct
+    // user-bucket sensitive values, threshold flag
+    Q("q300_l_diversity", Some(
+      """WITH g AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, event_type, CAST(count(DISTINCT user_id % 50) AS BIGINT) AS l_div, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) SELECT day, event_type, l_div, n, CAST(CASE WHEN l_div < 35 THEN 1 ELSE 0 END AS BIGINT) AS below_l FROM g ORDER BY day, event_type"""),
+      (s, dir) => {
+        val ev = KafkaLike.events(tune(s), dir).select(
+          IntMath.idiv(IntMath.idiv(col("ts"), lit(1000000L)),
+            lit(86400000L)).as("day"),
+          col("event_type"), (col("user_id") % 50L).as("ub"))
+        Quality.lDiversity(ev, Seq("day", "event_type"), col("ub"),
+          lThreshold = 35)
+      }),
+
+    // lag/rolling feature matrix over per-type daily counts
+    Q("q301_lag_features", Some(
+      """WITH d AS (SELECT event_type AS grp, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS x, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), w AS (SELECT *, lag(y, 1) OVER (PARTITION BY grp ORDER BY x) AS lag1, lag(y, 7) OVER (PARTITION BY grp ORDER BY x) AS lag7, CAST(sum(y) OVER (PARTITION BY grp ORDER BY x ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum, CAST(count(*) OVER (PARTITION BY grp ORDER BY x ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n FROM d) SELECT grp, x, y, lag1, lag7, roll_sum, roll_n, CAST(roll_sum // roll_n AS BIGINT) AS roll_mean FROM w ORDER BY grp, x"""),
+      (s, dir) => {
+        val daily = KafkaLike.events(tune(s), dir)
+          .groupBy(col("event_type"),
+            IntMath.idiv(IntMath.idiv(col("ts"), lit(1000000L)),
+              lit(86400000L)).as("day"))
+          .agg(count(lit(1)).as("y"))
+        Stats.lagFeatures(daily, "event_type", "day", "y",
+          longLag = 7, window = 7)
+      }),
+
+    // per-source corpus datasheet: totals, language spread, prefix-
+    // fingerprint near-dup incidence, mean length
+    Q("q302_corpus_datasheet", Some(
+      s"""WITH b AS (SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars, $dToks AS tk FROM documents), h AS (SELECT doc_id, source, lang, n_chars, CAST(len(tk) AS BIGINT) AS n_tok, array_to_string(tk[1:16], ' ') AS pfx FROM b), g AS (SELECT pfx, CAST(count(*) AS BIGINT) AS gsz FROM h GROUP BY 1), j AS (SELECT h.*, g.gsz FROM h JOIN g USING (pfx)) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, CAST(sum(n_tok) AS BIGINT) AS total_tokens, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_docs, CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars FROM j GROUP BY source ORDER BY source"""),
+      (s, dir) => TextAnalysis.corpusDatasheet(docs(tune(s), dir),
+        "text", "doc_id", "source", "lang", "n_chars", prefixTokens = 16)),
+
+    // cross-split contamination: stratified 80/10/10 by source, leakage on
+    // the 16-token prefix fingerprint; zero rows = clean split
+    Q("q303_split_leakage", Some(
+      s"""WITH t AS (SELECT doc_id, source, array_to_string(($dToks)[1:16], ' ') AS p FROM documents), r AS (SELECT doc_id, source, p, CAST(row_number() OVER (PARTITION BY source ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS BIGINT) AS r, CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM t), s AS (SELECT doc_id, p, CASE WHEN r*100 <= n*80 THEN 'train' WHEN r*100 <= n*90 THEN 'val' ELSE 'test' END AS split FROM r) SELECT a.doc_id AS train_id, b.doc_id AS leak_id, b.split AS leak_split, a.p AS fingerprint FROM s a JOIN s b ON a.p = b.p AND a.split = 'train' AND b.split <> 'train' ORDER BY train_id, leak_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        Sampling.splitLeakage(d, "source", "doc_id",
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 16), " "),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      }),
+
+    // trailing-boilerplate audit: last-2-token suffix shared by >=5% of a
+    // source flags the doc for the strip stage
+    Q("q304_boilerplate_suffix", Some(
+      s"""WITH t AS (SELECT doc_id, source, $dToks AS tk FROM documents), sfx AS (SELECT doc_id, source, array_to_string(tk[CAST(GREATEST(len(tk)-1, 1) AS INT):CAST(len(tk) AS INT)], ' ') AS suffix FROM t), f AS (SELECT source, suffix, CAST(count(*) AS BIGINT) AS suffix_freq FROM sfx GROUP BY 1, 2), n AS (SELECT source, CAST(count(*) AS BIGINT) AS source_docs FROM sfx GROUP BY 1) SELECT sfx.doc_id, sfx.source, f.suffix_freq, n.source_docs, CAST(CASE WHEN f.suffix_freq * 100 >= n.source_docs * 5 AND f.suffix_freq >= 2 THEN 1 ELSE 0 END AS BIGINT) AS boilerplate FROM sfx JOIN f ON f.source = sfx.source AND f.suffix = sfx.suffix JOIN n ON n.source = sfx.source ORDER BY sfx.doc_id"""),
+      (s, dir) => TextAnalysis.boilerplateSuffix(docs(tune(s), dir),
+        "text", "doc_id", "source", suffixTokens = 2, minPct = 5))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

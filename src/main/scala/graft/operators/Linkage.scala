@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /**
  * Record linkage / entity resolution: blocked fuzzy matching.
@@ -117,4 +118,34 @@ object Linkage {
     df.select(blockExpr.as("blk"))
       .groupBy("blk").agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > maxBlockSize)
+
+  /**
+   * Edit-distance near-pair mining over a document PREFIX: pairs whose
+   * `prefixLen`-char prefixes are within `maxDist` Levenshtein edits,
+   * gated by (equal first token, |len(text) diff| ≤ lenBand). The gate is
+   * the blocking key — an equi-join, never a cross — and the verify is
+   * Spark's bounded `levenshtein(a, b, maxDist)` (early-exits above the
+   * threshold, O(prefixLen·maxDist) not O(prefixLen²)). The gate is part
+   * of the operator CONTRACT (recall is gate-bounded, like the LSH band
+   * gates in [[Dedup]]): a first-token typo escapes it; callers wanting
+   * more recall add blocks, not a wider scan.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 32, maxDist: Int = 10, lenBand: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("pfx"),
+      element_at(TextAnalysis.tokens(col(textCol)), 1).as("tok0"),
+      length(col(textCol)).as("n"))
+    val a = base.select(col("id").as("id_a"), col("pfx").as("pa"),
+      col("tok0"), col("n").as("na"))
+    val b = base.select(col("id").as("id_b"), col("pfx").as("pb"),
+      col("tok0"), col("n").as("nb"))
+    a.join(b, Seq("tok0"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("na") - col("nb")) <= lenBand)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb"), maxDist).cast(LongType).as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -146,4 +146,22 @@ object Quality {
     g.select(col("key"), (col("n") + sgn * mag).as("noisy_n"))
       .orderBy("key")
   }
+
+  /**
+   * l-diversity audit (the companion of the k-anonymity report): for each
+   * quasi-identifier group, the count of DISTINCT sensitive values and a
+   * below-threshold flag — a group where every member shares one sensitive
+   * value leaks it even when k-anonymous. Exact distinct per group (one
+   * two-phase aggregate); the quasi columns are the caller's
+   * generalization, so the operator composes with any bucketing.
+   */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+      lThreshold: Int): DataFrame = {
+    val qs = quasiCols.map(col)
+    df.groupBy(qs: _*)
+      .agg(countDistinct(sensitive).as("l_div"), count(lit(1)).as("n"))
+      .withColumn("below_l",
+        when(col("l_div") < lThreshold.toLong, 1L).otherwise(0L))
+      .orderBy(qs: _*)
+  }
 }

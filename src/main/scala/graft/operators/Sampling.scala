@@ -261,4 +261,30 @@ object Sampling {
         explode(sequence(lit(0L), col("__n_copies") - 1L)))
       .drop("__n_copies")
   }
+
+  /**
+   * Cross-split contamination audit: run [[stratifiedSplit]] and report
+   * every (train row, non-train row) pair sharing a caller-supplied
+   * content fingerprint — the eval-set leakage a random split silently
+   * admits when the corpus carries near-duplicates. The join is on the
+   * fingerprint (an equi-join over fingerprint groups, quadratic only
+   * within a duplicate group — exactly the duplicates being hunted);
+   * output (train_id, leak_id, leak_split, fingerprint). A clean corpus
+   * returns zero rows, which is the audit's pass state.
+   */
+  def splitLeakage(df: DataFrame, classCol: String, idCol: String,
+      fingerprint: Column, splits: Seq[(String, Int)]): DataFrame = {
+    val s = stratifiedSplit(df.withColumn("__fp", fingerprint),
+      classCol, idCol, splits)
+      .select(col(idCol).as("id"), col("__fp"), col("split"))
+    val train = s.filter(col("split") === "train")
+      .select(col("id").as("train_id"), col("__fp"))
+    val other = s.filter(col("split") =!= "train")
+      .select(col("id").as("leak_id"), col("split").as("leak_split"),
+        col("__fp"))
+    train.join(other, Seq("__fp"))
+      .select(col("train_id"), col("leak_id"), col("leak_split"),
+        col("__fp").as("fingerprint"))
+      .orderBy("train_id", "leak_id")
+  }
 }

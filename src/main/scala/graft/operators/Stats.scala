@@ -2352,4 +2352,32 @@ object Stats {
     agg1.select(explode(array(pairs: _*)).as("p")).select("p.*")
       .orderBy("col_x", "col_y")
   }
+
+  /**
+   * Lag/rolling feature matrix for a keyed integer series — the
+   * feature-generation pass of a forecasting pipeline: per (grp, x) row,
+   * the value, its lag-1 and lag-`longLag` values, and the trailing
+   * `window`-row sum/count/truncated mean. All windows partition by the
+   * series key (cross-key parallelism is free, same contract as the other
+   * event-time ops); integer mean via truncating DIV keeps the output
+   * engine-exact. Lags without history stay NULL — imputation is a
+   * downstream choice, not silently zero.
+   */
+  def lagFeatures(df: DataFrame, grpCol: String, xCol: String, yCol: String,
+      longLag: Int = 7, window: Int = 7): DataFrame = {
+    df.select(col(grpCol).as("grp"), col(xCol).cast(LongType).as("x"),
+        col(yCol).cast(LongType).as("y"))
+      .withColumn("lag1", lag(col("y"), 1).over(
+        Window.partitionBy(col("grp")).orderBy(col("x"))))
+      .withColumn(s"lag$longLag", lag(col("y"), longLag).over(
+        Window.partitionBy(col("grp")).orderBy(col("x"))))
+      .withColumn("roll_sum", sum(col("y")).over(
+        Window.partitionBy(col("grp")).orderBy(col("x"))
+          .rowsBetween(-(window - 1), Window.currentRow)))
+      .withColumn("roll_n", count(lit(1)).over(
+        Window.partitionBy(col("grp")).orderBy(col("x"))
+          .rowsBetween(-(window - 1), Window.currentRow)))
+      .withColumn("roll_mean", IntMath.idiv(col("roll_sum"), col("roll_n")))
+      .orderBy("grp", "x")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1138,5 +1138,88 @@ object TextAnalysis {
         coalesce(col("n_rare"), lit(0L)).as("n_rare"),
         pml.as("rare_pml"),
         (pml <= keepThresholdPml).as("keep"))
+  }
+
+  /**
+   * RAG-style overlapping chunking: whitespace tokens windowed into
+   * `chunkTokens`-token chunks every `stride` tokens (overlap =
+   * chunkTokens − stride), the retrieval-index unit of an embedding
+   * pipeline. A short doc is one chunk; the last chunk keeps whatever
+   * remains past the final full stride. Emits (doc_id, chunk_id,
+   * n_tokens, chunk_hash) — the hash stands in for the chunk payload the
+   * embedder would consume. Map-only (explode over a per-row sequence);
+   * chunk counts are data-proportional, never quadratic.
+   */
+  def ragChunks(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      "need 1 <= stride <= chunkTokens")
+    val t = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")).cast(LongType))
+    val nChunks = when(col("n") <= chunkTokens, 1L)
+      .otherwise(IntMath.idiv(col("n") - chunkTokens + (stride - 1),
+        lit(stride.toLong)) + 1L)
+    t.withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
+      .withColumn("ck", slice(col("tk"),
+        (col("chunk_id") * stride + 1L).cast(IntegerType), lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast(LongType).as("n_tokens"),
+        md5(array_join(col("ck"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /**
+   * Corpus datasheet: per-source summary a dataset card needs — doc and
+   * token totals, language spread, near-dup incidence (docs whose
+   * `prefixTokens`-token prefix collides with any other doc, the cheap
+   * fingerprint of [[Dedup]]'s exact pass), mean length. One token pass +
+   * one global fingerprint groupBy; every aggregate partial-aggregates.
+   */
+  def corpusDatasheet(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, langCol: String, nCharsCol: String,
+      prefixTokens: Int = 16): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(langCol).as("lang"), col(nCharsCol).cast(LongType).as("n_chars"),
+        tokens(col(textCol)).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast(LongType))
+      .withColumn("pfx", array_join(slice(col("tk"), 1, prefixTokens), " "))
+    val groups = base.groupBy(col("pfx")).agg(count(lit(1)).as("gsz"))
+    base.join(groups, Seq("pfx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("gsz") > 1L, 1L).otherwise(0L)).as("n_neardup_docs"),
+        IntMath.idiv(sum(col("n_chars")), count(lit(1))).as("mean_chars"))
+      .orderBy("source")
+  }
+
+  /**
+   * Trailing-boilerplate audit: the last `suffixTokens` tokens of each doc
+   * counted within its source; a doc is flagged when its suffix is shared
+   * by ≥ `minPct`% of the source (and by at least one other doc) — the
+   * footer/disclaimer detector of a web-corpus pipeline. Per-doc output so
+   * a strip stage can anti-join the flagged set. Suffix extraction is
+   * map-only; the frequency join is per-source-suffix, never pairwise.
+   */
+  def boilerplateSuffix(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, suffixTokens: Int = 2, minPct: Int = 5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"), tokens(col(textCol)).as("tk"))
+      .withColumn("sfx", array_join(slice(col("tk"),
+        greatest(size(col("tk")) - (suffixTokens - 1), lit(1)),
+        lit(suffixTokens)), " "))
+    val freq = base.groupBy(col("source"), col("sfx"))
+      .agg(count(lit(1)).as("suffix_freq"))
+    val totals = base.groupBy(col("source")).agg(count(lit(1)).as("source_docs"))
+    base.join(freq, Seq("source", "sfx"))
+      .join(totals, Seq("source"))
+      .select(col("doc_id"), col("source"), col("suffix_freq"),
+        col("source_docs"),
+        when(col("suffix_freq") * 100L >= col("source_docs") * minPct.toLong
+          && col("suffix_freq") >= 2L, 1L).otherwise(0L).as("boilerplate"))
+      .orderBy("doc_id")
   }
 }

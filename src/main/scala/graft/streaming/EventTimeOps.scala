@@ -88,6 +88,33 @@ object EventTimeOps {
       .agg(count(lit(1)).as("n_events"),
         min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
 
+  /**
+   * Merge overlapping/touching intervals per key (interval coalescing —
+   * the validity-window union of an SCD feed, coverage islands of a sensor
+   * log): a new island starts when an interval's start exceeds the running
+   * max end of everything before it. Output: (key, island, start_ms,
+   * end_ms, n_intervals). Two keyed window passes sharing one shuffle; the
+   * island id is deterministic given the (start, end) sort.
+   */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    df.select(col(keyCol).as("key"), col(startCol).cast(LongType).as("s"),
+        col(endCol).cast(LongType).as("e"))
+      .withColumn("prev_max", max(col("e")).over(
+        Window.partitionBy(col("key")).orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        Window.partitionBy(col("key")).orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("island"))
+      .agg(min(col("s")).as("start_ms"), max(col("e")).as("end_ms"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("key", "island")
+  }
+
   /** The single definition of the session-boundary rule: append
     * `session_id` (running count of gap-starts per key, (ms, offset)
     * sort) to a frame that carries `key`, `offset`, `ms` plus any
