@@ -36,9 +36,20 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Three timed executions; (median, all runs in order). */
-  private def timed3(f: => Unit): (Double, Seq[Double]) = {
-    val runs = Seq(time(f), time(f), time(f))
+  /** Three timed executions; (median, all runs in order). The cache clear
+    * between runs keeps runs INDEPENDENT under the persist staging default:
+    * CacheManager matches staged frames by logical-plan equality, so without
+    * it run 2 would reuse run 1's materialized stage and the median would
+    * report cached performance (and 240 queries × 3 runs of pinned plans
+    * would degrade the JVM across the pass). The clear happens OUTSIDE the
+    * timer. */
+  private def timed3(spark: SparkSession)(f: => Unit): (Double, Seq[Double]) = {
+    def one: Double = {
+      val s = time(f)
+      spark.catalog.clearCache()
+      s
+    }
+    val runs = Seq(one, one, one)
     (runs.sorted.apply(1), runs)
   }
 
@@ -49,10 +60,8 @@ object Bench {
     try graft.streaming.SinkPipeline.deleteTree(root, bestEffort = true)
     catch { case _: Throwable => () } // Files.walk itself can throw
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+  private def makeSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -60,13 +69,24 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // var: the sf1 probe section replaces the session (fresh SparkContext +
+    // explicit GC) so probe timings aren't confounded by 300 queries of
+    // accumulated JVM state — twice previously adjudicated as the cause of
+    // inflated probe numbers (SURVEY §12/§16, VERDICT r7 #8)
+    var spark = makeSession(cpus)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
 
     def record(name: String)(f: => Unit): Unit = {
-      val (med, runs) = timed3(f)
+      val (med, runs) = timed3(spark)(f)
       results += name -> med
       allRuns += name -> runs
     }
@@ -100,7 +120,7 @@ object Bench {
 
     // sustained rate: 10× the volume amortizes the ~2s fixed job overhead
     val n10 = nRecords * 10
-    val (sustainedSec, sustainedRuns) = timed3 {
+    val (sustainedSec, sustainedRuns) = timed3(spark) {
       val frame10 = {
         val f = KafkaLike.frameWithTombstones(spark, sfDir)
         (1 to 10).map(_ => f).reduce(_ unionByName _)
@@ -219,7 +239,24 @@ object Bench {
       "q297_edit_distance_pairs", "q298_interval_coalesce",
       "q299_rag_chunks", "q300_l_diversity", "q301_lag_features",
       "q302_corpus_datasheet", "q303_split_leakage",
-      "q304_boilerplate_suffix")
+      "q304_boilerplate_suffix",
+      // previously unbenched oracled queries (VERDICT r7 #7) — all
+      // sub-second sink/codec/sampling ops; benched so the artifact is the
+      // complete per-operator latency record (queries_benched == oracles)
+      "q03_raw_whole_value", "q04_missing_field_null", "q05_header_access",
+      "q07_ttl_codec", "q08_writetime_codec", "q09_now_timeuuid",
+      "q11_batch_groups", "q13_multi_table_fanout", "q14_unknown_topic",
+      "q15_error_capture", "q16_offset_rewind", "q18_provided_query",
+      "q19_metrics_counts", "q25_minhash_bands", "q29_quality",
+      "q30_langid", "q31_fingerprint", "q35_mm_metadata",
+      "q36_mm_frame_plan", "q43_rollup", "q44_set_ops",
+      "q45_numeric_widths", "q46_decimal_parse", "q47_minhash_estimate",
+      "q49_codec_timezone", "q50_codec_time", "q54_dedup_clusters",
+      "q55_vocab_topk", "q56_stratified_sample", "q58_codec_locale_ts",
+      "q59_ann_ivf_topk_trained", "q60_cellwise_merge",
+      "q68_canonical_pick", "q71_wkt_validate", "q72_schema_defaults",
+      "q73_canonical_corpus", "q78_stream_banding",
+      "q305_map_entry_merge")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))
@@ -288,6 +325,18 @@ object Bench {
     val sf1Results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sf1Runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") {
+      // Fresh SparkContext + explicit GC before the probe pass: the probes
+      // previously ran on the heap/block-manager state left by ~300 queries
+      // × 3 runs, and inflated probe numbers were twice adjudicated to JVM
+      // state rather than plan drift. A fresh context gives attributable
+      // ratios (same JVM, but empty storage/shuffle/broadcast state and a
+      // compacted heap).
+      spark.streams.active.foreach(q => try q.stop() catch {
+        case _: Throwable => () })
+      spark.stop()
+      System.gc()
+      Thread.sleep(2000)
+      spark = makeSession(cpus)
       val sf1Dir = s"/tmp/graft_sf1_${Math.floorMod(sfDir.hashCode, 1000000)}"
       val okFlag = java.nio.file.Paths.get(sf1Dir, "_BUILT")
       if (!java.nio.file.Files.exists(okFlag)) {
@@ -401,7 +450,12 @@ object Bench {
         // is a 10×-growth ratio, not an absolute latency. BOTH raw runs ship
         // in `sf1_probe_runs` so a lucky min (r5's q53 probe == its sf0.1
         // median to the ms) is adjudicable from the artifact alone.
-        val runs = try Seq(time(fn()), time(fn()))
+        def one: Double = {
+          val s = time(fn())
+          spark.catalog.clearCache() // see timed3: runs stay independent
+          s
+        }
+        val runs = try Seq(one, one)
           catch { case _: Throwable => Seq(-1.0) }
         sf1Runs += name -> runs
         sf1Results += name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
@@ -446,7 +500,17 @@ object Bench {
     // field. 1,000 bytes is half the window.
     assert(finalLine.length < 1000,
       s"Bench final line ${finalLine.length}B >= 1000B — move detail to the sidecar")
+    // The final line is the driver's adjudication channel (last ~2,000 bytes
+    // of MERGED output), so NOTHING may print after it. Round 7's capture
+    // carried async DAGScheduler "Failed to update accumulator" stacks (late
+    // task completions against GC'd accumulators) in the tail — quiesce
+    // first: stop streams, silence all Spark logging, stop the context (its
+    // shutdown is then a no-op at JVM exit), and only then print.
+    spark.streams.active.foreach(q => try q.stop() catch {
+      case _: Throwable => () })
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => () }
     println(finalLine)
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -88,9 +88,9 @@ object Probe {
       println("capped candidates: star contract preserves survivors (checked)")
     }
 
-    // ---- staging hook: under `persist` (the 100-TB mode) building an
-    // operator must not trigger a Spark job, and all modes must compute
-    // identical results. The `local` default is EAGER localCheckpoint —
+    // ---- staging hook: under `persist` (the default and the 100-TB mode)
+    // building an operator must not trigger a Spark job, and all modes must
+    // compute identical results. Opt-in `local` is EAGER localCheckpoint —
     // lazy local checkpoints deadlock when a broadcast-exchange thread
     // materializes them against the DAG scheduler (see Staging scaladoc),
     // so job-free construction is asserted for persist only.

@@ -2913,7 +2913,7 @@ object SparkEntry {
       (s, dir) => graft.streaming.EventTimeOps.sessionConversion(
         KafkaLike.frame(tune(s), dir), 1800000L, "purchase"))
   ) ++ r7LayoutAndStats ++ r7MediaDedupAndScd ++ r7LinalgSpatial ++
-    r7CurationAndSeries
+    r7CurationAndSeries ++ r8Parity
 
   /** DuckDB mirror of [[Layout.mortonValue]] over `bits`-bit operands:
     * the same Σ shift/mask terms, generated once so both engines share
@@ -4413,20 +4413,21 @@ object SparkEntry {
     Q("q289_comoment_matrix", Some(
       s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings), u AS (SELECT vec_id, CAST(i AS INT) AS i, qv[CAST(i AS INT)] AS x FROM v, UNNEST(range(1,65)) t(i)), n AS (SELECT count(*) AS n FROM v), s AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM u GROUP BY i), p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x*b.x) AS BIGINT) AS sxy FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i) SELECT p.i, p.j, CAST(n.n*p.sxy - sa.sx*sb.sx AS BIGINT) AS comoment FROM p, n JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j ORDER BY p.i, p.j"""),
       (s, dir) => Linalg.comomentMatrix(embeddings(tune(s), dir),
-        "embedding", dim = 64)),
+        "embedding", dim = 64).orderBy("i", "j")),
 
     // top eigenvector by integer power iteration: distributed matrix
     // build, bounded (dim²) driver collect, exact BigInt steps
     Q("q290_power_iteration", Some(dPowerIterSql(iters = 4)),
       (s, dir) => Linalg.powerIterationTop(embeddings(tune(s), dir),
-        "embedding", dim = 64, iters = 4)),
+        "embedding", dim = 64, iters = 4).orderBy("i")),
 
     // JL ±1 projection 64→16 as literal-plane codegen'd dot products;
     // distortion audited over the bounded id<50 pair set
     Q("q291_jl_distortion", Some(
       s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings WHERE vec_id < 50), sgn AS (SELECT CAST(a.a AS INT) AS a, CAST(j.j AS INT) AS j, CASE WHEN ((a.a*1000003 + j.j) * 2654435761) % 2147483647 % 2 = 0 THEN 1 ELSE -1 END AS sg FROM UNNEST(range(1,17)) a(a), UNNEST(range(1,65)) j(j)), u AS (SELECT vec_id, CAST(j AS INT) AS j, qv[CAST(j AS INT)] AS x FROM v, UNNEST(range(1,65)) t(j)), proj AS (SELECT u.vec_id, sgn.a, CAST(sum(sgn.sg * u.x) AS BIGINT) AS y FROM u JOIN sgn ON sgn.j = u.j GROUP BY u.vec_id, sgn.a), pairs AS (SELECT a.vec_id AS u_id, b.vec_id AS v_id FROM v a JOIN v b ON a.vec_id < b.vec_id), d_orig AS (SELECT p.u_id, p.v_id, CAST(sum((ua.x - ub.x)*(ua.x - ub.x)) AS BIGINT) AS d2_orig FROM pairs p JOIN u ua ON ua.vec_id = p.u_id JOIN u ub ON ub.vec_id = p.v_id AND ub.j = ua.j GROUP BY 1,2), d_proj AS (SELECT p.u_id, p.v_id, CAST(sum((pa.y - pb.y)*(pa.y - pb.y)) AS BIGINT) AS d2_proj FROM pairs p JOIN proj pa ON pa.vec_id = p.u_id JOIN proj pb ON pb.vec_id = p.v_id AND pb.a = pa.a GROUP BY 1,2) SELECT o.u_id, o.v_id, o.d2_orig, pr.d2_proj, CAST(CASE WHEN o.d2_orig = 0 THEN 0 ELSE ${dTruncDiv("pr.d2_proj*1000000", "o.d2_orig*16")} END AS BIGINT) AS ratio_ppm FROM d_orig o JOIN d_proj pr ON pr.u_id = o.u_id AND pr.v_id = o.v_id ORDER BY o.u_id, o.v_id"""),
       (s, dir) => Linalg.jlDistortion(embeddings(tune(s), dir), "vec_id",
-        "embedding", dim = 64, k = 16, sampleIds = 50L)),
+        "embedding", dim = 64, k = 16, sampleIds = 50L)
+        .orderBy("u_id", "v_id")),
 
     // ColBERT-style late interaction: 8 token slices × 8 dims, query-token
     // broadcast, per-(q,doc,token) MAX partial-aggregates pre-shuffle
@@ -4435,7 +4436,8 @@ object SparkEntry {
       (s, dir) => {
         val e = embeddings(tune(s), dir)
         Similarity.lateInteractionTopK(e, e.filter(col("vec_id") < 8),
-          "vec_id", "embedding", tokens = 8, subDim = 8, k = 5)
+          "vec_id", "embedding", tokens = 8, subDim = 8, k = 5,
+          excludeSelf = true)
       }),
 
     // grid-cell-gated proximity self-join; the oracle is the QUADRATIC
@@ -4447,6 +4449,7 @@ object SparkEntry {
           ((col("user_id") * 37L) % 1000L).as("x"),
           ((col("event_id") * 53L) % 1000L).as("y"))
         Spatial.proximityJoin(pts, "event_id", "x", "y", radius = 5L)
+          .orderBy("id_a", "id_b")
       }),
 
     // LTOB downsampling: per-type series, 50-point buckets, exact int64
@@ -4473,7 +4476,7 @@ object SparkEntry {
     Q("q296_sq8_quantize", Some(
       s"""WITH v AS (SELECT vec_id, $dQuant AS qv FROM embeddings), u AS (SELECT vec_id, CAST(j AS INT) AS j, qv[CAST(j AS INT)] AS x FROM v, UNNEST(range(1,65)) t(j)), mm AS (SELECT vec_id, min(x) AS mn, max(x) AS mx FROM u GROUP BY 1), c AS (SELECT u.vec_id, u.j, u.x, mm.mn, mm.mx, CASE WHEN mm.mx = mm.mn THEN 0 ELSE ((u.x - mm.mn)*255) // (mm.mx - mm.mn) END AS code FROM u JOIN mm USING (vec_id)), rec AS (SELECT *, mn + (code*(mx - mn)) // 255 AS recon FROM c) SELECT vec_id, CAST(min(mn) AS BIGINT) AS mn, CAST(max(mx) AS BIGINT) AS mx, CAST(sum(code) AS BIGINT) AS code_sum, CAST(sum(code*j) AS BIGINT) AS code_poly, CAST(sum(abs(x - recon)) AS BIGINT) AS abs_err FROM rec GROUP BY vec_id ORDER BY vec_id"""),
       (s, dir) => Linalg.sq8Quantize(embeddings(tune(s), dir), "vec_id",
-        "embedding", dim = 64))
+        "embedding", dim = 64).orderBy("vec_id"))
   )
 
   private lazy val r7CurationAndSeries: Seq[Q] = Seq(
@@ -4483,7 +4486,8 @@ object SparkEntry {
     Q("q297_edit_distance_pairs", Some(
       s"""WITH d AS (SELECT doc_id, left(text, 32) AS pfx, ($dToks)[1] AS tok0, length(text) AS n FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist FROM d a JOIN d b ON a.tok0 = b.tok0 AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 8 WHERE levenshtein(a.pfx, b.pfx) <= 10 ORDER BY id_a, id_b"""),
       (s, dir) => Linkage.editDistancePairs(docs(tune(s), dir),
-        "doc_id", "text", prefixLen = 32, maxDist = 10, lenBand = 8)),
+        "doc_id", "text", prefixLen = 32, maxDist = 10, lenBand = 8)
+        .orderBy("id_a", "id_b")),
 
     // interval coalescing (gaps-and-islands over [ts, ts+10min) windows):
     // merged coverage islands per user
@@ -4500,7 +4504,8 @@ object SparkEntry {
     Q("q299_rag_chunks", Some(
       s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents), n AS (SELECT doc_id, tk, len(tk) AS n FROM t), c AS (SELECT doc_id, tk, n, CAST(unnest(range(CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS BIGINT) AS chunk_id FROM n), s AS (SELECT doc_id, chunk_id, tk[CAST(chunk_id*24 + 1 AS INT):CAST(LEAST(chunk_id*24 + 32, n) AS INT)] AS ck FROM c) SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens, md5(array_to_string(ck, ' ')) AS chunk_hash FROM s ORDER BY doc_id, chunk_id"""),
       (s, dir) => TextAnalysis.ragChunks(docs(tune(s), dir),
-        "text", "doc_id", chunkTokens = 32, stride = 24)),
+        "text", "doc_id", chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
 
     // l-diversity privacy audit: (day, event_type) quasi-groups, distinct
     // user-bucket sensitive values, threshold flag
@@ -4533,7 +4538,8 @@ object SparkEntry {
     Q("q302_corpus_datasheet", Some(
       s"""WITH b AS (SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars, $dToks AS tk FROM documents), h AS (SELECT doc_id, source, lang, n_chars, CAST(len(tk) AS BIGINT) AS n_tok, array_to_string(tk[1:16], ' ') AS pfx FROM b), g AS (SELECT pfx, CAST(count(*) AS BIGINT) AS gsz FROM h GROUP BY 1), j AS (SELECT h.*, g.gsz FROM h JOIN g USING (pfx)) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, CAST(sum(n_tok) AS BIGINT) AS total_tokens, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_docs, CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars FROM j GROUP BY source ORDER BY source"""),
       (s, dir) => TextAnalysis.corpusDatasheet(docs(tune(s), dir),
-        "text", "doc_id", "source", "lang", "n_chars", prefixTokens = 16)),
+        "text", "doc_id", "source", "lang", "n_chars", prefixTokens = 16)
+        .orderBy("source")),
 
     // cross-split contamination: stratified 80/10/10 by source, leakage on
     // the 16-token prefix fingerprint; zero rows = clean split
@@ -4551,7 +4557,45 @@ object SparkEntry {
     Q("q304_boilerplate_suffix", Some(
       s"""WITH t AS (SELECT doc_id, source, $dToks AS tk FROM documents), sfx AS (SELECT doc_id, source, array_to_string(tk[CAST(GREATEST(len(tk)-1, 1) AS INT):CAST(len(tk) AS INT)], ' ') AS suffix FROM t), f AS (SELECT source, suffix, CAST(count(*) AS BIGINT) AS suffix_freq FROM sfx GROUP BY 1, 2), n AS (SELECT source, CAST(count(*) AS BIGINT) AS source_docs FROM sfx GROUP BY 1) SELECT sfx.doc_id, sfx.source, f.suffix_freq, n.source_docs, CAST(CASE WHEN f.suffix_freq * 100 >= n.source_docs * 5 AND f.suffix_freq >= 2 THEN 1 ELSE 0 END AS BIGINT) AS boilerplate FROM sfx JOIN f ON f.source = sfx.source AND f.suffix = sfx.suffix JOIN n ON n.source = sfx.source ORDER BY sfx.doc_id"""),
       (s, dir) => TextAnalysis.boilerplateSuffix(docs(tune(s), dir),
-        "text", "doc_id", "source", suffixTokens = 2, minPct = 5))
+        "text", "doc_id", "source", suffixTokens = 2, minPct = 5)
+        .orderBy("doc_id"))
+  )
+
+  private lazy val r8Parity: Seq[Q] = Seq(
+
+    // KAF-98 map-ENTRY-level merge (reference changelog/README.md:10;
+    // behavior pinned by ProvidedQueryCCMIT.java:514-545): per-entry LWW —
+    // batch1 inserts entries under nullToUnset=true, batch2 updates/REMOVES
+    // (null value) under nullToUnset=false; output exploded to entries so
+    // the oracle compares per-entry values and writetimes exactly
+    Q("q305_map_entry_merge", Some(
+      """WITH f AS (SELECT user_id % 50 AS pk, event_type AS k, CAST(floor(value*1000) AS BIGINT) AS v0, CAST(epoch_ms(ts) AS BIGINT)*1000 AS wt, event_id FROM events), s0 AS (SELECT *, row_number() OVER (PARTITION BY pk, k ORDER BY wt DESC, event_id DESC) AS rn FROM f WHERE event_id % 3 = 0 AND v0 IS NOT NULL), s AS (SELECT pk, k, v0 AS v, wt FROM s0 WHERE rn = 1), b0 AS (SELECT pk, k, CASE WHEN event_id % 7 = 0 THEN NULL ELSE v0 END AS bv, wt, event_id, row_number() OVER (PARTITION BY pk, k ORDER BY wt DESC, event_id DESC) AS rn FROM f WHERE event_id % 3 = 1), b AS (SELECT pk, k, bv, wt FROM b0 WHERE rn = 1), m AS (SELECT COALESCE(s.pk, b.pk) AS pk, COALESCE(s.k, b.k) AS k, CASE WHEN b.pk IS NOT NULL AND (s.pk IS NULL OR b.wt >= s.wt) THEN b.bv ELSE s.v END AS v, CASE WHEN b.pk IS NOT NULL AND (s.pk IS NULL OR b.wt >= s.wt) THEN b.wt ELSE s.wt END AS wt FROM s FULL OUTER JOIN b ON s.pk = b.pk AND s.k = b.k) SELECT pk, k, CAST(v AS BIGINT) AS v, CAST(wt AS BIGINT) AS entry_wt FROM m WHERE v IS NOT NULL ORDER BY pk, k"""),
+      (s, dir) => {
+        val wtc = RecordMapper.WritetimeCol
+        val f = KafkaLike.events(tune(s), dir).select(
+          (col("user_id") % 50L).as("my_pk"), col("event_type").as("k"),
+          floor(col("value") * 1000d).cast(LongType).as("v"),
+          (IntMath.idiv(col("ts"), lit(1000000L)) * 1000L).as(wtc),
+          col("event_id"))
+        val b1 = f.filter(col("event_id") % 3 === 0)
+        val b2 = f.filter(col("event_id") % 3 === 1)
+          .withColumn("v", when(col("event_id") % 7 === 0,
+            lit(null).cast(LongType)).otherwise(col("v")))
+        val empty = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("my_pk", LongType))))
+        val order = Seq(col(wtc), col("event_id"))
+        val st1 = Upserts.mergeMapEntries(empty, b1, Seq("my_pk"),
+          "attrs", "k", "v", order, nullToUnset = true)
+        val st2 = Upserts.mergeMapEntries(st1, b2, Seq("my_pk"),
+          "attrs", "k", "v", order, nullToUnset = false)
+        st2.select(col("my_pk").as("pk"),
+            explode(map_zip_with(col("attrs"), col("__wtmap_attrs"),
+              (_, v, t) => struct(v.as("v"), t.as("t")))).as(Seq("k", "e")))
+          .select(col("pk"), col("k"), col("e.v").as("v"),
+            col("e.t").as("entry_wt"))
+          .orderBy("pk", "k")
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

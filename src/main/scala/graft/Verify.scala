@@ -36,6 +36,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // persist-mode staging registers plans in the CacheManager; clear
+      // between queries so a 300-query run doesn't accumulate pinned plans
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,14 +77,20 @@ object Avi {
     val dims = bmpDims(first)
     if (dims == null) return null
     val (w, h) = dims
-    val frameBytes = stride(w) * h
+    // size math in Long: Int overflow on a large frame count/dimension would
+    // allocate a negative-size array and THROW on the executor, violating
+    // the route-don't-throw contract — an unencodable total routes to null
+    val frameBytesL = stride(w).toLong * h
+    val totalL = PreMoviBytes + 12L + nf.toLong * (8L + frameBytesL)
+    if (frameBytesL > Int.MaxValue || totalL > Int.MaxValue) return null
+    val frameBytes = frameBytesL.toInt
     var i = 1
     while (i < nf) {
       if (bmpDims(frames.getBinary(i)) != ((w, h))) return null
       i += 1
     }
-    val moviData = nf * (8 + frameBytes)
-    val out = new Array[Byte](PreMoviBytes + 12 + moviData)
+    val moviData = (nf.toLong * (8L + frameBytesL)).toInt
+    val out = new Array[Byte](totalL.toInt)
     tag(out, 0, "RIFF"); le32(out, 4, out.length - 8); tag(out, 8, "AVI ")
     var o = 12
     tag(out, o, "LIST"); le32(out, o + 4, 4 + 8 + 56 + 12 + 8 + 56 + 8 + 40)

@@ -34,7 +34,11 @@ object Bmp {
     val n = pixels.numElements()
     if (width <= 0 || n == 0 || n % width != 0) return null
     val height = n / width
-    val rowBytes = stride(width)
+    // Long size math: width*3 and stride*height overflow Int on huge
+    // dimensions and would throw NegativeArraySizeException — route to null
+    val rowBytesL = (width.toLong * 3 + 3) & ~3L
+    if (HeaderBytes + rowBytesL * height > Int.MaxValue) return null
+    val rowBytes = rowBytesL.toInt
     val imgBytes = rowBytes * height
     val out = new Array[Byte](HeaderBytes + imgBytes)
     @inline def le32(off: Int, v: Int): Unit = {

@@ -35,6 +35,9 @@ object WavPcm {
     * long are written; callers keep samples in [-32768, 32767]). */
   def encode(sampleRate: Int, samples: ArrayData): Array[Byte] = {
     val n = samples.numElements()
+    // Long size math: n*2 overflows Int past 2³⁰ samples and would throw
+    // NegativeArraySizeException on the executor — route to null instead
+    if (HeaderBytes + n.toLong * 2L > Int.MaxValue) return null
     val dataBytes = n * 2
     val out = new Array[Byte](HeaderBytes + dataBytes)
     @inline def le32(off: Int, v: Int): Unit = {

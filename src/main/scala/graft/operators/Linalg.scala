@@ -43,7 +43,11 @@ object Linalg {
    * to match SQL array subscripts.
    */
   def comomentMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    // rows with null or wrong-length vectors must not reach n: posexplode
+    // silently drops them from the sums, and an n that counts them skews
+    // n·Σxy − Σx·Σy for every cell
     val q = df.select(Similarity.quantize(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
     // map-side expansion to per-row products; partial agg collapses each
     // partition to ≤ dim² running sums before any shuffle
     val prod = q
@@ -64,7 +68,6 @@ object Linalg {
         (col("i0") + 1).cast(IntegerType).as("i"),
         (col("j0") + 1).cast(IntegerType).as("j"),
         (lit(n) * col("sxy") - col("sxi") * col("sxj")).as("comoment"))
-      .orderBy("i", "j")
   }
 
   /**
@@ -103,7 +106,7 @@ object Linalg {
     }
     import spark.implicits._
     v.zipWithIndex.map { case (x, i) => (i + 1, x.toLong) }
-      .toSeq.toDF("i", "comp").orderBy("i")
+      .toSeq.toDF("i", "comp")
   }
 
   /** Deterministic JL sign for (output dim a, input dim j), both 1-based:
@@ -157,7 +160,6 @@ object Linalg {
         when(col("d2_orig") === 0L, 0L)
           .otherwise(IntMath.idiv(col("d2_proj") * lit(1000000L),
             col("d2_orig") * lit(k.toLong))).as("ratio_ppm"))
-      .orderBy("u_id", "v_id")
   }
 
   /**
@@ -191,6 +193,5 @@ object Linalg {
           (c, j) => c * j), lit(0L), (acc, v) => acc + v).as("code_poly"),
         aggregate(transform(col("qv"), x => abs(x - recon(x))), lit(0L),
           (acc, e) => acc + e).as("abs_err"))
-      .orderBy(idCol)
   }
 }

@@ -129,13 +129,31 @@ object Linkage {
    * of the operator CONTRACT (recall is gate-bounded, like the LSH band
    * gates in [[Dedup]]): a first-token typo escapes it; callers wanting
    * more recall add blocks, not a wider scan.
+   *
+   * A bare first token is a DANGEROUS natural key at web scale — a corpus
+   * where a stopword dominates position 1 ("The …") makes one block
+   * quadratic, and the length band doesn't save it (lengths concentrate
+   * too). So, like [[blockedFuzzyPairs]], blocks larger than
+   * `maxBlockSize` are DROPPED from pairing (0 disables); pair the cap
+   * with [[oversizedBlocks]] (same `blockExpr` = first token) so the drop
+   * is observable, never silent. Returns an unordered frame — ordering is
+   * the caller's concern (a global sort is a full exchange an operator
+   * must not force on a production pipeline).
    */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-      prefixLen: Int = 32, maxDist: Int = 10, lenBand: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+      prefixLen: Int = 32, maxDist: Int = 10, lenBand: Int = 8,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val base0 = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("pfx"),
       element_at(TextAnalysis.tokens(col(textCol)), 1).as("tok0"),
       length(col(textCol)).as("n"))
+    val base =
+      if (maxBlockSize <= 0) base0
+      else {
+        val sizes = base0.groupBy("tok0").agg(count(lit(1)).as("__bsz"))
+        base0.join(sizes, "tok0").filter(col("__bsz") <= maxBlockSize)
+          .drop("__bsz")
+      }
     val a = base.select(col("id").as("id_a"), col("pfx").as("pa"),
       col("tok0"), col("n").as("na"))
     val b = base.select(col("id").as("id_b"), col("pfx").as("pb"),
@@ -146,6 +164,5 @@ object Linkage {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pa"), col("pb"), maxDist).cast(LongType).as("dist"))
       .filter(col("dist") >= 0)
-      .orderBy("id_a", "id_b")
   }
 }

@@ -575,7 +575,11 @@ object Similarity {
    * `mutual` flags pairs where y's best match in `a` is x back — the
    * high-precision subset. `score_ppm` is 0 when a neighborhood sum is
    * non-positive (degenerate anti-correlated neighborhoods; no honest
-   * margin exists).
+   * margin exists), and NULL when the pluggable `backward` frame does not
+   * cover the chosen b vector at all — an uncovered pair is UNSCORED, not
+   * silently scored against half a denominator (which would inflate the
+   * margin ~2× exactly for the pairs an approximate backward index
+   * missed).
    *
    * Scale: the default neighbor source is [[bruteForceTopK]] both ways —
    * exact, quadratic, the oracle baseline. At corpus scale pass `forward`/
@@ -603,10 +607,11 @@ object Similarity {
         sum("dot").as("sum_k_b"))
     fa.join(ba, col("b_id") === col("__b"), "left")
       .select(col("a_id"), col("b_id"), col("dot"),
-        when(col("sum_k_a") + coalesce(col("sum_k_b"), lit(0L)) <= 0L, 0L)
+        when(col("sum_k_b").isNull, lit(null).cast(LongType))
+          .when(col("sum_k_a") + col("sum_k_b") <= 0L, 0L)
           .otherwise(IntMath.idiv(
             col("dot") * lit(1000000L) * lit(2L * k),
-            col("sum_k_a") + coalesce(col("sum_k_b"), lit(0L))))
+            col("sum_k_a") + col("sum_k_b")))
           .as("score_ppm"),
         coalesce(col("b_top1_a") === col("a_id"), lit(false)).as("mutual"))
       .orderBy("a_id")
@@ -622,11 +627,19 @@ object Similarity {
    * set is broadcast (queries are small by construction), and the per-(q,
    * doc, qtoken) MAX partial-aggregates before the shuffle — the shuffle
    * carries ≤ |docs|·tokens·|qtokens| pre-reduced rows, never vectors×
-   * vectors. Scoring is the quantized-int64 contract of [[bruteForceTopK]].
+   * vectors. The corpus×queries pairing is inherently a broadcast
+   * nested-loop (every doc token meets every query token — MaxSim has no
+   * join key), which is the right physical shape while queries stay
+   * broadcast-sized. Scoring is the quantized-int64 contract of
+   * [[bruteForceTopK]].
+   *
+   * `excludeSelf` drops (query_id == item_id) pairs and is OPT-IN for the
+   * queries-drawn-from-the-corpus case only: with disjoint id namespaces a
+   * coincidental id equality would silently drop a legitimate candidate.
    */
   def lateInteractionTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, tokens: Int, subDim: Int,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
     def toTokens(df: DataFrame, idAs: String, tokAs: String, vecAs: String) = {
       val slices = array((0 until tokens).map(t =>
         slice(quantize(col(vecCol)), t * subDim + 1, subDim)): _*)
@@ -634,7 +647,10 @@ object Similarity {
     }
     val d = toTokens(corpus, "item_id", "s", "dv")
     val q = toTokens(queries, "query_id", "t", "qv")
-    val perQTok = d.join(broadcast(q), col("item_id") =!= col("query_id"))
+    val paired =
+      if (excludeSelf) d.join(broadcast(q), col("item_id") =!= col("query_id"))
+      else d.crossJoin(broadcast(q))
+    val perQTok = paired
       .groupBy(col("query_id"), col("item_id"), col("t"))
       .agg(max(dotQ(col("dv"), col("qv"))).as("mdot"))
     val scored = perQTok.groupBy(col("query_id"), col("item_id"))

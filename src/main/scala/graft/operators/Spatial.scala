@@ -51,6 +51,5 @@ object Spatial {
       .filter(col("dist2") <= r2)
       .select(col("id_a"), col("id_b"), col("xa"), col("ya"),
         col("xb"), col("yb"), col("dist2"))
-      .orderBy("id_a", "id_b")
   }
 }

@@ -12,26 +12,28 @@ import org.apache.spark.storage.StorageLevel
  * The MECHANISM is a deployment decision, so it is a session config rather
  * than a call-site choice (`spark.graft.staging`):
  *
- *  - `local` (default): `localCheckpoint(eager = true)` — blocks cached on
- *    executors with TRUNCATED lineage. Fastest, and the right call on
- *    local[32] where an "executor loss" is a process death anyway. NOT
- *    fault-tolerant on a real cluster: losing an executor loses blocks that
- *    have no lineage to recompute from, failing the job. EAGER by
- *    necessity, not preference: the lazy variant (tried for the round-6
- *    "no construction job" advice) DEADLOCKS when its first materialization
+ *  - `persist` (default): `persist(MEMORY_AND_DISK)` — keeps lineage, so a
+ *    lost executor recomputes the lost partitions instead of failing the
+ *    job, and FULLY LAZY (CacheManager materialization is thread-safe, no
+ *    checkpoint locks). The 100-TB setting, and the setting for "building
+ *    an operator must not run jobs": constructing a staged operator costs
+ *    nothing until an action runs, and intermediates spill to disk rather
+ *    than pinning executor memory. Costs keeping the upstream lineage
+ *    alive (deeper plans) and a possible recompute on failure.
+ *  - `local`: `localCheckpoint(eager = true)` — blocks cached on executors
+ *    with TRUNCATED lineage. Occasionally useful on local[32] to cut very
+ *    deep lineages, but NOT fault-tolerant on a real cluster (losing an
+ *    executor loses blocks with no lineage to recompute from) and EAGER by
+ *    necessity, not preference: operator CONSTRUCTION runs a Spark job and
+ *    materializes the whole staged frame into executor storage before
+ *    first use — ~10× regressions were measured on sf1 staged-operator
+ *    probes when this was the default (round 7). Eagerness is forced
+ *    because the lazy variant DEADLOCKS when its first materialization
  *    happens on a broadcast-exchange thread concurrently with DAG-scheduler
  *    stage submission — `RDD.doCheckpoint` locks `RDDCheckpointData$` while
  *    the scheduler holds the RDD lock in `getCacheLocs` and each waits on
  *    the other (jstack-confirmed Java-level deadlock in the test suite,
- *    `Dedup.semanticDedup` under a broadcast join). Eager materialization
- *    runs the checkpoint job synchronously on the caller's thread BEFORE
- *    any consumer can race it, which is why rounds 1–6 never hit this.
- *  - `persist`: `persist(MEMORY_AND_DISK)` — keeps lineage, so a lost
- *    executor recomputes the lost partitions instead of failing the job,
- *    and FULLY LAZY (CacheManager materialization is thread-safe, no
- *    checkpoint locks). The 100-TB setting, and the setting for "building
- *    an operator must not run jobs". Costs keeping the upstream lineage
- *    alive (deeper plans) and a possible recompute on failure.
+ *    `Dedup.semanticDedup` under a broadcast join).
  *  - `none`: pass-through — every consumer recomputes the stage. For plan
  *    debugging and for single-consumer call shapes.
  */
@@ -40,7 +42,7 @@ object Staging {
   val ConfKey = "spark.graft.staging"
 
   def stage(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get(ConfKey, "local") match {
+    df.sparkSession.conf.get(ConfKey, "persist") match {
       case "local"   => df.localCheckpoint(eager = true)
       case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK)
       case "none"    => df

@@ -1166,7 +1166,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"),
         size(col("ck")).cast(LongType).as("n_tokens"),
         md5(array_join(col("ck"), " ")).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /**
@@ -1193,7 +1192,6 @@ object TextAnalysis {
         countDistinct(col("lang")).as("n_langs"),
         sum(when(col("gsz") > 1L, 1L).otherwise(0L)).as("n_neardup_docs"),
         IntMath.idiv(sum(col("n_chars")), count(lit(1))).as("mean_chars"))
-      .orderBy("source")
   }
 
   /**
@@ -1220,6 +1218,5 @@ object TextAnalysis {
         col("source_docs"),
         when(col("suffix_freq") * 100L >= col("source_docs") * minPct.toLong
           && col("suffix_freq") >= 2L, 1L).otherwise(0L).as("boilerplate"))
-      .orderBy("doc_id")
   }
 }

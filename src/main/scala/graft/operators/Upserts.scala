@@ -250,6 +250,102 @@ object Upserts {
         (liveWts :+ lit(Long.MinValue).cast(LongType)): _*))
   }
 
+  /**
+   * ENTRY-level merge for a MapType column (reference KAF-98,
+   * `changelog/README.md:10`): the reference's
+   * `UPDATE t SET mapCol[:key] = :value WHERE pk = :pk` provided-query
+   * shape updates ONE map entry per record — a null value is a no-op under
+   * `nullToUnset` (ProvidedQueryCCMIT.java:478-511) and REMOVES the entry
+   * when `nullToUnset = false` (ProvidedQueryCCMIT.java:514-545, where
+   * removing the last entry makes the row disappear). [[mergeIntoCellWise]]
+   * reconciles at column granularity; this operator reconciles INSIDE the
+   * collection, one writetime per map entry.
+   *
+   * Frames:
+   *  - `state`: pk ++ (`mapCol`: map<K,V>, `__wtmap_<mapCol>`: map<K,long>).
+   *    Missing columns (fresh table) are treated as empty maps.
+   *  - `batch`: pk ++ (`keyCol`, `valueCol`, `__writetime`) — one entry
+   *    action per record.
+   *
+   * Semantics per (pk, map key): batch wins iff its writetime >= the
+   * ENTRY's writetime (insert when the entry is absent); a winning null
+   * value removes the entry when `nullToUnset = false` and is dropped
+   * BEFORE compaction when `nullToUnset = true` (an unset never shadows an
+   * earlier live write in the same batch). Rows whose map ends empty
+   * disappear — the operator models the reference test's table shape where
+   * the map is the only regular column (a row is visible only through live
+   * cells).
+   *
+   * Plan shape: per-entry LWW compaction partial-aggregates on
+   * (pk, key) map-side, folds to one map per pk, then ONE full-outer pk
+   * join against state; the entry reconciliation runs inside
+   * `map_zip_with` — no explode of state, no per-entry join. `orderCols`
+   * break within-batch ties (pass writetime + a unique offset).
+   */
+  def mergeMapEntries(
+      state: DataFrame,
+      batch: DataFrame,
+      pk: Seq[String],
+      mapCol: String,
+      keyCol: String,
+      valueCol: String,
+      orderCols: Seq[Column],
+      nullToUnset: Boolean = true): DataFrame = {
+
+    val wt = RecordMapper.WritetimeCol
+    val wtMapCol = s"__wtmap_$mapCol"
+    val keyT = batch.schema(keyCol).dataType
+    val valT = batch.schema(valueCol).dataType
+    val entryT = StructType(Seq(
+      StructField("v", valT), StructField("t", LongType)))
+    def emptyEntryMap: Column = map_from_arrays(
+      array().cast(ArrayType(keyT)), array().cast(ArrayType(entryT)))
+
+    // nullToUnset: a null action is a no-op, and must not shadow an older
+    // live write under the within-batch compaction — drop it up front
+    val pre = if (nullToUnset) batch.filter(col(valueCol).isNotNull) else batch
+    val compact = pre
+      .groupBy((pk :+ keyCol).map(col): _*)
+      .agg(max_by(struct(col(valueCol).as("v"), col(wt).as("t")),
+        struct(orderCols: _*)).as("__e"))
+    val bm = compact
+      .groupBy(pk.map(col): _*)
+      .agg(map_from_entries(collect_list(
+        struct(col(keyCol), col("__e")))).as("__bm"))
+
+    val sMap = if (state.columns.contains(mapCol)) col(s"s.$mapCol")
+      else lit(null).cast(MapType(keyT, valT))
+    val sWtMap = if (state.columns.contains(wtMapCol)) col(s"s.$wtMapCol")
+      else lit(null).cast(MapType(keyT, LongType))
+
+    val s = state.alias("s")
+    val b = bm.alias("b")
+    val joinCond = pk.map(k => col(s"s.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val pkCols = pk.map(k => coalesce(col(s"b.$k"), col(s"s.$k")).as(k))
+
+    val smStruct = coalesce(
+      map_zip_with(sMap, sWtMap, (_, v, t) => struct(v.as("v"), t.as("t"))),
+      emptyEntryMap)
+    val bmStruct = coalesce(col("b.__bm"), emptyEntryMap)
+    val merged = map_zip_with(smStruct, bmStruct, (_, sv, bv) => {
+      val bWins = bv.isNotNull &&
+        (sv.isNull || bv.getField("t") >= sv.getField("t"))
+      when(bWins, bv).otherwise(sv)
+    })
+    // a winning null value (reachable only when !nullToUnset) is the
+    // removal marker; filtering it out IS the entry deletion
+    val kept = map_filter(merged, (_, e) => e.getField("v").isNotNull)
+
+    s.join(b, joinCond, "full_outer")
+      .select((pkCols :+ kept.as("__kept")): _*)
+      .filter(size(map_keys(col("__kept"))) > 0)
+      .select((pk.map(col) ++ Seq(
+        transform_values(col("__kept"), (_, e) => e.getField("v")).as(mapCol),
+        transform_values(col("__kept"), (_, e) => e.getField("t")).as(wtMapCol),
+        array_max(map_values(transform_values(col("__kept"),
+          (_, e) => e.getField("t")))).as(wt))): _*)
+  }
+
   /** Merge counter increments into state: state + increment, per key. */
   def mergeCounters(state: DataFrame, increments: DataFrame, table: SinkTable): DataFrame = {
     val pk = table.primaryKey

@@ -38,6 +38,12 @@ class SinkPipeline(
 
   /** Metrics registry (reference A3). */
   val recordCount = TrieMap[String, LongAccumulator]()
+  /** Per-counter trailing-window rate meters (reference KAF-100,
+    * changelog/README.md:16 — "Add rates to failedRecordCount"): every
+    * counter add also marks a meter, so `rate(name)` reads events/sec over
+    * the trailing minute the way the reference's Dropwizard Meter exposes
+    * rates alongside the count. */
+  val rates = TrieMap[String, SinkPipeline.RateMeter]()
   val failedWithUnknownTopic = new LongAccumulator
   @volatile private var metricsRegistered = false
   private val batchesProcessed = new java.util.concurrent.atomic.AtomicLong(0)
@@ -306,6 +312,18 @@ class SinkPipeline(
       acc
     })
 
+  /** Add to a named counter AND mark its rate meter (KAF-100). */
+  private def countAndMark(spark: org.apache.spark.sql.SparkSession,
+      name: String, n: Long): Unit = {
+    counter(spark, name).add(n)
+    rates.getOrElseUpdate(name, new SinkPipeline.RateMeter()).mark(n)
+  }
+
+  /** Trailing-window rate (events/sec) of a named counter; 0 when the
+    * counter has never been marked (KAF-100 parity surface). */
+  def rate(name: String): Double =
+    rates.get(name).map(_.ratePerSec).getOrElse(0.0)
+
   /** Process one micro-batch of Kafka-shaped records. Also usable directly
     * for batch (non-streaming) ingest. */
   def processBatch(records: DataFrame, batchId: Long): Unit = {
@@ -405,9 +423,9 @@ class SinkPipeline(
           mapped.filter(col(ErrorCol).isNotNull).write.mode("append")
             .parquet(s"$storeRoot/_dead_letter/${b.topic}.${b.qualifiedTable}")
         }
-        counter(spark, s"${b.topic}.${b.qualifiedTable}.failedRecordCount").add(nFailed)
+        countAndMark(spark, s"${b.topic}.${b.qualifiedTable}.failedRecordCount", nFailed)
         val nTotal = metrics.getOrElse("total", 0L).asInstanceOf[Long]
-        counter(spark, s"${b.topic}.${b.qualifiedTable}.recordCount").add(nTotal)
+        countAndMark(spark, s"${b.topic}.${b.qualifiedTable}.recordCount", nTotal)
         // dedup-stage observability (A3 analogue — the reference counts per
         // topic.ks.table, reference: SimpleEndToEndSimulacronIT.java:469-473):
         // kept = rows that survived the dedup filter (they are exactly the
@@ -418,10 +436,11 @@ class SinkPipeline(
         // skip rather than lie.)
         if (b.dedupEnabled && b.query.isEmpty) {
           val slice = topicCounts.getOrElse(b.topic, 0L)
-          counter(spark, s"${b.topic}.${b.qualifiedTable}.dedupKeptCount")
-            .add(nTotal)
-          counter(spark, s"${b.topic}.${b.qualifiedTable}.dedupDroppedCount")
-            .add(math.max(0L, slice - nTotal))
+          countAndMark(spark,
+            s"${b.topic}.${b.qualifiedTable}.dedupKeptCount", nTotal)
+          countAndMark(spark,
+            s"${b.topic}.${b.qualifiedTable}.dedupDroppedCount",
+            math.max(0L, slice - nTotal))
         }
         // record this batch's content hashes only after the table merge is
         // durable (see dedupFilter's replay contract)
@@ -453,6 +472,33 @@ class SinkPipeline(
 }
 
 object SinkPipeline {
+  /** Trailing-window rate meter (KAF-100, changelog/README.md:16): marks
+    * record (nanotime, delta); the rate is Σ deltas inside the trailing
+    * window / window seconds — the observable, windowed analogue of a
+    * Dropwizard Meter's 1-minute rate, with bounded memory (samples older
+    * than the window prune on every mark and read). */
+  final class RateMeter(windowNanos: Long = 60L * 1000L * 1000L * 1000L) {
+    private val samples = new java.util.ArrayDeque[Array[Long]]()
+    private var total = 0L
+    private def prune(now: Long): Unit =
+      while (!samples.isEmpty && now - samples.peekFirst()(0) > windowNanos)
+        samples.removeFirst()
+    def mark(n: Long): Unit = synchronized {
+      val now = System.nanoTime()
+      total += n
+      samples.addLast(Array(now, n))
+      prune(now)
+    }
+    def count: Long = synchronized(total)
+    def ratePerSec: Double = synchronized {
+      val now = System.nanoTime()
+      prune(now)
+      var inWindow = 0L
+      samples.forEach(s => inWindow += s(1))
+      inWindow * 1e9 / windowNanos
+    }
+  }
+
   /** Recursive delete, deepest-first. The layout-marker reset calls it
     * STRICT (a file that survives the reset would revive stale dedup state,
     * so failing loudly beats proceeding); the bench's per-run cleanup calls

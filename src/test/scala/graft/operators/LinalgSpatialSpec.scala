@@ -152,8 +152,28 @@ class LinalgSpatialSpec extends SparkSuite {
       (2L, mk(Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0.1f), 0.01f))))
     val top = Similarity.lateInteractionTopK(df,
         df.filter(col("vec_id") === 0L), "vec_id", "embedding",
-        tokens = 8, subDim = 8, k = 2)
+        tokens = 8, subDim = 8, k = 2, excludeSelf = true)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(top.head == (1L, 1), s"exact-token doc must rank 1, got ${top.toSeq}")
   }
+  test("marginMine: a backward frame that misses the chosen b leaves the " +
+      "pair unscored (null), never half-denominator scored") {
+    import s.implicits._
+    val a = vecs(Seq((0L, Seq.fill(64)(0.1f))))
+    val b = vecs(Seq((100L, Seq.fill(64)(0.1f)), (101L, Seq.fill(64)(0.05f))))
+    // pluggable neighbors: forward covers a->b fully; backward is EMPTY
+    // (an approximate index that missed every b vector)
+    val fwd = Similarity.bruteForceTopK(b, a, "vec_id", "embedding", 2)
+    val emptyBwd = Similarity.bruteForceTopK(a, b, "vec_id", "embedding", 2)
+      .filter(lit(false))
+    val out = Similarity.marginMine(a, b, "vec_id", "embedding", k = 2,
+      forward = Some(fwd), backward = Some(emptyBwd)).collect()
+    assert(out.length == 1 && out(0).isNullAt(3) && !out(0).getBoolean(4))
+    // covered backward: same pair scores non-null
+    val bwd = Similarity.bruteForceTopK(a, b, "vec_id", "embedding", 2)
+    val scored = Similarity.marginMine(a, b, "vec_id", "embedding", k = 2,
+      forward = Some(fwd), backward = Some(bwd)).collect()
+    assert(scored.length == 1 && !scored(0).isNullAt(3))
+  }
+
 }

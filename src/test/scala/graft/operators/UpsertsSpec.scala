@@ -241,4 +241,78 @@ class UpsertsSpec extends SparkSuite {
     assert(e.getMessage.contains("unknown op") ||
       Option(e.getCause).exists(_.getMessage.contains("unknown op")))
   }
+  // ---- KAF-98 map-entry merge (ProvidedQueryCCMIT.java:478-545) ----
+
+  private val mapBatchSchema = StructType(Seq(
+    StructField("pk", LongType), StructField("k", StringType),
+    StructField("v", LongType), StructField(WritetimeCol, LongType),
+    StructField("off", LongType)))
+  private def mapMerge(state: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, nullToUnset: Boolean) =
+    Upserts.mergeMapEntries(state, batch, Seq("pk"), "m", "k", "v",
+      Seq(col(WritetimeCol), col("off")), nullToUnset)
+  private def entries(out: org.apache.spark.sql.DataFrame) =
+    out.select(col("pk"), explode(map_zip_with(col("m"), col("__wtmap_m"),
+        (_, v, t) => struct(v.as("v"), t.as("t")))).as(Seq("k", "e")))
+      .select(col("pk"), col("k"), col("e.v"), col("e.t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+  private val emptyMapState = StructType(Seq(StructField("pk", LongType)))
+
+  test("mergeMapEntries inserts entries; null is a no-op under nullToUnset " +
+      "(KAF-98, ProvidedQueryCCMIT.java:478-511)") {
+    val st0 = df(emptyMapState)
+    val b1 = df(mapBatchSchema,
+      Row(1L, "key_1", 10L, 100L, 1L), Row(1L, "key_2", 7L, 100L, 2L))
+    val st1 = mapMerge(st0, b1, nullToUnset = true)
+    assert(entries(st1) == Seq((1L, "key_1", 10L, 100L),
+      (1L, "key_2", 7L, 100L)))
+    // newer null action: skipped entirely (does not shadow, does not remove)
+    val b2 = df(mapBatchSchema, Row(1L, "key_1", null, 200L, 3L))
+    assert(entries(mapMerge(st1, b2, nullToUnset = true)) ==
+      Seq((1L, "key_1", 10L, 100L), (1L, "key_2", 7L, 100L)))
+  }
+
+  test("mergeMapEntries: null removes the entry when nullToUnset=false; " +
+      "emptied row disappears (ProvidedQueryCCMIT.java:514-545)") {
+    val st0 = df(emptyMapState)
+    val st1 = mapMerge(st0,
+      df(mapBatchSchema, Row(1L, "key_1", 10L, 100L, 1L)), nullToUnset = true)
+    val out = mapMerge(st1,
+      df(mapBatchSchema, Row(1L, "key_1", null, 200L, 2L)),
+      nullToUnset = false)
+    assert(out.count() == 0L) // last entry removed -> row gone
+  }
+
+  test("mergeMapEntries: per-entry LWW — a stale update loses, a stale " +
+      "removal loses, other entries untouched") {
+    val st0 = df(emptyMapState)
+    val st1 = mapMerge(st0, df(mapBatchSchema,
+      Row(1L, "a", 1L, 300L, 1L), Row(1L, "b", 2L, 100L, 2L)),
+      nullToUnset = true)
+    val out = mapMerge(st1, df(mapBatchSchema,
+      Row(1L, "a", 99L, 200L, 3L),   // stale vs a@300 -> loses
+      Row(1L, "b", null, 50L, 4L),   // stale removal vs b@100 -> loses
+      Row(1L, "c", 5L, 150L, 5L)),   // fresh insert
+      nullToUnset = false)
+    assert(entries(out) == Seq((1L, "a", 1L, 300L), (1L, "b", 2L, 100L),
+      (1L, "c", 5L, 150L)))
+  }
+
+  test("mergeMapEntries: within-batch compaction keeps the newest action " +
+      "per entry; unset never shadows an older live write") {
+    val st0 = df(emptyMapState)
+    // nullToUnset=true: the t=200 null is dropped pre-compaction, so the
+    // t=100 live write lands
+    val out1 = mapMerge(st0, df(mapBatchSchema,
+      Row(1L, "a", 10L, 100L, 1L), Row(1L, "a", null, 200L, 2L)),
+      nullToUnset = true)
+    assert(entries(out1) == Seq((1L, "a", 10L, 100L)))
+    // nullToUnset=false: the newest action is the removal -> no entry
+    val out2 = mapMerge(st0, df(mapBatchSchema,
+      Row(1L, "a", 10L, 100L, 1L), Row(1L, "a", null, 200L, 2L)),
+      nullToUnset = false)
+    assert(out2.count() == 0L)
+  }
+
 }

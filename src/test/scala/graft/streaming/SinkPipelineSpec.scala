@@ -104,6 +104,12 @@ class SinkPipelineSpec extends SparkSuite {
     assert(dlq.length == 2)
     assert(pipe.recordCount("orders.ks.t1.failedRecordCount").value == 2L)
     assert(pipe.recordCount("orders.ks.t1.recordCount").value == 3L)
+    // KAF-100: rates ride the counters — 2 failures inside the trailing
+    // minute ⇒ 2/60 ev/s; an unmarked counter reads 0 rather than throwing
+    assert(pipe.rate("orders.ks.t1.failedRecordCount") > 0.0)
+    assert(math.abs(pipe.rate("orders.ks.t1.failedRecordCount") - 2.0 / 60)
+      < 1e-9)
+    assert(pipe.rate("orders.ks.t1.neverMarked") == 0.0)
   }
 
   test("TTL'd rows expire from the visible state (G2)") {
