@@ -36,17 +36,22 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Three timed executions; (median, all runs in order). The cache clear
+  /** Three timed executions; (median, all runs in order). The cache release
     * between runs keeps runs INDEPENDENT under the persist staging default:
     * CacheManager matches staged frames by logical-plan equality, so without
     * it run 2 would reuse run 1's materialized stage and the median would
     * report cached performance (and 240 queries × 3 runs of pinned plans
-    * would degrade the JVM across the pass). The clear happens OUTSIDE the
-    * timer. */
+    * would degrade the JVM across the pass). Release is BLOCKING
+    * (Staging.releaseAll waits for block removal): round 8 used the async
+    * `clearCache()` and the removals from run N overlapped run N+1 —
+    * staged-heavy queries showed MONOTONE run-over-run growth (q201
+    * 15.2→30.6→44.9 s) as each run raced the previous run's drain. The
+    * release happens OUTSIDE the timer. */
   private def timed3(spark: SparkSession)(f: => Unit): (Double, Seq[Double]) = {
     def one: Double = {
       val s = time(f)
-      spark.catalog.clearCache()
+      graft.operators.Staging.releaseAll(spark, blocking = true)
+      spark.catalog.clearCache() // belt: non-graft caches (none expected)
       s
     }
     val runs = Seq(one, one, one)
@@ -70,6 +75,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // The bench tail (the driver's capture window) must stay clean. A task
+    // completing after its job's accumulators were ContextCleaner-GC'd makes
+    // the DAGScheduler log a full "Failed to update accumulator" ERROR stack
+    // — benign bookkeeping (real job failures reach the driver as exceptions
+    // on the action, never only as this log), but 3 stacks in the r7/r8
+    // tails polluted the adjudication channel. Silence exactly that logger;
+    // every other Spark ERROR still prints.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
+    catch { case _: Throwable => () } // logging backend is not contractual
     s
   }
 
@@ -452,7 +468,10 @@ object Bench {
         // median to the ms) is adjudicable from the artifact alone.
         def one: Double = {
           val s = time(fn())
-          spark.catalog.clearCache() // see timed3: runs stay independent
+          // see timed3: blocking release keeps runs independent AND keeps
+          // run 2 from racing run 1's async block drain
+          graft.operators.Staging.releaseAll(spark, blocking = true)
+          spark.catalog.clearCache()
           s
         }
         val runs = try Seq(one, one)

@@ -1236,6 +1236,26 @@ object Probe {
       timed("phash band candidate pairs (sf0.1/53 images)")(pairs.count())
     }
 
+    // ---- q78 / sink dedup=near banding: the tokenize→shingle→minhash→band
+    // chain must be ONE native codegen'd expression in the optimized plan.
+    // Round 8 composed it from higher-order array lambdas and the q78 bench
+    // row cost 27 s against 0.8 s for its bit-identical batch twin q25
+    // (interpreted per-element lambda evaluation); the native
+    // MinhashBandsExpr rewrite measured 0.52 s. A lambdafunction or a second
+    // banding call reappearing here means the regression is back.
+    {
+      val q78 = graft.SparkEntry.queries("q78_stream_banding")(spark, dir)
+      val plan = q78.queryExecution.optimizedPlan.toString
+      val occ = "graft_minhash_bands".r.findAllIn(plan).size
+      require(occ == 1,
+        s"q78 must band via ONE native graft_minhash_bands call, got $occ:\n" +
+          plan.take(2000))
+      require(!plan.contains("lambdafunction"),
+        "q78 plan regressed to interpreted HOF lambdas:\n" + plan.take(2000))
+      timed("q78 native stream banding (sf0.1)")(q78.count())
+      println("q78 plan: single native banding expression (checked)")
+    }
+
     // ---- whole-inventory unpartitioned-window audit: every query whose
     // optimized plan contains a partition-less Window must be on the
     // KNOWN-BOUNDED list (windows over ≤nBins/≤topK aggregate rows —

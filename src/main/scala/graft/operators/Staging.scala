@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -36,29 +36,95 @@ import org.apache.spark.storage.StorageLevel
  *    `Dedup.semanticDedup` under a broadcast join).
  *  - `none`: pass-through — every consumer recomputes the stage. For plan
  *    debugging and for single-consumer call shapes.
+ *
+ * LIFETIME (the round-9 ownership contract): under `persist`, every staged
+ * frame registers a plan in the session CacheManager, which — unlike
+ * localCheckpoint blocks, reclaimed by the ContextCleaner — holds it until
+ * explicitly unpersisted. Operators stage frames INTERNAL to their plans,
+ * so callers can't pair stage/unstage themselves. Stage() therefore tracks
+ * every persisted frame in a SESSION-SCOPED FIFO registry with a budget
+ * (`spark.graft.staging.budget`, default 64 live frames): staging past the
+ * budget unpersists the oldest entry. A long-lived session invoking staged
+ * operators in a loop holds O(budget) cached plans instead of O(calls) —
+ * an evicted stage is still CORRECT (its plan recomputes; `persist` keeps
+ * lineage by design), it just stops being cached. [[releaseAll]] drops
+ * everything at once (blocking, for benchmarks and batch-job teardown);
+ * [[unstage]] releases one frame early when the operator knows its last
+ * consumer has run (e.g. the sink's per-batch banding).
  */
 object Staging {
 
   val ConfKey = "spark.graft.staging"
+  val BudgetKey = "spark.graft.staging.budget"
+  val DefaultBudget = 64
+
+  // WeakHashMap: a session that ends (and is no longer referenced) drops its
+  // queue with it. All mutation synchronized on the registry — stage() can
+  // race across sink pipelines / parallel operator builds.
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayDeque[DataFrame]]()
 
   def stage(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "persist") match {
       case "local"   => df.localCheckpoint(eager = true)
-      case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK)
+      case "persist" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        register(p)
+        p
       case "none"    => df
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be local|persist|none, got '$other'")
     }
 
-  /** Release a staged frame once its consumers have run. Under `persist`
-    * this matters for LIFETIME: `persist()` registers the plan in the
-    * session CacheManager, which holds it until explicitly unpersisted —
-    * a long-running pipeline staging a frame per micro-batch would pin
-    * unbounded cache otherwise (localCheckpoint RDDs are GC'd via the
-    * ContextCleaner, so `local` mode self-cleans). No-op for frames that
-    * are not cached. One-shot batch queries can skip this (session teardown
-    * clears the cache); anything called repeatedly in one session — the
-    * sink's per-batch staging, an operator invoked in a loop — must pair
-    * stage with unstage or run `spark.catalog.clearCache()` periodically. */
-  def unstage(df: DataFrame): Unit = df.unpersist()
+  private def register(df: DataFrame): Unit = registry.synchronized {
+    val q = registry.computeIfAbsent(df.sparkSession,
+      _ => new java.util.ArrayDeque[DataFrame]())
+    q.addLast(df)
+    val budget =
+      try df.sparkSession.conf.get(BudgetKey, DefaultBudget.toString).toInt
+      catch { case _: NumberFormatException => DefaultBudget }
+    while (q.size > budget) {
+      val oldest = q.pollFirst()
+      // non-blocking: eviction is bookkeeping on the hot path; the blocks
+      // drain in the background. Benchmarks wanting quiesced state between
+      // runs use releaseAll(blocking = true).
+      try oldest.unpersist(false) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Release a staged frame once its consumers have run. Removes it from
+    * the session registry and unpersists (non-blocking). No-op for frames
+    * that are not cached. One-shot batch queries can skip this (session
+    * teardown clears the cache); loops that know a stage's last consumer
+    * (the sink's per-batch banding) release early to keep the registry
+    * budget for frames that still pay. */
+  def unstage(df: DataFrame): Unit = {
+    registry.synchronized {
+      Option(registry.get(df.sparkSession)).foreach(_.remove(df))
+    }
+    df.unpersist()
+  }
+
+  /** Unpersist EVERY live graft-staged frame of the session. `blocking`
+    * waits for block removal — between-run hygiene for benchmarks, where
+    * async removals from run N otherwise overlap (and tax) run N+1. */
+  def releaseAll(spark: SparkSession, blocking: Boolean = true): Unit = {
+    val drained = registry.synchronized {
+      Option(registry.get(spark)) match {
+        case Some(q) =>
+          val all = new java.util.ArrayList[DataFrame](q)
+          q.clear()
+          all
+        case None => new java.util.ArrayList[DataFrame]()
+      }
+    }
+    drained.forEach(df =>
+      try df.unpersist(blocking) catch { case _: Throwable => () })
+  }
+
+  /** Live (registered, not yet evicted/released) staged frames for the
+    * session — the observable the long-lived-session spec bounds. */
+  def registeredCount(spark: SparkSession): Int = registry.synchronized {
+    Option(registry.get(spark)).map(_.size).getOrElse(0)
+  }
 }

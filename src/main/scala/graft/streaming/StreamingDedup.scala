@@ -153,53 +153,36 @@ object StreamingDedup {
    * One row per (key columns, band_id, band_hash) computed MAP-ONLY from
    * `textCol` — the shared core of [[bandedStream]] and the sink pipeline's
    * `dedup=near` stage (which keys on (partition, offset) instead of a doc
-   * id). Per row: shingle hashes, k min hashes, and LSH band hashes via
-   * higher-order array expressions inside projections (no window, no
-   * groupBy — runs on streaming frames as-is), producing the EXACT same
-   * band values as the batch `Dedup.minhashBands(Dedup.minhashSignatures(…))`
-   * (pinned by the batch-equivalence spec). Rows with fewer than `shingleN`
-   * tokens have no shingles and emit no band rows, matching the batch path.
+   * id). The tokenize → shingle → minhash → band chain runs as ONE native
+   * codegen'd expression per row ([[graft.functions.MinhashBandsExpr]] —
+   * no window, no groupBy, runs on streaming frames as-is), producing the
+   * EXACT same band values as the batch
+   * `Dedup.minhashBands(Dedup.minhashSignatures(…))` (pinned by the
+   * batch-equivalence spec and q78's oracle). Rows with fewer than
+   * `shingleN` tokens have no shingles and emit no band rows, matching the
+   * batch path (the expression returns an empty array; `explode` drops it).
    *
-   * PLAN SHAPE MATTERS HERE: each stage is its own narrow `select`
-   * (shingles → mins → explode(bands) → null filter on the exploded
-   * scalar), which keeps every intermediate array an ATTRIBUTE between
-   * projections. Collapsing the stages into one projection (e.g. building
-   * the band array and filtering it in place) re-evaluates the tokenize +
-   * shingle fold once per `element_at` reference inside the downstream
-   * lambdas — measured ~67× slower on sf0.01 documents.
+   * HISTORY: rounds 6–8 composed this from higher-order array lambdas in
+   * narrow selects. Those evaluate INTERPRETED per element — the q78 bench
+   * row cost 27 s at sf0.1 against 0.8 s for its batch twin q25 — and the
+   * shape was fragile (collapsing the narrow selects re-evaluated the
+   * shingle fold per downstream reference, measured ~67× slower still).
+   * The native expression is both ~30× faster and shape-proof: there is
+   * exactly one fold, inside one generated function, whatever Catalyst
+   * does to the projections (Probe asserts the single-occurrence plan).
    */
   def bandRows(docs: DataFrame, textCol: String, keyCols: Seq[String],
       numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4): DataFrame = {
-    import graft.operators.Dedup.seeds
-    import graft.operators.TextAnalysis.{tokenHashes, HashPrime}
+    import org.apache.spark.sql.GraftBridge
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    val nBands = numHashes / rowsPerBand
     val keys = keyCols.map(col)
-    val ths = tokenHashes(col(textCol))
-    // shingle hash at position i: fold over token hashes i..i+n-1, exactly
-    // the batch shingleHashRows window fold, done positionally in-array
-    val shingles = when(size(ths) >= shingleN,
-      transform(sequence(lit(0), size(ths) - shingleN),
-        i => (1 until shingleN).foldLeft(element_at(ths, i + 1): Column) {
-          (acc, j) => (acc * 131L + element_at(ths, i + j + 1)) % HashPrime
-        })).otherwise(array().cast("array<bigint>"))
-    val mins = array(seeds(numHashes).map(sd =>
-      array_min(transform(col("__sh"),
-        x => (lit(sd.a) * x + lit(sd.b)) % HashPrime))): _*)
-    val bands = transform(sequence(lit(0), lit(nBands - 1)),
-      b => struct(
-        b.cast("int").as("band_id"),
-        (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, j) =>
-          (acc * 131L + element_at(col("__mins"), b * rowsPerBand + j + 1)) %
-            HashPrime
-        }.as("band_hash")))
+    val bandsArr = GraftBridge.column(graft.functions.MinhashBandsExpr(
+      GraftBridge.expression(col(textCol).cast("string")),
+      numHashes, shingleN, rowsPerBand))
     docs
-      .select(keys :+ shingles.as("__sh"): _*)
-      .select(keys :+ mins.as("__mins"): _*)
-      .select(keys :+ explode(bands).as("band"): _*)
+      .select(keys :+ explode(bandsArr).as("band"): _*)
       .select(keys :+ col("band.band_id").as("band_id") :+
         col("band.band_hash").as("band_hash"): _*)
-      .filter(col("band_hash").isNotNull) // shingle-less docs band to null
   }
 
   /**
