@@ -4482,9 +4482,13 @@ object SparkEntry {
   private lazy val r7CurationAndSeries: Seq[Q] = Seq(
 
     // edit-distance near-pairs: first-token + length-band blocking, exact
-    // bounded levenshtein verify on 32-char prefixes
+    // bounded levenshtein verify on 32-char prefixes. The oracle mirrors
+    // the operator's maxBlockSize=10000 drop (blocks above the cap leave
+    // the pairing) so the contract is VERIFIED, not just documented — a
+    // corpus with a >10k first-token block would otherwise pass or fail
+    // on data, invisibly.
     Q("q297_edit_distance_pairs", Some(
-      s"""WITH d AS (SELECT doc_id, left(text, 32) AS pfx, ($dToks)[1] AS tok0, length(text) AS n FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist FROM d a JOIN d b ON a.tok0 = b.tok0 AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 8 WHERE levenshtein(a.pfx, b.pfx) <= 10 ORDER BY id_a, id_b"""),
+      s"""WITH d0 AS (SELECT doc_id, left(text, 32) AS pfx, ($dToks)[1] AS tok0, length(text) AS n FROM documents), bs AS (SELECT tok0, count(*) AS bsz FROM d0 GROUP BY 1), d AS (SELECT d0.* FROM d0 JOIN bs USING (tok0) WHERE bs.bsz <= 10000) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist FROM d a JOIN d b ON a.tok0 = b.tok0 AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 8 WHERE levenshtein(a.pfx, b.pfx) <= 10 ORDER BY id_a, id_b"""),
       (s, dir) => Linkage.editDistancePairs(docs(tune(s), dir),
         "doc_id", "text", prefixLen = 32, maxDist = 10, lenBand = 8)
         .orderBy("id_a", "id_b")),

@@ -54,6 +54,11 @@ object Avi {
 
   @inline private def stride(width: Int): Int = (width * 3 + 3) & ~3
 
+  // Long-domain stride: width*3 overflows Int for header-controlled widths
+  // past ~715M, so every size computation that feeds a bound check or an
+  // allocation must go through this variant and null-route on overflow.
+  @inline private def strideL(width: Int): Long = (width.toLong * 3 + 3) & ~3L
+
   /** Validate one BMP frame, return (width, height) or null. */
   private def bmpDims(f: Array[Byte]): (Int, Int) = {
     if (f == null || f.length < Bmp.HeaderBytes) return null
@@ -63,7 +68,7 @@ object Avi {
     if (w <= 0 || h <= 0) return null
     if (rdLe16(f, 26) != 1 || rdLe16(f, 28) != 24) return null
     if (rdLe32(f, 30) != 0) return null
-    if (f.length != Bmp.HeaderBytes + stride(w).toLong * h) return null
+    if (f.length != Bmp.HeaderBytes + strideL(w) * h) return null
     (w, h)
   }
 
@@ -80,7 +85,7 @@ object Avi {
     // size math in Long: Int overflow on a large frame count/dimension would
     // allocate a negative-size array and THROW on the executor, violating
     // the route-don't-throw contract — an unencodable total routes to null
-    val frameBytesL = stride(w).toLong * h
+    val frameBytesL = strideL(w) * h
     val totalL = PreMoviBytes + 12L + nf.toLong * (8L + frameBytesL)
     if (frameBytesL > Int.MaxValue || totalL > Int.MaxValue) return null
     val frameBytes = frameBytesL.toInt
@@ -179,15 +184,20 @@ object Avi {
         !hasTag(bytes, moviOff + 8, "movi")) return null
     val moviData = rdLe32(bytes, moviOff + 4) - 4
     if (moviOff + 12 + moviData.toLong != bytes.length) return null
-    // walk every frame chunk
-    val frameBytes = stride(w) * h
+    // walk every frame chunk — size math in Long like encode's: an Int
+    // overflow here turns frameBytes negative, which a crafted chunk-size
+    // field can match, driving the walk offset negative and THROWING on
+    // the executor instead of null-routing the record
+    val frameBytesL = strideL(w) * h
+    if (frameBytesL > Int.MaxValue) return null
+    val frameBytes = frameBytesL.toInt
     var o = moviOff + 12
     var count = 0
     while (o < bytes.length) {
       if (o + 8 > bytes.length) return null
       if (!hasTag(bytes, o, "00db")) return null
       if (rdLe32(bytes, o + 4) != frameBytes) return null
-      if (o + 8 + frameBytes > bytes.length) return null
+      if (o + 8L + frameBytes > bytes.length) return null
       o += 8 + frameBytes
       count += 1
     }

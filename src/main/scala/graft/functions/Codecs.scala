@@ -204,6 +204,45 @@ object Codecs {
   }
 
   /**
+   * Map-target codec (reference C1's collection leg, required by
+   * `mergeMode=entry` targets): a map column accepts
+   *  - MAP input → per-entry key/value casts,
+   *  - STRUCT input → field-name→key entries (the struct viewed as a map),
+   *  - JSON text → one `from_json` with the target map schema
+   *    (`{"a": null}` keeps the null VALUE — the entry-removal marker the
+   *    entry merge relies on under `nullToUnset=false`).
+   * Spark's `Cast` cannot express string→map or struct→map, hence the
+   * field-wise builders, mirroring [[castToStruct]].
+   */
+  def castToMap(c: Column, srcType: DataType, target: MapType): Column = {
+    // a key the cast can't represent must DROP (route), not feed a null
+    // into map_from_entries (which throws, aborting the batch)
+    def fold(entries: Column): Column =
+      map_from_entries(filter(entries, e => e.getField("key").isNotNull))
+    val built = srcType match {
+      case mt: MapType =>
+        fold(transform(map_entries(c), e => struct(
+          castAny(e.getField("key"), mt.keyType, target.keyType).as("key"),
+          castAny(e.getField("value"), mt.valueType, target.valueType)
+            .as("value"))))
+      case st: StructType =>
+        fold(array(st.fields.toSeq.map(f => struct(
+          tryCastCol(lit(f.name), target.keyType).as("key"),
+          castAny(c.getField(f.name), f.dataType, target.valueType)
+            .as("value"))): _*))
+      case StringType =>
+        when(get_json_object(c, "$").isNull, lit(null).cast(target))
+          .otherwise(from_json(c, target))
+      case _ => tryCastCol(c, target)
+    }
+    srcType match {
+      case _: MapType | _: StructType =>
+        when(c.isNull, lit(null).cast(target)).otherwise(built)
+      case _ => built
+    }
+  }
+
+  /**
    * Failure-capturing cast (reference C5): the reference surfaces a parse
    * failure per record (`Could not parse 'bad key'`, reference:
    * sink/src/it/.../SimpleEndToEndSimulacronIT.java:464-465) instead of

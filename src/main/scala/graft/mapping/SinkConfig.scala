@@ -18,7 +18,7 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.nullToUnset        (default true)
  *   topic.<topic>.<keyspace>.<table>.deletesEnabled     (default true)
  *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
- *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell, default row)
+ *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell | entry, default row)
  *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | phash[:<factor>[:<ttlMs>]] | near[:<k>x<r>|:strict95|:broad40[:<ttlMs>]], default none)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *   dedupVacuumEvery                                    (batches between automatic dedup-state sweeps, default 100, 0 = off)
@@ -95,7 +95,12 @@ object SinkConfig {
         * `cell`: per-column writetimes, Cassandra's actual reconciliation
         * granularity ([[graft.operators.Upserts.mergeIntoCellWise]]) — needed
         * when several bindings write DISJOINT columns of one table out of
-        * timestamp order. */
+        * timestamp order.
+        * `entry`: cell-wise plus per-MAP-ENTRY writetimes for every MapType
+        * column ([[graft.operators.Upserts.mergeIntoEntryWise]] — reference
+        * KAF-98, changelog/README.md:10): a record's map value upserts or
+        * removes individual entries (null value removes under
+        * `nullToUnset=false`) instead of replacing the whole cell. */
       mergeMode: String = "row",
       /** Content-level dedup stage between decode and merge (the online form
         * of [[graft.streaming.StreamingDedup]], reachable from config):
@@ -118,8 +123,8 @@ object SinkConfig {
         * it, bands quiet for a full horizon expire physically (merge-time
         * prune + vacuum sweep), bounding state to recently-active content. */
       dedup: String = "none") {
-    require(Set("row", "cell").contains(mergeMode),
-      s"mergeMode must be row or cell (got '$mergeMode')")
+    require(Set("row", "cell", "entry").contains(mergeMode),
+      s"mergeMode must be row, cell or entry (got '$mergeMode')")
     require(dedup == "none" || dedup == "exact" ||
       (dedup.startsWith("phash") &&
         SinkConfig.phashParams(dedup).isDefined) ||

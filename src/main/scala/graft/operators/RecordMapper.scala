@@ -116,6 +116,8 @@ object RecordMapper {
     case dt: DecimalType => Codecs.parseDecimal(c, dt, b.codec)
     case st: StructType =>
       Codecs.castToStruct(c, srcType.getOrElse(StringType), st)
+    case mt: MapType =>
+      Codecs.castToMap(c, srcType.getOrElse(StringType), mt)
     case other          => Codecs.tryCastCol(c, other)
   }
 

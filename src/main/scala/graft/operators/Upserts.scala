@@ -69,6 +69,17 @@ object Upserts {
     batch.groupBy(table.primaryKey.map(col): _*).agg(sums.head, sums.tail: _*)
   }
 
+  /** Within-batch deterministic tiebreaker for equal-writetime rows: the
+    * row's full value struct, column order fixed by name sort — minus any
+    * column whose type Spark cannot order (MapType, e.g. an entry-mode map
+    * column: including one fails `max_by` analysis). */
+  private def orderableTiebreak(batch: DataFrame): Column = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    struct(batch.columns.sorted
+      .filter(c => RowOrdering.isOrderable(batch.schema(c).dataType))
+      .map(col).toIndexedSeq: _*)
+  }
+
   /**
    * Merge a routed, compacted batch into existing table state.
    *
@@ -107,7 +118,7 @@ object Upserts {
     // analogue of Cassandra's cell-value reconciliation for equal timestamps;
     // without it two same-pk-same-writetime rows would resolve by arbitrary
     // max_by tie, i.e. partitioning-dependent output.
-    val tiebreak = struct(batch.columns.sorted.map(col).toIndexedSeq: _*)
+    val tiebreak = orderableTiebreak(batch)
     val compacted = lwwCompact(batch, pk, Seq(col(wt), tiebreak))
 
     val s = state.alias("s")
@@ -200,7 +211,7 @@ object Upserts {
     val batchCols = batch.columns.toSet
     val mappedRegular = table.regularCols.filter(batchCols.contains)
 
-    val tiebreak = struct(batch.columns.sorted.map(col).toIndexedSeq: _*)
+    val tiebreak = orderableTiebreak(batch)
     val compacted = lwwCompact(batch, pk, Seq(col(wt), tiebreak))
 
     val s = state.alias("s")
@@ -245,6 +256,176 @@ object Upserts {
       .select((pkCols ++ cellCols): _*)
       // a row whose cells are all gone (full tombstone coverage, or a delete
       // of an absent row) disappears
+      .filter(anyCellLive)
+      .withColumn(wt, greatest(
+        (liveWts :+ lit(Long.MinValue).cast(LongType)): _*))
+  }
+
+  /**
+   * ENTRY-level sink merge (`mergeMode=entry`, reference KAF-98): scalar
+   * regular columns reconcile exactly like [[mergeIntoCellWise]] (per-cell
+   * writetimes), and every MapType regular column reconciles INSIDE the
+   * collection — one writetime per map entry, persisted in a parallel
+   * `__wtmap_<col>: map<K,long>` state column. This is the whole-pipeline
+   * form of [[mergeMapEntries]]: the batch here is the sink's routed,
+   * mapped micro-batch (one map VALUE per record, plus `__mode` /
+   * `__writetime`), not a pre-exploded entry stream.
+   *
+   * A record's map value is read as a SET OF ENTRY ACTIONS, the declared
+   * contract of entry mode (the reference reaches these semantics through
+   * `UPDATE t SET mapCol[:key] = :value` provided queries,
+   * ProvidedQueryCCMIT.java:478-545): entries upsert independently under
+   * per-entry LWW; entries the record does not mention are never touched;
+   * a null/empty map contributes no actions. A null entry VALUE is the
+   * removal marker when `nullToUnset = false` and a dropped no-op when
+   * `nullToUnset = true` — mirroring [[mergeMapEntries]]. Whole-row
+   * semantics follow the cell-wise merge: within-batch compaction keeps
+   * one surviving ACTION per pk (row grain) but map entries union across
+   * every upsert record of the batch (entry grain — the point of the
+   * mode); a DELETE at wt T is a row tombstone covering scalar cells AND
+   * map entries with wt <= T; a row with no live cells and no live
+   * entries disappears (empty maps normalize to null).
+   *
+   * Plan shape: the scalar path is the cell-wise full-outer pk join; each
+   * map column adds one explode + per-entry partial-agg compaction +
+   * refold on the BATCH only (state maps are never exploded — the entry
+   * reconciliation runs inside `map_zip_with`), joined back on pk. Batch
+   * frames are micro-batch sized, so the extra per-map-column work is
+   * O(batch entries), not O(state).
+   */
+  def mergeIntoEntryWise(
+      state: DataFrame,
+      batch: DataFrame,
+      table: SinkTable,
+      nullToUnset: Boolean = true): DataFrame = {
+
+    val pk = table.primaryKey
+    val wt = RecordMapper.WritetimeCol
+    val mode = RecordMapper.ModeCol
+    def cellWt(c: String) = s"__wt_$c"
+    def wtMapCol(c: String) = s"__wtmap_$c"
+
+    val batchCols = batch.columns.toSet
+    val mapCols = table.regularCols.filter(c =>
+      table.schema(c).dataType.isInstanceOf[MapType])
+    val scalarCols = table.regularCols.filterNot(mapCols.contains)
+    val mappedScalar = scalarCols.filter(batchCols.contains)
+    val mappedMap = mapCols.filter(batchCols.contains)
+
+    val tiebreak = orderableTiebreak(batch)
+    val rowWinner = lwwCompact(batch, pk, Seq(col(wt), tiebreak))
+
+    // per map column: explode upsert records' maps into entry actions,
+    // per-entry LWW compaction (partial-agg, map-side), refold to ONE
+    // struct-map per pk. Only the batch explodes — never state.
+    val entryMaps: Seq[(String, DataFrame)] = mappedMap.map { m =>
+      val ex = batch
+        .filter(col(mode) === RecordMapper.ModeUpsert && col(m).isNotNull)
+        .select((pk.map(col) ++ Seq(col(wt), tiebreak.as("__tb"),
+          explode(col(m)).as(Seq("__k", "__v")))): _*)
+      // nullToUnset: a null entry value is a no-op and must not shadow an
+      // older live write under the within-batch compaction
+      val pre = if (nullToUnset) ex.filter(col("__v").isNotNull) else ex
+      val compactE = pre
+        .groupBy((pk :+ "__k").map(col): _*)
+        .agg(max_by(struct(col("__v").as("v"), col(wt).as("t")),
+          struct(col(wt), col("__tb"))).as("__e"))
+      val bm = compactE
+        .groupBy(pk.map(col): _*)
+        .agg(map_from_entries(collect_list(
+          struct(col("__k"), col("__e")))).as(s"__bm_$m"))
+      m -> bm
+    }
+    val combined = entryMaps.foldLeft(rowWinner) { case (acc, (_, bm)) =>
+      acc.join(bm, pk, "left")
+    }
+
+    val s = state.alias("s")
+    val b = combined.alias("b")
+    val joinCond = pk.map(k => col(s"s.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val joined = s.join(b, joinCond, "full_outer")
+
+    val inBatch = col(s"b.$mode").isNotNull
+    val isDelete = inBatch && col(s"b.$mode") === RecordMapper.ModeDelete
+
+    val pkCols = pk.map(k => coalesce(col(s"b.$k"), col(s"s.$k")).as(k))
+
+    // scalar columns: the cell-wise reconciliation verbatim
+    val scalarOut: Seq[Column] = scalarCols.flatMap { c =>
+      val sCell = if (state.columns.contains(c)) col(s"s.$c")
+        else lit(null).cast(table.schema(c).dataType)
+      val sWt = if (state.columns.contains(cellWt(c))) col(s"s.${cellWt(c)}")
+        else lit(null).cast(LongType)
+      val survivesDelete = sWt.isNotNull && sWt > col(s"b.$wt")
+      val deleted = when(survivesDelete, sCell).otherwise(lit(null))
+      val deletedWt = when(survivesDelete, sWt).otherwise(lit(null).cast(LongType))
+      if (!mappedScalar.contains(c))
+        Seq(when(isDelete, deleted).otherwise(sCell).as(c),
+          when(isDelete, deletedWt).otherwise(sWt).as(cellWt(c)))
+      else {
+        val bCell = col(s"b.$c")
+        val cellWins = inBatch && !isDelete &&
+          (sWt.isNull || col(s"b.$wt") >= sWt)
+        val overwrite =
+          if (nullToUnset) cellWins && bCell.isNotNull else cellWins
+        Seq(
+          when(isDelete, deleted)
+            .otherwise(when(overwrite, bCell).otherwise(sCell)).as(c),
+          when(isDelete, deletedWt)
+            .otherwise(when(overwrite, col(s"b.$wt")).otherwise(sWt))
+            .as(cellWt(c)))
+      }
+    }
+
+    // map columns: entry reconciliation inside map_zip_with over the
+    // (value, writetime) struct-map view of state
+    val mapOut: Seq[Column] = mapCols.flatMap { m =>
+      val mt = table.schema(m).dataType.asInstanceOf[MapType]
+      val entryT = StructType(Seq(
+        StructField("v", mt.valueType), StructField("t", LongType)))
+      def emptyEntryMap: Column = map_from_arrays(
+        array().cast(ArrayType(mt.keyType)), array().cast(ArrayType(entryT)))
+      val sMap = if (state.columns.contains(m)) col(s"s.$m")
+        else lit(null).cast(MapType(mt.keyType, mt.valueType))
+      val sWtm = if (state.columns.contains(wtMapCol(m)))
+        col(s"s.${wtMapCol(m)}")
+      else lit(null).cast(MapType(mt.keyType, LongType))
+      val sStruct = coalesce(
+        map_zip_with(sMap, sWtm, (_, v, t) => struct(v.as("v"), t.as("t"))),
+        emptyEntryMap)
+      // a row tombstone at wt T covers entries with wt <= T
+      val covered = map_filter(sStruct, (_, e) => e.getField("t") > col(s"b.$wt"))
+      val out =
+        if (!mappedMap.contains(m)) when(isDelete, covered).otherwise(sStruct)
+        else {
+          val bmStruct = coalesce(col(s"b.__bm_$m"), emptyEntryMap)
+          val merged = map_zip_with(sStruct, bmStruct, (_, sv, bv) => {
+            val bWins = bv.isNotNull &&
+              (sv.isNull || bv.getField("t") >= sv.getField("t"))
+            when(bWins, bv).otherwise(sv)
+          })
+          // a winning null value (reachable only when !nullToUnset) is the
+          // removal marker; filtering it out IS the entry deletion
+          val upserted = map_filter(merged, (_, e) => e.getField("v").isNotNull)
+          when(isDelete, covered)
+            .otherwise(when(inBatch, upserted).otherwise(sStruct))
+        }
+      // an empty map is no live cells: normalize to null so row liveness
+      // (and readers) see one representation
+      val outOrNull = when(size(map_keys(out)) > 0, out)
+      Seq(
+        transform_values(outOrNull, (_, e) => e.getField("v")).as(m),
+        transform_values(outOrNull, (_, e) => e.getField("t")).as(wtMapCol(m)))
+    }
+
+    val liveWts: Seq[Column] =
+      scalarCols.map(c => col(cellWt(c))) ++
+        mapCols.map(m => array_max(map_values(col(wtMapCol(m)))))
+    val anyCellLive = (scalarCols ++ mapCols).map(c => col(c).isNotNull)
+      .reduceOption(_ || _).getOrElse(lit(true))
+
+    joined
+      .select((pkCols ++ scalarOut ++ mapOut): _*)
       .filter(anyCellLive)
       .withColumn(wt, greatest(
         (liveWts :+ lit(Long.MinValue).cast(LongType)): _*))
@@ -301,9 +482,13 @@ object Upserts {
     def emptyEntryMap: Column = map_from_arrays(
       array().cast(ArrayType(keyT)), array().cast(ArrayType(entryT)))
 
+    // a null map KEY is unrepresentable in the merged map (map_from_entries
+    // throws on it, aborting the whole micro-batch) — route the record out
+    // of the merge instead, matching the sink's per-record failure policy
+    val keyed = batch.filter(col(keyCol).isNotNull)
     // nullToUnset: a null action is a no-op, and must not shadow an older
     // live write under the within-batch compaction — drop it up front
-    val pre = if (nullToUnset) batch.filter(col(valueCol).isNotNull) else batch
+    val pre = if (nullToUnset) keyed.filter(col(valueCol).isNotNull) else keyed
     val compact = pre
       .groupBy((pk :+ keyCol).map(col): _*)
       .agg(max_by(struct(col(valueCol).as("v"), col(wt).as("t")),

@@ -44,11 +44,16 @@ class KeyedParquetTable(
     /** `row`: one writetime per row ([[Upserts.mergeInto]]); `cell`:
       * per-column writetimes persisted as `__wt_<col>` state columns
       * ([[Upserts.mergeIntoCellWise]] — Cassandra's actual reconciliation
-      * granularity, for bindings writing disjoint columns out of order). */
+      * granularity, for bindings writing disjoint columns out of order);
+      * `entry`: cell-wise plus per-MAP-ENTRY writetimes persisted as
+      * `__wtmap_<col>` state columns for every MapType column
+      * ([[Upserts.mergeIntoEntryWise]] — reference KAF-98: a record's map
+      * value upserts/removes individual entries instead of replacing the
+      * cell). */
     mergeMode: String = "row") {
 
-  require(Set("row", "cell").contains(mergeMode),
-    s"mergeMode must be row or cell (got '$mergeMode')")
+  require(Set("row", "cell", "entry").contains(mergeMode),
+    s"mergeMode must be row, cell or entry (got '$mergeMode')")
 
   val BucketCol = "__bucket"
 
@@ -242,6 +247,8 @@ class KeyedParquetTable(
     val merged =
       if (table.counterCols.nonEmpty)
         Upserts.mergeCounters(stTouched, Upserts.counterCombine(batch, table), table)
+      else if (mergeMode == "entry")
+        Upserts.mergeIntoEntryWise(stTouched, batch, table, nullToUnset)
       else if (mergeMode == "cell")
         Upserts.mergeIntoCellWise(stTouched, batch, table, nullToUnset)
       else

@@ -480,11 +480,13 @@ object SinkPipeline {
   final class RateMeter(windowNanos: Long = 60L * 1000L * 1000L * 1000L) {
     private val samples = new java.util.ArrayDeque[Array[Long]]()
     private var total = 0L
+    private var firstMarkNanos = Long.MinValue
     private def prune(now: Long): Unit =
       while (!samples.isEmpty && now - samples.peekFirst()(0) > windowNanos)
         samples.removeFirst()
     def mark(n: Long): Unit = synchronized {
       val now = System.nanoTime()
+      if (firstMarkNanos == Long.MinValue) firstMarkNanos = now
       total += n
       samples.addLast(Array(now, n))
       prune(now)
@@ -495,7 +497,15 @@ object SinkPipeline {
       prune(now)
       var inWindow = 0L
       samples.forEach(s => inWindow += s(1))
-      inWindow * 1e9 / windowNanos
+      // divide by the ACTUAL observation span while the meter is younger
+      // than the window — Dropwizard-Meter behavior; a full-window divisor
+      // would understate a young meter (600 marks in its first second must
+      // read ~600/s, not 10/s). Floor at 1ms so the very first read after
+      // the first mark doesn't divide by ~0 and explode.
+      val span =
+        if (firstMarkNanos == Long.MinValue) windowNanos
+        else math.min(windowNanos, math.max(now - firstMarkNanos, 1000000L))
+      inWindow * 1e9 / span
     }
   }
 

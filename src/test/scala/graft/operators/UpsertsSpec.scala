@@ -315,4 +315,114 @@ class UpsertsSpec extends SparkSuite {
     assert(out2.count() == 0L)
   }
 
+  test("mergeMapEntries: a record with a null map KEY routes out of the " +
+      "merge instead of aborting the micro-batch") {
+    val st0 = df(emptyMapState)
+    val out = mapMerge(st0, df(mapBatchSchema,
+      Row(1L, null, 10L, 100L, 1L),   // bad record: null key
+      Row(1L, "a", 7L, 100L, 2L)),
+      nullToUnset = true)
+    assert(entries(out) == Seq((1L, "a", 7L, 100L)))
+  }
+
+  // ---- mergeMode=entry sink merge (KAF-98 through the whole pipeline) ----
+
+  private val entryTable = SinkTable("ks", "te", StructType(Seq(
+    StructField("pk", LongType),
+    StructField("m", MapType(StringType, LongType)),
+    StructField("txt", StringType))), Seq("pk"))
+  private val entryBatchSchema = StructType(Seq(
+    StructField("pk", LongType),
+    StructField("m", MapType(StringType, LongType)),
+    StructField("txt", StringType),
+    StructField(WritetimeCol, LongType),
+    StructField(ModeCol, StringType)))
+  private val emptyEntryState = StructType(Seq(StructField("pk", LongType)))
+  private def entryMerge(state: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, nullToUnset: Boolean = true) =
+    Upserts.mergeIntoEntryWise(state, batch, entryTable, nullToUnset)
+  private def mapOf(out: org.apache.spark.sql.DataFrame, pk: Long) = {
+    val r = out.filter(col("pk") === pk).head()
+    (Option(r.getAs[Map[String, Long]]("m")),
+      Option(r.getAs[Map[String, Long]]("__wtmap_m")),
+      r.getAs[String]("txt"))
+  }
+
+  test("mergeIntoEntryWise: a record's map upserts entries, untouched " +
+      "entries survive (the KAF-98 divergence from cell mode)") {
+    val st0 = df(emptyEntryState)
+    val st1 = entryMerge(st0, df(entryBatchSchema,
+      Row(1L, Map("a" -> 1L, "b" -> 2L), "t1", 100L, ModeUpsert)))
+    val st2 = entryMerge(st1, df(entryBatchSchema,
+      Row(1L, Map("b" -> 20L, "c" -> 3L), null, 200L, ModeUpsert)))
+    val (m, wtm, txt) = mapOf(st2, 1L)
+    // entry a is NOT mentioned by the second record — cell mode would have
+    // replaced the whole map; entry mode must keep it
+    assert(m.get == Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
+    assert(wtm.get == Map("a" -> 100L, "b" -> 200L, "c" -> 200L))
+    assert(txt == "t1") // null + nullToUnset leaves the scalar cell
+    assert(st2.head().getAs[Long](WritetimeCol) == 200L)
+
+    // per-entry LWW: a stale write to one entry is refused, fresh entries land
+    val st3 = entryMerge(st2, df(entryBatchSchema,
+      Row(1L, Map("b" -> 99L, "d" -> 4L), null, 150L, ModeUpsert)))
+    val (m3, wtm3, _) = mapOf(st3, 1L)
+    assert(m3.get == Map("a" -> 1L, "b" -> 20L, "c" -> 3L, "d" -> 4L))
+    assert(wtm3.get("b") == 200L && wtm3.get("d") == 150L)
+  }
+
+  test("mergeIntoEntryWise: null entry value removes under " +
+      "nullToUnset=false; emptied map nulls; fully-empty row disappears " +
+      "(ProvidedQueryCCMIT.java:514-545)") {
+    val st0 = df(emptyEntryState)
+    val st1 = entryMerge(st0, df(entryBatchSchema,
+      Row(1L, Map("a" -> 1L, "b" -> 2L), "keep", 100L, ModeUpsert)))
+    // remove entry a; entry b and the scalar survive
+    val st2 = entryMerge(st1, df(entryBatchSchema,
+      Row(1L, Map("a" -> null), null, 200L, ModeUpsert)),
+      nullToUnset = false)
+    val (m2, _, _) = mapOf(st2, 1L)
+    assert(m2.get == Map("b" -> 2L))
+    assert(st2.head().getAs[String]("txt") == null) // !nullToUnset nulls it
+    // remove the last entry: map normalizes to null; no live cells -> gone
+    val st3 = entryMerge(st2, df(entryBatchSchema,
+      Row(1L, Map("b" -> null), null, 300L, ModeUpsert)),
+      nullToUnset = false)
+    assert(st3.count() == 0L)
+    // under nullToUnset=true the same null action is a no-op
+    val stNoop = entryMerge(st1, df(entryBatchSchema,
+      Row(1L, Map("a" -> null), null, 200L, ModeUpsert)))
+    assert(mapOf(stNoop, 1L)._1.get == Map("a" -> 1L, "b" -> 2L))
+  }
+
+  test("mergeIntoEntryWise: within one batch, entries union across records " +
+      "(entry grain) while scalars keep one surviving action (row grain)") {
+    val st0 = df(emptyEntryState)
+    val out = entryMerge(st0, df(entryBatchSchema,
+      Row(1L, Map("a" -> 1L), "first", 100L, ModeUpsert),
+      Row(1L, Map("b" -> 2L), "second", 200L, ModeUpsert)))
+    val (m, wtm, txt) = mapOf(out, 1L)
+    assert(m.get == Map("a" -> 1L, "b" -> 2L)) // both records' entries land
+    assert(wtm.get == Map("a" -> 100L, "b" -> 200L))
+    assert(txt == "second") // scalar: the row winner's cell
+  }
+
+  test("mergeIntoEntryWise: a row tombstone at T covers entries with " +
+      "wt <= T, newer entries survive it") {
+    val st0 = df(emptyEntryState)
+    val st1 = entryMerge(st0, df(entryBatchSchema,
+      Row(1L, Map("a" -> 1L), null, 100L, ModeUpsert)))
+    val st2 = entryMerge(st1, df(entryBatchSchema,
+      Row(1L, Map("b" -> 2L), null, 300L, ModeUpsert)))
+    val del = entryMerge(st2, df(entryBatchSchema,
+      Row(1L, null, null, 200L, ModeDelete)))
+    val (m, wtm, _) = mapOf(del, 1L)
+    assert(m.get == Map("b" -> 2L)) // a@100 covered, b@300 survives
+    assert(wtm.get == Map("b" -> 300L))
+    // a tombstone covering everything removes the row
+    val delAll = entryMerge(st2, df(entryBatchSchema,
+      Row(1L, null, null, 400L, ModeDelete)))
+    assert(delAll.count() == 0L)
+  }
+
 }

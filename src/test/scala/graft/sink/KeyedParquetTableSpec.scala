@@ -218,6 +218,57 @@ class KeyedParquetTableSpec extends SparkSuite {
     assert(e.getMessage.contains("mergeMode=cell"))
   }
 
+  test("entry merge mode: map entries reconcile per-entry across " +
+      "micro-batches and restarts (KAF-98)") {
+    val et = SinkTable("ks", "em", StructType(Seq(
+      StructField("my_pk", LongType),
+      StructField("my_map", MapType(StringType, LongType)))), Seq("my_pk"))
+    def mapBatch(rows: (Long, Map[String, Any], Long)*) = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (pk, m, wt) =>
+        l.add(Row(pk, m, wt, RecordMapper.ModeUpsert))
+      }
+      s.createDataFrame(l, StructType(Seq(
+        StructField("my_pk", LongType),
+        StructField("my_map", MapType(StringType, LongType)),
+        StructField(RecordMapper.WritetimeCol, LongType),
+        StructField(RecordMapper.ModeCol, StringType))))
+    }
+    val root = Files.createTempDirectory("graft-entry").toString
+    val t = new KeyedParquetTable(s, et, root, numBuckets = 4,
+      mergeMode = "entry", nullToUnset = false)
+
+    t.applyBatch(mapBatch((1L, Map("a" -> 1L, "b" -> 2L), 100L)), batchId = 1L)
+    // second batch mentions only b and c: a must survive (cell mode would
+    // have replaced the whole map)
+    t.applyBatch(mapBatch((1L, Map("b" -> 20L, "c" -> 3L), 200L)), batchId = 2L)
+    // null value removes entry c (nullToUnset=false)
+    t.applyBatch(mapBatch((1L, Map("c" -> null), 300L)), batchId = 3L)
+    val st = t.state().filter(col("my_pk") === 1L).head()
+    assert(st.getAs[Map[String, Long]]("my_map") == Map("a" -> 1L, "b" -> 20L))
+    assert(st.getAs[Map[String, Long]]("__wtmap_my_map") ==
+      Map("a" -> 100L, "b" -> 200L))
+
+    // restart over the same root: entry writetimes survive; a stale entry
+    // write is still refused after reopen
+    val t2 = new KeyedParquetTable(s, et, root, numBuckets = 4,
+      mergeMode = "entry", nullToUnset = false)
+    assert(t2.lastAppliedBatchId == 3L)
+    t2.applyBatch(mapBatch((1L, Map("b" -> 99L), 150L)), batchId = 4L)
+    assert(t2.state().head().getAs[Map[String, Long]]("my_map") ==
+      Map("a" -> 1L, "b" -> 20L))
+    // removing the last entries drops the row
+    t2.applyBatch(mapBatch((1L, Map("a" -> null, "b" -> null), 500L)),
+      batchId = 5L)
+    assert(t2.state().count() == 0L)
+
+    // the merge granularity is pinned in the manifest: cell reopen fails fast
+    val tCell = new KeyedParquetTable(s, et, root, numBuckets = 4,
+      mergeMode = "cell")
+    val e = intercept[IllegalArgumentException] { tCell.state() }
+    assert(e.getMessage.contains("mergeMode=entry"))
+  }
+
   test("X2 compression: state written with the configured parquet codec") {
     import graft.mapping.SinkConfig
     // reference name → parquet codec mapping, invalid values rejected

