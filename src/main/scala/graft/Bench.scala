@@ -272,7 +272,7 @@ object Bench {
       "q59_ann_ivf_topk_trained", "q60_cellwise_merge",
       "q68_canonical_pick", "q71_wkt_validate", "q72_schema_defaults",
       "q73_canonical_corpus", "q78_stream_banding",
-      "q305_map_entry_merge")
+      "q305_map_entry_merge", "q306_dsir_weights")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))
@@ -332,6 +332,52 @@ object Bench {
       deleteTree(root) // each run seeds a fresh store; don't leak the tree
     }
     record("sink_dedup_batch") { sinkDedupBatchOnce(sfDir) }
+
+    // ---- streaming banding steady-state (VERDICT r8 #7): q78 times the
+    // banding computation on a STATIC frame; this row drives the same
+    // `dedup=near` core (StreamingDedup.bandedStream → MinhashBandsExpr)
+    // through a REAL micro-batch stream (file source, one input file per
+    // trigger) and records EVERY batch duration separately, so steady-state
+    // per-batch cost is adjudicable apart from stream start/stop overhead —
+    // a per-batch regression can no longer hide inside one
+    // start+drain+stop scalar. Per-batch durations ship in the sidecar
+    // (`stream_banding_batches`); the final line carries only the
+    // steady-state rows/sec scalar. ----
+    val streamBatchSecs = scala.collection.mutable.ArrayBuffer[Double]()
+    var streamBandingWall = -1.0
+    var streamBandingRps = 0L
+    try {
+      val docsB = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nDocs = docsB.count()
+      val nStreamBatches = 8
+      val inDir = java.nio.file.Files.createTempDirectory("graft-bstream-in")
+      val ckDir = java.nio.file.Files.createTempDirectory("graft-bstream-ck")
+      docsB.repartition(nStreamBatches).write.mode("overwrite")
+        .parquet(inDir.toString)
+      val streamIn = spark.readStream.schema(docsB.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val banded = graft.streaming.StreamingDedup.bandedStream(
+        streamIn, "text", "doc_id")
+      val t0 = System.nanoTime()
+      val q = banded.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val s = time(batch.write.format("noop").mode("overwrite").save())
+          streamBatchSecs.synchronized { streamBatchSecs += s }
+          ()
+        }
+        .option("checkpointLocation", ckDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      streamBandingWall = (System.nanoTime() - t0) / 1e9
+      val steady = streamBatchSecs.sum
+      streamBandingRps = if (steady > 0) (nDocs / steady).toLong else 0L
+      results += "stream_banding" -> streamBandingWall
+      allRuns += "stream_banding_batches" -> streamBatchSecs.toSeq
+      graft.operators.Staging.releaseAll(spark, blocking = true)
+      deleteTree(inDir)
+      deleteTree(ckDir)
+    } catch { case _: Throwable => results += "stream_banding" -> -1.0 }
 
     // ---- sf1 scale probe: the five most expensive queries at 10× the data
     // (replicas of the driver's own sf tables with consistently shifted
@@ -474,7 +520,13 @@ object Bench {
           spark.catalog.clearCache()
           s
         }
-        val runs = try Seq(one, one)
+        // VERDICT r8 #6: probes whose cross-round numbers needed
+        // adjudication get a THIRD run, so a single contended run can't
+        // masquerade as plan drift (q84's 1.42→10.9 s was a 2-run min).
+        val nProbeRuns =
+          if (Set("q84_winnowed_fingerprints", "q32_jaccard_pairs",
+            "q167_assoc_rules").contains(name)) 3 else 2
+        val runs = try Seq.fill(nProbeRuns)(one)
           catch { case _: Throwable => Seq(-1.0) }
         sf1Runs += name -> runs
         sf1Results += name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
@@ -513,7 +565,7 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // sidecar is best-effort
     val finalLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","queries_benched":${results.size},"ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"runs_file":"$runsPath"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","queries_benched":${results.size},"ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"stream_banding_rows_per_sec":$streamBandingRps,"runs_file":"$runsPath"}"""
     // Belt and braces for the adjudication channel: never let this line grow
     // past the driver's capture window again, even if a future edit adds a
     // field. 1,000 bytes is half the window.

@@ -4599,6 +4599,20 @@ object SparkEntry {
           .select(col("pk"), col("k"), col("e.v").as("v"),
             col("e.t").as("entry_wt"))
           .orderBy("pk", "k")
+      }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // multinomials over 1024 buckets; target = doc_id ≡ 0 (mod 4), raw =
+    // the rest; each raw doc scored by its add-1-smoothed qlog2 likelihood
+    // ratio. The selection key behind importance resampling — compose with
+    // weightedKeep/quotaByClass for the resample step.
+    Q("q306_dsir_weights", Some(
+      s"""WITH dd AS (SELECT doc_id, list_transform($dToks, t -> ${dFold("t")}) AS th FROM documents), fb AS (SELECT doc_id, doc_id % 4 = 0 AS is_t, unnest(list_concat(list_transform(th, h -> h % 1024), CASE WHEN len(th) < 2 THEN [] ELSE list_transform(range(len(th)-1), i -> ((th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647) % 1024) END)) AS bucket FROM dd), ct AS (SELECT bucket, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t, CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r FROM fb GROUP BY 1), tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS ttl, CAST(SUM(cnt_r) AS BIGINT) AS trl FROM ct), l0 AS (SELECT bucket, cnt_t + 1 AS pt, cnt_r + 1 AS pr, ttl + 1024 AS dt, trl + 1024 AS dr FROM ct CROSS JOIN tot), lr AS (SELECT bucket, (${dQlog2("pt")}) - (${dQlog2("dt")}) - (${dQlog2("pr")}) + (${dQlog2("dr")}) AS lr_q FROM l0), db AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM fb WHERE NOT is_t GROUP BY 1, 2), sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats, CAST(SUM(n*lr_q) AS BIGINT) AS w_q FROM db JOIN lr USING (bucket) GROUP BY 1) SELECT d.doc_id, COALESCE(sc.n_feats, 0) AS n_feats, COALESCE(sc.w_q, 0) AS w_q, COALESCE(sc.w_q // sc.n_feats, 0) AS w_q_avg FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        Sampling.dsirWeights(
+          d.filter(col("doc_id") % 4 === 0), d.filter(col("doc_id") % 4 =!= 0),
+          "text", "doc_id").orderBy("doc_id")
       })
   )
 

@@ -287,4 +287,82 @@ object Sampling {
         col("__fp").as("fingerprint"))
       .orderBy("train_id", "leak_id")
   }
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): score every RAW-corpus document by
+   * how much more likely its hashed n-gram features are under the TARGET
+   * corpus's feature distribution than under the raw corpus's own — the
+   * standard recipe for selecting web-scale pretraining data that "looks
+   * like" a trusted domain corpus. Resampling = feed `w_q` (or `w_q_avg`)
+   * to [[weightedKeep]] / [[quotaByClass]].
+   *
+   * Features are hashed unigrams + bigrams: bucket(tok) = hash(tok) mod B,
+   * bucket(a,b) = (hash(a)·131 + hash(b) mod p) mod B — the same
+   * fold/combine constants as the shingle machinery, so the DuckDB oracle
+   * reproduces every bucket id. Each corpus's bucket histogram is add-1
+   * smoothed into a multinomial; a document's log importance weight is
+   *
+   *   w_q = Σ_f [ qlog2(cnt_t(f)+1) − qlog2(T_t+B)
+   *             − qlog2(cnt_r(f)+1) + qlog2(T_r+B) ]
+   *
+   * summed over its features WITH multiplicity, in 1024ths of a bit
+   * (qlog2 of plain counts, never of a shifted ratio, so nothing can
+   * overflow int64 at any corpus size). `w_q_avg` is the truncating-divided
+   * per-feature mean (both engines' int division truncates toward zero) —
+   * the length-independent ranking key.
+   *
+   * Shape at 100 TB: feature extraction is map-only (one native codegen'd
+   * hash per token); the ONLY wide stages are the two bucket-keyed
+   * aggregations (corpus histogram, per-doc feature counts). The histogram
+   * is ≤ B rows — staged once (tiny cache footprint) and broadcast into the
+   * scoring join, so scoring never shuffles the corpus a second time. No
+   * collect anywhere; totals fold in as a 1-row cross join.
+   *
+   * Output: (doc_id, n_feats, w_q, w_q_avg) for every raw doc —
+   * feature-less docs score (0, 0, 0) rather than vanishing.
+   */
+  def dsirWeights(target: DataFrame, raw: DataFrame, textCol: String,
+      idCol: String, nBuckets: Int = 1024): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    val p = lit(TextAnalysis.HashPrime)
+    def feats(d: DataFrame, flag: Boolean): DataFrame =
+      d.select(col(idCol).as("doc_id"), lit(flag).as("is_t"),
+        transform(TextAnalysis.tokens(col(textCol)),
+          t => TextAnalysis.stringHash(t)).as("th"))
+        .select(col("doc_id"), col("is_t"), explode(concat(
+          transform(col("th"), h => h % b),
+          when(size(col("th")) < 2, array().cast(ArrayType(LongType)))
+            .otherwise(transform(arrays_zip(
+              slice(col("th"), lit(1), size(col("th")) - 1).as("a"),
+              slice(col("th"), lit(2), size(col("th")) - 1).as("b")),
+              pr => ((pr.getField("a") * 131L + pr.getField("b")) % p) % b))))
+          .as("bucket"))
+    val fb = feats(target, flag = true).unionByName(feats(raw, flag = false))
+    // corpus histogram: ≤ nBuckets rows — the one staged (tiny) frame;
+    // reused by the totals fold and the broadcast scoring join
+    val ct = Staging.stage(fb.groupBy(col("bucket")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cnt_r")))
+    val tot = ct.agg(sum(col("cnt_t")).as("tt"), sum(col("cnt_r")).as("tr"))
+    val lr = ct.crossJoin(tot).select(col("bucket"),
+      (Retrieval.qlog2(col("cnt_t") + 1L) -
+        Retrieval.qlog2(col("tt") + nBuckets.toLong) -
+        Retrieval.qlog2(col("cnt_r") + 1L) +
+        Retrieval.qlog2(col("tr") + nBuckets.toLong)).as("lr_q"))
+    val db = feats(raw, flag = false)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
+    val sc = db.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("lr_q")).as("w_q"))
+    raw.select(col(idCol).as("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_q"), lit(0L)).as("w_q"),
+        // TRUNCATING division (toward zero) on the signed total — both
+        // engines' integer division truncates (DuckDB `//`, Catalyst DIV)
+        coalesce(IntMath.idiv(col("w_q"), col("n_feats")), lit(0L))
+          .as("w_q_avg"))
+  }
 }

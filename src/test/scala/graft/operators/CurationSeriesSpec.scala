@@ -120,4 +120,32 @@ class CurationSeriesSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
   }
+
+  test("dsirWeights ranks target-like raw docs above off-domain ones") {
+    import s.implicits._
+    val target = Seq(
+      (1L, "spark query spark query join"),
+      (2L, "spark table query join spark")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "spark query join table"),   // in-domain: shares target features
+      (11L, "cat dog fish bird"),        // off-domain: no target overlap
+      (12L, "")                          // feature-less: must not vanish
+    ).toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(target, raw, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every raw doc present; 4 tokens → 4 unigrams + 3 bigrams = 7 feats
+    assert(out.keySet == Set(10L, 11L, 12L))
+    assert(out(10L)._1 == 7L && out(11L)._1 == 7L)
+    assert(out(12L) == ((0L, 0L, 0L)))
+    // the in-domain doc's per-feature log ratio beats the off-domain one's
+    assert(out(10L)._3 > out(11L)._3)
+    // truncating-divided average is consistent with the total (toward-zero
+    // semantics for signed totals, matching DuckDB's `//`)
+    Seq(10L, 11L).foreach { id =>
+      val (n, w, avg) = out(id)
+      assert(avg == w / n)
+    }
+  }
 }
