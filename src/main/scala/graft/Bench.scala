@@ -272,7 +272,7 @@ object Bench {
       "q59_ann_ivf_topk_trained", "q60_cellwise_merge",
       "q68_canonical_pick", "q71_wkt_validate", "q72_schema_defaults",
       "q73_canonical_corpus", "q78_stream_banding",
-      "q305_map_entry_merge", "q306_dsir_weights")
+      "q305_map_entry_merge", "q306_dsir_weights", "q307_luhn_card_audit")
     benched.foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -1256,6 +1256,21 @@ object Probe {
       println("q78 plan: single native banding expression (checked)")
     }
 
+    // ---- q306 DSIR scoring shape: the B-row histogram must BROADCAST
+    // into the per-doc scoring join (a shuffle join here would re-exchange
+    // the corpus-sized feature frame against 1024 rows), and the plan must
+    // carry no unpartitioned window (covered by the audit below too).
+    {
+      val q306 = graft.SparkEntry.queries("q306_dsir_weights")(spark, dir)
+      val plan = q306.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange"),
+        "q306 must broadcast the DSIR histogram into the scoring join:\n" +
+          plan.take(2000))
+      timed("q306 DSIR weights (sf0.1)")(q306.count())
+      println("q306 plan: histogram broadcasts into scoring join (checked)")
+    }
+
     // ---- whole-inventory unpartitioned-window audit: every query whose
     // optimized plan contains a partition-less Window must be on the
     // KNOWN-BOUNDED list (windows over ≤nBins/≤topK aggregate rows —

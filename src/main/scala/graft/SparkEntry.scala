@@ -4613,6 +4613,36 @@ object SparkEntry {
         Sampling.dsirWeights(
           d.filter(col("doc_id") % 4 === 0), d.filter(col("doc_id") % 4 =!= 0),
           "text", "doc_id").orderBy("doc_id")
+      }),
+
+    // Luhn-validated card-number audit (DLP beyond q61's regex counting):
+    // synthesized 16-digit runs whose mod-10 check digit is correct iff
+    // doc_id ≡ 0 (mod 3); docs ≡ 4 (mod 5) carry no candidate at all. The
+    // operator must count candidates AND validate the checksum — a regex
+    // alone would flag every doc.
+    Q("q307_luhn_card_audit", Some({
+      def luhn(sVar: String, n: Int): String = {
+        val d = s"(ascii(substring($sVar, CAST(i+1 AS INT), 1)) - 48)"
+        s"list_sum(list_transform(range($n), i -> CASE WHEN i % 2 = 0 THEN CASE WHEN $d*2 > 9 THEN $d*2 - 9 ELSE $d*2 END ELSE $d END)) % 10"
+      }
+      s"""WITH b AS (SELECT doc_id, text, lpad(CAST(doc_id*7919 % 1000000000000000 AS VARCHAR), 15, '0') AS body FROM documents), sm AS (SELECT doc_id, text, body, ${luhn("body", 15)} AS bsum FROM b), t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN text ELSE text || ' card ' || body || CAST(CASE WHEN doc_id % 3 = 0 THEN (10 - bsum) % 10 ELSE ((10 - bsum) % 10 + 1) % 10 END AS VARCHAR) END AS full_text FROM sm), x AS (SELECT doc_id, regexp_extract_all(full_text, '\\b[0-9]{16}\\b') AS cands FROM t), v AS (SELECT doc_id, cands, list_filter(cands, cd -> ${luhn("cd", 16)} = 0) AS valids FROM x) SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates, CAST(len(valids) AS BIGINT) AS n_valid, len(valids) > 0 AS has_valid_card FROM v ORDER BY doc_id"""}),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val body = lpad((col("doc_id") * 7919L % 1000000000000000L)
+          .cast(StringType), 15, "0")
+        // the check digit that makes the 16-digit number Luhn-valid: the
+        // body's sum inside a 16-length context (appending '0' lands each
+        // body digit at its final index, contributing nothing itself)
+        val bsum = Quality.luhnSum(concat(body, lit("0")), 16)
+        val good = pmod(lit(10L) - bsum, lit(10L))
+        val digit = when(col("doc_id") % 3 === 0, good)
+          .otherwise((good + 1L) % 10L)
+        val full = when(col("doc_id") % 5 === 4, col("text"))
+          .otherwise(concat(col("text"), lit(" card "), body,
+            digit.cast(StringType)))
+        Quality.luhnCardAudit(
+          d.select(col("doc_id"), full.as("text")), "text", "doc_id")
+          .orderBy("doc_id")
       })
   )
 

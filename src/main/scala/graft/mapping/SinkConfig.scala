@@ -20,6 +20,7 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.<keyspace>.<table>.query              (optional CQL override)
  *   topic.<topic>.<keyspace>.<table>.mergeMode          (row | cell | entry, default row)
  *   topic.<topic>.<keyspace>.<table>.dedup              (none | exact | exactTtl:<ms> | phash[:<factor>[:<ttlMs>]] | near[:<k>x<r>|:strict95|:broad40[:<ttlMs>]], default none)
+ *   topic.<topic>.<keyspace>.<table>.quality            (none | dsir:<minWqAvgQ>:<histDir>, default none)
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *   dedupVacuumEvery                                    (batches between automatic dedup-state sweeps, default 100, 0 = off)
  *
@@ -122,7 +123,17 @@ object SinkConfig {
         * is the same sliding horizon as `exactTtl`: band sightings re-arm
         * it, bands quiet for a full horizon expire physically (merge-time
         * prune + vacuum sweep), bounding state to recently-active content. */
-      dedup: String = "none") {
+      dedup: String = "none",
+      /** Ingest-time DSIR quality gate ([[graft.operators.Sampling.dsirScore]]
+        * reachable from config): `none` (default) |
+        * `dsir:<minWqAvgQ>:<histDir>` — score each record's text value
+        * against the trained histogram persisted at `histDir` (the parquet
+        * layout [[graft.operators.Sampling.dsirHistogram]] writes) and drop
+        * records whose per-feature qlog2 importance ratio (`w_q_avg`,
+        * 1024ths of a bit, signed) is below the threshold: "only ingest
+        * what looks like the target corpus". Tombstones always pass — a
+        * quality gate must never block a delete. */
+      quality: String = "none") {
     require(Set("row", "cell", "entry").contains(mergeMode),
       s"mergeMode must be row, cell or entry (got '$mergeMode')")
     require(dedup == "none" || dedup == "exact" ||
@@ -137,7 +148,14 @@ object SinkConfig {
         s"near[:<numHashes>x<rowsPerBand>[:<positive ttl ms>]] (with " +
         s"rowsPerBand dividing numHashes) or " +
         s"near:strict95|broad40[:<positive ttl ms>] (got '$dedup')")
+    require(quality == "none" ||
+      SinkConfig.dsirQualityParams(quality).isDefined,
+      s"quality must be none or dsir:<minWqAvgQ>:<histDir> (got '$quality')")
     def qualifiedTable: String = s"$keyspace.$table"
+    def qualityEnabled: Boolean = quality != "none"
+    /** (minWqAvgQ, histogram dir) for `quality = dsir:…`; None otherwise. */
+    def qualityDsirParams: Option[(Long, String)] =
+      SinkConfig.dsirQualityParams(quality)
     def dedupEnabled: Boolean = dedup != "none"
     /** The sliding horizon for `exactTtl:<ms>`, `near:<k>x<r>:<ms>`, and
       * `phash:<k>:<ms>`; None for the unbounded modes. */
@@ -195,6 +213,19 @@ object SinkConfig {
       }
       for { g <- geometry; t <- ttl } yield (g._1, g._2, t)
     } else None
+
+  /** `dsir:<minWqAvgQ>:<histDir>` → (threshold, dir). The threshold is the
+    * SIGNED per-feature qlog2 ratio floor (most off-domain docs score
+    * negative); the dir splits on the FIRST colon after the prefix, so a
+    * histogram path may itself contain colons. */
+  private[graft] def dsirQualityParams(quality: String)
+      : Option[(Long, String)] =
+    if (!quality.startsWith("dsir:")) None
+    else quality.stripPrefix("dsir:").split(":", 2) match {
+      case Array(thr, dir) if dir.nonEmpty =>
+        thr.toLongOption.map(t => (t, dir))
+      case _ => None
+    }
 
   /** `phash` → (2, None); `phash:<factor>[:<ttlMs>]` → validated pair.
     * The record's binary `value` must be a 24bpp BMP whose grid
@@ -273,7 +304,7 @@ object SinkConfig {
 
   private val TableSettings = Set(
     "mapping", "ttl", "ttlTimeUnit", "timestampTimeUnit", "consistencyLevel",
-    "nullToUnset", "deletesEnabled", "query", "mergeMode", "dedup")
+    "nullToUnset", "deletesEnabled", "query", "mergeMode", "dedup", "quality")
 
   private def boolProp(props: Map[String, String], key: String,
       default: Boolean): Boolean =
@@ -423,7 +454,8 @@ object SinkConfig {
         query = m.get("query"),
         codec = codecByTopic.getOrElse(topic, CodecSettings()),
         mergeMode = m.getOrElse("mergeMode", "row"),
-        dedup = m.getOrElse("dedup", "none"))
+        dedup = m.getOrElse("dedup", "none"),
+        quality = m.getOrElse("quality", "none"))
     }
     val (contactPoints, localDc, port, auth, ssl, bundle) = parseSecurity(props)
     // cloud forces LOCAL_QUORUM: Astra rejects other write CLs — the

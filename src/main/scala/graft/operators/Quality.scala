@@ -164,4 +164,39 @@ object Quality {
         when(col("l_div") < lThreshold.toLong, 1L).otherwise(0L))
       .orderBy(qs: _*)
   }
+
+  /** Luhn mod-10 checksum over a FIXED-length digit string column: digit at
+    * 0-based char index i doubles when its position from the right
+    * (len−1−i) is odd (the standard card-number pattern), doubled values
+    * past 9 subtract 9, sum mod 10. Valid = 0. Pure integer fold — the
+    * DuckDB oracle reproduces it digit for digit. */
+  def luhnSum(digits: Column, len: Int): Column =
+    aggregate(sequence(lit(0), lit(len - 1)), lit(0L), (acc, i) => {
+      val d = (ascii(substring(digits, lit(1) + i, lit(1))) - 48L)
+      val doubled = (lit(len.toLong) - 1L - i) % 2L === 1L
+      val v = when(doubled,
+        when(d * 2L > 9L, d * 2L - 9L).otherwise(d * 2L)).otherwise(d)
+      acc + v
+    }) % 10L
+
+  /**
+   * Checksum-validated card-number audit — the DLP pass a training-corpus
+   * pipeline runs beyond regex PII counting (q61): a bare 16-digit regex
+   * over web text is mostly order ids and timestamps, so real leak
+   * detection validates the Luhn mod-10 check digit before flagging
+   * (the payment-card checksum, public ISO/IEC 7812). Per document:
+   * every standalone 16-digit run, the subset passing [[luhnSum]] == 0,
+   * and a has_valid_card flag. Map-only (a regex extraction + a bounded
+   * integer fold per candidate) — no shuffle, scans of any size.
+   */
+  def luhnCardAudit(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val cands = regexp_extract_all(col(textCol),
+      lit("""\b[0-9]{16}\b"""), lit(0))
+    val valid = filter(cands, c => luhnSum(c, 16) === 0L)
+    df.select(col(idCol).as("doc_id"),
+      size(cands).cast(LongType).as("n_candidates"),
+      size(valid).cast(LongType).as("n_valid"),
+      (size(valid) > 0).as("has_valid_card"))
+  }
 }

@@ -323,39 +323,78 @@ object Sampling {
    * feature-less docs score (0, 0, 0) rather than vanishing.
    */
   def dsirWeights(target: DataFrame, raw: DataFrame, textCol: String,
-      idCol: String, nBuckets: Int = 1024): DataFrame = {
+      idCol: String, nBuckets: Int = 1024): DataFrame =
+    dsirScore(raw, dsirHistogram(target, raw, textCol, nBuckets),
+      textCol, idCol, nBuckets)
+
+  /** Hashed unigram+bigram feature buckets: every non-`textCol` column of
+    * `d` passes through, plus one `bucket` row per feature OCCURRENCE
+    * (unigrams then bigrams, with multiplicity). The shared extraction
+    * under [[dsirHistogram]] and [[dsirScore]] — both sides of a
+    * train-offline / score-online split must bucket identically. */
+  private def dsirFeatBuckets(d: DataFrame, textCol: String,
+      nBuckets: Int): DataFrame = {
     val b = lit(nBuckets.toLong)
     val p = lit(TextAnalysis.HashPrime)
-    def feats(d: DataFrame, flag: Boolean): DataFrame =
-      d.select(col(idCol).as("doc_id"), lit(flag).as("is_t"),
-        transform(TextAnalysis.tokens(col(textCol)),
-          t => TextAnalysis.stringHash(t)).as("th"))
-        .select(col("doc_id"), col("is_t"), explode(concat(
-          transform(col("th"), h => h % b),
-          when(size(col("th")) < 2, array().cast(ArrayType(LongType)))
-            .otherwise(transform(arrays_zip(
-              slice(col("th"), lit(1), size(col("th")) - 1).as("a"),
-              slice(col("th"), lit(2), size(col("th")) - 1).as("b")),
-              pr => ((pr.getField("a") * 131L + pr.getField("b")) % p) % b))))
-          .as("bucket"))
-    val fb = feats(target, flag = true).unionByName(feats(raw, flag = false))
+    val others = d.columns.toIndexedSeq.filter(_ != textCol).map(col)
+    d.select(others :+ transform(TextAnalysis.tokens(col(textCol)),
+        t => TextAnalysis.stringHash(t)).as("__th"): _*)
+      .select(others :+ explode(concat(
+        transform(col("__th"), h => h % b),
+        when(size(col("__th")) < 2, array().cast(ArrayType(LongType)))
+          .otherwise(transform(arrays_zip(
+            slice(col("__th"), lit(1), size(col("__th")) - 1).as("a"),
+            slice(col("__th"), lit(2), size(col("__th")) - 1).as("b")),
+            pr => ((pr.getField("a") * 131L + pr.getField("b")) % p) % b))))
+        .as("bucket"): _*)
+  }
+
+  /** The trained DSIR model: a DENSE `nBuckets`-row (bucket, lr_q) table —
+    * `lr_q` the add-1-smoothed qlog2 likelihood ratio of the bucket under
+    * the target vs the raw feature distribution. Dense (buckets absent
+    * from BOTH corpora carry the zero-count ratio) so scoring a future
+    * corpus through an inner join is total: a doc hitting a bucket neither
+    * training corpus ever saw still scores. Persist with
+    * `hist.write.parquet(dir)` to train offline and score at ingest (the
+    * sink's `quality = dsir:…` stage reads exactly this layout). */
+  def dsirHistogram(target: DataFrame, raw: DataFrame, textCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val fb = dsirFeatBuckets(
+        target.select(col(textCol), lit(true).as("is_t")), textCol, nBuckets)
+      .unionByName(dsirFeatBuckets(
+        raw.select(col(textCol), lit(false).as("is_t")), textCol, nBuckets))
     // corpus histogram: ≤ nBuckets rows — the one staged (tiny) frame;
-    // reused by the totals fold and the broadcast scoring join
+    // reused by the totals fold and the ratio projection
     val ct = Staging.stage(fb.groupBy(col("bucket")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
       sum(when(col("is_t"), 0L).otherwise(1L)).as("cnt_r")))
     val tot = ct.agg(sum(col("cnt_t")).as("tt"), sum(col("cnt_r")).as("tr"))
-    val lr = ct.crossJoin(tot).select(col("bucket"),
+    val dense = target.sparkSession.range(nBuckets.toLong)
+      .select(col("id").as("bucket"))
+      .join(ct, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"),
+        coalesce(col("cnt_r"), lit(0L)).as("cnt_r"))
+    dense.crossJoin(tot).select(col("bucket"),
       (Retrieval.qlog2(col("cnt_t") + 1L) -
         Retrieval.qlog2(col("tt") + nBuckets.toLong) -
         Retrieval.qlog2(col("cnt_r") + 1L) +
         Retrieval.qlog2(col("tr") + nBuckets.toLong)).as("lr_q"))
-    val db = feats(raw, flag = false)
+  }
+
+  /** Score `docs` against a trained [[dsirHistogram]]: one map-only feature
+    * pass, one (doc, bucket) partial agg, one broadcast join against the
+    * B-row histogram. Output (doc_id, n_feats, w_q, w_q_avg); feature-less
+    * docs score (0, 0, 0) rather than vanishing. */
+  def dsirScore(docs: DataFrame, histogram: DataFrame, textCol: String,
+      idCol: String, nBuckets: Int = 1024): DataFrame = {
+    val db = dsirFeatBuckets(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol, nBuckets)
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
-    val sc = db.join(broadcast(lr), Seq("bucket"))
+    val sc = db.join(broadcast(histogram), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("lr_q")).as("w_q"))
-    raw.select(col(idCol).as("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
       .join(sc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),

@@ -139,6 +139,56 @@ class SinkPipeline(
   private def deleteTree(root: java.nio.file.Path): Unit =
     SinkPipeline.deleteTree(root)
 
+  /** Ingest-time DSIR quality gate (`quality = dsir:<minWqAvgQ>:<histDir>`,
+    * SinkConfig): score each record's text value against the trained
+    * [[graft.operators.Sampling.dsirHistogram]] persisted at `histDir` and
+    * drop records whose per-feature qlog2 importance ratio (`w_q_avg`)
+    * falls under the threshold — "only ingest what looks like the target
+    * corpus", the online form of [[graft.operators.Sampling.dsirWeights]].
+    * Tombstones (null values) ALWAYS pass: a quality gate must never block
+    * a delete. Feature-less values (empty text) score (0,0,0) and pass iff
+    * 0 ≥ threshold — set a positive threshold to also drop empties.
+    *
+    * Cost per batch: one map-only feature pass + a (record, bucket)
+    * partial agg + a broadcast join against the B-row histogram, ONE tiny
+    * counter agg action, and a semi-join back on (partition, offset). The
+    * scored frame is staged for the two consumers and released via the
+    * returned thunk once the binding's writes are durable. Counters:
+    * qualityKeptCount / qualityDroppedCount (dedup-counter naming). */
+  private def qualityFilter(spark: org.apache.spark.sql.SparkSession,
+      b: SinkConfig.TableBinding, slice: DataFrame)
+      : (DataFrame, Option[() => Unit]) =
+    b.qualityDsirParams match {
+      case None => (slice, None)
+      case Some((minAvgQ, histDir)) =>
+        val hist = spark.read.parquet(histDir)
+        val keyed = slice.withColumn("__qid",
+          concat_ws("/", col("partition"), col("offset")))
+        val scorable = keyed.filter(col("value").isNotNull)
+          .select(col("__qid"), col("value")
+            .cast(org.apache.spark.sql.types.StringType).as("__qtext"))
+        val scored = graft.operators.Staging.stage(
+          graft.operators.Sampling
+            .dsirScore(scorable, hist, "__qtext", "__qid")
+            .withColumn("__keep", col("w_q_avg") >= minAvgQ))
+        val cnt = scored.agg(
+          coalesce(sum(when(col("__keep"), 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("__keep"), 0L).otherwise(1L)), lit(0L)))
+          .head()
+        countAndMark(spark,
+          s"${b.topic}.${b.qualifiedTable}.qualityKeptCount", cnt.getLong(0))
+        countAndMark(spark,
+          s"${b.topic}.${b.qualifiedTable}.qualityDroppedCount",
+          cnt.getLong(1))
+        val keepIds = scored.filter(col("__keep"))
+          .select(col("doc_id").as("__qid"))
+        val kept = keyed.join(keepIds, Seq("__qid"), "left_semi")
+        val tombstones = keyed.filter(col("value").isNull)
+        val out = kept.unionByName(tombstones)
+          .select(slice.columns.toIndexedSeq.map(col): _*)
+        (out, Some(() => graft.operators.Staging.unstage(scored)))
+    }
+
   /** Filter a topic slice down to first-seen content. Returns the filtered
     * slice plus a deferred sightings merge to run AFTER the table merge
     * succeeds — so a failed batch replays with the seen-set unchanged and
@@ -357,8 +407,12 @@ class SinkPipeline(
             batchId > store(spark, b).lastAppliedBatchId(b.topic))
       }
       toApply.foreach { b =>
+        // quality gate FIRST (drop out-of-domain content before paying
+        // dedup-state reads/writes for it), then content dedup
+        val (screened, releaseQuality) =
+          qualityFilter(spark, b, records.filter(col("topic") === b.topic))
         val (forTopic, commitSightings) =
-          dedupFilter(spark, b, records.filter(col("topic") === b.topic), batchId)
+          dedupFilter(spark, b, screened, batchId)
         val compiled = RecordMapper.compile(b, tables(b.qualifiedTable), forTopic,
           captureErrors = true)
         // S6: a provided query transforms the mapped batch in place of the
@@ -445,6 +499,9 @@ class SinkPipeline(
         // record this batch's content hashes only after the table merge is
         // durable (see dedupFilter's replay contract)
         commitSightings.foreach(_.apply())
+        // the binding's writes are durable — release the staged quality
+        // scores (they fed the counter agg and the keep semi-join)
+        releaseQuality.foreach(_.apply())
       }
       // automatic vacuum cadence: every N-th processed batch sweeps expired
       // rows out of UNTOUCHED buckets of every TTL'd dedup store (the

@@ -148,4 +148,24 @@ class CurationSeriesSpec extends SparkSuite {
       assert(avg == w / n)
     }
   }
+
+  test("luhnCardAudit validates the checksum, not just the digit shape") {
+    import s.implicits._
+    val d = Seq(
+      (1L, "pay 4111111111111111 now"),          // classic valid test PAN
+      (2L, "ref 4111111111111112 thanks"),       // off-by-one check digit
+      (3L, "a 4111111111111111 b 1234567890123456 c"), // one of two valid
+      (4L, "no digits here"),
+      (5L, "short 411111111111111 run and long 41111111111111112 run")
+    ).toDF("doc_id", "text")
+    val out = Quality.luhnCardAudit(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1L, 1L, true)))
+    assert(out(2L) == ((1L, 0L, false)))
+    assert(out(3L) == ((2L, 1L, true)))
+    assert(out(4L) == ((0L, 0L, false)))
+    // 15- and 17-digit runs are not candidates (the \b boundary holds)
+    assert(out(5L) == ((0L, 0L, false)))
+  }
 }

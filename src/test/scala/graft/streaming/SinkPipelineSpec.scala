@@ -788,4 +788,76 @@ class SinkPipelineSpec extends SparkSuite {
     q.awaitTermination(60000)
     assert(s.conf.get("spark.sql.parquet.filterPushdown") == "true")
   }
+
+  test("quality=dsir config: parse round-trip and rejection") {
+    val ok = SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+      "topic.orders.ks.t2.quality" -> "dsir:-50:/some/hist/dir"))
+    assert(ok.bindings.head.qualityEnabled)
+    assert(ok.bindings.head.qualityDsirParams ==
+      Some((-50L, "/some/hist/dir")))
+    // default off
+    assert(!SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value"))
+      .bindings.head.qualityEnabled)
+    // malformed: missing dir, non-numeric threshold, unknown mode
+    Seq("dsir:-50", "dsir:abc:/d", "perplexity:1:/d").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        SinkConfig.parse(Map(
+          "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+          "topic.orders.ks.t2.quality" -> bad))
+      }
+    }
+  }
+
+  test("quality=dsir gate: off-domain records drop at ingest, " +
+      "tombstones always pass, counters track kept/dropped") {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-quality").toString
+    val histDir = Files.createTempDirectory("graft-quality-hist").toString
+
+    // train the model offline: target = spark-ish docs, raw = mixed corpus
+    val target = Seq((1L, "spark query join table scan"),
+      (2L, "query join spark table merge")).toDF("doc_id", "text")
+    val raw = Seq((10L, "spark query join filter"),
+      (11L, "cat dog fish bird mouse"),
+      (12L, "dog cat bird fish horse")).toDF("doc_id", "text")
+    graft.operators.Sampling.dsirHistogram(target, raw, "text")
+      .write.mode("overwrite").parquet(histDir)
+
+    // pick the threshold from the trained model itself: midway between an
+    // in-domain and an off-domain text's w_q_avg (no magic constants)
+    val inText = "spark table query join"
+    val outText = "cat dog fish bird"
+    val hist = s.read.parquet(histDir)
+    val scores = graft.operators.Sampling.dsirScore(
+        Seq((1L, inText), (2L, outText)).toDF("id", "text"),
+        hist, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scores(1L) > scores(2L),
+      s"in-domain must outscore off-domain: $scores")
+    val thr = (scores(1L) + scores(2L)) / 2
+
+    val config = SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+      "topic.orders.ks.t2.quality" -> s"dsir:$thr:$histDir"))
+    val pipe = new SinkPipeline(config, Map("ks.t2" -> t2), root)
+
+    // batch 0: one in-domain record, one off-domain record
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", inText, 1000L),
+      ("orders", 1L, "2", outText, 2000L)), 0L)
+    val b = config.bindings.head
+    assert(pipe.store(s, b).state().select("my_pk", "my_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, inText)))
+    assert(pipe.recordCount("orders.ks.t2.qualityKeptCount").value == 1L)
+    assert(pipe.recordCount("orders.ks.t2.qualityDroppedCount").value == 1L)
+
+    // batch 1: a tombstone for the ingested key must pass the gate
+    pipe.processBatch(batch(("orders", 2L, "1", null, 3000L)), 1L)
+    assert(pipe.store(s, b).state().count() == 0L)
+    // the tombstone is neither kept-scored nor dropped-scored
+    assert(pipe.recordCount("orders.ks.t2.qualityKeptCount").value == 1L)
+    assert(pipe.recordCount("orders.ks.t2.qualityDroppedCount").value == 1L)
+  }
 }
