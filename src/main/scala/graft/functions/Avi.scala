@@ -205,6 +205,48 @@ object Avi {
     (w, h, nf, usec, moviData)
   }
 
+  /**
+   * Single-pass video perceptual signature: parse the container ONCE,
+   * then walk the movi frame chunks in order, aHash each DIB block IN
+   * PLACE ([[Bmp.aHashGrid]] over the frame's byte range — no BMP
+   * re-wrap, no copy), and fold the ordered hashes as
+   * `acc = (acc·131 + hi·31 + lo) mod 2^31−1`.
+   *
+   * Semantically identical to the composed form
+   * (`transform(sequence(0, n−1), f ⇒ aHash(aviFrame(bytes, f)))` +
+   * `aggregate` fold, kept as [[graft.multimodal.MediaDedup
+   * .videoSignatureComposed]] and spec-pinned equal) but O(container
+   * bytes) instead of O(frames × container bytes): the composed form
+   * re-parses the whole container per frame AND re-validates each
+   * re-wrapped BMP header, a superlinear straggler shape for long videos
+   * at scale. Null for malformed containers, factor < 1, or a frame grid
+   * that isn't exactly 64 cells — the same null contract as the composed
+   * chain (frame dims are container-uniform, so one frame's grid verdict
+   * is every frame's).
+   */
+  def signature(bytes: Array[Byte], factor: Int): java.lang.Long = {
+    if (factor < 1) return null
+    val p = parse(bytes)
+    if (p == null) return null
+    val (w, h, nf, _, _) = p
+    val frameBytesL = strideL(w) * h
+    if (frameBytesL > Int.MaxValue) return null
+    val frameBytes = frameBytesL.toInt
+    var acc = 0L
+    var i = 0
+    var off = PreMoviBytes + 12
+    while (i < nf) {
+      val hl = Bmp.aHashGrid(bytes, off + 8, w, h, factor)
+      if (hl == null) return null
+      // hi/lo < 2^32 and acc < 2^31 ⇒ acc·131 + hi·31 + lo < 2^39, no
+      // Long overflow before the mod; all terms non-negative ⇒ % == pmod
+      acc = (acc * 131L + hl(0) * 31L + hl(1)) % 2147483647L
+      off += 8 + frameBytes
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Demux frame `idx` (0-based) as a standalone BMP blob — the REAL
     * frame-sample extraction; null for malformed input or out-of-range. */
   def extractFrame(bytes: Array[Byte], idx: Int): Array[Byte] = {
@@ -276,6 +318,36 @@ case class AviDecodeExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): AviDecodeExpr =
     copy(child = newChild)
+}
+
+/** `graft_avi_signature(bytes, factor)` → 31-bit ordered per-frame aHash
+  * fold of the whole container in ONE scan; null-routing. The codegen'd
+  * replacement for the per-frame `transform(sequence…, aviFrame → aHash)`
+  * chain (which re-parses the container per frame — O(frames × bytes)). */
+case class AviSignatureExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_signature"
+
+  override protected def nullSafeEval(bytes: Any, factor: Any): Any =
+    Avi.signature(bytes.asInstanceOf[Array[Byte]], factor.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, f) => {
+      s"""
+         |java.lang.Long ${ev.value}Tmp = graft.functions.Avi.signature($b, $f);
+         |if (${ev.value}Tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Tmp.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AviSignatureExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_avi_frame(bytes, idx)` → frame `idx` re-wrapped as a BMP blob. */

@@ -195,10 +195,26 @@ object Bmp {
     if (rdLe32(bytes, 30) != 0) return null
     val rowBytes = stride(width)
     if (bytes.length != HeaderBytes + rowBytes.toLong * height) return null
+    val hl = aHashGrid(bytes, HeaderBytes, width, height, factor)
+    if (hl == null) return null
+    new GenericInternalRow(Array[Any](hl(0), hl(1)))
+  }
+
+  /** The aHash grid core over a raw bottom-up 24bpp DIB pixel block at
+    * `base` (a BMP body, or a frame chunk inside an AVI movi list — same
+    * layout either way): box-downsample by `factor`, grayscale, threshold
+    * against the grid mean, pack into (hi, lo). The caller has already
+    * validated the container; this returns null only for a non-64-cell
+    * grid. Shared by [[aHash]] and [[Avi.signature]] so the per-frame
+    * video hash is bit-identical to the standalone image hash by
+    * construction, not by parallel maintenance. */
+  private[functions] def aHashGrid(bytes: Array[Byte], base: Int,
+      width: Int, height: Int, factor: Int): Array[Long] = {
     val ow = width / factor
     val oh = height / factor
     if (ow * oh != 64) return null
     val k2 = factor * factor
+    val rowBytes = stride(width)
     val grays = new Array[Long](64)
     var sum = 0L
     var yy = 0
@@ -211,7 +227,7 @@ object Bmp {
           val fileRow = height - 1 - (yy * factor + dy)
           var dx = 0
           while (dx < factor) {
-            val off = HeaderBytes + fileRow * rowBytes +
+            val off = base + fileRow * rowBytes +
               (xx * factor + dx) * 3
             sb += bytes(off) & 0xffL
             sg += bytes(off + 1) & 0xffL
@@ -236,7 +252,7 @@ object Bmp {
       }
       o += 1
     }
-    new GenericInternalRow(Array[Any](hi, lo))
+    Array(hi, lo)
   }
 
   /** Box-downsample a 24bpp BMP by integer `factor`: output pixel (Y,X)

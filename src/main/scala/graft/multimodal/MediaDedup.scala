@@ -105,17 +105,35 @@ object MediaDedup {
   }
 
   /**
-   * Video-level perceptual signature: demux every frame of a RIFF/AVI
-   * container ([[Multimodal.aviFrame]]), aHash each ([[aHash64]]), and
-   * fold the ORDERED hash sequence into one 31-bit signature
-   * (acc = (acc·131 + hi·31 + lo) mod 2^31−1 per frame — order-sensitive,
-   * so a re-cut with the same frames in a different order signs
-   * differently). Same-content videos with per-frame pixel jitter sign
-   * identically; null for malformed containers, frames the aHash rejects,
-   * or zero frames. One pass over the container bytes per frame,
-   * all codegen'd column logic.
+   * Video-level perceptual signature: aHash every frame of a RIFF/AVI
+   * container and fold the ORDERED hash sequence into one 31-bit
+   * signature (acc = (acc·131 + hi·31 + lo) mod 2^31−1 per frame —
+   * order-sensitive, so a re-cut with the same frames in a different
+   * order signs differently). Same-content videos with per-frame pixel
+   * jitter sign identically; null for malformed containers, frames the
+   * aHash rejects, or zero frames.
+   *
+   * Backed by the codegen'd [[graft.functions.AviSignatureExpr]]: ONE
+   * scan over the container bytes (parse header once, hash each movi
+   * chunk in place, fold). The composed per-frame demux form is kept as
+   * [[videoSignatureComposed]] — the executable specification
+   * (MediaDedupSpec pins bit-equality) — but is O(frames × container
+   * bytes) because each `aviFrame` call re-parses the container from the
+   * top: a straggler shape for long videos at scale.
    */
   def videoSignature(bytes: Column, factor: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.AviSignatureExpr(
+      GraftBridge.expression(bytes),
+      GraftBridge.expression(factor.cast(
+        org.apache.spark.sql.types.IntegerType))))
+  }
+
+  /** The composed column form of [[videoSignature]] (per-frame demux →
+    * aHash → ordered fold) — kept as the executable specification of the
+    * native one-scan expression; MediaDedupSpec asserts equality on real
+    * containers. Not for hot paths: O(frames × container bytes). */
+  def videoSignatureComposed(bytes: Column, factor: Column): Column = {
     val n = Multimodal.aviMeta(bytes).getField("n_frames")
     val hs = transform(sequence(lit(0L), n - 1L),
       f => aHash64(Multimodal.aviFrame(bytes, f), factor))

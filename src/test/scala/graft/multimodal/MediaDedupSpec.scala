@@ -164,6 +164,37 @@ class MediaDedupSpec extends SparkSuite {
     assert(r.getBoolean(2))
   }
 
+  test("videoSignature native one-scan expression equals its composed " +
+      "per-frame demux form, including a long (96-frame) container") {
+    import s.implicits._
+    // varied per-frame content: frame f of clip c has pixel i =
+    // 8 + (c*37 + f*53 + i*11) % 240 + (f*7 + i) % 2 — same generator
+    // family as q280, so the equality is pinned on realistic blobs
+    def clip(c: Long, nFrames: Int): org.apache.spark.sql.Column =
+      Multimodal.aviEncode(
+      lit(40000L), array((0 until nFrames).map { f =>
+        Multimodal.bmpEncode(lit(16L),
+          typedLit((0 until 256).map(i =>
+            (8L + (c * 37 + f * 53 + i * 11) % 240 + (f * 7 + i) % 2)
+              * 65793L)))
+      }: _*))
+    val r = Seq(1L).toDF("x")
+      .select(
+        MediaDedup.videoSignature(clip(3L, 3), lit(2)).as("n3"),
+        MediaDedup.videoSignatureComposed(clip(3L, 3), lit(2)).as("c3"),
+        MediaDedup.videoSignature(clip(11L, 96), lit(2)).as("n96"),
+        MediaDedup.videoSignatureComposed(clip(11L, 96), lit(2)).as("c96"),
+        // factor mismatch (grid ≠ 64 cells) nulls BOTH forms
+        MediaDedup.videoSignature(clip(5L, 2), lit(4)).isNull.as("nf"),
+        MediaDedup.videoSignatureComposed(clip(5L, 2), lit(4)).isNull
+          .as("cf"))
+      .head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) == r.getLong(3))
+    assert(r.getLong(0) != r.getLong(2)) // different clips sign apart
+    assert(r.getBoolean(4) && r.getBoolean(5))
+  }
+
   test("scd2: state runs collapse, versions split on change, " +
       "open interval is current") {
     import s.implicits._
