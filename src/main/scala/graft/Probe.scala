@@ -1256,6 +1256,45 @@ object Probe {
       println("q78 plan: single native banding expression (checked)")
     }
 
+    // ---- long-video signature probe (VERDICT r9 #1/#7): videoSignature
+    // must grow ~LINEARLY in container bytes. The r9 composed form
+    // re-parsed the whole container per frame (O(frames × bytes) — a
+    // straggler shape for long videos at 100×); the native
+    // AviSignatureExpr is one scan. The earlier fixtures were all ≤3-frame
+    // clips, so a per-frame-demux regression had no sentinel — this probe
+    // times ≥64-frame containers and pins both the plan shape (single
+    // native signature call, no per-frame demux) and the growth ratio.
+    {
+      val ev = graft.sources.KafkaLike.events(spark, dir)
+      def sig(nf: Int) = ev.filter(col("event_id") % 47L === 0L)
+        .select(col("event_id").as("id"))
+        .withColumn("avi", graft.multimodal.Multimodal.synthClip(
+          lit(16L), lit(nf), col("id") % 31L, col("id")))
+        .select(graft.multimodal.MediaDedup
+          .videoSignature(col("avi"), lit(2)).as("sig"))
+      val plan = sig(64).queryExecution.optimizedPlan.toString
+      require(plan.contains("graft_avi_signature") &&
+        !plan.contains("graft_avi_frame"),
+        "videoSignature must be the single-scan native expression, not " +
+          "per-frame demux:\n" + plan.take(2000))
+      def t(nf: Int): Double = {
+        val t0 = System.nanoTime()
+        sig(nf).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      t(64) // codegen/JIT warm
+      val t64 = t(64)
+      val t256 = t(256)
+      println(f"long-video signature (~2.1k clips): 64f $t64%.2f s, " +
+        f"256f $t256%.2f s (4x container bytes)")
+      // 4× bytes ⇒ ~4× work; 3× noise slack + an absolute floor so a
+      // sub-second baseline doesn't flake the gate under sandbox load.
+      // The composed per-frame form measured ~16× here (frames× growth).
+      require(t256 <= math.max(t64 * 12, 5.0),
+        f"long-video signature grew superlinearly: 64f $t64%.2f s vs " +
+          f"256f $t256%.2f s — per-frame container re-parse is back?")
+    }
+
     // ---- q306 DSIR scoring shape: the B-row histogram must BROADCAST
     // into the per-doc scoring join (a shuffle join here would re-exchange
     // the corpus-sized feature frame against 1024 rows), and the plan must

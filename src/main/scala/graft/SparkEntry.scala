@@ -282,14 +282,19 @@ object SparkEntry {
         Upserts.counterCombine(mapped, counterTable).orderBy("c1")
       }),
 
-    // A2 — partition-key batch grouping with the 32-statement cap
+    // A2 — partition-key batch grouping, cap flowing from the parsed
+    // global `maxNumberOfRecordsInBatch` (KAF-95) rather than a code
+    // constant — a ported reference properties file keeps its knob
     Q("q11_batch_groups", Some(
       """SELECT CAST(user_id AS BIGINT) AS my_pk, CAST(COUNT(*) AS BIGINT) AS rows_in_partition, CAST(CEIL(COUNT(*)/32.0) AS BIGINT) AS num_batches FROM events GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
         val f = KafkaLike.frame(tune(s), dir)
-        val b = binding("topic.t.ks1.pk_value.mapping" -> "my_pk=key, my_value=value.k")
-        val mapped = RecordMapper.compile(b, pkValue, f)
-        Upserts.batchGroups(mapped, Seq("my_pk"), cap = 32).orderBy("my_pk")
+        val cfg = SinkConfig.parse(Map(
+          "topic.t.ks1.pk_value.mapping" -> "my_pk=key, my_value=value.k",
+          "maxNumberOfRecordsInBatch" -> "32"))
+        val mapped = RecordMapper.compile(cfg.bindings.head, pkValue, f)
+        Upserts.batchGroups(mapped, Seq("my_pk"),
+          cap = cfg.maxNumberOfRecordsInBatch).orderBy("my_pk")
       }),
 
     // O1/G3 — replayed delivery collapses via LWW (idempotent at-least-once)
@@ -4195,14 +4200,15 @@ object SparkEntry {
       (s, dir) => {
         val id = col("event_id")
         val base = id % 41L
-        val frames = transform(sequence(lit(0L), lit(2L)), f =>
-          Multimodal.bmpEncode(lit(16L),
-            transform(sequence(lit(0L), lit(255L)),
-              i => (lit(8L) + (base * 37L + f * 53L + i * 11L) % 240L +
-                (id * 3L + f * 7L + i) % 2L) * 65793L)))
+        // clip construction is the native SynthMedia generator — the
+        // composed transform(sequence…, bmpEncode) constructor is
+        // spec-pinned bit-equal (MediaDedupSpec) but costs 768 interpreted
+        // closure evaluations per row, burying the signature operator this
+        // row exists to measure
         KafkaLike.events(tune(s), dir).select(id)
           .filter(id % 3L === 0L)
-          .withColumn("avi", Multimodal.aviEncode(lit(40000L), frames))
+          .withColumn("avi",
+            Multimodal.synthClip(lit(16L), lit(3L), base, id))
           .select(MediaDedup.videoSignature(col("avi"), lit(2)).as("sig"),
             id, base.as("base"))
           .groupBy("sig")

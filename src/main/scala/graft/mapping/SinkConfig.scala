@@ -24,6 +24,17 @@ import java.util.concurrent.TimeUnit
  *   topic.<topic>.codec.{timestamp,date,time,unit,timeZone,locale}
  *   dedupVacuumEvery                                    (batches between automatic dedup-state sweeps, default 100, 0 = off)
  *
+ * global execution settings (reference:
+ * dist/conf/cassandra-sink-standalone.properties.sample:34-48; KAF-49
+ * added queryExecutionTimeout, KAF-60/95 the request/batch caps,
+ * changelog/README.md):
+ *
+ *   maxConcurrentRequests                               (default 500)
+ *   maxNumberOfRecordsInBatch                           (default 32 — the per-partition-key batch cap, see Upserts.batchGroups)
+ *   connectionPoolLocalSize                             (default 4)
+ *   queryExecutionTimeout                               (seconds, default 30)
+ *   jmx                                                 (default true — stats reporting on/off)
+ *
  * plus the global endpoint/security surface (X4, validated at parse time —
  * reference: dist/conf/cassandra-sink-standalone.properties.sample:8-110):
  *
@@ -278,11 +289,37 @@ object SinkConfig {
         * every N processed batches (default 100), so untouched buckets of
         * TTL'd dedup stores shrink without an operator call. 0 disables the
         * cadence (sweep only on explicit invocation). */
-      dedupVacuumEvery: Int = 100) {
+      dedupVacuumEvery: Int = 100,
+      /** Global execution settings (reference:
+        * dist/conf/...properties.sample:34-48; KAF-49/60/95). In the
+        * reference these throttle the live CQL session; here the write
+        * path is Spark jobs, so they are parse-and-validate config surface
+        * (a ported properties file keeps its knobs) with ONE live wiring:
+        * [[maxNumberOfRecordsInBatch]] is the per-partition-key batch cap
+        * that [[graft.operators.Upserts.batchGroups]] accounts with and
+        * [[graft.streaming.SinkPipeline.batchGroups]] reads from config. */
+      maxConcurrentRequests: Int = 500,
+      maxNumberOfRecordsInBatch: Int = 32,
+      connectionPoolLocalSize: Int = 4,
+      /** CQL statement execution timeout, in seconds (KAF-49). */
+      queryExecutionTimeout: Int = 30,
+      /** Whether to enable stats reporting (reference: JMX on/off). */
+      jmx: Boolean = true) {
     require(Set("None", "Snappy", "LZ4").contains(compression),
       s"compression must be None, Snappy, or LZ4 (got '$compression')")
     require(dedupVacuumEvery >= 0,
       s"dedupVacuumEvery must be >= 0 (0 disables; got $dedupVacuumEvery)")
+    require(maxConcurrentRequests > 0,
+      s"maxConcurrentRequests must be positive (got $maxConcurrentRequests)")
+    require(maxNumberOfRecordsInBatch > 0,
+      s"maxNumberOfRecordsInBatch must be positive " +
+        s"(got $maxNumberOfRecordsInBatch)")
+    require(connectionPoolLocalSize > 0,
+      s"connectionPoolLocalSize must be positive " +
+        s"(got $connectionPoolLocalSize)")
+    require(queryExecutionTimeout > 0,
+      s"queryExecutionTimeout must be positive seconds " +
+        s"(got $queryExecutionTimeout)")
     // one table = one state store = one merge granularity: bindings that
     // fan into the same table (the very case cell mode exists for) must agree
     bindings.groupBy(_.qualifiedTable).foreach { case (tbl, bs) =>
@@ -483,6 +520,25 @@ object SinkConfig {
         require(v.toIntOption.exists(_ >= 0),
           s"dedupVacuumEvery must be a non-negative integer (got '$v')")
         v.toInt
-      }.getOrElse(100))
+      }.getOrElse(100),
+      maxConcurrentRequests =
+        posIntProp(props, "maxConcurrentRequests", 500),
+      maxNumberOfRecordsInBatch =
+        posIntProp(props, "maxNumberOfRecordsInBatch", 32),
+      connectionPoolLocalSize =
+        posIntProp(props, "connectionPoolLocalSize", 4),
+      queryExecutionTimeout =
+        posIntProp(props, "queryExecutionTimeout", 30),
+      jmx = boolProp(props, "jmx", default = true))
   }
+
+  /** Positive-integer global setting, fail-fast on malformation the way
+    * reference startup rejects a bad properties value. */
+  private def posIntProp(props: Map[String, String], key: String,
+      default: Int): Int =
+    props.get(key).map { v =>
+      require(v.toIntOption.exists(_ > 0),
+        s"$key must be a positive integer (got '$v')")
+      v.toInt
+    }.getOrElse(default)
 }

@@ -51,6 +51,22 @@ object Multimodal {
       GraftBridge.expression(pixels)))
   }
 
+  /** Deterministic synthetic test clip (the media-dedup fixture corpus —
+    * [[graft.functions.SynthMedia]]): square gray-ramp frames with
+    * per-copy jitter, muxed through the REAL [[graft.functions.Bmp]] +
+    * [[graft.functions.Avi]] encoders in ONE native call. Bit-identical to
+    * `aviEncode(transform(sequence…, bmpEncode(…)))` with the same formula
+    * (spec-pinned) at none of the per-pixel interpreted-closure cost. */
+  def synthClip(width: Column, nFrames: Column, base: Column,
+      id: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.SynthClipExpr(
+      GraftBridge.expression(width.cast(IntegerType)),
+      GraftBridge.expression(nFrames.cast(IntegerType)),
+      GraftBridge.expression(base.cast(LongType)),
+      GraftBridge.expression(id.cast(LongType))))
+  }
+
   /** Validated BMP metadata + exact per-channel sums and an
     * order-sensitive positional checksum; NULL for malformed blobs. */
   def bmpMeta(bytes: Column): Column = {

@@ -64,6 +64,14 @@ object Staging {
   private val registry =
     new java.util.WeakHashMap[SparkSession, java.util.ArrayDeque[DataFrame]]()
 
+  // Process-lifetime count of budget evictions — an observable for bench
+  // diagnostics: an eviction mid-query means a staged frame silently fell
+  // back to recompute (correct but slower), which is exactly the kind of
+  // run-to-run swing a probe needs to attribute (VERDICT r9 #3). Sampled
+  // as before/after deltas by Bench's sf1 probe loop.
+  private val evictions = new java.util.concurrent.atomic.AtomicLong(0)
+  def evictionCount: Long = evictions.get
+
   def stage(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "persist") match {
       case "local"   => df.localCheckpoint(eager = true)
@@ -85,6 +93,7 @@ object Staging {
       catch { case _: NumberFormatException => DefaultBudget }
     while (q.size > budget) {
       val oldest = q.pollFirst()
+      evictions.incrementAndGet()
       // non-blocking: eviction is bookkeeping on the hot path; the blocks
       // drain in the background. Benchmarks wanting quiesced state between
       // runs use releaseAll(blocking = true).

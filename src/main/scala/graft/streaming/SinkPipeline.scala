@@ -154,12 +154,16 @@ class SinkPipeline(
     * counter agg action, and a semi-join back on (partition, offset). The
     * scored frame is staged for the two consumers and released via the
     * returned thunk once the binding's writes are durable. Counters:
-    * qualityKeptCount / qualityDroppedCount (dedup-counter naming). */
+    * qualityKeptCount / qualityDroppedCount (dedup-counter naming) — the
+    * COUNTS are computed here but returned for the caller to mark only
+    * after the table merge is durable: marking before applyBatch would
+    * double-count on a failed batch's replay, violating the counter
+    * replay contract the dedup counters honor. */
   private def qualityFilter(spark: org.apache.spark.sql.SparkSession,
       b: SinkConfig.TableBinding, slice: DataFrame)
-      : (DataFrame, Option[() => Unit]) =
+      : (DataFrame, Option[() => Unit], Option[(Long, Long)]) =
     b.qualityDsirParams match {
-      case None => (slice, None)
+      case None => (slice, None, None)
       case Some((minAvgQ, histDir)) =>
         val hist = spark.read.parquet(histDir)
         val keyed = slice.withColumn("__qid",
@@ -175,18 +179,14 @@ class SinkPipeline(
           coalesce(sum(when(col("__keep"), 1L).otherwise(0L)), lit(0L)),
           coalesce(sum(when(col("__keep"), 0L).otherwise(1L)), lit(0L)))
           .head()
-        countAndMark(spark,
-          s"${b.topic}.${b.qualifiedTable}.qualityKeptCount", cnt.getLong(0))
-        countAndMark(spark,
-          s"${b.topic}.${b.qualifiedTable}.qualityDroppedCount",
-          cnt.getLong(1))
         val keepIds = scored.filter(col("__keep"))
           .select(col("doc_id").as("__qid"))
         val kept = keyed.join(keepIds, Seq("__qid"), "left_semi")
         val tombstones = keyed.filter(col("value").isNull)
         val out = kept.unionByName(tombstones)
           .select(slice.columns.toIndexedSeq.map(col): _*)
-        (out, Some(() => graft.operators.Staging.unstage(scored)))
+        (out, Some(() => graft.operators.Staging.unstage(scored)),
+          Some((cnt.getLong(0), cnt.getLong(1))))
     }
 
   /** Filter a topic slice down to first-seen content. Returns the filtered
@@ -374,6 +374,17 @@ class SinkPipeline(
   def rate(name: String): Double =
     rates.get(name).map(_.ratePerSec).getOrElse(0.0)
 
+  /** Partition-key batch accounting for a mapped batch bound for `b`'s
+    * table at the CONFIGURED `maxNumberOfRecordsInBatch` cap (reference A2
+    * + the KAF-95 global, `...properties.sample:38-39`) — how many
+    * CQL-BATCH round-trips the reference writer would issue for it. The
+    * cap flows from the parsed properties instead of the code-level
+    * default, so a ported reference config keeps its knob. */
+  def batchGroups(mapped: DataFrame, b: SinkConfig.TableBinding): DataFrame =
+    graft.operators.Upserts.batchGroups(mapped,
+      tables(b.qualifiedTable).primaryKey,
+      cap = config.maxNumberOfRecordsInBatch)
+
   /** Process one micro-batch of Kafka-shaped records. Also usable directly
     * for batch (non-streaming) ingest. */
   def processBatch(records: DataFrame, batchId: Long): Unit = {
@@ -409,7 +420,7 @@ class SinkPipeline(
       toApply.foreach { b =>
         // quality gate FIRST (drop out-of-domain content before paying
         // dedup-state reads/writes for it), then content dedup
-        val (screened, releaseQuality) =
+        val (screened, releaseQuality, qualityCounts) =
           qualityFilter(spark, b, records.filter(col("topic") === b.topic))
         val (forTopic, commitSightings) =
           dedupFilter(spark, b, screened, batchId)
@@ -489,12 +500,25 @@ class SinkPipeline(
         // output, so the slice-minus-kept difference is not a dedup count —
         // skip rather than lie.)
         if (b.dedupEnabled && b.query.isEmpty) {
-          val slice = topicCounts.getOrElse(b.topic, 0L)
+          // rows that ENTERED the dedup stage = topic slice minus whatever
+          // the quality gate already dropped — without the subtraction a
+          // binding with both stages would report quality drops twice
+          // (once in qualityDroppedCount, again here)
+          val slice = topicCounts.getOrElse(b.topic, 0L) -
+            qualityCounts.map(_._2).getOrElse(0L)
           countAndMark(spark,
             s"${b.topic}.${b.qualifiedTable}.dedupKeptCount", nTotal)
           countAndMark(spark,
             s"${b.topic}.${b.qualifiedTable}.dedupDroppedCount",
             math.max(0L, slice - nTotal))
+        }
+        // quality counters mark only now that the table merge is durable —
+        // a failed batch replays without having counted (replay contract)
+        qualityCounts.foreach { case (k, d) =>
+          countAndMark(spark,
+            s"${b.topic}.${b.qualifiedTable}.qualityKeptCount", k)
+          countAndMark(spark,
+            s"${b.topic}.${b.qualifiedTable}.qualityDroppedCount", d)
         }
         // record this batch's content hashes only after the table merge is
         // durable (see dedupFilter's replay contract)

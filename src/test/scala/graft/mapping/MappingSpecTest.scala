@@ -256,4 +256,36 @@ class MappingSpecTest extends AnyFunSuite {
     assert(quiet.warnings.isEmpty &&
       quiet.bindings.head.consistencyLevel == "LOCAL_QUORUM")
   }
+
+  test("global execution settings: defaults, round-trip, fail-fast " +
+      "(reference properties.sample:34-48, KAF-49/60/95)") {
+    val baseMapping = Map("topic.t.ks1.a.mapping" -> "c1=key")
+    // reference defaults apply when unset
+    val d = SinkConfig.parse(baseMapping)
+    assert(d.maxConcurrentRequests == 500)
+    assert(d.maxNumberOfRecordsInBatch == 32)
+    assert(d.connectionPoolLocalSize == 4)
+    assert(d.queryExecutionTimeout == 30)
+    assert(d.jmx)
+    // a ported properties file keeps its knobs
+    val c = SinkConfig.parse(baseMapping ++ Map(
+      "maxConcurrentRequests" -> "100",
+      "maxNumberOfRecordsInBatch" -> "16",
+      "connectionPoolLocalSize" -> "2",
+      "queryExecutionTimeout" -> "120",
+      "jmx" -> "false"))
+    assert(c.maxConcurrentRequests == 100)
+    assert(c.maxNumberOfRecordsInBatch == 16)
+    assert(c.connectionPoolLocalSize == 2)
+    assert(c.queryExecutionTimeout == 120)
+    assert(!c.jmx)
+    // malformed values fail at parse, like reference startup
+    Seq("maxConcurrentRequests" -> "0", "maxNumberOfRecordsInBatch" -> "-1",
+      "connectionPoolLocalSize" -> "abc", "queryExecutionTimeout" -> "",
+      "jmx" -> "yes").foreach { case (k, v) =>
+      intercept[IllegalArgumentException] {
+        SinkConfig.parse(baseMapping + (k -> v))
+      }
+    }
+  }
 }

@@ -195,6 +195,33 @@ class MediaDedupSpec extends SparkSuite {
     assert(r.getBoolean(4) && r.getBoolean(5))
   }
 
+  test("synthClip native generator is bit-identical to the composed " +
+      "bmpEncode+aviEncode constructor with the fixture formula") {
+    import s.implicits._
+    // the exact q280 constructor: frame f pixel i of clip (base, id) =
+    // (8 + (base*37 + f*53 + i*11) % 240 + (id*3 + f*7 + i) % 2) * 65793
+    import org.apache.spark.sql.Column
+    def composed(base: Column, id: Column, nFrames: Int): Column =
+      Multimodal.aviEncode(lit(40000L),
+        transform(sequence(lit(0L), lit(nFrames - 1L)), f =>
+          Multimodal.bmpEncode(lit(16L),
+            transform(sequence(lit(0L), lit(255L)),
+              i => (lit(8L) + (base * 37L + f * 53L + i * 11L) % 240L +
+                (id * 3L + f * 7L + i) % 2L) * 65793L))))
+    val r = Seq((7L, 21L), (40L, 999999L), (0L, 0L))
+      .toDF("base", "id")
+      .select(
+        (Multimodal.synthClip(lit(16L), lit(3L), col("base"), col("id"))
+          === composed(col("base"), col("id"), 3)).as("eq3"),
+        (Multimodal.synthClip(lit(16L), lit(96L), col("base"), col("id"))
+          === composed(col("base"), col("id"), 96)).as("eq96"),
+        Multimodal.synthClip(lit(16L), lit(0L), col("base"), col("id"))
+          .isNull.as("zeroFrames"))
+      .collect()
+    assert(r.forall(x => x.getBoolean(0) && x.getBoolean(1) &&
+      x.getBoolean(2)))
+  }
+
   test("scd2: state runs collapse, versions split on change, " +
       "open interval is current") {
     import s.implicits._

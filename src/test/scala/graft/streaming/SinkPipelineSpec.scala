@@ -860,4 +860,77 @@ class SinkPipelineSpec extends SparkSuite {
     assert(pipe.recordCount("orders.ks.t2.qualityKeptCount").value == 1L)
     assert(pipe.recordCount("orders.ks.t2.qualityDroppedCount").value == 1L)
   }
+
+  test("quality gate replay contract: counters mark only after a durable " +
+      "write; dedup drop counter excludes quality drops") {
+    import s.implicits._
+    val histDir = Files.createTempDirectory("graft-q2-hist").toString
+    val target = Seq((1L, "spark query join table scan"),
+      (2L, "query join spark table merge")).toDF("doc_id", "text")
+    val raw = Seq((10L, "spark query join filter"),
+      (11L, "cat dog fish bird mouse"),
+      (12L, "dog cat bird fish horse")).toDF("doc_id", "text")
+    graft.operators.Sampling.dsirHistogram(target, raw, "text")
+      .write.mode("overwrite").parquet(histDir)
+    val inText = "spark table query join"
+    val outText = "cat dog fish bird"
+    val hist = s.read.parquet(histDir)
+    val scores = graft.operators.Sampling.dsirScore(
+        Seq((1L, inText), (2L, outText)).toDF("id", "text"),
+        hist, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val thr = (scores(1L) + scores(2L)) / 2
+
+    // (a) a batch that fails AFTER the quality agg (unmappable key under
+    // ignoreErrors=None) must not mark quality counters: the retry would
+    // otherwise double-count — same replay contract as the dedup counters
+    val failCfg = SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+      "topic.orders.ks.t2.quality" -> s"dsir:$thr:$histDir"))
+    val failPipe = new SinkPipeline(failCfg, Map("ks.t2" -> t2),
+      Files.createTempDirectory("graft-q2-fail").toString)
+    intercept[IllegalStateException] {
+      failPipe.processBatch(batch(("orders", 0L, "x", inText, 1000L)), 0L)
+    }
+    assert(failPipe.recordCount.get("orders.ks.t2.qualityKeptCount")
+      .forall(_.value == 0L))
+    // the retried (now-clean) batch marks exactly once
+    failPipe.processBatch(batch(("orders", 0L, "7", inText, 1000L)), 0L)
+    assert(failPipe.recordCount("orders.ks.t2.qualityKeptCount").value == 1L)
+
+    // (b) quality + dedup on one binding: dedupDroppedCount counts DEDUP
+    // drops only — the gate's drops are already in qualityDroppedCount
+    val cfg = SinkConfig.parse(Map(
+      "topic.orders.ks.t2.mapping" -> "my_pk=key, my_text=value",
+      "topic.orders.ks.t2.quality" -> s"dsir:$thr:$histDir",
+      "topic.orders.ks.t2.dedup" -> "exact"))
+    val pipe = new SinkPipeline(cfg, Map("ks.t2" -> t2),
+      Files.createTempDirectory("graft-q2-both").toString)
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", inText, 1000L),
+      ("orders", 1L, "2", outText, 2000L), // quality-dropped
+      ("orders", 2L, "3", inText, 3000L)), // exact dup → dedup-dropped
+      0L)
+    assert(pipe.recordCount("orders.ks.t2.qualityKeptCount").value == 2L)
+    assert(pipe.recordCount("orders.ks.t2.qualityDroppedCount").value == 1L)
+    assert(pipe.recordCount("orders.ks.t2.dedupKeptCount").value == 1L)
+    assert(pipe.recordCount("orders.ks.t2.dedupDroppedCount").value == 1L)
+  }
+
+  test("pipeline batchGroups accounting flows the configured " +
+      "maxNumberOfRecordsInBatch cap (KAF-95 global)") {
+    import s.implicits._
+    val cfg = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "maxNumberOfRecordsInBatch" -> "2"))
+    val pipe = new SinkPipeline(cfg, Map("ks.t1" -> t1),
+      Files.createTempDirectory("graft-bg").toString)
+    val mapped = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("my_pk", "my_value")
+    val g = pipe.batchGroups(mapped, cfg.bindings.head)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(g(1L) == ((3L, 2L))) // 3 rows at cap 2 → 2 batch requests
+    assert(g(2L) == ((1L, 1L)))
+  }
 }
