@@ -4649,6 +4649,26 @@ object SparkEntry {
         Quality.luhnCardAudit(
           d.select(col("doc_id"), full.as("text")), "text", "doc_id")
           .orderBy("doc_id")
+      }),
+
+    // radius-parameterized phash banding (q277 at radius 6): 7 contiguous
+    // chunks of the 64-bit aHash (6×9-bit + 1×10-bit; chunk 3 spans the
+    // hi/lo boundary) — pigeonhole-exact candidate gate at hamming ≤6.
+    // The oracle re-derives every chunk from the hi/lo halves with plain
+    // integer division, so a single mis-stitched boundary bit flips bv
+    // and breaks the hash match.
+    Q("q308_phash_radius6", Some(
+      s"""WITH ${dPhashCtes("WHERE event_id % 53 = 0")}, bands AS (SELECT event_id, base, phash_hi AS hi, phash_lo AS lo, bid, CASE bid WHEN 0 THEN phash_lo % 512 WHEN 1 THEN (phash_lo // 512) % 512 WHEN 2 THEN (phash_lo // 262144) % 512 WHEN 3 THEN (phash_lo // 134217728) + (phash_hi % 16) * 32 WHEN 4 THEN (phash_hi // 16) % 512 WHEN 5 THEN (phash_hi // 8192) % 512 ELSE phash_hi // 4194304 END AS bv FROM ph, (SELECT unnest(range(7)) AS bid)), cand AS (SELECT DISTINCT a.event_id AS aid, b.event_id AS bid2, a.hi AS ah, a.lo AS al, b.hi AS bh, b.lo AS bl FROM bands a JOIN bands b ON a.bid = b.bid AND a.bv = b.bv AND a.event_id < b.event_id) SELECT CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS BIGINT) AS hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN aid % 97 = bid2 % 97 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_base FROM cand GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val images = phashTestImages(s, dir)
+          .filter(col("event_id") % 53L === 0L)
+        MediaDedup.phashCandidatePairs(images, "event_id", "payload",
+            lit(2), maxHamming = 6)
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("a_id") % 97L === col("b_id") % 97L, 1L)
+              .otherwise(0L)).as("n_same_base"))
+          .orderBy("hamming")
       })
   )
 

@@ -143,24 +143,53 @@ object MediaDedup {
           h.getField("phash_lo"), lit(2147483647L))))
   }
 
-  /** Explode an aHash into its 4×16-bit LSH bands as
-    * (band_id, band_val) — a hamming-≤3 pair of hashes agrees exactly on
-    * at least one band (pigeonhole), so an equi-join on (band_id,
-    * band_val) is a lossless candidate gate at that radius. */
-  private def bandCols(hi: Column, lo: Column): Column = array(
-    lo.bitwiseAND(lit(65535L)), IntMath.idiv(lo, lit(65536L)),
-    hi.bitwiseAND(lit(65535L)), IntMath.idiv(hi, lit(65536L)))
+  /** Explode an aHash into its `maxHamming + 1` contiguous-chunk LSH
+    * bands as (band_id, band_val) — by pigeonhole a pair within the
+    * hamming budget agrees exactly on at least one chunk, so an
+    * equi-join on (band_id, band_val) is a lossless candidate gate at
+    * that radius (Manku et al., WWW 2007 §3 — the [[graft.operators
+    * .Dedup.simhashPairs]] chunk pattern over a 64-bit hash split as
+    * two 32-bit halves). Chunk j covers full-hash bits
+    * [j·width, j·width+bits); a chunk spanning the hi/lo boundary
+    * stitches the lo tail under the hi head — all intermediates stay
+    * < 2^32 so plain long arithmetic is exact. The default radius 3
+    * reproduces the original 4×16-bit layout bit-for-bit. */
+  private def bandCols(hi: Column, lo: Column, maxHamming: Int): Column = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // last band takes the remainder bits
+    array((0 until nBands).map { j =>
+      val shift = j * width
+      val bits = if (j == nBands - 1) 64 - shift else width
+      val mask = (1L << bits) - 1
+      if (shift + bits <= 32)
+        shiftright(lo, shift).bitwiseAND(lit(mask))
+      else if (shift >= 32)
+        shiftright(hi, shift - 32).bitwiseAND(lit(mask))
+      else // spans the hi/lo boundary: lo tail | hi head
+        shiftright(lo, shift).bitwiseOR(
+          shiftleft(hi.bitwiseAND(lit((1L << (shift + bits - 32)) - 1)),
+            32 - shift)).bitwiseAND(lit(mask))
+    }: _*)
+  }
 
   /**
    * Banded near-duplicate candidate pairs over an image table:
-   * (a_id, b_id, hamming) for every pair sharing ≥1 of the 4 16-bit
-   * bands, each pair exactly once (`distinct` collapses multi-band
-   * agreement). Exact at hamming ≤3; higher-distance pairs appear only
-   * when they happen to share a band. Shuffle carries (id, hi, lo,
-   * band) longs only — image bytes never move past the signature scan.
+   * (a_id, b_id, hamming) for every pair sharing ≥1 of the
+   * `maxHamming + 1` contiguous hash chunks, each pair exactly once
+   * (`distinct` collapses multi-band agreement). EXACT at hamming ≤
+   * `maxHamming` (pigeonhole); higher-distance pairs appear only when
+   * they happen to share a band. Shuffle carries (id, hi, lo, band)
+   * longs only — image bytes never move past the signature scan.
+   *
+   * Radius/recall trade: larger `maxHamming` ⇒ more, narrower bands
+   * (radius 7 ⇒ 8×8-bit chunks ⇒ only 256 buckets per band), so
+   * incidental-collision candidate volume grows as n²/2^(64/(k+1)) —
+   * at the 100 TB tier keep k ≤ 7 or pre-shard by a hash prefix.
    */
   def phashCandidatePairs(images: DataFrame, idCol: String,
-      bytesCol: String, factor: Column): DataFrame = {
+      bytesCol: String, factor: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming in [1,15], got $maxHamming")
     // stage the signatures: the full codec-chain hash (encode→resize→
     // pixels→threshold fold) feeds BOTH join sides — without staging each
     // side re-evaluates it per image (measured 2× the probe wall-clock)
@@ -171,7 +200,7 @@ object MediaDedup {
       .select(col("img_id"), col("h.phash_hi").as("hi"),
         col("h.phash_lo").as("lo")))
     val bands = h.select(col("img_id"), col("hi"), col("lo"),
-      posexplode(bandCols(col("hi"), col("lo")))
+      posexplode(bandCols(col("hi"), col("lo"), maxHamming))
         .as(Seq("band_id", "band_val")))
     val a = bands.select(col("img_id").as("a_id"), col("hi").as("a_hi"),
       col("lo").as("a_lo"), col("band_id"), col("band_val"))

@@ -141,6 +141,67 @@ class MediaDedupSpec extends SparkSuite {
       .forall { case (_, _, h) => h >= 30 })
   }
 
+  test("phashCandidatePairs radius: recall vs brute force is exact at " +
+      "every radius 4-7; default radius reproduces the 4x16 layout") {
+    import s.implicits._
+    // block-authored images: bit o of `mask` drives grid cell o (the 2×2
+    // block at 200 vs 10; grid mean sits between), so the aHash is the
+    // mask up to a fixed bit permutation and pairwise hamming equals the
+    // mask distance — a brute-force oracle with authored distances
+    def flip(m: Long, bits: Seq[Int]): Long =
+      bits.foldLeft(m)((a, b) => a ^ (1L << b))
+    val base = 0x5A5AA5A533CC9669L
+    val masks: Seq[(Long, Long)] = Seq(
+      1L -> base,
+      2L -> flip(base, Seq(0)),                                 // d=1
+      3L -> flip(base, Seq(1, 9, 17, 25)),                      // d=4
+      4L -> flip(base, Seq(2, 10, 18, 26, 34)),                 // d=5
+      5L -> flip(base, Seq(3, 11, 19, 27, 35, 43)),             // d=6
+      6L -> flip(base, Seq(4, 12, 20, 28, 36, 44, 52)),         // d=7
+      7L -> flip(base, Seq(5, 13, 21, 29, 37, 45, 53, 61)),     // d=8
+      8L -> ~base)                                              // d=64
+    val imgs = masks.map { case (id, m) =>
+      val ps = (0 until 256).map { i =>
+        val o = (i / 16 / 2) * 8 + (i % 16) / 2
+        (if (((m >> o) & 1L) == 1L) 200L else 10L) * 65793L
+      }
+      (id, ps)
+    }.toDF("img_id", "ps")
+      .withColumn("payload", Multimodal.bmpEncode(lit(16L), col("ps")))
+    val h = imgs.select(col("img_id"),
+        MediaDedup.aHash64(col("payload"), lit(2)).as("h"))
+      .select(col("img_id"), col("h.phash_hi").as("hi"),
+        col("h.phash_lo").as("lo"))
+    val brute = h.alias("a").crossJoin(h.alias("b"))
+      .filter(col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("a_id"), col("b.img_id").as("b_id"),
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo"))))
+          .cast(org.apache.spark.sql.types.LongType).as("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(brute.values.exists(_ == 7L)) // the authored distances landed
+    for (k <- 4 to 7) {
+      val cand = MediaDedup.phashCandidatePairs(
+          imgs, "img_id", "payload", lit(2), maxHamming = k)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val must = brute.filter(_._2 <= k).keySet
+      assert(must.subsetOf(cand.keySet),
+        s"radius $k missed ${must -- cand.keySet}")
+      // reported hamming on a candidate matches the brute-force distance
+      cand.foreach { case (p, d) => assert(brute(p) == d) }
+    }
+    // default call = explicit radius 3 = the original 4×16-bit layout
+    val d3 = MediaDedup.phashCandidatePairs(imgs, "img_id", "payload",
+      lit(2)).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val e3 = MediaDedup.phashCandidatePairs(imgs, "img_id", "payload",
+        lit(2), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d3 == e3)
+  }
+
   test("videoSignature: order-sensitive over frames, jitter-stable, " +
       "null-routing") {
     import s.implicits._
