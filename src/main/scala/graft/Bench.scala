@@ -33,6 +33,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-run task-metric accumulator for the probe diagnostics: summed
+    * executor CPU time and the longest single task since the last reset.
+    * A wall-time outlier then self-attributes from the artifact: flat
+    * cpu_sec + inflated wall = external contention/scheduling; inflated
+    * cpu_sec = the engine really did more work (plan drift/recompute);
+    * flat cpu_sec + one long max_task = a skew straggler. */
+  private final class TaskStatsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        val run = m.executorRunTime
+        maxTaskMs.updateAndGet(c => math.max(c, run))
+      }
+    }
+    def reset(): Unit = { cpuNs.set(0L); maxTaskMs.set(0L) }
+    /** (cpu seconds, longest task seconds) since reset. */
+    def snapshot(spark: SparkSession): (Double, Double) = {
+      org.apache.spark.sql.GraftBridge.drainListeners(spark)
+      (cpuNs.get / 1e9, maxTaskMs.get / 1e3)
+    }
+  }
+
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -110,6 +137,13 @@ object Bench {
     def selected(name: String): Boolean =
       onlyFilter.forall(ps => ps.exists(name.startsWith))
     val fullRun = onlyFilter.isEmpty
+    // `sf1:q32` entries reach the (otherwise full-run-only) sf1 probe
+    // section — the attribution loop for probe outliers needs repeated
+    // captures of one probe without paying the 300-query pass each time
+    def sf1Selected(name: String): Boolean = onlyFilter.exists(ps =>
+      ps.exists(p => p.startsWith("sf1:") &&
+        name.startsWith(p.stripPrefix("sf1:"))))
+    val anySf1Selected = onlyFilter.exists(_.exists(_.startsWith("sf1:")))
 
     // Self-adjudicating load signal (VERDICT r9 #2): before each timed
     // query, ONE fixed tiny job (32-task range sum, ~40 ms idle) plus a
@@ -123,6 +157,8 @@ object Bench {
       spark.range(0L, 4000000L, 1L, 32).selectExpr("sum(id * 3 + 1)")
         .collect()
     }
+    // registered on the fresh probe session; read per probe run
+    val probeStats = new TaskStatsListener
     def loadavg1m(): Double =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
@@ -545,7 +581,8 @@ object Bench {
     val sf1Runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     // per-run diagnosis tuples (pre-encoded JSON objects; see probe loop)
     val sf1Diag = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
-    if (fullRun && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") {
+    if ((fullRun || anySf1Selected) &&
+        sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") {
       // Fresh SparkContext + explicit GC before the probe pass: the probes
       // previously ran on the heap/block-manager state left by ~300 queries
       // × 3 runs, and inflated probe numbers were twice adjudicated to JVM
@@ -558,6 +595,7 @@ object Bench {
       System.gc()
       Thread.sleep(2000)
       spark = makeSession(cpus)
+      spark.sparkContext.addSparkListener(probeStats)
       val sf1Dir = s"/tmp/graft_sf1_${Math.floorMod(sfDir.hashCode, 1000000)}"
       val okFlag = java.nio.file.Paths.get(sf1Dir, "_BUILT")
       if (!java.nio.file.Files.exists(okFlag)) {
@@ -666,7 +704,8 @@ object Bench {
             neighbors = Some(nn)))
         }),
         "sink_dedup_batch" -> (() => sinkDedupBatchOnce(sf1Dir)))
-      probes.foreach { case (name, fn) =>
+      probes.filter { case (name, _) => fullRun || sf1Selected(name) }
+        .foreach { case (name, fn) =>
         // two runs, min headline: JIT is warm from the sf0.1 pass; the check
         // is a 10×-growth ratio, not an absolute latency. BOTH raw runs ship
         // in `sf1_probe_runs` so a lucky min (r5's q53 probe == its sf0.1
@@ -682,14 +721,24 @@ object Bench {
           val l = loadavg1m()
           val g0 = gcSeconds()
           val e0 = graft.operators.Staging.evictionCount
+          // JIT compilation-time delta: the r10 attribution found probe CPU
+          // declining 180→64 s over 6 identical q32 runs (zero spill, zero
+          // evictions) — cold codegen'd classes. A big jit_ms on an outlier
+          // run self-adjudicates it as warm-up, not plan drift.
+          val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+          val j0 = if (jit != null && jit.isCompilationTimeMonitoringSupported)
+            jit.getTotalCompilationTime else -1L
+          probeStats.reset()
           val s = time(fn())
+          val (cpuS, maxTaskS) = probeStats.snapshot(spark)
           val gd = gcSeconds() - g0
           val ed = graft.operators.Staging.evictionCount - e0
+          val jd = if (j0 >= 0) jit.getTotalCompilationTime - j0 else -1L
           // see timed3: blocking release keeps runs independent AND keeps
           // run 2 from racing run 1's async block drain
           graft.operators.Staging.releaseAll(spark, blocking = true)
           spark.catalog.clearCache()
-          (s, f"""{"sec":$s%1.3f,"canary_sec":$c%1.3f,"load":$l%1.2f,"gc_sec":$gd%1.3f,"evictions":$ed}""")
+          (s, f"""{"sec":$s%1.3f,"canary_sec":$c%1.3f,"load":$l%1.2f,"gc_sec":$gd%1.3f,"evictions":$ed,"cpu_sec":$cpuS%1.2f,"max_task_sec":$maxTaskS%1.2f,"jit_ms":$jd}""")
         }
         // VERDICT r8 #6: probes whose cross-round numbers needed
         // adjudication get a THIRD run, so a single contended run can't
@@ -704,7 +753,8 @@ object Bench {
         sf1Diag += name -> timedRuns.map(_._2)
         sf1Results += name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
       }
-      sf1Results += "state_merge_1key_1m_sec" -> mergeOneKeyAt(1000000L)
+      if (fullRun)
+        sf1Results += "state_merge_1key_1m_sec" -> mergeOneKeyAt(1000000L)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%1.3f""" }

@@ -473,9 +473,12 @@ object Dedup {
     // the equi-joins shuffle longs, never text. (Hash collisions perturb the
     // count identically in any engine computing the same fold — the operator
     // is defined over the hashed shingle set.) The shingle frame feeds the
-    // gate, the DF count and both verify sides — materialize it once
-    // (mechanism per `spark.graft.staging`, see [[Staging]]).
-    val sh0 = Staging.stage(shingleHashRows(docs, textCol, idCol, shingleN))
+    // gate, the DF count and both verify sides — an EXPLODED stage (see
+    // [[Staging]]): by default each consumer recomputes the codegen'd
+    // scan+hash map, measured cheaper (and stabler) than caching a frame
+    // bigger than its parquet input.
+    val sh0 = Staging.stage(shingleHashRows(docs, textCol, idCol, shingleN),
+      Staging.Exploded)
     // gate: minhash signatures from the SAME shingle rows (identical to
     // minhashSignatures(docs, …) without re-running tokenize+hash), banded
     // and bucket-joined — one partial-agg groupBy + one narrow self-join.
@@ -533,7 +536,8 @@ object Dedup {
       shingleN: Int = 3, minContainPct: Int = 50,
       maxShingleDF: Int = 100,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sh0 = Staging.stage(shingleHashRows(docs, textCol, idCol, shingleN))
+    val sh0 = Staging.stage(shingleHashRows(docs, textCol, idCol, shingleN),
+      Staging.Exploded)
     val sigs = signaturesFromShingles(sh0, numHashes)
     val cand = minhashCandidates(minhashBands(sigs, rowsPerBand))
     val overCap = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -587,8 +591,10 @@ object Dedup {
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       spanTokens: Int = 8, minCount: Int = 2): DataFrame = {
     // the span frame feeds the count, the anti-join, and the per-doc totals
-    // — materialize the tokenize+tile stage once (see [[Staging]])
-    val spanRows = Staging.stage(tileSpans(docs, textCol, idCol, spanTokens))
+    // — an EXPLODED stage (see [[Staging]]): recomputed per consumer by
+    // default, cheaper than caching a frame bigger than its input
+    val spanRows = Staging.stage(tileSpans(docs, textCol, idCol, spanTokens),
+      Staging.Exploded)
     val common = spanRows.groupBy(col("span"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select(col("span"))
     val kept = spanRows.join(common, Seq("span"), "left_anti")
@@ -1012,11 +1018,12 @@ object Dedup {
       s"minCosinePermille in [1, 1000], got $minCosinePermille")
     require(maxShingleDF >= 1, s"maxShingleDF must be >= 1, got $maxShingleDF")
     val t2 = minCosinePermille.toLong * minCosinePermille // ≤ 10⁶
-    // the explode+window shingle scan dominates cost and feeds the DF
-    // count, the cap filter AND both verify sides — materialize it once
-    // (mechanism per `spark.graft.staging`, the ngramJaccardPairs shape)
+    // the explode+window shingle scan feeds the DF count, the cap filter
+    // AND both verify sides — an EXPLODED stage, recomputed per consumer
+    // by default (see [[Staging]], the ngramJaccardPairs shape)
     val rows0 = Staging.stage(
-      TextAnalysis.shingleHashRows(docs, textCol, idCol, shingleN))
+      TextAnalysis.shingleHashRows(docs, textCol, idCol, shingleN),
+      Staging.Exploded)
     val dfreq = rows0.groupBy("h").agg(count(lit(1)).as("df"))
     // cap filter mirrors ngramJaccardPairs: the OVER-cap shingle set is
     // tiny by construction (≤ rows/cap members) — broadcast anti-join

@@ -60,6 +60,36 @@ class StagingSpec extends SparkSuite {
     assert(b.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("Exploded stages pass through under persist; ExplodedKey=cache restores caching") {
+    val s = sqlc
+    Staging.releaseAll(s)
+    val exploded = docs().select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    // default: recompute — no cache entry, no registry slot (measured at
+    // sf1: columnar encode of explode-shaped frames costs 2-4x their
+    // recompute, with 1.7x run-to-run CPU variance — see Staging scaladoc)
+    val st = Staging.stage(exploded, Staging.Exploded)
+    assert(st.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(Staging.registeredCount(s) == 0)
+    // compact default is unchanged
+    val comp = Staging.stage(exploded.groupBy("token").count())
+    assert(comp.storageLevel.useMemory || comp.storageLevel.useDisk)
+    assert(Staging.registeredCount(s) == 1)
+    Staging.releaseAll(s)
+    // A/B override restores the old behavior
+    s.conf.set(Staging.ExplodedKey, "cache")
+    try {
+      val cached = Staging.stage(exploded, Staging.Exploded)
+      assert(cached.storageLevel.useMemory || cached.storageLevel.useDisk)
+      assert(Staging.registeredCount(s) == 1)
+      // same rows either way
+      assert(cached.count() == st.count())
+    } finally {
+      s.conf.unset(Staging.ExplodedKey)
+      Staging.releaseAll(s)
+    }
+  }
+
   test("budget eviction unpersists the OLDEST stage and keeps results correct") {
     val s = sqlc
     Staging.releaseAll(s)
