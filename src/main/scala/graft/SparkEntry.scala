@@ -3881,10 +3881,11 @@ object SparkEntry {
       (s, dir) => {
         val n = lit(50L) + col("event_id") % 50L
         val rate = lit(8000L) + (col("event_id") % 3L) * 4000L
-        val samples = transform(sequence(lit(0L), n - 1L),
-          i => (col("event_id") * 7L + i * 31L) % 2001L - 1000L)
+        // native ramp-WAV fixture (spec-pinned to the composed
+        // wavEncode(transform…) form — see MultimodalSpec)
         val withWav = KafkaLike.events(tune(s), dir).select(col("event_id"))
-          .withColumn("payload", Multimodal.wavEncode(rate, samples))
+          .withColumn("payload",
+            Multimodal.synthWav(rate, n, col("event_id")))
           .withColumn("meta", Multimodal.wavMeta(col("payload")))
         withWav.select(col("event_id"),
             length(col("payload")).cast(LongType).as("byte_len"),
@@ -3965,10 +3966,9 @@ object SparkEntry {
       """WITH e AS (SELECT event_id FROM events), p AS (SELECT event_id, 50 + event_id % 50 AS n FROM e), sm AS (SELECT event_id, n, list_transform(range(n), i -> (event_id*7 + i*31) % 2001 - 1000) AS s FROM p), fr AS (SELECT event_id, n, s, unnest(range((n + 15) // 16)) AS frame_id FROM sm) SELECT event_id, CAST(frame_id AS BIGINT) AS frame_id, CAST(list_sum(list_transform(range(frame_id*16, LEAST(frame_id*16 + 16, n)), i -> s[CAST(i+1 AS INT)]*s[CAST(i+1 AS INT)])) AS BIGINT) AS energy FROM fr ORDER BY event_id, frame_id"""),
       (s, dir) => {
         val n = lit(50L) + col("event_id") % 50L
-        val samples = transform(sequence(lit(0L), n - 1L),
-          i => (col("event_id") * 7L + i * 31L) % 2001L - 1000L)
         KafkaLike.events(tune(s), dir).select(col("event_id"))
-          .withColumn("payload", Multimodal.wavEncode(lit(8000L), samples))
+          .withColumn("payload",
+            Multimodal.synthWav(lit(8000L), n, col("event_id")))
           .select(col("event_id"),
             posexplode(Multimodal.wavFrameEnergy(col("payload"), lit(16)))
               .as(Seq("frame_id", "energy")))
@@ -4095,11 +4095,12 @@ object SparkEntry {
   private def phashTestImages(s: SparkSession, dir: String): DataFrame = {
     val id = col("event_id")
     val base = id % 97L
-    val pixels = transform(sequence(lit(0L), lit(255L)),
-      i => (lit(8L) + (base * 37L + i * 11L) % 240L +
-        (id * 3L + i) % 2L) * 65793L)
+    // native fixture generator — MultimodalSpec pins bit-equality to the
+    // composed bmpEncode(transform(sequence…, pixel formula)) constructor,
+    // so the phash bench rows measure the hash, not 256 interpreted
+    // closure evaluations per row
     KafkaLike.events(tune(s), dir).select(id)
-      .withColumn("payload", Multimodal.bmpEncode(lit(16L), pixels))
+      .withColumn("payload", Multimodal.synthFrame(lit(16L), base, id))
   }
 
   private lazy val r7MediaDedupAndScd: Seq[Q] = Seq(
@@ -4154,11 +4155,11 @@ object SparkEntry {
       (s, dir) => {
         val id = col("event_id")
         val base = id % 61L
-        val samples = transform(sequence(lit(0L), lit(63L)),
-          i => (base * 97L + (i + 3L) * (base + 7L) * 11L +
-            i * i * 29L) % 2001L - 1000L + (id + i) % 3L - 1L)
+        // native audio-clip fixture (spec-pinned to the composed
+        // wavEncode(transform…) form — see MultimodalSpec)
         KafkaLike.events(tune(s), dir).select(id)
-          .withColumn("payload", Multimodal.wavEncode(lit(8000L), samples))
+          .withColumn("payload",
+            Multimodal.synthAudio(lit(8000L), lit(64L), base, id))
           .select(
             MediaDedup.audioFingerprint(col("payload"), lit(4))
               .as("fingerprint"),

@@ -67,6 +67,40 @@ object Multimodal {
       GraftBridge.expression(id.cast(LongType))))
   }
 
+  /** Frame 0 of [[synthClip]] as a standalone BMP — the single-image
+    * fixture corpus (the phash queries). Bit-identical to
+    * `bmpEncode(transform(sequence…))` with the same pixel formula
+    * (spec-pinned) at none of the per-pixel interpreted-closure cost. */
+  def synthFrame(width: Column, base: Column, id: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.SynthFrameExpr(
+      GraftBridge.expression(width.cast(IntegerType)),
+      GraftBridge.expression(base.cast(LongType)),
+      GraftBridge.expression(id.cast(LongType))))
+  }
+
+  /** Synthetic ramp WAV (the roundtrip/framing fixture) — bit-identical
+    * to `wavEncode(rate, transform(sequence…))` with the same sample
+    * formula (spec-pinned), generated natively. */
+  def synthWav(rate: Column, n: Column, id: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.SynthWavExpr(
+      GraftBridge.expression(rate.cast(IntegerType)),
+      GraftBridge.expression(n.cast(IntegerType)),
+      GraftBridge.expression(id.cast(LongType))))
+  }
+
+  /** Synthetic near-dup audio clip (base picks the waveform, id jitters
+    * each copy ±1) — the audio-fingerprint fixture corpus, native. */
+  def synthAudio(rate: Column, n: Column, base: Column, id: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.SynthAudioExpr(
+      GraftBridge.expression(rate.cast(IntegerType)),
+      GraftBridge.expression(n.cast(IntegerType)),
+      GraftBridge.expression(base.cast(LongType)),
+      GraftBridge.expression(id.cast(LongType))))
+  }
+
   /** Validated BMP metadata + exact per-channel sums and an
     * order-sensitive positional checksum; NULL for malformed blobs. */
   def bmpMeta(bytes: Column): Column = {

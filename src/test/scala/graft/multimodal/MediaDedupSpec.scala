@@ -283,6 +283,46 @@ class MediaDedupSpec extends SparkSuite {
       x.getBoolean(2)))
   }
 
+  test("synthFrame / synthWav / synthAudio native fixtures are " +
+      "bit-identical to their composed constructors") {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    // the exact phashTestImages constructor: pixel i of image (base, id) =
+    // (8 + (base*37 + i*11) % 240 + (id*3 + i) % 2) * 65793
+    def composedFrame(base: Column, id: Column): Column =
+      Multimodal.bmpEncode(lit(16L),
+        transform(sequence(lit(0L), lit(255L)),
+          i => (lit(8L) + (base * 37L + i * 11L) % 240L +
+            (id * 3L + i) % 2L) * 65793L))
+    // the exact q269/q272 constructor: sample i = (id*7 + i*31) % 2001 - 1000
+    def composedWav(rate: Column, n: Column, id: Column): Column =
+      Multimodal.wavEncode(rate, transform(sequence(lit(0L), n - 1L),
+        i => (id * 7L + i * 31L) % 2001L - 1000L))
+    // the exact q278 constructor
+    def composedAudio(base: Column, id: Column): Column =
+      Multimodal.wavEncode(lit(8000L), transform(sequence(lit(0L), lit(63L)),
+        i => (base * 97L + (i + 3L) * (base + 7L) * 11L +
+          i * i * 29L) % 2001L - 1000L + (id + i) % 3L - 1L))
+    val n = lit(50L) + col("id") % 50L
+    val rate = lit(8000L) + (col("id") % 3L) * 4000L
+    val r = Seq((0L, 0L), (7L, 21L), (96L, 999999L), (60L, 123456789L))
+      .toDF("base", "id")
+      .select(
+        (Multimodal.synthFrame(lit(16L), col("base"), col("id"))
+          === composedFrame(col("base"), col("id"))).as("eqF"),
+        (Multimodal.synthWav(rate, n, col("id"))
+          === composedWav(rate, n, col("id"))).as("eqW"),
+        (Multimodal.synthAudio(lit(8000L), lit(64L), col("base"), col("id"))
+          === composedAudio(col("base"), col("id"))).as("eqA"),
+        Multimodal.synthFrame(lit(0L), col("base"), col("id"))
+          .isNull.as("zeroW"),
+        Multimodal.synthWav(lit(8000L), lit(0L), col("id"))
+          .isNull.as("zeroN"))
+      .collect()
+    assert(r.forall(x => x.getBoolean(0) && x.getBoolean(1) &&
+      x.getBoolean(2) && x.getBoolean(3) && x.getBoolean(4)))
+  }
+
   test("scd2: state runs collapse, versions split on change, " +
       "open interval is current") {
     import s.implicits._
