@@ -1295,6 +1295,22 @@ object Probe {
           f"256f $t256%.2f s — per-frame container re-parse is back?")
     }
 
+    // ---- exploded-stage passthrough (round-10 q32/q84 attribution): the
+    // shingle frame of ngramJaccardPairs is an Exploded stage — BIGGER
+    // than its parquet input, so the default mode recomputes it per
+    // consumer instead of columnar-caching it (cache measured 2-4× the
+    // recompute CPU at sf1, see Staging's scaladoc). An InMemoryRelation
+    // reappearing in the q32 plan means a call site lost its shape hint.
+    {
+      val q32 = graft.SparkEntry.queries("q32_jaccard_pairs")(spark, dir)
+      val plan = q32.queryExecution.optimizedPlan.toString
+      require(!plan.contains("InMemoryRelation"),
+        "q32's exploded shingle stage must pass through (recompute), not " +
+          "columnar-cache:\n" + plan.take(2000))
+      println("q32 plan: exploded stage recomputes, no columnar cache " +
+        "(checked)")
+    }
+
     // ---- q306 DSIR scoring shape: the B-row histogram must BROADCAST
     // into the per-doc scoring join (a shuffle join here would re-exchange
     // the corpus-sized feature frame against 1024 rows), and the plan must
