@@ -347,7 +347,8 @@ object Bench {
       "q59_ann_ivf_topk_trained", "q60_cellwise_merge",
       "q68_canonical_pick", "q71_wkt_validate", "q72_schema_defaults",
       "q73_canonical_corpus", "q78_stream_banding",
-      "q305_map_entry_merge", "q306_dsir_weights", "q307_luhn_card_audit")
+      "q305_map_entry_merge", "q306_dsir_weights", "q307_luhn_card_audit",
+      "q308_phash_radius6", "q309_dedup_weights", "q310_dup_span_runs")
     benched.filter(selected).foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

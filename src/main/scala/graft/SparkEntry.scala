@@ -4670,7 +4670,24 @@ object SparkEntry {
             sum(when(col("a_id") % 97L === col("b_id") % 97L, 1L)
               .otherwise(0L)).as("n_same_base"))
           .orderBy("hamming")
-      })
+      }),
+
+    // dedup-aware resampling weights: keep every exact-dup copy but weight
+    // it by 1/cluster_size (ppm) — the soft alternative to dropping
+    // duplicates when provenance must survive the pass
+    Q("q309_dedup_weights", Some(
+      """WITH c AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM documents GROUP BY 1) SELECT d.doc_id, c.cluster_size, CAST(1000000 // c.cluster_size AS BIGINT) AS w_ppm FROM documents d JOIN c ON md5(d.text) = c.h ORDER BY d.doc_id"""),
+      (s, dir) => Sampling.dedupAwareWeights(docs(tune(s), dir),
+        "text", "doc_id").orderBy("doc_id")),
+
+    // memorization-span audit: per doc, the longest token run whose every
+    // 3-shingle appears in >= 2 docs (islands over shared shingle
+    // positions) — the pre-training "how much of this text exists
+    // verbatim elsewhere" readout
+    Q("q310_dup_span_runs", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), th AS (SELECT doc_id, list_transform(tk, t -> ${dFold("t")}) AS th FROM toks), shp0 AS (SELECT doc_id, unnest(CASE WHEN len(th) < 3 THEN [] ELSE list_transform(range(len(th)-2), i -> {'pos': i, 'h': ((((th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647)*131 + th[CAST(i+3 AS INT)]) % 2147483647)}) END) AS u FROM th), shp AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.h AS BIGINT) AS h FROM shp0), dfq AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM shp GROUP BY h) WHERE df >= 2), hits AS (SELECT shp.doc_id, shp.pos FROM shp JOIN dfq USING (h)), isl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits), runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run FROM isl GROUP BY 1, 2), ag AS (SELECT doc_id, SUM(run) AS n_shared, MAX(run) AS max_run FROM runs GROUP BY 1), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM shp GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles, CAST(COALESCE(ag.n_shared, 0) AS BIGINT) AS n_shared, CAST(COALESCE(ag.max_run + 2, 0) AS BIGINT) AS max_dup_span_tokens FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"""),
+      (s, dir) => TextAnalysis.duplicatedSpanRuns(docs(tune(s), dir),
+        "text", "doc_id", shingleN = 3, minDF = 2).orderBy("doc_id"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

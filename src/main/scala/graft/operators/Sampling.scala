@@ -404,4 +404,32 @@ object Sampling {
         coalesce(IntMath.idiv(col("w_q"), col("n_feats")), lit(0L))
           .as("w_q_avg"))
   }
+
+  /**
+   * Dedup-aware resampling weights: instead of DROPPING exact duplicates
+   * (the [[Dedup.exact]] policy), keep every copy but weight each by the
+   * inverse of its cluster size — w_ppm = ⌊10⁶ / n_copies⌋ — so a
+   * loss-weighted or resampled epoch sees each distinct CONTENT once in
+   * expectation regardless of how many times it was crawled. The soft
+   * alternative to hard dedup when provenance must survive (every copy
+   * keeps its row) or when partial upweighting is wanted (feed `w_ppm` to
+   * [[weightedKeep]] with a scale factor).
+   *
+   * Shape at 100 TB: content hashes are 128-bit digests computed map-side;
+   * the groupBy and the join back shuffle (hash, id) pairs only — text
+   * never shuffles. Cluster sizes are bounded by true duplication, not
+   * corpus size.
+   *
+   * Output per input doc: (doc_id, cluster_size, w_ppm).
+   */
+  def dedupAwareWeights(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val hashed = docs.select(md5(col(textCol)).as("__h"),
+      col(idCol).as("doc_id"))
+    val sizes = hashed.groupBy(col("__h"))
+      .agg(count(lit(1)).as("cluster_size"))
+    hashed.join(sizes, "__h")
+      .select(col("doc_id"), col("cluster_size"),
+        IntMath.idiv(lit(1000000L), col("cluster_size")).as("w_ppm"))
+  }
 }

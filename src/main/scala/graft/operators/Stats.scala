@@ -2380,4 +2380,5 @@ object Stats {
       .withColumn("roll_mean", IntMath.idiv(col("roll_sum"), col("roll_n")))
       .orderBy("grp", "x")
   }
+
 }

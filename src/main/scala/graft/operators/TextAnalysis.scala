@@ -1221,4 +1221,67 @@ object TextAnalysis {
         when(col("suffix_freq") * 100L >= col("source_docs") * minPct.toLong
           && col("suffix_freq") >= 2L, 1L).otherwise(0L).as("boilerplate"))
   }
+
+  /**
+   * Memorization-span audit: for each doc, the LONGEST TOKEN RUN whose
+   * every `n`-shingle also appears in ≥ `minDF` docs — the per-document
+   * readout of "how much of this text exists verbatim elsewhere", the
+   * audit run before training to bound worst-case memorization carriers
+   * (long verbatim spans are what models reproduce; a handful of shared
+   * shingles is noise). Document frequency counts DISTINCT docs per
+   * shingle (a self-repeating doc doesn't flag itself).
+   *
+   * max_dup_span_tokens is exact for the shingle definition: a maximal
+   * run of `r` consecutive shared shingle POSITIONS covers r + n − 1
+   * tokens; docs with no shared shingle (or fewer than n tokens) report
+   * zeros.
+   *
+   * Shape at 100 TB: positional shingle hashes are a keyed window per
+   * doc (the [[winnowedFingerprints]] machinery); the DF table is a
+   * hash-keyed partial-agg groupBy; the run detection is the islands
+   * trick (pos − row_number) under doc-keyed windows — every shuffle is
+   * keyed by doc or by an 8-byte hash, nothing global.
+   *
+   * Output per input doc: (doc_id, n_shingles, n_shared,
+   * max_dup_span_tokens).
+   */
+  def duplicatedSpanRuns(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, minDF: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    require(minDF >= 2, s"minDF must be >= 2, got $minDF")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokenHashes(col(textCol))).as(Seq("pos", "th")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingleHash = (1 until shingleN).foldLeft(col("th")) { (acc, j) =>
+      (acc * 131L + lead(col("th"), j).over(byDoc)) % HashPrime
+    }
+    val sh = toks.withColumn("h", shingleHash)
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+    // document frequency over DISTINCT (doc, h); the shared-shingle table
+    // is the under-DF complement of the usual over-cap filter
+    val shared = sh.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDF.toLong).select(col("h"))
+    val hits = sh.join(shared, Seq("h"), "left_semi")
+    // islands: consecutive positions share (pos − row_number) per doc
+    val runs = hits
+      .withColumn("__grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"), sum(col("run")).as("n_shared"),
+        max(col("run")).as("max_run"))
+    val totals = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("max_run") + lit(shingleN.toLong - 1L), lit(0L))
+          .as("max_dup_span_tokens"))
+  }
 }

@@ -3172,4 +3172,45 @@ class PipelineOpsSpec extends SparkSuite {
       assert(math.abs(r1(k) - n) <= 31L, s"$k noise out of range") }
     assert(r1.keySet == truth.keySet)
   }
+
+  test("dedupAwareWeights: w_ppm = 1e6/cluster_size, every copy keeps its row") {
+    val d = docs((1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique"), (5L, "pair"), (6L, "pair"))
+    val out = Sampling.dedupAwareWeights(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 3L, 333333L),
+      (4L, 1L, 1000000L), (5L, 2L, 500000L), (6L, 2L, 500000L)))
+    // a weighted epoch sees each distinct content ~once: cluster weight
+    // sums stay within truncation of 1e6
+    out.groupBy(_._2).foreach { case (size, rows) =>
+      val perCluster = rows.grouped(size.toInt).map(_.map(_._3).sum)
+      perCluster.foreach(s => assert(s <= 1000000L && s > 1000000L - size))
+    }
+  }
+
+  test("duplicatedSpanRuns: islands find the longest shared token run; " +
+      "self-repeats don't flag; short docs report zeros") {
+    // docs 1 and 2 share the 7-token run "a b c d e f g" (5 shared
+    // 3-shingle positions -> span 5 + 2 = 7); doc 3 is disjoint; doc 4
+    // repeats its own trigram twice but NO OTHER DOC has it (df counts
+    // distinct docs, so nothing flags); doc 5 is too short for a shingle
+    val d = docs(
+      (1L, "a b c d e f g x1 y1 z1"),
+      (2L, "p q a b c d e f g r s"),
+      (3L, "u v w u2 v2 w2 u3 v3 w3"),
+      (4L, "m n o m n o m n o"),
+      (5L, "t u"))
+    val out = TextAnalysis.duplicatedSpanRuns(d, "text", "doc_id",
+        shingleN = 3, minDF = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((8L, 5L, 7L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((9L, 5L, 7L)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((7L, 0L, 0L)), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((7L, 0L, 0L)), s"doc4 self-repeat: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0L)), s"doc5 short: ${out(5L)}")
+  }
 }
