@@ -348,7 +348,8 @@ object Bench {
       "q68_canonical_pick", "q71_wkt_validate", "q72_schema_defaults",
       "q73_canonical_corpus", "q78_stream_banding",
       "q305_map_entry_merge", "q306_dsir_weights", "q307_luhn_card_audit",
-      "q308_phash_radius6", "q309_dedup_weights", "q310_dup_span_runs")
+      "q308_phash_radius6", "q309_dedup_weights", "q310_dup_span_runs",
+      "q311_vocab_richness")
     benched.filter(selected).foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

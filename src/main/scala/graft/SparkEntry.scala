@@ -4687,7 +4687,14 @@ object SparkEntry {
     Q("q310_dup_span_runs", Some(
       s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), th AS (SELECT doc_id, list_transform(tk, t -> ${dFold("t")}) AS th FROM toks), shp0 AS (SELECT doc_id, unnest(CASE WHEN len(th) < 3 THEN [] ELSE list_transform(range(len(th)-2), i -> {'pos': i, 'h': ((((th[CAST(i+1 AS INT)]*131 + th[CAST(i+2 AS INT)]) % 2147483647)*131 + th[CAST(i+3 AS INT)]) % 2147483647)}) END) AS u FROM th), shp AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.h AS BIGINT) AS h FROM shp0), dfq AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM shp GROUP BY h) WHERE df >= 2), hits AS (SELECT shp.doc_id, shp.pos FROM shp JOIN dfq USING (h)), isl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits), runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run FROM isl GROUP BY 1, 2), ag AS (SELECT doc_id, SUM(run) AS n_shared, MAX(run) AS max_run FROM runs GROUP BY 1), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM shp GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles, CAST(COALESCE(ag.n_shared, 0) AS BIGINT) AS n_shared, CAST(COALESCE(ag.max_run + 2, 0) AS BIGINT) AS max_dup_span_tokens FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"""),
       (s, dir) => TextAnalysis.duplicatedSpanRuns(docs(tune(s), dir),
-        "text", "doc_id", shingleN = 3, minDF = 2).orderBy("doc_id"))
+        "text", "doc_id", shingleN = 3, minDF = 2).orderBy("doc_id")),
+
+    // vocabulary richness: bias-corrected Chao1 + Good-Turing unseen mass
+    // — the "is more crawl worth it" one-row readout (hapax/dis widened
+    // through HUGEINT/DECIMAL(38,0) so the f1^2 product can't overflow)
+    Q("q311_vocab_richness", Some(
+      s"""WITH tk AS (SELECT unnest($dToks) AS token FROM documents), tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1), a AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS vocab_size, CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis FROM tf) SELECT n_tokens, vocab_size, hapax, dis, CAST(vocab_size*1000 + (CAST(hapax AS HUGEINT)*1000*(hapax - 1)) // ((dis + 1)*2) AS BIGINT) AS chao1_x1000, CAST(hapax*1000000 // GREATEST(n_tokens, 1) AS BIGINT) AS unseen_mass_ppm FROM a"""),
+      (s, dir) => TextAnalysis.vocabRichness(docs(tune(s), dir), "text"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

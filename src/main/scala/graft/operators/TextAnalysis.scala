@@ -1245,6 +1245,39 @@ object TextAnalysis {
    * Output per input doc: (doc_id, n_shingles, n_shared,
    * max_dup_span_tokens).
    */
+  /**
+   * Vocabulary-richness estimate — how much vocabulary the corpus has NOT
+   * yet shown, the "is more crawl worth it" readout before extending a
+   * collection run: bias-corrected Chao1 richness (Chao 1984 — observed
+   * vocab + f₁(f₁−1)/(2(f₂+1)) from the hapax/dis-legomena counts; the
+   * corrected form is defined even when nothing repeats exactly twice)
+   * and the Good–Turing unseen-probability mass P₀ = f₁/N (Good 1953).
+   * All integer: chao1 ships ×1000, P₀ in ppm; the f₁² product widens
+   * through DECIMAL(38,0) (the q252 overflow lesson — f₁ past ~3·10⁷
+   * would overflow int64 in the ×1000 product).
+   *
+   * Shape at 100 TB: ONE partial-agg groupBy builds the term-frequency
+   * table; everything after is a single 1-row aggregate over it.
+   *
+   * Output (1 row): (n_tokens, vocab_size, hapax, dis, chao1_x1000,
+   * unseen_mass_ppm).
+   */
+  def vocabRichness(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val d = (c: Column) => c.cast(DecimalType(38, 0))
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("vocab_size"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("tf") === 2L, 1L).otherwise(0L)).as("dis"))
+      .select(col("n_tokens"), col("vocab_size"), col("hapax"), col("dis"),
+        (col("vocab_size") * 1000L +
+          IntMath.idiv(d(col("hapax")) * 1000L * d(col("hapax") - 1L),
+            d((col("dis") + 1L) * 2L)).cast(LongType)).as("chao1_x1000"),
+        IntMath.idiv(col("hapax") * 1000000L,
+          greatest(col("n_tokens"), lit(1L))).as("unseen_mass_ppm"))
+  }
+
   def duplicatedSpanRuns(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minDF: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -3190,6 +3190,20 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("vocabRichness: Chao1 bias-corrected + Good-Turing unseen mass on " +
+      "a hand-counted corpus") {
+    // tf: a=3, b=2, c=1, d=1, e=1 -> N=8, V=5, f1=3, f2=1
+    // chao1_x1000 = 5000 + 3*1000*2 // 4 = 6500; P0 = 3e6 // 8 = 375000
+    val d = docs((1L, "a b c a"), (2L, "a b d e"))
+    val r = TextAnalysis.vocabRichness(d, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((8L, 5L, 3L, 1L, 6500L, 375000L)))
+    // f2 = 0 stays defined (bias-corrected denominator)
+    val d2 = docs((1L, "x y z"))
+    val r2 = TextAnalysis.vocabRichness(d2, "text").head()
+    assert(r2.getLong(4) == 3000L + 3L * 1000L * 2L / 2L) // V=3,f1=3,f2=0
+  }
+
   test("duplicatedSpanRuns: islands find the longest shared token run; " +
       "self-repeats don't flag; short docs report zeros") {
     // docs 1 and 2 share the 7-token run "a b c d e f g" (5 shared
