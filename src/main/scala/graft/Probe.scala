@@ -1326,6 +1326,26 @@ object Probe {
       println("q306 plan: histogram broadcasts into scoring join (checked)")
     }
 
+    // ---- q312 exact substring dedup (VERDICT r10 #4): every shuffle must
+    // be KEYED (doc id, 8-byte hash, or candidate gram) — no
+    // single-partition exchange and no driver-side state; and the
+    // two-phase shape must hold: a hash pre-filter semi-join AND a
+    // content-verify semi-join, so k-gram STRINGS only materialize at
+    // candidate positions (hash-df survivors), never corpus-wide.
+    {
+      val q312 = graft.SparkEntry.queries("q312_exact_dup_spans")(spark, dir)
+      val phys = q312.queryExecution.executedPlan.toString
+      require(!phys.contains("SinglePartition"),
+        "q312 must shuffle keyed only (no single-partition exchange):\n" +
+          phys.take(2000))
+      val semis = "LeftSemi".r.findAllIn(phys).size
+      require(semis >= 2,
+        s"q312 expected hash-prefilter + content-verify semi-joins, " +
+          s"got $semis:\n" + phys.take(2000))
+      timed("q312 exact dup spans (sf0.1)")(q312.count())
+      println("q312 plan: keyed shuffles only, two-phase verify (checked)")
+    }
+
     // ---- whole-inventory unpartitioned-window audit: every query whose
     // optimized plan contains a partition-less Window must be on the
     // KNOWN-BOUNDED list (windows over ≤nBins/≤topK aggregate rows —

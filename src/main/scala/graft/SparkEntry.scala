@@ -4676,7 +4676,7 @@ object SparkEntry {
     // it by 1/cluster_size (ppm) — the soft alternative to dropping
     // duplicates when provenance must survive the pass
     Q("q309_dedup_weights", Some(
-      """WITH c AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM documents GROUP BY 1) SELECT d.doc_id, c.cluster_size, CAST(1000000 // c.cluster_size AS BIGINT) AS w_ppm FROM documents d JOIN c ON md5(d.text) = c.h ORDER BY d.doc_id"""),
+      """WITH c AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM documents GROUP BY 1) SELECT d.doc_id, c.cluster_size, CAST(1000000 // c.cluster_size AS BIGINT) AS w_ppm FROM documents d JOIN c ON md5(d.text) IS NOT DISTINCT FROM c.h ORDER BY d.doc_id"""),
       (s, dir) => Sampling.dedupAwareWeights(docs(tune(s), dir),
         "text", "doc_id").orderBy("doc_id")),
 
@@ -4694,7 +4694,23 @@ object SparkEntry {
     // through HUGEINT/DECIMAL(38,0) so the f1^2 product can't overflow)
     Q("q311_vocab_richness", Some(
       s"""WITH tk AS (SELECT unnest($dToks) AS token FROM documents), tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1), a AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS vocab_size, CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis FROM tf) SELECT n_tokens, vocab_size, hapax, dis, CAST(vocab_size*1000 + (CAST(hapax AS HUGEINT)*1000*(hapax - 1)) // ((dis + 1)*2) AS BIGINT) AS chao1_x1000, CAST(hapax*1000000 // GREATEST(n_tokens, 1) AS BIGINT) AS unseen_mass_ppm FROM a"""),
-      (s, dir) => TextAnalysis.vocabRichness(docs(tune(s), dir), "text"))
+      (s, dir) => TextAnalysis.vocabRichness(docs(tune(s), dir), "text")),
+
+    // EXACT cross-doc substring dedup (Lee et al. 2022): maximal token
+    // spans covered by an 8-token run appearing verbatim in >= 2 docs —
+    // hash pre-filter + content verify, the exactness-contract complement
+    // of q310's hash-only approximation (as q201 is to q32)
+    Q("q312_exact_dup_spans", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), kg0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN [] ELSE list_transform(range(len(tk)-7), i -> {'pos': i, 'g': array_to_string(list_slice(tk, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')}) END) AS u FROM toks), kg AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.g AS g FROM kg0), shared AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM kg GROUP BY g) WHERE df >= 2), hits AS (SELECT kg.doc_id, kg.pos FROM kg JOIN shared USING (g)), m AS (SELECT doc_id, pos, CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk FROM hits), g2 AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM m) SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, CAST(MAX(pos) + 7 AS BIGINT) AS span_end, CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens FROM g2 GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+      (s, dir) => Dedup.exactDupSpans(docs(tune(s), dir), "text", "doc_id",
+        minTokens = 8).orderBy("doc_id", "span_start")),
+
+    // the scrub step of the same audit: remove every token covered by a
+    // cross-doc duplicated span, re-join the survivors with single spaces
+    Q("q313_scrub_dup_spans", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), kg0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN [] ELSE list_transform(range(len(tk)-7), i -> {'pos': i, 'g': array_to_string(list_slice(tk, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')}) END) AS u FROM toks), kg AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.g AS g FROM kg0), shared AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM kg GROUP BY g) WHERE df >= 2), hits AS (SELECT kg.doc_id, kg.pos FROM kg JOIN shared USING (g)), cov AS (SELECT DISTINCT doc_id, pos + j AS cpos FROM hits, range(8) t(j)), tk1 AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok FROM (SELECT doc_id, unnest(list_transform(range(len(tk)), i -> {'pos': i, 'tok': tk[CAST(i+1 AS INT)]})) AS u FROM toks)), scrub AS (SELECT t.doc_id, t.pos, t.tok FROM tk1 t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos WHERE c.doc_id IS NULL), re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text, CAST(COUNT(*) AS BIGINT) AS kept_tokens FROM scrub GROUP BY doc_id), tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM toks) SELECT d.doc_id, COALESCE(re.scrubbed_text, '') AS scrubbed_text, COALESCE(re.kept_tokens, 0) AS kept_tokens, tot.n - COALESCE(re.kept_tokens, 0) AS dropped_tokens FROM documents d JOIN tot USING (doc_id) LEFT JOIN re USING (doc_id) ORDER BY d.doc_id"""),
+      (s, dir) => Dedup.scrubDupSpans(docs(tune(s), dir), "text", "doc_id",
+        minTokens = 8).orderBy("doc_id"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1009,6 +1009,16 @@ object Dedup {
    * exact overlap count on candidate pairs — |cand| × mean doc size, the
    * same verify shape that keeps q32 linear-ish in dup density.
    *
+   * Numeric envelope: the threshold predicates (size band, positional
+   * filter, verify) all compare `x² · 10⁶` against `t² · n_a · n_b` in
+   * Long arithmetic, which is exact while n_a · n_b < 2⁶³/10⁶ ≈ 9.2·10¹²
+   * — i.e. until BOTH docs carry ~3·10⁶+ DF-capped distinct shingles.
+   * A 3M-distinct-shingle doc is a ≥ 3M-token document (tens of MB of
+   * text), far past any sane per-document bound in a training corpus;
+   * enforce a doc-length cap upstream (or widen these products through
+   * DecimalType as [[TextAnalysis.vocabRichness]] does) before feeding
+   * book-length concatenations.
+   *
    * Output: (doc_a, doc_b, overlap, n_a, n_b), doc_a < doc_b.
    */
   def allPairsCosine(docs: DataFrame, textCol: String, idCol: String,
@@ -1097,6 +1107,138 @@ object Dedup {
    *
    * Output (1 row): (n_a, n_b, n_both, only_a, only_b, jaccard_ppm).
    */
+  /**
+   * EXACT cross-document substring dedup (the memorization audit of Lee
+   * et al. 2022, "Deduplicating Training Data Makes Language Models
+   * Better"): for every document, the maximal TOKEN spans covered by some
+   * `minTokens`-token run that appears VERBATIM in at least one OTHER
+   * document. Unlike [[TextAnalysis.duplicatedSpanRuns]] (its hash-only
+   * approximation, collision false-positives possible), the output here
+   * is exact: candidate positions found by hash are re-verified on the
+   * actual token content before any position is marked.
+   *
+   * Exactness argument (in place of Lee et al.'s suffix array — a k-gram
+   * union computes the same span union for the fixed-k contract):
+   *  - completeness: a run of L ≥ k tokens shared verbatim between two
+   *    docs has ALL of its k-gram start positions [s, s+L−k] shared
+   *    verbatim, every one of them survives the hash pre-filter (equal
+   *    strings hash equal) and the content verify, and coalescing marks
+   *    the whole [s, s+L−1];
+   *  - soundness: a marked position sits inside some verified k-gram,
+   *    i.e. inside a verbatim shared run of ≥ k tokens;
+   *  - maximality: spans merge while their k-gram intervals overlap or
+   *    touch, so each output row is a maximal covered interval — exactly
+   *    the byte ranges Lee et al.'s ExactSubstr scrubs.
+   * Self-repeats do NOT mark (document frequency counts DISTINCT docs).
+   *
+   * Shape at 100 TB: the hash pre-filter shuffles only (doc, pos, h64)
+   * rows (doc-keyed window + 8-byte-hash-keyed partial agg, the q310
+   * plan); the content verify re-materializes k-gram STRINGS only at
+   * candidate positions — one doc-keyed join of hit-position lists
+   * against the token arrays, so text volume in the verify shuffle is
+   * k × (true dup density + collision noise), not k × corpus. Islands
+   * are doc-keyed windows, bounded by doc length.
+   *
+   * Output: (doc_id, span_start, span_end, span_tokens) — 0-based token
+   * positions, end inclusive; docs with no shared run produce no rows.
+   */
+  def exactDupSpans(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val k = minTokens
+    // positional k-gram hashes (the duplicatedSpanRuns machinery): explode
+    // token hashes once, window-lead fold combines k consecutive hashes
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokenHashes(col(textCol))).as(Seq("pos", "th")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val kgramHash = (1 until k).foldLeft(col("th")) { (acc, j) =>
+      (acc * 131L + lead(col("th"), j).over(byDoc)) % HashPrime
+    }
+    val sh = toks.withColumn("h", kgramHash)
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+    // hash pre-filter: k-gram hashes seen in ≥ 2 DISTINCT docs (full
+    // recall: equal strings hash equal; collisions only add candidates)
+    val sharedH = sh.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L).select(col("h"))
+    val candPos = sh.join(sharedH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // content verify: materialize the ACTUAL k-gram string at candidate
+    // positions only — hit positions aggregate per doc first so each doc's
+    // token array ships into the join once, not once per hit
+    val posLists = candPos.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("ps"))
+    val tokenArrays = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    val kgv = posLists.join(tokenArrays, Seq("doc_id"))
+      .select(col("doc_id"), explode(col("ps")).as("pos"),
+        col("tk"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("tk"), col("pos") + 1, lit(k)), " ").as("g"))
+    val sharedG = kgv.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L).select(col("g"))
+    val hits = kgv.join(sharedG, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // interval coalescing: equal-length intervals [pos, pos+k−1] in pos
+    // order merge while the next start is ≤ previous start + k (overlap
+    // or adjacency) — lag is enough because interval ends are monotone
+    val prevPos = lag(col("pos"), 1).over(byDoc)
+    val marked = hits
+      .withColumn("brk",
+        when(prevPos.isNull || col("pos") - prevPos > k, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .select(col("doc_id"),
+        col("s").cast(LongType).as("span_start"),
+        (col("e") + k - 1).cast(LongType).as("span_end"),
+        (col("e") - col("s") + k).cast(LongType).as("span_tokens"))
+  }
+
+  /**
+   * Scrub companion to [[exactDupSpans]] (Lee et al. 2022's ExactSubstr
+   * DEDUP step): every token covered by a cross-doc duplicated span is
+   * removed, the survivors re-join with single spaces. Docs made entirely
+   * of duplicated content come back as empty strings; docs with no
+   * duplicated span come back whitespace-normalized (the tokenizer's
+   * canonical join — positions, not raw bytes, are the unit here).
+   *
+   * Shape: spans explode to covered positions (bounded by true dup
+   * volume), one doc-keyed anti-join against the posexploded tokens, one
+   * doc-keyed ordered re-assembly.
+   *
+   * Output per input doc: (doc_id, scrubbed_text, kept_tokens,
+   * dropped_tokens).
+   */
+  def scrubDupSpans(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 8): DataFrame = {
+    val spans = exactDupSpans(docs, textCol, idCol, minTokens)
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), col("pos0").cast(LongType).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("scrubbed_text"),
+        count(lit(1)).as("kept_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast(LongType).as("n_tokens"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("dropped_tokens"))
+  }
+
   def pairSetAgreement(pairsA: DataFrame, pairsB: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     def norm(df: DataFrame, tag: String): DataFrame =

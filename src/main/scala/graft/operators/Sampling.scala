@@ -420,15 +420,24 @@ object Sampling {
    * never shuffles. Cluster sizes are bounded by true duplication, not
    * corpus size.
    *
+   * NULL text: `md5(NULL)` is NULL, so the grouping AND the join back are
+   * both null-safe (`<=>` / `IS NOT DISTINCT FROM`) — all null-text docs
+   * form one cluster (identical absent content) instead of silently
+   * dropping out of the inner join, honoring the "every copy keeps its
+   * row" provenance contract.
+   *
    * Output per input doc: (doc_id, cluster_size, w_ppm).
    */
   def dedupAwareWeights(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val hashed = docs.select(md5(col(textCol)).as("__h"),
       col(idCol).as("doc_id"))
+    // groupBy already buckets NULL keys together; the join back must be
+    // null-safe or the null cluster vanishes (nothing equi-matches NULL)
     val sizes = hashed.groupBy(col("__h"))
       .agg(count(lit(1)).as("cluster_size"))
-    hashed.join(sizes, "__h")
+      .withColumnRenamed("__h", "__hs")
+    hashed.join(sizes, col("__h") <=> col("__hs"))
       .select(col("doc_id"), col("cluster_size"),
         IntMath.idiv(lit(1000000L), col("cluster_size")).as("w_ppm"))
   }

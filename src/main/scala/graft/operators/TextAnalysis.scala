@@ -1223,29 +1223,6 @@ object TextAnalysis {
   }
 
   /**
-   * Memorization-span audit: for each doc, the LONGEST TOKEN RUN whose
-   * every `n`-shingle also appears in ≥ `minDF` docs — the per-document
-   * readout of "how much of this text exists verbatim elsewhere", the
-   * audit run before training to bound worst-case memorization carriers
-   * (long verbatim spans are what models reproduce; a handful of shared
-   * shingles is noise). Document frequency counts DISTINCT docs per
-   * shingle (a self-repeating doc doesn't flag itself).
-   *
-   * max_dup_span_tokens is exact for the shingle definition: a maximal
-   * run of `r` consecutive shared shingle POSITIONS covers r + n − 1
-   * tokens; docs with no shared shingle (or fewer than n tokens) report
-   * zeros.
-   *
-   * Shape at 100 TB: positional shingle hashes are a keyed window per
-   * doc (the [[winnowedFingerprints]] machinery); the DF table is a
-   * hash-keyed partial-agg groupBy; the run detection is the islands
-   * trick (pos − row_number) under doc-keyed windows — every shuffle is
-   * keyed by doc or by an 8-byte hash, nothing global.
-   *
-   * Output per input doc: (doc_id, n_shingles, n_shared,
-   * max_dup_span_tokens).
-   */
-  /**
    * Vocabulary-richness estimate — how much vocabulary the corpus has NOT
    * yet shown, the "is more crawl worth it" readout before extending a
    * collection run: bias-corrected Chao1 richness (Chao 1984 — observed
@@ -1278,6 +1255,30 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1L))).as("unseen_mass_ppm"))
   }
 
+  /**
+   * Memorization-span audit: for each doc, the LONGEST TOKEN RUN whose
+   * every `n`-shingle also appears in ≥ `minDF` docs — the per-document
+   * readout of "how much of this text exists verbatim elsewhere", the
+   * audit run before training to bound worst-case memorization carriers
+   * (long verbatim spans are what models reproduce; a handful of shared
+   * shingles is noise). Document frequency counts DISTINCT docs per
+   * shingle (a self-repeating doc doesn't flag itself).
+   *
+   * max_dup_span_tokens is exact for the shingle definition: a maximal
+   * run of `r` consecutive shared shingle POSITIONS covers r + n − 1
+   * tokens; docs with no shared shingle (or fewer than n tokens) report
+   * zeros. (The EXACT content-verified complement — no hash collisions,
+   * union-of-spans output — is [[Dedup.exactDupSpans]].)
+   *
+   * Shape at 100 TB: positional shingle hashes are a keyed window per
+   * doc (the [[winnowedFingerprints]] machinery); the DF table is a
+   * hash-keyed partial-agg groupBy; the run detection is the islands
+   * trick (pos − row_number) under doc-keyed windows — every shuffle is
+   * keyed by doc or by an 8-byte hash, nothing global.
+   *
+   * Output per input doc: (doc_id, n_shingles, n_shared,
+   * max_dup_span_tokens).
+   */
   def duplicatedSpanRuns(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minDF: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -41,6 +41,14 @@ class KeyedParquetTable(
     /** Parquet codec for state files (X2 `compression` mapped via
       * `SinkConfig.Config.parquetCodec`). */
     compression: String = "snappy",
+    /** Cap on concurrent write tasks per merge job — the Spark analogue of
+      * the reference's `maxConcurrentRequests` in-flight-writes throttle
+      * (KAF-60), wired from `SinkConfig` by `SinkPipeline.store`. Applied
+      * as a `coalesce` on the merged frame right before the state write,
+      * so a bucket-version write never runs more than this many parallel
+      * tasks. The default is effectively "no cap" for any sane local or
+      * cluster parallelism. */
+    maxWriteTasks: Int = Int.MaxValue,
     /** `row`: one writetime per row ([[Upserts.mergeInto]]); `cell`:
       * per-column writetimes persisted as `__wt_<col>` state columns
       * ([[Upserts.mergeIntoCellWise]] — Cassandra's actual reconciliation
@@ -176,13 +184,19 @@ class KeyedParquetTable(
     * bucket pointers silently vanish from the manifest — e.g. a maintenance
     * vacuum timer firing mid-merge). Single-JVM lock: the driver is the only
     * manifest writer, as in any single-writer table format. */
+  /** maxConcurrentRequests analogue: cap the write job's task parallelism.
+    * `coalesce(n)` is a no-op when the frame already has ≤ n partitions,
+    * so the default cap never touches the plan. */
+  private def capWrite(df: DataFrame): DataFrame =
+    if (maxWriteTasks == Int.MaxValue) df else df.coalesce(maxWriteTasks)
+
   def sweep(keep: Column): Unit = synchronized {
     val m = currentMeta
     if (m.buckets.isEmpty) return
     val kept = readBuckets(m, None).filter(keep)
     val v = m.maxV + 1
     val dir = rootPath.resolve(s"v$v").toString
-    val out = kept.withColumn(BucketCol, bucketOf)
+    val out = capWrite(kept.withColumn(BucketCol, bucketOf))
     if (out.isEmpty)
       out.write.mode("overwrite").option("compression", compression).parquet(dir)
     else
@@ -257,7 +271,7 @@ class KeyedParquetTable(
 
     val v = m.maxV + 1
     val dir = rootPath.resolve(s"v$v").toString
-    val out = next.withColumn(BucketCol, bucketOf)
+    val out = capWrite(next.withColumn(BucketCol, bucketOf))
     if (out.isEmpty) // all touched rows deleted: schema-only file, no partitions
       out.write.mode("overwrite").option("compression", compression).parquet(dir)
     else

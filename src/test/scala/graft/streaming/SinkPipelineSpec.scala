@@ -933,4 +933,112 @@ class SinkPipelineSpec extends SparkSuite {
     assert(g(1L) == ((3L, 2L))) // 3 rows at cap 2 → 2 batch requests
     assert(g(2L) == ((1L, 1L)))
   }
+
+  test("maxConcurrentRequests caps the state write's task parallelism " +
+      "(KAF-60 analogue)") {
+    val root = Files.createTempDirectory("graft-mcr").toString
+    val cfg = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "maxConcurrentRequests" -> "1"))
+    assert(cfg.maxConcurrentRequests == 1)
+    val pipe = new SinkPipeline(cfg, Map("ks.t1" -> t1), root)
+    pipe.processBatch(batch(
+      ("orders", 0L, "1", """{"v": 10}""", 1000L),
+      ("orders", 1L, "2", """{"v": 20}""", 1000L),
+      ("orders", 2L, "3", """{"v": 30}""", 1000L),
+      ("orders", 3L, "4", """{"v": 40}""", 1000L),
+      ("orders", 4L, "5", """{"v": 50}""", 1000L),
+      ("orders", 5L, "6", """{"v": 60}""", 1000L)), 0L)
+    // cap=1 → ONE write task → exactly one part file per bucket directory
+    // (uncapped, the 32-partition batch frame writes up to one file per
+    // task per bucket); semantics unchanged — all six rows land
+    val v1 = java.nio.file.Paths.get(root, "ks.t1", "v1")
+    assert(java.nio.file.Files.exists(v1))
+    val bucketDirs = java.nio.file.Files.list(v1).iterator()
+    var checked = 0
+    while (bucketDirs.hasNext) {
+      val d = bucketDirs.next()
+      if (java.nio.file.Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("__bucket=")) {
+        val parts = java.nio.file.Files.list(d).iterator()
+        var n = 0
+        while (parts.hasNext) {
+          if (parts.next().getFileName.toString.startsWith("part-")) n += 1
+        }
+        assert(n == 1, s"bucket dir $d has $n part files under cap=1")
+        checked += 1
+      }
+    }
+    assert(checked >= 1)
+    assert(pipe.store(s, cfg.bindings.head).state().count() == 6L)
+  }
+
+  test("queryExecutionTimeout cancels an over-running batch's jobs and " +
+      "holds the batch for retry (KAF-49 analogue)") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-qet").toString
+    val cfg = SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "queryExecutionTimeout" -> "5"))
+    assert(cfg.queryExecutionTimeoutSet && cfg.queryExecutionTimeout == 5)
+    // the DEFAULT config leaves the watchdog unarmed (the reference's 30 s
+    // per-statement default has no faithful per-batch translation)
+    assert(!SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v"))
+      .queryExecutionTimeoutSet)
+    val pipe = new SinkPipeline(cfg, Map("ks.t1" -> t1), root)
+    // a batch whose very first job (the topic-count collect) would run 60 s:
+    // 8 tasks × 60 s sleep; the watchdog cancels the group at 5 s and the
+    // interrupt (interruptOnCancel) fails the tasks immediately
+    val sleepKey = udf { (i: Long) => Thread.sleep(60000L); i.toString }
+    val slow = s.range(0L, 8L, 1L, 8).select(
+      lit("orders").as("topic"), lit(0).as("partition"),
+      col("id").as("offset"), sleepKey(col("id")).as("key"),
+      lit("""{"v": 1}""").as("value"),
+      lit(null).cast(kafkaSchema("headers").dataType).as("headers"),
+      lit(java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1000L)))
+        .as("timestamp"))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] { pipe.processBatch(slow, 0L) }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("queryExecutionTimeout"),
+      s"unexpected message: ${e.getMessage}")
+    assert(elapsed < 55.0, s"watchdog did not cancel (took $elapsed s)")
+    // nothing flipped: the failed batch left no state, and the pipeline
+    // still processes a normal batch afterwards (retry contract)
+    assert(pipe.store(s, cfg.bindings.head).state().count() == 0L)
+    pipe.processBatch(batch(("orders", 9L, "7", """{"v": 70}""", 2000L)), 1L)
+    assert(pipe.store(s, cfg.bindings.head).state()
+      .select("my_pk", "my_value").collect().toSeq == Seq(Row(7L, 70L)))
+  }
+
+  test("jmx toggle: start() attaches the stats bridge iff jmx=true") {
+    def runStream(cfg: SinkConfig.Config): SinkPipeline = {
+      val root = Files.createTempDirectory("graft-jmx").toString
+      val srcDir = Files.createTempDirectory("graft-jmx-src").toString
+      val ckpt = Files.createTempDirectory("graft-jmx-ck").toString
+      batch(("orders", 0L, "7", """{"v": 70}""", 1000L))
+        .write.mode("overwrite").parquet(srcDir)
+      val pipe = new SinkPipeline(cfg, Map("ks.t1" -> t1), root)
+      val q = pipe.start(s.readStream.schema(kafkaSchema).parquet(srcDir), ckpt)
+      q.awaitTermination(60000)
+      pipe
+    }
+    val off = runStream(SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v",
+      "jmx" -> "false")))
+    assert(off.metricsListener.isEmpty)
+    val on = runStream(SinkConfig.parse(Map(
+      "topic.orders.ks.t1.mapping" -> "my_pk=key, my_value=value.v")))
+    try {
+      assert(on.metricsListener.isDefined) // default jmx=true
+      // listener events arrive asynchronously
+      val l = on.metricsListener.get
+      var waited = 0
+      while (l.stats.values.map(_.inputRows.get).sum < 1 && waited < 100) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(l.stats.values.map(_.inputRows.get).sum >= 1L)
+    } finally on.metricsListener.foreach(s.streams.removeListener)
+  }
 }
