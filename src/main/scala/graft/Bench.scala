@@ -566,6 +566,8 @@ object Bench {
       }
     var sinkStreamStateJson = "[]"
     var sinkStreamFlatRatio = -1.0
+    var sf1SinkStreamStateJson = "[]"
+    var sf1SinkStreamFlatRatio = -1.0
 
     // ---- ingest-time DSIR quality-gate cost (VERDICT r9 #5): the same
     // fresh-store whole-frame batch as sink_dedup_batch, plus
@@ -574,144 +576,157 @@ object Bench {
     // broadcast histogram join + keep semi-join + counter agg). The
     // histogram trains ONCE outside the timer (training is offline by
     // contract; the gate only READS the persisted model). ----
+    // helpers hoisted to main scope so the sf1 probe section reuses the
+    // SAME ingest paths at 10× the data (VERDICT r10 #5)
+    def trainHist(dir: String): java.nio.file.Path = {
+      val histDir = java.nio.file.Files.createTempDirectory("graft-bench-hist")
+      val docsQ = spark.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Sampling.dsirHistogram(
+          docsQ.filter(col("doc_id") % 7L === 0L), docsQ, "text")
+        .write.mode("overwrite").parquet(histDir.toString)
+      histDir
+    }
+    def sinkQualityBatchOnce(dir: String, hd: String): Unit = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bench-qual")
+      val cfg = SinkConfig.parse(Map(
+        "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value",
+        "topic.purchase.ks1.t.dedup" -> "exact",
+        "topic.purchase.ks1.t.quality" -> s"dsir:0:$hd"))
+      val table = graft.sink.SinkTable("ks1", "t",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("my_pk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("my_value",
+            org.apache.spark.sql.types.StringType))),
+        Seq("my_pk"))
+      val pipe = new graft.streaming.SinkPipeline(cfg,
+        Map("ks1.t" -> table), root.toString)
+      pipe.processBatch(KafkaLike.frameWithTombstones(spark, dir), 0L)
+      deleteTree(root)
+    }
+    // ---- end-to-end sink stream steady state (VERDICT r9 #6, series
+    // length + state attribution VERDICT r10 #2): the FULL processBatch
+    // path — DSIR quality gate + near-dedup state merge + mapping + LWW
+    // bucket merge + metrics — through a real micro-batch stream, one
+    // FIXED-SIZE input file per trigger, ONE durable store across batches.
+    // Returns (total sec, per-batch secs, per-batch state/diag JSON rows):
+    // per-batch store bytes/files (LWW table and dedup band store
+    // separately), cpu/gc/load, and processBatch phase timings — a
+    // wall-time drift anywhere in the series self-attributes from the
+    // artifact. A 48-batch idle capture measured FLAT (ratio 1.097, state
+    // constant): the r10 8-batch "rising tail" was JIT warm-up +
+    // co-tenant load, not O(state) merge growth.
+    def runSinkStream(dir: String, hd: String, nBatches: Int)
+        : (Double, Seq[Double], Seq[String]) = {
+      val secs = scala.collection.mutable.ArrayBuffer[Double]()
+      val state = scala.collection.mutable.ArrayBuffer[String]()
+      var sIn: java.nio.file.Path = null
+      var sCk: java.nio.file.Path = null
+      var sRoot: java.nio.file.Path = null
+      val streamStats = new TaskStatsListener
+      try {
+        sIn = java.nio.file.Files.createTempDirectory("graft-sstream-in")
+        sCk = java.nio.file.Files.createTempDirectory("graft-sstream-ck")
+        sRoot = java.nio.file.Files.createTempDirectory("graft-sstream-store")
+        KafkaLike.frameWithTombstones(spark, dir).repartition(nBatches)
+          .write.mode("overwrite").parquet(sIn.toString)
+        val inSchema = spark.read.parquet(sIn.toString).schema
+        val streamIn = spark.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1").parquet(sIn.toString)
+        val cfg = SinkConfig.parse(Map(
+          "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value",
+          "topic.purchase.ks1.t.dedup" -> "near:16x4",
+          "topic.purchase.ks1.t.quality" -> s"dsir:0:$hd"))
+        val table = graft.sink.SinkTable("ks1", "t",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("my_pk",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("my_value",
+              org.apache.spark.sql.types.StringType))),
+          Seq("my_pk"))
+        val pipe = new graft.streaming.SinkPipeline(cfg,
+          Map("ks1.t" -> table), sRoot.toString)
+        // (bytes, files) under a store subtree — cheap walk, no Spark job
+        def duDir(p: java.nio.file.Path): (Long, Long) =
+          if (!java.nio.file.Files.exists(p)) (0L, 0L)
+          else {
+            val st = java.nio.file.Files.walk(p)
+            try {
+              var b = 0L; var n = 0L
+              val it = st.iterator()
+              while (it.hasNext) {
+                val f = it.next()
+                if (java.nio.file.Files.isRegularFile(f)) {
+                  b += java.nio.file.Files.size(f); n += 1
+                }
+              }
+              (b, n)
+            } finally st.close()
+          }
+        val tblDir = java.nio.file.Paths.get(sRoot.toString, "ks1.t")
+        val dedupDir = java.nio.file.Paths.get(sRoot.toString, "_dedup")
+        spark.sparkContext.addSparkListener(streamStats)
+        val t0 = System.nanoTime()
+        val q = streamIn.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val g0 = gcSeconds()
+            org.apache.spark.sql.GraftBridge.drainListeners(spark)
+            streamStats.reset()
+            val s = time(pipe.processBatch(batch, id))
+            val (cpuS, _) = streamStats.snapshot(spark)
+            val gd = gcSeconds() - g0
+            val l = loadavg1m()
+            val (tb, tf) = duDir(tblDir)
+            val (db, df) = duDir(dedupDir)
+            val phasesJson = pipe.lastBatchPhaseMs.map { case (k, v) =>
+              "\"" + k + "\":" + v }.mkString("{", ",", "}")
+            secs.synchronized {
+              secs += s
+              state += f"""{"sec":$s%1.3f,"cpu_sec":$cpuS%1.2f,"gc_sec":$gd%1.3f,"load":$l%1.2f,"table_mb":${tb / 1048576.0}%1.2f,"table_files":$tf,"dedup_mb":${db / 1048576.0}%1.2f,"dedup_files":$df,"phase_ms":$phasesJson}"""
+            }
+            ()
+          }
+          .option("checkpointLocation", sCk.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ((System.nanoTime() - t0) / 1e9, secs.toSeq, state.toSeq)
+      } finally {
+        try spark.sparkContext.removeSparkListener(streamStats)
+        catch { case _: Throwable => () }
+        graft.operators.Staging.releaseAll(spark, blocking = true)
+        if (sIn != null) deleteTree(sIn)
+        if (sCk != null) deleteTree(sCk)
+        if (sRoot != null) deleteTree(sRoot)
+      }
+    }
+
     if (fullRun || selected("sink_quality_batch") || selected("sink_stream")) {
       var histDir: java.nio.file.Path = null
       try {
-        histDir = java.nio.file.Files.createTempDirectory("graft-bench-hist")
-        val docsQ = spark.read.parquet(s"$sfDir/documents.parquet")
-        graft.operators.Sampling.dsirHistogram(
-            docsQ.filter(col("doc_id") % 7L === 0L), docsQ, "text")
-          .write.mode("overwrite").parquet(histDir.toString)
+        histDir = trainHist(sfDir)
         val hd = histDir.toString
-        def sinkQualityBatchOnce(dir: String): Unit = {
-          val root = java.nio.file.Files
-            .createTempDirectory("graft-bench-qual")
-          val cfg = SinkConfig.parse(Map(
-            "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value",
-            "topic.purchase.ks1.t.dedup" -> "exact",
-            "topic.purchase.ks1.t.quality" -> s"dsir:0:$hd"))
-          val table = graft.sink.SinkTable("ks1", "t",
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("my_pk",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("my_value",
-                org.apache.spark.sql.types.StringType))),
-            Seq("my_pk"))
-          val pipe = new graft.streaming.SinkPipeline(cfg,
-            Map("ks1.t" -> table), root.toString)
-          pipe.processBatch(KafkaLike.frameWithTombstones(spark, dir), 0L)
-          deleteTree(root)
-        }
         if (fullRun || selected("sink_quality_batch"))
-          record("sink_quality_batch") { sinkQualityBatchOnce(sfDir) }
+          record("sink_quality_batch") { sinkQualityBatchOnce(sfDir, hd) }
 
-        // ---- end-to-end sink stream steady state (VERDICT r9 #6, series
-        // length + state attribution VERDICT r10 #2): the FULL processBatch
-        // path — DSIR quality gate + near-dedup state merge + mapping +
-        // LWW bucket merge + metrics — through a real micro-batch stream,
-        // one FIXED-SIZE input file per trigger, ONE durable store across
-        // batches (unlike the per-run fresh stores above, this watches the
-        // steady state the sink actually runs in). 32 batches: the r10
-        // 8-batch series was too short to support its own steady-state
-        // claim. Per-batch durations ship in `sink_stream_batches`;
-        // per-batch STATE diagnostics (store bytes/files for the LWW table
-        // and the dedup band store separately) in `sink_stream_state`; the
-        // flat-slope gate (last-quartile mean / second-quartile mean) in
-        // `sink_stream_flat_ratio`.
-        val sinkStreamSecs = scala.collection.mutable.ArrayBuffer[Double]()
-        val sinkStreamState = scala.collection.mutable.ArrayBuffer[String]()
-        var sIn: java.nio.file.Path = null
-        var sCk: java.nio.file.Path = null
-        var sRoot: java.nio.file.Path = null
+        // 32 FIXED-SIZE batches (the r10 8-batch series was too short to
+        // support its own steady-state claim): per-batch durations ship in
+        // `sink_stream_batches`, per-batch state/phase diagnostics in
+        // `sink_stream_state`, the flat-slope gate (last-quartile mean /
+        // second-quartile mean) in `sink_stream_flat_ratio`.
         if (fullRun || selected("sink_stream")) try {
-          sIn = java.nio.file.Files.createTempDirectory("graft-sstream-in")
-          sCk = java.nio.file.Files.createTempDirectory("graft-sstream-ck")
-          sRoot = java.nio.file.Files
-            .createTempDirectory("graft-sstream-store")
           val nSinkBatches =
             sys.env.getOrElse("SPARK_GRAFT_SINK_BATCHES", "32").toInt
-          KafkaLike.frameWithTombstones(spark, sfDir)
-            .repartition(nSinkBatches)
-            .write.mode("overwrite").parquet(sIn.toString)
-          val inSchema = spark.read.parquet(sIn.toString).schema
-          val streamIn = spark.readStream.schema(inSchema)
-            .option("maxFilesPerTrigger", "1").parquet(sIn.toString)
-          val cfg = SinkConfig.parse(Map(
-            "topic.purchase.ks1.t.mapping" -> "my_pk=key, my_value=value",
-            "topic.purchase.ks1.t.dedup" -> "near:16x4",
-            "topic.purchase.ks1.t.quality" -> s"dsir:0:$hd"))
-          val table = graft.sink.SinkTable("ks1", "t",
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("my_pk",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("my_value",
-                org.apache.spark.sql.types.StringType))),
-            Seq("my_pk"))
-          val pipe = new graft.streaming.SinkPipeline(cfg,
-            Map("ks1.t" -> table), sRoot.toString)
-          // (bytes, files) under a store subtree — cheap walk, no Spark job
-          def duDir(p: java.nio.file.Path): (Long, Long) =
-            if (!java.nio.file.Files.exists(p)) (0L, 0L)
-            else {
-              val st = java.nio.file.Files.walk(p)
-              try {
-                var b = 0L; var n = 0L
-                val it = st.iterator()
-                while (it.hasNext) {
-                  val f = it.next()
-                  if (java.nio.file.Files.isRegularFile(f)) {
-                    b += java.nio.file.Files.size(f); n += 1
-                  }
-                }
-                (b, n)
-              } finally st.close()
-            }
-          val tblDir = java.nio.file.Paths.get(sRoot.toString, "ks1.t")
-          val dedupDir = java.nio.file.Paths.get(sRoot.toString, "_dedup")
-          // per-batch stream stats (same listener class as the probes):
-          // cpu_sec tells "engine did more work" apart from "machine was
-          // busy" for every batch of the series
-          val streamStats = new TaskStatsListener
-          spark.sparkContext.addSparkListener(streamStats)
-          val t0 = System.nanoTime()
-          val q = streamIn.writeStream
-            .foreachBatch { (batch: DataFrame, id: Long) =>
-              val g0 = gcSeconds()
-              org.apache.spark.sql.GraftBridge.drainListeners(spark)
-              streamStats.reset()
-              val s = time(pipe.processBatch(batch, id))
-              val (cpuS, _) = streamStats.snapshot(spark)
-              val gd = gcSeconds() - g0
-              val l = loadavg1m()
-              val (tb, tf) = duDir(tblDir)
-              val (db, df) = duDir(dedupDir)
-              val phasesJson = pipe.lastBatchPhaseMs.map { case (k, v) =>
-                "\"" + k + "\":" + v }.mkString("{", ",", "}")
-              sinkStreamSecs.synchronized {
-                sinkStreamSecs += s
-                sinkStreamState += f"""{"sec":$s%1.3f,"cpu_sec":$cpuS%1.2f,"gc_sec":$gd%1.3f,"load":$l%1.2f,"table_mb":${tb / 1048576.0}%1.2f,"table_files":$tf,"dedup_mb":${db / 1048576.0}%1.2f,"dedup_files":$df,"phase_ms":$phasesJson}"""
-              }
-              ()
-            }
-            .option("checkpointLocation", sCk.toString)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          spark.sparkContext.removeSparkListener(streamStats)
-          results += "sink_stream" -> (System.nanoTime() - t0) / 1e9
-          allRuns += "sink_stream_batches" -> sinkStreamSecs.toSeq
+          val (total, secs, state) = runSinkStream(sfDir, hd, nSinkBatches)
+          results += "sink_stream" -> total
+          allRuns += "sink_stream_batches" -> secs
+          sinkStreamStateJson = state.mkString("[", ",", "]")
+          sinkStreamFlatRatio = quartileFlatRatio(secs)
         } catch { case _: Throwable =>
-          if ((fullRun || selected("sink_stream")) &&
-              !results.contains("sink_stream"))
+          if (!results.contains("sink_stream"))
             results += "sink_stream" -> -1.0
-        } finally {
-          graft.operators.Staging.releaseAll(spark, blocking = true)
-          if (sIn != null) deleteTree(sIn)
-          if (sCk != null) deleteTree(sCk)
-          if (sRoot != null) deleteTree(sRoot)
         }
-        sinkStreamStateJson = sinkStreamState.mkString("[", ",", "]")
-        sinkStreamFlatRatio = quartileFlatRatio(sinkStreamSecs.toSeq)
       } catch { case _: Throwable =>
         if (!results.contains("sink_quality_batch"))
           results += "sink_quality_batch" -> -1.0
@@ -918,6 +933,35 @@ object Bench {
       }
       if (fullRun)
         sf1Results += "state_merge_1key_1m_sec" -> mergeOneKeyAt(1000000L)
+
+      // ---- ingest benches at 10× the data (VERDICT r10 #5): state 10×
+      // larger is exactly where the O(touched-buckets) merge claim
+      // matters. ONE pass each — the 16-batch series itself is the
+      // evidence (per-batch state/phase diagnostics in
+      // `sf1_sink_stream_state`, flat gate in `sf1_sink_stream_flat_ratio`);
+      // repeating a multi-minute stream adds no information.
+      if (fullRun || sf1Selected("sink_stream") ||
+          sf1Selected("sink_quality_batch")) {
+        var h: java.nio.file.Path = null
+        try {
+          h = trainHist(sf1Dir)
+          if (fullRun || sf1Selected("sink_quality_batch"))
+            sf1Results += "sink_quality_batch" ->
+              time(sinkQualityBatchOnce(sf1Dir, h.toString))
+          if (fullRun || sf1Selected("sink_stream")) {
+            val (total, secs, state) = runSinkStream(sf1Dir, h.toString, 16)
+            sf1Results += "sink_stream_16" -> total
+            sf1Runs += "sink_stream_16" -> secs
+            sf1SinkStreamStateJson = state.mkString("[", ",", "]")
+            sf1SinkStreamFlatRatio = quartileFlatRatio(secs)
+          }
+        } catch { case _: Throwable =>
+          if (!sf1Results.contains("sink_stream_16"))
+            sf1Results += "sink_stream_16" -> -1.0
+        } finally {
+          if (h != null) deleteTree(h)
+        }
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%1.3f""" }
@@ -991,7 +1035,7 @@ object Bench {
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_runs.json")
         .toString)
     val fullJson =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json,"sf1_probe_runs":$sf1RunsJson,"sf1_probe_diag":$sf1DiagJson,"canary":$canaryJson,"canary_runs":$canaryRunsJson,"loadavg":$loadJson,"canary_median":${f"$canaryMedian%1.3f"},"canary_quartile_drift":${f"$qDrift%1.2f"},"contended":$contendedJson,"rescued":$rescuedJson,"capture_quality":"$captureQuality","sink_stream_state":$sinkStreamStateJson,"sink_stream_flat_ratio":${f"$sinkStreamFlatRatio%1.3f"}}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json,"sf1_probe_runs":$sf1RunsJson,"sf1_probe_diag":$sf1DiagJson,"canary":$canaryJson,"canary_runs":$canaryRunsJson,"loadavg":$loadJson,"canary_median":${f"$canaryMedian%1.3f"},"canary_quartile_drift":${f"$qDrift%1.2f"},"contended":$contendedJson,"rescued":$rescuedJson,"capture_quality":"$captureQuality","sink_stream_state":$sinkStreamStateJson,"sink_stream_flat_ratio":${f"$sinkStreamFlatRatio%1.3f"},"sf1_sink_stream_state":$sf1SinkStreamStateJson,"sf1_sink_stream_flat_ratio":${f"$sf1SinkStreamFlatRatio%1.3f"}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(runsPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // sidecar is best-effort

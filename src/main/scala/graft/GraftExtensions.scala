@@ -22,6 +22,10 @@ import graft.functions.{AviDecodeExpr, AviEncodeExpr, AviFrameExpr, BmpAHashExpr
  *   graft_bmp_resize(bytes, k)        integer box-downsample, re-decodable
  *   graft_bmp_pixels(bytes)           decode to packed 0xRRGGBB array<long>
  *   graft_bmp_ahash(bytes, k)         64-bit average-hash struct(hi, lo)
+ *   graft_minhash_bands(s, k, n, r)   LSH band array — SQL-side dedup candidates
+ *   graft_avi_signature(bytes, f)     single-scan video signature
+ *   graft_wav_frame_energy(bytes, n)  per-frame Σs² (audio fingerprint unit)
+ *   graft_normalize_text(s)           canonical normalize-then-hash form
  *
  * Wire up with:
  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
@@ -148,6 +152,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => AviFrameExpr(args.head,
         org.apache.spark.sql.catalyst.expressions.Cast(args(1),
           org.apache.spark.sql.types.IntegerType))))
+    // graft_minhash_bands(text, numHashes, shingleN, rowsPerBand): the
+    // streaming near-dedup banding core as a SQL name — numeric args must
+    // be int LITERALS (the expression specializes its codegen per
+    // parameterization). SQL-only users get LSH dedup CANDIDATES with
+    //   SELECT a.doc_id, b.doc_id FROM
+    //     (SELECT doc_id, explode(graft_minhash_bands(text,16,3,4)) b ...) a
+    //     JOIN ... ON a.b = b.b AND a.doc_id < b.doc_id
+    // — the same bit-identical banding the Column API and the sink's
+    // dedup=near stage run (VERDICT r10 #8).
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_bands"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinhashBandsExpr].getName,
+        "graft_minhash_bands"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_bands $what must be an int literal, got $other")
+        }
+        graft.functions.MinhashBandsExpr(args.head,
+          intLit(args(1), "numHashes"), intLit(args(2), "shingleN"),
+          intLit(args(3), "rowsPerBand"))
+      }))
+    // graft_avi_signature(bytes, factor): single-scan per-frame-aHash fold
+    // — video dedup signatures straight from SQL
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_avi_signature"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.AviSignatureExpr].getName,
+        "graft_avi_signature"),
+      (args: Seq[Expression]) => graft.functions.AviSignatureExpr(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType))))
+    // graft_wav_frame_energy(bytes, frameLen): per-frame Σs² — the audio
+    // fingerprint building block as a SQL name
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_wav_frame_energy"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.WavFrameEnergyExpr].getName,
+        "graft_wav_frame_energy"),
+      (args: Seq[Expression]) => graft.functions.WavFrameEnergyExpr(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType))))
+    // graft_normalize_text(s): the normalize-then-hash canonical form
+    // (TextAnalysis.normalizeText) — normalized exact dedup keys from pure
+    // SQL; expands to builtin lower/regexp_replace/trim so it codegens
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_normalize_text"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.TextAnalysis", "graft_normalize_text"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.StringType
+        new StringTrim(RegExpReplace(
+          Lower(Cast(args.head, StringType)),
+          Literal("[^a-z0-9]+"), Literal(" ")))
+      }))
     // graft_morton(x, y[, bits=8]): Z-order bit interleave of two
     // non-negative ints — Layout.mortonValue as a SQL name, expanded to
     // builtin shift/mask arithmetic so it codegens. `bits` must be an

@@ -1376,6 +1376,48 @@ object Probe {
         s"UNPARTITIONED windows outside the bounded allowlist: $unexpected")
       println(s"unpartitioned-window audit: ${offenders.size} known-bounded, 0 unexpected")
     }
+
+    // ---- SQL-surface reachability audit (VERDICT r10 #8): a query whose
+    // DataFrame CONSTRUCTION runs zero Spark jobs is ONE static Catalyst
+    // plan — mechanically SQL-expressible (a static plan always has a SQL
+    // form; the scalar building blocks it needs are registered SQL
+    // functions, GraftExtensions). A query that runs jobs while BUILDING
+    // its frame does driver-side iteration (k-means/IVF/PQ training,
+    // power iteration, boundary collects) and is Scala-API-only by
+    // nature. The split publishes in COVERAGE.md; a new name in the
+    // driver-iterative list means an operator silently gained a
+    // driver-side loop.
+    {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // only QUERY executions count: parquet footer/schema reads fire
+          // a descriptionless job per spark.read and would tag every
+          // query as driver-iterative
+          if (j.properties != null &&
+              j.properties.getProperty("spark.sql.execution.id") != null) {
+            jobs.incrementAndGet()
+          }
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val tiny = "/root/testdata/sf0.001"
+      val dynamic = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .flatMap { case (name, fn) =>
+          org.apache.spark.sql.GraftBridge.drainListeners(spark)
+          jobs.set(0)
+          try { fn(spark, tiny); () } catch { case _: Throwable => () }
+          org.apache.spark.sql.GraftBridge.drainListeners(spark)
+          if (jobs.get > 0) Seq(name) else Nil
+        }
+      spark.sparkContext.removeSparkListener(l)
+      val total = graft.SparkEntry.queries.size
+      println(s"sql-reachability: ${total - dynamic.size}/$total build one " +
+        s"static plan (SQL-expressible); ${dynamic.size} driver-iterative " +
+        s"(Scala-API-only): ${dynamic.sorted.mkString(", ")}")
+    }
     spark.stop()
   }
 }
