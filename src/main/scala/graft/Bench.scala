@@ -427,7 +427,8 @@ object Bench {
       "q73_canonical_corpus", "q78_stream_banding",
       "q305_map_entry_merge", "q306_dsir_weights", "q307_luhn_card_audit",
       "q308_phash_radius6", "q309_dedup_weights", "q310_dup_span_runs",
-      "q311_vocab_richness", "q312_exact_dup_spans", "q313_scrub_dup_spans")
+      "q311_vocab_richness", "q312_exact_dup_spans", "q313_scrub_dup_spans",
+      "q314_lsh_band_plan", "q315_dup_span_partners")
     benched.filter(selected).foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

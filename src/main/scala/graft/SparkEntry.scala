@@ -4710,7 +4710,25 @@ object SparkEntry {
     Q("q313_scrub_dup_spans", Some(
       s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), kg0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN [] ELSE list_transform(range(len(tk)-7), i -> {'pos': i, 'g': array_to_string(list_slice(tk, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')}) END) AS u FROM toks), kg AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.g AS g FROM kg0), shared AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM kg GROUP BY g) WHERE df >= 2), hits AS (SELECT kg.doc_id, kg.pos FROM kg JOIN shared USING (g)), cov AS (SELECT DISTINCT doc_id, pos + j AS cpos FROM hits, range(8) t(j)), tk1 AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok FROM (SELECT doc_id, unnest(list_transform(range(len(tk)), i -> {'pos': i, 'tok': tk[CAST(i+1 AS INT)]})) AS u FROM toks)), scrub AS (SELECT t.doc_id, t.pos, t.tok FROM tk1 t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos WHERE c.doc_id IS NULL), re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text, CAST(COUNT(*) AS BIGINT) AS kept_tokens FROM scrub GROUP BY doc_id), tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM toks) SELECT d.doc_id, COALESCE(re.scrubbed_text, '') AS scrubbed_text, COALESCE(re.kept_tokens, 0) AS kept_tokens, tot.n - COALESCE(re.kept_tokens, 0) AS dropped_tokens FROM documents d JOIN tot USING (doc_id) LEFT JOIN re USING (doc_id) ORDER BY d.doc_id"""),
       (s, dir) => Dedup.scrubDupSpans(docs(tune(s), dir), "text", "doc_id",
-        minTokens = 8).orderBy("doc_id"))
+        minTokens = 8).orderBy("doc_id")),
+
+    // LSH band-plan advisor: the exact fixed-point S-curve
+    // P(candidate|s) = 1 − (1 − s^r)^b per (r, b) split of a 16-hash
+    // budget — the tuning table behind dedup=near and minhashCandidates
+    Q("q314_lsh_band_plan", Some(
+      """WITH rb AS (SELECT CAST(r AS BIGINT) AS rows_per_band, CAST(16 // r AS BIGINT) AS n_bands FROM (SELECT unnest(range(1, 17)) AS r) WHERE 16 % r = 0), sp AS (SELECT CAST(sx AS BIGINT)*50 AS s_permille FROM (SELECT unnest(range(1, 20)) AS sx)), g AS (SELECT rows_per_band, n_bands, s_permille, s_permille*1000 AS s_ppm FROM rb CROSS JOIN sp), p1 AS (SELECT rows_per_band, n_bands, s_permille, list_reduce(list_prepend(CAST(1000000 AS BIGINT), list_transform(range(CAST(rows_per_band AS INT)), i -> s_ppm)), (acc, x) -> (acc*x)//1000000) AS sr_ppm FROM g), p2 AS (SELECT rows_per_band, n_bands, s_permille, list_reduce(list_prepend(CAST(1000000 AS BIGINT), list_transform(range(CAST(n_bands AS INT)), i -> 1000000 - sr_ppm)), (acc, x) -> (acc*x)//1000000) AS miss_ppm FROM p1) SELECT rows_per_band, n_bands, s_permille, CAST(1000000 - miss_ppm AS BIGINT) AS p_candidate_ppm FROM p2 ORDER BY rows_per_band, s_permille"""),
+      (s, dir) => Dedup.lshBandPlan(tune(s), numHashes = 16,
+        stepPermille = 50).orderBy("rows_per_band", "s_permille")),
+
+    // pair-level provenance of the exact memorization audit: which doc
+    // pairs share verbatim >=8-token runs, and the longest such run per
+    // pair (diagonal islands over verified matches; grams in >100 docs
+    // are boilerplate and capped out, same contract as q201's DF cap)
+    Q("q315_dup_span_partners", Some(
+      s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), kg0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN [] ELSE list_transform(range(len(tk)-7), i -> {'pos': i, 'g': array_to_string(list_slice(tk, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')}) END) AS u FROM toks), kg AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.g AS g FROM kg0), shared AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM kg GROUP BY g) WHERE df >= 2 AND df <= 100), hits AS (SELECT kg.doc_id, kg.pos, kg.g FROM kg JOIN shared USING (g)), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b FROM hits a JOIN hits b ON a.g = b.g AND a.doc_id < b.doc_id), m AS (SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, CASE WHEN LAG(pos_a) OVER w IS NULL OR pos_a - LAG(pos_a) OVER w > 1 THEN 1 ELSE 0 END AS brk FROM pairs WINDOW w AS (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a)), i AS (SELECT doc_a, doc_b, diag, pos_a, SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS grp FROM m), runs AS (SELECT doc_a, doc_b, diag, grp, CAST(COUNT(*) AS BIGINT) AS run FROM i GROUP BY 1, 2, 3, 4) SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS n_matched_positions, CAST(MAX(run) + 7 AS BIGINT) AS max_shared_run_tokens FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b"""),
+      (s, dir) => Dedup.dupSpanPartners(docs(tune(s), dir), "text",
+        "doc_id", minTokens = 8, maxDocsPerGram = 100)
+        .orderBy("doc_a", "doc_b"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1239,6 +1239,139 @@ object Dedup {
           .as("dropped_tokens"))
   }
 
+  /**
+   * LSH band-plan advisor: the S-curve P(candidate | s) = 1 − (1 − s^r)^b
+   * for every (rows-per-band r, bands b) split of a MinHash budget — the
+   * tuning table behind `dedup = near:<k>x<r>` and
+   * [[minhashCandidates]]. All FIXED-POINT ppm integer arithmetic
+   * (truncating folds), so the DuckDB oracle reproduces every cell
+   * bit-for-bit and the table is engine-portable; products stay ≤ 10¹²,
+   * no overflow. Pure planning — no data input; rows = divisors(budget)
+   * × the s grid.
+   *
+   * Reading it: pick the (r, b) row family whose curve is steep AT the
+   * dedup threshold — high p above it (recall), low p below it
+   * (candidate junk). E.g. at budget 16, threshold 0.7: 4×4 gives
+   * p(0.70) ≈ 63%, p(0.50) ≈ 23%; 2×8 trades junk for recall.
+   *
+   * Output: (rows_per_band, n_bands, s_permille, p_candidate_ppm).
+   */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 16, stepPermille: Int = 50): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(stepPermille >= 1 && stepPermille < 1000,
+      s"stepPermille in [1, 999], got $stepPermille")
+    import spark.implicits._
+    val combos = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (r.toLong, (numHashes / r).toLong))
+    // truncating ppm power: fold acc·x/10⁶ e times from 10⁶ — the oracle
+    // mirrors with list_reduce over a prepended seed
+    def powPpm(x: Column, e: Column): Column =
+      aggregate(sequence(lit(1L), e), lit(1000000L),
+        (acc, _) => IntMath.idiv(acc * x, lit(1000000L)))
+    combos.toDF("rows_per_band", "n_bands")
+      .select(col("rows_per_band"), col("n_bands"),
+        explode(sequence(lit(stepPermille.toLong),
+          lit(1000L - stepPermille), lit(stepPermille.toLong)))
+          .as("s_permille"))
+      .withColumn("sr_ppm", powPpm(col("s_permille") * 1000L,
+        col("rows_per_band")))
+      .withColumn("p_candidate_ppm",
+        lit(1000000L) - powPpm(lit(1000000L) - col("sr_ppm"),
+          col("n_bands")))
+      .select(col("rows_per_band"), col("n_bands"), col("s_permille"),
+        col("p_candidate_ppm"))
+  }
+
+  /**
+   * Pair-level provenance for the exact memorization audit (the partner
+   * attribution [[exactDupSpans]] deliberately aggregates away): for each
+   * DOC PAIR sharing at least one verbatim `minTokens`-token run, how
+   * many matched k-gram position pairs they have and the longest
+   * verbatim run they share. This is the "which document did this span
+   * come from" readout of Lee et al. 2022's audit — scrubbing wants the
+   * span union (q312); contamination triage wants the pair.
+   *
+   * Exact on its domain: candidate positions are hash-pre-filtered then
+   * content-verified exactly as [[exactDupSpans]]; a pair's max run is
+   * computed over the DIAGONAL (pos_a − pos_b) islands of its verified
+   * matches — c consecutive positions on one diagonal = a verbatim
+   * shared run of c + k − 1 tokens (step-1 adjacency only: a gap in the
+   * diagonal breaks verbatim continuity by construction).
+   *
+   * `maxDocsPerGram` caps the per-gram doc fan-out (default 100): a gram
+   * in d docs contributes O(d²) pair rows, and past the cap it is
+   * boilerplate carrying no pair-attribution signal — the operator is
+   * defined over the capped gram set (the [[allPairsCosine]]
+   * `maxShingleDF` contract; the oracle applies the identical cap).
+   *
+   * Output: (doc_a, doc_b, n_matched_positions, max_shared_run_tokens),
+   * doc_a < doc_b.
+   */
+  def dupSpanPartners(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 8, maxDocsPerGram: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(maxDocsPerGram >= 2,
+      s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
+    val k = minTokens
+    // the exactDupSpans candidate machinery: positional k-gram hashes,
+    // hash pre-filter (df >= 2), content verify at candidate positions
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokenHashes(col(textCol))).as(Seq("pos", "th")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val kgramHash = (1 until k).foldLeft(col("th")) { (acc, j) =>
+      (acc * 131L + lead(col("th"), j).over(byDoc)) % HashPrime
+    }
+    val sh = toks.withColumn("h", kgramHash)
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+    val sharedH = sh.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L).select(col("h"))
+    val candPos = sh.join(sharedH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val posLists = candPos.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("ps"))
+    val tokenArrays = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    val kgv = posLists.join(tokenArrays, Seq("doc_id"))
+      .select(col("doc_id"), explode(col("ps")).as("pos"), col("tk"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("tk"), col("pos") + 1, lit(k)), " ").as("g"))
+    // verified + CAPPED grams: in [2, maxDocsPerGram] distinct docs
+    val sharedG = kgv.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L && col("df") <= maxDocsPerGram.toLong)
+      .select(col("g"))
+    val hits = kgv.join(sharedG, Seq("g"), "left_semi")
+    // pair expansion on the gram key (≤ cap² rows per gram), oriented
+    val pairs = hits.select(col("g"), col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"))
+      .join(hits.select(col("g"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+      .distinct()
+    // diagonal islands: step-1 adjacency on pos_a within (pair, diag)
+    val byDiag = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pos_a") - col("pos_b"))
+      .orderBy(col("pos_a"))
+    val prev = lag(col("pos_a"), 1).over(byDiag)
+    val marked = pairs
+      .withColumn("brk",
+        when(prev.isNull || col("pos_a") - prev > 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("__diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("run")).as("n_matched_positions"),
+        (max(col("run")) + (k - 1).toLong).as("max_shared_run_tokens"))
+  }
+
   def pairSetAgreement(pairsA: DataFrame, pairsB: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     def norm(df: DataFrame, tag: String): DataFrame =

@@ -129,4 +129,73 @@ class ExactDupSpansSpec extends SparkSuite {
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out(1L) == (("", 0L, 9L)) && out(2L) == (("", 0L, 9L)))
   }
+
+  // ------------------------------------------------- dupSpanPartners (q315)
+
+  private def partners(docs: Seq[(Long, String)], k: Int, cap: Int = 100) =
+    Dedup.dupSpanPartners(df(docs), "text", "doc_id", minTokens = k,
+        maxDocsPerGram = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("partners: per-pair matched positions and longest verbatim run") {
+    val run12 = "a b c d e f g h i j k l" // 12 tokens → 5 8-gram starts
+    val run8 = "p q r s t u v w"
+    val docs = Seq(
+      1L -> s"$run12 ZFILL1 ZFILL2 $run8",
+      2L -> s"lead tokens $run12 trailer",
+      3L -> s"$run8 something else entirely here")
+    val out = partners(docs, 8)
+    // pair (1,2): the 12-token run = 5 consecutive diagonal matches
+    assert(out((1L, 2L)) == ((5L, 12L)))
+    // pair (1,3): the 8-token run = 1 match, run = 8 tokens
+    assert(out((1L, 3L)) == ((1L, 8L)))
+    assert(!out.contains((2L, 3L)))
+  }
+
+  test("partners: a self-repeating doc pairs with nobody; the gram cap " +
+      "drops boilerplate pairs") {
+    val run8 = "m n o p q r s t"
+    val selfRep = Seq(1L -> (s"$run8 middle words $run8"))
+    assert(partners(selfRep, 8).isEmpty)
+    // the same 8-gram in 3 docs: cap=2 drops it (df=3 > 2), cap=100 keeps
+    val three = Seq(1L -> s"$run8 one", 2L -> s"$run8 two", 3L -> s"$run8 three")
+    assert(partners(three, 8, cap = 2).isEmpty)
+    assert(partners(three, 8).keySet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("partners: repeated gram in ONE side yields multiple matched " +
+      "positions but the run length stays exact") {
+    val run8 = "d1 d2 d3 d4 d5 d6 d7 d8"
+    // doc 1 contains the run twice; doc 2 once → 2 matched position pairs
+    // on different diagonals, max run still 8
+    val docs = Seq(
+      1L -> s"$run8 gap tokens here $run8",
+      2L -> s"intro $run8")
+    assert(partners(docs, 8)((1L, 2L)) == ((2L, 8L)))
+  }
+
+  // --------------------------------------------------- lshBandPlan (q314)
+
+  test("lshBandPlan: exact truncating fixed-point S-curve") {
+    val out = Dedup.lshBandPlan(s, numHashes = 16, stepPermille = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // serial reference of the same truncating folds
+    def powPpm(x: Long, e: Long): Long =
+      (1L to e).foldLeft(1000000L)((acc, _) => acc * x / 1000000L)
+    for (r <- Seq(1L, 2L, 4L, 8L, 16L); s1 <- 50L to 950L by 50L) {
+      val b = 16L / r
+      val expect = 1000000L - powPpm(1000000L - powPpm(s1 * 1000L, r), b)
+      assert(out((r, b, s1)) == expect, s"(r=$r, b=$b, s=$s1)")
+    }
+    assert(out.size == 5 * 19)
+    // monotone in s for a fixed split; band split beats one wide band at
+    // mid similarity (the reason banding exists)
+    assert(out((4L, 4L, 700L)) > out((4L, 4L, 500L)))
+    assert(out((4L, 4L, 500L)) > out((16L, 1L, 500L)))
+  }
 }
