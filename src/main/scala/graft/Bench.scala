@@ -171,12 +171,14 @@ object Bench {
     // with >3× internal run spread shipped unflagged in the r10 driver
     // capture (q69 1.24/19.44/16.35 s, canary 0.093). Now the canary runs
     // BEFORE EVERY TIMED RUN (per-run canaries ship in `canary_runs`),
-    // a row is `contended` when ANY of its run canaries exceeds 2× the
-    // pass-wide canary median OR its runs spread past 3× (with a 0.3 s
-    // absolute floor so 10 ms rows don't flag on scheduler jitter), and a
-    // flagged row gets ONE automatic extra run once the canary recovers
-    // (bounded global budget) so a transient spike doesn't cost the row
-    // its clean median.
+    // a row is `contended` when the MAJORITY of its run canaries sit past
+    // 2× the pass-wide canary median (sustained load — one elevated
+    // sample is a GC blip, see the final-flag comment) OR its runs spread
+    // past 3× (with a 0.3 s absolute floor so 10 ms rows don't flag on
+    // scheduler jitter), and a row with ANY elevated sample or spread
+    // gets ONE automatic extra run once the canary recovers (bounded
+    // global budget) so a transient spike doesn't cost the row its clean
+    // median.
     def canaryOnce(): Double = time {
       spark.range(0L, 4000000L, 1L, 32).selectExpr("sum(id * 3 + 1)")
         .collect()
@@ -991,8 +993,19 @@ object Bench {
     // (`*_batches`) are excluded from the spread test: their elements are
     // sequential micro-batches (first pays codegen ~3×), not repeat runs.
     val canaryMedian = medOf(canarySamples.toSeq)
+    // SUSTAINED elevation only: the row's lower-median canary (majority of
+    // its samples) past 2× the pass median. A single elevated sample is a
+    // self-inflicted GC/scheduler blip — the r11 idle capture had 23 such
+    // rows whose run arrays were tight (e.g. 3.37/3.82/3.30/3.44 s) and
+    // whose medians were perfectly usable; flagging them as "contended"
+    // cried wolf on a clean capture. Genuinely loaded stretches elevate
+    // most samples of a row and still flag (verified on a 32-thread-burner
+    // test), and a mid-runs WALL spike is the spread flag's job below.
+    def medLow(s: Seq[Double]): Double = {
+      val x = s.sorted; if (x.isEmpty) -1.0 else x((x.size - 1) / 2)
+    }
     val contendedCanary = runCanaries.collect {
-      case (k, cs) if canaryMedian > 0 && cs.exists(_ > 2 * canaryMedian) => k
+      case (k, cs) if canaryMedian > 0 && medLow(cs) > 2 * canaryMedian => k
     }.toSeq
     val contendedSpread = allRuns.collect {
       case (k, rs) if !k.endsWith("_batches") && spreadContended(rs) => k
