@@ -430,7 +430,8 @@ object Bench {
       "q305_map_entry_merge", "q306_dsir_weights", "q307_luhn_card_audit",
       "q308_phash_radius6", "q309_dedup_weights", "q310_dup_span_runs",
       "q311_vocab_richness", "q312_exact_dup_spans", "q313_scrub_dup_spans",
-      "q314_lsh_band_plan", "q315_dup_span_partners")
+      "q314_lsh_band_plan", "q315_dup_span_partners",
+      "q316_cc_large_small_star", "q317_distill_linear_gate")
     benched.filter(selected).foreach { name =>
       val fn = SparkEntry.queries(name)
       try record(name)(force(fn(spark, sfDir)))

@@ -4728,7 +4728,40 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents), kg0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN [] ELSE list_transform(range(len(tk)-7), i -> {'pos': i, 'g': array_to_string(list_slice(tk, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')}) END) AS u FROM toks), kg AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.g AS g FROM kg0), shared AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM kg GROUP BY g) WHERE df >= 2 AND df <= 100), hits AS (SELECT kg.doc_id, kg.pos, kg.g FROM kg JOIN shared USING (g)), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b FROM hits a JOIN hits b ON a.g = b.g AND a.doc_id < b.doc_id), m AS (SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, CASE WHEN LAG(pos_a) OVER w IS NULL OR pos_a - LAG(pos_a) OVER w > 1 THEN 1 ELSE 0 END AS brk FROM pairs WINDOW w AS (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a)), i AS (SELECT doc_a, doc_b, diag, pos_a, SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS grp FROM m), runs AS (SELECT doc_a, doc_b, diag, grp, CAST(COUNT(*) AS BIGINT) AS run FROM i GROUP BY 1, 2, 3, 4) SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS n_matched_positions, CAST(MAX(run) + 7 AS BIGINT) AS max_shared_run_tokens FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b"""),
       (s, dir) => Dedup.dupSpanPartners(docs(tune(s), dir), "text",
         "doc_id", minTokens = 8, maxDocsPerGram = 100)
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // EXACT connected components by alternating large-star/small-star
+    // (Kiveris et al. 2014) over the MinHash candidate graph — the
+    // O(log² n)-round scale path for arbitrary component shapes (plain
+    // label propagation needs diameter rounds); same ground truth as
+    // q54's reachability oracle, distinct operator
+    Q("q316_cc_large_small_star", Some(
+      s"""${dMinhashSig.replaceFirst("^WITH ", "WITH RECURSIVE ")}, bands AS (SELECT doc_id, CAST(seed_id // 4 AS INT) AS band_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY seed_id)), (acc, x) -> (acc*131 + x) % 2147483647) AS band_hash FROM sig GROUP BY doc_id, CAST(seed_id // 4 AS INT)), cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), e AS (SELECT doc_a AS s, doc_b AS t FROM cand UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand), reach(s, t) AS (SELECT s, t FROM e UNION SELECT reach.s, e2.t FROM reach JOIN e e2 ON reach.t = e2.s) SELECT d.doc_id AS node_id, CAST(LEAST(d.doc_id, COALESCE(MIN(reach.t), d.doc_id)) AS BIGINT) AS component_id FROM documents d LEFT JOIN reach ON d.doc_id = reach.s GROUP BY d.doc_id ORDER BY node_id"""),
+      (s, dir) => {
+        val d = docs(tune(s), dir)
+        val cands = Dedup.minhashCandidates(Dedup.minhashBands(
+          Dedup.minhashSignatures(d, "text", "doc_id")))
+        Graph.connectedComponentsStar(d, "doc_id", cands, "doc_a", "doc_b")
+          .orderBy("node_id")
+      }),
+
+    // rule-to-classifier distillation: integer batch perceptron trained
+    // on a rule-labeled seed (doc_id % 5, y = qualityOk ? 1 : -1), then
+    // the learned linear score over the whole corpus — 3 epochs unrolled
+    // as CTEs in the oracle; deterministic on any partitioning (batch
+    // updates, no learning rate, no shuffling)
+    Q("q317_distill_linear_gate", Some({
+      val stops = "('the','a','an','and','or','of','to','in','is','it','on','for')"
+      val x2e = "length(text) - length(translate(text, '.,;:!?', ''))"
+      val x3e = s"len(list_filter($dToks, x -> x IN $stops))"
+      val wdot = (w: String) =>
+        s"$w.w0*x0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3"
+      val step = (prev: String, next: String) =>
+        s"$next AS (SELECT $prev.w0 + COALESCE(SUM(CASE WHEN y*(${wdot(prev)}) <= 0 THEN y*x0 END), 0) AS w0, $prev.w1 + COALESCE(SUM(CASE WHEN y*(${wdot(prev)}) <= 0 THEN y*x1 END), 0) AS w1, $prev.w2 + COALESCE(SUM(CASE WHEN y*(${wdot(prev)}) <= 0 THEN y*x2 END), 0) AS w2, $prev.w3 + COALESCE(SUM(CASE WHEN y*(${wdot(prev)}) <= 0 THEN y*x3 END), 0) AS w3 FROM sd CROSS JOIN $prev GROUP BY $prev.w0, $prev.w1, $prev.w2, $prev.w3)"
+      s"""WITH f AS (SELECT doc_id, CAST(1 AS BIGINT) AS x0, CAST(length(text) AS BIGINT) AS x1, CAST($x2e AS BIGINT) AS x2, CAST($x3e AS BIGINT) AS x3, CASE WHEN length(text) >= 100 AND ($x2e)*10 <= length(text) AND $x3e >= 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y FROM documents), sd0 AS (SELECT * FROM f WHERE doc_id % 5 = 0), mn AS (SELECT GREATEST(COUNT(*), 1) AS n, COALESCE(SUM(x1), 0) AS s1, COALESCE(SUM(x2), 0) AS s2, COALESCE(SUM(x3), 0) AS s3 FROM sd0), fc AS (SELECT doc_id, x0, x1 - s1//n AS x1, x2 - s2//n AS x2, x3 - s3//n AS x3, y FROM f CROSS JOIN mn), sd AS (SELECT * FROM fc WHERE doc_id % 5 = 0), wa AS (SELECT COALESCE(SUM(y*x0), 0) AS w0, COALESCE(SUM(y*x1), 0) AS w1, COALESCE(SUM(y*x2), 0) AS w2, COALESCE(SUM(y*x3), 0) AS w3 FROM sd), ${step("wa", "wb")}, ${step("wb", "wc")}, sc AS (SELECT fc.doc_id, ${wdot("wc")} AS score, y FROM fc CROSS JOIN wc) SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred, CAST(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE -1 END) = y THEN 1 ELSE 0 END AS BIGINT) AS agrees_rule FROM sc ORDER BY doc_id"""
+    }),
+      (s, dir) => Quality.distillLinearGate(docs(tune(s), dir), "text",
+        "doc_id", seedMod = 5, epochs = 3).orderBy("doc_id"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

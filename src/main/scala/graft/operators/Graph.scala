@@ -248,4 +248,104 @@ object Graph {
         IntMath.idiv(col("support") * lit(nGroups) * lit(1000L),
           col("__ca") * col("__cc")).as("lift_x1000"))
   }
+
+  /**
+   * EXACT connected components by alternating large-star / small-star
+   * rounds (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014 — public):
+   * each round hooks every node closer to its component minimum, and the
+   * edge set converges to per-component stars in O(log² n) rounds even on
+   * CHAIN-shaped components — the case where plain min-label propagation
+   * ([[graft.operators.Dedup.nearDupClusters]]) needs diameter rounds and
+   * deliberately throws past its cap. Use this as the scale path when the
+   * candidate graph's shape is unknown (cross-source link graphs, long
+   * coreference chains); the label-propagation form stays the cheaper
+   * choice on star/clique-shaped near-dup graphs.
+   *
+   * Skew-safe translation of the per-node star steps: the per-node
+   * neighbor minimum is a partial-agg groupBy (never a collected
+   * neighbor list), then a key-equi join re-attaches it to the node's
+   * edge rows — a hot node costs map-side combining, not one task's
+   * memory. Each round is therefore 2 groupBys + 2 joins; the
+   * convergence test reads ONE aggregate row (count + order-insensitive
+   * hash sum of the canonical edge set) — the operator's only driver
+   * action, one row per round.
+   *
+   * Output: (node_id, component_id) for every node of `nodes`
+   * (component id = the component's minimum node id; isolated nodes map
+   * to themselves).
+   */
+  def connectedComponentsStar(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 30): DataFrame = {
+    val sym0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    var e = sym0.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // order-insensitive, overflow-free edge-set signature: count + xor of
+    // the 64-bit edge hashes + a mod-10⁹ hash sum (sum stays in Long up
+    // to ~9·10⁹ edges). Plain sum(xxhash64) overflows ANSI Long.
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val h = xxhash64(col("u"), col("v"))
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(h), lit(0L)),
+        coalesce(sum(pmod(h, lit(1000000007L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var sig = signature(e)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      if (rounds >= maxIters)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge after $maxIters " +
+            "rounds — theoretical bound is O(log² n); check for edge-set " +
+            "nondeterminism upstream")
+      rounds += 1
+      // large-star: for each u, m = min(Γ(u) ∪ {u}); hook every STRICTLY
+      // LARGER neighbor v to m — emitted as (v, m), already canonical
+      // since m ≤ u < v
+      val adj = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u").as("lu"), least(col("mv"), col("u")).as("m"))
+      val ls = adj.join(mins, adj("u") === mins("lu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star: for each u over its SMALLER neighbors N = {v < u},
+      // m = min(N); hook u and every v ∈ N \ {m} to m
+      val adjLE = ls.distinct() // ls is already (bigger, smaller) oriented
+      val minsLE = adjLE.groupBy(col("u")).agg(min(col("v")).as("m"))
+        .select(col("u").as("su"), col("m"))
+      val joined = adjLE.join(minsLE, adjLE("u") === minsLE("su"))
+      val ss = joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minsLE.select(col("su").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+      val next = ss.localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+    }
+    // converged edge set is per-component stars rooted at the minimum:
+    // a node's component = min(self, neighbors)
+    val adjF = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val lab = adjF.groupBy(col("u")).agg(min(col("v")).as("nm"))
+    nodes.select(col(idCol).as("node_id"))
+      .join(lab.select(col("u").as("node_id"), col("nm")), Seq("node_id"),
+        "left")
+      .select(col("node_id"),
+        least(col("node_id"), coalesce(col("nm"), col("node_id")))
+          .as("component_id"))
+  }
 }

@@ -199,4 +199,87 @@ object Quality {
       size(valid).cast(LongType).as("n_valid"),
       (size(valid) > 0).as("has_valid_card"))
   }
+
+  /**
+   * Rule-to-classifier distillation: train an INTEGER batch perceptron on
+   * a seed slice labeled by the rule gate
+   * ([[TextAnalysis.qualityOk]] → y = ±1), then score the WHOLE corpus
+   * with the learned linear function — the pipeline stage where a cheap
+   * hand rule becomes a smooth ranking score (the public fastText-style
+   * quality-filter recipe: label a seed by rule/reference corpus, fit a
+   * linear model, gate on its score). The disagreement column is the
+   * distillation's own audit: rows where the linear scorer and the rule
+   * differ are exactly the boundary material a curator reviews.
+   *
+   * Deterministic by construction: BATCH perceptron (per epoch, ONE
+   * partial-agg sums y·x over currently-misclassified seed rows — margin
+   * y·(w·x) ≤ 0 — and adds it to w), integer features (bias, char count,
+   * punctuation count, stopword count) CENTERED on their seed means
+   * (truncating integer division; feature sums are non-negative so
+   * floor = trunc and the DuckDB mirror agrees) — without centering the
+   * char-count scale swamps the ±1-per-epoch bias and a few batch epochs
+   * learn almost nothing. No learning rate, no shuffling: same result on
+   * any partitioning or row order, any engine — the DuckDB oracle
+   * unrolls the epochs as CTEs. Epoch count is the bounded driver loop
+   * (one 1-row collect per epoch plus one for the means — the
+   * [[Graph.pageRankLite]] / k-means iteration class).
+   *
+   * Overflow envelope: |w| grows ≤ epochs · Σ_seed |x|; with char counts
+   * ~10³ and a 10⁸-doc seed, scores stay < 2⁶³ while
+   * epochs · seed_docs · max_chars < ~10¹⁵ — seed sets are curated and
+   * bounded by contract.
+   *
+   * Output per corpus doc: (doc_id, score, pred ∈ {−1, 1},
+   * agrees_rule ∈ {0, 1}).
+   */
+  def distillLinearGate(docs: DataFrame, textCol: String, idCol: String,
+      seedMod: Int = 5, epochs: Int = 3): DataFrame = {
+    require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
+    require(epochs >= 1 && epochs <= 64,
+      s"epochs in [1, 64], got $epochs")
+    import TextAnalysis.{charCount, punctCount, stopwordCount, qualityOk}
+    def featurize(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("doc_id"),
+      lit(1L).as("x0"),
+      charCount(col(textCol)).as("x1"),
+      punctCount(col(textCol)).as("x2"),
+      stopwordCount(col(textCol)).as("x3"),
+      when(qualityOk(col(textCol)), 1L).otherwise(-1L).as("y"))
+    val seedRaw = Staging.stage(
+      featurize(docs.filter(col(idCol) % seedMod.toLong === 0L)))
+    // seed-mean centering (scoring uses the SAME transform): one 1-row agg
+    val st = seedRaw.agg(count(lit(1)),
+      coalesce(sum(col("x1")), lit(0L)),
+      coalesce(sum(col("x2")), lit(0L)),
+      coalesce(sum(col("x3")), lit(0L))).head()
+    val n = math.max(st.getLong(0), 1L)
+    val m = Array(0L, st.getLong(1) / n, st.getLong(2) / n, st.getLong(3) / n)
+    def center(df: DataFrame): DataFrame = df
+      .withColumn("x1", col("x1") - m(1))
+      .withColumn("x2", col("x2") - m(2))
+      .withColumn("x3", col("x3") - m(3))
+    val seed = center(seedRaw)
+    var w = Array(0L, 0L, 0L, 0L)
+    try {
+      for (_ <- 1 to epochs) {
+        val margin = col("y") * (lit(w(0)) * col("x0") +
+          lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+          lit(w(3)) * col("x3"))
+        val upd = seed.filter(margin <= 0L).agg(
+          coalesce(sum(col("y") * col("x0")), lit(0L)),
+          coalesce(sum(col("y") * col("x1")), lit(0L)),
+          coalesce(sum(col("y") * col("x2")), lit(0L)),
+          coalesce(sum(col("y") * col("x3")), lit(0L))).head()
+        w = Array(w(0) + upd.getLong(0), w(1) + upd.getLong(1),
+          w(2) + upd.getLong(2), w(3) + upd.getLong(3))
+      }
+    } finally Staging.unstage(seedRaw)
+    val score = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    center(featurize(docs))
+      .withColumn("score", score)
+      .withColumn("pred", when(col("score") > 0L, 1L).otherwise(-1L))
+      .select(col("doc_id"), col("score"), col("pred"),
+        when(col("pred") === col("y"), 1L).otherwise(0L).as("agrees_rule"))
+  }
 }

@@ -168,4 +168,83 @@ class CurationSeriesSpec extends SparkSuite {
     // 15- and 17-digit runs are not candidates (the \b boundary holds)
     assert(out(5L) == ((0L, 0L, false)))
   }
+
+  test("distillLinearGate: batch perceptron matches a serial re-derivation " +
+      "and is partition-order invariant") {
+    import s.implicits._
+    val good = "This is a long and reasonably clean paragraph of text that " +
+      "keeps going for a while so that it comfortably clears the hundred " +
+      "character floor and contains the usual stopwords in it."
+    val bad = "x!!! ??? ,,,"
+    val d = (1L to 40L).map { i =>
+      (i, if (i % 2 == 0) good + " extra " + ("pad " * (i.toInt % 7))
+          else bad + ("!" * (i.toInt % 5)))
+    }.toDF("doc_id", "text")
+    val out = Quality.distillLinearGate(d, "text", "doc_id",
+        seedMod = 5, epochs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // serial re-derivation of the same integer batch perceptron
+    def feats(t: String): (Array[Long], Long) = {
+      val chars = t.length.toLong
+      val punct = t.count(".,;:!?".contains(_)).toLong
+      val stops = Set("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "it", "on", "for")
+      val stop = t.trim.split("\\s+").count(w => w.nonEmpty && stops(w)).toLong
+      val ok = chars >= 100 && punct * 10 <= chars && stop >= 1
+      (Array(1L, chars, punct, stop), if (ok) 1L else -1L)
+    }
+    val rows = (1L to 40L).map { i =>
+      val t = if (i % 2 == 0) good + " extra " + ("pad " * (i.toInt % 7))
+        else bad + ("!" * (i.toInt % 5))
+      (i, feats(t))
+    }
+    val seed = rows.filter(_._1 % 5 == 0)
+    // seed-mean centering (bias untouched), truncating division
+    val n = math.max(seed.size.toLong, 1L)
+    val means = (0 until 4).map {
+      case 0 => 0L
+      case j => seed.map(_._2._1(j)).sum / n
+    }
+    def centered(x: Array[Long]): Array[Long] =
+      Array(x(0), x(1) - means(1), x(2) - means(2), x(3) - means(3))
+    var w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to 3) {
+      val upd = Array(0L, 0L, 0L, 0L)
+      seed.foreach { case (_, (x0, y)) =>
+        val x = centered(x0)
+        val m = y * (0 until 4).map(j => w(j) * x(j)).sum
+        if (m <= 0) (0 until 4).foreach(j => upd(j) += y * x(j))
+      }
+      (0 until 4).foreach(j => w(j) += upd(j))
+    }
+    rows.foreach { case (i, (x0, y)) =>
+      val x = centered(x0)
+      val score = (0 until 4).map(j => w(j) * x(j)).sum
+      val pred = if (score > 0) 1L else -1L
+      assert(out(i) == ((score, pred, if (pred == y) 1L else 0L)), s"doc $i")
+    }
+    // order/partitioning invariance: batch updates have no row order
+    val shuffled = Quality.distillLinearGate(d.repartition(7), "text",
+        "doc_id", seedMod = 5, epochs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(shuffled == out)
+    // the distilled scorer learns the rule's signal (3 batch epochs need
+    // not perfectly separate — the serial-equality loop above is the
+    // correctness contract; this is the sanity floor)
+    assert(out.values.count(_._3 == 1L) >= 30, s"agreement too low: " +
+      out.values.count(_._3 == 1L))
+  }
+
+  test("distillLinearGate with an empty seed scores everything 0 / pred -1") {
+    import s.implicits._
+    val d = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    // seedMod = 3 matches no doc_id in {1, 2} except none → w stays 0
+    val out = Quality.distillLinearGate(d, "text", "doc_id",
+        seedMod = 3, epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 0L, -1L), (2L, 0L, -1L)))
+  }
 }
