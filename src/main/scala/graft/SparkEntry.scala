@@ -9,7 +9,7 @@ import graft.mapping.SinkConfig
 import graft.multimodal.{MediaDedup, Multimodal}
 import graft.operators._
 import graft.sink.SinkTable
-import graft.sources.KafkaLike
+import graft.sources.{KafkaLike, Scan}
 
 /**
  * Driver contract: `entry` (flagship pipeline), `queries` (one per operator
@@ -37,6 +37,13 @@ object SparkEntry {
     spark
   }
 
+  // Plain reads, deliberately: an r11 A/B measured a READER-LEVEL
+  // scale-adaptive repartition (parallelize every single-file scan) as a
+  // net loss — the ~150 cheap-aggregation queries each paid an extra
+  // exchange + 32-task stages (1.5-4× per row) while only the map-heavy
+  // rows won. The rescue lives INSIDE the operators whose scan-stage map
+  // work dominates instead (Scan.rescue: media encode/decode lambdas,
+  // bruteForceTopK's probe side, proximityJoin) — see OPTIMIZATION_r11.md.
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -3911,7 +3918,7 @@ object SparkEntry {
         val h = lit(3L) + col("event_id") % 4L
         val pixels = transform(sequence(lit(0L), w * h - 1L),
           i => (col("event_id") * 13L + i * 17L) % 16777216L)
-        KafkaLike.events(tune(s), dir).select(col("event_id"))
+        Scan.rescue(KafkaLike.events(tune(s), dir).select(col("event_id")))
           .withColumn("payload", Multimodal.bmpEncode(w, pixels))
           .withColumn("meta", Multimodal.bmpMeta(col("payload")))
           .select(col("event_id"),
@@ -3943,7 +3950,7 @@ object SparkEntry {
         val h = lit(6L) + col("event_id") % 4L
         val pixels = transform(sequence(lit(0L), w * h - 1L),
           i => (col("event_id") * 13L + i * 17L) % 16777216L)
-        KafkaLike.events(tune(s), dir).select(col("event_id"))
+        Scan.rescue(KafkaLike.events(tune(s), dir).select(col("event_id")))
           .withColumn("payload", Multimodal.bmpEncode(w, pixels))
           .withColumn("small", Multimodal.bmpResize(col("payload"), lit(2)))
           .withColumn("meta", Multimodal.bmpMeta(col("small")))
@@ -4013,7 +4020,7 @@ object SparkEntry {
             transform(sequence(lit(0L), w * h - 1L),
               i => (col("event_id") * 13L + f * 29L + i * 17L)
                 % 16777216L)))
-        KafkaLike.events(tune(s), dir).select(col("event_id"))
+        Scan.rescue(KafkaLike.events(tune(s), dir).select(col("event_id")))
           .withColumn("avi", Multimodal.aviEncode(lit(40000L), frames))
           .withColumn("vmeta", Multimodal.aviMeta(col("avi")))
           .withColumn("fs", (col("event_id") % (lit(2L) +
@@ -4099,6 +4106,10 @@ object SparkEntry {
     // composed bmpEncode(transform(sequence…, pixel formula)) constructor,
     // so the phash bench rows measure the hash, not 256 interpreted
     // closure evaluations per row
+    // NOT rescued: synthFrame/aHash are native codegen expressions cheap
+    // enough per row that the r11 A/B showed the added exchange costing
+    // the phash family more than the parallelism won (q277 especially —
+    // its band self-join prefers the compact single-split build side)
     KafkaLike.events(tune(s), dir).select(id)
       .withColumn("payload", Multimodal.synthFrame(lit(16L), base, id))
   }
@@ -4157,7 +4168,7 @@ object SparkEntry {
         val base = id % 61L
         // native audio-clip fixture (spec-pinned to the composed
         // wavEncode(transform…) form — see MultimodalSpec)
-        KafkaLike.events(tune(s), dir).select(id)
+        Scan.rescue(KafkaLike.events(tune(s), dir).select(id))
           .withColumn("payload",
             Multimodal.synthAudio(lit(8000L), lit(64L), base, id))
           .select(

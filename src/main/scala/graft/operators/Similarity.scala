@@ -61,6 +61,11 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // NOT rescued here, deliberately (r11 A/B): most callers pass a small
+    // query set (k-recall probes, seed queries), where the dot-product
+    // volume is trivial and a corpus repartition only adds an exchange —
+    // the one always-quadratic caller (labelNoiseReport's corpus×corpus
+    // self-kNN) rescues its corpus at the call site instead.
     val c = corpus.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
     val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
@@ -453,8 +458,13 @@ object Similarity {
   def labelNoiseReport(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int,
       neighbors: Option[DataFrame] = None): DataFrame = {
+    // corpus×corpus self-kNN: the probe side of bruteForceTopK's broadcast
+    // join carries a QUADRATIC dot-product volume — a single-split corpus
+    // scan would run all of it in one task (measured r11: 3.70→0.94 s
+    // idle); Scan.rescue no-ops on already-parallel inputs
     val nn = neighbors.getOrElse(
-      bruteForceTopK(corpus, corpus, idCol, vecCol, k))
+      bruteForceTopK(graft.sources.Scan.rescue(corpus), corpus,
+        idCol, vecCol, k))
       .select(col("query_id"), col("item_id"))
     val itemLabels = corpus.select(col(idCol).as("item_id"),
       col(labelCol).as("__nl"))

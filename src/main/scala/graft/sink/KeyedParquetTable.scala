@@ -195,15 +195,35 @@ class KeyedParquetTable(
     if (m.buckets.isEmpty) return
     val kept = readBuckets(m, None).filter(keep)
     val v = m.maxV + 1
-    val dir = rootPath.resolve(s"v$v").toString
     val out = capWrite(kept.withColumn(BucketCol, bucketOf))
-    if (out.isEmpty)
-      out.write.mode("overwrite").option("compression", compression).parquet(dir)
-    else
-      out.write.mode("overwrite").option("compression", compression)
-        .partitionBy(BucketCol).parquet(dir)
+    writeVersion(out, v)
     writeMeta(Meta(m.lastBatch, v, m.buckets.keys.map(_ -> v).toMap))
     vacuum()
+  }
+
+  /** Write one state version. The happy path is a single partitioned write
+    * job; only the rare all-rows-deleted outcome (the partitioned write
+    * produced ZERO bucket directories, whose version dir a later read could
+    * not even schema-infer) pays a second, trivial job to stamp a
+    * schema-only file. The previous shape ran `out.isEmpty` FIRST, which
+    * executed the whole upstream merge plan once for the check and again
+    * for the write — the bench's sink_stream spent ~45% of its per-batch
+    * `write` phase in that duplicate execution (guide §1.2: don't compute
+    * things you throw away). */
+  private def writeVersion(out: DataFrame, v: Int): Unit = {
+    val dir = rootPath.resolve(s"v$v")
+    out.write.mode("overwrite").option("compression", compression)
+      .partitionBy(BucketCol).parquet(dir.toString)
+    val hasBucketDirs = {
+      val ls = Files.list(dir)
+      try ls.anyMatch(p => p.getFileName.toString.startsWith(s"$BucketCol="))
+      finally ls.close()
+    }
+    if (!hasBucketDirs)
+      // schema-only version (BucketCol as a plain column, zero rows) —
+      // exactly the shape the old isEmpty branch wrote
+      out.limit(0).write.mode("overwrite").option("compression", compression)
+        .parquet(dir.toString)
   }
 
   /** Drop version directories no longer referenced by any bucket pointer
@@ -249,39 +269,49 @@ class KeyedParquetTable(
     def bumped = m.lastBatch +
       (binding -> math.max(batchId, m.lastFor(binding)))
 
-    // the batch determines which buckets the merge touches at all
-    val touched = batch.select(bucketOf.as(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) {
-      writeMeta(m.copy(lastBatch = bumped))
-      return
-    }
+    // The mapped batch has THREE consumers below (touched-bucket collect,
+    // merge, write) and its plan is typically the binding's whole mapping
+    // pipeline (quality semi-join + dedup anti-join + JSON decode) —
+    // without a persist each consumer re-executed that pipeline from the
+    // source (guide §5 caching: reused AND expensive to recompute; the
+    // bench's sink_stream write phase carried 2 of the 3 duplicate runs).
+    // MEMORY_AND_DISK: a micro-batch is bounded; spill beats recompute.
+    val batchP = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the batch determines which buckets the merge touches at all
+      val touched = batchP.select(bucketOf.as(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) {
+        writeMeta(m.copy(lastBatch = bumped))
+        return
+      }
 
-    val stTouched = readBuckets(m, Some(touched))
-    val merged =
-      if (table.counterCols.nonEmpty)
-        Upserts.mergeCounters(stTouched, Upserts.counterCombine(batch, table), table)
-      else if (mergeMode == "entry")
-        Upserts.mergeIntoEntryWise(stTouched, batch, table, nullToUnset)
-      else if (mergeMode == "cell")
-        Upserts.mergeIntoCellWise(stTouched, batch, table, nullToUnset)
-      else
-        Upserts.mergeInto(stTouched, batch, table, nullToUnset)
-    val next = retain.map(merged.filter).getOrElse(merged)
+      val stTouched = readBuckets(m, Some(touched))
+      val merged =
+        if (table.counterCols.nonEmpty)
+          Upserts.mergeCounters(stTouched, Upserts.counterCombine(batchP, table), table)
+        else if (mergeMode == "entry")
+          Upserts.mergeIntoEntryWise(stTouched, batchP, table, nullToUnset)
+        else if (mergeMode == "cell")
+          Upserts.mergeIntoCellWise(stTouched, batchP, table, nullToUnset)
+        else
+          Upserts.mergeInto(stTouched, batchP, table, nullToUnset)
+      val next = retain.map(merged.filter).getOrElse(merged)
 
-    val v = m.maxV + 1
-    val dir = rootPath.resolve(s"v$v").toString
-    val out = capWrite(next.withColumn(BucketCol, bucketOf))
-    if (out.isEmpty) // all touched rows deleted: schema-only file, no partitions
-      out.write.mode("overwrite").option("compression", compression).parquet(dir)
-    else
-      out.write.mode("overwrite").option("compression", compression)
-        .partitionBy(BucketCol).parquet(dir)
+      val v = m.maxV + 1
+      writeVersion(capWrite(next.withColumn(BucketCol, bucketOf)), v)
 
-    writeMeta(Meta(
-      lastBatch = bumped,
-      maxV = v,
-      buckets = m.buckets ++ touched.map(_ -> v)))
-    vacuum() // superseded versions are unreachable
+      writeMeta(Meta(
+        lastBatch = bumped,
+        maxV = v,
+        buckets = m.buckets ++ touched.map(_ -> v)))
+      vacuum() // superseded versions are unreachable
+    } finally batchP.unpersist(true)
+    // blocking, deliberately: an async unpersist here races the NEXT
+    // micro-batch's jobs with this batch's block drain — a 32-batch stream
+    // showed the same monotone per-batch growth (wall ≫ cpu, tail 2.7→10 s)
+    // that round 8 adjudicated for async clearCache between bench runs.
+    // The drop of a micro-batch-sized cache is bounded and cheap.
   }
 }

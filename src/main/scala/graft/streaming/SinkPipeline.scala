@@ -469,8 +469,17 @@ class SinkPipeline(
       }
     }
     val knownTopics = config.topics
+    // NOT repartitioned before the persist, deliberately: an r11 A/B
+    // spread each micro-batch to defaultParallelism here and the 32-batch
+    // sink_stream got SLOWER (every per-batch stage became 32 scheduled
+    // tasks over ~100-row partitions; count/quality/write phases all
+    // inflated ~2×). A micro-batch is small by construction — per-batch
+    // cost is overhead-bound, not compute-bound, so fewer tasks win; the
+    // batch-scale ingest paths (sink_quality_batch, q00) parallelize at
+    // their sources instead.
+    val recs = records
     // cache: the batch is read once per binding + once for the unknown count
-    records.persist()
+    recs.persist()
     try {
       // ONE tiny agg action gives the unknown-topic count AND per-binding
       // emptiness: a binding whose topic slice is empty must be skipped
@@ -478,7 +487,7 @@ class SinkPipeline(
       // (empty-relation propagation), so its Observation would never fire
       // and obs.get would block forever
       val topicCounts = phase("count") {
-        records.groupBy("topic").count()
+        recs.groupBy("topic").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
       failedWithUnknownTopic.add(
@@ -496,7 +505,7 @@ class SinkPipeline(
         // quality gate FIRST (drop out-of-domain content before paying
         // dedup-state reads/writes for it), then content dedup
         val (screened, releaseQuality, qualityCounts) = phase("quality") {
-          qualityFilter(spark, b, records.filter(col("topic") === b.topic))
+          qualityFilter(spark, b, recs.filter(col("topic") === b.topic))
         }
         val (forTopic, commitSightings) = phase("dedup") {
           dedupFilter(spark, b, screened, batchId)
@@ -611,7 +620,7 @@ class SinkPipeline(
       if (config.dedupVacuumEvery > 0 && n % config.dedupVacuumEvery == 0 &&
           config.bindings.exists(b => b.dedupEnabled && b.dedupTtlMs.isDefined))
         vacuumDedupState(spark)
-    } finally phase("unpersist") { records.unpersist() }
+    } finally phase("unpersist") { recs.unpersist() }
   }
 
   /** Stats bridge attached by [[start]] when `jmx = true` (the reference's
