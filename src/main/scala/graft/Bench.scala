@@ -679,6 +679,11 @@ object Bench {
             streamStats.reset()
             val s = time(pipe.processBatch(batch, id))
             val (cpuS, _) = streamStats.snapshot(spark)
+            // tasks-per-batch: the latency path is overhead-bound, so the
+            // scheduled-task count is the noise-free observable for split/
+            // stage-shape changes (wall alone can't tell a 100 ms win from
+            // a co-tenant wave)
+            val (nTasks, _, _, _) = streamStats.detail
             val gd = gcSeconds() - g0
             val l = loadavg1m()
             val (tb, tf) = duDir(tblDir)
@@ -687,7 +692,7 @@ object Bench {
               "\"" + k + "\":" + v }.mkString("{", ",", "}")
             secs.synchronized {
               secs += s
-              state += f"""{"sec":$s%1.3f,"cpu_sec":$cpuS%1.2f,"gc_sec":$gd%1.3f,"load":$l%1.2f,"table_mb":${tb / 1048576.0}%1.2f,"table_files":$tf,"dedup_mb":${db / 1048576.0}%1.2f,"dedup_files":$df,"phase_ms":$phasesJson}"""
+              state += f"""{"sec":$s%1.3f,"cpu_sec":$cpuS%1.2f,"tasks":$nTasks,"gc_sec":$gd%1.3f,"load":$l%1.2f,"table_mb":${tb / 1048576.0}%1.2f,"table_files":$tf,"dedup_mb":${db / 1048576.0}%1.2f,"dedup_files":$df,"phase_ms":$phasesJson}"""
             }
             ()
           }

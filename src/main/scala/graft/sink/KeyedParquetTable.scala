@@ -146,19 +146,31 @@ class KeyedParquetTable(
     else base.withColumn(RecordMapper.WritetimeCol, lit(null).cast(LongType))
   }
 
-  /** Read the state of `wanted` buckets (None = all): one partition-pruned
-    * read per distinct owning version, unioned. */
+  /** Read the state of `wanted` buckets (None = all) as ONE parquet read
+    * over the exact `v<N>/__bucket=<k>` leaf directories the manifest maps
+    * them to. The previous shape issued one `spark.read.parquet(v<N>)` per
+    * DISTINCT OWNING VERSION (filter on the bucket partition, then union):
+    * after numBuckets batches the owners spread over up to numBuckets
+    * versions, so every state read paid O(versions) driver-side listings +
+    * footer schema inferences + an O(versions)-way union in the plan —
+    * measured ~300-500 ms of the sink_stream per-batch `merge_write`/`dedup`
+    * phases at steady state (guide §6 file listing, §7.3 driver-side work).
+    * Reading the leaf dirs directly needs no partition discovery, no bucket
+    * filter (each dir IS one wanted bucket), one listing, one scan node.
+    * A pointed-to leaf dir can be missing only for a version written by the
+    * rare all-rows-deleted branch (schema-only, zero bucket dirs) — that
+    * bucket's state is empty, so skipping the missing dir is the same
+    * answer the old filter-based read produced. */
   private def readBuckets(m: Meta, wanted: Option[Set[Int]]): DataFrame = {
     val picked = wanted match {
       case Some(w) => m.buckets.view.filterKeys(w.contains).toMap
       case None    => m.buckets
     }
-    if (picked.isEmpty) emptyState
-    else picked.groupBy(_._2).toSeq.map { case (v, bks) =>
-      spark.read.parquet(rootPath.resolve(s"v$v").toString)
-        .filter(col(BucketCol).isin(bks.keys.toSeq: _*))
-        .drop(BucketCol)
-    }.reduce(_ unionByName _)
+    val leafDirs = picked.toSeq.sorted.map { case (b, v) =>
+      rootPath.resolve(s"v$v").resolve(s"$BucketCol=$b")
+    }.filter(Files.exists(_)).map(_.toString)
+    if (leafDirs.isEmpty) emptyState
+    else spark.read.parquet(leafDirs: _*)
   }
 
   /** Current full state; empty frame with the right schema before any write. */
@@ -264,6 +276,30 @@ class KeyedParquetTable(
   def applyBatch(batch: DataFrame, batchId: Long = Long.MinValue,
       binding: String = DefaultBinding,
       retain: Option[Column] = None): Unit = synchronized {
+    val phases = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val timed = new KeyedParquetTable.Timer {
+      def apply[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        try f
+        finally phases += name -> (System.nanoTime() - t0) / 1000000L
+      }
+    }
+    try KeyedParquetTable.withMicroBatchSplits(spark) {
+      applyBatchTimed(batch, batchId, binding, retain, timed)
+    } finally lastApplyPhaseMs = phases.toMap
+  }
+
+  /** Wall ms of the last [[applyBatch]]'s internal stages (`collect` =
+    * touched-bucket materialization job; `merge_write` = merge plan + state
+    * write job; `meta` = manifest flip + vacuum; `unpersist` = blocking
+    * batch-cache drop) — the per-batch `write` phase of a long stream was a
+    * single opaque number (OPTIMIZATION_r11 "Not yet optimized" #1) and the
+    * next cut needed to know which job inside it pays. Plain bookkeeping. */
+  @volatile var lastApplyPhaseMs: Map[String, Long] = Map.empty
+
+  private def applyBatchTimed(batch: DataFrame, batchId: Long,
+      binding: String, retain: Option[Column],
+      timed: KeyedParquetTable.Timer): Unit = {
     val m = currentMeta
     if (batchId != Long.MinValue && batchId <= m.lastFor(binding)) return
     def bumped = m.lastBatch +
@@ -280,38 +316,83 @@ class KeyedParquetTable(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the batch determines which buckets the merge touches at all
-      val touched = batchP.select(bucketOf.as(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSet
+      val touched = timed("collect") {
+        batchP.select(bucketOf.as(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
       if (touched.isEmpty) {
         writeMeta(m.copy(lastBatch = bumped))
         return
       }
 
-      val stTouched = readBuckets(m, Some(touched))
-      val merged =
-        if (table.counterCols.nonEmpty)
-          Upserts.mergeCounters(stTouched, Upserts.counterCombine(batchP, table), table)
-        else if (mergeMode == "entry")
-          Upserts.mergeIntoEntryWise(stTouched, batchP, table, nullToUnset)
-        else if (mergeMode == "cell")
-          Upserts.mergeIntoCellWise(stTouched, batchP, table, nullToUnset)
-        else
-          Upserts.mergeInto(stTouched, batchP, table, nullToUnset)
-      val next = retain.map(merged.filter).getOrElse(merged)
+      val out = timed("merge_plan") {
+        val stTouched = readBuckets(m, Some(touched))
+        val merged =
+          if (table.counterCols.nonEmpty)
+            Upserts.mergeCounters(stTouched, Upserts.counterCombine(batchP, table), table)
+          else if (mergeMode == "entry")
+            Upserts.mergeIntoEntryWise(stTouched, batchP, table, nullToUnset)
+          else if (mergeMode == "cell")
+            Upserts.mergeIntoCellWise(stTouched, batchP, table, nullToUnset)
+          else
+            Upserts.mergeInto(stTouched, batchP, table, nullToUnset)
+        val next = retain.map(merged.filter).getOrElse(merged)
+        val plan = capWrite(next.withColumn(BucketCol, bucketOf))
+        plan.queryExecution.executedPlan // force analysis/optimization here
+        plan
+      }
+      timed("merge_write") {
+        val v = m.maxV + 1
+        writeVersion(out, v)
 
-      val v = m.maxV + 1
-      writeVersion(capWrite(next.withColumn(BucketCol, bucketOf)), v)
-
-      writeMeta(Meta(
-        lastBatch = bumped,
-        maxV = v,
-        buckets = m.buckets ++ touched.map(_ -> v)))
-      vacuum() // superseded versions are unreachable
-    } finally batchP.unpersist(true)
+        writeMeta(Meta(
+          lastBatch = bumped,
+          maxV = v,
+          buckets = m.buckets ++ touched.map(_ -> v)))
+      }
+      timed("meta")(vacuum()) // superseded versions are unreachable
+    } finally timed("unpersist")(batchP.unpersist(true))
     // blocking, deliberately: an async unpersist here races the NEXT
     // micro-batch's jobs with this batch's block drain — a 32-batch stream
     // showed the same monotone per-batch growth (wall ≫ cpu, tail 2.7→10 s)
     // that round 8 adjudicated for async clearCache between bench runs.
     // The drop of a micro-batch-sized cache is bounded and cheap.
   }
+}
+
+object KeyedParquetTable {
+  /** Polymorphic stage timer for [[KeyedParquetTable.applyBatch]]'s
+    * sub-phase attribution (same shape as SinkPipeline's Phaser). */
+  private[sink] trait Timer {
+    def apply[A](name: String)(f: => A): A
+  }
+
+  /** Run `f` with `spark.sql.files.minPartitionNum = 1` — the micro-batch
+    * latency scope (a state merge, a whole processBatch). Spark's split
+    * packing aims `bytesPerCore = (totalBytes + files·openCost) /
+    * minPartitionNum`, and minPartitionNum DEFAULTS to the session
+    * parallelism — so a touched-bucket state read of ~35 KB-sized files
+    * (each padded by the 4 MB openCost) planned ~35 single-file splits just
+    * to fill cores, and every micro-batch merge scheduled ~35 no-op tasks
+    * per state scan (guide §6 input split size; §2.2 fewer, larger map
+    * tasks). With the floor at 1, small reads pack into O(1) splits while
+    * big reads are untouched: `maxPartitionBytes` (128 MB default) still
+    * caps every split, so a 100 TB bucket scan plans exactly the same
+    * splits as before — the setting only stops the artificial fan-out when
+    * the data is SMALLER than one split per core, which is precisely the
+    * micro-batch case. Restores the previous value on exit; the scope is
+    * the single-writer driver thread (applyBatch is synchronized). */
+  private[graft] def withMicroBatchSplits[A](
+      spark: SparkSession)(f: => A): A =
+    if (spark.conf.get("spark.graft.microbatch.splitFloor", "1") == "off") f
+    else {
+      val key = "spark.sql.files.minPartitionNum"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "1")
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
 }

@@ -152,18 +152,25 @@ class SinkPipeline(
     * 0 ≥ threshold — set a positive threshold to also drop empties.
     *
     * Cost per batch: one map-only feature pass + a (record, bucket)
-    * partial agg + a broadcast join against the B-row histogram, ONE tiny
-    * counter agg action, and a semi-join back on (partition, offset). The
-    * scored frame is staged for the two consumers and released via the
-    * returned thunk once the binding's writes are durable. Counters:
-    * qualityKeptCount / qualityDroppedCount (dedup-counter naming) — the
-    * COUNTS are computed here but returned for the caller to mark only
-    * after the table merge is durable: marking before applyBatch would
-    * double-count on a failed batch's replay, violating the counter
-    * replay contract the dedup counters honor. */
+    * partial agg + a broadcast join against the B-row histogram, and a
+    * semi-join back on (partition, offset). The scored frame is staged for
+    * its consumers and released via the returned thunk once the binding's
+    * writes are durable. Counters: qualityKeptCount / qualityDroppedCount
+    * (dedup-counter naming) — the counts ride an [[Observation]] on the
+    * staged scored frame, which fires when the WRITE path's touched-bucket
+    * job materializes the stage (the kept semi-join reads it), so the gate
+    * costs ZERO driver actions of its own per batch — the previous shape
+    * ran a dedicated `scored.agg(...).head()` job (one full dsirScore
+    * execution's worth of stages) before the write ever started (guide
+    * §1.2: don't run a separate pass for numbers another job already
+    * produces). The counts thunk is read only AFTER the table merge is
+    * durable — marking before applyBatch would double-count on a failed
+    * batch's replay — with a fallback one-row agg for the (rare) plans
+    * whose observation never fired (e.g. an all-tombstone slice whose
+    * scored subtree was optimized away). */
   private def qualityFilter(spark: org.apache.spark.sql.SparkSession,
       b: SinkConfig.TableBinding, slice: DataFrame)
-      : (DataFrame, Option[() => Unit], Option[(Long, Long)]) =
+      : (DataFrame, Option[() => Unit], Option[() => (Long, Long)]) =
     b.qualityDsirParams match {
       case None => (slice, None, None)
       case Some((minAvgQ, histDir)) =>
@@ -173,22 +180,35 @@ class SinkPipeline(
         val scorable = keyed.filter(col("value").isNotNull)
           .select(col("__qid"), col("value")
             .cast(org.apache.spark.sql.types.StringType).as("__qtext"))
+        val obs = new Observation()
         val scored = graft.operators.Staging.stage(
           graft.operators.Sampling
             .dsirScore(scorable, hist, "__qtext", "__qid")
-            .withColumn("__keep", col("w_q_avg") >= minAvgQ))
-        val cnt = scored.agg(
-          coalesce(sum(when(col("__keep"), 1L).otherwise(0L)), lit(0L)),
-          coalesce(sum(when(col("__keep"), 0L).otherwise(1L)), lit(0L)))
-          .head()
+            .withColumn("__keep", col("w_q_avg") >= minAvgQ)
+            .observe(obs,
+              coalesce(sum(when(col("__keep"), 1L).otherwise(0L)), lit(0L))
+                .as("kept"),
+              coalesce(sum(when(col("__keep"), 0L).otherwise(1L)), lit(0L))
+                .as("dropped")))
+        val counts = () => {
+          val m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+          if (m.contains("kept"))
+            (m("kept").asInstanceOf[Long], m("dropped").asInstanceOf[Long])
+          else {
+            val cnt = scored.agg(
+              coalesce(sum(when(col("__keep"), 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(col("__keep"), 0L).otherwise(1L)), lit(0L)))
+              .head()
+            (cnt.getLong(0), cnt.getLong(1))
+          }
+        }
         val keepIds = scored.filter(col("__keep"))
           .select(col("doc_id").as("__qid"))
         val kept = keyed.join(keepIds, Seq("__qid"), "left_semi")
         val tombstones = keyed.filter(col("value").isNull)
         val out = kept.unionByName(tombstones)
           .select(slice.columns.toIndexedSeq.map(col): _*)
-        (out, Some(() => graft.operators.Staging.unstage(scored)),
-          Some((cnt.getLong(0), cnt.getLong(1))))
+        (out, Some(() => graft.operators.Staging.unstage(scored)), Some(counts))
     }
 
   /** Filter a topic slice down to first-seen content. Returns the filtered
@@ -454,9 +474,18 @@ class SinkPipeline(
             (phases.getOrElse(name, 0L) + (System.nanoTime() - t0) / 1000000L)
         }
       }
+      def add(name: String, ms: Long): Unit = phases.synchronized {
+        phases += name -> (phases.getOrElse(name, 0L) + ms)
+      }
     }
-    try processBatchPhased(records, batchId, phase)
-    finally lastBatchPhaseMs = phases.toMap
+    // the whole micro-batch is a latency path over small per-batch frames:
+    // plan its file scans with the split floor at 1 (see
+    // KeyedParquetTable.withMicroBatchSplits — at scale the 128 MB split
+    // cap governs and nothing changes)
+    try graft.sink.KeyedParquetTable.withMicroBatchSplits(
+      records.sparkSession) {
+      processBatchPhased(records, batchId, phase)
+    } finally lastBatchPhaseMs = phases.toMap
   }
 
   private def processBatchPhased(records: DataFrame, batchId: Long,
@@ -553,9 +582,15 @@ class SinkPipeline(
         val observed = guarded.observe(obs,
           count(lit(1)).as("total"), count(col(ErrorCol)).as("failed"))
         try phase("write") {
-          store(spark, b).applyBatch(
+          val st = store(spark, b)
+          st.applyBatch(
             observed.filter(col(ErrorCol).isNull).drop(ErrorCol), batchId,
             binding = b.topic)
+          // fold the store's sub-phase attribution into the batch phases
+          // (write_collect / write_merge_write / write_meta /
+          // write_unpersist) so the sidecar can see inside `write`
+          st.lastApplyPhaseMs.foreach { case (k, ms) =>
+            phase.add(s"write_$k", ms) }
         } catch {
           case e: Throwable if causeChain(e)
               .exists(m => m != null && m.contains("ignoreErrors=None")) =>
@@ -585,13 +620,17 @@ class SinkPipeline(
         // (With a provided query the write-job row count is the QUERY's
         // output, so the slice-minus-kept difference is not a dedup count —
         // skip rather than lie.)
+        // quality counts resolve AFTER the table merge is durable (replay
+        // contract) — usually a free read of the write job's observation,
+        // see qualityFilter
+        val qCounts = phase("quality_counts") { qualityCounts.map(_.apply()) }
         if (b.dedupEnabled && b.query.isEmpty) {
           // rows that ENTERED the dedup stage = topic slice minus whatever
           // the quality gate already dropped — without the subtraction a
           // binding with both stages would report quality drops twice
           // (once in qualityDroppedCount, again here)
           val slice = topicCounts.getOrElse(b.topic, 0L) -
-            qualityCounts.map(_._2).getOrElse(0L)
+            qCounts.map(_._2).getOrElse(0L)
           countAndMark(spark,
             s"${b.topic}.${b.qualifiedTable}.dedupKeptCount", nTotal)
           countAndMark(spark,
@@ -600,7 +639,7 @@ class SinkPipeline(
         }
         // quality counters mark only now that the table merge is durable —
         // a failed batch replays without having counted (replay contract)
-        qualityCounts.foreach { case (k, d) =>
+        qCounts.foreach { case (k, d) =>
           countAndMark(spark,
             s"${b.topic}.${b.qualifiedTable}.qualityKeptCount", k)
           countAndMark(spark,
@@ -660,6 +699,9 @@ object SinkPipeline {
     * phase attribution (`lastBatchPhaseMs`). */
   private[streaming] trait Phaser {
     def apply[A](name: String)(f: => A): A
+    /** Fold an externally measured duration into the phase map (the store's
+      * applyBatch sub-phases). */
+    def add(name: String, ms: Long): Unit
   }
 
   /** Shared daemon scheduler for the queryExecutionTimeout watchdog — one
