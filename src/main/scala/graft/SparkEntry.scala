@@ -2347,9 +2347,12 @@ object SparkEntry {
     Q("q167_assoc_rules", Some(
       """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem), gs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sz FROM gi GROUP BY 1), okg AS (SELECT g FROM gs WHERE sz <= 64), ok AS (SELECT gi.g, gi.it FROM gi JOIN okg USING (g)), ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM okg), ic AS (SELECT it AS item, CAST(COUNT(*) AS BIGINT) AS cnt FROM ok GROUP BY 1), p AS (SELECT a.it AS item_a, b.it AS item_b, CAST(COUNT(*) AS BIGINT) AS support FROM ok a JOIN ok b ON a.g = b.g AND a.it < b.it GROUP BY 1, 2 HAVING COUNT(*) >= 2), dr AS (SELECT item_a AS antecedent, item_b AS consequent, support FROM p UNION ALL SELECT item_b, item_a, support FROM p), r AS (SELECT dr.antecedent, dr.consequent, dr.support, CAST(dr.support*1000000 // ia.cnt AS BIGINT) AS confidence_ppm, CAST(dr.support*ng.n*1000 // (ia.cnt*ic2.cnt) AS BIGINT) AS lift_x1000 FROM dr JOIN ic ia ON dr.antecedent = ia.item JOIN ic ic2 ON dr.consequent = ic2.item CROSS JOIN ng) SELECT * FROM r ORDER BY lift_x1000 DESC, antecedent, consequent LIMIT 50"""),
       (s, dir) => {
-        val gi = lineitem(tune(s), dir)
+        // staged: consumed by the nGroups count action AND the final
+        // items-join execution — unstaged, the distinct's shuffle re-ran
+        // once per consumer (cooccurrencePairs stages its own copy)
+        val gi = Staging.stage(lineitem(tune(s), dir)
           .select(col("l_orderkey").as("g"), col("l_partkey").as("it"))
-          .distinct()
+          .distinct())
         val okg = gi.groupBy("g").agg(count(lit(1)).as("__sz"))
           .filter(col("__sz") <= 64).select("g")
         val ok = gi.join(okg, "g")

@@ -287,7 +287,10 @@ object Layout {
       val v = df.select(col(cand).cast(LongType).as("cv"),
           col(targetCol).cast(LongType).as("tv"))
         .filter(col("cv").isNotNull && col("tv").isNotNull)
-      val byVal = v.groupBy("cv").agg(count(lit(1)).as("c"))
+      // staged: consumed by the min/max/total head(), the bucket-offset
+      // collect AND the final file-map join — without the stage each
+      // candidate re-ran the full scan+group three times (guide §1.2)
+      val byVal = Staging.stage(v.groupBy("cv").agg(count(lit(1)).as("c")))
       // two-stage cumulative: bucket offsets collected (bounded), then a
       // bucket-keyed window — the sBefore of each distinct candidate value
       val mm = byVal.agg(min("cv"), max("cv"), sum("c")).head()

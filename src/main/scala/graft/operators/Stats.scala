@@ -1922,7 +1922,11 @@ object Stats {
   private def valueCumBefore(v: DataFrame, valueCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val byVal = v.groupBy(col(valueCol).as("x")).agg(count(lit(1)).as("c"))
+    // staged (the scoredCumulatives pattern): consumed by the min/max
+    // head(), the bucket-offset collect and every caller's final join —
+    // unstaged, each consumer re-ran the full scan+group (guide §1.2)
+    val byVal = Staging.stage(
+      v.groupBy(col(valueCol).as("x")).agg(count(lit(1)).as("c")))
     val mm = byVal.agg(min("x"), max("x"), count(lit(1))).head()
     if (mm.getLong(2) == 0L)
       return byVal.withColumn("sBefore", lit(0L))
