@@ -33,6 +33,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The median a bench row reports: LOWER-middle of the sorted runs. For
+    * the 3-run base case that is the true median; for a 4-run array (the
+    * row got ONE contended-rescue extra run) it is sorted index 1 — the
+    * rule discounts exactly one spiked run and never more (VERDICT r11 #8:
+    * the contended-rerun mechanic must stay bounded; BenchSpec pins this). */
+  private[graft] def runMedian(runs: Seq[Double]): Double = {
+    val s = runs.sorted
+    s((s.size - 1) / 2)
+  }
+
   /** Per-run task-metric accumulator for the probe diagnostics: summed
     * executor CPU time and the longest single task since the last reset.
     * A wall-time outlier then self-attributes from the artifact: flat
@@ -118,6 +128,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // cached-plan AQE (see SparkEntry.tune): staged/persisted frames
+      // coalesce instead of pinning the full shuffle fan-out per cache
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "1") match {
+          case "0" => "false"; case _ => "true" })
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -256,8 +271,7 @@ object Bench {
         }
       }
       runCanaries += name -> cans
-      val sorted = runs.sorted
-      results += name -> sorted((sorted.size - 1) / 2)
+      results += name -> runMedian(runs)
       allRuns += name -> runs
     }
 
@@ -282,7 +296,8 @@ object Bench {
         org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.LongType)))
       val mapped = RecordMapper.compile(b, table, frame,
-        valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema))
+        valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema),
+        parallelizeDecode = true)
       force(Upserts.lwwCompact(mapped, Seq("my_pk"),
         Seq(col(RecordMapper.WritetimeCol))))
     }
@@ -306,7 +321,8 @@ object Bench {
           org.apache.spark.sql.types.StructField("my_value",
             org.apache.spark.sql.types.LongType))),
         Seq("my_pk"))
-      val mapped = RecordMapper.compile(b, table, frame10)
+      val mapped = RecordMapper.compile(b, table, frame10,
+        parallelizeDecode = true)
       force(Upserts.lwwCompact(mapped, Seq("my_pk"),
         Seq(col(RecordMapper.WritetimeCol))))
     }
@@ -805,7 +821,8 @@ object Bench {
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType)))
         val mapped = RecordMapper.compile(b, table, frame,
-          valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema))
+          valueFormat = RecordMapper.Format.JsonWithSchema(valueSchema),
+          parallelizeDecode = true)
         force(Upserts.lwwCompact(mapped, Seq("my_pk"),
           Seq(col(RecordMapper.WritetimeCol))))
       }
@@ -1051,14 +1068,28 @@ object Bench {
     // hard headroom under any future query growth); the full detail —
     // `queries` medians, raw `runs`, `sf1_probe`, `sf1_probe_runs` — lives
     // exclusively in the sidecar file named by `runs_file`.
+    // Named PER CORE COUNT (VERDICT r11 #1/#2): the driver benches at two
+    // core counts back to back, and with a single fixed name the second
+    // (low-core) run overwrote the 32-core per-row artifact — r11's
+    // round-over-round per-query adjudication had to be reconstructed from
+    // builder-committed copies. `bench_runs_c<cpus>.json` keeps both
+    // captures; the final line's `runs_file` names the one this run wrote.
     val runsPath = sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE",
-      java.nio.file.Paths.get(sys.props("user.dir"), "bench_runs.json")
-        .toString)
+      java.nio.file.Paths.get(sys.props("user.dir"),
+        s"bench_runs_c$cpus.json").toString)
     val fullJson =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json,"sf1_probe_runs":$sf1RunsJson,"sf1_probe_diag":$sf1DiagJson,"canary":$canaryJson,"canary_runs":$canaryRunsJson,"loadavg":$loadJson,"canary_median":${f"$canaryMedian%1.3f"},"canary_quartile_drift":${f"$qDrift%1.2f"},"contended":$contendedJson,"rescued":$rescuedJson,"capture_quality":"$captureQuality","sink_stream_state":$sinkStreamStateJson,"sink_stream_flat_ratio":${f"$sinkStreamFlatRatio%1.3f"},"sf1_sink_stream_state":$sf1SinkStreamStateJson,"sf1_sink_stream_flat_ratio":${f"$sf1SinkStreamFlatRatio%1.3f"}}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"sf1_probe":$sf1Json,"sf1_probe_runs":$sf1RunsJson,"sf1_probe_diag":$sf1DiagJson,"canary":$canaryJson,"canary_runs":$canaryRunsJson,"loadavg":$loadJson,"canary_median":${f"$canaryMedian%1.3f"},"canary_quartile_drift":${f"$qDrift%1.2f"},"contended":$contendedJson,"rescued":$rescuedJson,"rescued_count":${rescuedRows.size},"capture_quality":"$captureQuality","sink_stream_state":$sinkStreamStateJson,"sink_stream_flat_ratio":${f"$sinkStreamFlatRatio%1.3f"},"sf1_sink_stream_state":$sf1SinkStreamStateJson,"sf1_sink_stream_flat_ratio":${f"$sf1SinkStreamFlatRatio%1.3f"}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(runsPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // sidecar is best-effort
+    // legacy fixed-name copy for tooling that greps bench_runs.json —
+    // the per-cpus file above is the authoritative (non-overwritten) one
+    try {
+      val legacy = java.nio.file.Paths.get(sys.props("user.dir"),
+        "bench_runs.json")
+      if (legacy.toString != runsPath)
+        java.nio.file.Files.write(legacy, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     val finalLine =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","queries_benched":${results.size},"ingest_records":$nRecords,"ingest_records_per_sec":$rps,"ingest_sustained_records_per_sec":$sustained,"state_merge_1key_50k_sec":${f"$merge50k%1.3f"},"state_merge_1key_200k_sec":${f"$merge200k%1.3f"},"stream_banding_rows_per_sec":$streamBandingRps,"canary_median_sec":${f"$canaryMedian%1.3f"},"contended_queries":${contended.size},"capture_quality":"$captureQuality","runs_file":"$runsPath"}"""
     // Belt and braces for the adjudication channel: never let this line grow

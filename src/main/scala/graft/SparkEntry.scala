@@ -34,6 +34,20 @@ object SparkEntry {
     // normalizes either to the canonical nanos-BIGINT contract.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Let AQE re-optimize output partitioning INSIDE cached plans (default
+    // false): staged/persisted frames (Staging.stage, the sink's per-batch
+    // persist) otherwise materialize their final shuffle at the full
+    // spark.sql.shuffle.partitions fan-out and every cache consumer
+    // inherits those degenerate-small partitions — the r12 sink-batch job
+    // census measured 7 of 23 per-batch jobs carrying 32-task stages over
+    // ~KB cached frames (275 → ~60 scheduled tasks per batch with the
+    // flag). Scale-adaptive by construction: AQE coalesces toward
+    // advisoryPartitionSizeInBytes, so a large cached frame keeps its
+    // parallelism (guide §2.2).
+    // env toggle for A/B measurement only; default ON
+    if (sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "1") != "0")
+      spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark
   }
 
@@ -512,7 +526,7 @@ object SparkEntry {
       """SELECT event_id AS my_pk, user_id AS udt_a, event_type AS udt_b, CAST(event_id % 97 AS BIGINT) AS t1, CAST(user_id % 89 AS BIGINT) AS t2 FROM events ORDER BY my_pk"""),
       (s, dir) => {
         val sp = tune(s)
-        val ev = KafkaLike.events(sp, dir)
+        val ev = graft.sources.Scan.rescue(KafkaLike.events(sp, dir)) // r12: parallelize fixture encode + decode (single-split scan)
         val frame = ev.select(
           lit("t").as("topic"), lit(0).as("partition"),
           col("event_id").as("offset"),
@@ -543,7 +557,7 @@ object SparkEntry {
       """SELECT event_id AS my_pk, CAST(epoch_ms(date_trunc('second', ts)) - 19800000 AS BIGINT) AS utc_ms FROM events ORDER BY my_pk"""),
       (s, dir) => {
         val sp = tune(s)
-        val ev = KafkaLike.events(sp, dir)
+        val ev = graft.sources.Scan.rescue(KafkaLike.events(sp, dir)) // r12: parallelize fixture encode + decode (single-split scan)
         val frame = ev.select(
           lit("t").as("topic"), lit(0).as("partition"),
           col("event_id").as("offset"),
@@ -580,7 +594,7 @@ object SparkEntry {
       """SELECT event_id AS my_pk, CAST(event_id % 100000 AS BIGINT) AS unscaled FROM events ORDER BY my_pk"""),
       (s, dir) => {
         val sp = tune(s)
-        val ev = KafkaLike.events(sp, dir)
+        val ev = graft.sources.Scan.rescue(KafkaLike.events(sp, dir)) // r12: parallelize fixture encode + decode (single-split scan)
         val frame = ev.select(
           lit("t").as("topic"), lit(0).as("partition"),
           col("event_id").as("offset"),
@@ -635,7 +649,7 @@ object SparkEntry {
       """SELECT event_id AS my_pk, user_id AS udt_a, event_type AS udt_b, CAST(event_id % 97 AS BIGINT) AS t1, CAST(user_id % 89 AS BIGINT) AS t2 FROM events ORDER BY my_pk"""),
       (s, dir) => {
         val sp = tune(s)
-        val ev = KafkaLike.events(sp, dir)
+        val ev = graft.sources.Scan.rescue(KafkaLike.events(sp, dir)) // r12: parallelize fixture encode + decode (single-split scan)
         val avroSchema =
           """{"type":"record","name":"Payload","fields":[
             |{"name":"udt","type":{"type":"record","name":"U","fields":[

@@ -40,11 +40,15 @@ object Graph {
       srcCol: String, dstCol: String, iterations: Int = 3): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
-    val deg = edges.groupBy(col(srcCol).as("src"))
-      .agg(count(lit(1)).as("deg"))
-    val e = Staging.stage(edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .join(deg, "src"))
+    // stage the raw edge list FIRST: `deg` and the degree join both consume
+    // it, and without the stage the (often expensive) edge-producing plan —
+    // q116 feeds minhash band candidates here — appeared TWICE inside the
+    // staged joined frame's definition, executing twice on materialization
+    // (guide §5: reused and expensive ⇒ compute once)
+    val e0 = Staging.stage(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = Staging.stage(e0.join(deg, "src"))
     val n0 = nodes.select(col(idCol).as("node_id"))
     var rank = n0.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iterations) {

@@ -166,11 +166,70 @@ class KeyedParquetTable(
       case Some(w) => m.buckets.view.filterKeys(w.contains).toMap
       case None    => m.buckets
     }
-    val leafDirs = picked.toSeq.sorted.map { case (b, v) =>
+    val (present, missing) = picked.toSeq.sorted.map { case (b, v) =>
       rootPath.resolve(s"v$v").resolve(s"$BucketCol=$b")
-    }.filter(Files.exists(_)).map(_.toString)
+    }.partition(Files.exists(_))
+    // A manifest-referenced leaf dir is legitimately absent when its
+    // version's write COMPLETED but emitted zero rows for that bucket (a
+    // merge/sweep whose retain/tombstones deleted the bucket's every row
+    // still flips the bucket's pointer; the schema-only all-rows-deleted
+    // version is the all-buckets case of the same shape) — that bucket's
+    // state is empty, the same answer the old filter-based read produced.
+    // Any OTHER absence (a reader racing vacuum() — which removes whole
+    // v<N> trees, never single bucket dirs — partial deletion, corruption)
+    // previously read as silently EMPTY state, and a subsequent merge
+    // would have persisted that loss as the new version (ADVICE r11 #1):
+    // verify the completed-version shape or fail loudly.
+    missing.foreach { leaf =>
+      val vDir = leaf.getParent
+      val benign = Files.exists(vDir) &&
+        Files.exists(vDir.resolve("_SUCCESS"))
+      require(benign,
+        s"state bucket dir $leaf is referenced by the manifest but its " +
+          "version dir is missing or incomplete — refusing to read the " +
+          "bucket as empty (concurrent vacuum / partial delete / " +
+          "corruption); re-open the table or restore the version dir")
+    }
+    val leafDirs = present.map(_.toString)
     if (leafDirs.isEmpty) emptyState
-    else spark.read.parquet(leafDirs: _*)
+    else stateSchema match {
+      // explicit schema: no per-read footer schema inference, and any
+      // cross-version column drift reconciles EXACTLY as the merge
+      // expects (absent columns null — e.g. pre-TTL versions read with a
+      // later __expires_s schema) instead of depending on which file's
+      // footer the inference happened to pick (ADVICE r11 #2)
+      case Some(sch) => spark.read.schema(sch).parquet(leafDirs: _*)
+      case None =>
+        // no write this session yet: union-schema inference across the
+        // read versions (late-appearing columns — __expires_s — reconcile
+        // correctly even when the newest footer predates them; truly
+        // incompatible drift fails loudly instead of silently picking one
+        // footer). NOT pinned — a touched-buckets read may not see every
+        // version; the first write pins the authoritative schema.
+        spark.read.option("mergeSchema", "true").parquet(leafDirs: _*)
+    }
+  }
+
+  /** The state files' schema, pinned after the first inference and kept in
+    * step with every write — saves one driver-side footer inference per
+    * state read, and makes multi-version reads reconcile schema drift
+    * deterministically (all fields nullable: older versions may predate a
+    * column, e.g. `__expires_s` appearing with the first TTL'd batch). */
+  @volatile private var stateSchema
+      : Option[org.apache.spark.sql.types.StructType] = None
+
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        ArrayType(asNullable(at.elementType), containsNull = true)
+      case mt: MapType => MapType(asNullable(mt.keyType),
+        asNullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
   }
 
   /** Current full state; empty frame with the right schema before any write. */
@@ -180,11 +239,20 @@ class KeyedParquetTable(
     * the partition-pruned read for point-lookup joins (a batch-vs-state
     * anti-join reads O(touched buckets), not O(total state)). `keys` must
     * carry the table's pk columns; the bucket collect is ≤ numBuckets rows. */
-  def stateForKeys(keys: DataFrame): DataFrame = {
-    val touched = keys.select(bucketOf.as(BucketCol)).distinct()
+  def stateForKeys(keys: DataFrame): DataFrame =
+    readBuckets(currentMeta, Some(touchedBuckets(keys)))
+
+  /** The bucket set `keys`' primary-key values hash into — ≤ numBuckets
+    * rows collected. Callers that later merge the SAME key set back (the
+    * dedup sightings commit) pass the set to [[applyBatch]]'s
+    * `knownTouched` so the merge skips its own identical collect job. */
+  def touchedBuckets(keys: DataFrame): Set[Int] =
+    keys.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
+
+  /** Partition-pruned state read for an already-computed bucket set. */
+  def stateForBuckets(touched: Set[Int]): DataFrame =
     readBuckets(currentMeta, Some(touched))
-  }
 
   /** Rewrite EVERY bucket keeping only rows satisfying `keep` — the physical
     * expiry hook for TTL'd state (the merge-time `retain` prune in
@@ -226,6 +294,12 @@ class KeyedParquetTable(
     val dir = rootPath.resolve(s"v$v")
     out.write.mode("overwrite").option("compression", compression)
       .partitionBy(BucketCol).parquet(dir.toString)
+    // the newest version's layout IS the state schema from here on (leaf-dir
+    // reads never see the partition column); older versions' files may lack
+    // late-appearing columns — read as null, which is what the merge expects
+    stateSchema = Some(asNullable(org.apache.spark.sql.types.StructType(
+      out.schema.filterNot(_.name == BucketCol)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
     val hasBucketDirs = {
       val ls = Files.list(dir)
       try ls.anyMatch(p => p.getFileName.toString.startsWith(s"$BucketCol="))
@@ -273,9 +347,17 @@ class KeyedParquetTable(
     * expires physically during the merge it was already paying for, zero
     * extra passes. Untouched buckets keep their expired rows until the next
     * batch lands in them or [[sweep]] runs. */
+  /** `knownTouched`: the batch's bucket set when the CALLER already
+    * collected it (the dedup sightings merge re-uses the set its state
+    * lookup computed over the same keys) — the merge then runs ONE Spark
+    * job (the write) instead of two, and skips the batch persist whose only
+    * point was sharing work between those jobs (guide §1.2). The set must
+    * cover every bucket the batch's keys hash into; a superset only
+    * rewrites the extra buckets' state unchanged. */
   def applyBatch(batch: DataFrame, batchId: Long = Long.MinValue,
       binding: String = DefaultBinding,
-      retain: Option[Column] = None): Unit = synchronized {
+      retain: Option[Column] = None,
+      knownTouched: Option[Set[Int]] = None): Unit = synchronized {
     val phases = scala.collection.mutable.LinkedHashMap[String, Long]()
     val timed = new KeyedParquetTable.Timer {
       def apply[A](name: String)(f: => A): A = {
@@ -285,7 +367,7 @@ class KeyedParquetTable(
       }
     }
     try KeyedParquetTable.withMicroBatchSplits(spark) {
-      applyBatchTimed(batch, batchId, binding, retain, timed)
+      applyBatchTimed(batch, batchId, binding, retain, knownTouched, timed)
     } finally lastApplyPhaseMs = phases.toMap
   }
 
@@ -299,27 +381,31 @@ class KeyedParquetTable(
 
   private def applyBatchTimed(batch: DataFrame, batchId: Long,
       binding: String, retain: Option[Column],
+      knownTouched: Option[Set[Int]],
       timed: KeyedParquetTable.Timer): Unit = {
     val m = currentMeta
     if (batchId != Long.MinValue && batchId <= m.lastFor(binding)) return
     def bumped = m.lastBatch +
       (binding -> math.max(batchId, m.lastFor(binding)))
 
-    // The mapped batch has THREE consumers below (touched-bucket collect,
-    // merge, write) and its plan is typically the binding's whole mapping
-    // pipeline (quality semi-join + dedup anti-join + JSON decode) —
-    // without a persist each consumer re-executed that pipeline from the
+    // The mapped batch has up to THREE consumers below (touched-bucket
+    // collect, merge, write) and its plan is typically the binding's whole
+    // mapping pipeline (quality semi-join + dedup anti-join + JSON decode)
+    // — without a persist each consumer re-executed that pipeline from the
     // source (guide §5 caching: reused AND expensive to recompute; the
     // bench's sink_stream write phase carried 2 of the 3 duplicate runs).
     // MEMORY_AND_DISK: a micro-batch is bounded; spill beats recompute.
-    val batchP = batch.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // With `knownTouched` the write job is the ONLY consumer — no persist.
+    val batchP =
+      if (knownTouched.isDefined) batch
+      else batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the batch determines which buckets the merge touches at all
-      val touched = timed("collect") {
+      val touched = knownTouched.getOrElse(timed("collect") {
         batchP.select(bucketOf.as(BucketCol)).distinct()
           .collect().map(_.getInt(0)).toSet
-      }
+      })
       if (touched.isEmpty) {
         writeMeta(m.copy(lastBatch = bumped))
         return
@@ -351,7 +437,8 @@ class KeyedParquetTable(
           buckets = m.buckets ++ touched.map(_ -> v)))
       }
       timed("meta")(vacuum()) // superseded versions are unreachable
-    } finally timed("unpersist")(batchP.unpersist(true))
+    } finally if (knownTouched.isEmpty)
+      timed("unpersist")(batchP.unpersist(true))
     // blocking, deliberately: an async unpersist here races the NEXT
     // micro-batch's jobs with this batch's block drain — a 32-batch stream
     // showed the same monotone per-batch growth (wall ≫ cpu, tail 2.7→10 s)
@@ -381,7 +468,19 @@ object KeyedParquetTable {
     * splits as before — the setting only stops the artificial fan-out when
     * the data is SMALLER than one split per core, which is precisely the
     * micro-batch case. Restores the previous value on exit; the scope is
-    * the single-writer driver thread (applyBatch is synchronized). */
+    * the single-writer driver thread (applyBatch is synchronized).
+    *
+    * CONCURRENCY CONTRACT (ADVICE r11 #3): the save/set/restore mutates the
+    * SESSION-level SQL conf, so it assumes one sink pipeline per
+    * SparkSession and no concurrent ad-hoc queries on that session while a
+    * micro-batch is in flight — the deployment shape of every entrypoint
+    * here (a streaming sink owns its cloned micro-batch session; the bench
+    * and tests drive one pipeline at a time). Running several pipelines on
+    * ONE session could plan an unrelated concurrent scan with the floor
+    * applied (correct plans, possibly fewer splits than intended) or
+    * restore a stale value; give each pipeline its own session
+    * (spark.newSession()) in that topology, or set
+    * spark.graft.microbatch.splitFloor=off. */
   private[graft] def withMicroBatchSplits[A](
       spark: SparkSession)(f: => A): A =
     if (spark.conf.get("spark.graft.microbatch.splitFloor", "1") == "off") f

@@ -50,6 +50,10 @@ class SinkPipeline(
 
   private val stores = TrieMap[String, KeyedParquetTable]()
 
+  /** DSIR histogram frames by model dir — plan-only cache (see
+    * [[qualityFilter]]): avoids one listing + schema inference per batch. */
+  private val histFrames = TrieMap[String, DataFrame]()
+
   def store(spark: org.apache.spark.sql.SparkSession, b: SinkConfig.TableBinding): KeyedParquetTable =
     stores.getOrElseUpdate(b.qualifiedTable,
       new KeyedParquetTable(spark, tables(b.qualifiedTable),
@@ -174,7 +178,14 @@ class SinkPipeline(
     b.qualityDsirParams match {
       case None => (slice, None, None)
       case Some((minAvgQ, histDir)) =>
-        val hist = spark.read.parquet(histDir)
+        // per-pipeline frame cache: the trained histogram is an immutable
+        // model directory (training is offline by contract), but building
+        // the frame costs a driver-side listing + footer schema inference —
+        // re-paid EVERY batch when constructed inline (guide §6 file
+        // listing). The cached object is only a plan: each batch's jobs
+        // still read the files, nothing is materialized across batches.
+        val hist = histFrames.getOrElseUpdate(histDir,
+          spark.read.parquet(histDir))
         val keyed = slice.withColumn("__qid",
           concat_ws("/", col("partition"), col("offset")))
         val scorable = keyed.filter(col("value").isNotNull)
@@ -191,6 +202,10 @@ class SinkPipeline(
               coalesce(sum(when(col("__keep"), 0L).otherwise(1L)), lit(0L))
                 .as("dropped")))
         val counts = () => {
+          // the metrics arrive asynchronously on the listener bus; drain it
+          // first so the free (no-extra-job) path is deterministic once the
+          // write job has completed (ADVICE r11 #4)
+          org.apache.spark.sql.GraftBridge.drainListeners(spark)
           val m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
           if (m.contains("kept"))
             (m("kept").asInstanceOf[Long], m("dropped").asInstanceOf[Long])
@@ -262,7 +277,13 @@ class SinkPipeline(
       val first = dedupable.groupBy(col(hcol))
         .agg(min_by(struct(recordCols.toIndexedSeq.map(col): _*),
           struct(col("partition"), col("offset"))).as("__first"))
-      val seenAll = ds.stateForKeys(first.select(col(hcol).as("h")))
+      // collected ONCE: the state lookup and the deferred sightings merge
+      // key on the same hash set (exactTtl records every sighting — the
+      // identical set; exact records the fresh subset — the merge then
+      // rewrites any extra already-seen bucket unchanged), so the sightings
+      // applyBatch reuses this set instead of running its own collect job
+      val touched = ds.touchedBuckets(first.select(col(hcol).as("h")))
+      val seenAll = ds.stateForBuckets(touched)
       val seen = b.dedupTtlMs match {
         case Some(t) => seenAll.filter(col("last_seen") >= nowMs - t)
         case None    => seenAll
@@ -287,7 +308,7 @@ class SinkPipeline(
       // lands in keep their expired rows until vacuumDedupState sweeps them.
       val horizon = b.dedupTtlMs.map(t => col("last_seen") >= nowMs - t)
       (out, Some(() => ds.applyBatch(sightings, batchId, binding = b.topic,
-        retain = horizon)))
+        retain = horizon, knownTouched = Some(touched))))
     }
 
   /** `dedup=near`: drop a record sharing any MinHash LSH band with EARLIER
@@ -318,8 +339,11 @@ class SinkPipeline(
       // feeds the state lookup, the in-batch min, and the sightings merge —
       // compute the banding once (mechanism per spark.graft.staging)
     // near:<k>x<r>:<ttl>: same sliding horizon as exactTtl — bands quiet for
-    // a full horizon stop blocking (and expire physically below)
-    val seenAll = ds.stateForKeys(bandRows.select("band_id", "band_hash"))
+    // a full horizon stop blocking (and expire physically below).
+    // Bucket set collected ONCE: the sightings merge below keys on the
+    // identical (band_id, band_hash) set, so it reuses this collect.
+    val touched = ds.touchedBuckets(bandRows.select("band_id", "band_hash"))
+    val seenAll = ds.stateForBuckets(touched)
     val seen = b.dedupTtlMs match {
       case Some(t) => seenAll.filter(col("last_seen") >= nowMs - t)
       case None    => seenAll
@@ -349,7 +373,8 @@ class SinkPipeline(
     // state-bounding contract to exactTtl
     val horizon = b.dedupTtlMs.map(t => col("last_seen") >= nowMs - t)
     (out, Some(() => {
-      ds.applyBatch(sightings, batchId, binding = b.topic, retain = horizon)
+      ds.applyBatch(sightings, batchId, binding = b.topic, retain = horizon,
+        knownTouched = Some(touched))
       // the staged banding's last consumer was the sightings merge: release
       // it so persist-mode staging doesn't pin one cached plan per batch
       // for the life of the stream (a failed batch leaks one entry until
