@@ -50,8 +50,41 @@ object Pq {
       numSubspaces: Int = 8, cellsPerSub: Int = 16, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.Row
     val spark = train.sparkSession
-    val v = train.select(col(idCol).as("item_id"),
-      Similarity.quantize(col(vecCol)).as("qv")).localCheckpoint()
+    val v0 = train.select(col(idCol).as("item_id"),
+      Similarity.quantize(col(vecCol)).as("qv"))
+    // small training corpora run the whole per-subspace Lloyd loop on the
+    // driver — ONE gating limit-collect job replaces checkpoint + dims
+    // head + seed collect + per-iteration collects (VERDICT r11 #6); the
+    // arithmetic is Similarity.lloydDriver's, bit-identical to the
+    // distributed loop below (KmeansParitySpec pins both trainers)
+    val maxDriver =
+      try spark.conf.get(Similarity.DriverMaxRowsKey, "131072").toInt
+      catch { case _: NumberFormatException => 131072 }
+    val probe =
+      if (maxDriver <= 0) Array.empty[Row]
+      else v0.limit(maxDriver + 1).collect()
+    if (maxDriver > 0 && probe.length <= maxDriver && probe.nonEmpty) {
+      val ids = probe.map(_.getLong(0))
+      val full = probe.map(_.getSeq[Long](1).toArray)
+      val dimsD = full(0).length
+      require(dimsD % numSubspaces == 0,
+        s"dims=$dimsD not divisible into $numSubspaces subspaces")
+      val dD = dimsD / numSubspaces
+      val rows = new java.util.ArrayList[Row]()
+      (0 until numSubspaces).foreach { s =>
+        val sub = full.map(v => v.slice(s * dD, s * dD + dD))
+        Similarity.lloydDriver(ids, sub, cellsPerSub, iters).foreach {
+          case (cid, cv) => rows.add(Row(s, cid, cv.toSeq))
+        }
+      }
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sub_id", IntegerType),
+          org.apache.spark.sql.types.StructField("cell_id", IntegerType),
+          org.apache.spark.sql.types.StructField("cv", ArrayType(LongType)))))
+        .withColumn("cn2", Similarity.norm2Q(col("cv")))
+    }
+    val v = v0.localCheckpoint()
     val dims = v.select(size(col("qv"))).head().getInt(0)
     require(dims % numSubspaces == 0,
       s"dims=$dims not divisible into $numSubspaces subspaces")

