@@ -63,7 +63,11 @@ object Pq {
     val probe =
       if (maxDriver <= 0) Array.empty[Row]
       else v0.limit(maxDriver + 1).collect()
-    if (maxDriver > 0 && probe.length <= maxDriver && probe.nonEmpty) {
+    // same serial work budget as kmeansOnQuantized: all subspaces together
+    // touch rows·cellsPerSub·dims·iters multiplies
+    if (maxDriver > 0 && probe.length <= maxDriver && probe.nonEmpty &&
+        probe.length.toLong * cellsPerSub *
+          probe(0).getSeq[Long](1).length * iters <= 4000000000L) {
       val ids = probe.map(_.getLong(0))
       val full = probe.map(_.getSeq[Long](1).toArray)
       val dimsD = full(0).length

@@ -235,7 +235,14 @@ object Similarity {
     val probe =
       if (maxDriver <= 0) Array.empty[org.apache.spark.sql.Row]
       else v0.limit(maxDriver + 1).collect()
-    if (maxDriver > 0 && probe.length <= maxDriver && probe.nonEmpty) {
+    // work budget: the driver loop is single-threaded, so besides the row
+    // cap the total multiply count (rows·k·dims·iters) must stay small
+    // enough that serial beats the ~1 s of per-job scheduling it replaces;
+    // past it, fall back to the distributed loop (the probe cost one job)
+    def driverWorkOk(dims: Int): Boolean =
+      probe.length.toLong * k * dims * iters <= 4000000000L
+    if (maxDriver > 0 && probe.length <= maxDriver && probe.nonEmpty &&
+        driverWorkOk(probe(0).getSeq[Long](1).length)) {
       val ids = probe.map(_.getLong(0))
       val vecs = probe.map(_.getSeq[Long](1).toArray)
       val cents = lloydDriver(ids, vecs, k, iters)
